@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine query: a Spark DataFrame program plus (when
+  * SQL-expressible) an equivalent ANSI/DuckDB oracle. Column names and types
+  * must match exactly between the two — the driver sorts columns by name and
+  * hash-compares values.
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object Q {
+
+  /** Load one driver test table from the given sf dir. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-insensitive exact double sum: route through a decimal so the
+    * aggregation is exact regardless of partial-aggregation order, then cast
+    * back to double. The DuckDB oracle mirrors it as
+    * `sum((expr)::DECIMAL(30,6))::DOUBLE` — both sides are bit-identical.
+    * Plain `sum(double)` would differ between engines in the last ulps
+    * because float addition is order-dependent.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+
+  /** Exact mean built from the exact sum — `dsum / count` so both engines
+    * divide the same two numbers.
+    */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(30, 6))).cast("double") / count(lit(1)))
+
+  /** The DuckDB spellings of the same. */
+  def sqlSum(expr: String): String = s"sum(($expr)::DECIMAL(30,6))::DOUBLE"
+  def sqlAvg(expr: String): String =
+    s"(sum(($expr)::DECIMAL(30,6))::DOUBLE / count(*))"
+
+  /** DuckDB spelling of [[graft.functions.VectorFunctions.l2Sq]] over
+    * double[] columns (left-to-right accumulation, same as Spark's
+    * `aggregate(zip_with(...))`).
+    */
+  def sqlL2Sq(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]))"
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.BruteForceKNN
+import Q._
+
+/** Vector-search query surface: exact kNN (the reference's brute-force
+  * oracle, py/bruteforce.py), cosine top-k, and pairwise distance checks.
+  * Query set = every 100th vector; base = whole embeddings table.
+  */
+object VectorQueries {
+
+  private val K = 10
+
+  /** Spark-side: embeddings table split into (queries, base). */
+  private def qb(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("qv")
+      )
+    val b = emb.select(
+      col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("bv")
+    )
+    (q, b)
+  }
+
+  val all: Seq[GQuery] = Seq(
+    GQuery(
+      "knn_bruteforce",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN
+          .knn(q, b, K)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("dist"), 4).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    GQuery(
+      "knn_cosine",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN
+          .knnCosine(q, b, K)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("sim"), 6).as("sim"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlDot("qv", "bv")}
+                          / (sqrt(${sqlDot("qv", "qv")})
+                             * sqrt(${sqlDot("bv", "bv")})) AS sim
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, sim,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(sim, 6) AS sim, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    )
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.BruteForceKNN
+
+/** Ports of the reference's distance unit tests
+  * (py/test_hnsw.py:172-183, py/test_pq.py:43-53) plus kNN invariants.
+  */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("L2Sq([1,2,3],[4,5,6]) == 27 (py/test_hnsw.py:172-178)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val d = df.select(l2Sq($"a", $"b")).head.getDouble(0)
+    assert(d === 27.0)
+  }
+
+  test("L2Sq identical vectors == 0; empty == 0") {
+    val df = Seq((Array(1.5, -2.5), Array(1.5, -2.5))).toDF("a", "b")
+    assert(df.select(l2Sq($"a", $"b")).head.getDouble(0) === 0.0)
+    val e = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    assert(e.select(l2Sq($"a", $"b")).head.getDouble(0) === 0.0)
+  }
+
+  test("dot / norm / cosine basics") {
+    val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(dot($"a", $"b")).head.getDouble(0) === 25.0)
+    assert(df.select(l2Norm($"a")).head.getDouble(0) === 5.0)
+    assert(
+      math.abs(df.select(cosineSim($"a", $"b")).head.getDouble(0) - 1.0) < 1e-12
+    )
+  }
+
+  test("subvector slices match contiguous split (py/pq.py:63-78)") {
+    val df = Seq(Tuple1(Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))).toDF("v")
+    val s1 = df.select(subvector($"v", 1, 2)).head.getSeq[Double](0)
+    assert(s1 == Seq(2.0, 3.0))
+  }
+
+  test(
+    "unit-square kNN: query [0.1,0.1] -> NN id 0 dist 0.02 (py/test_hnsw.py:205-238)"
+  ) {
+    val base = Seq(
+      (0L, Array(0.0, 0.0)),
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0)),
+      (3L, Array(1.0, 1.0))
+    ).toDF("neighbor_id", "bv")
+    val q = Seq((100L, Array(0.1, 0.1))).toDF("query_id", "qv")
+    val r = BruteForceKNN.knn(q, base, 4).orderBy("rnk").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(math.abs(r(0).getDouble(2) - 0.02) < 1e-12)
+  }
+
+  test("kNN tie-break: equal distances order by ascending id") {
+    val base = Seq(
+      (5L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0)),
+      (9L, Array(-1.0, 0.0))
+    ).toDF("neighbor_id", "bv")
+    val q = Seq((0L, Array(0.0, 0.0))).toDF("query_id", "qv")
+    val r = BruteForceKNN.knn(q, base, 3).orderBy("rnk").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 5L, 9L))
+  }
+
+  test("top-k is a prefix of the full sort (k=3 vs k=all)") {
+    val base = (0L to 50L).map(i => (i, Array(i.toDouble, 0.0))).toDF("neighbor_id", "bv")
+    val q = Seq((0L, Array(25.0, 0.0))).toDF("query_id", "qv")
+    val k3 = BruteForceKNN.knn(q, base, 3).orderBy("rnk").collect().map(_.getLong(1))
+    val kAll = BruteForceKNN.knn(q, base, 51).orderBy("rnk").collect().map(_.getLong(1))
+    assert(kAll.take(3).toSeq == k3.toSeq)
+  }
+}
