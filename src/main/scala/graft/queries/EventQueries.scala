@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Q._
+
+/** Query surface over the `events` table: JSON extraction, time windows,
+  * running/lag analytics, sessionization, as-of join (SURVEY.md §2 C8, D11,
+  * E3, F9, and the batch halves of §2.G).
+  *
+  * Running/windowed double sums go through decimals (see [[Q.dsum]]) so the
+  * result is independent of the engine's window-aggregation algorithm
+  * (DuckDB uses segment trees — a different addition order than Spark's
+  * running accumulator).
+  */
+object EventQueries {
+
+  private val evOrder = Seq(col("ts"), col("event_id"))
+
+  val all: Seq[GQuery] = Seq(
+    // F9: JSON extraction from props + grouped agg.
+    GQuery(
+      "q12_json_extract",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"),
+            min(col("k")).as("min_k")
+          )
+      },
+      Some("""
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+               min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k
+        FROM events GROUP BY event_type
+      """)
+    ),
+    // §2.G batch half: tumbling 1-hour windows per event_type — the same
+    // window() operator Structured Streaming uses, checked against the
+    // oracle via date_trunc equivalence.
+    GQuery(
+      "q13_hourly_windows",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("ws"),
+            col("event_type"), col("n"), col("sum_value")
+          )
+      },
+      Some(s"""
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+               count(*)::BIGINT AS n, ${sqlSum("value")} AS sum_value
+        FROM events GROUP BY 1, 2
+      """)
+    ),
+    // E3 frames: per-user running event count + running value sum, ordered
+    // by (ts, event_id).
+    GQuery(
+      "q14_running_per_user",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(evOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(
+          col("event_id"),
+          col("user_id"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(col("value").cast(DecimalType(30, 6)))
+            .over(w).cast("double").as("running_value")
+        )
+      },
+      Some("""
+        SELECT event_id, user_id,
+               count(*) OVER w::BIGINT AS running_n,
+               sum(value::DECIMAL(30,6)) OVER w::DOUBLE AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      """)
+    ),
+    // E3 lag: inter-event gap per user in seconds.
+    GQuery(
+      "q15_event_gaps",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+        e.select(
+            col("event_id"),
+            col("user_id"),
+            (unix_micros(col("ts"))
+              - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us")
+          )
+          .filter(col("gap_us").isNotNull)
+      },
+      Some("""
+        SELECT event_id, user_id, gap_us FROM (
+          SELECT event_id, user_id,
+                 epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id)) AS gap_us
+          FROM events)
+        WHERE gap_us IS NOT NULL
+      """)
+    ),
+    // Sessionization (batch form of session_window): a session breaks after
+    // a 30-minute silence; classic lag -> new-session flag -> running sum.
+    GQuery(
+      "q16_sessions",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        val wo = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+        val flagged = e.withColumn(
+          "new_sess",
+          when(
+            unix_micros(col("ts"))
+              - unix_micros(lag(col("ts"), 1).over(wo)) > 1800000000L,
+            1L
+          ).otherwise(
+            when(lag(col("ts"), 1).over(wo).isNull, 1L).otherwise(0L)
+          )
+        )
+        val sess = flagged.withColumn(
+          "session_id",
+          sum(col("new_sess"))
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        sess
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("session_value")
+          )
+      },
+      Some(s"""
+        WITH flagged AS (
+          SELECT user_id, value,
+                 CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1
+                      ELSE 0 END::BIGINT AS new_sess,
+                 ts, event_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)::BIGINT AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+               ${sqlSum("value")} AS session_value
+        FROM sess GROUP BY user_id, session_id
+      """)
+    ),
+    // C8 as-of join: for each purchase, the nearest preceding signup of the
+    // same user. Equi-key on user + top-1-by-time — planned as a hash join
+    // plus per-purchase rank, not a nested-loop range scan.
+    GQuery(
+      "q17_asof_purchase_signup",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts")
+          )
+        val signups = e.filter(col("event_type") === "signup")
+          .select(
+            col("event_id").as("s_id"), col("user_id").as("s_user"),
+            col("ts").as("s_ts")
+          )
+        val w = Window.partitionBy(col("p_id"))
+          .orderBy(col("s_ts").desc, col("s_id"))
+        purchases
+          .join(signups,
+            col("p_user") === col("s_user") && col("s_ts") <= col("p_ts"),
+            "inner")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(
+            col("p_id"), col("p_user"), col("s_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+              .as("lag_us")
+          )
+      },
+      Some("""
+        SELECT p_id, p_user, s_id, lag_us FROM (
+          SELECT p.event_id AS p_id, p.user_id AS p_user, s.event_id AS s_id,
+                 epoch_us(p.ts) - epoch_us(s.ts) AS lag_us,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY s.ts DESC, s.event_id) AS rnk
+          FROM events p JOIN events s
+            ON p.user_id = s.user_id AND s.ts <= p.ts
+          WHERE p.event_type = 'purchase' AND s.event_type = 'signup')
+        WHERE rnk = 1
+      """)
+    )
+  )
+}

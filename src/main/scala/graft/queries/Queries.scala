@@ -21,6 +21,17 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load the events table. Its `ts` is parquet TIMESTAMP(NANOS), which the
+    * vectorized reader rejects — read nanos as long and truncate to
+    * microsecond timestamps (integer division, matching DuckDB's own ns→us
+    * truncation when it loads the same file).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Order-insensitive exact double sum: route through a decimal so the
     * aggregation is exact regardless of partial-aggregation order, then cast
     * back to double. The DuckDB oracle mirrors it as

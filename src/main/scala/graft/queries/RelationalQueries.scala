@@ -84,6 +84,227 @@ object RelationalQueries {
         WHERE o_orderstatus <> 'F'
         GROUP BY r_name
       """)
+    ),
+    // C5+E2: TPC-H Q3 shape — 3-way join, grouped revenue, deterministic
+    // global top-10. lineitem is the fact side; customer/orders broadcast at
+    // any realistic dim:fact ratio.
+    GQuery(
+      "q3_top_orders",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(spark, dir, "orders")
+        val li = t(spark, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue")
+          )
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT l_orderkey, o_orderdate,
+               ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)
+    ),
+    // C6 semi-join: orders having at least one returned line (EXISTS).
+    GQuery(
+      "q4_priority_semi",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val li = t(spark, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+      """)
+    ),
+    // C6 anti-join: customers with no orders (NOT EXISTS), per nation.
+    GQuery(
+      "q5_customers_no_orders",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val o = t(spark, dir, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .join(broadcast(t(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("total_bal")
+          )
+      },
+      Some(s"""
+        SELECT n_name, count(*)::BIGINT AS n_customers,
+               ${sqlSum("c_acctbal")} AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name
+      """)
+    ),
+    // D10: rollup over (returnflag, linestatus) — partial+final hash agg,
+    // grouping-id distinguishes subtotal rows.
+    GQuery(
+      "q6_rollup",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid")
+          )
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               count(*)::BIGINT AS n,
+               grouping(l_returnflag, l_linestatus)::BIGINT AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      """)
+    ),
+    // D10: cube over orders dims.
+    GQuery(
+      "q7_cube",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            dsum(col("o_totalprice")).as("sum_price"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid")
+          )
+      },
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               ${sqlSum("o_totalprice")} AS sum_price,
+               count(*)::BIGINT AS n,
+               grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      """)
+    ),
+    // E6: set operations over customer key sets.
+    GQuery(
+      "q8_setops",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val building = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val rich = c.filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"))
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey"))
+        building.union(auto).distinct()
+          .intersect(rich)
+          .except(building.intersect(auto))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey FROM (
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+          EXCEPT
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        ) ORDER BY c_custkey
+      """)
+    ),
+    // E3: ranking window — top-3 orders by totalprice per customer.
+    GQuery(
+      "q9_topk_per_customer",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+        WHERE rnk <= 3
+      """)
+    ),
+    // D9 scalar-subquery shape: customers above their nation's average
+    // balance. The per-nation average is a broadcast-sized agg re-joined to
+    // the fact side — no correlated per-row subquery execution.
+    GQuery(
+      "q10_above_nation_avg",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val navg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg(davg(col("c_acctbal")).as("nation_avg"))
+        c.join(broadcast(navg), col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("c_acctbal")).as("sum_bal")
+          )
+      },
+      Some(s"""
+        WITH navg AS (
+          SELECT c_nationkey AS nk, ${sqlAvg("c_acctbal")} AS nation_avg
+          FROM customer GROUP BY c_nationkey)
+        SELECT c_mktsegment, count(*)::BIGINT AS n,
+               ${sqlSum("c_acctbal")} AS sum_bal
+        FROM customer JOIN navg ON c_nationkey = nk
+        WHERE c_acctbal > nation_avg
+        GROUP BY c_mktsegment
+      """)
+    ),
+    // F9 date functions + D9: order volume by year/month.
+    GQuery(
+      "q11_orders_by_month",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.groupBy(
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo")
+          )
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue")
+          )
+      },
+      Some(s"""
+        SELECT year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS mo,
+               count(*)::BIGINT AS n_orders,
+               ${sqlSum("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1, 2
+      """)
     )
   )
 }
