@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[GQuery] =
-    RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
+      PQQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,248 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded k-means / k-means++ with the reference's observable semantics
+  * (ref: py/pq.py:80-199): k-means++ init by squared-distance-weighted
+  * sampling, argmin E-step (first-lowest-index wins ties), mean M-step,
+  * empty clusters keep their previous centroid (py/pq.py:181-183),
+  * convergence when every centroid moves at most `tol` in squared L2
+  * (py/pq.py:194-199), iteration cap 100 (py/pq.py:140).
+  *
+  * Two execution paths:
+  *   - [[KMeansLocal]]: exact sequential algorithm on a driver-side sample.
+  *     Codebook/model training at 100 TB is a *sampled* problem (the
+  *     reference's own guidance is 10K-100K training rows,
+  *     py/PRODUCT_QUANTIZATION.md:271-274), so the local path is the
+  *     production default for model fit.
+  *   - [[KMeans.fit]]: distributed Lloyd iterations — centroids broadcast,
+  *     E-step evaluated executor-side, M-step a partial+final hash
+  *     aggregation over (cluster, dim) — for when the training set itself
+  *     is too large to sample down. Per-iteration shuffle volume is
+  *     O(partitions · k · d), not O(rows).
+  */
+object KMeansLocal {
+
+  final case class Result(
+      centroids: Array[Array[Double]],
+      inertia: Double,
+      iterations: Int
+  )
+
+  def l2Sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** k-means++ seeding (ref: py/pq.py:80-138): first centroid uniform,
+    * each next sampled with probability proportional to min squared
+    * distance to the already-chosen set.
+    */
+  def kMeansPlusPlus(
+      data: Array[Array[Double]],
+      k: Int,
+      rng: Random
+  ): Array[Array[Double]] = {
+    require(data.nonEmpty && k >= 1)
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = data(rng.nextInt(data.length))
+    val minD2 = data.map(l2Sq(_, centroids(0)))
+    var c = 1
+    while (c < k) {
+      val total = minD2.sum
+      if (total <= 0.0) {
+        // all mass at chosen points: fall back to uniform
+        centroids(c) = data(rng.nextInt(data.length))
+      } else {
+        val r = rng.nextDouble() * total
+        var acc = 0.0
+        var pick = data.length - 1
+        var i = 0
+        var found = false
+        while (i < data.length && !found) {
+          acc += minD2(i)
+          if (acc >= r) { pick = i; found = true }
+          i += 1
+        }
+        centroids(c) = data(pick)
+      }
+      var i = 0
+      while (i < data.length) {
+        val d = l2Sq(data(i), centroids(c))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    centroids
+  }
+
+  /** Lloyd iterations with the reference's stopping/empty-cluster rules. */
+  def fit(
+      data: Array[Array[Double]],
+      k: Int,
+      seed: Long,
+      maxIter: Int = 100,
+      tol: Double = 1e-6
+  ): Result = {
+    require(data.nonEmpty, "k-means on empty data")
+    val rng = new Random(seed)
+    var centroids = kMeansPlusPlus(data, k, rng).map(_.clone())
+    val d = data(0).length
+    val assign = new Array[Int](data.length)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // E-step: nearest centroid, first index wins ties
+      var i = 0
+      while (i < data.length) {
+        var best = 0
+        var bestD = l2Sq(data(i), centroids(0))
+        var c = 1
+        while (c < k) {
+          val dc = l2Sq(data(i), centroids(c))
+          if (dc < bestD) { bestD = dc; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      // M-step: per-cluster mean; empty cluster keeps previous centroid
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      i = 0
+      while (i < data.length) {
+        val c = assign(i)
+        counts(c) += 1
+        val v = data(i)
+        var j = 0
+        while (j < d) { sums(c)(j) += v(j); j += 1 }
+        i += 1
+      }
+      val next = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) centroids(c)
+        else {
+          val m = new Array[Double](d)
+          var j = 0
+          while (j < d) { m(j) = sums(c)(j) / counts(c); j += 1 }
+          m
+        }
+      }
+      converged = (0 until k).forall(c => l2Sq(centroids(c), next(c)) <= tol)
+      centroids = next
+      iter += 1
+    }
+    var inertia = 0.0
+    var i = 0
+    while (i < data.length) {
+      var bestD = l2Sq(data(i), centroids(0))
+      var c = 1
+      while (c < k) {
+        val dc = l2Sq(data(i), centroids(c))
+        if (dc < bestD) bestD = dc
+        c += 1
+      }
+      inertia += bestD
+      i += 1
+    }
+    Result(centroids, inertia, iter)
+  }
+}
+
+object KMeans {
+
+  /** Column: index of the nearest centroid (E-step argmin; first-lowest
+    * index wins ties, ref: py/pq.py:161-171). Centroids broadcast.
+    */
+  def assignCol(
+      spark: SparkSession,
+      centroids: Array[Array[Double]],
+      vec: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val f = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val cs = bc.value
+      var best = 0
+      var bestD = KMeansLocal.l2Sq(arr, cs(0))
+      var c = 1
+      while (c < cs.length) {
+        val dc = KMeansLocal.l2Sq(arr, cs(c))
+        if (dc < bestD) { bestD = dc; best = c }
+        c += 1
+      }
+      best
+    }
+    f(vec)
+  }
+
+  final case class Result(
+      centroids: Array[Array[Double]],
+      iterations: Int
+  )
+
+  /** Distributed Lloyd iterations. Init = k-means++ on a seeded driver
+    * sample (capped at `initSample` rows); per iteration the k×d centroid
+    * matrix is broadcast, assignment is computed executor-side, and the new
+    * means come back through a (cluster, dim) hash aggregation whose
+    * map-side partials keep the shuffle at O(partitions · k · d).
+    */
+  def fit(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      seed: Long,
+      maxIter: Int = 100,
+      tol: Double = 1e-6,
+      initSample: Int = 10000
+  ): Result = {
+    val spark = df.sparkSession
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+    val sample = vecs
+      .sort(rand(seed)) // deterministic seeded sample order
+      .limit(initSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    var centroids = KMeansLocal.kMeansPlusPlus(sample, k, new Random(seed))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf { (v: Seq[Double]) =>
+        val arr = v.toArray
+        val cs = bc.value
+        var best = 0
+        var bestD = KMeansLocal.l2Sq(arr, cs(0))
+        var c = 1
+        while (c < cs.length) {
+          val dc = KMeansLocal.l2Sq(arr, cs(c))
+          if (dc < bestD) { bestD = dc; best = c }
+          c += 1
+        }
+        best
+      }
+      // M-step: explode to (cluster, dim, x) and hash-aggregate the means.
+      val means = vecs
+        .withColumn("c", assignUdf(col("v")))
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      converged =
+        (0 until k).forall(c => KMeansLocal.l2Sq(centroids(c), next(c)) <= tol)
+      centroids = next
+      bc.unpersist()
+      iter += 1
+    }
+    Result(centroids, iter)
+  }
+}

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{KMeans, PQModel, ProductQuantizer}
+import Q._
+
+/** Deterministic PQ / k-means query surface (SURVEY.md §2 F3-F7, C4, D4,
+  * D8). Seeded k-means training is stochastic and gated by ScalaTest
+  * accuracy bounds instead; these queries run the *same executor-side
+  * operators* (encode/decode/ADC/assign/M-step) under a FIXED model —
+  * centroids taken from the first rows of the embeddings table — so DuckDB
+  * can hash-check them exactly.
+  *
+  * Fixed-model parameters: D=64, M=8 subspaces of D'=8, K=4 codebook
+  * centroids (embeddings vec_id<4); k-means E/M-step uses 8 full-dim
+  * centroids (vec_id<8).
+  */
+object PQQueries {
+
+  private val M = 8
+  private val DP = 8
+  private val KCB = 4 // PQ codebook size
+  private val KKM = 8 // k-means fixed centroid count
+
+  /** First-k embedding vectors as doubles, ordered by vec_id. */
+  private def headVecs(
+      spark: SparkSession,
+      dir: String,
+      k: Int
+  ): Array[Array[Double]] =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .select(toDouble(col("embedding")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  private def fixedModel(spark: SparkSession, dir: String): PQModel = {
+    val rows = headVecs(spark, dir, KCB)
+    val d = rows(0).length
+    PQModel(
+      M, KCB, d,
+      Array.tabulate(M)(mi =>
+        rows.map(v =>
+          java.util.Arrays.copyOfRange(v, mi * DP, (mi + 1) * DP)))
+    )
+  }
+
+  /** DuckDB CTEs shared by the PQ oracles: fixed codebook + encode +
+    * decode. Distances accumulate left-to-right exactly like the Scala
+    * kernels, so argmins and ranks agree bit-for-bit.
+    */
+  private val pqCtes = s"""
+    cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < $KCB),
+    ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    dists AS (
+      SELECT e.vec_id, ms.m, cent.ck,
+             list_sum(list_transform(generate_series(1, $DP),
+               j -> (e.ev[ms.m*$DP+j] - cent.cv[ms.m*$DP+j])
+                    * (e.ev[ms.m*$DP+j] - cent.cv[ms.m*$DP+j]))) AS dist
+      FROM e CROSS JOIN ms CROSS JOIN cent),
+    enc AS (
+      SELECT vec_id, m, ck AS code FROM (
+        SELECT vec_id, m, ck,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, ck) AS rn
+        FROM dists) WHERE rn = 1),
+    subcent AS (SELECT ck, m, cv[m*$DP+1 : m*$DP+$DP] AS sl
+                FROM cent CROSS JOIN ms),
+    dec AS (
+      SELECT enc.vec_id, flatten(list(sc.sl ORDER BY enc.m)) AS dv
+      FROM enc JOIN subcent sc ON sc.m = enc.m AND sc.ck = enc.code
+      GROUP BY enc.vec_id)
+  """
+
+  val all: Seq[GQuery] = Seq(
+    // F3: PQ encode under the fixed codebook -> (vec_id, m, code).
+    GQuery(
+      "pq_encode",
+      (spark, dir) => {
+        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            posexplode(
+              ProductQuantizer.encodeCol(bc, toDouble(col("embedding")))
+            ).as(Seq("m", "code"))
+          )
+          .select(
+            col("vec_id"),
+            col("m").cast("long").as("m"),
+            col("code").cast("long").as("code")
+          )
+      },
+      Some(s"""
+        WITH $pqCtes
+        SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code FROM enc
+      """)
+    ),
+    // F4: reconstruction error of decode(encode(v)) per vector.
+    GQuery(
+      "pq_reconstruction",
+      (spark, dir) => {
+        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val v = toDouble(col("embedding"))
+        t(spark, dir, "embeddings")
+          .withColumn(
+            "recon",
+            ProductQuantizer.decodeCol(
+              bc,
+              ProductQuantizer.encodeCol(bc, v)
+            )
+          )
+          .select(
+            col("vec_id"),
+            round(l2Sq(v, col("recon")), 6).as("err")
+          )
+      },
+      Some(s"""
+        WITH $pqCtes
+        SELECT e.vec_id, round(${sqlL2Sq("e.ev", "dec.dv")}, 6) AS err
+        FROM e JOIN dec ON e.vec_id = dec.vec_id
+      """)
+    ),
+    // F5 + D1: asymmetric-distance top-5 per query over encoded base.
+    // ADC(q, code) == L2Sq(q, decode(code)) — the Scala kernel accumulates
+    // in dimension order, matching the oracle's 64-dim left-to-right sum.
+    GQuery(
+      "pq_adc_topk",
+      (spark, dir) => {
+        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val emb = t(spark, dir, "embeddings")
+        val enc = emb.select(
+          col("vec_id").as("neighbor_id"),
+          ProductQuantizer.encodeCol(bc, toDouble(col("embedding"))).as("code")
+        )
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+        val pairs = enc
+          .join(broadcast(q))
+          .withColumn("dist", ProductQuantizer.adcCol(bc, col("qv"), col("code")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))
+        pairs
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH $pqCtes,
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        adc AS (SELECT q.query_id, dec.vec_id AS neighbor_id,
+                       ${sqlL2Sq("q.qv", "dec.dv")} AS dist
+                FROM q CROSS JOIN dec),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM adc)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= 5
+      """)
+    ),
+    // D8: Recall@5 of the ADC ranking vs the exact ranking per query.
+    GQuery(
+      "pq_recall_adc",
+      (spark, dir) => {
+        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val emb = t(spark, dir, "embeddings")
+        val enc = emb.select(
+          col("vec_id").as("neighbor_id"),
+          ProductQuantizer.encodeCol(bc, toDouble(col("embedding"))).as("code"),
+          toDouble(col("embedding")).as("bv")
+        )
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+        val pairs = enc.join(broadcast(q))
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("edist"), col("neighbor_id"))
+        val both = pairs
+          .withColumn("adist", ProductQuantizer.adcCol(bc, col("qv"), col("code")))
+          .withColumn("edist", l2Sq(col("qv"), col("bv")))
+          .withColumn("arnk", row_number().over(wAdc))
+          .withColumn("ernk", row_number().over(wEx))
+        both
+          .filter(col("arnk") <= 5 && col("ernk") <= 5)
+          .groupBy(col("query_id"))
+          .agg((count(lit(1)) / 5.0).as("recall"))
+      },
+      Some(s"""
+        WITH $pqCtes,
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        ranked AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${sqlL2Sq("q.qv", "dec.dv")}, e.vec_id) AS arnk,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${sqlL2Sq("q.qv", "e.ev")}, e.vec_id) AS ernk
+          FROM q CROSS JOIN e JOIN dec ON dec.vec_id = e.vec_id)
+        SELECT query_id, (count(*) / 5.0) AS recall
+        FROM ranked WHERE arnk <= 5 AND ernk <= 5
+        GROUP BY query_id
+      """)
+    ),
+    // C4: k-means E-step assignment to 8 fixed full-dim centroids.
+    GQuery(
+      "kmeans_estep",
+      (spark, dir) => {
+        val cents = headVecs(spark, dir, KKM)
+        t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            KMeans.assignCol(spark, cents, toDouble(col("embedding")))
+              .cast("long").as("cluster")
+          )
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $KKM),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        d AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+              FROM e CROSS JOIN cent),
+        r AS (SELECT vec_id, ck,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, ck) AS rn
+              FROM d)
+        SELECT vec_id, ck::BIGINT AS cluster FROM r WHERE rn = 1
+      """)
+    ),
+    // D4 + D5 shape: M-step per-cluster per-dimension means from that
+    // assignment (exact decimal aggregation; pos is 1-based).
+    GQuery(
+      "kmeans_mstep",
+      (spark, dir) => {
+        val cents = headVecs(spark, dir, KKM)
+        t(spark, dir, "embeddings")
+          .select(
+            KMeans.assignCol(spark, cents, toDouble(col("embedding")))
+              .cast("long").as("cluster"),
+            posexplode(toDouble(col("embedding"))).as(Seq("pos", "x"))
+          )
+          .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("pos"))
+          .agg(round(davgHi(col("x")), 12).as("mval"), count(lit(1)).as("n"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $KKM),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        d AS (SELECT e.vec_id, e.ev, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+              FROM e CROSS JOIN cent),
+        a AS (SELECT vec_id, ev, ck AS cluster FROM (
+                SELECT vec_id, ev, ck,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, ck) AS rn
+                FROM d) WHERE rn = 1),
+        p AS (SELECT unnest(generate_series(1, 64)) AS pos)
+        SELECT cluster::BIGINT AS cluster, pos::BIGINT AS pos,
+               round(${sqlAvgHi("ev[pos]")}, 12) AS mval,
+               count(*)::BIGINT AS n
+        FROM a CROSS JOIN p
+        GROUP BY 1, 2
+      """)
+    )
+  )
+}

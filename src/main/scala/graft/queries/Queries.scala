@@ -52,6 +52,14 @@ object Q {
   def sqlAvg(expr: String): String =
     s"(sum(($expr)::DECIMAL(30,6))::DOUBLE / count(*))"
 
+  /** High-scale variants for unit-magnitude values (embedding components):
+    * scale 30 keeps float-derived doubles to well past their precision.
+    */
+  def davgHi(c: Column): Column =
+    (sum(c.cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
+  def sqlAvgHi(expr: String): String =
+    s"(sum(($expr)::DECIMAL(38,30))::DOUBLE / count(*))"
+
   /** DuckDB spelling of [[graft.functions.VectorFunctions.l2Sq]] over
     * double[] columns (left-to-right accumulation, same as Spark's
     * `aggregate(zip_with(...))`).

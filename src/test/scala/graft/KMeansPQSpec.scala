@@ -1,0 +1,112 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators._
+
+/** Ports of the reference's k-means / PQ accuracy tests
+  * (py/test_pq.py:72-94 clustered centroids, py/test_pq.py:226-249
+  * reconstruction bounds, py/test_pq.py:186-224 codebook round-trip).
+  */
+class KMeansPQSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 clusters at (0,10,20)·1⃗ + U[-1,1] noise, 10 points each. */
+  private def clustered(d: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new Random(seed)
+    (for {
+      center <- Seq(0.0, 10.0, 20.0)
+      _ <- 0 until 10
+    } yield Array.fill(d)(center + (rng.nextDouble() * 2 - 1))).toArray
+  }
+
+  test("local k-means recovers clustered centroids within ±2 (py/test_pq.py:72-94)") {
+    val data = clustered(4, seed = 42)
+    val r = KMeansLocal.fit(data, k = 3, seed = 42)
+    val found = r.centroids.map(_.head).sorted
+    val expected = Seq(0.0, 10.0, 20.0)
+    found.zip(expected).foreach { case (f, e) =>
+      assert(math.abs(f - e) <= 2.0, s"centroid $f vs $e")
+    }
+    assert(r.inertia >= 0.0)
+  }
+
+  test("distributed k-means matches the same cluster structure") {
+    val data = clustered(4, seed = 7)
+    val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+    val r = KMeans.fit(df, "v", k = 3, seed = 7)
+    val found = r.centroids.map(_.head).sorted
+    Seq(0.0, 10.0, 20.0).zip(found).foreach { case (e, f) =>
+      assert(math.abs(f - e) <= 2.0, s"centroid $f vs $e")
+    }
+  }
+
+  test("empty-cluster rule: k > distinct points keeps old centroids (py/pq.py:181-183)") {
+    val data = Array.fill(6)(Array(1.0, 1.0)) // all identical
+    val r = KMeansLocal.fit(data, k = 3, seed = 1)
+    // no crash; the occupied cluster sits on the data point
+    assert(r.centroids.exists(c => KMeansLocal.l2Sq(c, Array(1.0, 1.0)) < 1e-12))
+  }
+
+  test("PQ train/encode/decode reconstruction error bounded (py/test_pq.py:226-249)") {
+    // patterned vectors [ (i%10)*0.1 ] * D
+    val d = 16
+    val data = (0 until 100).map(i => Array.fill(d)((i % 10) * 0.1))
+    val df = data.map(v => Tuple1(v.toSeq)).toDF("v")
+    val model = ProductQuantizer.train(df, "v", m = 4, k = 8, seed = 42)
+    // the reference bounds the single test vector [0.5]*D at rel err < 0.2
+    val v = Array.fill(d)(0.5)
+    val rec = model.decodeCode(model.encodeVec(v))
+    val err = math.sqrt(KMeansLocal.l2Sq(v, rec))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(err / norm < 0.2, s"rel err ${err / norm}")
+  }
+
+  test("ADC == L2Sq(q, decode(code)); SDC == L2Sq(decode(a), decode(b))") {
+    val rng = new Random(3)
+    val d = 8
+    val data = Array.fill(50)(Array.fill(d)(rng.nextDouble()))
+    val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+    val model = ProductQuantizer.train(df, "v", m = 2, k = 4, seed = 3)
+    val q = Array.fill(d)(rng.nextDouble())
+    val a = model.encodeVec(data(0))
+    val b = model.encodeVec(data(1))
+    assert(
+      math.abs(model.adc(q, a) - KMeansLocal.l2Sq(q, model.decodeCode(a))) < 1e-12
+    )
+    assert(
+      math.abs(
+        model.sdc(a, b)
+          - KMeansLocal.l2Sq(model.decodeCode(a), model.decodeCode(b))
+      ) < 1e-12
+    )
+  }
+
+  test("codebook save/load round-trip preserves encodes (py/test_pq.py:186-224)") {
+    val rng = new Random(11)
+    val d = 12
+    val data = Array.fill(60)(Array.fill(d)(rng.nextDouble() * 5))
+    val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+    val model = ProductQuantizer.train(df, "v", m = 3, k = 4, seed = 11)
+    val path = java.nio.file.Files.createTempDirectory("cb").toString + "/cb"
+    ProductQuantizer.saveCodebooks(spark, model, path)
+    val loaded = ProductQuantizer.loadCodebooks(spark, path)
+    assert(loaded.m == model.m && loaded.k == model.k && loaded.d == model.d)
+    data.take(10).foreach { v =>
+      assert(loaded.encodeVec(v).toSeq == model.encodeVec(v).toSeq)
+    }
+  }
+
+  test("PQCompression adapter wires the four methods (py/vector_compression.py:97-135)") {
+    val rng = new Random(5)
+    val d = 8
+    val data = Array.fill(40)(Array.fill(d)(rng.nextDouble()))
+    val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+    val comp: VectorCompression =
+      new PQCompression(ProductQuantizer.train(df, "v", m = 2, k = 4, seed = 5))
+    val c0 = comp.encode(data(0))
+    assert(comp.decode(c0).length == d)
+    assert(comp.distance(c0, comp.encode(data(1))) >= 0.0)
+    assert(comp.queryDistance(data(2), c0) >= 0.0)
+  }
+}
