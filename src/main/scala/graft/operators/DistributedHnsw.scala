@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sharded HNSW over Spark (SURVEY.md §3.1-3.2 "Spark shape", M5).
+  *
+  * HNSW insertion is sequential by construction — each insert reads the
+  * graph previous inserts built — so the distributed design is the standard
+  * sharded-ANN one: partition the vectors into `numShards` disjoint shards,
+  * build an exact reference-semantics [[HnswIndex]] *per shard* inside
+  * `mapPartitions` (no driver involvement, no shuffle beyond the initial
+  * repartition), and serve a batch of queries by searching every shard and
+  * merging per-query results (union + top-k, SURVEY.md D1). Per-shard
+  * seeds derive from (seed, shard) so the whole build is deterministic
+  * under a fixed shard count.
+  *
+  * The index artifact is *tables*, not a mutable object: an edge table
+  * (shard, layer, src, dst), a vector table (shard, id, vec) and an entry
+  * table (shard, ep, height) — the reference's in-place graph mutation
+  * (py/hnsw.py:348, 377-387) becomes immutable table-in/table-out.
+  * At 100 TB the vector table is the big one; it stays partitioned by
+  * shard, each executor holding only its shard's slice, while queries (the
+  * small side) are broadcast.
+  */
+object DistributedHnsw {
+
+  final case class Shards(
+      numShards: Int,
+      params: HnswParams,
+      vectors: DataFrame, // shard int, id long, vec array<double>
+      edges: DataFrame,   // shard int, layer int, src long, dst long
+      entries: DataFrame  // shard int, ep long, height int
+  )
+
+  /** Build per-shard HNSW graphs. Rows are assigned to shards by
+    * `id % numShards` (deterministic, data-independent) and inserted in
+    * ascending-id order inside each shard, so a rebuild reproduces the
+    * identical graph.
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: HnswParams,
+      numShards: Int,
+      seed: Long,
+      compression: Option[VectorCompression] = None
+  ): Shards = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec")
+      )
+      .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
+      .repartition(numShards, col("shard"))
+    data.cache()
+
+    val built = data
+      .select(col("shard"), col("id"), col("vec"))
+      .as[(Int, Long, Seq[Double])]
+      .mapPartitions { it =>
+        // a hash partition may carry several shard keys: build one index
+        // per shard present in this partition
+        val byShard = it.toSeq.groupBy(_._1)
+        byShard.iterator.flatMap { case (shard, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val ids = sorted.map(_._2).toArray
+          val index = new HnswIndex(params, seed + shard, compression)
+          sorted.foreach { case (_, _, v) => index.insert(v.toArray) }
+          val edges = for {
+            l <- (0 until index.height).iterator
+            (src, nbs) <- index.layers(l).iterator
+            dst <- nbs.iterator
+          } yield (shard, l, ids(src), ids(dst), -1L, -1)
+          val entry =
+            Iterator((shard, -1, -1L, -1L, ids(index.entryPoint), index.height))
+          edges ++ entry
+        }
+      }
+      .toDF("shard", "layer", "src", "dst", "ep", "height")
+    built.cache()
+
+    val edges = built
+      .filter(col("layer") >= 0)
+      .select(col("shard"), col("layer"), col("src"), col("dst"))
+    val entries = built
+      .filter(col("layer") < 0)
+      .select(col("shard"), col("ep"), col("height"))
+    Shards(numShards, params, data, edges, entries)
+  }
+
+  /** Batch search: every shard traverses its local graph for every query
+    * (queries broadcast as a plain array), then a global per-query top-k
+    * merge. Returns (query_id, neighbor_id, dist, rnk).
+    */
+  def search(
+      shards: Shards,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      topK: Int,
+      efSearch: Int = -1,
+      compression: Option[VectorCompression] = None
+  ): DataFrame = {
+    val spark = shards.vectors.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val params = shards.params
+
+    // co-locate vectors / edges / entry per shard, rebuild a local index
+    // (graph replay — no random level draws, so exactly the built graph)
+    val vecRdd = shards.vectors
+      .select(col("shard"), col("id"), col("vec"))
+      .as[(Int, Long, Seq[Double])]
+      .rdd.map { case (s, id, v) => (s, (id, v)) }
+    val edgeRdd = shards.edges
+      .as[(Int, Int, Long, Long)]
+      .rdd.map { case (s, l, a, b) => (s, (l, a, b)) }
+    val entryRdd = shards.entries
+      .as[(Int, Long, Int)]
+      .rdd.map { case (s, ep, h) => (s, (ep, h)) }
+
+    val results = vecRdd
+      .cogroup(edgeRdd, entryRdd)
+      .flatMap { case (_, (vecs, edges, entries)) =>
+        if (vecs.isEmpty || entries.isEmpty) Iterator.empty
+        else {
+          val sorted = vecs.toArray.sortBy(_._1)
+          val ids = sorted.map(_._1)
+          val localOf = ids.zipWithIndex.toMap
+          val arr = sorted.map(_._2.toArray)
+          val (ep, height) = entries.head
+          val searcher = new LocalGraphSearcher(
+            arr, height, params, compression
+          )
+          edges.foreach { case (l, a, b) =>
+            searcher.addEdge(l, localOf(a), localOf(b))
+          }
+          searcher.setEntry(localOf(ep))
+          bcQ.value.iterator.flatMap { case (qid, qv) =>
+            searcher.search(qv, topK, efSearch).map { case (d, local) =>
+              (qid, ids(local), d)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist")
+
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    results
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .withColumnRenamed("query_id", qidCol)
+  }
+}
+
+/** Read-only shard searcher: the [[HnswIndex]] search path over a replayed
+  * edge table (adjacency arrays, no build machinery).
+  */
+final class LocalGraphSearcher(
+    vecs: Array[Array[Double]],
+    height: Int,
+    params: HnswParams,
+    compression: Option[VectorCompression]
+) {
+  import scala.collection.mutable
+
+  private val codes: Array[Array[Short]] = compression match {
+    case Some(c) => vecs.map(c.encode)
+    case None    => null
+  }
+  private val adj =
+    Array.fill(height)(mutable.HashMap.empty[Int, mutable.HashSet[Int]])
+  private var entry = 0
+
+  def addEdge(l: Int, a: Int, b: Int): Unit =
+    adj(l).getOrElseUpdate(a, mutable.HashSet.empty) += b
+
+  def setEntry(e: Int): Unit = entry = e
+
+  private def distQ(q: Array[Double], id: Int): Double = compression match {
+    case Some(c) => c.queryDistance(q, codes(id))
+    case None    => KMeansLocal.l2Sq(q, vecs(id))
+  }
+
+  private def searchLayer(
+      q: Array[Double],
+      ep: Int,
+      ef: Int,
+      layer: Int
+  ): IndexedSeq[(Double, Int)] = {
+    val visited = mutable.HashSet(ep)
+    val minOrd: Ordering[(Double, Int)] =
+      Ordering.by[(Double, Int), (Double, Int)](x => (-x._1, -x._2))
+    val maxOrd: Ordering[(Double, Int)] = Ordering.by(x => (x._1, -x._2))
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](minOrd)
+    val work = mutable.PriorityQueue.empty[(Double, Int)](maxOrd)
+    val d0 = distQ(q, ep)
+    cand.enqueue((d0, ep))
+    work.enqueue((d0, ep))
+    var done = false
+    while (cand.nonEmpty && !done) {
+      val (dc, c) = cand.dequeue()
+      if (dc > work.head._1) done = true
+      else {
+        for (e <- adj(layer).getOrElse(c, Iterable.empty) if visited.add(e)) {
+          val de = distQ(q, e)
+          if (de < work.head._1 || work.size < ef) {
+            cand.enqueue((de, e))
+            work.enqueue((de, e))
+            if (work.size > ef) work.dequeue()
+          }
+        }
+      }
+    }
+    work.toIndexedSeq.sortBy(x => (x._1, x._2))
+  }
+
+  def search(
+      q: Array[Double],
+      topK: Int,
+      efSearch: Int = -1
+  ): IndexedSeq[(Double, Int)] = {
+    if (vecs.isEmpty) return IndexedSeq.empty
+    val ef = math.max(if (efSearch > 0) efSearch else params.efSearch, topK)
+    var ep = entry
+    var lc = height - 1
+    while (lc > 0) {
+      ep = searchLayer(q, ep, 1, lc).head._2
+      lc -= 1
+    }
+    searchLayer(q, ep, ef, 0).take(topK)
+  }
+}

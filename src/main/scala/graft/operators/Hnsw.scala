@@ -1,0 +1,227 @@
+package graft.operators
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** HNSW parameters (ref: py/hnsw.py:155-173 constructor defaults —
+  * M_max = M, M_max0 = 2·M, ef_search default 200, m_L = 1/ln M,
+  * keep_pruned_connections on).
+  *
+  * `referenceLevelFormula`: the reference draws levels as
+  * `floor(-log(U * m_L))` (py/hnsw.py:353) — the multiplication sits inside
+  * the log, unlike the paper's `floor(-ln(U) · m_L)`. Default is the paper
+  * formula; the flag restores the reference's variant (SURVEY.md §1.5.4).
+  */
+final case class HnswParams(
+    m: Int = 16,
+    mMax: Int = -1, // <=0 -> m
+    efConstruction: Int = 100,
+    efSearch: Int = 200,
+    keepPrunedConnections: Boolean = true,
+    referenceLevelFormula: Boolean = false
+) {
+  def mMaxEff: Int = if (mMax > 0) mMax else m
+  def mMax0: Int = 2 * mMaxEff
+  def mL: Double = 1.0 / math.log(m.toDouble)
+}
+
+/** Partition-local HNSW index: sequential build + greedy search, the
+  * reference algorithm re-expressed in Scala (ref: py/hnsw.py — Graph
+  * 9-117, SearchLayer 240-277, SelectNeighbors 279-320, Insert 337-392,
+  * KNNSearch 394-410). Distances are squared L2 throughout; the overfull-
+  * neighbor cap applies per *layer* (M_max0 on layer 0), the paper
+  * semantics rather than the reference's new-element-level keying
+  * (SURVEY.md §1.5.5).
+  *
+  * With a [[VectorCompression]] codec attached, build-time distances are
+  * code-to-code (symmetric) and query-time distances raw-to-code
+  * (asymmetric) — ref: py/hnsw.py:184-189, py/vector_compression.py:62.
+  *
+  * This class is single-threaded by design: Spark parallelism comes from
+  * running one index per shard inside `mapPartitions`
+  * ([[DistributedHnsw]]), never from sharing one graph across threads.
+  */
+final class HnswIndex(
+    val params: HnswParams,
+    seed: Long,
+    val compression: Option[VectorCompression] = None
+) {
+
+  private val rng = new Random(seed)
+  private val raw = mutable.ArrayBuffer[Array[Double]]()
+  private val codes = mutable.ArrayBuffer[Array[Short]]()
+  // layer -> node -> neighbor set (ref: py/hnsw.py:9-117)
+  val layers = mutable.ArrayBuffer[mutable.HashMap[Int, mutable.HashSet[Int]]]()
+  var entryPoint: Int = 0
+
+  def size: Int = if (compression.isDefined) codes.length else raw.length
+  def height: Int = layers.length
+
+  // E7 graph introspection (ref: py/hnsw.py:15-106)
+  def layerNodeCount(l: Int): Int = if (l < height) layers(l).size else 0
+  def layerAdjCount(l: Int, node: Int): Int =
+    if (l < height) layers(l).get(node).map(_.size).getOrElse(0) else 0
+  def isLayerEmpty(l: Int): Boolean = layerNodeCount(l) == 0
+  def neighbors(l: Int, node: Int): Iterable[Int] =
+    if (l < height) layers(l).getOrElse(node, Iterable.empty) else Iterable.empty
+
+  private def distIds(a: Int, b: Int): Double = compression match {
+    case Some(c) => c.distance(codes(a), codes(b))
+    case None    => KMeansLocal.l2Sq(raw(a), raw(b))
+  }
+
+  private def distQ(q: Array[Double], id: Int): Double = compression match {
+    case Some(c) => c.queryDistance(q, codes(id))
+    case None    => KMeansLocal.l2Sq(q, raw(id))
+  }
+
+  /** Greedy beam search on one layer (ref: py/hnsw.py:240-277): visited
+    * set, candidate min-heap C, bounded working set W of size ef; stop when
+    * the nearest candidate is farther than the furthest result. Returns
+    * ascending (dist, id) — always sorted, the strictly-more-defined
+    * behavior (SURVEY.md §1.5.3).
+    */
+  private def searchLayer(
+      dist: Int => Double,
+      ep: Int,
+      ef: Int,
+      layer: Int
+  ): IndexedSeq[(Double, Int)] = {
+    val visited = mutable.HashSet(ep)
+    val minOrd: Ordering[(Double, Int)] =
+      Ordering.by[(Double, Int), (Double, Int)](x => (-x._1, -x._2))
+    val maxOrd: Ordering[(Double, Int)] = Ordering.by(x => (x._1, -x._2))
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](minOrd) // nearest-first
+    val work = mutable.PriorityQueue.empty[(Double, Int)](maxOrd) // furthest-first
+    val d0 = dist(ep)
+    cand.enqueue((d0, ep))
+    work.enqueue((d0, ep))
+    var done = false
+    while (cand.nonEmpty && !done) {
+      val (dc, c) = cand.dequeue()
+      if (dc > work.head._1) done = true // ref: py/hnsw.py:260-261
+      else {
+        for (e <- neighbors(layer, c) if visited.add(e)) {
+          val de = dist(e)
+          if (de < work.head._1 || work.size < ef) { // ref: py/hnsw.py:271
+            cand.enqueue((de, e))
+            work.enqueue((de, e))
+            if (work.size > ef) work.dequeue() // ref: py/hnsw.py:275-276
+          }
+        }
+      }
+    }
+    work.toIndexedSeq.sortBy(x => (x._1, x._2))
+  }
+
+  /** Heuristic neighbor selection (ref: py/hnsw.py:279-320, paper Alg 4):
+    * pop candidates nearest-first; admit e only if it is closer to q than
+    * to every already-selected neighbor; optionally backfill from the
+    * pruned list (py/hnsw.py:317-318). Order-dependent by construction —
+    * the exact pop order is preserved.
+    */
+  private def selectNeighbors(
+      candidates: Seq[(Double, Int)],
+      m: Int
+  ): Seq[Int] = {
+    val queue = candidates.sortBy(x => (x._1, x._2))
+    val result = mutable.ArrayBuffer[Int]()
+    val pruned = mutable.ArrayBuffer[(Double, Int)]()
+    var i = 0
+    while (i < queue.length && result.length < m) {
+      val (d, e) = queue(i)
+      if (result.forall(r => distIds(e, r) > d)) result += e
+      else pruned += ((d, e))
+      i += 1
+    }
+    if (params.keepPrunedConnections) {
+      var j = 0
+      while (j < pruned.length && result.length < m) {
+        result += pruned(j)._2
+        j += 1
+      }
+    }
+    result.toSeq
+  }
+
+  private def addEdge(l: Int, a: Int, b: Int): Unit = {
+    val layer = layers(l)
+    layer.getOrElseUpdate(a, mutable.HashSet.empty) += b
+    layer.getOrElseUpdate(b, mutable.HashSet.empty) += a
+  }
+
+  private def levelFor(u: Double): Int = {
+    val l =
+      if (params.referenceLevelFormula)
+        math.floor(-math.log(u * params.mL)) // ref: py/hnsw.py:353
+      else math.floor(-math.log(u) * params.mL) // paper formula
+    math.max(0, l.toInt)
+  }
+
+  /** Insert one vector (ref: py/hnsw.py:337-392). Returns the assigned
+    * dense id (= insertion position, py/hnsw.py:344).
+    */
+  def insert(v: Array[Double]): Int = {
+    val idx = size
+    compression match {
+      case Some(c) => codes += c.encode(v)
+      case None    => raw += v
+    }
+    val l = levelFor(rng.nextDouble())
+    val prevTop = layers.length - 1 // height before this insert
+    while (layers.length <= l) layers += mutable.HashMap.empty
+    layers(0).getOrElseUpdate(idx, mutable.HashSet.empty)
+    if (idx == 0) { // first insert short-circuits (ref: py/hnsw.py:358-359)
+      entryPoint = 0
+      return idx
+    }
+    val dist = (id: Int) => distIds(idx, id)
+    var ep = entryPoint
+    // phase 1: greedy descent with ef=1 (ref: py/hnsw.py:365-367)
+    var lc = prevTop
+    while (lc > l) {
+      ep = searchLayer(dist, ep, 1, lc).head._2
+      lc -= 1
+    }
+    // phase 2: connect on layers min(prevTop, l)..0 (ref: py/hnsw.py:369-388)
+    lc = math.min(prevTop, l)
+    while (lc >= 0) {
+      val w = searchLayer(dist, ep, params.efConstruction, lc)
+      val nbs = selectNeighbors(w, params.m)
+      nbs.foreach(addEdge(lc, idx, _))
+      val cap = if (lc == 0) params.mMax0 else params.mMaxEff
+      nbs.foreach { n =>
+        val adj = layers(lc)(n)
+        if (adj.size > cap) {
+          val cands = adj.toSeq.map(x => (distIds(n, x), x))
+          val keep = selectNeighbors(cands, cap)
+          layers(lc)(n) = mutable.HashSet(keep: _*) // ref: py/hnsw.py:322-335
+        }
+      }
+      ep = w.head._2
+      lc -= 1
+    }
+    if (l > prevTop) entryPoint = idx // ref: py/hnsw.py:390-391
+    idx
+  }
+
+  /** k-NN search (ref: py/hnsw.py:394-410): descend L..1 with ef=1, then
+    * beam layer 0 with ef_search, take topK ascending (dist, id).
+    */
+  def search(
+      q: Array[Double],
+      topK: Int,
+      efSearch: Int = -1
+  ): IndexedSeq[(Double, Int)] = {
+    if (size == 0) return IndexedSeq.empty
+    val ef = math.max(if (efSearch > 0) efSearch else params.efSearch, topK)
+    val dist = (id: Int) => distQ(q, id)
+    var ep = entryPoint
+    var lc = layers.length - 1
+    while (lc > 0) {
+      ep = searchLayer(dist, ep, 1, lc).head._2
+      lc -= 1
+    }
+    searchLayer(dist, ep, ef, 0).take(topK)
+  }
+}

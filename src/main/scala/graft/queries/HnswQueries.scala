@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators._
+import Q._
+
+/** HNSW query surface (SURVEY.md §3.1-3.2, M4/M5). The graph build is
+  * seeded-stochastic, so these have no SQL oracle (driver records rows-only
+  * checks); accuracy is gated by the ScalaTest recall suite instead — the
+  * reference's own method (py/hnsw.ipynb cell-6).
+  */
+object HnswQueries {
+
+  private val K = 10
+
+  private def embAndQueries(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val q = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    (emb, q)
+  }
+
+  val all: Seq[GQuery] = Seq(
+    // M5: sharded HNSW build + batch search.
+    GQuery(
+      "hnsw_knn",
+      (spark, dir) => {
+        val (emb, q) = embAndQueries(spark, dir)
+        val shards = DistributedHnsw.build(
+          emb, "vec_id", "vec",
+          HnswParams(m = 16, efConstruction = 100),
+          numShards = 4, seed = 42
+        )
+        DistributedHnsw
+          .search(shards, q, "query_id", "qv", K)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      None
+    ),
+    // D8: per-query Recall@10 of the sharded HNSW vs exact brute force.
+    GQuery(
+      "hnsw_recall",
+      (spark, dir) => {
+        val (emb, q) = embAndQueries(spark, dir)
+        val shards = DistributedHnsw.build(
+          emb, "vec_id", "vec",
+          HnswParams(m = 16, efConstruction = 100),
+          numShards = 4, seed = 42
+        )
+        val approx = DistributedHnsw.search(shards, q, "query_id", "qv", K)
+        val exact = BruteForceKNN.knn(
+          q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K
+        )
+        approx
+          .select(col("query_id"), col("neighbor_id"))
+          .join(
+            exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id")
+          )
+          .groupBy(col("query_id"))
+          .agg((count(lit(1)) / K.toDouble).as("recall"))
+      },
+      None
+    ),
+    // E7: graph introspection over the edge table — per-layer node and
+    // edge counts (trivial aggregates over the build artifact).
+    GQuery(
+      "hnsw_graph_stats",
+      (spark, dir) => {
+        val (emb, _) = embAndQueries(spark, dir)
+        val shards = DistributedHnsw.build(
+          emb, "vec_id", "vec",
+          HnswParams(m = 16, efConstruction = 100),
+          numShards = 4, seed = 42
+        )
+        shards.edges
+          .groupBy(col("shard"), col("layer"))
+          .agg(
+            countDistinct(col("src")).as("n_nodes"),
+            count(lit(1)).as("n_edges")
+          )
+      },
+      None
+    )
+  )
+}

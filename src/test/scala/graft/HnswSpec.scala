@@ -1,0 +1,130 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.queries.Q
+import graft.operators._
+
+/** Ports of the reference HNSW tests (py/test_hnsw.py, py/test_compression.py)
+  * plus the distributed recall gate (SURVEY.md §5.2.4).
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteTopK(
+      data: Array[Array[Double]],
+      q: Array[Double],
+      k: Int
+  ): Seq[Int] =
+    data.zipWithIndex
+      .map { case (v, i) => (KMeansLocal.l2Sq(q, v), i) }
+      .sortBy(x => (x._1, x._2))
+      .take(k)
+      .map(_._2)
+      .toSeq
+
+  test("unit-square corners: NN of [0.1,0.1] is id 0 at dist 0.02 (py/test_hnsw.py:205-238)") {
+    val index = new HnswIndex(HnswParams(m = 4, efConstruction = 10), seed = 42)
+    Seq(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0)
+    ).foreach(index.insert)
+    val r = index.search(Array(0.1, 0.1), topK = 4)
+    assert(r.head._2 == 0)
+    assert(math.abs(r.head._1 - 0.02) < 1e-12)
+    assert(r.map(_._1) == r.map(_._1).sorted) // sorted ascending
+  }
+
+  test("identical vectors: all distances 0 (py/test_hnsw.py:395-407)") {
+    val index = new HnswIndex(HnswParams(m = 4, efConstruction = 10), seed = 1)
+    (0 until 5).foreach(_ => index.insert(Array(2.0, 3.0, 4.0)))
+    val r = index.search(Array(2.0, 3.0, 4.0), topK = 5)
+    assert(r.length == 5)
+    assert(r.forall(_._1 == 0.0))
+  }
+
+  test("single-shard recall 1.0 on seeded uniform vectors (py/test_hnsw.py:346-360)") {
+    val rng = new Random(42)
+    val data = Array.fill(200)(Array.fill(16)(rng.nextDouble()))
+    val index =
+      new HnswIndex(HnswParams(m = 16, efConstruction = 100), seed = 42)
+    data.foreach(index.insert)
+    var hits = 0
+    val queries = data.take(50)
+    queries.foreach { q =>
+      val got = index.search(q, topK = 10, efSearch = 200).map(_._2).toSet
+      val want = bruteTopK(data, q, 10).toSet
+      hits += got.intersect(want).size
+    }
+    val recall = hits.toDouble / (queries.length * 10)
+    assert(recall >= 0.99, s"recall $recall")
+  }
+
+  test("graph introspection: height/node counts consistent (py/test_hnsw.py:7-121)") {
+    val index = new HnswIndex(HnswParams(m = 4, efConstruction = 10), seed = 7)
+    val rng = new Random(7)
+    (0 until 50).foreach(_ => index.insert(Array.fill(4)(rng.nextDouble())))
+    assert(index.height >= 1)
+    assert(index.layerNodeCount(0) == 50)
+    assert(!index.isLayerEmpty(0))
+    // every node's layer-0 degree respects the M_max0 cap
+    (0 until 50).foreach { n =>
+      assert(index.layerAdjCount(0, n) <= index.params.mMax0)
+    }
+  }
+
+  test("HNSW+PQ end-to-end: k results, sorted, reasonable (py/test_compression.py:20-53)") {
+    val rng = new Random(42)
+    val d = 16
+    val data = Array.fill(100)(Array.fill(d)(rng.nextDouble()))
+    val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+    val comp =
+      new PQCompression(ProductQuantizer.train(df, "v", m = 4, k = 16, seed = 42))
+    val index = new HnswIndex(
+      HnswParams(m = 8, efConstruction = 50), seed = 42, Some(comp)
+    )
+    data.foreach(index.insert)
+    val r = index.search(data(0), topK = 10)
+    assert(r.length == 10)
+    assert(r.map(_._1) == r.map(_._1).sorted)
+    assert(r.forall(_._1 >= 0.0))
+    // the query vector's own code should rank near the top
+    assert(r.take(5).exists(_._2 == 0))
+  }
+
+  test("distributed recall gate: sharded HNSW Recall@10 >= 0.95 vs brute force") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), numShards = 4, seed = 42
+    )
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val approx =
+      DistributedHnsw.search(shards, queries, "query_id", "qv", topK = 10)
+    val base = emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    val exact = BruteForceKNN.knn(queries, base, 10)
+    val nQ = queries.count()
+    val hits = approx
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id")))
+      .count()
+    val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("deterministic rebuild: same seed + shards -> identical edge table") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .limit(200)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val p = HnswParams(m = 8, efConstruction = 50)
+    val s1 = DistributedHnsw.build(emb, "vec_id", "vec", p, 2, seed = 9)
+    val s2 = DistributedHnsw.build(emb, "vec_id", "vec", p, 2, seed = 9)
+    assert(s1.edges.except(s2.edges).count() == 0)
+    assert(s2.edges.except(s1.edges).count() == 0)
+  }
+}
