@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text/embedding corpora
+  * (SURVEY.md §2 C7 + the LLM-pipeline extension surface): exact,
+  * token-shingle Jaccard (inverted-index self-join), MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB): every candidate-pair generator here is *blocked* —
+  * pairs materialize only inside a bucket (shared shingle / LSH band
+  * signature / SimHash band), never as a full cross join. The verify step
+  * (exact Jaccard / hamming) touches candidate pairs only. All hashes are
+  * md5-derived and engine-portable, so results are reproducible across
+  * engines and runs (no JVM hashCode anywhere).
+  */
+object Dedup {
+
+  /** 56-bit integer from the md5 hex prefix — the shared deterministic
+    * string hash (same value DuckDB computes from its md5).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  private val P = 1000000007L
+
+  /** Exact dedup by full-content hash: every doc mapped to the smallest
+    * doc_id holding identical text (hash-groupBy, one shuffle on the
+    * md5 key).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .groupBy(col("h"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_n")
+      )
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  def shingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks")
+      )
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= n,
+            expr(
+              s"transform(sequence(0, size(toks)-$n), i -> " +
+                (0 until n).map(j => s"toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+            )
+          ).otherwise(array())
+        ).as("sh")
+      )
+      .distinct()
+
+  /** n-gram Jaccard near-dup pairs via inverted-index self-join: explode
+    * shingles, equi-join on the shingle (blocked — only co-occurring pairs
+    * appear), count the intersection, Jaccard from set sizes, threshold.
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.5
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")
+      )
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c"))
+      )
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for permutation i (0-based), the min over the
+    * doc's shingle hashes of `((2i+1)·x + 12289·i) mod P`. Returns
+    * (doc_id, i, v).
+    */
+  def minhash(
+      sh: DataFrame,
+      numPerms: Int
+  ): DataFrame = {
+    val spark = sh.sparkSession
+    val perms = spark.range(numPerms).select(col("id").cast("int").as("i"))
+    sh.withColumn("x", pmod(md5Long(col("sh")), lit(P)))
+      .crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(
+        min(
+          pmod((lit(2) * col("i") + 1) * col("x") + lit(12289L) * col("i"), lit(P))
+        ).as("v")
+      )
+  }
+
+  /** MinHash + LSH near-dup detection: band the signature (rows-per-band
+    * consecutive permutations, signature string per band), bucket-join on
+    * (band, signature) to get candidates, then verify candidates with the
+    * exact shingle Jaccard. Returns (doc_a, doc_b, jaccard), doc_a < doc_b,
+    * jaccard >= tau.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5
+  ): DataFrame = {
+    require(numPerms % bands == 0)
+    val rowsPerBand = numPerms / bands
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val mh = minhash(sh, numPerms)
+    val sigs = mh
+      .withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("i"), col("v")))),
+            s => s.getField("v").cast("string")
+          ),
+          ","
+        ).as("sig")
+      )
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify: exact Jaccard on the candidate pairs only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val commonCnt = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(
+        sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("doc_b")
+      )
+      .filter(col("sh") === col("shb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    commonCnt
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c"))
+      )
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over token hashes: bit b of the signature is set when
+    * the sum over tokens of ±1 (sign of bit b of the token hash) is >= 0.
+    * Returns (doc_id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bits = spark.range(32).select(col("id").cast("int").as("b"))
+    df.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("x", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      .crossJoin(broadcast(bits))
+      .withColumn(
+        "contrib",
+        when(expr("(x >> b) & 1") === 1, 1)
+          .otherwise(-1)
+      )
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share a 16-bit half (two-band
+    * exact-match blocking), verified by hamming distance <= maxHamming.
+    * Returns (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+      .withColumn("hi", shiftright(col("simhash"), 16))
+      .withColumn("lo", col("simhash").bitwiseAND(65535))
+      .cache()
+    def half(c: String) = sig.as("a")
+      .join(sig.as("b"),
+        col(s"a.$c") === col(s"b.$c") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb")
+      )
+    half("hi").union(half("lo")).distinct()
+      .withColumn(
+        "hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb")))
+      )
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs above `tau`. Exact similarity
+    * self-join — at corpus scale the candidate generator should be an LSH
+    * or PQ-code block key first (see [[minhashLsh]] / [[ProductQuantizer]]);
+    * the verify math is this same expression either way.
+    */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    e.as("a")
+      .join(e.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        cosineSim(col("a.v"), col("b.v")).as("cosine")
+      )
+      .filter(col("cosine") >= tau)
+  }
+}

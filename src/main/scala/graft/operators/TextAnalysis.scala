@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2 D11 +
+  * LLM-pipeline extension surface): token statistics, quality scoring,
+  * profile-based language identification, and polynomial document
+  * fingerprinting. Everything is a per-row map or a partial+final hash
+  * aggregation — no operator here shuffles more than (token, count) pairs.
+  */
+object TextAnalysis {
+
+  private val P = 1000000007L
+
+  /** Fixed stopword list used by the quality score (engine-portable —
+    * mirrored literally in the oracle SQL).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for")
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Per-document token statistics: token count, distinct count, average
+    * token length (exact integer sums, divided once).
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+          .cast("double") / size(col("toks"))).as("avg_token_len")
+      )
+
+  /** Heuristic quality score in [0,1]: blend of length saturation,
+    * stopword ratio and token diversity. The exact formula is part of the
+    * declared semantics (mirrored in the oracle SQL).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("double"))
+      .withColumn(
+        "stop_ratio",
+        expr(s"size(filter(toks, x -> x IN ($stopList)))").cast("double")
+          / col("n")
+      )
+      .withColumn(
+        "diversity",
+        size(array_distinct(col("toks"))).cast("double") / col("n")
+      )
+      .withColumn("len_sat", least(lit(1.0), col("n") / 50.0))
+      .select(
+        col("doc_id"),
+        round(
+          lit(0.4) * col("len_sat") + lit(0.3) * col("stop_ratio")
+            + lit(0.3) * col("diversity"),
+          6
+        ).as("quality")
+      )
+  }
+
+  /** Profile-based language ID: fit = top-`profileSize` tokens per labeled
+    * language (count desc, token asc); predict = the language whose profile
+    * overlaps the document's tokens most (ties -> lexicographically first
+    * language). A naive-Bayes-flavored n-gram classifier reduced to two
+    * joins + two rank windows.
+    */
+  def langId(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      profileSize: Int = 20
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(
+      col(idCol).as("doc_id"),
+      col(langCol).as("lang"),
+      explode(tokens(col(textCol))).as("w")
+    )
+    val prof = tok
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val wProf = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))
+    val top = prof
+      .withColumn("rn", row_number().over(wProf))
+      .filter(col("rn") <= profileSize)
+      .select(col("lang").as("plang"), col("w"))
+    val score = tok
+      .join(top, "w")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("s"))
+    val wPred = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("plang"))
+    val pred = score
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("predicted"))
+    df.select(col(idCol).as("doc_id"), col(langCol).as("actual"))
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit("??")))
+  }
+
+  /** Polynomial rolling fingerprint over the token stream:
+    * `h = fold(tokens, 0, (acc, t) -> (31·acc + md5_56(t) mod P) mod P)` —
+    * deterministic, order-sensitive, engine-portable (md5-derived token
+    * hashes).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(
+        col("doc_id"),
+        expr(
+          "aggregate(" +
+            "transform(toks, t -> cast(conv(substring(md5(t), 1, 14), 16, 10) AS long) % " + P + "L), " +
+            "0L, (acc, x) -> (acc * 31 + x) % " + P + "L)"
+        ).as("fingerprint")
+      )
+}

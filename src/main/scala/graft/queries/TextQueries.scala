@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import Q._
+
+/** Dedup + text-analysis query surface over `documents` (the LLM-pipeline
+  * extension operators). All hashes are md5-derived so both engines compute
+  * identical signatures; shared CTE text mirrors the Scala operators
+  * exactly (tokenize -> shingle -> hash -> block -> verify).
+  */
+object TextQueries {
+
+  /** Shared DuckDB CTEs: tokens, distinct 3-gram shingles, shingle-set
+    * sizes (mirror of [[Dedup.shingles]]).
+    */
+  private val shingleCtes = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t)-2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE []::VARCHAR[] END) AS sh
+           FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)
+  """
+
+  private val jaccardTail = """
+    SELECT doc_a, doc_b,
+           round(c::DOUBLE / (na + nb - c), 6) AS jaccard
+    FROM (SELECT doc_a, doc_b, c, sa.nsh AS na, sb.nsh AS nb
+          FROM common
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+    WHERE c::DOUBLE / (na + nb - c) >= 0.5
+  """
+
+  val all: Seq[GQuery] = Seq(
+    // Exact dedup: full-content hash groups with canonical (min) id.
+    GQuery(
+      "dedup_exact",
+      (spark, dir) =>
+        Dedup.exact(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        SELECT md5(text) AS h, min(doc_id)::BIGINT AS canonical_id,
+               count(*)::BIGINT AS group_n
+        FROM documents GROUP BY md5(text)
+      """)
+    ),
+    // n-gram Jaccard near-dup pairs (inverted-index blocked self-join).
+    GQuery(
+      "dedup_jaccard",
+      (spark, dir) =>
+        Dedup
+          .jaccardPairs(t(spark, dir, "documents"), "doc_id", "text", 3, 0.5)
+          .select(
+            col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")
+          ),
+      Some(s"""
+        WITH $shingleCtes,
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        $jaccardTail
+      """)
+    ),
+    // MinHash + LSH: 16 permutations, 4 bands of 4, bucket-join candidates,
+    // exact-Jaccard verify at 0.5.
+    GQuery(
+      "dedup_minhash_lsh",
+      (spark, dir) =>
+        Dedup
+          .minhashLsh(
+            t(spark, dir, "documents"), "doc_id", "text",
+            n = 3, numPerms = 16, bands = 4, tau = 0.5
+          )
+          .select(
+            col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")
+          ),
+      Some(s"""
+        WITH $shingleCtes,
+        mh AS (SELECT doc_id, i,
+                      min(((2*i+1) * x + 12289*i) % 1000000007) AS v
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5(sh), 1, 14))::BIGINT
+                              % 1000000007 AS x
+                     FROM sh)
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+               GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(v::VARCHAR, ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id),
+        common AS (SELECT doc_a, doc_b, count(*) AS c
+                   FROM cand
+                   JOIN sh sa ON sa.doc_id = doc_a
+                   JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+                   GROUP BY 1, 2)
+        $jaccardTail
+      """)
+    ),
+    // SimHash signatures per document (32-bit, token-hash sign sums).
+    GQuery(
+      "dedup_simhash",
+      (spark, dir) =>
+        Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b)
+        SELECT doc_id,
+               sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                 AS simhash
+        FROM s GROUP BY doc_id
+      """)
+    ),
+    // SimHash near-dup pairs: 16-bit half-signature blocking, hamming <= 3.
+    GQuery(
+      "dedup_simhash_pairs",
+      (spark, dir) =>
+        Dedup.simhashPairs(
+          t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3
+        ),
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
+                        simhash & 65535 AS lo
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.lo = b.lo AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      """)
+    ),
+    // Embedding-cosine near-dup pairs over embeddings.
+    GQuery(
+      "dedup_embedding",
+      (spark, dir) =>
+        Dedup
+          .embeddingPairs(
+            t(spark, dir, "embeddings").select(
+              col("vec_id"),
+              graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+            ),
+            "vec_id", "v", tau = 0.45
+          )
+          .select(
+            col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine")
+          ),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                     ${sqlDot("a.v", "b.v")}
+                     / (sqrt(${sqlDot("a.v", "a.v")})
+                        * sqrt(${sqlDot("b.v", "b.v")})) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT doc_a, doc_b, round(cosine, 6) AS cosine
+        FROM p WHERE cosine >= 0.45
+      """)
+    ),
+    // Per-document token statistics.
+    GQuery(
+      "text_token_stats",
+      (spark, dir) =>
+        TextAnalysis.tokenStats(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents)
+        SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               len(list_distinct(t))::BIGINT AS n_distinct,
+               (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t))
+                 AS avg_token_len
+        FROM tok
+      """)
+    ),
+    // Heuristic quality score.
+    GQuery(
+      "text_quality",
+      (spark, dir) =>
+        TextAnalysis.qualityScore(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok)
+        SELECT doc_id,
+               round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                     + 0.3::DOUBLE * stop_ratio
+                     + 0.3::DOUBLE * diversity, 6) AS quality
+        FROM f
+      """)
+    ),
+    // Profile-based language id (fit on labels, predict per doc).
+    GQuery(
+      "text_langid",
+      (spark, dir) =>
+        TextAnalysis.langId(
+          t(spark, dir, "documents"), "doc_id", "text", "lang", 20
+        ),
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        prof AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+        top AS (SELECT lang AS plang, w FROM (
+                  SELECT lang, w,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY c DESC, w) AS rn
+                  FROM prof) WHERE rn <= 20),
+        score AS (SELECT t.doc_id, p.plang, count(*) AS s
+                  FROM tok t JOIN top p ON t.w = p.w
+                  GROUP BY t.doc_id, p.plang),
+        pred AS (SELECT doc_id, plang AS predicted FROM (
+                   SELECT doc_id, plang,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY s DESC, plang) AS rn
+                   FROM score) WHERE rn = 1)
+        SELECT d.doc_id, d.lang AS actual,
+               COALESCE(p.predicted, '??') AS predicted
+        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+      """)
+    ),
+    // Polynomial rolling fingerprint over the token stream.
+    GQuery(
+      "text_fingerprint",
+      (spark, dir) =>
+        TextAnalysis.fingerprint(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(t, x ->
+                     ('0x' || substr(md5(x), 1, 14))::BIGINT % 1000000007)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        FROM tok
+      """)
+    ),
+    // D11: corpus token histogram (top 20 by count).
+    GQuery(
+      "text_token_histogram",
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20),
+      Some("""
+        SELECT w AS token, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY cnt DESC, token LIMIT 20
+      """)
+    )
+  )
+}

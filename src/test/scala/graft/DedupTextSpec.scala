@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.queries.Q
+
+/** Invariants for the dedup + text-analysis operators. */
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Q.t(spark, sf0001, "documents")
+
+  test("exact dedup: one group per distinct text, canonical = min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+    assert(r.count() == docs.select(col("text")).distinct().count())
+    assert(r.agg(sum(col("group_n"))).head.getLong(0) == docs.count())
+  }
+
+  test("exact dedup finds literal duplicates") {
+    val dup = docs.limit(5)
+      .union(docs.limit(5).withColumn("doc_id", col("doc_id") + 10000))
+    val r = Dedup.exact(dup, "doc_id", "text")
+    assert(r.filter(col("group_n") === 2).count() == 5)
+    // canonical is always the smaller id
+    assert(r.filter(col("canonical_id") >= 10000).count() == 0)
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs (same tau)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh -- exact}")
+    // LSH recall over the true pair set should be high
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.8,
+      s"LSH recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash of identical docs is identical; hamming 0 pairs are dups") {
+    val dup = docs.limit(3)
+      .union(docs.limit(3).withColumn("doc_id", col("doc_id") + 10000))
+    val sig = Dedup.simhash(dup, "doc_id", "text")
+    val byHash = sig.groupBy(col("simhash")).count()
+      .filter(col("count") >= 2).count()
+    assert(byHash >= 3)
+  }
+
+  test("quality score in [0,1]; token stats positive") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    val s = TextAnalysis.tokenStats(docs, "doc_id", "text")
+    assert(s.filter(col("n_tokens") <= 0 || col("avg_token_len") <= 0).count() == 0)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) == f(3L))
+    assert(f(1L) != f(2L))
+  }
+}
