@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[GQuery] =
     RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
-      PQQueries.all ++ HnswQueries.all ++ TextQueries.all
+      PQQueries.all ++ HnswQueries.all ++ TextQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

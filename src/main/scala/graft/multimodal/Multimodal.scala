@@ -1,0 +1,152 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch kernels
+  * (the Scala analog of arrow-batched pandas UDFs: one JVM call per
+  * partition, arrays in, arrays out — not one call per row).
+  *
+  * The codec boundary is [[MediaDecoder]]. Real pixel/sample decoding
+  * needs imaging/audio libraries that are intentionally not dependencies
+  * here; [[DeterministicFakeDecoder]] is a clearly-marked STUB that derives
+  * stable pseudo-metadata from the bytes so every downstream stage —
+  * schema, shard partitioning, batch shape, feature tables — is real and
+  * testable. Swap the decoder, keep the pipeline.
+  */
+object Multimodal {
+
+  final case class Media(
+      id: Long,
+      modality: String,
+      content: Array[Byte],
+      metaLen: Long
+  )
+
+  final case class Decoded(
+      id: Long,
+      modality: String,
+      width: Int,
+      height: Int,
+      meanByte: Double
+  )
+
+  final case class Frame(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Media decode boundary. A production implementation decodes real
+    * pixels/samples; the fake one is deterministic in the content bytes.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(content: Array[Byte], modality: String): (Int, Int, Double)
+  }
+
+  /** STUB decoder: pseudo width/height from a byte rolling hash, mean byte
+    * value as the "signal" statistic. Deterministic, portable, obviously
+    * not a real codec.
+    */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    def decode(content: Array[Byte], modality: String): (Int, Int, Double) = {
+      var h = 0L
+      var sum = 0.0
+      var i = 0
+      while (i < content.length) {
+        val b = content(i) & 0xff
+        h = (h * 31 + b) % 1000000007L
+        sum += b
+        i += 1
+      }
+      val w = (h % 512L).toInt + 1
+      val ht = ((h / 512L) % 512L).toInt + 1
+      val mean = if (content.isEmpty) 0.0 else sum / content.length
+      (w, ht, mean)
+    }
+  }
+
+  /** Opaque media table derived from the documents fixture: content =
+    * UTF-8 bytes, modality round-robins image/audio/video by id. (The test
+    * tables ship no real media; the binary plumbing is what is exercised.)
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      ).as("modality"),
+      col("text").cast("binary").as("content"),
+      col("n_chars").as("metaLen")
+    )
+
+  /** Decode metadata for every media row — partition-batched kernel over
+    * the binary column (mapPartitions: one decoder instance per partition,
+    * zero per-row setup).
+    */
+  def decodeMeta(
+      spark: SparkSession,
+      media: DataFrame,
+      decoder: MediaDecoder
+  ): Dataset[Decoded] = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, mean) = decoder.decode(m.content, m.modality)
+        Decoded(m.id, m.modality, w, h, mean)
+      }
+    }
+  }
+
+  /** Byte-value histogram features: 16 bins over the content bytes,
+    * emitted long-form (id, bin, cnt) — the feature-extraction stage shape
+    * (binary in, feature table out).
+    */
+  def byteHistogram(
+      spark: SparkSession,
+      media: DataFrame,
+      bins: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val counts = new Array[Long](bins)
+          bytes.foreach { b => counts(((b & 0xff) * bins) / 256) += 1 }
+          counts.iterator.zipWithIndex.collect {
+            case (c, bin) if c > 0 => (id, bin, c)
+          }
+        }
+      }
+      .toDF("id", "bin", "cnt")
+  }
+
+  /** Frame sampling for "video" content: fixed-size byte windows at a
+    * stride (mapPartitions batch kernel; at scale frames repartition by
+    * (id, frameIdx) for downstream parallel decode).
+    */
+  def frameSample(
+      spark: SparkSession,
+      media: DataFrame,
+      frameSize: Int,
+      stride: Int
+  ): Dataset[Frame] = {
+    import spark.implicits._
+    media
+      .select(col("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n =
+            if (bytes.length < frameSize) 0
+            else (bytes.length - frameSize) / stride + 1
+          (0 until n).iterator.map { f =>
+            Frame(
+              id, f,
+              java.util.Arrays.copyOfRange(bytes, f * stride, f * stride + frameSize)
+            )
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import Q._
+
+/** Multimodal-pipeline query surface. The media table derives its binary
+  * content from `documents.text` (ASCII), so DuckDB can mirror every
+  * byte-level kernel character-wise — the binary plumbing (typed Datasets,
+  * mapPartitions batch kernels, frame windows) is exercised for real while
+  * the decode stage stays a declared stub (see
+  * [[graft.multimodal.Multimodal.DeterministicFakeDecoder]]).
+  */
+object MultimodalQueries {
+
+  private def media(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Multimodal.fromDocuments(t(spark, dir, "documents"))
+
+  private val modalityCase =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  val all: Seq[GQuery] = Seq(
+    // Decode-stage metadata (stub decoder: rolling-hash pseudo dims +
+    // mean byte value).
+    GQuery(
+      "mm_decode_meta",
+      (spark, dir) =>
+        Multimodal
+          .decodeMeta(spark, media(spark, dir), Multimodal.DeterministicFakeDecoder)
+          .toDF()
+          .select(
+            col("id"), col("modality"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(col("meanByte"), 6).as("mean_byte")
+          ),
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id AS id, $modalityCase AS modality,
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''), c -> ascii(c))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS hh,
+                 list_sum(list_transform(string_split(text, ''),
+                                         c -> ascii(c)))::DOUBLE
+                   / length(text) AS mean_byte
+          FROM documents)
+        SELECT id, modality,
+               (hh % 512 + 1)::BIGINT AS width,
+               ((hh // 512) % 512 + 1)::BIGINT AS height,
+               round(mean_byte, 6) AS mean_byte
+        FROM h
+      """)
+    ),
+    // Feature extraction: 16-bin byte histogram, long-form feature table.
+    GQuery(
+      "mm_byte_histogram",
+      (spark, dir) =>
+        Multimodal
+          .byteHistogram(spark, media(spark, dir), bins = 16)
+          .select(col("id"), col("bin").cast("long").as("bin"), col("cnt")),
+      Some("""
+        SELECT doc_id AS id, ((ascii(c) * 16) // 256)::BIGINT AS bin,
+               count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents)
+        GROUP BY 1, 2
+      """)
+    ),
+    // Frame sampling over "video" content: 64-byte frames at stride 48.
+    GQuery(
+      "mm_frame_sample",
+      (spark, dir) => {
+        val video = media(spark, dir).filter(col("modality") === "video")
+        Multimodal
+          .frameSample(spark, video, frameSize = 64, stride = 48)
+          .toDF()
+          .select(
+            col("id"),
+            col("frameIdx").cast("long").as("frame_idx"),
+            md5(col("frame")).as("frame_md5"),
+            length(col("frame")).cast("long").as("frame_len")
+          )
+      },
+      Some("""
+        WITH v AS (SELECT doc_id AS id, text FROM documents
+                   WHERE doc_id % 3 = 2 AND length(text) >= 64),
+        f AS (SELECT id, text,
+                     unnest(generate_series(0, (length(text) - 64) // 48)) AS frame_idx
+              FROM v)
+        SELECT id, frame_idx::BIGINT AS frame_idx,
+               md5(substr(text, frame_idx * 48 + 1, 64)) AS frame_md5,
+               64::BIGINT AS frame_len
+        FROM f
+      """)
+    )
+  )
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `.fvecs` source/sink (SURVEY.md §2 A1): the SIFT benchmark format read
+  * by the reference's evaluation notebook (py/hnsw.ipynb cell-1) — per row
+  * a little-endian int32 dimension header followed by dim float32s.
+  *
+  * Read path: `binaryFile` data source (one task per file, whole-file
+  * bytes) decoded in a map — row ids are the position within the file, and
+  * a multi-file load offsets ids by lexicographic file order so the id
+  * space stays dense `0..N-1` like the reference's in-memory store
+  * (py/hnsw.py:344). For 100 TB-scale vector data the right landing format
+  * is Parquet (columnar, splittable, predicate-pushdown); this source
+  * exists to ingest upstream fvecs artifacts into that layout.
+  */
+object Fvecs {
+
+  def decode(bytes: Array[Byte]): Iterator[Array[Float]] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new Iterator[Array[Float]] {
+      def hasNext: Boolean = buf.remaining() >= 4
+      def next(): Array[Float] = {
+        val d = buf.getInt()
+        require(d > 0 && buf.remaining() >= 4 * d, s"corrupt fvecs row, dim=$d")
+        val v = new Array[Float](d)
+        var i = 0
+        while (i < d) { v(i) = buf.getFloat(); i += 1 }
+        v
+      }
+    }
+  }
+
+  /** Read one or many fvecs files as (id long, vec array<float>).
+    *
+    * Two passes, both executor-side: (1) per-file row counts (only the
+    * tiny (path, count) pairs reach the driver), (2) decode with dense ids
+    * offset by lexicographic file order. File contents never move through
+    * the driver.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val counts = files
+      .map { case (p, bytes) => (p, decode(bytes).size.toLong) }
+      .collect()
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    files
+      .flatMap { case (p, bytes) =>
+        val off = bcOff.value(p)
+        decode(bytes).zipWithIndex.map { case (v, i) => (off + i, v) }
+      }
+      .toDF("id", "vec")
+  }
+
+  /** Write (id, vec) rows to a single fvecs file in ascending-id order
+    * (test/round-trip utility).
+    */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val rows = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    )
+    try {
+      rows.foreach { r =>
+        val v = r.getSeq[Float](1)
+        val buf = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(v.length)
+        v.foreach(buf.putFloat)
+        out.write(buf.array())
+      }
+    } finally out.close()
+  }
+}

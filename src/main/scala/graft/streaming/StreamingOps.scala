@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events stream (SURVEY.md §2.G —
+  * all extension; the reference has no streaming). Each operator is the
+  * streaming twin of a batch query already in the oracle suite, so
+  * correctness is checked by running both over the same micro-batched
+  * input and comparing (see StreamingSpec).
+  *
+  * Watermarks bound state: every aggregation here drops state once its
+  * window falls behind the watermark, so state size is O(active windows ·
+  * groups), independent of stream length — the property that matters when
+  * the stream is 100 TB/day.
+  */
+object StreamingOps {
+
+  /** Parquet schema of the driver's events table when nanos are read as
+    * longs (spark.sql.legacy.parquet.nanosAsLong=true).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) as nanos-since-epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming read of an events directory (one file = one micro-batch via
+    * maxFilesPerTrigger=1), ts truncated to microsecond timestamps exactly
+    * like the batch loader.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour
+    * watermark (late rows beyond it are dropped, state is bounded).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value")
+      )
+
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (the streaming twin of the batch lag-based
+    * sessionization in q16_sessions).
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value")
+      )
+
+  /** Streaming exact dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
+  final case class UserRunning(userId: Long, n: Long, total: Double)
+
+  /** Custom state: per-user running event count + value total emitted on
+    * every update (flatMapGroupsWithState, the §2.G stateful piece).
+    */
+  def runningPerUser(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator(next)
+        }
+      )
+  }
+
+  /** Incremental vector ingestion: each micro-batch of (id, vec) rows is
+    * appended to the shard-partitioned vector store that
+    * [[graft.operators.DistributedHnsw.build]] consumes — the foreachBatch
+    * half of streaming index maintenance (per-shard graph rebuild then
+    * happens only for shards whose files changed).
+    */
+  def vectorAppendSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numShards: Int,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(
+            col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("vec")
+          )
+          .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
+          .write
+          .mode("append")
+          .partitionBy("shard")
+          .parquet(storePath)
+      }
+      .start()
+}

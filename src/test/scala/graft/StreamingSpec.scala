@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+import graft.streaming.StreamingOps
+
+/** Streaming operators vs their batch twins over the same events data
+  * (§2.G). The batch side is the oracle: stream a copy of the events file,
+  * drain it, compare.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    Files.copy(
+      Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING
+    )
+    dir
+  }
+
+  test("streaming hourly windowed counts == batch window() aggregation") {
+    val dir = stageEventsDir()
+    val stream = StreamingOps.hourlyCounts(StreamingOps.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("hourly")
+      .select(col("ws"), col("event_type"), col("n"))
+    val want = Q.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("streaming session count per user == batch lag-based sessionization") {
+    val dir = stageEventsDir()
+    val stream = StreamingOps.sessions(StreamingOps.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("sess").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("sess")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+    // batch twin: q16_sessions groups
+    val want = graft.SparkEntry.queries("q16_sessions")(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("streaming dedup drops re-delivered events") {
+    val dir = stageEventsDir()
+    // re-deliver the same file under another name -> every event twice
+    Files.copy(
+      Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events_redelivery.parquet")
+    )
+    val stream = StreamingOps.dedup(StreamingOps.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table("dedup").count() == Q.events(spark, sf0001).count())
+  }
+
+  test("flatMapGroupsWithState running totals reach the batch totals") {
+    val dir = stageEventsDir()
+    val stream =
+      StreamingOps.runningPerUser(spark, StreamingOps.readEvents(spark, dir))
+    val q = stream.toDF().writeStream
+      .format("memory").queryName("running").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("running")
+      .groupBy(col("userId").as("user_id")).agg(max(col("n")).as("n"))
+    val want = Q.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("foreachBatch vector append feeds an HNSW build") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{DistributedHnsw, HnswParams}
+    val store = Files.createTempDirectory("vecstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val srcDir = Files.createTempDirectory("embstream").toString
+    Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      .write.parquet(s"$srcDir/batch1")
+    val stream = spark.readStream
+      .schema("vec_id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$srcDir/batch1")
+    val q = StreamingOps.vectorAppendSink(stream, "vec_id", "vec", 4, store, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == 500)
+    val shards = DistributedHnsw.build(
+      stored, "id", "vec", HnswParams(m = 8, efConstruction = 50), 4, seed = 1
+    )
+    val queries =
+      stored.limit(5).select(col("id").as("query_id"), col("vec").as("qv"))
+    val r = DistributedHnsw.search(shards, queries, "query_id", "qv", 5)
+    assert(r.count() == 25)
+  }
+}
