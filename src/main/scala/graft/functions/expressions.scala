@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector distance kernels (SURVEY.md
+  * §2.H): tight primitive loops over `ArrayData`, no per-pair array
+  * allocation, fused into whole-stage codegen. Semantically identical to
+  * the `aggregate(zip_with(...))` formulations in [[VectorFunctions]]
+  * (double accumulation in array order — ref: py/bruteforce.py:5-9), just
+  * faster: the zip_with path materializes an intermediate array per row
+  * pair; these don't.
+  *
+  * Arrays must be non-null-element `array<double>` (the engine's vector
+  * type, SURVEY.md §1.4).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+}
+
+/** Squared L2 distance over two double arrays. */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double s = 0.0;
+        |for (int i = 0; i < n; i++) {
+        |  double d = $a.getDouble(i) - $b.getDouble(i);
+        |  s += d * d;
+        |}
+        |${ev.value} = s;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product over two double arrays. */
+case class DotExpr(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double s = 0.0;
+        |for (int i = 0; i < n; i++) {
+        |  s += $a.getDouble(i) * $b.getDouble(i);
+        |}
+        |${ev.value} = s;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  def l2SqFast(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      L2SqExpr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b))
+    )
+  def dotFast(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotExpr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b))
+    )
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions._
 
 /** Exact k-nearest-neighbor search by full scan — the correctness oracle
   * (ref: py/bruteforce.py:11-19 `RunSearch`).
@@ -40,7 +40,7 @@ object BruteForceKNN {
   ): DataFrame = {
     val pairs = base
       .join(broadcast(queries))
-      .withColumn("dist", l2Sq(col(qvecCol), col(bvecCol)))
+      .withColumn("dist", l2SqFast(col(qvecCol), col(bvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(bidCol))
     pairs
       .withColumn("rnk", row_number().over(w))
@@ -61,9 +61,16 @@ object BruteForceKNN {
       bidCol: String = "neighbor_id",
       bvecCol: String = "bv"
   ): DataFrame = {
-    val pairs = base
-      .join(broadcast(queries))
-      .withColumn("sim", cosineSim(col(qvecCol), col(bvecCol)))
+    // norms are per-row invariants: compute each once before the join
+    // instead of three dot products per pair (same doubles, 1/3 the work)
+    val qn = queries.withColumn("qnorm", sqrt(dotFast(col(qvecCol), col(qvecCol))))
+    val bn = base.withColumn("bnorm", sqrt(dotFast(col(bvecCol), col(bvecCol))))
+    val pairs = bn
+      .join(broadcast(qn))
+      .withColumn(
+        "sim",
+        dotFast(col(qvecCol), col(bvecCol)) / (col("qnorm") * col("bnorm"))
+      )
     val w =
       Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(bidCol))
     pairs

@@ -104,16 +104,25 @@ object Dedup {
       sh: DataFrame,
       numPerms: Int
   ): DataFrame = {
-    val spark = sh.sparkSession
-    val perms = spark.range(numPerms).select(col("id").cast("int").as("i"))
-    sh.withColumn("x", pmod(md5Long(col("sh")), lit(P)))
-      .crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(
-        min(
-          pmod((lit(2) * col("i") + 1) * col("x") + lit(12289L) * col("i"), lit(P))
-        ).as("v")
-      )
+    val wide = minhashWide(sh, numPerms)
+    val stackArgs =
+      (0 until numPerms).map(i => s"$i, v$i").mkString(", ")
+    wide.select(
+      col("doc_id"),
+      expr(s"stack($numPerms, $stackArgs)").as(Seq("i", "v"))
+    )
+  }
+
+  /** One row per doc with all `numPerms` min-hashes as columns — a single
+    * groupBy with N min-aggregates instead of an N-way row explosion (the
+    * shingle table is read once; shuffle stays at one row per doc).
+    */
+  def minhashWide(sh: DataFrame, numPerms: Int): DataFrame = {
+    val hashed = sh.withColumn("x", pmod(md5Long(col("sh")), lit(P)))
+    val mins = (0 until numPerms).map { i =>
+      min(pmod(lit(2L * i + 1) * col("x") + lit(12289L * i), lit(P))).as(s"v$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup detection: band the signature (rows-per-band
@@ -134,18 +143,20 @@ object Dedup {
     require(numPerms % bands == 0)
     val rowsPerBand = numPerms / bands
     val sh = shingles(df, idCol, textCol, n).cache()
-    val mh = minhash(sh, numPerms)
-    val sigs = mh
-      .withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("i"), col("v")))),
-            s => s.getField("v").cast("string")
-          ),
-          ","
-        ).as("sig")
+    val wide = minhashWide(sh, numPerms)
+    val bandCols = (0 until bands).map { bd =>
+      concat_ws(
+        ",",
+        (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+          .map(i => col(s"v$i").cast("string")): _*
+      ).as(s"sig$bd")
+    }
+    val stackArgs = (0 until bands).map(bd => s"$bd, sig$bd").mkString(", ")
+    val sigs = wide
+      .select(col("doc_id") +: bandCols: _*)
+      .select(
+        col("doc_id"),
+        expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
       )
     val cand = sigs.as("a")
       .join(sigs.as("b"),
@@ -180,21 +191,24 @@ object Dedup {
     * Returns (doc_id, simhash).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val bits = spark.range(32).select(col("id").cast("int").as("b"))
-    df.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+    // 32 signed bit-sums as parallel aggregates over one token scan — no
+    // 32-way row explosion; shuffle is one row per doc
+    val hashed = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("x", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-      .crossJoin(broadcast(bits))
-      .withColumn(
-        "contrib",
-        when(expr("(x >> b) & 1") === 1, 1)
-          .otherwise(-1)
-      )
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(expr(s"(x >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    hashed
       .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 32)
+          .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash")
+      )
   }
 
   /** SimHash near-dup pairs: candidates share a 16-bit half (two-band
@@ -238,13 +252,18 @@ object Dedup {
       vecCol: String,
       tau: Double
   ): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    import graft.functions.VectorExpressions._
+    // per-row norm precompute + codegen dot: one fused multiply-add loop
+    // per pair instead of three boxed array folds
+    val e = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
     e.as("a")
       .join(e.as("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        cosineSim(col("a.v"), col("b.v")).as("cosine")
+        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine")
       )
       .filter(col("cosine") >= tau)
   }

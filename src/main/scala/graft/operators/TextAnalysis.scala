@@ -80,7 +80,7 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       col(langCol).as("lang"),
       explode(tokens(col(textCol))).as("w")
-    )
+    ).cache()
     val prof = tok
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))

@@ -94,8 +94,11 @@ object RelationalQueries {
         val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = t(spark, dir, "orders")
         val li = t(spark, dir, "lineitem")
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // dims reduce first: orders x broadcast(customer-segment) is small;
+        // broadcasting it keeps the lineitem fact table shuffle-free
+        val co = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(o("o_orderkey"), o("o_orderdate"))
+        li.join(broadcast(co), li("l_orderkey") === co("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(
             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
