@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAgg.topK
 import graft.functions.VectorExpressions._
 
 /** Exact k-nearest-neighbor search by full scan — the correctness oracle
@@ -13,10 +14,13 @@ import graft.functions.VectorExpressions._
   * codegen'd array expression, then top-k per query. The query side is
   * broadcast — at 100 TB the base table is the big side and streams through
   * executors partition-by-partition while every executor holds the (small)
-  * query batch; no shuffle of the base data at all. The per-query top-k is a
-  * rank-window over |Q|·k candidates after a partial per-partition prune
-  * (see [[graft.operators.TopK]] for the bounded-heap aggregate used when
-  * |Q| is large).
+  * query batch; no shuffle of the base data at all.
+  *
+  * The per-query top-k is the bounded-heap aggregate
+  * ([[graft.functions.TopKAgg]]): each partition reduces to k rows per
+  * query *before* the shuffle (partial aggregation), so shuffle volume is
+  * O(|Q|·k·partitions) instead of the O(|Q|·|B|) a rank window would sort.
+  * [[knnWindow]] keeps the window formulation for comparison.
   *
   * Results are `(query_id, neighbor_id, dist, rnk)` ascending by
   * `(dist, neighbor_id)` — squared L2, stable tie-break on id, matching the
@@ -24,12 +28,72 @@ import graft.functions.VectorExpressions._
   */
 object BruteForceKNN {
 
-  /** Exact top-k join.
-    *
-    * @param queries DataFrame with columns (`qidCol`: long, `qvecCol`: array)
-    * @param base    DataFrame with columns (`bidCol`: long, `bvecCol`: array)
-    */
+  private def explodeTopK(
+      grouped: DataFrame,
+      qidCol: String,
+      bidCol: String,
+      valName: String,
+      negate: Boolean
+  ): DataFrame = {
+    val v = col("e.dist")
+    grouped
+      .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col(qidCol),
+        col("e.id").as(bidCol),
+        (if (negate) -v else v).as(valName),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
+  }
+
+  /** Exact top-k similarity join by squared L2 (bounded-heap aggregate). */
   def knn(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame = {
+    val grouped = base
+      .join(broadcast(queries))
+      .groupBy(col(qidCol))
+      .agg(topK(l2SqFast(col(qvecCol), col(bvecCol)), col(bidCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, bidCol, "dist", negate = false)
+  }
+
+  /** Same, by cosine similarity descending (ties broken by ascending id) —
+    * the heap keeps the k smallest of -sim. Norms are per-row invariants,
+    * computed once per side before the join.
+    */
+  def knnCosine(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame = {
+    val qn = queries.withColumn("qnorm", sqrt(dotFast(col(qvecCol), col(qvecCol))))
+    val bn = base.withColumn("bnorm", sqrt(dotFast(col(bvecCol), col(bvecCol))))
+    val grouped = bn
+      .join(broadcast(qn))
+      .groupBy(col(qidCol))
+      .agg(
+        topK(
+          -(dotFast(col(qvecCol), col(bvecCol)) / (col("qnorm") * col("bnorm"))),
+          col(bidCol), k
+        ).as("tk")
+      )
+    explodeTopK(grouped, qidCol, bidCol, "sim", negate = true)
+  }
+
+  /** Rank-window formulation of [[knn]] — same results, kept for plan
+    * comparison and small inputs.
+    */
+  def knnWindow(
       queries: DataFrame,
       base: DataFrame,
       k: Int,
@@ -46,36 +110,5 @@ object BruteForceKNN {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(qidCol), col(bidCol), col("dist"), col("rnk"))
-  }
-
-  /** Same, by cosine similarity descending (ties broken by ascending id) —
-    * the similarity-search flavor used by the embedding near-dup and ANN
-    * baselines.
-    */
-  def knnCosine(
-      queries: DataFrame,
-      base: DataFrame,
-      k: Int,
-      qidCol: String = "query_id",
-      qvecCol: String = "qv",
-      bidCol: String = "neighbor_id",
-      bvecCol: String = "bv"
-  ): DataFrame = {
-    // norms are per-row invariants: compute each once before the join
-    // instead of three dot products per pair (same doubles, 1/3 the work)
-    val qn = queries.withColumn("qnorm", sqrt(dotFast(col(qvecCol), col(qvecCol))))
-    val bn = base.withColumn("bnorm", sqrt(dotFast(col(bvecCol), col(bvecCol))))
-    val pairs = bn
-      .join(broadcast(qn))
-      .withColumn(
-        "sim",
-        dotFast(col(qvecCol), col(bvecCol)) / (col("qnorm") * col("bnorm"))
-      )
-    val w =
-      Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(bidCol))
-    pairs
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col(qidCol), col(bidCol), col("sim"), col("rnk"))
   }
 }

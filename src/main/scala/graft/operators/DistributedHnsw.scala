@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg.topK
 
 /** Sharded HNSW over Spark (SURVEY.md §3.1-3.2 "Spark shape", M5).
   *
@@ -102,7 +103,7 @@ object DistributedHnsw {
       queries: DataFrame,
       qidCol: String,
       qvecCol: String,
-      topK: Int,
+      k: Int,
       efSearch: Int = -1,
       compression: Option[VectorCompression] = None
   ): DataFrame = {
@@ -146,7 +147,7 @@ object DistributedHnsw {
           }
           searcher.setEntry(localOf(ep))
           bcQ.value.iterator.flatMap { case (qid, qv) =>
-            searcher.search(qv, topK, efSearch).map { case (d, local) =>
+            searcher.search(qv, k, efSearch).map { case (d, local) =>
               (qid, ids(local), d)
             }
           }
@@ -154,13 +155,18 @@ object DistributedHnsw {
       }
       .toDF("query_id", "neighbor_id", "dist")
 
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
+    // global merge: bounded-heap top-k per query (partial agg per shard
+    // output partition, O(|Q|*k) shuffle)
     results
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .withColumnRenamed("query_id", qidCol)
+      .groupBy(col("query_id"))
+      .agg(topK(col("dist"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("query_id").as(qidCol),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
   }
 }
 

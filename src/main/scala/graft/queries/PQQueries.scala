@@ -136,16 +136,22 @@ object PQQueries {
       (spark, dir) => {
         val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
         val emb = t(spark, dir, "embeddings")
+        // ADC(q, code) == L2Sq(q, decode(code)): decode each base row once,
+        // then the pairwise distance is the codegen'd primitive loop
         val enc = emb.select(
           col("vec_id").as("neighbor_id"),
-          ProductQuantizer.encodeCol(bc, toDouble(col("embedding"))).as("code")
+          ProductQuantizer
+            .decodeCol(
+              bc,
+              ProductQuantizer.encodeCol(bc, toDouble(col("embedding")))
+            ).as("dv")
         )
         val q = emb
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
         val pairs = enc
           .join(broadcast(q))
-          .withColumn("dist", ProductQuantizer.adcCol(bc, col("qv"), col("code")))
+          .withColumn("dist", graft.functions.VectorExpressions.l2SqFast(col("qv"), col("dv")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("dist"), col("neighbor_id"))
         pairs
@@ -179,7 +185,11 @@ object PQQueries {
         val emb = t(spark, dir, "embeddings")
         val enc = emb.select(
           col("vec_id").as("neighbor_id"),
-          ProductQuantizer.encodeCol(bc, toDouble(col("embedding"))).as("code"),
+          ProductQuantizer
+            .decodeCol(
+              bc,
+              ProductQuantizer.encodeCol(bc, toDouble(col("embedding")))
+            ).as("dv"),
           toDouble(col("embedding")).as("bv")
         )
         val q = emb
@@ -190,9 +200,10 @@ object PQQueries {
           .orderBy(col("adist"), col("neighbor_id"))
         val wEx = Window.partitionBy(col("query_id"))
           .orderBy(col("edist"), col("neighbor_id"))
+        val fast = graft.functions.VectorExpressions
         val both = pairs
-          .withColumn("adist", ProductQuantizer.adcCol(bc, col("qv"), col("code")))
-          .withColumn("edist", l2Sq(col("qv"), col("bv")))
+          .withColumn("adist", fast.l2SqFast(col("qv"), col("dv")))
+          .withColumn("edist", fast.l2SqFast(col("qv"), col("bv")))
           .withColumn("arnk", row_number().over(wAdc))
           .withColumn("ernk", row_number().over(wEx))
         both

@@ -105,7 +105,7 @@ class HnswSpec extends SparkSpec {
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qv"))
     val approx =
-      DistributedHnsw.search(shards, queries, "query_id", "qv", topK = 10)
+      DistributedHnsw.search(shards, queries, "query_id", "qv", k = 10)
     val base = emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
     val exact = BruteForceKNN.knn(queries, base, 10)
     val nQ = queries.count()

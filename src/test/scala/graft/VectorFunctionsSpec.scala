@@ -72,4 +72,25 @@ class VectorFunctionsSpec extends SparkSpec {
     val kAll = BruteForceKNN.knn(q, base, 51).orderBy("rnk").collect().map(_.getLong(1))
     assert(kAll.take(3).toSeq == k3.toSeq)
   }
+
+  test("heap top-k aggregate == rank-window top-k on random data") {
+    val rng = new scala.util.Random(13)
+    val base = (0L until 300L).map(i => (i, Array.fill(8)(rng.nextDouble())))
+      .toDF("neighbor_id", "bv")
+    val q = (0L until 7L).map(i => (i * 100, Array.fill(8)(rng.nextDouble())))
+      .toDF("query_id", "qv")
+    val heap = BruteForceKNN.knn(q, base, 10)
+      .select("query_id", "neighbor_id", "dist", "rnk")
+    val win = BruteForceKNN.knnWindow(q, base, 10)
+      .select("query_id", "neighbor_id", "dist", "rnk")
+    assert(heap.except(win).count() == 0 && win.except(heap).count() == 0)
+  }
+
+  test("heap top-k handles ties by ascending id") {
+    val base = Seq((9L, Array(1.0)), (2L, Array(1.0)), (5L, Array(1.0)))
+      .toDF("neighbor_id", "bv")
+    val q = Seq((0L, Array(0.0))).toDF("query_id", "qv")
+    val r = BruteForceKNN.knn(q, base, 2).orderBy("rnk").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 5L))
+  }
 }
