@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def modules: Seq[GQuery] =
     RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
-      PQQueries.all ++ HnswQueries.all ++ TextQueries.all ++
+      PQQueries.all ++ HnswQueries.all ++ TextQueries.all ++ IvfQueries.all ++
       MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -226,6 +226,36 @@ object PQQueries {
         GROUP BY query_id
       """)
     ),
+    // F6: symmetric code-to-code distances for all pairs of the first 50
+    // vectors (the build-time distance of compressed HNSW).
+    GQuery(
+      "pq_sdc_pairs",
+      (spark, dir) => {
+        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val enc = t(spark, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(
+            col("vec_id"),
+            ProductQuantizer.encodeCol(bc, toDouble(col("embedding"))).as("code")
+          )
+        enc.as("a")
+          .join(enc.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("id_a"),
+            col("b.vec_id").as("id_b"),
+            round(
+              ProductQuantizer.sdcCol(bc, col("a.code"), col("b.code")), 6
+            ).as("dist")
+          )
+      },
+      Some(s"""
+        WITH $pqCtes
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${sqlL2Sq("a.dv", "b.dv")}, 6) AS dist
+        FROM dec a JOIN dec b
+          ON a.vec_id < b.vec_id AND a.vec_id < 50 AND b.vec_id < 50
+      """)
+    ),
     // C4: k-means E-step assignment to 8 fixed full-dim centroids.
     GQuery(
       "kmeans_estep",
