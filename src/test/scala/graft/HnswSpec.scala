@@ -127,4 +127,26 @@ class HnswSpec extends SparkSpec {
     assert(s1.edges.except(s2.edges).count() == 0)
     assert(s2.edges.except(s1.edges).count() == 0)
   }
+
+  test("param grid sweep: M x ef_construction all build and search (py/test_hnsw.py:425-447)") {
+    val rng = new Random(21)
+    val data = Array.fill(60)(Array.fill(8)(rng.nextDouble()))
+    for (m <- Seq(2, 4, 16); efc <- Seq(5, 50, 200)) {
+      val idx = new HnswIndex(HnswParams(m = m, efConstruction = efc), seed = 21)
+      data.foreach(idx.insert)
+      val r = idx.search(data(0), topK = 5)
+      assert(r.length == 5, s"m=$m efc=$efc")
+      assert(r.map(_._1) == r.map(_._1).sorted)
+    }
+  }
+
+  test("reference level formula flag changes the level distribution, not correctness") {
+    val rng = new Random(33)
+    val data = Array.fill(80)(Array.fill(4)(rng.nextDouble()))
+    val refIdx = new HnswIndex(
+      HnswParams(m = 8, efConstruction = 50, referenceLevelFormula = true), seed = 33)
+    data.foreach(refIdx.insert)
+    val r = refIdx.search(data(3), topK = 5)
+    assert(r.length == 5 && r.head._2 == 3)
+  }
 }

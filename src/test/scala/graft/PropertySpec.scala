@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators._
+
+/** ScalaCheck properties from SURVEY.md §5.2.2: recall(BF,BF)=1, top-k ⊆
+  * full-sort prefix, decode(encode) error bounded by centroid coverage,
+  * k-means inertia not worse than its initialization, SDC symmetry.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic ScalaCheck sampling: run `body` over `n` seeded draws. */
+  private def forSamples[T](gen: Gen[T], n: Int = 30)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](8, Gen.chooseNum(-1.0, 1.0))
+  private val dataGen: Gen[Array[Array[Double]]] =
+    Gen.containerOfN[Array, Array[Double]](40, vecGen)
+
+  private def bruteTopK(
+      data: Array[Array[Double]], q: Array[Double], k: Int): Seq[Int] =
+    data.zipWithIndex
+      .map { case (v, i) => (KMeansLocal.l2Sq(q, v), i) }
+      .sortBy(x => (x._1, x._2)).take(k).map(_._2).toSeq
+
+  test("top-k is always a prefix of the full (dist, id) sort") {
+    forSamples(Gen.zip(dataGen, vecGen)) { case (data, q) =>
+      if (data.nonEmpty) {
+        val k = math.min(5, data.length)
+        assert(bruteTopK(data, q, k) == bruteTopK(data, q, data.length).take(k))
+      }
+    }
+  }
+
+  test("recall(BF, BF) == 1: each base vector's own NN is itself (distinct vecs)") {
+    forSamples(dataGen) { data =>
+      val distinct = data.map(_.toSeq).distinct.map(_.toArray)
+      if (distinct.length > 1) {
+        distinct.zipWithIndex.foreach { case (v, i) =>
+          assert(bruteTopK(distinct, v, 1).head == i)
+        }
+      }
+    }
+  }
+
+  test("L2Sq is symmetric, non-negative, zero iff equal input") {
+    forSamples(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val d = KMeansLocal.l2Sq(a, b)
+      assert(d >= 0.0)
+      assert(d == KMeansLocal.l2Sq(b, a))
+      assert(KMeansLocal.l2Sq(a, a) == 0.0)
+    }
+  }
+
+  test("decode(encode(x)) error bounded by max distance to nearest centroid") {
+    import spark.implicits._
+    forSamples(dataGen, n = 5) { data =>
+      if (data.length >= 8) {
+        val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+        val model = ProductQuantizer.train(df, "v", m = 2, k = 4, seed = 7)
+        data.foreach { v =>
+          val err = KMeansLocal.l2Sq(v, model.decodeCode(model.encodeVec(v)))
+          // per-subspace quantization error is the min over centroids, so
+          // total error <= sum over subspaces of max-min coverage; sanity
+          // bound: error never exceeds distance to the all-centroid
+          // concatenation implied by any single code
+          val worst = (0 until model.k).map { kk =>
+            val code = Array.fill(model.m)(kk.toShort)
+            KMeansLocal.l2Sq(v, model.decodeCode(code))
+          }.min
+          assert(err <= worst + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("k-means result inertia <= inertia of its own init centroids") {
+    forSamples(dataGen, n = 10) { data =>
+      if (data.length >= 4) {
+        def inertia(cs: Array[Array[Double]]): Double =
+          data.map(v => cs.map(KMeansLocal.l2Sq(v, _)).min).sum
+        val init = KMeansLocal.kMeansPlusPlus(
+          data, 3, new scala.util.Random(5))
+        val fit = KMeansLocal.fit(data, 3, seed = 5)
+        assert(fit.inertia <= inertia(init) + 1e-9)
+      }
+    }
+  }
+
+  test("SDC is symmetric; ADC(q, code(q)) equals reconstruction error") {
+    import spark.implicits._
+    forSamples(dataGen, n = 5) { data =>
+      if (data.length >= 8) {
+        val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+        val model = ProductQuantizer.train(df, "v", m = 2, k = 4, seed = 11)
+        val a = model.encodeVec(data(0))
+        val b = model.encodeVec(data(1))
+        assert(model.sdc(a, b) == model.sdc(b, a))
+        val q = data(2)
+        val err = KMeansLocal.l2Sq(q, model.decodeCode(model.encodeVec(q)))
+        assert(math.abs(model.adc(q, model.encodeVec(q)) - err) < 1e-12)
+      }
+    }
+  }
+}
