@@ -200,7 +200,7 @@ object ProductQuantizer {
   * HNSW builds over codes use sdc, searches with a raw query use adc
   * (py/hnsw.py:184-189).
   */
-trait VectorCompression {
+trait VectorCompression extends Serializable {
   def encode(v: Array[Double]): Array[Short]
   def decode(code: Array[Short]): Array[Double]
   def distance(a: Array[Short], b: Array[Short]): Double

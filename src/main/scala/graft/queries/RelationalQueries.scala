@@ -308,6 +308,33 @@ object RelationalQueries {
                ${sqlSum("o_totalprice")} AS revenue
         FROM orders GROUP BY 1, 2
       """)
+    ),
+    // F9 string scalars: case/substring/concat/replace/LIKE over part names.
+    GQuery(
+      "q18_string_funcs",
+      (spark, dir) => {
+        val p = t(spark, dir, "part")
+        p.filter(col("p_name").like("%a%"))
+          .select(
+            col("p_partkey"),
+            upper(col("p_type")).as("type_upper"),
+            lower(col("p_brand")).as("brand_lower"),
+            substring(col("p_name"), 1, 5).as("name_head"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_name"), " ", "_").as("name_snake")
+          )
+      },
+      Some("""
+        SELECT p_partkey,
+               upper(p_type) AS type_upper,
+               lower(p_brand) AS brand_lower,
+               substring(p_name, 1, 5) AS name_head,
+               length(p_name)::BIGINT AS name_len,
+               p_brand || '/' || p_type AS brand_type,
+               replace(p_name, ' ', '_') AS name_snake
+        FROM part WHERE p_name LIKE '%a%'
+      """)
     )
   )
 }
