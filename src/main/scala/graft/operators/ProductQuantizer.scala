@@ -159,6 +159,29 @@ object ProductQuantizer {
     f(a, b)
   }
 
+  /** Bulk encode: (id, code) via a partition-batched kernel — one model
+    * reference per partition, primitive arrays end to end. Use this for
+    * corpus-scale ingestion (the column form [[encodeCol]] pays per-row
+    * Seq boxing); output is the PQ-coded table HNSW/IVF builds consume.
+    */
+  def encodePartitioned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PQModel
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = broadcastModel(spark, model)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, v) => (id, m.encodeVec(v)) }
+      }
+      .toDF(idCol, "code")
+  }
+
   /** Codebook sink: small Parquet table (m, k, centroid) —
     * ref: py/pq.py:351-381 Get/SetCodebooks.
     */

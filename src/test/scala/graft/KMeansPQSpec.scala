@@ -109,4 +109,18 @@ class KMeansPQSpec extends SparkSpec {
     assert(comp.distance(c0, comp.encode(data(1))) >= 0.0)
     assert(comp.queryDistance(data(2), c0) >= 0.0)
   }
+
+  test("partition-batched encode == column encode") {
+    import org.apache.spark.sql.functions._
+    val rng = new Random(17)
+    val data = (0L until 80L).map(i => (i, Array.fill(8)(rng.nextDouble())))
+    val df = data.toDF("id", "v")
+    val model = ProductQuantizer.train(df, "v", m = 2, k = 4, seed = 17)
+    val bc = ProductQuantizer.broadcastModel(spark, model)
+    val colWay = df.select(col("id"),
+      ProductQuantizer.encodeCol(bc, col("v")).as("code"))
+    val partWay = ProductQuantizer.encodePartitioned(df, "id", "v", model)
+    assert(colWay.except(partWay).count() == 0)
+    assert(partWay.except(colWay).count() == 0)
+  }
 }
