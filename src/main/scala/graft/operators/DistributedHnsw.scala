@@ -94,9 +94,15 @@ object DistributedHnsw {
     Shards(numShards, params, data, edges, entries)
   }
 
-  /** Batch search: every shard traverses its local graph for every query
-    * (queries broadcast as a plain array), then a global per-query top-k
-    * merge. Returns (query_id, neighbor_id, dist, rnk).
+  /** Batch search: every shard traverses its local graph for every query,
+    * then a global per-query top-k merge. Returns
+    * (query_id, neighbor_id, dist, rnk).
+    *
+    * Queries never pass through the driver: they fan out to each shard via
+    * a flatMap replication and meet the shard's vectors/edges/entry in one
+    * 4-way cogroup, so a million-query batch is just another distributed
+    * input (per-shard iteration spills through the cogroup machinery
+    * rather than sitting in driver or broadcast memory).
     */
   def search(
       shards: Shards,
@@ -109,15 +115,12 @@ object DistributedHnsw {
   ): DataFrame = {
     val spark = shards.vectors.sparkSession
     import spark.implicits._
-    val qArr = queries
-      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val bcQ = spark.sparkContext.broadcast(qArr)
     val params = shards.params
+    val nShards = shards.numShards
 
-    // co-locate vectors / edges / entry per shard, rebuild a local index
-    // (graph replay — no random level draws, so exactly the built graph)
+    // co-locate vectors / edges / entry / queries per shard, rebuild a
+    // local index (graph replay — no random level draws, so exactly the
+    // built graph)
     val vecRdd = shards.vectors
       .select(col("shard"), col("id"), col("vec"))
       .as[(Int, Long, Seq[Double])]
@@ -128,11 +131,17 @@ object DistributedHnsw {
     val entryRdd = shards.entries
       .as[(Int, Long, Int)]
       .rdd.map { case (s, ep, h) => (s, (ep, h)) }
+    val queryRdd = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .rdd.flatMap { case (id, v) =>
+        (0 until nShards).iterator.map(s => (s, (id, v)))
+      }
 
     val results = vecRdd
-      .cogroup(edgeRdd, entryRdd)
-      .flatMap { case (_, (vecs, edges, entries)) =>
-        if (vecs.isEmpty || entries.isEmpty) Iterator.empty
+      .cogroup(edgeRdd, entryRdd, queryRdd)
+      .flatMap { case (_, (vecs, edges, entries, qs)) =>
+        if (vecs.isEmpty || entries.isEmpty || qs.isEmpty) Iterator.empty
         else {
           val sorted = vecs.toArray.sortBy(_._1)
           val ids = sorted.map(_._1)
@@ -146,8 +155,8 @@ object DistributedHnsw {
             searcher.addEdge(l, localOf(a), localOf(b))
           }
           searcher.setEntry(localOf(ep))
-          bcQ.value.iterator.flatMap { case (qid, qv) =>
-            searcher.search(qv, k, efSearch).map { case (d, local) =>
+          qs.iterator.flatMap { case (qid, qv) =>
+            searcher.search(qv.toArray, k, efSearch).map { case (d, local) =>
               (qid, ids(local), d)
             }
           }
