@@ -161,6 +161,35 @@ object EventQueries {
         FROM sess GROUP BY user_id, session_id
       """)
     ),
+    // Skew pattern: two-stage salted aggregation — partial agg on
+    // (key, salt) spreads a hot key over 8 reducers, final agg merges the
+    // partials. Result is identical to the direct groupBy (the oracle runs
+    // the plain form); the exact-decimal sums make the two-stage merge
+    // lossless.
+    GQuery(
+      "q19_salted_agg",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        val partial = e
+          .withColumn("salt", pmod(col("event_id"), lit(8)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(
+            sum(col("value").cast(DecimalType(30, 6))).as("psum"),
+            count(lit(1)).as("pn")
+          )
+        partial
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("psum")).cast("double").as("sum_value"),
+            sum(col("pn")).as("n")
+          )
+      },
+      Some(s"""
+        SELECT event_type, ${sqlSum("value")} AS sum_value,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type
+      """)
+    ),
     // C8 as-of join: for each purchase, the nearest preceding signup of the
     // same user. Equi-key on user + top-1-by-time — planned as a hash join
     // plus per-purchase rank, not a nested-loop range scan.
