@@ -19,39 +19,49 @@ import graft.functions.{DotExpr, L2SqExpr, TopKAgg}
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        builder
+      ))
+    }
+}
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+object GraftExtensions {
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_l2sq"),
-      info("graft_l2sq", "graft_l2sq(a, b) - squared L2 distance of two double arrays"),
-      (args: Seq[Expression]) => L2SqExpr(args(0), args(1))
-    ))
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
-      (args: Seq[Expression]) => DotExpr(args(0), args(1))
-    ))
-    e.injectFunction((
-      FunctionIdentifier("graft_topk"),
-      info(
-        "graft_topk",
-        "graft_topk(dist, id, k) - k smallest (dist, id) pairs, ascending"
-      ),
-      (args: Seq[Expression]) => {
-        val k = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other =>
-            other.eval(null) match {
-              case i: Int  => i
-              case l: Long => l.toInt
-              case x => throw new IllegalArgumentException(s"k must be a literal int, got $x")
-            }
-        }
-        TopKAgg(args(0), args(1), k).toAggregateExpression()
-      }
-    ))
+  private def kOf(e: Expression): Int = e.eval(null) match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case x => throw new IllegalArgumentException(s"k must be a literal int, got $x")
   }
+
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (
+      "graft_l2sq",
+      "graft_l2sq(a, b) - squared L2 distance of two double arrays",
+      (args: Seq[Expression]) => L2SqExpr(args(0), args(1))
+    ),
+    (
+      "graft_dot",
+      "graft_dot(a, b) - dot product of two double arrays",
+      (args: Seq[Expression]) => DotExpr(args(0), args(1))
+    ),
+    (
+      "graft_topk",
+      "graft_topk(dist, id, k) - k smallest (dist, id) pairs, ascending",
+      (args: Seq[Expression]) =>
+        TopKAgg(args(0), args(1), kOf(args(2))).toAggregateExpression()
+    )
+  )
+
+  /** Install the same functions into an already-running session (the
+    * builder-time extension path needs a fresh session; this one doesn't).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

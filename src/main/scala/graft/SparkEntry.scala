@@ -16,9 +16,12 @@ object SparkEntry {
       PQQueries.all ++ HnswQueries.all ++ TextQueries.all ++ IvfQueries.all ++
       MultimodalQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exact kNN over the embeddings table — the reference's core capability
+    * (py/bruteforce.py) as a Spark similarity join + bounded top-k.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("knn_bruteforce")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2,22 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** The SQL surface registered by [[GraftExtensions]]. Separate session —
-  * extensions bind at builder time.
+/** The SQL surface registered by [[GraftExtensions]]. Uses the runtime
+  * `register` path: the builder-time `withExtensions` route needs a fresh
+  * JVM-wide session, which a shared test JVM cannot guarantee
+  * (getOrCreate would silently return the extension-less shared session).
   */
-class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
-
-  private lazy val spark: SparkSession = SparkSession
-    .builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+class ExtensionsSpec extends SparkSpec {
 
   test("graft_l2sq / graft_dot / graft_topk usable from spark.sql") {
-    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     val r = spark
       .sql("SELECT graft_l2sq(array(1D,2D,3D), array(4D,5D,6D)) AS d, " +
         "graft_dot(array(1D,2D), array(3D,4D)) AS p")
