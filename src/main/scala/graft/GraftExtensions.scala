@@ -19,7 +19,7 @@ import graft.functions.{DotExpr, L2SqExpr, TopKAgg}
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder
       ))
     }
+    e.injectOptimizerRule(_ => graft.plans.RewriteVectorKernels)
+  }
 }
 
 object GraftExtensions {

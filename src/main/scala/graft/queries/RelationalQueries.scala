@@ -335,6 +335,75 @@ object RelationalQueries {
                replace(p_name, ' ', '_') AS name_snake
         FROM part WHERE p_name LIKE '%a%'
       """)
+    ),
+    // E3 window-function suite: ntile / percent_rank / cume_dist /
+    // first_value / lead over a deterministic ordering.
+    GQuery(
+      "q20_window_suite",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val w = Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key")
+        )
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w::BIGINT AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cd,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               lead(o_orderkey, 1) OVER w AS next_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+      """)
+    ),
+    // D9 statistical aggregates, decimal-exact: stddev/variance derived
+    // from exact sums so partial-aggregation order cannot perturb them.
+    GQuery(
+      "q21_stats",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            dsum(col("o_totalprice")).as("s"),
+            dsum(col("o_totalprice") * col("o_totalprice")).as("sq"),
+            count(lit(1)).as("n")
+          )
+          .select(
+            col("o_orderpriority"),
+            col("n"),
+            round(col("s") / col("n"), 6).as("mean_price"),
+            round(
+              sqrt(
+                (col("sq") - col("s") * col("s") / col("n"))
+                  / (col("n") - 1)
+              ),
+              6
+            ).as("stddev_price")
+          )
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT o_orderpriority,
+                 ${sqlSum("o_totalprice")} AS s,
+                 ${sqlSum("o_totalprice * o_totalprice")} AS sq,
+                 count(*)::BIGINT AS n
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n,
+               round(s / n, 6) AS mean_price,
+               round(sqrt((sq - s * s / n) / (n - 1)), 6) AS stddev_price
+        FROM a
+      """)
     )
   )
 }

@@ -98,6 +98,39 @@ object StreamingOps {
       )
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * signups that happened within `window` before the purchase. Both sides
+    * carry watermarks, and the time-interval condition bounds the join
+    * state on both sides (rows age out once the watermark passes the
+    * interval) — the property that keeps an unbounded stream-stream join's
+    * state finite.
+    */
+  def purchaseSignupJoin(
+      events: DataFrame,
+      window: String = "1 day"
+  ): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts")
+      )
+      .withWatermark("p_ts", "2 hours")
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts")
+      )
+      .withWatermark("s_ts", "2 hours")
+    purchases.join(
+      signups,
+      expr(
+        s"p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - interval $window"
+      )
+    )
+  }
+
   /** Incremental vector ingestion: each micro-batch of (id, vec) rows is
     * appended to the shard-partitioned vector store that
     * [[graft.operators.DistributedHnsw.build]] consumes — the foreachBatch

@@ -29,4 +29,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(entries.map(_.getLong(1)) == Seq(11L, 12L))
     assert(entries.map(_.getDouble(0)) == Seq(1.0, 3.0))
   }
+
+  test("RewriteVectorKernels swaps zip_with/aggregate for the codegen kernels") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{L2SqExpr, DotExpr, VectorFunctions}
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorKernels
+    try {
+      // parquet-backed input: literal relations constant-fold away before
+      // the plan can be inspected
+      val emb = graft.queries.Q.t(spark, sf0001, "embeddings")
+        .select(VectorFunctions.toDouble(col("embedding")).as("a"))
+        .withColumn("b", col("a"))
+      val q = emb.select(
+        VectorFunctions.l2Sq(col("a"), col("b")).as("d"),
+        VectorFunctions.dot(col("a"), col("b")).as("p")
+      )
+      val optimized = q.queryExecution.optimizedPlan
+      val exprs = optimized.expressions.flatMap(_.collect {
+        case e: L2SqExpr => e
+        case e: DotExpr => e
+      })
+      assert(exprs.exists(_.isInstanceOf[L2SqExpr]), optimized.treeString)
+      assert(exprs.exists(_.isInstanceOf[DotExpr]), optimized.treeString)
+      val r = q.head()
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) > 0.0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteVectorKernels)
+    }
+  }
 }

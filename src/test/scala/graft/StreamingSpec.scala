@@ -111,4 +111,24 @@ class StreamingSpec extends SparkSpec {
     val r = DistributedHnsw.search(shards, queries, "query_id", "qv", 5)
     assert(r.count() == 25)
   }
+
+  test("stream-stream interval join == batch interval join") {
+    val dir = stageEventsDir()
+    val ev = StreamingOps.readEvents(spark, dir)
+    val joined = StreamingOps.purchaseSignupJoin(ev, "1 day")
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("ssjoin").select(col("p_id"), col("s_id"))
+    val batch = Q.events(spark, sf0001)
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val s2 = batch.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val want = p.join(s2,
+      expr("p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - interval 1 day"))
+      .select(col("p_id"), col("s_id"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
 }
