@@ -22,8 +22,8 @@ import graft.functions.TopKAgg.topK
   * table (shard, ep, height) — the reference's in-place graph mutation
   * (py/hnsw.py:348, 377-387) becomes immutable table-in/table-out.
   * At 100 TB the vector table is the big one; it stays partitioned by
-  * shard, each executor holding only its shard's slice, while queries (the
-  * small side) are broadcast.
+  * shard, each executor holding only its shard's slice, while queries fan
+  * out to the shards through the same cogroup (never through the driver).
   */
 object DistributedHnsw {
 
@@ -213,33 +213,10 @@ final class LocalGraphSearcher(
       ep: Int,
       ef: Int,
       layer: Int
-  ): IndexedSeq[(Double, Int)] = {
-    val visited = mutable.HashSet(ep)
-    val minOrd: Ordering[(Double, Int)] =
-      Ordering.by[(Double, Int), (Double, Int)](x => (-x._1, -x._2))
-    val maxOrd: Ordering[(Double, Int)] = Ordering.by(x => (x._1, -x._2))
-    val cand = mutable.PriorityQueue.empty[(Double, Int)](minOrd)
-    val work = mutable.PriorityQueue.empty[(Double, Int)](maxOrd)
-    val d0 = distQ(q, ep)
-    cand.enqueue((d0, ep))
-    work.enqueue((d0, ep))
-    var done = false
-    while (cand.nonEmpty && !done) {
-      val (dc, c) = cand.dequeue()
-      if (dc > work.head._1) done = true
-      else {
-        for (e <- adj(layer).getOrElse(c, Iterable.empty) if visited.add(e)) {
-          val de = distQ(q, e)
-          if (de < work.head._1 || work.size < ef) {
-            cand.enqueue((de, e))
-            work.enqueue((de, e))
-            if (work.size > ef) work.dequeue()
-          }
-        }
-      }
-    }
-    work.toIndexedSeq.sortBy(x => (x._1, x._2))
-  }
+  ): IndexedSeq[(Double, Int)] =
+    HnswTraversal.searchLayer(
+      distQ(q, _), adj(layer).getOrElse(_, Iterable.empty), ep, ef
+    )
 
   def search(
       q: Array[Double],

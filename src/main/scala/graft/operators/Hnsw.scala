@@ -25,6 +25,50 @@ final case class HnswParams(
   def mL: Double = 1.0 / math.log(m.toDouble)
 }
 
+/** The greedy beam search shared by the build-time index and the
+  * read-only shard searcher (ref: py/hnsw.py:240-277): visited set,
+  * candidate min-heap C, bounded working set W of size ef; stop when the
+  * nearest candidate is farther than the furthest result. Returns
+  * ascending (dist, id) — always sorted, the strictly-more-defined
+  * behavior (SURVEY.md §1.5.3).
+  */
+private[operators] object HnswTraversal {
+  import scala.collection.mutable
+
+  def searchLayer(
+      dist: Int => Double,
+      neighbors: Int => Iterable[Int],
+      ep: Int,
+      ef: Int
+  ): IndexedSeq[(Double, Int)] = {
+    val visited = mutable.HashSet(ep)
+    val minOrd: Ordering[(Double, Int)] =
+      Ordering.by[(Double, Int), (Double, Int)](x => (-x._1, -x._2))
+    val maxOrd: Ordering[(Double, Int)] = Ordering.by(x => (x._1, -x._2))
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](minOrd) // nearest-first
+    val work = mutable.PriorityQueue.empty[(Double, Int)](maxOrd) // furthest-first
+    val d0 = dist(ep)
+    cand.enqueue((d0, ep))
+    work.enqueue((d0, ep))
+    var done = false
+    while (cand.nonEmpty && !done) {
+      val (dc, c) = cand.dequeue()
+      if (dc > work.head._1) done = true // ref: py/hnsw.py:260-261
+      else {
+        for (e <- neighbors(c) if visited.add(e)) {
+          val de = dist(e)
+          if (de < work.head._1 || work.size < ef) { // ref: py/hnsw.py:271
+            cand.enqueue((de, e))
+            work.enqueue((de, e))
+            if (work.size > ef) work.dequeue() // ref: py/hnsw.py:275-276
+          }
+        }
+      }
+    }
+    work.toIndexedSeq.sortBy(x => (x._1, x._2))
+  }
+}
+
 /** Partition-local HNSW index: sequential build + greedy search, the
   * reference algorithm re-expressed in Scala (ref: py/hnsw.py — Graph
   * 9-117, SearchLayer 240-277, SelectNeighbors 279-320, Insert 337-392,
@@ -75,44 +119,14 @@ final class HnswIndex(
     case None    => KMeansLocal.l2Sq(q, raw(id))
   }
 
-  /** Greedy beam search on one layer (ref: py/hnsw.py:240-277): visited
-    * set, candidate min-heap C, bounded working set W of size ef; stop when
-    * the nearest candidate is farther than the furthest result. Returns
-    * ascending (dist, id) — always sorted, the strictly-more-defined
-    * behavior (SURVEY.md §1.5.3).
-    */
+  /** Beam search on one layer via the shared kernel. */
   private def searchLayer(
       dist: Int => Double,
       ep: Int,
       ef: Int,
       layer: Int
-  ): IndexedSeq[(Double, Int)] = {
-    val visited = mutable.HashSet(ep)
-    val minOrd: Ordering[(Double, Int)] =
-      Ordering.by[(Double, Int), (Double, Int)](x => (-x._1, -x._2))
-    val maxOrd: Ordering[(Double, Int)] = Ordering.by(x => (x._1, -x._2))
-    val cand = mutable.PriorityQueue.empty[(Double, Int)](minOrd) // nearest-first
-    val work = mutable.PriorityQueue.empty[(Double, Int)](maxOrd) // furthest-first
-    val d0 = dist(ep)
-    cand.enqueue((d0, ep))
-    work.enqueue((d0, ep))
-    var done = false
-    while (cand.nonEmpty && !done) {
-      val (dc, c) = cand.dequeue()
-      if (dc > work.head._1) done = true // ref: py/hnsw.py:260-261
-      else {
-        for (e <- neighbors(layer, c) if visited.add(e)) {
-          val de = dist(e)
-          if (de < work.head._1 || work.size < ef) { // ref: py/hnsw.py:271
-            cand.enqueue((de, e))
-            work.enqueue((de, e))
-            if (work.size > ef) work.dequeue() // ref: py/hnsw.py:275-276
-          }
-        }
-      }
-    }
-    work.toIndexedSeq.sortBy(x => (x._1, x._2))
-  }
+  ): IndexedSeq[(Double, Int)] =
+    HnswTraversal.searchLayer(dist, neighbors(layer, _), ep, ef)
 
   /** Heuristic neighbor selection (ref: py/hnsw.py:279-320, paper Alg 4):
     * pop candidates nearest-first; admit e only if it is closer to q than

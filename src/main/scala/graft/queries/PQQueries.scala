@@ -256,6 +256,24 @@ object PQQueries {
           ON a.vec_id < b.vec_id AND a.vec_id < 50 AND b.vec_id < 50
       """)
     ),
+    // M2: full distributed k-means fit (seeded-stochastic -> rows-only
+    // check; accuracy gated in KMeansPQSpec). Output: fitted centroids.
+    GQuery(
+      "kmeans_fit",
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings")
+          .select(toDouble(col("embedding")).as("v"))
+        val r = graft.operators.KMeans.fit(emb, "v", k = 8, seed = 42, maxIter = 20)
+        r.centroids.zipWithIndex
+          .flatMap { case (c, ci) =>
+            c.zipWithIndex.map { case (x, pos) => (ci.toLong, pos.toLong, x) }
+          }
+          .toSeq
+          .toDF("cluster", "pos", "cval")
+      },
+      None
+    ),
     // C4: k-means E-step assignment to 8 fixed full-dim centroids.
     GQuery(
       "kmeans_estep",
