@@ -336,6 +336,30 @@ object RelationalQueries {
         FROM part WHERE p_name LIKE '%a%'
       """)
     ),
+    // D10 GROUPING SETS through the spark.sql surface (registered temp
+    // view), complementing the DataFrame-API rollup/cube.
+    GQuery(
+      "q22_grouping_sets",
+      (spark, dir) => {
+        t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        spark.sql(s"""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                 count(*) AS n,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """)
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               count(*)::BIGINT AS n,
+               grouping(l_returnflag, l_linestatus)::BIGINT AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      """)
+    ),
     // E3 window-function suite: ntile / percent_rank / cume_dist /
     // first_value / lead over a deterministic ordering.
     GQuery(
