@@ -66,28 +66,60 @@ object Dedup {
     * shingles, equi-join on the shingle (blocked — only co-occurring pairs
     * appear), count the intersection, Jaccard from set sizes, threshold.
     * Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * @param maxShingleDocFreq skew guard for the candidate generator: a
+    *   shingle shared by f documents contributes O(f²) candidate pairs, so
+    *   one boilerplate phrase in 1% of a 10⁹-doc corpus would explode the
+    *   join. Capping drops shingles with doc-frequency above the cap from
+    *   the inverted index ONLY — verification still counts intersections
+    *   over the full shingle sets, so surviving pairs carry their exact
+    *   Jaccard (the cap can only lose candidates, never corrupt scores).
+    *   Default unlimited = exact.
     */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      tau: Double = 0.5
+      tau: Double = 0.5,
+      maxShingleDocFreq: Int = Int.MaxValue
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
+    val idx =
+      if (maxShingleDocFreq == Int.MaxValue) sh
+      else {
+        val rare = sh.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDocFreq)
+          .select(col("sh"))
+        sh.join(rare, "sh")
+      }
+    val cand = idx.as("a")
+      .join(idx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")
-      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, tau)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * (doc_id, sh) table.
+    */
+  private def verifyJaccard(
+      cand: DataFrame,
+      sh: DataFrame,
+      tau: Double
+  ): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .filter(col("sh") === col("shb"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .withColumn(
         "jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c"))
@@ -164,26 +196,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify: exact Jaccard on the candidate pairs only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val commonCnt = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(
-        sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-        Seq("doc_b")
-      )
-      .filter(col("sh") === col("shb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    commonCnt
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
-      .withColumn(
-        "jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c"))
-      )
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(cand, sh, tau)
   }
 
   /** 32-bit SimHash over token hashes: bit b of the signature is set when

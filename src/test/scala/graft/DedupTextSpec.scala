@@ -60,4 +60,14 @@ class DedupTextSpec extends SparkSpec {
     assert(f(1L) == f(3L))
     assert(f(1L) != f(2L))
   }
+
+  test("hot-shingle cap: capped candidates are a subset with exact scores") {
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDocFreq = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, j) => assert(j == uncapped(k)) }
+  }
 }
