@@ -264,7 +264,7 @@ object PQQueries {
         import spark.implicits._
         val emb = t(spark, dir, "embeddings")
           .select(toDouble(col("embedding")).as("v"))
-        val r = graft.operators.KMeans.fit(emb, "v", k = 8, seed = 42, maxIter = 20)
+        val r = graft.operators.KMeans.fit(emb, "v", k = 8, seed = 42, maxIter = 8)
         r.centroids.zipWithIndex
           .flatMap { case (c, ci) =>
             c.zipWithIndex.map { case (x, pos) => (ci.toLong, pos.toLong, x) }
