@@ -94,6 +94,41 @@ object DistributedHnsw {
     Shards(numShards, params, data, edges, entries)
   }
 
+  /** Persist the index artifact (vectors/edges/entries, shard-partitioned
+    * parquet). With dynamic partition overwrite, writing a rebuilt subset
+    * of shards replaces only those shards' files — the unit of incremental
+    * maintenance.
+    */
+  def save(shards: Shards, path: String): Unit = {
+    val spark = shards.vectors.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    shards.vectors.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/vectors")
+    shards.edges.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/edges")
+    shards.entries.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/entries")
+  }
+
+  /** Load a persisted index artifact. */
+  def load(
+      spark: SparkSession,
+      path: String,
+      params: HnswParams,
+      numShards: Int
+  ): Shards =
+    Shards(
+      numShards,
+      params,
+      spark.read.parquet(s"$path/vectors")
+        .select(col("shard").cast("int").as("shard"), col("id"), col("vec")),
+      spark.read.parquet(s"$path/edges")
+        .select(col("shard").cast("int").as("shard"), col("layer"),
+          col("src"), col("dst")),
+      spark.read.parquet(s"$path/entries")
+        .select(col("shard").cast("int").as("shard"), col("ep"), col("height"))
+    )
+
   /** Batch search: every shard traverses its local graph for every query,
     * then a global per-query top-k merge. Returns
     * (query_id, neighbor_id, dist, rnk).

@@ -131,6 +131,51 @@ object StreamingOps {
     )
   }
 
+  /** Incremental HNSW maintenance (§2.G's stateful piece): each micro-batch
+    * appends its vectors to the shard-partitioned store, then rebuilds ONLY
+    * the shards the batch touched and dynamic-partition-overwrites their
+    * slice of the persisted index artifact. Shards are independent
+    * (per-shard seeds), so an incrementally maintained shard is
+    * bit-identical to the same shard in a from-scratch build — rebuild cost
+    * per batch is proportional to touched-shard size, not corpus size.
+    */
+  def incrementalHnswSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: graft.operators.HnswParams,
+      numShards: Int,
+      seed: Long,
+      storePath: String,
+      indexPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.DistributedHnsw
+        val spark = batch.sparkSession
+        val b = batch
+          .select(
+            col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("vec")
+          )
+          .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
+        b.write.mode("append").partitionBy("shard").parquet(storePath)
+        val changed = b.select("shard").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (changed.nonEmpty) {
+          val touched = spark.read.parquet(storePath)
+            .filter(col("shard").isin(changed: _*))
+            .select(col("id"), col("vec"))
+          val rebuilt = DistributedHnsw.build(
+            touched, "id", "vec", params, numShards, seed
+          )
+          DistributedHnsw.save(rebuilt, indexPath)
+        }
+      }
+      .start()
+
   /** Incremental vector ingestion: each micro-batch of (id, vec) rows is
     * appended to the shard-partitioned vector store that
     * [[graft.operators.DistributedHnsw.build]] consumes — the foreachBatch

@@ -131,4 +131,38 @@ class StreamingSpec extends SparkSpec {
       .select(col("p_id"), col("s_id"))
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
+
+  test("incremental HNSW sink: per-batch shard rebuild equals full rebuild") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{DistributedHnsw, HnswParams}
+    val params = HnswParams(m = 8, efConstruction = 50)
+    val srcDir = Files.createTempDirectory("incsrc").toString
+    val store = Files.createTempDirectory("incstore").toString + "/store"
+    val index = Files.createTempDirectory("incindex").toString + "/index"
+    val ckpt = Files.createTempDirectory("incckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    // two arrival waves -> two micro-batches
+    emb.filter(col("id") < 250).write.parquet(s"$srcDir/w1")
+    emb.filter(col("id") >= 250).write.parquet(s"$srcDir/w2")
+    val files = new java.io.File(srcDir)
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.incrementalHnswSink(
+      stream, "id", "vec", params, 4, seed = 6, store, index, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    // the incrementally maintained index answers like a from-scratch build
+    val loaded = DistributedHnsw.load(spark, index, params, 4)
+    val full = DistributedHnsw.build(emb, "id", "vec", params, 4, seed = 6)
+    val queries = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val a = DistributedHnsw.search(loaded, queries, "query_id", "qv", 10)
+      .select("query_id", "neighbor_id", "rnk")
+    val b = DistributedHnsw.search(full, queries, "query_id", "qv", 10)
+      .select("query_id", "neighbor_id", "rnk")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
 }
