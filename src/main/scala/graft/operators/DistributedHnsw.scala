@@ -72,11 +72,9 @@ object DistributedHnsw {
           val ids = sorted.map(_._2).toArray
           val index = new HnswIndex(params, seed + shard, compression)
           sorted.foreach { case (_, _, v) => index.insert(v.toArray) }
-          val edges = for {
-            l <- (0 until index.height).iterator
-            (src, nbs) <- index.layers(l).iterator
-            dst <- nbs.iterator
-          } yield (shard, l, ids(src), ids(dst), -1L, -1)
+          val edges = index.graph.edgeIterator.map { case (l, src, dst) =>
+            (shard, l, ids(src), ids(dst), -1L, -1)
+          }
           val entry =
             Iterator((shard, -1, -1L, -1L, ids(index.entryPoint), index.height))
           edges ++ entry

@@ -94,20 +94,18 @@ final class HnswIndex(
   private val rng = new Random(seed)
   private val raw = mutable.ArrayBuffer[Array[Double]]()
   private val codes = mutable.ArrayBuffer[Array[Short]]()
-  // layer -> node -> neighbor set (ref: py/hnsw.py:9-117)
-  val layers = mutable.ArrayBuffer[mutable.HashMap[Int, mutable.HashSet[Int]]]()
+  /** Layered adjacency state (ref: py/hnsw.py:9-117). */
+  val graph = new LayeredGraph
   var entryPoint: Int = 0
 
   def size: Int = if (compression.isDefined) codes.length else raw.length
-  def height: Int = layers.length
+  def height: Int = graph.height
 
-  // E7 graph introspection (ref: py/hnsw.py:15-106)
-  def layerNodeCount(l: Int): Int = if (l < height) layers(l).size else 0
-  def layerAdjCount(l: Int, node: Int): Int =
-    if (l < height) layers(l).get(node).map(_.size).getOrElse(0) else 0
-  def isLayerEmpty(l: Int): Boolean = layerNodeCount(l) == 0
-  def neighbors(l: Int, node: Int): Iterable[Int] =
-    if (l < height) layers(l).getOrElse(node, Iterable.empty) else Iterable.empty
+  // E7 graph introspection delegates (ref: py/hnsw.py:15-106)
+  def layerNodeCount(l: Int): Int = graph.layerNodeCount(l)
+  def layerAdjCount(l: Int, node: Int): Int = graph.layerAdjCount(l, node)
+  def isLayerEmpty(l: Int): Boolean = graph.isLayerEmpty(l)
+  def neighbors(l: Int, node: Int): Iterable[Int] = graph.neighbors(l, node)
 
   private def distIds(a: Int, b: Int): Double = compression match {
     case Some(c) => c.distance(codes(a), codes(b))
@@ -158,12 +156,6 @@ final class HnswIndex(
     result.toSeq
   }
 
-  private def addEdge(l: Int, a: Int, b: Int): Unit = {
-    val layer = layers(l)
-    layer.getOrElseUpdate(a, mutable.HashSet.empty) += b
-    layer.getOrElseUpdate(b, mutable.HashSet.empty) += a
-  }
-
   private def levelFor(u: Double): Int = {
     val l =
       if (params.referenceLevelFormula)
@@ -182,9 +174,9 @@ final class HnswIndex(
       case None    => raw += v
     }
     val l = levelFor(rng.nextDouble())
-    val prevTop = layers.length - 1 // height before this insert
-    while (layers.length <= l) layers += mutable.HashMap.empty
-    layers(0).getOrElseUpdate(idx, mutable.HashSet.empty)
+    val prevTop = graph.height - 1 // height before this insert
+    graph.ensureLayers(l)
+    graph.addNode(0, idx)
     if (idx == 0) { // first insert short-circuits (ref: py/hnsw.py:358-359)
       entryPoint = 0
       return idx
@@ -202,14 +194,12 @@ final class HnswIndex(
     while (lc >= 0) {
       val w = searchLayer(dist, ep, params.efConstruction, lc)
       val nbs = selectNeighbors(w, params.m)
-      nbs.foreach(addEdge(lc, idx, _))
+      nbs.foreach(graph.addEdge(lc, idx, _))
       val cap = if (lc == 0) params.mMax0 else params.mMaxEff
       nbs.foreach { n =>
-        val adj = layers(lc)(n)
-        if (adj.size > cap) {
-          val cands = adj.toSeq.map(x => (distIds(n, x), x))
-          val keep = selectNeighbors(cands, cap)
-          layers(lc)(n) = mutable.HashSet(keep: _*) // ref: py/hnsw.py:322-335
+        if (graph.layerAdjCount(lc, n) > cap) {
+          val cands = graph.neighbors(lc, n).toSeq.map(x => (distIds(n, x), x))
+          graph.updateConnections(lc, n, selectNeighbors(cands, cap)) // ref: py/hnsw.py:322-335
         }
       }
       ep = w.head._2
@@ -231,7 +221,7 @@ final class HnswIndex(
     val ef = math.max(if (efSearch > 0) efSearch else params.efSearch, topK)
     val dist = (id: Int) => distQ(q, id)
     var ep = entryPoint
-    var lc = layers.length - 1
+    var lc = graph.height - 1
     while (lc > 0) {
       ep = searchLayer(dist, ep, 1, lc).head._2
       lc -= 1
