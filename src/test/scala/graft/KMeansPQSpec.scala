@@ -123,4 +123,19 @@ class KMeansPQSpec extends SparkSpec {
     assert(colWay.except(partWay).count() == 0)
     assert(partWay.except(colWay).count() == 0)
   }
+
+  test("PQ parameter grid: every (M,K,D) combination trains and round-trips (py/test_pq.py:251-268)") {
+    val rng = new Random(29)
+    for ((m, k, d) <- Seq((4, 8, 16), (2, 16, 8), (8, 16, 64), (16, 8, 64))) {
+      val data = Array.fill(80)(Array.fill(d)(rng.nextDouble()))
+      val df = data.toSeq.map(v => Tuple1(v.toSeq)).toDF("v")
+      val model = ProductQuantizer.train(df, "v", m, k, seed = 29)
+      assert(model.codebooks.length == m, s"(M=$m,K=$k,D=$d)")
+      assert(model.codebooks.forall(_.length == k))
+      assert(model.codebooks.forall(_.forall(_.length == d / m)))
+      val code = model.encodeVec(data(0))
+      assert(code.length == m && code.forall(c => c >= 0 && c < k))
+      assert(model.decodeCode(code).length == d)
+    }
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+
+/** Physical-plan shape guards: the scale properties the operators were
+  * designed around must survive future refactors — filters reach the
+  * parquet scan, dims broadcast, top-k partially aggregates before its
+  * shuffle, bucketless fact joins stay equi-keyed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("knn: query side broadcast + partial heap aggregation before exchange") {
+    val p = planOf("knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // partial ObjectHashAggregate appears below the exchange: per-partition
+    // reduction to k rows per query before any shuffle
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
+  test("q2: star-schema dims join as broadcast hash joins, no cartesian") {
+    val p = planOf("q2_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q17 as-of join keeps the user equi-key; range is residual") {
+    val p = planOf("q17_asof_purchase_signup")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scans prune columns: q11 reads only the two needed orders columns") {
+    val p = planOf("q11_orders_by_month")
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("o_orderdate"), p)
+    assert(schemaLine.contains("o_totalprice"), p)
+    assert(!schemaLine.contains("o_orderpriority"), p)
+    assert(!schemaLine.contains("o_custkey"), p)
+  }
+}
