@@ -85,21 +85,39 @@ object Dedup {
       maxShingleDocFreq: Int = Int.MaxValue
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val idx =
-      if (maxShingleDocFreq == Int.MaxValue) sh
-      else {
-        val rare = sh.groupBy(col("sh"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDocFreq)
-          .select(col("sh"))
-        sh.join(rare, "sh")
-      }
-    val cand = idx.as("a")
-      .join(idx.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sh, tau)
+    if (maxShingleDocFreq == Int.MaxValue) {
+      // uncapped: the inverted-index self-join IS the intersection count —
+      // aggregate it directly, one pass over the shingle table
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val common = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+        .withColumn(
+          "jaccard",
+          col("c").cast("double") / (col("na") + col("nb") - col("c"))
+        )
+        .filter(col("jaccard") >= tau)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    } else {
+      // capped: generate candidates from the pruned index, verify against
+      // the full shingle sets so surviving scores stay exact
+      val rare = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDocFreq)
+        .select(col("sh"))
+      val idx = sh.join(rare, "sh")
+      val cand = idx.as("a")
+        .join(idx.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, sh, tau)
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full
