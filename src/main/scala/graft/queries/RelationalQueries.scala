@@ -336,6 +336,37 @@ object RelationalQueries {
         FROM part WHERE p_name LIKE '%a%'
       """)
     ),
+    // C5/D9 over the last untouched table: supplier activity — revenue
+    // shipped per supplier nation (lineitem ⋈ supplier ⋈ nation).
+    GQuery(
+      "q23_supplier_activity",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val s = t(spark, dir, "supplier")
+        val n = t(spark, dir, "nation")
+        li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+          .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            countDistinct(col("s_suppkey")).as("n_suppliers"),
+            count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue"),
+            davg(col("s_acctbal")).as("avg_supp_bal")
+          )
+      },
+      Some(s"""
+        SELECT n_name,
+               count(DISTINCT s_suppkey)::BIGINT AS n_suppliers,
+               count(*)::BIGINT AS n_lines,
+               ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               ${sqlAvg("s_acctbal")} AS avg_supp_bal
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+      """)
+    ),
     // D10 GROUPING SETS through the spark.sql surface (registered temp
     // view), complementing the DataFrame-API rollup/cube.
     GQuery(
