@@ -42,14 +42,19 @@ case class L2SqExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: several instances may fuse into one codegen function
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
       s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double d = $a.getDouble(i) - $b.getDouble(i);
-        |  s += d * d;
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = $a.getDouble($i) - $b.getDouble($i);
+        |  $s += $d * $d;
         |}
-        |${ev.value} = s;
+        |${ev.value} = $s;
       """.stripMargin
     })
 
@@ -77,13 +82,16 @@ case class DotExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  s += $a.getDouble(i) * $b.getDouble(i);
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += $a.getDouble($i) * $b.getDouble($i);
         |}
-        |${ev.value} = s;
+        |${ev.value} = $s;
       """.stripMargin
     })
 

@@ -272,29 +272,184 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs above `tau`. Exact similarity
-    * self-join — at corpus scale the candidate generator should be an LSH
-    * or PQ-code block key first (see [[minhashLsh]] / [[ProductQuantizer]]);
-    * the verify math is this same expression either way.
+  /** One replicated row of the triangle block-pair join: the vector with
+    * `id` participates in block-pair (pi, pj) on the left (block pi) or
+    * right (block pj) side.
+    */
+  private[graft] final case class BlockSide(
+      pi: Int, pj: Int, lft: Boolean, id: Long, v: Array[Double])
+
+  /** EXACT embedding-cosine near-dup pairs above `tau`, doc_a < doc_b.
+    *
+    * Shape: a triangle block-pair join, not a nested-loop self-join. Each
+    * vector lands in one of `numBlocks` md5-hashed blocks; every unordered
+    * block pair (i <= j) becomes one task holding exactly two blocks, and
+    * the tight double-array kernel enumerates its pairs. Properties at
+    * scale: shuffle volume is `numBlocks · n` rows (each row replicated
+    * once per partner block), per-task memory is bounded by two blocks
+    * (pick `numBlocks >= 2·n·d·8B / executor_mem`), tasks are
+    * hash-balanced, and the O(n²/2) distance compute — which is inherent
+    * to EXACT all-pairs at any threshold — spreads evenly over
+    * `numBlocks·(numBlocks+1)/2` tasks with no broadcast of the corpus and
+    * no single nested-loop task. For corpus-scale near-dup where
+    * approximate recall is acceptable, use [[embeddingPairsLsh]] instead:
+    * sub-quadratic candidate generation, same verify math.
+    *
+    * Float parity: dot products accumulate left-to-right in array order
+    * (same as [[graft.functions.DotExpr]] and DuckDB's
+    * `list_sum(list_transform(...))`), so results are bit-identical to the
+    * naive join spelling.
     */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      tau: Double
+      tau: Double,
+      numBlocks: Int = 16
   ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    val sides = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        pmod(md5Long(col(idCol).cast("string")), lit(numBlocks)).cast("int")
+          .as("blk")
+      )
+      .select(
+        explode(expr(
+          s"transform(sequence(0, ${numBlocks - 1}), k -> " +
+            "struct(least(blk, k) AS pi, greatest(blk, k) AS pj, " +
+            "blk <= k AS lft))"
+        )).as("p"),
+        col("id"), col("v")
+      )
+      .select(col("p.pi"), col("p.pj"), col("p.lft"), col("id"), col("v"))
+      .as[BlockSide]
+    val pairs = sides
+      .groupByKey(r => (r.pi, r.pj))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[BlockSide]) =>
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        it.foreach { r =>
+          var s = 0.0
+          var i = 0
+          while (i < r.v.length) { s += r.v(i) * r.v(i); i += 1 }
+          val e = (r.id, r.v, math.sqrt(s))
+          if (r.lft) left += e else right += e
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+          val n = math.min(a._2.length, b._2.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += a._2(i) * b._2(i); i += 1 }
+          val c = s / (a._3 * b._3)
+          if (c >= tau)
+            out += (if (a._1 < b._1) (a._1, b._1, c) else (b._1, a._1, c))
+        }
+        if (key._1 == key._2) {
+          // diagonal task: all unordered pairs within one block
+          var i = 0
+          while (i < left.length) {
+            var j = i + 1
+            while (j < left.length) { emit(left(i), left(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) { emit(left(i), right(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+    pairs
+      .toDF("doc_a", "doc_b", "cosine")
+      .select(
+        col("doc_a").cast(idType).as("doc_a"),
+        col("doc_b").cast(idType).as("doc_b"),
+        col("cosine")
+      )
+  }
+
+  /** Deterministic random-hyperplane component: uniform in [-0.5, 0.5),
+    * derived from md5 of "plane_dim" exactly as a SQL engine would compute
+    * `(('0x'||substr(md5(k||'_'||d),1,14))::BIGINT % 1000003) / 1000003.0
+    * - 0.5` — so an oracle can rebuild the identical planes.
+    */
+  private[graft] def hyperplane(k: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${k}_${d}".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 14)
+    (java.lang.Long.parseLong(hex, 16) % 1000003L) / 1000003.0 - 0.5
+  }
+
+  /** APPROXIMATE embedding-cosine near-dup pairs above `tau` via
+    * sign-random-projection (hyperplane) LSH: `numPlanes` deterministic
+    * md5-seeded hyperplanes give each vector a bit signature; the
+    * signature splits into `bands` bands; candidates are pairs sharing any
+    * band (equi-join on the band signature — blocked, never all-pairs);
+    * candidates are verified with the exact codegen cosine. doc_a < doc_b.
+    *
+    * Recall per qualifying pair is `1 - (1 - p^r)^bands` with
+    * `p = 1 - arccos(cos)/π` and `r = numPlanes/bands` — for true
+    * near-dups (cosine >= 0.9, p = 0.86) the defaults give ~0.96 and more
+    * bands push it arbitrarily close to 1; near the decision boundary
+    * recall drops, which is the standard LSH trade. This is the 100-TB
+    * path: candidate volume scales with bucket collisions, not n².
+    */
+  def embeddingPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = -1
+  ): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
     import graft.functions.VectorExpressions._
-    // per-row norm precompute + codegen dot: one fused multiply-add loop
-    // per pair instead of three boxed array folds
+    val rowsPerBand = numPlanes / bands
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).head.getInt(0)
+    val planes =
+      Array.tabulate(numPlanes)(k => Array.tabulate(d)(j => hyperplane(k, j)))
     val e = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-    e.as("a")
-      .join(e.as("b"), col("a.id") < col("b.id"))
+      .cache()
+    val bitCols = (0 until numPlanes).map { k =>
+      when(dotFast(col("v"), typedLit(planes(k).toSeq)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    val sigCols = (0 until bands).map { b =>
+      concat(bitCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+        .as(s"sig$b")
+    }
+    val stackArgs = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
+    val sigs = e
+      .select(col("id") +: sigCols: _*)
       .select(
-        col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cosine")
+        col("id"),
+        expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
+      )
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      .join(e.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (dotFast(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine")
       )
       .filter(col("cosine") >= tau)
   }

@@ -185,6 +185,56 @@ object TextQueries {
         FROM p WHERE cosine >= 0.45
       """)
     ),
+    // Hyperplane-LSH approximate embedding dedup: the sub-quadratic scale
+    // path. The oracle rebuilds the identical md5-seeded hyperplanes in
+    // SQL, so the band signatures — and hence the candidate set — are
+    // engine-portable and hash-checked end to end.
+    GQuery(
+      "dedup_embedding_lsh",
+      (spark, dir) =>
+        Dedup
+          .embeddingPairsLsh(
+            t(spark, dir, "embeddings").select(
+              col("vec_id"),
+              graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+            ),
+            "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4
+          )
+          .select(
+            col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine")
+          ),
+      Some {
+        def bit(k: Int): String =
+          s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+             |  i -> v[i] * ((('0x'||substr(md5('${k}_'||(i-1)::VARCHAR),1,14))::BIGINT
+             |                % 1000003) / 1000003.0 - 0.5))) >= 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        val sigDefs = (0 until 4).map { b =>
+          (4 * b until 4 * b + 4).map(bit).mkString("(", " || ", s") AS sig$b")
+        }.mkString(",\n")
+        val bandUnion = (0 until 4)
+          .map(b => s"SELECT $b AS band, sig$b AS sig, vec_id FROM s")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, $sigDefs FROM e),
+        bs AS ($bandUnion),
+        cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                 FROM bs a JOIN bs b
+                   ON a.band = b.band AND a.sig = b.sig
+                      AND a.vec_id < b.vec_id),
+        p AS (SELECT doc_a, doc_b,
+                     ${sqlDot("ea.v", "eb.v")}
+                     / (sqrt(${sqlDot("ea.v", "ea.v")})
+                        * sqrt(${sqlDot("eb.v", "eb.v")})) AS cosine
+              FROM cand
+              JOIN e ea ON ea.vec_id = doc_a
+              JOIN e eb ON eb.vec_id = doc_b)
+        SELECT doc_a, doc_b, round(cosine, 6) AS cosine
+        FROM p WHERE cosine >= 0.45
+      """
+      }
+    ),
     // Per-document token statistics.
     GQuery(
       "text_token_stats",

@@ -61,6 +61,60 @@ class DedupTextSpec extends SparkSpec {
     assert(f(1L) != f(2L))
   }
 
+  test("blocked embedding dedup == naive all-pairs join (bit-identical)") {
+    val e = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+    )
+    // naive spelling: the nested-loop self-join the kernel replaces
+    import graft.functions.VectorExpressions._
+    val n = e.select(col("vec_id").as("id"), col("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    val naive = n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id"), col("b.id"),
+        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (blocks <- Seq(1, 4, 16)) {
+      val blocked = Dedup.embeddingPairs(e, "vec_id", "v", 0.4, blocks)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(blocked == naive, s"numBlocks=$blocks: $blocked vs $naive")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("LSH embedding dedup: subset of exact; planted near-dups all found") {
+    val e = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+    )
+    val exact = Dedup.embeddingPairs(e, "vec_id", "v", 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(e, "vec_id", "v", 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh -- exact}")
+
+    // plant true near-duplicates (same vector, +1e-6 on one component →
+    // cosine ≈ 1): sign-LSH must recover every planted pair
+    val planted = e.limit(8)
+      .union(e.limit(8).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, x + lit(1e-6)).otherwise(x)).as("v")))
+    val found = Dedup
+      .embeddingPairsLsh(planted, "vec_id", "v", tau = 0.99, bands = 8, numPlanes = 16)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = e.limit(8).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(expected.subsetOf(found),
+      s"LSH missed planted near-dups: ${expected -- found}")
+  }
+
   test("hot-shingle cap: capped candidates are a subset with exact scores") {
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

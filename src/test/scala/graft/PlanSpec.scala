@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_embedding: blocked kernel — no nested-loop or cartesian join") {
+    val p = planOf("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_embedding_lsh: band-blocked candidates — no nested loop") {
+    val p = planOf("dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scans prune columns: q11 reads only the two needed orders columns") {
     val p = planOf("q11_orders_by_month")
     val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
