@@ -133,8 +133,10 @@ object KMeansLocal {
           m
         }
       }
+      // on convergence keep the PREVIOUS centroids (ref: py/pq.py:201-204
+      // breaks before installing the new means)
       converged = (0 until k).forall(c => l2Sq(centroids(c), next(c)) <= tol)
-      centroids = next
+      if (!converged) centroids = next
       iter += 1
     }
     var inertia = 0.0
@@ -155,6 +157,23 @@ object KMeansLocal {
 }
 
 object KMeans {
+
+  /** Deterministic shuffle-free sample of up to `n` rows: a seeded
+    * Bernoulli sample (a narrow operation — every partition filters
+    * locally) followed by a local limit. The previous
+    * `sort(rand(seed)).limit(n)` spelling was a GLOBAL sort of the entire
+    * input to keep n rows — a total shuffle of the corpus at scale. The
+    * 10% oversample makes an undershoot of the limit vanishingly unlikely
+    * at any input size; if the input has at most `n` rows it is returned
+    * whole.
+    */
+  def seededSample(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    val total = df.count()
+    if (total <= n) df
+    else
+      df.sample(withReplacement = false, math.min(1.0, 1.1 * n / total), seed)
+        .limit(n)
+  }
 
   /** Column: index of the nearest centroid (E-step argmin; first-lowest
     * index wins ties, ref: py/pq.py:161-171). Centroids broadcast.
@@ -203,9 +222,7 @@ object KMeans {
   ): Result = {
     val spark = df.sparkSession
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
-    val sample = vecs
-      .sort(rand(seed)) // deterministic seeded sample order
-      .limit(initSample)
+    val sample = seededSample(vecs, initSample, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     var centroids = KMeansLocal.kMeansPlusPlus(sample, k, new Random(seed))
@@ -237,9 +254,10 @@ object KMeans {
       means.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
+      // same convergence semantics as KMeansLocal: previous centroids win
       converged =
         (0 until k).forall(c => KMeansLocal.l2Sq(centroids(c), next(c)) <= tol)
-      centroids = next
+      if (!converged) centroids = next
       bc.unpersist()
       iter += 1
     }

@@ -109,10 +109,9 @@ object ProductQuantizer {
       seed: Long,
       maxSample: Int = 100000
   ): PQModel = {
-    val rows = df
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .sort(rand(seed))
-      .limit(maxSample)
+    val rows = KMeans
+      .seededSample(
+        df.select(col(vecCol).cast("array<double>").as("v")), maxSample, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "PQ train on empty data")

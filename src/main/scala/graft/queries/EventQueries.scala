@@ -191,34 +191,28 @@ object EventQueries {
       """)
     ),
     // C8 as-of join: for each purchase, the nearest preceding signup of the
-    // same user. Equi-key on user + top-1-by-time — planned as a hash join
-    // plus per-purchase rank, not a nested-loop range scan.
+    // same user. One hash shuffle on user + a sorted streaming sweep
+    // ([[graft.operators.AsOfJoin]]) — a hot user costs |S|+|P| rows, not
+    // the |S|·|P| pair explosion of the join+rank spelling.
     GQuery(
       "q17_asof_purchase_signup",
       (spark, dir) => {
         val e = events(spark, dir)
         val purchases = e.filter(col("event_type") === "purchase")
           .select(
-            col("event_id").as("p_id"), col("user_id").as("p_user"),
-            col("ts").as("p_ts")
+            col("event_id").as("id"), col("user_id").as("k"),
+            unix_micros(col("ts")).as("ts")
           )
         val signups = e.filter(col("event_type") === "signup")
           .select(
-            col("event_id").as("s_id"), col("user_id").as("s_user"),
-            col("ts").as("s_ts")
+            col("event_id").as("id"), col("user_id").as("k"),
+            unix_micros(col("ts")).as("ts")
           )
-        val w = Window.partitionBy(col("p_id"))
-          .orderBy(col("s_ts").desc, col("s_id"))
-        purchases
-          .join(signups,
-            col("p_user") === col("s_user") && col("s_ts") <= col("p_ts"),
-            "inner")
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
+        graft.operators.AsOfJoin
+          .lastAtOrBefore(purchases, signups)
           .select(
-            col("p_id"), col("p_user"), col("s_id"),
-            (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
-              .as("lag_us")
+            col("left_id").as("p_id"), col("k").as("p_user"),
+            col("right_id").as("s_id"), col("lag").as("lag_us")
           )
       },
       Some("""

@@ -86,19 +86,20 @@ object RelationalQueries {
       """)
     ),
     // C5+E2: TPC-H Q3 shape — 3-way join, grouped revenue, deterministic
-    // global top-10. lineitem is the fact side; customer/orders broadcast at
-    // any realistic dim:fact ratio.
+    // global top-10. lineitem is the fact side. Only the true dim
+    // (segment-filtered customer keys) carries a broadcast hint; the
+    // orders-derived side is ~20% of the orders fact table, so hinting it
+    // broadcast would OOM executors at scale — lineitem⋈orders is left to
+    // AQE, which broadcasts only when the runtime size actually fits.
     GQuery(
       "q3_top_orders",
       (spark, dir) => {
         val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = t(spark, dir, "orders")
         val li = t(spark, dir, "lineitem")
-        // dims reduce first: orders x broadcast(customer-segment) is small;
-        // broadcasting it keeps the lineitem fact table shuffle-free
         val co = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .select(o("o_orderkey"), o("o_orderdate"))
-        li.join(broadcast(co), li("l_orderkey") === co("o_orderkey"))
+        li.join(co, li("l_orderkey") === co("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(
             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))

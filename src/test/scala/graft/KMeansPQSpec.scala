@@ -41,6 +41,19 @@ class KMeansPQSpec extends SparkSpec {
     }
   }
 
+  test("seededSample: narrow plan (no sort/range shuffle), deterministic") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.queries.Q.t(spark, sf0001, "embeddings").select(col("embedding"))
+    val s = KMeans.seededSample(vecs, 20, 42L)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Sort "), plan)
+    val a = s.collect().map(_.toString).toSeq
+    val b = KMeans.seededSample(vecs, 20, 42L).collect().map(_.toString).toSeq
+    assert(a == b, "seeded sample must be deterministic")
+    assert(a.nonEmpty && a.length <= 20)
+  }
+
   test("empty-cluster rule: k > distinct points keeps old centroids (py/pq.py:181-183)") {
     val data = Array.fill(6)(Array(1.0, 1.0)) // all identical
     val r = KMeansLocal.fit(data, k = 3, seed = 1)

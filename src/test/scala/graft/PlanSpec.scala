@@ -37,10 +37,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q17 as-of join keeps the user equi-key; range is residual") {
+  test("q17 as-of join: one hash shuffle on user, no join operator at all") {
     val p = planOf("q17_asof_purchase_signup")
-    assert(p.contains("HashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(k"), p)
+    for (j <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), p)
+    // no Window rank either — the sweep replaces it
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q3: the only broadcast hint targets the customer dim, never orders") {
+    val q = SparkEntry.queries("q3_top_orders")(spark, sf0001)
+    val opt = q.queryExecution.optimizedPlan.toString
+    val hinted = opt.linesIterator.filter(_.contains("strategy=broadcast")).toSeq
+    assert(hinted.size == 1, s"expected exactly one broadcast hint:\n$opt")
+    // the hinted join is orders⋈customer (on c_custkey), not lineitem⋈orders
+    assert(hinted.head.contains("c_custkey"), s"hint on wrong join:\n$opt")
   }
 
   test("dedup_embedding: blocked kernel — no nested-loop or cartesian join") {
