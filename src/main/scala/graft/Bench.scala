@@ -5,12 +5,38 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 first compiles every
   * query's generated code and JIT-warms the kernels so the timed pass
   * measures execution, not codegen.
+  *
+  * Trustworthiness contract (round-2 verdict item 1):
+  *   - each query is timed SPARK_GRAFT_REPS times (default 3) and the
+  *     reported number is the MEDIAN, so a single contended-box outlier
+  *     cannot masquerade as a regression;
+  *   - a query that throws is recorded in the "errors" field with its
+  *     exception class+message and EXCLUDED from "queries"/"value" — a
+  *     crash can never be mistaken for a wall-clock time.
   */
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -23,19 +49,34 @@ object Bench {
     if (warmDir.nonEmpty && warmDir != sfDir) {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => () } // warmup only; failures re-surface in the timed pass
       }
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { name =>
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed: Option[Throwable] = None
+      var rep = 0
+      while (rep < reps && failed.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          runs += (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable => failed = Some(t) }
+        rep += 1
+      }
+      failed match {
+        case Some(t) =>
+          errors(name) = s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("").take(200)}"
+        case None =>
+          timings(name) = median(runs.toSeq)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
