@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -16,15 +17,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, ShortType}
   * `Broadcast[PQModel]`, without leaving codegen.
   *
   * Accumulation orders are part of the observable contract (oracle queries
-  * hash results at 6 decimals):
+  * hash results at 6 decimals); ONE order is used engine-wide, pinned by
+  * PQExpressionsSpec's bit-equality cases against [[graft.operators.PQModel]]:
   *  - encode: per-subspace argmin, first-lowest-index tie-break
   *    (py/pq.py:242-274) — integer output, no FP ambiguity.
-  *  - sdc: one running sum across all D dimensions in order, exactly like
-  *    [[PQModel.sdc]].
-  *  - adc: per-subspace partial sums added in subspace order — chosen so
-  *    the lookup-table path ([[PQLutExpr]] + [[PQAdcLutExpr]], the
-  *    reference's batch tactic, py/PRODUCT_QUANTIZATION.md:157-169) is
-  *    bit-identical to the direct path ([[PQAdcExpr]]).
+  *  - sdc: one running sum across all D dimensions in (subspace, dim)
+  *    order — identical to l2²(decode(a), decode(b)) summed left-to-right,
+  *    exactly like [[graft.operators.PQModel.sdc]].
+  *  - adc: per-subspace partial sums added in subspace order — the ONLY
+  *    order under which the lookup-table path ([[PQLutExpr]] +
+  *    [[PQAdcLutExpr]], the reference's batch tactic,
+  *    py/PRODUCT_QUANTIZATION.md:157-169) is bit-identical to the direct
+  *    path ([[PQAdcExpr]]); [[graft.operators.PQModel.adc]] uses the same
+  *    order.
+  *
+  * Every expression validates input types at analysis time
+  * (`checkInputDataTypes`) and array lengths at runtime — a wrong-length
+  * vector raises a descriptive error instead of an out-of-bounds Unsafe
+  * read (getDouble past numElements is undefined memory, not an exception).
   */
 trait PQModelExpression {
   def flat: Array[Double]
@@ -37,6 +47,35 @@ trait PQModelExpression {
     ctx.addReferenceObj("pqCodebook", flat, "double[]")
 }
 
+private[functions] object PQCheck {
+  val helper = "graft.functions.PQCheck"
+
+  def requireLen(a: ArrayData, expected: Int, what: String, name: String): Unit =
+    if (a.numElements() != expected)
+      throw new IllegalArgumentException(
+        s"$name: expected $what of length $expected, got ${a.numElements()}")
+
+  /** Codegen twin of [[requireLen]] (static call keeps generated code small). */
+  def checkLen(n: Int, expected: Int, what: String, name: String): Unit =
+    if (n != expected)
+      throw new IllegalArgumentException(
+        s"$name: expected $what of length $expected, got $n")
+
+  def vecType(dt: DataType, name: String, side: String = "input"): TypeCheckResult =
+    dt match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<double> $side, got ${other.catalogString}")
+    }
+
+  def codeType(dt: DataType, name: String, side: String = "input"): TypeCheckResult =
+    dt match {
+      case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<smallint> $side, got ${other.catalogString}")
+    }
+}
+
 /** PQ encode: array<double> vector -> array<short> code (one per subspace). */
 case class PQEncodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int, dp: Int)
     extends UnaryExpression with PQModelExpression {
@@ -44,8 +83,12 @@ case class PQEncodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int, 
   override def dataType: DataType = ArrayType(ShortType, containsNull = false)
   override def prettyName: String = "pq_encode_native"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    PQCheck.vecType(child.dataType, prettyName)
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    PQCheck.requireLen(v, m * dp, "vector", prettyName)
     val out = new Array[Short](m)
     var mi = 0
     while (mi < m) {
@@ -80,6 +123,7 @@ case class PQEncodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int, 
       val bestD = ctx.freshName("bestD")
       val coff = ctx.freshName("coff")
       s"""
+        |${PQCheck.helper}.checkLen($a.numElements(), ${m * dp}, "vector", "$prettyName");
         |short[] $out = new short[$m];
         |for (int $mi = 0; $mi < $m; $mi++) {
         |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -109,8 +153,12 @@ case class PQDecodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int, 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_decode_native"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    PQCheck.codeType(child.dataType, prettyName)
+
   override protected def nullSafeEval(input: Any): Any = {
     val c = input.asInstanceOf[ArrayData]
+    PQCheck.requireLen(c, m, "code", prettyName)
     val out = new Array[Double](m * dp)
     var mi = 0
     while (mi < m) {
@@ -130,6 +178,7 @@ case class PQDecodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int, 
       val j = ctx.freshName("j")
       val coff = ctx.freshName("coff")
       s"""
+        |${PQCheck.helper}.checkLen($a.numElements(), $m, "code", "$prettyName");
         |double[] $out = new double[${m * dp}];
         |for (int $mi = 0; $mi < $m; $mi++) {
         |  int $coff = ($mi * $k + $a.getShort($mi)) * $dp;
@@ -155,9 +204,17 @@ case class PQAdcExpr(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_native"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = PQCheck.vecType(left.dataType, prettyName, "query (left)")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else PQCheck.codeType(right.dataType, prettyName, "code (right)")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val c = b.asInstanceOf[ArrayData]
+    PQCheck.requireLen(v, m * dp, "query vector", prettyName)
+    PQCheck.requireLen(c, m, "code", prettyName)
     var s = 0.0
     var mi = 0
     while (mi < m) {
@@ -182,6 +239,8 @@ case class PQAdcExpr(left: Expression, right: Expression,
       val d = ctx.freshName("d")
       val coff = ctx.freshName("coff")
       s"""
+        |${PQCheck.helper}.checkLen($a.numElements(), ${m * dp}, "query vector", "$prettyName");
+        |${PQCheck.helper}.checkLen($b.numElements(), $m, "code", "$prettyName");
         |double $s = 0.0;
         |for (int $mi = 0; $mi < $m; $mi++) {
         |  int $coff = ($mi * $k + $b.getShort($mi)) * $dp;
@@ -202,7 +261,7 @@ case class PQAdcExpr(left: Expression, right: Expression,
 }
 
 /** Symmetric distance: code vs code through centroids. One running sum in
-  * dimension order — exactly [[PQModel.sdc]]'s accumulation.
+  * dimension order — exactly [[graft.operators.PQModel.sdc]]'s accumulation.
   */
 case class PQSdcExpr(left: Expression, right: Expression,
                      flat: Array[Double], m: Int, k: Int, dp: Int)
@@ -211,9 +270,17 @@ case class PQSdcExpr(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_sdc_native"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = PQCheck.codeType(left.dataType, prettyName, "code (left)")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else PQCheck.codeType(right.dataType, prettyName, "code (right)")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    PQCheck.requireLen(x, m, "code", prettyName)
+    PQCheck.requireLen(y, m, "code", prettyName)
     var s = 0.0
     var mi = 0
     while (mi < m) {
@@ -236,6 +303,8 @@ case class PQSdcExpr(left: Expression, right: Expression,
       val ca = ctx.freshName("ca")
       val cbo = ctx.freshName("cbo")
       s"""
+        |${PQCheck.helper}.checkLen($a.numElements(), $m, "code", "$prettyName");
+        |${PQCheck.helper}.checkLen($b.numElements(), $m, "code", "$prettyName");
         |double $s = 0.0;
         |for (int $mi = 0; $mi < $m; $mi++) {
         |  int $ca = ($mi * $k + $a.getShort($mi)) * $dp;
@@ -269,8 +338,12 @@ case class PQLutExpr(child: Expression, flat: Array[Double], m: Int, k: Int, dp:
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_adc_lut"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    PQCheck.vecType(child.dataType, prettyName)
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    PQCheck.requireLen(v, m * dp, "query vector", prettyName)
     val out = new Array[Double](m * k)
     var mi = 0
     while (mi < m) {
@@ -300,6 +373,7 @@ case class PQLutExpr(child: Expression, flat: Array[Double], m: Int, k: Int, dp:
       val d = ctx.freshName("d")
       val coff = ctx.freshName("coff")
       s"""
+        |${PQCheck.helper}.checkLen($a.numElements(), ${m * dp}, "query vector", "$prettyName");
         |double[] $out = new double[${m * k}];
         |for (int $mi = 0; $mi < $m; $mi++) {
         |  for (int $ki = 0; $ki < $k; $ki++) {
@@ -330,9 +404,17 @@ case class PQAdcLutExpr(left: Expression, right: Expression, m: Int, k: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_from_lut"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = PQCheck.vecType(left.dataType, prettyName, "lut (left)")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else PQCheck.codeType(right.dataType, prettyName, "code (right)")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]
     val c = b.asInstanceOf[ArrayData]
+    PQCheck.requireLen(lut, m * k, "lut", prettyName)
+    PQCheck.requireLen(c, m, "code", prettyName)
     var s = 0.0
     var mi = 0
     while (mi < m) { s += lut.getDouble(mi * k + c.getShort(mi)); mi += 1 }
@@ -344,6 +426,8 @@ case class PQAdcLutExpr(left: Expression, right: Expression, m: Int, k: Int)
       val s = ctx.freshName("s")
       val mi = ctx.freshName("mi")
       s"""
+        |${PQCheck.helper}.checkLen($a.numElements(), ${m * k}, "lut", "$prettyName");
+        |${PQCheck.helper}.checkLen($b.numElements(), $m, "code", "$prettyName");
         |double $s = 0.0;
         |for (int $mi = 0; $mi < $m; $mi++) {
         |  $s += $a.getDouble($mi * $k + $b.getShort($mi));

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{PQAdcExpr, PQAdcLutExpr, PQDecodeExpr, PQEncodeExpr, PQLutExpr, PQSdcExpr}
 
 /** Product Quantization per Jégou et al. 2011, with the reference's
   * observable semantics (ref: py/pq.py): D split into M contiguous D'=D/M
@@ -29,6 +31,24 @@ final case class PQModel(
 ) {
   require(d % m == 0, s"D=$d not divisible by M=$m")
   val dp: Int = d / m
+
+  /** Flat (M, K, D') row-major copy — `(mi*K + ki)*D' + j` — the layout the
+    * native Catalyst expressions ([[graft.functions.PQEncodeExpr]] etc.)
+    * embed as a codegen reference object.
+    */
+  lazy val flatCodebook: Array[Double] = {
+    val out = new Array[Double](m * k * dp)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        System.arraycopy(codebooks(mi)(ki), 0, out, (mi * k + ki) * dp, dp)
+        ki += 1
+      }
+      mi += 1
+    }
+    out
+  }
 
   def encodeVec(v: Array[Double]): Array[Short] = {
     val out = new Array[Short](m)
@@ -64,7 +84,12 @@ final case class PQModel(
   }
 
   /** Asymmetric distance: raw query vs code — only the M needed centroid
-    * cells, never a full M×K table (ref: py/pq.py:313-314).
+    * cells, never a full M×K table (ref: py/pq.py:313-314). Per-subspace
+    * partial sums added in subspace order — the engine-wide ADC
+    * accumulation order, chosen because it is the only order under which
+    * the LUT batch tactic (py/PRODUCT_QUANTIZATION.md:157-169,
+    * [[graft.functions.PQLutExpr]]) is bit-identical to direct ADC; pinned
+    * by PQExpressionsSpec.
     */
   def adc(q: Array[Double], code: Array[Short]): Double = {
     var s = 0.0
@@ -72,10 +97,43 @@ final case class PQModel(
     while (mi < m) {
       val c = codebooks(mi)(code(mi).toInt)
       val off = mi * dp
+      var sub = 0.0
       var j = 0
-      while (j < dp) { val df = q(off + j) - c(j); s += df * df; j += 1 }
+      while (j < dp) { val df = q(off + j) - c(j); sub += df * df; j += 1 }
+      s += sub
       mi += 1
     }
+    s
+  }
+
+  /** The ADC lookup table for one query: `lut(mi*K + ki)` = L2² of the
+    * query's subspace-mi slice vs centroid (mi, ki). [[adcFromLut]] over
+    * this is bit-identical to [[adc]].
+    */
+  def adcLut(q: Array[Double]): Array[Double] = {
+    val out = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * dp
+      var ki = 0
+      while (ki < k) {
+        val c = codebooks(mi)(ki)
+        var s = 0.0
+        var j = 0
+        while (j < dp) { val df = q(off + j) - c(j); s += df * df; j += 1 }
+        out(mi * k + ki) = s
+        ki += 1
+      }
+      mi += 1
+    }
+    out
+  }
+
+  /** ADC from a precomputed [[adcLut]]: M lookups, no codebook access. */
+  def adcFromLut(lut: Array[Double], code: Array[Short]): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < m) { s += lut(mi * k + code(mi).toInt); mi += 1 }
     s
   }
 
@@ -126,37 +184,48 @@ object ProductQuantizer {
     PQModel(m, k, d, codebooks)
   }
 
-  /** Broadcast the model for executor-side evaluation. */
+  /** Broadcast the model for executor-side evaluation (used by the
+    * partition-batched kernels; the column functions below embed the flat
+    * codebook in the plan instead — same wire cost, stays in codegen).
+    */
   def broadcastModel(spark: SparkSession, model: PQModel): Broadcast[PQModel] =
     spark.sparkContext.broadcast(model)
 
-  /** Column: PQ code (array<short>) of an array<double> vector column. */
-  def encodeCol(bc: Broadcast[PQModel], vec: Column): Column = {
-    val f = udf { (v: Seq[Double]) => bc.value.encodeVec(v.toArray) }
-    f(vec)
-  }
+  private def expr(c: Column) = GraftColumnBridge.expression(c)
+  private def column(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftColumnBridge.column(e)
+
+  /** Column: PQ code (array<short>) of an array<double> vector column.
+    * Native codegen kernel ([[graft.functions.PQEncodeExpr]]) — no per-row
+    * boxing; bit-equal to [[PQModel.encodeVec]] (PQExpressionsSpec).
+    */
+  def encodeCol(model: PQModel, vec: Column): Column =
+    column(PQEncodeExpr(expr(vec), model.flatCodebook, model.m, model.k, model.dp))
 
   /** Column: reconstructed array<double> from an array<short> code column. */
-  def decodeCol(bc: Broadcast[PQModel], code: Column): Column = {
-    val f = udf { (c: Seq[Short]) => bc.value.decodeCode(c.toArray) }
-    f(code)
-  }
+  def decodeCol(model: PQModel, code: Column): Column =
+    column(PQDecodeExpr(expr(code), model.flatCodebook, model.m, model.k, model.dp))
 
   /** Column: asymmetric distance between a raw vector and a code. */
-  def adcCol(bc: Broadcast[PQModel], vec: Column, code: Column): Column = {
-    val f = udf { (v: Seq[Double], c: Seq[Short]) =>
-      bc.value.adc(v.toArray, c.toArray)
-    }
-    f(vec, code)
-  }
+  def adcCol(model: PQModel, vec: Column, code: Column): Column =
+    column(PQAdcExpr(expr(vec), expr(code), model.flatCodebook, model.m, model.k, model.dp))
 
   /** Column: symmetric distance between two code columns. */
-  def sdcCol(bc: Broadcast[PQModel], a: Column, b: Column): Column = {
-    val f = udf { (x: Seq[Short], y: Seq[Short]) =>
-      bc.value.sdc(x.toArray, y.toArray)
-    }
-    f(a, b)
-  }
+  def sdcCol(model: PQModel, a: Column, b: Column): Column =
+    column(PQSdcExpr(expr(a), expr(b), model.flatCodebook, model.m, model.k, model.dp))
+
+  /** Column: the per-query ADC lookup table (array<double>, length M*K) —
+    * the reference's batch tactic (py/PRODUCT_QUANTIZATION.md:157-169).
+    * Compute once per query row, then [[adcFromLutCol]] per candidate.
+    */
+  def lutCol(model: PQModel, vec: Column): Column =
+    column(PQLutExpr(expr(vec), model.flatCodebook, model.m, model.k, model.dp))
+
+  /** Column: ADC from a precomputed LUT column — M array lookups per
+    * distance, bit-identical to [[adcCol]] on the same (query, code).
+    */
+  def adcFromLutCol(model: PQModel, lut: Column, code: Column): Column =
+    column(PQAdcLutExpr(expr(lut), expr(code), model.m, model.k))
 
   /** Bulk encode: (id, code) via a partition-batched kernel — one model
     * reference per partition, primitive arrays end to end. Use this for

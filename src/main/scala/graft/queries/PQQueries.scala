@@ -84,12 +84,12 @@ object PQQueries {
     GQuery(
       "pq_encode",
       (spark, dir) => {
-        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val model = fixedModel(spark, dir)
         t(spark, dir, "embeddings")
           .select(
             col("vec_id"),
             posexplode(
-              ProductQuantizer.encodeCol(bc, toDouble(col("embedding")))
+              ProductQuantizer.encodeCol(model, toDouble(col("embedding")))
             ).as(Seq("m", "code"))
           )
           .select(
@@ -107,14 +107,14 @@ object PQQueries {
     GQuery(
       "pq_reconstruction",
       (spark, dir) => {
-        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val model = fixedModel(spark, dir)
         val v = toDouble(col("embedding"))
         t(spark, dir, "embeddings")
           .withColumn(
             "recon",
             ProductQuantizer.decodeCol(
-              bc,
-              ProductQuantizer.encodeCol(bc, v)
+              model,
+              ProductQuantizer.encodeCol(model, v)
             )
           )
           .select(
@@ -128,30 +128,34 @@ object PQQueries {
         FROM e JOIN dec ON e.vec_id = dec.vec_id
       """)
     ),
-    // F5 + D1: asymmetric-distance top-5 per query over encoded base.
-    // ADC(q, code) == L2Sq(q, decode(code)) — the Scala kernel accumulates
-    // in dimension order, matching the oracle's 64-dim left-to-right sum.
+    // F5 + D1: asymmetric-distance top-5 per query over encoded base,
+    // via the reference's batch-ADC tactic (py/PRODUCT_QUANTIZATION.md:
+    // 157-169): one M*K lookup table per query (pq_adc_lut), then each
+    // candidate distance is M array lookups (pq_adc_from_lut) inside
+    // whole-stage codegen — bit-identical to direct ADC because both
+    // accumulate per-subspace partials in subspace order. The oracle
+    // mirrors that order exactly: per-subspace sums in j order, then an
+    // m-ordered list_sum.
     GQuery(
       "pq_adc_topk",
       (spark, dir) => {
-        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val model = fixedModel(spark, dir)
         val emb = t(spark, dir, "embeddings")
-        // ADC(q, code) == L2Sq(q, decode(code)): decode each base row once,
-        // then the pairwise distance is the codegen'd primitive loop
         val enc = emb.select(
           col("vec_id").as("neighbor_id"),
-          ProductQuantizer
-            .decodeCol(
-              bc,
-              ProductQuantizer.encodeCol(bc, toDouble(col("embedding")))
-            ).as("dv")
+          ProductQuantizer.encodeCol(model, toDouble(col("embedding"))).as("code")
         )
         val q = emb
           .filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+          .select(
+            col("vec_id").as("query_id"),
+            ProductQuantizer.lutCol(model, toDouble(col("embedding"))).as("lut")
+          )
         val pairs = enc
           .join(broadcast(q))
-          .withColumn("dist", graft.functions.VectorExpressions.l2SqFast(col("qv"), col("dv")))
+          .withColumn(
+            "dist",
+            ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("dist"), col("neighbor_id"))
         pairs
@@ -166,9 +170,17 @@ object PQQueries {
       Some(s"""
         WITH $pqCtes,
         q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
-        adc AS (SELECT q.query_id, dec.vec_id AS neighbor_id,
-                       ${sqlL2Sq("q.qv", "dec.dv")} AS dist
-                FROM q CROSS JOIN dec),
+        qd AS (
+          SELECT q.query_id, ms.m, cent.ck,
+                 list_sum(list_transform(generate_series(1, $DP),
+                   j -> (q.qv[ms.m*$DP+j] - cent.cv[ms.m*$DP+j])
+                        * (q.qv[ms.m*$DP+j] - cent.cv[ms.m*$DP+j]))) AS sdist
+          FROM q CROSS JOIN ms CROSS JOIN cent),
+        adc AS (
+          SELECT qd.query_id, enc.vec_id AS neighbor_id,
+                 list_sum(list(qd.sdist ORDER BY qd.m)) AS dist
+          FROM enc JOIN qd ON qd.m = enc.m AND qd.ck = enc.code
+          GROUP BY 1, 2),
         r AS (SELECT query_id, neighbor_id, dist,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk
@@ -181,14 +193,14 @@ object PQQueries {
     GQuery(
       "pq_recall_adc",
       (spark, dir) => {
-        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val model = fixedModel(spark, dir)
         val emb = t(spark, dir, "embeddings")
         val enc = emb.select(
           col("vec_id").as("neighbor_id"),
           ProductQuantizer
             .decodeCol(
-              bc,
-              ProductQuantizer.encodeCol(bc, toDouble(col("embedding")))
+              model,
+              ProductQuantizer.encodeCol(model, toDouble(col("embedding")))
             ).as("dv"),
           toDouble(col("embedding")).as("bv")
         )
@@ -231,12 +243,12 @@ object PQQueries {
     GQuery(
       "pq_sdc_pairs",
       (spark, dir) => {
-        val bc = ProductQuantizer.broadcastModel(spark, fixedModel(spark, dir))
+        val model = fixedModel(spark, dir)
         val enc = t(spark, dir, "embeddings")
           .filter(col("vec_id") < 50)
           .select(
             col("vec_id"),
-            ProductQuantizer.encodeCol(bc, toDouble(col("embedding"))).as("code")
+            ProductQuantizer.encodeCol(model, toDouble(col("embedding"))).as("code")
           )
         enc.as("a")
           .join(enc.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -244,7 +256,7 @@ object PQQueries {
             col("a.vec_id").as("id_a"),
             col("b.vec_id").as("id_b"),
             round(
-              ProductQuantizer.sdcCol(bc, col("a.code"), col("b.code")), 6
+              ProductQuantizer.sdcCol(model, col("a.code"), col("b.code")), 6
             ).as("dist")
           )
       },

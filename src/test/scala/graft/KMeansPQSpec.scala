@@ -129,9 +129,8 @@ class KMeansPQSpec extends SparkSpec {
     val data = (0L until 80L).map(i => (i, Array.fill(8)(rng.nextDouble())))
     val df = data.toDF("id", "v")
     val model = ProductQuantizer.train(df, "v", m = 2, k = 4, seed = 17)
-    val bc = ProductQuantizer.broadcastModel(spark, model)
     val colWay = df.select(col("id"),
-      ProductQuantizer.encodeCol(bc, col("v")).as("code"))
+      ProductQuantizer.encodeCol(model, col("v")).as("code"))
     val partWay = ProductQuantizer.encodePartitioned(df, "id", "v", model)
     assert(colWay.except(partWay).count() == 0)
     assert(partWay.except(colWay).count() == 0)
