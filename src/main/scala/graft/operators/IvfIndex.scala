@@ -11,12 +11,16 @@ import graft.functions.VectorExpressions._
   * coarse quantizer per Jégou et al. 2011, the same paper as PQ).
   *
   * Build: assign every base vector to its nearest coarse centroid
-  * ("cell") — one executor-side argmin against a broadcast centroid
-  * table, zero shuffle beyond the write. Search: each query probes only
-  * its `nprobe` nearest cells, so the candidate set shrinks by roughly
-  * (nprobe / nCells) versus a full scan; candidates equi-join on the cell
-  * id (a hash join on a low-cardinality key — at 100 TB the base table is
-  * cell-partitioned parquet and the probe prunes partitions).
+  * ("cell") — one executor-side argmin against a plan-embedded centroid
+  * table, zero shuffle — and [[build]] persists the result as
+  * CELL-PARTITIONED parquet. Search ([[searchPartitioned]]): each query
+  * probes only its `nprobe` nearest cells; the union of probed cells
+  * (≤ nCells values — bounded by the centroid count, never by data size)
+  * statically prunes the parquet scan to `PartitionFilters`, so at 100 TB
+  * the candidate read is ~(nprobe/nCells) of the index, not a full scan.
+  * The probe side carries NO broadcast hint: a small query batch is
+  * auto-broadcast by AQE, a large one shuffles on the cell key — the
+  * operator never caps the batch size at driver memory.
   *
   * With data-derived fixed centroids the whole operator is deterministic
   * (DuckDB-oracle-checkable); production centroids come from
@@ -24,7 +28,7 @@ import graft.functions.VectorExpressions._
   */
 object IvfIndex {
 
-  /** (id, cell) assignment under the given coarse centroids. */
+  /** (id, vec, cell) assignment under the given coarse centroids. */
   def assign(
       spark: SparkSession,
       df: DataFrame,
@@ -38,13 +42,64 @@ object IvfIndex {
       KMeans.assignCol(spark, centroids, col(vecCol)).as("cell")
     )
 
-  /** Approximate top-k: probe the `nprobe` nearest cells per query, scan
-    * only those cells' vectors exactly, bounded-heap merge. Returns
-    * (query_id, neighbor_id, dist, rnk).
+  /** Materialize the index: cell-partitioned parquet. One directory per
+    * cell, so a probed search reads only its cells' files.
+    */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      path: String
+  ): Unit =
+    assign(spark, df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Open a [[build]]-written index; `cell` comes back as the partition
+    * column, eligible for partition pruning.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Per-query probe set: the `nprobe` nearest cells, with the query
+    * vector carried through the aggregation (no second scan of the query
+    * side). Returns (qid, cell, qvec).
+    */
+  def probeCells(
+      spark: SparkSession,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    queries
+      .crossJoin(broadcast(cents)) // genuinely tiny dim: |cells| rows
+      .groupBy(col(qidCol))
+      .agg(
+        topK(
+          l2SqFast(col(qvecCol), col("cvec")),
+          col("cell").cast("long"), nprobe
+        ).as("pc"),
+        first(col(qvecCol)).as(qvecCol) // functionally dependent on qid
+      )
+      .select(col(qidCol), explode(col("pc.id")).as("cell"), col(qvecCol))
+      .select(col(qidCol), col("cell").cast("int").as("cell"), col(qvecCol))
+  }
+
+  /** Approximate top-k against an in-memory/assigned base (id, vec, cell).
+    * Candidate scan = equi-join on the low-cardinality cell key; join
+    * strategy is left to AQE (broadcast when the probe side is small,
+    * shuffle when it isn't). Returns (query_id, neighbor_id, dist, rnk).
     */
   def search(
       spark: SparkSession,
-      base: DataFrame, // (id, vec, cell) from [[assign]]
+      base: DataFrame, // (id, vec, cell) from [[assign]] or [[load]]
       queries: DataFrame,
       qidCol: String,
       qvecCol: String,
@@ -52,27 +107,42 @@ object IvfIndex {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    import spark.implicits._
-    // per query: the nprobe nearest cells (tiny: |Q| x nCells argmin-k,
-    // centroid list broadcast)
-    val cents = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "cvec")
-    val probes = queries
-      .crossJoin(broadcast(cents))
-      .groupBy(col(qidCol))
-      .agg(
-        topK(
-          l2SqFast(col(qvecCol), col("cvec")),
-          col("cell").cast("long"), nprobe
-        ).as("pc")
-      )
-      .select(col(qidCol), explode(col("pc.id")).as("cell"))
-      .join(broadcast(queries), qidCol)
-      .select(col(qidCol), col("cell").cast("int").as("cell"), col(qvecCol))
-    // candidate scan: hash join on the low-cardinality cell key
+    val probes = probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
     base
-      .join(broadcast(probes), "cell")
+      .join(probes, "cell")
+      .groupBy(col(qidCol))
+      .agg(topK(l2SqFast(col(qvecCol), col("vec")), col("id"), k).as("tk"))
+      .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col(qidCol),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
+  }
+
+  /** Approximate top-k against a [[build]]-written index with PARTITION
+    * PRUNING: the distinct probed cells (≤ nCells ints — a bounded
+    * driver-side list, not a data-sized collect) become a static partition
+    * filter, so the scan reads only the probed directories.
+    */
+  def searchPartitioned(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val probes = probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val base = load(spark, indexPath)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    base
+      .join(probes, "cell")
       .groupBy(col(qidCol))
       .agg(topK(l2SqFast(col(qvecCol), col("vec")), col("id"), k).as("tk"))
       .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "e")))

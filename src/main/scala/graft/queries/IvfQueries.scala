@@ -18,23 +18,53 @@ object IvfQueries {
   private val NPROBE = 2
   private val K = 5
 
+  /** Data-derived fixed coarse centroids (embeddings vec_id < NCELLS). */
+  private def fixedCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): Array[Array[Double]] =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < NCELLS)
+      .orderBy(col("vec_id"))
+      .select(toDouble(col("embedding")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** One cell-partitioned index build per sf dir (immutable artifact —
+    * reuse across query invocations is free; same pattern as
+    * [[HnswQueries]]'s shared build).
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def sharedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cents: Array[Array[Double]]
+  ): String =
+    indexCache.getOrElseUpdate(
+      dir, {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf").toString + "/index"
+        IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+        path
+      }
+    )
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "ivf_knn",
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-        val cents = emb
-          .filter(col("vec_id") < NCELLS)
-          .orderBy(col("vec_id"))
-          .collect()
-          .map(_.getSeq[Double](1).toArray)
-        val base = IvfIndex.assign(spark, emb, "vec_id", "vec", cents)
+        val cents = fixedCentroids(spark, dir)
+        val index = sharedIndex(spark, dir, cents)
         val q = emb
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("query_id"), col("vec").as("qv"))
         IvfIndex
-          .search(spark, base, q, "query_id", "qv", cents, K, NPROBE)
+          .searchPartitioned(spark, index, q, "query_id", "qv", cents, K, NPROBE)
           .select(
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 6).as("dist"),
