@@ -84,7 +84,11 @@ object Dedup {
       tau: Double = 0.5,
       maxShingleDocFreq: Int = Int.MaxValue
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // not cached: `shingles` ends in distinct() (an exchange), so the
+    // self-join sides and the verify pass re-read the SAME shuffle files
+    // (ReusedExchange) — the cache added only unreleased storage-memory
+    // that a long-lived session never got back
+    val sh = shingles(df, idCol, textCol, n)
     if (maxShingleDocFreq == Int.MaxValue) {
       // uncapped: the inverted-index self-join IS the intersection count —
       // aggregate it directly, one pass over the shingle table
@@ -192,7 +196,7 @@ object Dedup {
   ): DataFrame = {
     require(numPerms % bands == 0)
     val rowsPerBand = numPerms / bands
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingles(df, idCol, textCol, n) // shuffle-reused, not cached
     val wide = minhashWide(sh, numPerms)
     val bandCols = (0 until bands).map { bd =>
       concat_ws(
@@ -252,10 +256,11 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    // not cached: `simhash` ends in a groupBy exchange, so both half-joins
+    // re-read the same shuffle files (ReusedExchange)
     val sig = simhash(df, idCol, textCol)
       .withColumn("hi", shiftright(col("simhash"), 16))
       .withColumn("lo", col("simhash").bitwiseAND(65535))
-      .cache()
     def half(c: String) = sig.as("a")
       .join(sig.as("b"),
         col(s"a.$c") === col(s"b.$c") && col("a.doc_id") < col("b.doc_id"))
@@ -419,10 +424,12 @@ object Dedup {
       else df.select(size(col(vecCol))).head.getInt(0)
     val planes =
       Array.tabulate(numPlanes)(k => Array.tabulate(d)(j => hyperplane(k, j)))
+    // not cached: the three consumers (signatures + the two verify joins)
+    // re-scan the source; a norm recompute per scan is cheaper at scale
+    // than pinning the corpus in executor storage with no release point
     val e = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
-      .cache()
     val bitCols = (0 until numPlanes).map { k =>
       when(dotFast(col("v"), typedLit(planes(k).toSeq)) >= 0, lit("1"))
         .otherwise(lit("0"))

@@ -32,8 +32,18 @@ object DistributedHnsw {
       params: HnswParams,
       vectors: DataFrame, // shard int, id long, vec array<double>
       edges: DataFrame,   // shard int, layer int, src long, dst long
-      entries: DataFrame  // shard int, ep long, height int
-  )
+      entries: DataFrame, // shard int, ep long, height int
+      private val caches: Seq[DataFrame] = Nil
+  ) {
+    /** Release the build-time caches (the shard-partitioned vectors and the
+      * shared edge/entry materialization). Call once the index is persisted
+      * or no longer queried — a long-lived session (or a streaming sink
+      * building per micro-batch) otherwise accumulates executor storage
+      * without bound. Idempotent; [[DistributedHnsw.load]]-opened shards
+      * are parquet-backed and hold no caches.
+      */
+    def unpersist(): Unit = caches.foreach(_.unpersist(blocking = false))
+  }
 
   /** Build per-shard HNSW graphs. Rows are assigned to shards by
     * `id % numShards` (deterministic, data-independent) and inserted in
@@ -89,7 +99,7 @@ object DistributedHnsw {
     val entries = built
       .filter(col("layer") < 0)
       .select(col("shard"), col("ep"), col("height"))
-    Shards(numShards, params, data, edges, entries)
+    Shards(numShards, params, data, edges, entries, caches = Seq(data, built))
   }
 
   /** Persist the index artifact (vectors/edges/entries, shard-partitioned

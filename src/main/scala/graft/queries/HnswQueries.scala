@@ -25,10 +25,21 @@ object HnswQueries {
   }
 
   /** The three HNSW queries share one deterministic build per sf dir (the
-    * artifact is immutable tables, so reuse is free).
+    * artifact is immutable tables, so reuse is free). SEMANTICS: this makes
+    * hnsw_* query timings measure SEARCH over a prebuilt index — the build
+    * itself is benchmarked separately (Bench's hnsw_build entry calls
+    * [[clearBuildCache]] first). Bounded by the number of distinct sf dirs
+    * touched in one process (1–3 in practice); [[clearBuildCache]] releases
+    * the Spark-side caches for long-lived sessions.
     */
   private val buildCache =
     scala.collection.concurrent.TrieMap.empty[String, DistributedHnsw.Shards]
+
+  /** Drop all memoized builds and release their executor-storage caches. */
+  def clearBuildCache(): Unit = {
+    buildCache.values.foreach(_.unpersist())
+    buildCache.clear()
+  }
 
   private def sharedBuild(
       spark: org.apache.spark.sql.SparkSession,

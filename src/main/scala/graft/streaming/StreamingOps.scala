@@ -171,7 +171,10 @@ object StreamingOps {
           val rebuilt = DistributedHnsw.build(
             touched, "id", "vec", params, numShards, seed
           )
-          DistributedHnsw.save(rebuilt, indexPath)
+          // release the build caches once persisted — an unbounded stream
+          // must not grow executor storage by one build per micro-batch
+          try DistributedHnsw.save(rebuilt, indexPath)
+          finally rebuilt.unpersist()
         }
       }
       .start()

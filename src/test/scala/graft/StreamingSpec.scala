@@ -112,6 +112,34 @@ class StreamingSpec extends SparkSpec {
     assert(r.count() == 25)
   }
 
+  test("incremental HNSW sink releases its build caches every micro-batch") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.HnswParams
+    val params = HnswParams(m = 8, efConstruction = 50)
+    val srcDir = Files.createTempDirectory("leaksrc").toString
+    val store = Files.createTempDirectory("leakstore").toString + "/store"
+    val index = Files.createTempDirectory("leakindex").toString + "/index"
+    val ckpt = Files.createTempDirectory("leakckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    // three arrival waves -> three micro-batches, one build each
+    emb.filter(col("id") < 150).write.parquet(s"$srcDir/w1")
+    emb.filter(col("id") >= 150 && col("id") < 300).write.parquet(s"$srcDir/w2")
+    emb.filter(col("id") >= 300).write.parquet(s"$srcDir/w3")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.incrementalHnswSink(
+      stream, "id", "vec", params, 4, seed = 9, store, index, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"cached-RDD count grew $before -> $after across 3 micro-batches")
+  }
+
   test("stream-stream interval join == batch interval join") {
     val dir = stageEventsDir()
     val ev = StreamingOps.readEvents(spark, dir)
