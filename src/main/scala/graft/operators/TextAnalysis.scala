@@ -76,11 +76,15 @@ object TextAnalysis {
       profileSize: Int = 20
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT cached: the exploded token table is larger than the corpus, so
+    // materializing it in executor storage is exactly wrong at scale — the
+    // two consumers (profile fit, match join) each re-scan the source, and
+    // the storage footprint stays zero for a long-lived session
     val tok = df.select(
       col(idCol).as("doc_id"),
       col(langCol).as("lang"),
       explode(tokens(col(textCol))).as("w")
-    ).cache()
+    )
     val prof = tok
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
@@ -89,8 +93,11 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(wProf))
       .filter(col("rn") <= profileSize)
       .select(col("lang").as("plang"), col("w"))
+    // `top` is <= |langs| * profileSize rows, and its join keys are by
+    // construction the corpus's hottest tokens — an unhinted shuffle join
+    // would put maximal skew on the exchange, so broadcast explicitly
     val score = tok
-      .join(top, "w")
+      .join(broadcast(top), "w")
       .groupBy(col("doc_id"), col("plang"))
       .agg(count(lit(1)).as("s"))
     val wPred = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("plang"))

@@ -89,6 +89,11 @@ class PlanSpec extends SparkSpec {
       s"cell join must not carry a broadcast hint:\n$opt")
   }
 
+  test("text_langid: profile join broadcasts the tiny profile side") {
+    val p = planOf("text_langid")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("scans prune columns: q11 reads only the two needed orders columns") {
     val p = planOf("q11_orders_by_month")
     val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
