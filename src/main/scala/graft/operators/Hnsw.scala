@@ -11,6 +11,14 @@ import scala.util.Random
   * `floor(-log(U * m_L))` (py/hnsw.py:353) — the multiplication sits inside
   * the log, unlike the paper's `floor(-ln(U) · m_L)`. Default is the paper
   * formula; the flag restores the reference's variant (SURVEY.md §1.5.4).
+  *
+  * `referenceMMax0`: the reference computes the per-insert connection
+  * budget as `M_max0 if l == 0 else M_max` — keyed on the NEW ELEMENT's
+  * drawn level `l` (py/hnsw.py:371) — and uses that one value as the
+  * select count, the overfull test, and the trim target on every layer it
+  * connects. The paper (Alg 1 line 10/17) selects `M` neighbors and caps
+  * each LAYER at `M_max` (`M_max0` on layer 0). Default is the paper
+  * semantics; the flag restores the reference's variant (SURVEY.md §1.5.5).
   */
 final case class HnswParams(
     m: Int = 16,
@@ -18,7 +26,8 @@ final case class HnswParams(
     efConstruction: Int = 100,
     efSearch: Int = 200,
     keepPrunedConnections: Boolean = true,
-    referenceLevelFormula: Boolean = false
+    referenceLevelFormula: Boolean = false,
+    referenceMMax0: Boolean = false
 ) {
   def mMaxEff: Int = if (mMax > 0) mMax else m
   def mMax0: Int = 2 * mMaxEff
@@ -190,12 +199,19 @@ final class HnswIndex(
       lc -= 1
     }
     // phase 2: connect on layers min(prevTop, l)..0 (ref: py/hnsw.py:369-388)
+    // reference mode: ONE budget per insert, keyed on the new element's
+    // level (py/hnsw.py:371), used as select count AND trim cap everywhere
+    val refBudget = if (l == 0) params.mMax0 else params.mMaxEff
     lc = math.min(prevTop, l)
     while (lc >= 0) {
       val w = searchLayer(dist, ep, params.efConstruction, lc)
-      val nbs = selectNeighbors(w, params.m)
+      val selectN = if (params.referenceMMax0) refBudget else params.m
+      val nbs = selectNeighbors(w, selectN)
       nbs.foreach(graph.addEdge(lc, idx, _))
-      val cap = if (lc == 0) params.mMax0 else params.mMaxEff
+      val cap =
+        if (params.referenceMMax0) refBudget // ref: py/hnsw.py:371
+        else if (lc == 0) params.mMax0 // paper: per-layer keying
+        else params.mMaxEff
       nbs.foreach { n =>
         if (graph.layerAdjCount(lc, n) > cap) {
           val cands = graph.neighbors(lc, n).toSeq.map(x => (distIds(n, x), x))

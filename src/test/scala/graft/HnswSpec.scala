@@ -150,6 +150,66 @@ class HnswSpec extends SparkSpec {
     assert(r.length == 5 && r.head._2 == 3)
   }
 
+  test("reference published config M=32/efc=100/ef=200: Recall@10 >= 0.95; HNSW+PQ recorded (py/hnsw.ipynb cell-2/6)") {
+    // the reference's own notebook config (M=32, ef_construction=100,
+    // ef_search=200) reports Recall@10 = 1.0 uncompressed and 0.5069 with
+    // PQ K=256 on SIFT (BASELINE.md:9-11)
+    val params = HnswParams(m = 32, efConstruction = 100, efSearch = 200)
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val nQ = queries.count()
+    val exact = BruteForceKNN.knn(
+      queries, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10
+    ).select(col("query_id"), col("neighbor_id"))
+    def recallOf(comp: Option[VectorCompression]): Double = {
+      val shards = DistributedHnsw.build(
+        emb, "vec_id", "vec", params, numShards = 4, seed = 42,
+        compression = comp)
+      val approx = DistributedHnsw.search(
+        shards, queries, "query_id", "qv", k = 10, compression = comp)
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .intersect(exact).count()
+      shards.unpersist()
+      hits.toDouble / (nQ * 10)
+    }
+    val uncompressed = recallOf(None)
+    assert(uncompressed >= 0.95, s"uncompressed recall $uncompressed")
+    val pq = recallOf(Some(new PQCompression(
+      ProductQuantizer.train(emb, "vec", m = 8, k = 64, seed = 42))))
+    info(f"reference-config recall@10: uncompressed $uncompressed%.4f " +
+      f"(ref 1.0), HNSW+PQ $pq%.4f (ref 0.5069 at K=256 on SIFT)")
+    assert(pq >= 0.4, s"compressed recall $pq")
+  }
+
+  test("referenceMMax0 flag: element-level vs layer cap keying diverge (py/hnsw.py:371)") {
+    val rng = new Random(55)
+    val data = Array.fill(200)(Array.fill(8)(rng.nextDouble()))
+    def buildWith(flag: Boolean): HnswIndex = {
+      val idx = new HnswIndex(
+        HnswParams(m = 4, efConstruction = 30, referenceMMax0 = flag), seed = 55)
+      data.foreach(idx.insert)
+      idx
+    }
+    val paper = buildWith(false)
+    val ref = buildWith(true)
+    // same seed -> same level draws -> the documented case occurs: at least
+    // one element drew level > 0 and connected on layer 0, where the two
+    // keyings pick different budgets (paper: select m, cap M_max0; ref: one
+    // element-level budget M_max for both)
+    assert(paper.height > 1, "need a level>0 insert to exercise the case")
+    val pe = paper.graph.edgeIterator.toSet
+    val re = ref.graph.edgeIterator.toSet
+    assert(pe != re, "edge tables must diverge under the reference keying")
+    // both variants remain sound search structures
+    Seq(paper, ref).foreach { idx =>
+      val r = idx.search(data(7), topK = 5)
+      assert(r.length == 5 && r.head._2 == 7)
+    }
+  }
+
   test("distributed HNSW+PQ: symmetric build / asymmetric search end-to-end") {
     import graft.queries.Q
     val emb = Q.t(spark, sf0001, "embeddings")
