@@ -33,28 +33,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def kOf(e: Expression): Int = e.eval(null) match {
-    case i: Int  => i
-    case l: Long => l.toInt
-    case x => throw new IllegalArgumentException(s"k must be a literal int, got $x")
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n arguments, got ${args.length}")
+
+  /** `k` must be a positive literal integer — resolved at function-build
+    * (analysis) time, never at runtime.
+    */
+  private def kOf(e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "graft_topk: k must be a literal integer, got a non-constant expression")
+    e.eval(null) match {
+      case i: Int if i >= 1 => i
+      case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case x => throw new IllegalArgumentException(
+        s"graft_topk: k must be a positive literal integer, got $x")
+    }
   }
 
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (
       "graft_l2sq",
-      "graft_l2sq(a, b) - squared L2 distance of two double arrays",
-      (args: Seq[Expression]) => L2SqExpr(args(0), args(1))
+      "graft_l2sq(a, b) - squared L2 distance of two numeric arrays " +
+        "(implicitly cast to array<double>; ragged pairs truncate at the " +
+        "shorter length)",
+      (args: Seq[Expression]) => {
+        arity("graft_l2sq", args, 2); L2SqExpr(args(0), args(1))
+      }
     ),
     (
       "graft_dot",
-      "graft_dot(a, b) - dot product of two double arrays",
-      (args: Seq[Expression]) => DotExpr(args(0), args(1))
+      "graft_dot(a, b) - dot product of two numeric arrays (implicitly " +
+        "cast to array<double>; ragged pairs truncate at the shorter length)",
+      (args: Seq[Expression]) => {
+        arity("graft_dot", args, 2); DotExpr(args(0), args(1))
+      }
     ),
     (
       "graft_topk",
       "graft_topk(dist, id, k) - k smallest (dist, id) pairs, ascending",
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        arity("graft_topk", args, 3)
         TopKAgg(args(0), args(1), kOf(args(2))).toAggregateExpression()
+      }
     )
   )
 

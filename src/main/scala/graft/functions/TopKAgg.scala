@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -53,6 +53,10 @@ final class TopKBuffer(val k: Int) {
 
 /** Aggregate function `graft_topk(dist, id)`: the k smallest (dist, id)
   * pairs per group as `array<struct<dist double, id bigint>>` ascending.
+  * Inputs implicitly cast to (double, bigint) at analysis; non-numeric
+  * arguments are an analysis-time error. `k` must be a positive literal
+  * integer (validated at function-resolution time in
+  * [[graft.GraftExtensions]]).
   */
 case class TopKAgg(
     dist: Expression,
@@ -60,9 +64,12 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[TopKBuffer] {
+) extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
+
+  require(k >= 1, s"graft_topk: k must be >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(dist, id)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector distance kernels (SURVEY.md
   * §2.H): tight primitive loops over `ArrayData`, no per-pair array
@@ -15,11 +15,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * faster: the zip_with path materializes an intermediate array per row
   * pair; these don't.
   *
-  * Arrays must be non-null-element `array<double>` (the engine's vector
-  * type, SURVEY.md §1.4).
+  * SQL-surface contract (`graft_l2sq`/`graft_dot`):
+  *  - inputs must be numeric arrays; any numeric element type implicitly
+  *    casts to `array<double>` at analysis, anything else (strings,
+  *    structs, scalars) is an analysis-time error, not a runtime crash;
+  *  - element nulls are undefined (the engine's vector type is
+  *    non-null-element, SURVEY.md §1.4);
+  *  - RAGGED arrays are DEFINED to truncate at the shorter length — the
+  *    sum runs over `min(|a|, |b|)` positions (matches zip_with-then-
+  *    aggregate over the overlap; extra positions never contribute).
   */
-abstract class VectorBinaryExpression extends BinaryExpression {
+abstract class VectorBinaryExpression extends BinaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+  // covariant override: Seq[DataType] <: Seq[AbstractDataType], whose name
+  // is private[sql] and unnameable here
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 }
 
 /** Squared L2 distance over two double arrays. */

@@ -30,6 +30,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(entries.map(_.getDouble(0)) == Seq(1.0, 3.0))
   }
 
+  test("SQL surface: type validation at analysis, ragged truncation, literal k") {
+    GraftExtensions.register(spark)
+    // numeric element types implicitly cast to array<double>
+    val f = spark
+      .sql("SELECT graft_l2sq(array(1,2), array(4,6)) AS d, " +
+        "graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS p")
+      .head()
+    assert(f.getDouble(0) == 25.0 && f.getDouble(1) == 3.0)
+    // ragged pairs truncate at the shorter length (defined semantics)
+    val rag = spark
+      .sql("SELECT graft_l2sq(array(1D,2D,99D), array(1D,2D)) AS d").head()
+    assert(rag.getDouble(0) == 0.0)
+    // non-array input: analysis-time error naming the expectation
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_l2sq('oops', array(1D))").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("array"), e1.getMessage)
+    // graft_topk: ids/dists implicitly cast from int
+    spark.sql(
+      "SELECT * FROM VALUES (1, 5, 10), (1, 1, 11) AS t(g, dist, id)"
+    ).createOrReplaceTempView("ipairs")
+    val tk = spark
+      .sql("SELECT graft_topk(dist, id, 1) AS tk FROM ipairs GROUP BY g").head()
+    assert(tk.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(11L))
+    // k: non-literal, non-positive, and wrong arity all fail fast
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_topk(dist, id, id) FROM ipairs GROUP BY g").collect()
+    }
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_topk(dist, id, 0) FROM ipairs GROUP BY g").collect()
+    }
+    assert(e3.getMessage.contains("positive"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT graft_l2sq(array(1D))").collect()
+    }
+    assert(e4.getMessage.contains("2 arguments"), e4.getMessage)
+  }
+
   test("RewriteVectorKernels swaps zip_with/aggregate for the codegen kernels") {
     import org.apache.spark.sql.functions._
     import graft.functions.{L2SqExpr, DotExpr, VectorFunctions}
