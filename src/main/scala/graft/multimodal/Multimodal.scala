@@ -63,6 +63,62 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder on the JDK's built-in `javax.imageio` (PNG / JPEG /
+    * GIF / BMP — no external dependency). `modality == "image"` bytes
+    * decode to the true (width, height, mean intensity), where mean
+    * intensity is the average over pixels of (r+g+b)/3 in [0,255].
+    * Undecodable image bytes raise a descriptive error — bad media should
+    * surface, not silently pass. Non-image modalities delegate to
+    * `fallback` (the JDK ships no audio/video frame decoder; the declared
+    * stub remains the boundary there).
+    */
+  class ImageIoDecoder(fallback: MediaDecoder) extends MediaDecoder {
+    def decode(content: Array[Byte], modality: String): (Int, Int, Double) =
+      if (modality != "image") fallback.decode(content, modality)
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"ImageIoDecoder: undecodable image bytes (${content.length} bytes)")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum / (w.toLong * h))
+      }
+  }
+  object ImageIoDecoder extends ImageIoDecoder(DeterministicFakeDecoder)
+
+  /** Deterministic single-gray PNG (fixture utility): w×h, every pixel the
+    * same gray level. PNG is lossless, so decode(grayPng(w,h,g)) is exactly
+    * (w, h, g) — which makes a REAL codec round-trip predictable in plain
+    * SQL for the oracle.
+    */
+  def grayPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Opaque media table derived from the documents fixture: content =
     * UTF-8 bytes, modality round-robins image/audio/video by id. (The test
     * tables ship no real media; the binary plumbing is what is exercised.)

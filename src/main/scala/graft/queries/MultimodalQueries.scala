@@ -53,6 +53,48 @@ object MultimodalQueries {
         FROM h
       """)
     ),
+    // Decode stage with the REAL javax.imageio codec: deterministic gray
+    // PNGs generated from (doc_id, n_chars) round-trip losslessly, so the
+    // decoded width/height/mean are predictable in plain SQL — a true
+    // codec is exercised under an exact oracle.
+    GQuery(
+      "mm_decode_png",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaPng = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 64 + 1).toInt
+              val h = (nc * 7 % 64 + 1).toInt
+              val g = (id % 256).toInt
+              (id, "image", Multimodal.grayPng(w, h, g), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal
+          .decodeMeta(spark, mediaPng, Multimodal.ImageIoDecoder)
+          .toDF()
+          .select(
+            col("id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(col("meanByte"), 6).as("mean_intensity")
+          )
+      },
+      Some("""
+        SELECT doc_id AS id,
+               (n_chars % 64 + 1)::BIGINT AS width,
+               (n_chars * 7 % 64 + 1)::BIGINT AS height,
+               round((doc_id % 256)::DOUBLE, 6) AS mean_intensity
+        FROM documents
+      """)
+    ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.
     GQuery(
       "mm_byte_histogram",

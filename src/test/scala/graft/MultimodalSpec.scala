@@ -1,0 +1,61 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** The multimodal decode boundary: the real javax.imageio codec for
+  * images (lossless PNG round-trip => exact metadata), the declared fake
+  * for modalities the JDK cannot decode, and loud failure on bad bytes.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("ImageIoDecoder decodes a generated PNG to exact (w, h, mean)") {
+    val bytes = Multimodal.grayPng(37, 11, 200)
+    val (w, h, mean) = Multimodal.ImageIoDecoder.decode(bytes, "image")
+    assert(w == 37 && h == 11)
+    assert(mean == 200.0)
+  }
+
+  test("ImageIoDecoder mean intensity averages channels per pixel") {
+    // 1x2: one pure red (85.0 intensity hand-computed: (255+0+0)/3),
+    // one white (255)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, mean) = Multimodal.ImageIoDecoder.decode(bos.toByteArray, "image")
+    assert(w == 2 && h == 1)
+    assert(math.abs(mean - (255.0 / 3.0 + 255.0) / 2.0) < 1e-12)
+  }
+
+  test("undecodable image bytes fail loudly; audio/video fall back to the stub") {
+    val junk = "definitely not a png".getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(junk, "image")
+    }
+    assert(e.getMessage.contains("undecodable"), e.getMessage)
+    // non-image modalities delegate to the deterministic fake
+    assert(Multimodal.ImageIoDecoder.decode(junk, "audio")
+      == Multimodal.DeterministicFakeDecoder.decode(junk, "audio"))
+  }
+
+  test("decodeMeta over a PNG media table uses the real codec end-to-end") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val media = (0L until 20L).map { i =>
+      val w = (i % 5 + 1).toInt
+      val h = (i % 3 + 1).toInt
+      (i, "image", Multimodal.grayPng(w, h, (i * 11 % 256).toInt), 0L)
+    }.toDF("id", "modality", "content", "metaLen")
+    val out = Multimodal
+      .decodeMeta(spark, media, Multimodal.ImageIoDecoder)
+      .collect()
+    assert(out.length == 20)
+    out.foreach { d =>
+      assert(d.width == (d.id % 5 + 1).toInt, d)
+      assert(d.height == (d.id % 3 + 1).toInt, d)
+      assert(d.meanByte == (d.id * 11 % 256).toDouble, d)
+    }
+  }
+}
