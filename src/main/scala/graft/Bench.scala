@@ -6,13 +6,21 @@ import org.apache.spark.sql.SparkSession
   * query's generated code and JIT-warms the kernels so the timed pass
   * measures execution, not codegen.
   *
-  * Trustworthiness contract (round-2 verdict item 1):
+  * Trustworthiness contract (round-2/3 verdict items):
   *   - each query is timed SPARK_GRAFT_REPS times (default 3) and the
   *     reported number is the MEDIAN, so a single contended-box outlier
   *     cannot masquerade as a regression;
   *   - a query that throws is recorded in the "errors" field with its
-  *     exception class+message and EXCLUDED from "queries"/"value" — a
-  *     crash can never be mistaken for a wall-clock time.
+  *     exception class+message and excluded from "queries"; "value" is
+  *     then emitted as null — a crashing build can never be read as a
+  *     faster total;
+  *   - CACHE SEMANTICS: no query caches per-query data anymore (round-3
+  *     lifecycle fix), so reps measure real re-execution. The ONE
+  *     deliberate cross-query artifact is the HNSW shared build
+  *     (immutable index tables per sf dir): hnsw_build measures its cold
+  *     construction (it clears the memo and rebuilds every rep), and the
+  *     remaining hnsw_* entries measure search/aggregation over the
+  *     prebuilt index — the realistic serving split.
   */
 object Bench {
   private def jsonEscape(s: String): String =
@@ -75,7 +83,8 @@ object Bench {
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
-    val total = timings.values.sum
+    // null total when anything failed: a crash must never read as a speedup
+    val total = if (errors.nonEmpty) "null" else timings.values.sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }

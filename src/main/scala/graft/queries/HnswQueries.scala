@@ -35,11 +35,26 @@ object HnswQueries {
   private val buildCache =
     scala.collection.concurrent.TrieMap.empty[String, DistributedHnsw.Shards]
 
-  /** Drop all memoized builds and release their executor-storage caches. */
+  /** Drop all memoized builds and release their executor-storage caches
+    * (the Shards-tracked build caches plus sharedBuild's edge-table cache).
+    */
   def clearBuildCache(): Unit = {
-    buildCache.values.foreach(_.unpersist())
+    buildCache.values.foreach { s =>
+      s.edges.unpersist(blocking = false)
+      s.unpersist()
+    }
     buildCache.clear()
+    searchCache.values.foreach(_.unpersist())
+    searchCache.clear()
   }
+
+  /** hnsw_knn's materialized result per sf dir (|Q|·k rows — tiny), so
+    * hnsw_recall scores THE search it just benchmarked instead of paying a
+    * redundant second shard sweep. Repopulated (old entry unpersisted) on
+    * every hnsw_knn run; released by [[clearBuildCache]].
+    */
+  private val searchCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
   private def sharedBuild(
       spark: org.apache.spark.sql.SparkSession,
@@ -59,29 +74,50 @@ object HnswQueries {
     )
 
   val all: Seq[GQuery] = Seq(
-    // M5: sharded HNSW build + batch search.
+    // M5 build half: cold index construction, measured on its own — the
+    // shared-build memo makes every other hnsw_* entry search-only, so
+    // this is the one place build cost is visible to the bench.
+    GQuery(
+      "hnsw_build",
+      (spark, dir) => {
+        clearBuildCache()
+        sharedBuild(spark, dir).edges
+          .select(col("shard"), col("layer"), col("src"), col("dst"))
+      },
+      None
+    ),
+    // M5 search half: batch search over the prebuilt shard tables.
     GQuery(
       "hnsw_knn",
       (spark, dir) => {
         val (_, q) = embAndQueries(spark, dir)
         val shards = sharedBuild(spark, dir)
-        DistributedHnsw
+        val res = DistributedHnsw
           .search(shards, q, "query_id", "qv", K)
           .select(
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 6).as("dist"),
             col("rnk").cast("long").as("rnk")
           )
+        // memoize THIS result for hnsw_recall (replacing any prior run's)
+        searchCache.remove(dir).foreach(_.unpersist())
+        searchCache(dir) = res.cache()
+        res
       },
       None
     ),
     // D8: per-query Recall@10 of the sharded HNSW vs exact brute force.
+    // Scores the memoized hnsw_knn result when present instead of paying
+    // a redundant second shard sweep; falls back to its own search when
+    // run standalone.
     GQuery(
       "hnsw_recall",
       (spark, dir) => {
         val (emb, q) = embAndQueries(spark, dir)
-        val shards = sharedBuild(spark, dir)
-        val approx = DistributedHnsw.search(shards, q, "query_id", "qv", K)
+        val approx = searchCache.getOrElse(dir, {
+          val shards = sharedBuild(spark, dir)
+          DistributedHnsw.search(shards, q, "query_id", "qv", K)
+        })
         val exact = BruteForceKNN.knn(
           q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K
         )
