@@ -175,30 +175,35 @@ object KMeans {
         .limit(n)
   }
 
+  private def flatten(centroids: Array[Array[Double]]): Array[Double] = {
+    val k = centroids.length
+    val d = centroids(0).length
+    val out = new Array[Double](k * d)
+    var c = 0
+    while (c < k) {
+      require(centroids(c).length == d, "ragged centroid widths")
+      System.arraycopy(centroids(c), 0, out, c * d, d)
+      c += 1
+    }
+    out
+  }
+
   /** Column: index of the nearest centroid (E-step argmin; first-lowest
-    * index wins ties, ref: py/pq.py:161-171). Centroids broadcast.
+    * index wins ties, ref: py/pq.py:161-171). Native codegen kernel with
+    * the k×d matrix embedded in the plan
+    * ([[graft.functions.ArgminCentroidExpr]]) — no per-row boxing.
     */
   def assignCol(
       spark: SparkSession,
       centroids: Array[Array[Double]],
       vec: org.apache.spark.sql.Column
-  ): org.apache.spark.sql.Column = {
-    val bc = spark.sparkContext.broadcast(centroids)
-    val f = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val cs = bc.value
-      var best = 0
-      var bestD = KMeansLocal.l2Sq(arr, cs(0))
-      var c = 1
-      while (c < cs.length) {
-        val dc = KMeansLocal.l2Sq(arr, cs(c))
-        if (dc < bestD) { bestD = dc; best = c }
-        c += 1
-      }
-      best
-    }
-    f(vec)
-  }
+  ): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ArgminCentroidExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        flatten(centroids), centroids.length, centroids(0).length
+      )
+    )
 
   final case class Result(
       centroids: Array[Array[Double]],
@@ -229,23 +234,10 @@ object KMeans {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf { (v: Seq[Double]) =>
-        val arr = v.toArray
-        val cs = bc.value
-        var best = 0
-        var bestD = KMeansLocal.l2Sq(arr, cs(0))
-        var c = 1
-        while (c < cs.length) {
-          val dc = KMeansLocal.l2Sq(arr, cs(c))
-          if (dc < bestD) { bestD = dc; best = c }
-          c += 1
-        }
-        best
-      }
-      // M-step: explode to (cluster, dim, x) and hash-aggregate the means.
+      // E-step via the plan-embedded native argmin; M-step: explode to
+      // (cluster, dim, x) and hash-aggregate the means.
       val means = vecs
-        .withColumn("c", assignUdf(col("v")))
+        .withColumn("c", assignCol(spark, centroids, col("v")))
         .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("c"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -258,7 +250,6 @@ object KMeans {
       converged =
         (0 until k).forall(c => KMeansLocal.l2Sq(centroids(c), next(c)) <= tol)
       if (!converged) centroids = next
-      bc.unpersist()
       iter += 1
     }
     Result(centroids, iter)

@@ -62,10 +62,22 @@ object Fvecs {
       .toDF("id", "vec")
   }
 
-  /** Write (id, vec) rows to a single fvecs file in ascending-id order
-    * (test/round-trip utility).
+  /** Write (id, vec) rows to a single fvecs file in ascending-id order.
+    * TEST/ROUND-TRIP UTILITY ONLY: the single-file format forces a
+    * driver-side collect, so the row count is guarded — corpus-scale
+    * vector data belongs in parquet (`df.write.parquet`), not fvecs.
     */
-  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def write(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      maxRows: Int = 1000000
+  ): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"Fvecs.write collects to the driver and refuses $n > $maxRows rows; " +
+        "write corpus-scale vectors as parquet instead (raise maxRows to force)")
     val rows = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()

@@ -124,6 +124,42 @@ class PQExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("centroid argmin: kernel == interpreted eval == codegen, exact") {
+    val k = 7
+    val cents = Array.fill(k)(Array.fill(D)(rng.nextDouble() * 2 - 1))
+    val flatC = {
+      val out = new Array[Double](k * D)
+      cents.zipWithIndex.foreach { case (c, i) =>
+        System.arraycopy(c, 0, out, i * D, D) }
+      out
+    }
+    def kernel(v: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        while (j < D) { val d = v(j) - c(j); s += d * d; j += 1 }
+        if (s < bestD) { bestD = s; best = i }
+      }
+      best
+    }
+    val interp = vecs.map { v =>
+      ArgminCentroidExpr(vecLit(v), flatC, k, D)
+        .eval(InternalRow.empty).asInstanceOf[Int]
+    }
+    val spark2 = spark
+    val fromDf = vecs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.operators.KMeans.assignCol(spark2, cents, col("v")).as("c"))
+      .orderBy("id").collect().map(_.getInt(1))
+    vecs.indices.foreach { i =>
+      assert(interp(i) == kernel(vecs(i)), s"interp row $i")
+      assert(fromDf(i) == kernel(vecs(i)), s"codegen row $i")
+    }
+  }
+
   test("executed plan shows the native expressions in codegen, no UDF node") {
     // parquet-backed (a literal LocalRelation would constant-fold away)
     val emb64 = spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -89,6 +89,12 @@ class PlanSpec extends SparkSpec {
       s"cell join must not carry a broadcast hint:\n$opt")
   }
 
+  test("kmeans_estep: native argmin in the plan, no UDF node") {
+    val p = planOf("kmeans_estep")
+    assert(p.contains("centroid_argmin"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("text_langid: profile join broadcasts the tiny profile side") {
     val p = planOf("text_langid")
     assert(p.contains("BroadcastHashJoin"), p)
