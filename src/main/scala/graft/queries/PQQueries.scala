@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -151,20 +150,25 @@ object PQQueries {
             col("vec_id").as("query_id"),
             ProductQuantizer.lutCol(model, toDouble(col("embedding"))).as("lut")
           )
+        // bounded-heap top-k (partial agg before the shuffle) instead of a
+        // rank window — a window would sort ALL |Q|·|B| pairs through one
+        // exchange; the heap reduces each partition to k rows per query
+        // first (same plan shape as knn_bruteforce; heap == window proven
+        // in VectorFunctionsSpec)
         val pairs = enc
           .join(broadcast(q))
           .withColumn(
             "dist",
             ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("dist"), col("neighbor_id"))
         pairs
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg.topK(col("dist"), col("neighbor_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
           .select(
-            col("query_id"), col("neighbor_id"),
-            round(col("dist"), 6).as("dist"),
-            col("rnk").cast("long").as("rnk")
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 6).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk")
           )
       },
       Some(s"""
@@ -207,21 +211,26 @@ object PQQueries {
         val q = emb
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
-        val pairs = enc.join(broadcast(q))
-        val wAdc = Window.partitionBy(col("query_id"))
-          .orderBy(col("adist"), col("neighbor_id"))
-        val wEx = Window.partitionBy(col("query_id"))
-          .orderBy(col("edist"), col("neighbor_id"))
         val fast = graft.functions.VectorExpressions
-        val both = pairs
+        // ONE aggregation pass carries both bounded heaps (approx + exact
+        // rankings) — no rank windows, no |Q|·|B| sort exchanges; the
+        // heap's (dist, id) ordering matches the windows' tie-break
+        val tops = enc.join(broadcast(q))
           .withColumn("adist", fast.l2SqFast(col("qv"), col("dv")))
           .withColumn("edist", fast.l2SqFast(col("qv"), col("bv")))
-          .withColumn("arnk", row_number().over(wAdc))
-          .withColumn("ernk", row_number().over(wEx))
-        both
-          .filter(col("arnk") <= 5 && col("ernk") <= 5)
           .groupBy(col("query_id"))
-          .agg((count(lit(1)) / 5.0).as("recall"))
+          .agg(
+            graft.functions.TopKAgg.topK(col("adist"), col("neighbor_id"), 5).as("ta"),
+            graft.functions.TopKAgg.topK(col("edist"), col("neighbor_id"), 5).as("te")
+          )
+        tops
+          .select(
+            col("query_id"),
+            (size(array_intersect(col("ta.id"), col("te.id"))) / 5.0).as("recall")
+          )
+          // the window formulation emits no row for an empty intersection
+          // (GROUP BY after the rank filter); keep that contract
+          .filter(col("recall") > 0)
       },
       Some(s"""
         WITH $pqCtes,
