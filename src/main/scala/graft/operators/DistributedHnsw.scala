@@ -74,14 +74,21 @@ object DistributedHnsw {
       .select(col("shard"), col("id"), col("vec"))
       .as[(Int, Long, Seq[Double])]
       .mapPartitions { it =>
-        // a hash partition may carry several shard keys: build one index
-        // per shard present in this partition
-        val byShard = it.toSeq.groupBy(_._1)
+        // a hash partition may carry several shard keys: bucket rows by
+        // shard in ONE pass (toSeq.groupBy would hold the partition twice
+        // at peak — once as the seq, once as the grouped copies), then
+        // build one index per shard present
+        val byShard = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])]]
+        it.foreach { case (s, id, v) =>
+          byShard.getOrElseUpdate(
+            s, scala.collection.mutable.ArrayBuffer.empty) += ((id, v))
+        }
         byShard.iterator.flatMap { case (shard, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val ids = sorted.map(_._2).toArray
+          val sorted = rows.sortInPlace()(Ordering.by(_._1))
+          val ids = sorted.map(_._1).toArray
           val index = new HnswIndex(params, seed + shard, compression)
-          sorted.foreach { case (_, _, v) => index.insert(v.toArray) }
+          sorted.foreach { case (_, v) => index.insert(v.toArray) }
           val edges = index.graph.edgeIterator.map { case (l, src, dst) =>
             (shard, l, ids(src), ids(dst), -1L, -1)
           }

@@ -92,6 +92,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native PQ expressions == PQModel kernels bit-exact across a random (M,K,D') grid") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, ShortType}
+    import graft.functions._
+    val cfgGen = Gen.zip(
+      Gen.chooseNum(1, 4), // m
+      Gen.chooseNum(2, 8), // k
+      Gen.chooseNum(1, 5)  // dp
+    )
+    forSamples(cfgGen, n = 15) { case (m, k, dp) =>
+      val rng = new scala.util.Random(m * 100 + k * 10 + dp)
+      val model = PQModel(
+        m, k, m * dp,
+        Array.fill(m)(Array.fill(k)(Array.fill(dp)(rng.nextDouble() * 2 - 1))))
+      val flat = model.flatCodebook
+      val vs = Array.fill(6)(Array.fill(m * dp)(rng.nextDouble() * 2 - 1))
+      def vecLit(v: Array[Double]) = Literal.create(v.toSeq, ArrayType(DoubleType))
+      def codeLit(c: Array[Short]) = Literal.create(c.toSeq, ArrayType(ShortType))
+      vs.foreach { v =>
+        val code = model.encodeVec(v)
+        val nEnc = PQEncodeExpr(vecLit(v), flat, m, k, dp)
+          .eval(InternalRow.empty).asInstanceOf[ArrayData].toShortArray.toSeq
+        assert(nEnc == code.toSeq, s"encode m=$m k=$k dp=$dp")
+        val nDec = PQDecodeExpr(codeLit(code), flat, m, k, dp)
+          .eval(InternalRow.empty).asInstanceOf[ArrayData].toDoubleArray.toSeq
+        assert(nDec == model.decodeCode(code).toSeq, s"decode m=$m k=$k dp=$dp")
+        val q = vs.head
+        val adc = model.adc(q, code)
+        assert(PQAdcExpr(vecLit(q), codeLit(code), flat, m, k, dp)
+          .eval(InternalRow.empty) == adc, s"adc m=$m k=$k dp=$dp")
+        val lut = model.adcLut(q)
+        assert(model.adcFromLut(lut, code) == adc, s"lut m=$m k=$k dp=$dp")
+        assert(PQAdcLutExpr(vecLit(lut), codeLit(code), m, k)
+          .eval(InternalRow.empty) == adc, s"lutExpr m=$m k=$k dp=$dp")
+        assert(PQSdcExpr(codeLit(code), codeLit(model.encodeVec(q)), flat, m, k, dp)
+          .eval(InternalRow.empty) == model.sdc(code, model.encodeVec(q)),
+          s"sdc m=$m k=$k dp=$dp")
+      }
+    }
+  }
+
   test("SDC is symmetric; ADC(q, code(q)) equals reconstruction error") {
     import spark.implicits._
     forSamples(dataGen, n = 5) { data =>
