@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg.topK
+
+/** IVFADC — the coarse-quantizer + PQ-residual composition (Jégou et al.
+  * 2011 §IV, the canonical billion-scale ANN layout; composes the
+  * engine's existing IVF cells with the reference's PQ semantics,
+  * ref: py/pq.py + py/PRODUCT_QUANTIZATION.md:157-169 for the LUT).
+  *
+  * Build: every vector is assigned to its nearest coarse cell
+  * (plan-embedded argmin), the RESIDUAL vector − centroid[cell] is
+  * PQ-encoded, and the (id, cell, code) table persists cell-partitioned —
+  * codes are ~M bytes per vector, so the index is 32× smaller than the
+  * raw doubles at M=8/D=64, and the probed scan prunes partitions exactly
+  * like [[IvfIndex]].
+  *
+  * Search: each query probes its `nprobe` nearest cells; per (query,
+  * probed cell) ONE M×K lookup table is built from the query's residual
+  * against that cell ([[ProductQuantizer.lutCol]]); every candidate code
+  * in the cell then costs M array lookups inside whole-stage codegen
+  * ([[ProductQuantizer.adcFromLutCol]]); a bounded heap keeps top-k per
+  * query with partial aggregation before the shuffle.
+  *
+  * Residuals are computed with `zip_with` (declarative, exact left-to-
+  * right element order — the oracle mirrors it element-wise); the hot
+  * per-candidate loop is entirely native expressions.
+  */
+object IvfAdc {
+
+  /** (id, cell, code) residual-code table under the given coarse
+    * centroids + PQ model.
+    */
+  def encode(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    IvfIndex.assign(spark, df, idCol, vecCol, centroids)
+      .join(broadcast(cents), "cell")
+      .withColumn("resid", expr("zip_with(vec, cvec, (x, y) -> x - y)"))
+      .select(
+        col("id"), col("cell"),
+        ProductQuantizer.encodeCol(model, col("resid")).as("code")
+      )
+  }
+
+  /** Persist the residual-code index cell-partitioned (prunable like
+    * [[IvfIndex.build]]).
+    */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel,
+      path: String
+  ): Unit =
+    encode(spark, df, idCol, vecCol, centroids, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Approximate top-k by asymmetric distance over residual codes.
+    * `index` is an [[encode]]/[[build]] table (id, cell, code). Returns
+    * (query_id, neighbor_id, dist, rnk) where dist is the ADC estimate
+    * ‖(q − centroid[cell]) − decode(code)‖².
+    */
+  def search(
+      spark: SparkSession,
+      index: DataFrame,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    // (qid, cell, lut): one LUT per probed (query, cell) pair, from the
+    // query's residual against that cell's centroid
+    val probes = IvfIndex
+      .probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
+      .join(broadcast(cents), "cell")
+      .withColumn("qresid", expr(s"zip_with($qvecCol, cvec, (x, y) -> x - y)"))
+      .select(
+        col("cell"), col(qidCol),
+        ProductQuantizer.lutCol(model, col("qresid")).as("lut")
+      )
+    index
+      .join(probes, "cell")
+      .withColumn(
+        "dist",
+        ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
+      .groupBy(col(qidCol))
+      .agg(topK(col("dist"), col("id"), k).as("tk"))
+      .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col(qidCol),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
+  }
+
+  /** Partition-pruned search against a [[build]]-written index: the
+    * distinct probed cells become a static partition filter (bounded by
+    * the centroid count), same tactic as [[IvfIndex.searchPartitioned]].
+    */
+  def searchPartitioned(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val probeSet = IvfIndex
+      .probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeSet.map(Integer.valueOf).toSeq: _*))
+    search(spark, index, queries, qidCol, qvecCol, centroids, model, k, nprobe)
+  }
+}

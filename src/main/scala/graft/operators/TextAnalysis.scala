@@ -34,6 +34,40 @@ object TextAnalysis {
           .cast("double") / size(col("toks"))).as("avg_token_len")
       )
 
+  /** GPT-2-flavored pretokenization pattern, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
+    * lookarounds, no unicode classes: an optional leading space glued to a
+    * letter run, a digit run, or a punctuation run. This is the BPE
+    * *pre*-tokenizer shape (the merge table is a model artifact, not an
+    * engine operator); token counts under it are the standard LLM-pipeline
+    * length statistic.
+    */
+  val BpeTokenPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Per-document BPE-ish token statistics: total token count, letter-run
+    * and digit-run counts, and mean token length (leading spaces counted,
+    * as in BPE vocabularies).
+    */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        regexp_extract_all(
+          col(textCol), lit(s"($BpeTokenPattern)"), lit(1)).as("toks")
+      )
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(toks, t -> trim(t) rlike '^[A-Za-z]+$'))")
+          .cast("long").as("n_word_tokens"),
+        expr("size(filter(toks, t -> trim(t) rlike '^[0-9]+$'))")
+          .cast("long").as("n_digit_tokens"),
+        round(
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+            / expr("nullif(size(toks), 0)"),
+          6
+        ).as("avg_token_len")
+      )
+
   /** Heuristic quality score in [0,1]: blend of length saturation,
     * stopword ratio and token diversity. The exact formula is part of the
     * declared semantics (mirrored in the oracle SQL).

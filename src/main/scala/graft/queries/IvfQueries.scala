@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.IvfIndex
+import graft.operators.{IvfAdc, IvfIndex, PQModel}
 import Q._
 
 /** IVF approximate-NN query surface under fixed data-derived coarse
@@ -100,6 +100,103 @@ object IvfQueries {
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk
               FROM cd)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    // IVFADC (Jégou et al. 2011 §IV): coarse cells + PQ codes of the
+    // RESIDUAL vector-minus-centroid, searched via one per-(query, cell)
+    // LUT and M array lookups per candidate. Fixed centroids (vec_id<8)
+    // and a fixed codebook (vec_id<4 subspace slices) keep the whole
+    // pipeline deterministic, so DuckDB mirrors it exactly: residual
+    // subtraction element-wise, per-subspace sums in j order, m-ordered
+    // outer sum — bit-compatible with the native expressions.
+    GQuery(
+      "ivfadc_knn",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val cbRows = emb
+          .filter(col("vec_id") < 4).orderBy(col("vec_id"))
+          .select(col("vec"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val model = PQModel(
+          8, 4, 64,
+          Array.tabulate(8)(mi =>
+            cbRows.map(v => java.util.Arrays.copyOfRange(v, mi * 8, (mi + 1) * 8)))
+        )
+        val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfAdc
+          .search(spark, index, q, "query_id", "qv", cents, model, K, NPROBE)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        cb AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 4),
+        ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        res AS (SELECT e.vec_id, a.cell,
+                       list_transform(generate_series(1, 64),
+                         j -> e.ev[j] - cent.cv[j]) AS rv
+                FROM e JOIN assigned a ON a.vec_id = e.vec_id
+                JOIN cent ON cent.ck = a.cell),
+        rd AS (SELECT res.vec_id, ms.m, cb.ck,
+                      list_sum(list_transform(generate_series(1, 8),
+                        j -> (res.rv[ms.m*8+j] - cb.cv[ms.m*8+j])
+                             * (res.rv[ms.m*8+j] - cb.cv[ms.m*8+j]))) AS dist
+               FROM res CROSS JOIN ms CROSS JOIN cb),
+        enc AS (SELECT vec_id, m, ck AS code FROM (
+                  SELECT vec_id, m, ck,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY dist, ck) AS rn
+                  FROM rd) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        qres AS (SELECT p.query_id, p.cell,
+                        list_transform(generate_series(1, 64),
+                          j -> q.qv[j] - cent.cv[j]) AS qrv
+                 FROM probes p
+                 JOIN q ON q.query_id = p.query_id
+                 JOIN cent ON cent.ck = p.cell),
+        qd AS (SELECT qres.query_id, qres.cell, ms.m, cb.ck,
+                      list_sum(list_transform(generate_series(1, 8),
+                        j -> (qres.qrv[ms.m*8+j] - cb.cv[ms.m*8+j])
+                             * (qres.qrv[ms.m*8+j] - cb.cv[ms.m*8+j]))) AS sdist
+               FROM qres CROSS JOIN ms CROSS JOIN cb),
+        adc AS (SELECT qd.query_id, a.vec_id AS neighbor_id,
+                       list_sum(list(qd.sdist ORDER BY qd.m)) AS dist
+                FROM assigned a
+                JOIN enc ON enc.vec_id = a.vec_id
+                JOIN qd ON qd.cell = a.cell AND qd.m = enc.m
+                       AND qd.ck = enc.code
+                GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM adc)
         SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
         FROM r WHERE rnk <= $K
       """)

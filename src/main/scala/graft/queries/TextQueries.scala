@@ -250,6 +250,30 @@ object TextQueries {
         FROM tok
       """)
     ),
+    // BPE-ish pretokenizer statistics (GPT-2-flavored pattern, identical
+    // Java-regex/RE2 semantics — see TextAnalysis.BpeTokenPattern).
+    GQuery(
+      "text_bpe_tokens",
+      (spark, dir) =>
+        TextAnalysis.bpeTokenStats(t(spark, dir, "documents"), "doc_id", "text"),
+      Some(s"""
+        WITH tk AS (SELECT doc_id,
+                           regexp_extract_all(text,
+                             '${TextAnalysis.BpeTokenPattern}') AS toks
+                    FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_filter(toks,
+                 t -> regexp_matches(trim(t), '^[A-Za-z]+$$')))::BIGINT
+                 AS n_word_tokens,
+               len(list_filter(toks,
+                 t -> regexp_matches(trim(t), '^[0-9]+$$')))::BIGINT
+                 AS n_digit_tokens,
+               round(list_sum(list_transform(toks, t -> strlen(t)))::DOUBLE
+                       / nullif(len(toks), 0), 6) AS avg_token_len
+        FROM tk
+      """)
+    ),
     // Heuristic quality score.
     GQuery(
       "text_quality",

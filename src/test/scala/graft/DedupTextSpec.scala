@@ -53,6 +53,27 @@ class DedupTextSpec extends SparkSpec {
     assert(s.filter(col("n_tokens") <= 0 || col("avg_token_len") <= 0).count() == 0)
   }
 
+  test("BPE-ish tokenizer: lossless cover, class counts, known example") {
+    val df = Seq(
+      (1L, "hello world 42 times!"),
+      (2L, "a1b2"),
+      (3L, "...")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "hello world 42 times!" -> [hello][ world][ 42][ times][!]
+    assert(got(1L).getLong(1) == 5, got(1L))
+    assert(got(1L).getLong(2) == 3) // hello, world, times
+    assert(got(1L).getLong(3) == 1) // 42
+    // "a1b2" -> [a][1][b][2]
+    assert(got(2L).getLong(1) == 4 && got(2L).getLong(2) == 2 && got(2L).getLong(3) == 2)
+    // "..." -> one punctuation run, zero words/digits
+    assert(got(3L).getLong(1) == 1 && got(3L).getLong(2) == 0 && got(3L).getLong(3) == 0)
+    // token lengths cover the text exactly (the pattern is a partition)
+    val t1 = got(1L)
+    assert(t1.getDouble(4) * t1.getLong(1) == "hello world 42 times!".length)
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val f = TextAnalysis.fingerprint(df, "doc_id", "text")

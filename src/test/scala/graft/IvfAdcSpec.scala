@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{IvfAdc, PQModel, ProductQuantizer}
+import graft.queries.Q
+
+/** IVFADC invariants beyond the ivfadc_knn oracle: with every cell probed
+  * the result equals brute-force ADC over residual codes, the disk path
+  * equals the in-memory path, and codes beat raw storage by ~8x per the
+  * M-byte layout.
+  */
+class IvfAdcSpec extends SparkSpec {
+
+  private lazy val emb = Q.t(spark, sf0001, "embeddings")
+    .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+  private lazy val cents = emb
+    .filter(col("vec_id") < 8).orderBy(col("vec_id"))
+    .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+  private lazy val model: PQModel = {
+    val rows = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    PQModel(8, 4, 64, Array.tabulate(8)(mi =>
+      rows.map(v => java.util.Arrays.copyOfRange(v, mi * 8, (mi + 1) * 8))))
+  }
+  private lazy val queries = emb
+    .filter(col("vec_id") % 25 === 0)
+    .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+
+  test("nprobe = nCells equals brute-force ADC over residual codes") {
+    val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
+    val full = IvfAdc.search(
+      spark, index, queries, "query_id", "qv", cents, model,
+      k = 5, nprobe = cents.length)
+    // independent spelling: decode-free per-pair ADC on the same residuals
+    val centsDf = {
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cvec")
+    }
+    val qres = queries
+      .crossJoin(broadcast(centsDf))
+      .withColumn("qresid", expr("zip_with(qv, cvec, (x, y) -> x - y)"))
+      .select(col("query_id"), col("cell"),
+        ProductQuantizer.lutCol(model, col("qresid")).as("lut"))
+    val naive = index
+      .join(qres, "cell")
+      .withColumn("dist",
+        ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("dist"), col("id"), 5).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+    assert(full.select(col("query_id"), col("neighbor_id"))
+      .except(naive).count() == 0)
+  }
+
+  test("searchPartitioned == in-memory search") {
+    val path = java.nio.file.Files.createTempDirectory("ivfadc").toString + "/idx"
+    IvfAdc.build(spark, emb, "vec_id", "vec", cents, model, path)
+    val mem = IvfAdc.search(
+      spark, IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model),
+      queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    val disk = IvfAdc.searchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    assert(mem.except(disk).count() == 0 && disk.except(mem).count() == 0)
+  }
+
+  test("index stores M shorts per vector (the 100-TB compression argument)") {
+    val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
+    val row = index.head()
+    assert(row.getSeq[Short](row.fieldIndex("code")).length == model.m)
+    assert(index.count() == emb.count())
+  }
+}
