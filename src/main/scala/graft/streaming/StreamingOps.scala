@@ -179,6 +179,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental IVF maintenance: each micro-batch is assigned to its
+    * coarse cell and APPENDED to the cell-partitioned index — IVF needs no
+    * rebuild (cells are unordered bags), so streaming maintenance is pure
+    * partitioned append and
+    * [[graft.operators.IvfIndex.searchPartitioned]] over the growing
+    * index is correct at every instant. Contrast [[incrementalHnswSink]],
+    * where touched shards must re-run graph construction.
+    */
+  def incrementalIvfSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      indexPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfIndex
+          .assign(batch.sparkSession, batch, idCol, vecCol, centroids)
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+      }
+      .start()
+
   /** Incremental vector ingestion: each micro-batch of (id, vec) rows is
     * appended to the shard-partitioned vector store that
     * [[graft.operators.DistributedHnsw.build]] consumes — the foreachBatch

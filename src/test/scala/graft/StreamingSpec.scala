@@ -160,6 +160,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("incremental IVF sink: streamed appends answer like a batch build") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.IvfIndex
+    val srcDir = Files.createTempDirectory("ivfsrc").toString
+    val index = Files.createTempDirectory("ivfidx").toString + "/index"
+    val ckpt = Files.createTempDirectory("ivfckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val cents = emb.filter(col("id") < 8).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    emb.filter(col("id") < 250).write.parquet(s"$srcDir/w1")
+    emb.filter(col("id") >= 250).write.parquet(s"$srcDir/w2")
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.incrementalIvfSink(
+      stream, "id", "vec", cents, index, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val queries = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val streamed = IvfIndex.searchPartitioned(
+      spark, index, queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    val batch = IvfIndex.search(
+      spark, IvfIndex.assign(spark, emb, "id", "vec", cents),
+      queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    assert(streamed.except(batch).count() == 0
+      && batch.except(streamed).count() == 0)
+  }
+
   test("incremental HNSW sink: per-batch shard rebuild equals full rebuild") {
     import graft.functions.VectorFunctions._
     import graft.operators.{DistributedHnsw, HnswParams}
