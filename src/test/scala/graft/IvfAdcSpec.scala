@@ -56,7 +56,7 @@ class IvfAdcSpec extends SparkSpec {
       .except(naive).count() == 0)
   }
 
-  test("searchPartitioned == in-memory search") {
+  test("searchPartitioned == in-memory search, and the scan partition-prunes") {
     val path = java.nio.file.Files.createTempDirectory("ivfadc").toString + "/idx"
     IvfAdc.build(spark, emb, "vec_id", "vec", cents, model, path)
     val mem = IvfAdc.search(
@@ -65,6 +65,11 @@ class IvfAdcSpec extends SparkSpec {
     val disk = IvfAdc.searchPartitioned(
       spark, path, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
     assert(mem.except(disk).count() == 0 && disk.except(mem).count() == 0)
+    val ep = disk.queryExecution.executedPlan.toString
+    val scanLine = ep.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
+      .getOrElse("")
+    assert(scanLine.contains("IN ("), s"no cell partition filter:\n$ep")
   }
 
   test("index stores M shorts per vector (the 100-TB compression argument)") {
