@@ -84,6 +84,27 @@ object IvfAdc {
       model: PQModel,
       k: Int,
       nprobe: Int
+  ): DataFrame =
+    searchWithProbes(
+      spark, index,
+      IvfIndex.probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe),
+      qidCol, qvecCol, centroids, model, k
+    )
+
+  /** LUT derivation + candidate ADC scan over a precomputed
+    * (qid, cell, qvec) probe table — shared by [[search]] and
+    * [[searchPartitioned]] so the probe set is computed exactly once per
+    * call.
+    */
+  private def searchWithProbes(
+      spark: SparkSession,
+      index: DataFrame,
+      probes: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel,
+      k: Int
   ): DataFrame = {
     import spark.implicits._
     val cents = centroids.zipWithIndex
@@ -91,8 +112,7 @@ object IvfAdc {
       .toDF("cell", "cvec")
     // (qid, cell, lut): one LUT per probed (query, cell) pair, from the
     // query's residual against that cell's centroid
-    val probes = IvfIndex
-      .probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
+    val luts = probes
       .join(broadcast(cents), "cell")
       .withColumn("qresid", expr(s"zip_with($qvecCol, cvec, (x, y) -> x - y)"))
       .select(
@@ -100,7 +120,7 @@ object IvfAdc {
         ProductQuantizer.lutCol(model, col("qresid")).as("lut")
       )
     index
-      .join(probes, "cell")
+      .join(luts, "cell")
       .withColumn(
         "dist",
         ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
@@ -117,7 +137,10 @@ object IvfAdc {
 
   /** Partition-pruned search against a [[build]]-written index: the
     * distinct probed cells become a static partition filter (bounded by
-    * the centroid count), same tactic as [[IvfIndex.searchPartitioned]].
+    * the centroid count), same tactic as [[IvfIndex.searchPartitioned]] —
+    * and like there, the probe set is evaluated ONCE via an eager
+    * `localCheckpoint` shared by the partition-filter collect and the LUT
+    * join (blocks released by the ContextCleaner when the result drops).
     */
   def searchPartitioned(
       spark: SparkSession,
@@ -130,12 +153,14 @@ object IvfAdc {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    val probeSet = IvfIndex
+    val probes = IvfIndex
       .probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
-      .select(col("cell")).distinct()
+      .localCheckpoint()
+    val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val index = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probeSet.map(Integer.valueOf).toSeq: _*))
-    search(spark, index, queries, qidCol, qvecCol, centroids, model, k, nprobe)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    searchWithProbes(
+      spark, index, probes, qidCol, qvecCol, centroids, model, k)
   }
 }

@@ -106,8 +106,25 @@ object IvfIndex {
       centroids: Array[Array[Double]],
       k: Int,
       nprobe: Int
-  ): DataFrame = {
-    val probes = probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
+  ): DataFrame =
+    searchWithProbes(
+      base,
+      probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe),
+      qidCol, qvecCol, k
+    )
+
+  /** Candidate scan + per-query bounded-heap top-k over a precomputed
+    * (qid, cell, qvec) probe table — shared by [[search]] and
+    * [[searchPartitioned]] so the probe set is computed exactly once per
+    * call.
+    */
+  private def searchWithProbes(
+      base: DataFrame,
+      probes: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int
+  ): DataFrame =
     base
       .join(probes, "cell")
       .groupBy(col(qidCol))
@@ -119,12 +136,19 @@ object IvfIndex {
         col("e.dist").as("dist"),
         (col("pos") + 1).cast("int").as("rnk")
       )
-  }
 
   /** Approximate top-k against a [[build]]-written index with PARTITION
     * PRUNING: the distinct probed cells (≤ nCells ints — a bounded
     * driver-side list, not a data-sized collect) become a static partition
     * filter, so the scan reads only the probed directories.
+    *
+    * The probe set is evaluated ONCE: an eager `localCheckpoint`
+    * materializes it (one pass over the query batch), and both consumers —
+    * the partition-filter collect and the candidate join — read the
+    * materialized copy. The checkpoint blocks are executor-side (spillable,
+    * never a driver collect) and are released by Spark's ContextCleaner
+    * once the result plan is dropped, so a long-lived session does not
+    * accumulate probe caches.
     */
   def searchPartitioned(
       spark: SparkSession,
@@ -137,20 +161,11 @@ object IvfIndex {
       nprobe: Int
   ): DataFrame = {
     val probes = probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
+      .localCheckpoint()
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val base = load(spark, indexPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
-    base
-      .join(probes, "cell")
-      .groupBy(col(qidCol))
-      .agg(topK(l2SqFast(col(qvecCol), col("vec")), col("id"), k).as("tk"))
-      .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(
-        col(qidCol),
-        col("e.id").as("neighbor_id"),
-        col("e.dist").as("dist"),
-        (col("pos") + 1).cast("int").as("rnk")
-      )
+    searchWithProbes(base, probes, qidCol, qvecCol, k)
   }
 }

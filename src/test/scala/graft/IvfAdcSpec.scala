@@ -72,6 +72,25 @@ class IvfAdcSpec extends SparkSpec {
     assert(scanLine.contains("IN ("), s"no cell partition filter:\n$ep")
   }
 
+  test("searchPartitioned scans the query batch exactly once (single probe evaluation)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfadc1p").toString + "/idx"
+    IvfAdc.build(spark, emb, "vec_id", "vec", cents, model, path)
+    // before the shared-probe fix this path evaluated the probe subtree
+    // three times (partition-filter collect + probeCells inside search +
+    // the LUT join); the contract is exactly one pass over the batch
+    val acc = spark.sparkContext.longAccumulator("ivfadc-query-batch-scans")
+    val counted = queries
+      .repartition(1)
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("query_id", "qv")
+    val res = IvfAdc.searchPartitioned(
+      spark, path, counted, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    assert(res.count() > 0)
+    assert(acc.value == 1L, s"query batch evaluated ${acc.value} times")
+  }
+
   test("index stores M shorts per vector (the 100-TB compression argument)") {
     val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
     val row = index.head()

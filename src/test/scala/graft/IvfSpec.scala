@@ -43,6 +43,26 @@ class IvfSpec extends SparkSpec {
     assert(probes.filter(col("cell") < 0 || col("cell") >= cents.length).count() == 0)
   }
 
+  test("searchPartitioned scans the query batch exactly once (single probe evaluation)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfspec1p").toString + "/idx"
+    IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+    // instrument the query source: the accumulator counts partition scans,
+    // so with one partition it counts full evaluations of the probe
+    // subtree's input. Before the localCheckpoint fix this read 2 (filter
+    // collect + candidate join); the contract is exactly 1.
+    val acc = spark.sparkContext.longAccumulator("ivf-query-batch-scans")
+    val counted = queries
+      .repartition(1)
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("query_id", "qv")
+    val res = IvfIndex.searchPartitioned(
+      spark, path, counted, "query_id", "qv", cents, k = 5, nprobe = 3)
+    assert(res.count() > 0)
+    assert(acc.value == 1L, s"query batch evaluated ${acc.value} times")
+  }
+
   test("nprobe = nCells degrades to exact search over all cells") {
     val all = IvfIndex.search(
       spark, IvfIndex.assign(spark, emb, "vec_id", "vec", cents),

@@ -68,7 +68,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("ivf: probed scan prunes partitions; no broadcast cap on the query batch") {
+  test("ivf: probed scan prunes partitions; probe set materialized once; no broadcast cap on the query batch") {
     val q = SparkEntry.queries("ivf_knn")(spark, sf0001)
     val ep = q.queryExecution.executedPlan.toString
     // the index scan is partition-pruned by the probed cell set
@@ -76,14 +76,17 @@ class PlanSpec extends SparkSpec {
       .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
       .getOrElse("")
     assert(scanLine.contains("IN ("), s"no cell partition filter:\n$ep")
-    // broadcast HINTS sit only on the tiny centroid cross-join (DPP may
-    // clone that subtree, so count can exceed 1); the cell equi-join that
-    // carries the query batch is unhinted — AQE may still broadcast at this
-    // size, but nothing caps a large batch at driver memory
+    // the probe side enters the result plan as the materialized
+    // localCheckpoint RDD — the crossJoin×centroids+topK subtree ran
+    // exactly once, shared with the partition-filter collect, and is NOT
+    // re-evaluated here
     val opt = q.queryExecution.optimizedPlan.toString
-    val hinted = opt.linesIterator.filter(_.contains("strategy=broadcast")).toSeq
-    assert(hinted.nonEmpty && hinted.forall(_.contains("Join Cross")),
-      s"broadcast hint off the centroid cross-join:\n$opt")
+    assert(opt.contains("LogicalRDD"), s"probe side not materialized:\n$opt")
+    assert(!opt.contains("Join Cross"),
+      s"probe subtree re-evaluated inside the result plan:\n$opt")
+    // the cell equi-join that carries the query batch is unhinted — AQE may
+    // still broadcast at this size, but nothing caps a large batch at
+    // driver memory
     val cellJoin = opt.linesIterator.find(_.contains("Join Inner, (cell")).getOrElse("")
     assert(cellJoin.nonEmpty && !cellJoin.contains("Hint"),
       s"cell join must not carry a broadcast hint:\n$opt")
