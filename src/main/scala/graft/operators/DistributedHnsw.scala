@@ -33,6 +33,7 @@ object DistributedHnsw {
       vectors: DataFrame, // shard int, id long, vec array<double>
       edges: DataFrame,   // shard int, layer int, src long, dst long
       entries: DataFrame, // shard int, ep long, height int
+      codes: Option[DataFrame] = None, // shard int, id long, code array<short>
       private val caches: Seq[DataFrame] = Nil
   ) {
     /** Release the build-time caches (the shard-partitioned vectors and the
@@ -106,7 +107,39 @@ object DistributedHnsw {
     val entries = built
       .filter(col("layer") < 0)
       .select(col("shard"), col("ep"), col("height"))
-    Shards(numShards, params, data, edges, entries, caches = Seq(data, built))
+    // compressed builds persist the CODES as a first-class index table —
+    // the reference's own layout (py/hnsw.py:345-348 stores the encoded
+    // vector in the index). Encoding happens here, exactly once per
+    // vector; search serves from this table and never touches raw vectors
+    val codes = compression.map { c =>
+      val df = shardCodes(data, c)
+      df.cache()
+      df
+    }
+    Shards(numShards, params, data, edges, entries, codes,
+      caches = Seq(data, built) ++ codes.toSeq)
+  }
+
+  /** (shard, id, code) via a partition-batched kernel — one broadcast codec
+    * reference per partition, each vector encoded exactly once (the generic
+    * [[VectorCompression]] analog of
+    * [[ProductQuantizer.encodePartitioned]]).
+    */
+  private def shardCodes(
+      vectors: DataFrame, // shard int, id long, vec array<double>
+      c: VectorCompression
+  ): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(c)
+    vectors
+      .select(col("shard"), col("id"), col("vec"))
+      .as[(Int, Long, Seq[Double])]
+      .mapPartitions { it =>
+        val codec = bc.value
+        it.map { case (s, id, v) => (s, id, codec.encode(v.toArray)) }
+      }
+      .toDF("shard", "id", "code")
   }
 
   /** Persist the index artifact (vectors/edges/entries, shard-partitioned
@@ -123,15 +156,28 @@ object DistributedHnsw {
       .parquet(s"$path/edges")
     shards.entries.write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/entries")
+    // ~M shorts per vector vs D doubles — the compressed artifact a user
+    // indexing 10^9 vectors actually wants on disk
+    shards.codes.foreach(_.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/codes"))
   }
 
-  /** Load a persisted index artifact. */
+  /** Load a persisted index artifact; the code table comes back when the
+    * artifact was saved from a compressed build.
+    */
   def load(
       spark: SparkSession,
       path: String,
       params: HnswParams,
       numShards: Int
-  ): Shards =
+  ): Shards = {
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes =
+      if (fs.exists(codesPath))
+        Some(spark.read.parquet(s"$path/codes")
+          .select(col("shard").cast("int").as("shard"), col("id"), col("code")))
+      else None
     Shards(
       numShards,
       params,
@@ -141,18 +187,27 @@ object DistributedHnsw {
         .select(col("shard").cast("int").as("shard"), col("layer"),
           col("src"), col("dst")),
       spark.read.parquet(s"$path/entries")
-        .select(col("shard").cast("int").as("shard"), col("ep"), col("height"))
+        .select(col("shard").cast("int").as("shard"), col("ep"), col("height")),
+      codes
     )
+  }
 
   /** Batch search: every shard traverses its local graph for every query,
     * then a global per-query top-k merge. Returns
     * (query_id, neighbor_id, dist, rnk).
     *
     * Queries never pass through the driver: they fan out to each shard via
-    * a flatMap replication and meet the shard's vectors/edges/entry in one
-    * 4-way cogroup, so a million-query batch is just another distributed
-    * input (per-shard iteration spills through the cogroup machinery
-    * rather than sitting in driver or broadcast memory).
+    * a flatMap replication and meet the shard's base table/edges/entry in
+    * one 4-way cogroup, so a million-query batch is just another
+    * distributed input (per-shard iteration spills through the cogroup
+    * machinery rather than sitting in driver or broadcast memory).
+    *
+    * Compressed search cogroups the CODE table (persisted at build — ~M
+    * shorts per vector instead of D doubles on the wire) and measures
+    * asymmetric query-to-code distances; the raw vector table is not in
+    * the lineage and nothing encodes inside the search tasks. A
+    * compressed search over a raw-only artifact derives the code table
+    * once, distributed, before the cogroup.
     */
   def search(
       shards: Shards,
@@ -168,13 +223,9 @@ object DistributedHnsw {
     val params = shards.params
     val nShards = shards.numShards
 
-    // co-locate vectors / edges / entry / queries per shard, rebuild a
+    // co-locate base table / edges / entry / queries per shard, rebuild a
     // local index (graph replay — no random level draws, so exactly the
     // built graph)
-    val vecRdd = shards.vectors
-      .select(col("shard"), col("id"), col("vec"))
-      .as[(Int, Long, Seq[Double])]
-      .rdd.map { case (s, id, v) => (s, (id, v)) }
     val edgeRdd = shards.edges
       .as[(Int, Int, Long, Long)]
       .rdd.map { case (s, l, a, b) => (s, (l, a, b)) }
@@ -188,31 +239,28 @@ object DistributedHnsw {
         (0 until nShards).iterator.map(s => (s, (id, v)))
       }
 
-    val results = vecRdd
-      .cogroup(edgeRdd, entryRdd, queryRdd)
-      .flatMap { case (_, (vecs, edges, entries, qs)) =>
-        if (vecs.isEmpty || entries.isEmpty || qs.isEmpty) Iterator.empty
-        else {
-          val sorted = vecs.toArray.sortBy(_._1)
-          val ids = sorted.map(_._1)
-          val localOf = ids.zipWithIndex.toMap
-          val arr = sorted.map(_._2.toArray)
-          val (ep, height) = entries.head
-          val searcher = new LocalGraphSearcher(
-            arr, height, params, compression
-          )
-          edges.foreach { case (l, a, b) =>
-            searcher.addEdge(l, localOf(a), localOf(b))
-          }
-          searcher.setEntry(localOf(ep))
-          qs.iterator.flatMap { case (qid, qv) =>
-            searcher.search(qv.toArray, k, efSearch).map { case (d, local) =>
-              (qid, ids(local), d)
-            }
-          }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "dist")
+    val results = (compression match {
+      case Some(c) =>
+        val codeRdd = shards.codes.getOrElse(shardCodes(shards.vectors, c))
+          .select(col("shard"), col("id"), col("code"))
+          .as[(Int, Long, Seq[Short])]
+          .rdd.map { case (s, id, cd) => (s, (id, cd)) }
+        searchShards[Seq[Short]](
+          codeRdd, edgeRdd, entryRdd, queryRdd, k, efSearch,
+          (codes, height) => LocalGraphSearcher.compressed(
+            codes.map(_.toArray), height, params, c)
+        )
+      case None =>
+        val vecRdd = shards.vectors
+          .select(col("shard"), col("id"), col("vec"))
+          .as[(Int, Long, Seq[Double])]
+          .rdd.map { case (s, id, v) => (s, (id, v)) }
+        searchShards[Seq[Double]](
+          vecRdd, edgeRdd, entryRdd, queryRdd, k, efSearch,
+          (vecs, height) => LocalGraphSearcher.raw(
+            vecs.map(_.toArray), height, params)
+        )
+    }).toDF("query_id", "neighbor_id", "dist")
 
     // global merge: bounded-heap top-k per query (partial agg per shard
     // output partition, O(|Q|*k) shuffle)
@@ -227,23 +275,55 @@ object DistributedHnsw {
         (col("pos") + 1).cast("int").as("rnk")
       )
   }
+
+  /** The shard-cogroup search kernel, generic over the per-node payload
+    * (raw vectors or codes): replay the shard's edge table into a local
+    * searcher, run every query of the shard's query slice through it.
+    */
+  private def searchShards[V: scala.reflect.ClassTag](
+      base: org.apache.spark.rdd.RDD[(Int, (Long, V))],
+      edges: org.apache.spark.rdd.RDD[(Int, (Int, Long, Long))],
+      entries: org.apache.spark.rdd.RDD[(Int, (Long, Int))],
+      queries: org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double]))],
+      k: Int,
+      efSearch: Int,
+      mkSearcher: (Array[V], Int) => LocalGraphSearcher
+  ): org.apache.spark.rdd.RDD[(Long, Long, Double)] =
+    base.cogroup(edges, entries, queries)
+      .flatMap { case (_, (nodes, es, ens, qs)) =>
+        if (nodes.isEmpty || ens.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val sorted = nodes.toArray.sortBy(_._1)
+          val ids = sorted.map(_._1)
+          val localOf = ids.zipWithIndex.toMap
+          val (ep, height) = ens.head
+          val searcher = mkSearcher(sorted.map(_._2), height)
+          es.foreach { case (l, a, b) =>
+            searcher.addEdge(l, localOf(a), localOf(b))
+          }
+          searcher.setEntry(localOf(ep))
+          qs.iterator.flatMap { case (qid, qv) =>
+            searcher.search(qv.toArray, k, efSearch).map { case (d, local) =>
+              (qid, ids(local), d)
+            }
+          }
+        }
+      }
 }
 
 /** Read-only shard searcher: the [[HnswIndex]] search path over a replayed
-  * edge table (adjacency arrays, no build machinery).
+  * edge table (adjacency arrays, no build machinery). Distance evaluation
+  * is injected — raw L2² over vectors, or asymmetric query-to-code over a
+  * persisted code table (nothing encodes at search time).
   */
-final class LocalGraphSearcher(
-    vecs: Array[Array[Double]],
+final class LocalGraphSearcher private (
+    n: Int,
     height: Int,
     params: HnswParams,
-    compression: Option[VectorCompression]
+    distQ: (Array[Double], Int) => Double
 ) {
   import scala.collection.mutable
 
-  private val codes: Array[Array[Short]] = compression match {
-    case Some(c) => vecs.map(c.encode)
-    case None    => null
-  }
   private val adj =
     Array.fill(height)(mutable.HashMap.empty[Int, mutable.HashSet[Int]])
   private var entry = 0
@@ -252,11 +332,6 @@ final class LocalGraphSearcher(
     adj(l).getOrElseUpdate(a, mutable.HashSet.empty) += b
 
   def setEntry(e: Int): Unit = entry = e
-
-  private def distQ(q: Array[Double], id: Int): Double = compression match {
-    case Some(c) => c.queryDistance(q, codes(id))
-    case None    => KMeansLocal.l2Sq(q, vecs(id))
-  }
 
   private def searchLayer(
       q: Array[Double],
@@ -273,7 +348,7 @@ final class LocalGraphSearcher(
       topK: Int,
       efSearch: Int = -1
   ): IndexedSeq[(Double, Int)] = {
-    if (vecs.isEmpty) return IndexedSeq.empty
+    if (n == 0) return IndexedSeq.empty
     val ef = math.max(if (efSearch > 0) efSearch else params.efSearch, topK)
     var ep = entry
     var lc = height - 1
@@ -283,4 +358,31 @@ final class LocalGraphSearcher(
     }
     searchLayer(q, ep, ef, 0).take(topK)
   }
+}
+
+object LocalGraphSearcher {
+
+  /** Uncompressed: exact L2² against the shard's raw vectors. */
+  def raw(
+      vecs: Array[Array[Double]],
+      height: Int,
+      params: HnswParams
+  ): LocalGraphSearcher =
+    new LocalGraphSearcher(
+      vecs.length, height, params,
+      (q, id) => KMeansLocal.l2Sq(q, vecs(id)))
+
+  /** Compressed: asymmetric query-to-code distance over the shard's
+    * PERSISTED codes (ref py/hnsw.py:184-189 — search compares raw query
+    * to stored codes; it never re-encodes the corpus).
+    */
+  def compressed(
+      codes: Array[Array[Short]],
+      height: Int,
+      params: HnswParams,
+      c: VectorCompression
+  ): LocalGraphSearcher =
+    new LocalGraphSearcher(
+      codes.length, height, params,
+      (q, id) => c.queryDistance(q, codes(id)))
 }

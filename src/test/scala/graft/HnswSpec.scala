@@ -8,6 +8,24 @@ import graft.functions.VectorFunctions._
 import graft.queries.Q
 import graft.operators._
 
+/** Codec wrapper that counts encode calls in a JVM-static counter —
+  * local[*] runs every task in one JVM, so the count is exact. Used to pin
+  * "compressed search never re-encodes the corpus".
+  */
+object CountingCompression {
+  val encodes = new java.util.concurrent.atomic.AtomicLong()
+}
+final class CountingCompression(inner: VectorCompression)
+    extends VectorCompression {
+  def encode(v: Array[Double]): Array[Short] = {
+    CountingCompression.encodes.incrementAndGet(); inner.encode(v)
+  }
+  def decode(code: Array[Short]): Array[Double] = inner.decode(code)
+  def distance(a: Array[Short], b: Array[Short]): Double = inner.distance(a, b)
+  def queryDistance(q: Array[Double], code: Array[Short]): Double =
+    inner.queryDistance(q, code)
+}
+
 /** Ports of the reference HNSW tests (py/test_hnsw.py, py/test_compression.py)
   * plus the distributed recall gate (SURVEY.md §5.2.4).
   */
@@ -208,6 +226,70 @@ class HnswSpec extends SparkSpec {
       val r = idx.search(data(7), topK = 5)
       assert(r.length == 5 && r.head._2 == 7)
     }
+  }
+
+  test("compressed search serves from the persisted code table: no vector reads, no re-encode") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val comp = new CountingCompression(new PQCompression(
+      ProductQuantizer.train(emb, "vec", m = 8, k = 64, seed = 4)))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec", HnswParams(m = 16, efConstruction = 100),
+      numShards = 2, seed = 4, compression = Some(comp))
+    assert(shards.codes.isDefined, "compressed build must persist a code table")
+    // materialize the build (the graph build itself encodes — that is
+    // build work) and the code table, then zero the encode counter: search
+    // must not add a single encode call (local[*] = one JVM, so the static
+    // counter sees every task)
+    shards.edges.count()
+    shards.codes.get.count()
+    CountingCompression.encodes.set(0L)
+    // poison the raw vector table — any evaluation throws, so compressed
+    // search passing proves the vector table is not even in the lineage
+    val poisoned = shards.vectors
+      .select(col("shard"), col("id"), col("vec"))
+      .as[(Int, Long, Seq[Double])]
+      .mapPartitions[(Int, Long, Seq[Double])] {
+        (_: Iterator[(Int, Long, Seq[Double])]) =>
+          throw new IllegalStateException(
+            "compressed search read the vector table")
+      }
+      .toDF("shard", "id", "vec")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val res = DistributedHnsw.search(
+      DistributedHnsw.Shards(
+        shards.numShards, shards.params, poisoned, shards.edges,
+        shards.entries, shards.codes),
+      qs, "query_id", "qv", k = 10, compression = Some(comp))
+    assert(res.count() == qs.count() * 10)
+    assert(CountingCompression.encodes.get() == 0L,
+      s"search re-encoded ${CountingCompression.encodes.get()} vectors")
+    shards.unpersist()
+  }
+
+  test("save/load round-trips the code table; loaded compressed search == built") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .limit(300)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val comp = new PQCompression(
+      ProductQuantizer.train(emb, "vec", m = 8, k = 16, seed = 6))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec", HnswParams(m = 8, efConstruction = 50),
+      numShards = 2, seed = 6, compression = Some(comp))
+    val path = java.nio.file.Files
+      .createTempDirectory("hnswpq").toString + "/idx"
+    DistributedHnsw.save(shards, path)
+    val loaded = DistributedHnsw.load(spark, path, shards.params, 2)
+    assert(loaded.codes.isDefined, "loaded artifact must carry the code table")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val a = DistributedHnsw.search(
+      shards, qs, "query_id", "qv", k = 5, compression = Some(comp))
+    val b = DistributedHnsw.search(
+      loaded, qs, "query_id", "qv", k = 5, compression = Some(comp))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    shards.unpersist()
   }
 
   test("distributed HNSW+PQ: symmetric build / asymmetric search end-to-end") {
