@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of arrow-batched pandas UDFs: one JVM call per
   * partition, arrays in, arrays out — not one call per row).
   *
-  * The codec boundary is [[MediaDecoder]]. Real pixel/sample decoding
-  * needs imaging/audio libraries that are intentionally not dependencies
-  * here; [[DeterministicFakeDecoder]] is a clearly-marked STUB that derives
-  * stable pseudo-metadata from the bytes so every downstream stage —
-  * schema, shard partitioning, batch shape, feature tables — is real and
-  * testable. Swap the decoder, keep the pipeline.
+  * The codec boundary is [[MediaDecoder]]. Images decode for real via the
+  * JDK's `javax.imageio` ([[ImageIoDecoder]]) and audio via
+  * `javax.sound.sampled` ([[WavDecoder]]) — zero external dependencies.
+  * The JDK ships no video frame decoder, so video falls through to
+  * [[DeterministicFakeDecoder]], a clearly-marked STUB that derives stable
+  * pseudo-metadata from the bytes so every downstream stage — schema,
+  * shard partitioning, batch shape, feature tables — is real and testable
+  * there too. Swap the decoder, keep the pipeline.
   */
 object Multimodal {
 
@@ -98,6 +100,79 @@ object Multimodal {
       }
   }
   object ImageIoDecoder extends ImageIoDecoder(DeterministicFakeDecoder)
+
+  /** REAL audio decoder on the JDK's built-in `javax.sound.sampled` (WAV /
+    * AIFF / AU — no external dependency). `modality == "audio"` bytes
+    * decode to (frame count, channels, mean sample value) where samples
+    * are signed 16-bit PCM read in the container's declared endianness.
+    * Undecodable or non-16-bit audio raises a descriptive error — bad
+    * media should surface, not silently pass. Other modalities delegate to
+    * `fallback` (the JDK ships no video frame decoder; the declared stub
+    * remains the boundary there).
+    */
+  class WavDecoder(fallback: MediaDecoder) extends MediaDecoder {
+    def decode(content: Array[Byte], modality: String): (Int, Int, Double) =
+      if (modality != "audio") fallback.decode(content, modality)
+      else {
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"WavDecoder: undecodable audio bytes (${content.length} bytes)", e)
+          }
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            throw new IllegalArgumentException(
+              s"WavDecoder: expected 16-bit signed PCM, got $fmt")
+          val frames = ais.getFrameLength.toInt
+          val channels = fmt.getChannels
+          val bytes = ais.readAllBytes()
+          val nSamples = bytes.length / 2
+          var sum = 0.0
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < nSamples) {
+              sum += ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+              i += 1
+            }
+          else
+            while (i < nSamples) {
+              sum += ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              i += 1
+            }
+          (frames, channels, if (nSamples == 0) 0.0 else sum / nSamples)
+        } finally ais.close()
+      }
+  }
+  object WavDecoder extends WavDecoder(DeterministicFakeDecoder)
+
+  /** Deterministic constant-sample WAV (fixture utility): `nFrames` frames
+    * of `channels` 16-bit signed PCM samples, every sample = `value`. PCM
+    * in a WAV container is lossless, so decode(constWav(n,c,v)) is exactly
+    * (n, c, v) — the audio analog of [[grayPng]], making the REAL codec
+    * round-trip predictable in plain SQL for the oracle.
+    */
+  def constWav(nFrames: Int, channels: Int, value: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, channels, true, false) // 16-bit signed PCM little-endian
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      data(2 * i) = (value & 0xff).toByte
+      data(2 * i + 1) = ((value >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Deterministic single-gray PNG (fixture utility): w×h, every pixel the
     * same gray level. PNG is lossless, so decode(grayPng(w,h,g)) is exactly

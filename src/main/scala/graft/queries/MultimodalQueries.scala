@@ -95,6 +95,48 @@ object MultimodalQueries {
         FROM documents
       """)
     ),
+    // Decode stage with the REAL javax.sound.sampled codec: deterministic
+    // constant-sample PCM WAVs generated from (doc_id, n_chars) round-trip
+    // losslessly, so decoded frames/channels/mean are predictable in plain
+    // SQL — the audio analog of mm_decode_png.
+    GQuery(
+      "mm_decode_wav",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaWav = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val frames = (nc % 256 + 1).toInt
+              val channels = (id % 2 + 1).toInt
+              val v = (id % 2001 - 1000).toShort
+              (id, "audio", Multimodal.constWav(frames, channels, v), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal
+          .decodeMeta(spark, mediaWav, Multimodal.WavDecoder)
+          .toDF()
+          .select(
+            col("id"),
+            col("width").cast("long").as("frames"),
+            col("height").cast("long").as("channels"),
+            round(col("meanByte"), 6).as("mean_sample")
+          )
+      },
+      Some("""
+        SELECT doc_id AS id,
+               (n_chars % 256 + 1)::BIGINT AS frames,
+               (doc_id % 2 + 1)::BIGINT AS channels,
+               round((doc_id % 2001 - 1000)::DOUBLE, 6) AS mean_sample
+        FROM documents
+      """)
+    ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.
     GQuery(
       "mm_byte_histogram",

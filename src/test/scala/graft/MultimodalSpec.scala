@@ -40,6 +40,27 @@ class MultimodalSpec extends SparkSpec {
       == Multimodal.DeterministicFakeDecoder.decode(junk, "audio"))
   }
 
+  test("WavDecoder decodes a generated constant-PCM WAV to exact (frames, channels, mean)") {
+    val bytes = Multimodal.constWav(nFrames = 40, channels = 2, value = -321)
+    val (frames, channels, mean) = Multimodal.WavDecoder.decode(bytes, "audio")
+    assert(frames == 40 && channels == 2)
+    assert(mean == -321.0)
+    // mono, positive value, single frame — header/endianness edge
+    val (f1, c1, m1) =
+      Multimodal.WavDecoder.decode(Multimodal.constWav(1, 1, 1000), "audio")
+    assert(f1 == 1 && c1 == 1 && m1 == 1000.0)
+  }
+
+  test("undecodable audio bytes fail loudly; image/video fall back to the stub") {
+    val junk = "definitely not a wav".getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(junk, "audio")
+    }
+    assert(e.getMessage.contains("undecodable"), e.getMessage)
+    assert(Multimodal.WavDecoder.decode(junk, "video")
+      == Multimodal.DeterministicFakeDecoder.decode(junk, "video"))
+  }
+
   test("decodeMeta over a PNG media table uses the real codec end-to-end") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
