@@ -135,6 +135,34 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("shard-count scaling gate: Recall@10 >= 0.95 at numShards = 16") {
+    // sharding is the recall risk (SURVEY §7.3.1): each shard searches
+    // 1/N of the corpus, the merge keeps the global best k — gate at the
+    // production-scale fan-out, not just the bench default of 4
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), numShards = 16, seed = 42
+    )
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val approx =
+      DistributedHnsw.search(shards, queries, "query_id", "qv", k = 10)
+    val exact = BruteForceKNN.knn(
+      queries, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10
+    )
+    val nQ = queries.count()
+    val hits = approx
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id")))
+      .count()
+    val recall = hits.toDouble / (nQ * 10)
+    shards.unpersist()
+    assert(recall >= 0.95, s"recall $recall at 16 shards")
+  }
+
   test("deterministic rebuild: same seed + shards -> identical edge table") {
     val emb = Q.t(spark, sf0001, "embeddings")
       .limit(200)
