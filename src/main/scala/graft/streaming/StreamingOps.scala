@@ -204,6 +204,33 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental IVFADC maintenance: each micro-batch is assigned to its
+    * coarse cell, the residual (vector − centroid) is PQ-encoded, and the
+    * (id, cell, code) rows are APPENDED to the cell-partitioned
+    * residual-code index. Same argument as [[incrementalIvfSink]]: cells
+    * are unordered bags and the codebooks are fixed at build time, so
+    * streaming maintenance is pure partitioned append and
+    * [[graft.operators.IvfAdc.searchPartitioned]] over the growing index
+    * is correct at every instant — no rebuild, ever.
+    */
+  def incrementalIvfAdcSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      model: graft.operators.PQModel,
+      indexPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfAdc
+          .encode(batch.sparkSession, batch, idCol, vecCol, centroids, model)
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+      }
+      .start()
+
   /** Incremental vector ingestion: each micro-batch of (id, vec) rows is
     * appended to the shard-partitioned vector store that
     * [[graft.operators.DistributedHnsw.build]] consumes — the foreachBatch

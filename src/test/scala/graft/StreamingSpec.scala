@@ -191,6 +191,42 @@ class StreamingSpec extends SparkSpec {
       && batch.except(streamed).count() == 0)
   }
 
+  test("incremental IVFADC sink: streamed residual-code appends answer like a batch build") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{IvfAdc, PQModel}
+    val srcDir = Files.createTempDirectory("ivfadcsrc").toString
+    val index = Files.createTempDirectory("ivfadcidx").toString + "/index"
+    val ckpt = Files.createTempDirectory("ivfadcckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val cents = emb.filter(col("id") < 8).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val cbRows = emb.filter(col("id") < 4).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val model = PQModel(8, 4, 64, Array.tabulate(8)(mi =>
+      cbRows.map(v => java.util.Arrays.copyOfRange(v, mi * 8, (mi + 1) * 8))))
+    // two arrival waves -> two micro-batches, pure partitioned appends
+    emb.filter(col("id") < 250).write.parquet(s"$srcDir/w1")
+    emb.filter(col("id") >= 250).write.parquet(s"$srcDir/w2")
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.incrementalIvfAdcSink(
+      stream, "id", "vec", cents, model, index, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val queries = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val streamed = IvfAdc.searchPartitioned(
+      spark, index, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    val batch = IvfAdc.search(
+      spark, IvfAdc.encode(spark, emb, "id", "vec", cents, model),
+      queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    assert(streamed.except(batch).count() == 0
+      && batch.except(streamed).count() == 0)
+  }
+
   test("incremental HNSW sink: per-batch shard rebuild equals full rebuild") {
     import graft.functions.VectorFunctions._
     import graft.operators.{DistributedHnsw, HnswParams}
