@@ -140,12 +140,18 @@ object RelationalQueries {
         GROUP BY o_orderpriority
       """)
     ),
-    // C6 anti-join: customers with no orders (NOT EXISTS), per nation.
+    // C6 anti-join: dormant customers — no orders since 1998 (NOT
+    // EXISTS), per nation. The date cutoff keeps the answer non-empty at
+    // every test SF (every customer has SOME order, so an unfiltered
+    // anti-join would be trivially empty and the oracle would not
+    // discriminate); the filter pushes into the orders scan.
     GQuery(
       "q5_customers_no_orders",
       (spark, dir) => {
         val c = t(spark, dir, "customer")
-        val o = t(spark, dir, "orders").select(col("o_custkey"))
+        val o = t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .join(broadcast(t(spark, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
@@ -160,7 +166,9 @@ object RelationalQueries {
                ${sqlSum("c_acctbal")} AS total_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY n_name
       """)
     ),
