@@ -148,7 +148,8 @@ object StreamingOps {
       seed: Long,
       storePath: String,
       indexPath: String,
-      checkpoint: String
+      checkpoint: String,
+      compression: Option[graft.operators.VectorCompression] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -168,8 +169,12 @@ object StreamingOps {
           val touched = spark.read.parquet(storePath)
             .filter(col("shard").isin(changed: _*))
             .select(col("id"), col("vec"))
+          // a compressed build regenerates the touched shards' slice of
+          // the code table too — save()'s dynamic partition overwrite
+          // replaces exactly those shards, so the streamed artifact stays
+          // the compressed one search serves from
           val rebuilt = DistributedHnsw.build(
-            touched, "id", "vec", params, numShards, seed
+            touched, "id", "vec", params, numShards, seed, compression
           )
           // release the build caches once persisted — an unbounded stream
           // must not grow executor storage by one build per micro-batch

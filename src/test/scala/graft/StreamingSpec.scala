@@ -227,6 +227,48 @@ class StreamingSpec extends SparkSpec {
       && batch.except(streamed).count() == 0)
   }
 
+  test("incremental HNSW sink maintains the compressed code table across batches") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{DistributedHnsw, HnswParams, PQCompression, ProductQuantizer}
+    val params = HnswParams(m = 8, efConstruction = 50)
+    val srcDir = Files.createTempDirectory("pqincsrc").toString
+    val store = Files.createTempDirectory("pqincstore").toString + "/store"
+    val index = Files.createTempDirectory("pqincindex").toString + "/index"
+    val ckpt = Files.createTempDirectory("pqincckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val comp = new PQCompression(
+      ProductQuantizer.train(emb, "vec", m = 8, k = 16, seed = 12))
+    emb.filter(col("id") < 250).write.parquet(s"$srcDir/w1")
+    emb.filter(col("id") >= 250).write.parquet(s"$srcDir/w2")
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.incrementalHnswSink(
+      stream, "id", "vec", params, 4, seed = 12, store, index, ckpt,
+      compression = Some(comp))
+    try q.processAllAvailable()
+    finally q.stop()
+    val loaded = DistributedHnsw.load(spark, index, params, 4)
+    assert(loaded.codes.isDefined, "streamed artifact must carry the code table")
+    assert(loaded.codes.get.count() == emb.count())
+    // the incrementally maintained compressed index answers exactly like a
+    // from-scratch compressed build
+    val full = DistributedHnsw.build(
+      emb, "id", "vec", params, 4, seed = 12, compression = Some(comp))
+    val queries = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val a = DistributedHnsw.search(
+      loaded, queries, "query_id", "qv", 10, compression = Some(comp))
+      .select("query_id", "neighbor_id", "rnk")
+    val b = DistributedHnsw.search(
+      full, queries, "query_id", "qv", 10, compression = Some(comp))
+      .select("query_id", "neighbor_id", "rnk")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    full.unpersist()
+  }
+
   test("incremental HNSW sink: per-batch shard rebuild equals full rebuild") {
     import graft.functions.VectorFunctions._
     import graft.operators.{DistributedHnsw, HnswParams}
