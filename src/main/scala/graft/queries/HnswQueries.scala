@@ -44,6 +44,11 @@ object HnswQueries {
       s.unpersist()
     }
     buildCache.clear()
+    pqBuildCache.values.foreach { case (s, _) =>
+      s.edges.unpersist(blocking = false)
+      s.unpersist()
+    }
+    pqBuildCache.clear()
     searchCache.values.foreach(_.unpersist())
     searchCache.clear()
   }
@@ -80,6 +85,33 @@ object HnswQueries {
         )
         s.edges.cache().count()
         s
+      }
+    )
+
+  /** Shared PQ-compressed build per sf dir: the index whose shard artifact
+    * carries the persisted code table (seeded codebooks, so rebuilds are
+    * deterministic). Compressed search cogroups codes — the path
+    * hnsw_knn_pq benches.
+    */
+  private val pqBuildCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DistributedHnsw.Shards, PQCompression)]
+
+  private def sharedPqBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (DistributedHnsw.Shards, PQCompression) =
+    pqBuildCache.getOrElseUpdate(
+      dir, {
+        val (emb, _) = embAndQueries(spark, dir)
+        val comp = new PQCompression(
+          ProductQuantizer.train(emb, "vec", m = 8, k = 64, seed = 42))
+        val s = DistributedHnsw.build(
+          emb, "vec_id", "vec",
+          HnswParams(m = 16, efConstruction = 100),
+          DefaultShards, seed = 42, compression = Some(comp)
+        )
+        s.edges.cache().count()
+        (s, comp)
       }
     )
 
@@ -129,6 +161,26 @@ object HnswQueries {
         val shards = sharedBuild(spark, dir, HighShards)
         DistributedHnsw
           .search(shards, q, "query_id", "qv", K)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      None
+    ),
+    // M5 compressed search: the same batch over a PQ-compressed build —
+    // distances are asymmetric query-to-code against the PERSISTED shard
+    // code table (~M shorts/vector on the wire instead of D doubles;
+    // nothing re-encodes at search time). Seeded-stochastic like the
+    // other hnsw_* entries: rows-only here, recall gated in HnswSpec.
+    GQuery(
+      "hnsw_knn_pq",
+      (spark, dir) => {
+        val (_, q) = embAndQueries(spark, dir)
+        val (shards, comp) = sharedPqBuild(spark, dir)
+        DistributedHnsw
+          .search(shards, q, "query_id", "qv", K, compression = Some(comp))
           .select(
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 6).as("dist"),
