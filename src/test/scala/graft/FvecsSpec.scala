@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.Fvecs
+import graft.sources.{Bvecs, Fvecs, Ivecs}
 
 /** fvecs source round-trip (SURVEY.md §2 A1; format per py/hnsw.ipynb
   * cell-1: int32 dim header + dim float32s, little-endian).
@@ -29,6 +29,48 @@ class FvecsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Fvecs.decode(bad).toArray
     }
+  }
+
+  test("ivecs round-trip: ground-truth neighbor lists survive exactly") {
+    val dir = Files.createTempDirectory("ivecs").toString
+    val path = s"$dir/gt.ivecs"
+    // shaped like a ground-truth file: top-10 neighbor ids per query
+    val data = (0L until 15L).map(i =>
+      (i, (0 until 10).map(j => (i * 31 + j * 7).toInt % 1000).toArray)
+    )
+    Ivecs.write(data.toDF("id", "vec"), "id", "vec", path)
+    val back = Ivecs.read(spark, path).orderBy("id").collect()
+    assert(back.length == 15)
+    data.foreach { case (i, v) =>
+      assert(back(i.toInt).getSeq[Int](1).toSeq == v.toSeq)
+    }
+  }
+
+  test("bvecs round-trip widens uint8 to 0..255 smallint; rejects out-of-range writes") {
+    val dir = Files.createTempDirectory("bvecs").toString
+    val path = s"$dir/base.bvecs"
+    // include values above 127 to pin the unsigned read
+    val data = (0L until 12L).map(i =>
+      (i, (0 until 16).map(j => ((i * 37 + j * 11) % 256).toShort).toArray)
+    )
+    Bvecs.write(data.toDF("id", "vec"), "id", "vec", path)
+    val back = Bvecs.read(spark, path).orderBy("id").collect()
+    assert(back.length == 12)
+    data.foreach { case (i, v) =>
+      assert(back(i.toInt).getSeq[Short](1).toSeq == v.toSeq)
+    }
+    assert(back.flatMap(_.getSeq[Short](1)).max > 127, "unsigned range exercised")
+    val bad = Seq((0L, Array[Short](300))).toDF("id", "vec")
+    assertThrows[IllegalArgumentException] {
+      Bvecs.write(bad, "id", "vec", s"$dir/bad.bvecs")
+    }
+  }
+
+  test("ivecs/bvecs decode reject corrupt rows") {
+    val badI = Array[Byte](3, 0, 0, 0, 1, 2) // dim=3 but only 2 payload bytes
+    assertThrows[IllegalArgumentException] { Ivecs.decode(badI).toArray }
+    val badB = Array[Byte](9, 0, 0, 0, 1, 2) // dim=9 but only 2 payload bytes
+    assertThrows[IllegalArgumentException] { Bvecs.decode(badB).toArray }
   }
 
   test("multi-file read assigns dense ids in file order") {

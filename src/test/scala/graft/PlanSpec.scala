@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
       s"cell join must not carry a broadcast hint:\n$opt")
   }
 
+  test("sq_adc_topk: broadcast only the query batch; partial heap agg below exchange") {
+    val p = planOf("sq_adc_topk")
+    // the query side broadcasts, the reconstructed base streams
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // bounded-heap top-k partially aggregates before its shuffle — per
+    // partition k rows per query, not |Q|·|B| pairs through the exchange
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("kmeans_estep: native argmin in the plan, no UDF node") {
     val p = planOf("kmeans_estep")
     assert(p.contains("centroid_argmin"), p)
