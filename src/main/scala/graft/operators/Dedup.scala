@@ -460,4 +460,54 @@ object Dedup {
       )
       .filter(col("cosine") >= tau)
   }
+
+  /** Connected components over an undirected near-dup pair table — the
+    * cluster/representative stage a dedup pipeline runs AFTER pair
+    * generation: every id that appears in a pair maps to the minimum id
+    * reachable through the pair graph (its canonical representative, the
+    * standard keep-the-smallest-id policy).
+    *
+    * Min-label propagation to fixpoint: labels start as self; each round
+    * every node takes the minimum label in its closed neighborhood. One
+    * round = one |E|-row join + one min-aggregate, fully distributed —
+    * the driver sees only the changed-row counter, and `localCheckpoint`
+    * truncates lineage per round so long chains cannot blow up planning.
+    * Rounds = graph diameter; near-dup clusters are small and dense, so
+    * a handful in practice (the alternating-star variant that guarantees
+    * O(log n) rounds on adversarial chains trades two extra shuffles per
+    * round for it, not needed at dedup shapes).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val e0 = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels
+        .union(prop)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
+  }
 }

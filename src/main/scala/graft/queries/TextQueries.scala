@@ -159,6 +159,64 @@ object TextQueries {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       """)
     ),
+    // Dedup clustering: connected components over the simhash near-dup
+    // pair graph -> every document mapped to its canonical representative
+    // (min reachable doc_id; singletons map to themselves). The stage a
+    // training-data pipeline runs after pair generation to actually DROP
+    // duplicates. Oracle: the same pair CTEs + a recursive transitive
+    // closure (cluster sizes are small, so the closure is cheap in SQL).
+    GQuery(
+      "dedup_clusters",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        docs
+          .select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("rep_id"), col("doc_id")).as("rep_id")
+          )
+      },
+      Some("""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
+                        simhash & 65535 AS lo
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        SELECT d.doc_id, coalesce(c.rep, d.doc_id)::BIGINT AS rep_id
+        FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+      """)
+    ),
     // Embedding-cosine near-dup pairs over embeddings.
     GQuery(
       "dedup_embedding",

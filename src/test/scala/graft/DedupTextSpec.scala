@@ -46,6 +46,30 @@ class DedupTextSpec extends SparkSpec {
     assert(byHash >= 3)
   }
 
+  test("connected components: chain, triangle, singleton endpoints") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4-5 (diameter 4 — multiple propagation rounds), a
+    // separate triangle 10-11-12, and an isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L
+    ))
+  }
+
+  test("connected components on an empty pair table is empty") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
+  }
+
   test("quality score in [0,1]; token stats positive") {
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
