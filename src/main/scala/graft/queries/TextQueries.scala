@@ -400,6 +400,86 @@ object TextQueries {
         FROM tok
       """)
     ),
+    // The capstone composition a training-data pipeline actually runs:
+    // keep each near-dup cluster's canonical representative, gate on the
+    // heuristic quality score, and carry the token count for downstream
+    // budgeting — dedup clustering + quality scoring + token stats
+    // composed in one declarative plan, hash-checked end to end.
+    GQuery(
+      "pipeline_select",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val reps = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3),
+          "doc_a", "doc_b")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val toks = TextAnalysis.tokenStats(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"))
+        docs
+          .select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left")
+          .filter(coalesce(col("rep_id"), col("doc_id")) === col("doc_id"))
+          .join(quality, "doc_id")
+          .filter(col("quality") >= 0.5)
+          .join(toks, "doc_id")
+          .select(col("doc_id"), col("quality"), col("n_tokens"))
+      },
+      Some("""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
+                        simhash & 65535 AS lo
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tok)
+        SELECT d.doc_id, q.quality, nt.n_tokens
+        FROM documents d
+        LEFT JOIN comps c ON c.id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN nt ON nt.doc_id = d.doc_id
+        WHERE coalesce(c.rep, d.doc_id) = d.doc_id AND q.quality >= 0.5
+      """)
+    ),
     // D11: corpus token histogram (top 20 by count).
     GQuery(
       "text_token_histogram",
