@@ -480,6 +480,60 @@ object TextQueries {
         WHERE coalesce(c.rep, d.doc_id) = d.doc_id AND q.quality >= 0.5
       """)
     ),
+    // Token-budget packing — the data-mixing step: within each language,
+    // rank documents by quality (doc_id tie-break) and keep the prefix
+    // whose running token count fits the per-language budget. One window
+    // over (lang)-partitioned data; at scale that is one hash shuffle on
+    // the language key, and a skewed language is exactly the q19 salting
+    // situation if it ever matters.
+    GQuery(
+      "pipeline_budget",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val toks = TextAnalysis.tokenStats(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"))
+        val w = Window
+          .partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .select(col("doc_id"), col("lang"))
+          .join(quality, "doc_id")
+          .join(toks, "doc_id")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= 2000)
+          .select(
+            col("lang"), col("doc_id"), col("quality"),
+            col("n_tokens"), col("cum_tokens")
+          )
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id, lang,
+                     len(t)::DOUBLE AS n,
+                     len(t)::BIGINT AS n_tokens,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id, lang, n_tokens,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        c AS (SELECT lang, doc_id, quality, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                       ORDER BY quality DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM q)
+        SELECT lang, doc_id, quality, n_tokens, cum_tokens::BIGINT AS cum_tokens
+        FROM c WHERE cum_tokens <= 2000
+      """)
+    ),
     // D11: corpus token histogram (top 20 by count).
     GQuery(
       "text_token_histogram",

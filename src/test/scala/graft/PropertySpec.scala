@@ -57,6 +57,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: round-trip error bounded by half a step; codes in range; adc == l2(q, decode)") {
+    val modelGen = for {
+      lo <- Gen.containerOfN[Array, Double](8, Gen.chooseNum(-5.0, 0.0))
+      span <- Gen.containerOfN[Array, Double](8, Gen.chooseNum(0.0, 10.0))
+    } yield SQModel(lo, lo.zip(span).map { case (l, s) => l + s })
+    forSamples(Gen.zip(modelGen, vecGen, vecGen)) { case (m, v, q) =>
+      val code = m.encodeVec(v)
+      assert(code.forall(c => c >= 0 && c <= 255))
+      val r = m.decodeCode(code)
+      (0 until m.d).foreach { j =>
+        val span = m.hi(j) - m.lo(j)
+        if (span > 0 && v(j) >= m.lo(j) && v(j) <= m.hi(j))
+          assert(math.abs(r(j) - v(j)) <= span / 255.0 / 2.0 + 1e-12)
+        else if (span <= 0)
+          assert(r(j) == m.lo(j)) // degenerate dim pins to lo
+      }
+      // asymmetric distance is exactly L2² against the reconstruction
+      assert(m.adc(q, code) == KMeansLocal.l2Sq(q, r))
+      // symmetric distance is symmetric and zero on itself
+      assert(m.sdc(code, code) == 0.0)
+      val code2 = m.encodeVec(q)
+      assert(m.sdc(code, code2) == m.sdc(code2, code))
+    }
+  }
+
   test("decode(encode(x)) error bounded by max distance to nearest centroid") {
     import spark.implicits._
     forSamples(dataGen, n = 5) { data =>
