@@ -104,6 +104,50 @@ object IvfQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // IVF index introspection: per-cell occupancy and mean quantization
+    // distortion (L2² to the assigned centroid). Cell skew is THE
+    // operational concern for IVF at scale — a hot cell caps probe
+    // pruning — so the index exposes it as a first-class query, like
+    // hnsw_graph_stats for the graph index.
+    GQuery(
+      "ivf_cell_stats",
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val centsDf = cents.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "cvec")
+        IvfIndex.assign(spark, emb, "vec_id", "vec", cents)
+          .join(broadcast(centsDf), "cell")
+          .groupBy(col("cell"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            round(davg(graft.functions.VectorExpressions
+              .l2SqFast(col("vec"), col("cvec"))), 6).as("avg_distortion")
+          )
+          .select(
+            col("cell").cast("long").as("cell"),
+            col("n_vectors"), col("avg_distortion")
+          )
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell, dist FROM (
+                       SELECT vec_id, ck, dist,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1)
+        SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vectors,
+               round(${sqlAvg("dist")}, 6) AS avg_distortion
+        FROM assigned GROUP BY cell
+      """)
+    ),
     // IVFADC (Jégou et al. 2011 §IV): coarse cells + PQ codes of the
     // RESIDUAL vector-minus-centroid, searched via one per-(query, cell)
     // LUT and M array lookups per candidate. Fixed centroids (vec_id<8)
