@@ -534,6 +534,34 @@ object TextQueries {
         FROM c WHERE cum_tokens <= 2000
       """)
     ),
+    // Reproducible stratified sampling — the mixing step that up-weights
+    // low-resource languages. Sampling is a HASH, not an RNG: the
+    // Bernoulli draw is md5(doc_id:salt) mapped to [0,1), so the sample
+    // is deterministic, partition-independent, rerunnable, and identical
+    // across engines (Spark rand(seed) would be none of those). Rates:
+    // 20% for 'en', 50% for everything else.
+    GQuery(
+      "pipeline_sample",
+      (spark, dir) => {
+        val u = (Dedup.md5Long(
+          concat(col("doc_id").cast("string"), lit(":42"))) % 1000000)
+          .cast("double") / lit(1000000.0)
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), u.as("u"))
+          .filter(col("u") <
+            when(col("lang") === "en", lit(0.2)).otherwise(lit(0.5)))
+          .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                          (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 14))::BIGINT
+                           % 1000000)::DOUBLE / 1000000.0 AS u
+                   FROM documents)
+        SELECT doc_id, lang, round(u, 6) AS u
+        FROM d
+        WHERE u < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
+      """)
+    ),
     // D11: corpus token histogram (top 20 by count).
     GQuery(
       "text_token_histogram",
