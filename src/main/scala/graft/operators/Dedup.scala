@@ -467,15 +467,15 @@ object Dedup {
     * reachable through the pair graph (its canonical representative, the
     * standard keep-the-smallest-id policy).
     *
-    * Min-label propagation to fixpoint: labels start as self; each round
-    * every node takes the minimum label in its closed neighborhood. One
-    * round = one |E|-row join + one min-aggregate, fully distributed —
-    * the driver sees only the changed-row counter, and `localCheckpoint`
-    * truncates lineage per round so long chains cannot blow up planning.
-    * Rounds = graph diameter; near-dup clusters are small and dense, so
-    * a handful in practice (the alternating-star variant that guarantees
-    * O(log n) rounds on adversarial chains trades two extra shuffles per
-    * round for it, not needed at dedup shapes).
+    * Min-label propagation with pointer jumping to fixpoint: labels start
+    * as self; each round every node takes the minimum label in its closed
+    * neighborhood, then follows its label's own label one hop
+    * (lbl ← lbl(lbl), the pointer-jumping step that makes label distance
+    * halve per round — O(log n) rounds even on adversarial chains, not
+    * O(diameter)). One round = two |V|+|E|-bounded joins + one
+    * min-aggregate, fully distributed — the driver sees only the
+    * changed-row counter, and `localCheckpoint` truncates lineage per
+    * round so long chains cannot blow up planning.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -497,11 +497,21 @@ object Dedup {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("lbl"))
-      val next = labels
+      // materialize the hooked labels before the jump self-join (fresh
+      // attributes for the two sides; also the round's lineage truncation)
+      val hooked = labels
         .union(prop)
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
+      // pointer jump: lbl <- lbl(lbl). Every label value is itself a node
+      // id of the same component (labels start as self and only node
+      // labels propagate), so the inner self-join is total
+      val next = hooked
+        .join(
+          hooked.select(col("id").as("rid"), col("lbl").as("rlbl")),
+          col("lbl") === col("rid"))
+        .select(col("id"), col("rlbl").as("lbl"))
       changed = next
         .join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old"))

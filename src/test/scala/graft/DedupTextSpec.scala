@@ -64,6 +64,13 @@ class DedupTextSpec extends SparkSpec {
     ))
   }
 
+  test("connected components: 40-node chain converges (pointer jumping, not O(diameter) naive)") {
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(chain, "doc_a", "doc_b").collect()
+    assert(comp.length == 40)
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
   test("connected components on an empty pair table is empty") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
