@@ -90,6 +90,27 @@ object BruteForceKNN {
     explodeTopK(grouped, qidCol, bidCol, "sim", negate = true)
   }
 
+  /** Radius (range) search: every (query, neighbor) pair within squared-L2
+    * `radiusSq`. Same broadcast-queries similarity-join shape as [[knn]],
+    * but selection is a filter, not a top-k — result size is data-dependent,
+    * so there is no heap and no aggregation at all: pairs stream straight
+    * out of the codegen'd distance filter with zero shuffles.
+    */
+  def rangeSearch(
+      queries: DataFrame,
+      base: DataFrame,
+      radiusSq: Double,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame =
+    base
+      .join(broadcast(queries))
+      .withColumn("dist", l2SqFast(col(qvecCol), col(bvecCol)))
+      .filter(col("dist") <= radiusSq)
+      .select(col(qidCol), col(bidCol), col("dist"))
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

@@ -60,6 +60,32 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Radius query: all pairs within L2² <= 1.25 (~0.1% selectivity on the
+    // near-random 64-d table; includes each query's self-pair at dist 0).
+    GQuery(
+      "range_search",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN
+          .rangeSearch(q, b, 1.25)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("dist"), 6).as("dist")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist
+        FROM d WHERE dist <= 1.25
+      """)
+    ),
     GQuery(
       "knn_cosine",
       (spark, dir) => {

@@ -93,4 +93,33 @@ class VectorFunctionsSpec extends SparkSpec {
     val r = BruteForceKNN.knn(q, base, 2).orderBy("rnk").collect()
     assert(r.map(_.getLong(1)).toSeq == Seq(2L, 5L))
   }
+
+  test("rangeSearch == all pairs within radius (filter of the full kNN)") {
+    val rng = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, Array.fill(6)(rng.nextDouble())))
+      .toDF("neighbor_id", "bv")
+    val q = (0L until 5L).map(i => (i * 40, Array.fill(6)(rng.nextDouble())))
+      .toDF("query_id", "qv")
+    val r = 0.4
+    val got = BruteForceKNN.rangeSearch(q, base, r)
+      .select("query_id", "neighbor_id", "dist")
+    val want = BruteForceKNN.knn(q, base, 200)
+      .filter($"dist" <= r)
+      .select("query_id", "neighbor_id", "dist")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    assert(got.count() > 0) // radius chosen to be non-trivial on this data
+  }
+
+  test("rangeSearch includes the self-pair at dist 0 and excludes beyond-radius") {
+    val base = Seq(
+      (0L, Array(0.0, 0.0)),
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(5.0, 5.0))
+    ).toDF("neighbor_id", "bv")
+    val q = Seq((0L, Array(0.0, 0.0))).toDF("query_id", "qv")
+    val r = BruteForceKNN.rangeSearch(q, base, 1.0)
+      .orderBy("neighbor_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(r(0).getDouble(2) == 0.0)
+  }
 }
