@@ -53,7 +53,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated subset for targeted perf work
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     if (warmDir.nonEmpty && warmDir != sfDir) {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()

@@ -494,29 +494,34 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // carry each node's previous label through the min-hook so the
+      // convergence test is a filter over this round's (already
+      // materialized) output, not a join that re-executes the prior round
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("lbl"))
+        .select(
+          edges("src").as("id"), col("lbl"), lit(Long.MaxValue).as("old"))
       // materialize the hooked labels before the jump self-join (fresh
       // attributes for the two sides; also the round's lineage truncation)
       val hooked = labels
-        .union(prop)
+        .select(col("id"), col("lbl"), col("lbl").as("old"))
+        .unionByName(prop)
         .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"))
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
         .localCheckpoint()
       // pointer jump: lbl <- lbl(lbl). Every label value is itself a node
       // id of the same component (labels start as self and only node
-      // labels propagate), so the inner self-join is total
+      // labels propagate), so the inner self-join is total. Materialized
+      // eagerly: the changed-count filter and the next round's two join
+      // consumers all read these blocks instead of replaying the join.
       val next = hooked
         .join(
           hooked.select(col("id").as("rid"), col("lbl").as("rlbl")),
           col("lbl") === col("rid"))
-        .select(col("id"), col("rlbl").as("lbl"))
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old"))
-        .count()
-      labels = next
+        .select(col("id"), col("rlbl").as("lbl"), col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("id"), col("lbl"))
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
   }
