@@ -525,4 +525,40 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
   }
+
+  /** Test-set decontamination: for every training document, count the
+    * DISTINCT word n-grams it shares with an evaluation corpus — the
+    * standard pre-training hygiene step (a training doc that contains a
+    * benchmark's n-grams leaks the benchmark).
+    *
+    * Shape at scale: both sides reduce to (doc, shingle) tables; the
+    * overlap is an equi-join on the shingle — blocked exactly like
+    * [[jaccardPairs]], never all-pairs. The eval side is collapsed to a
+    * DISTINCT shingle set first; eval corpora are tiny next to a 100-TB
+    * training corpus, so AQE broadcasts that side and the training
+    * shingle table is never shuffled at all. Returns EVERY training doc
+    * (hit or not): (doc_id, n_hits, contaminated).
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol, n)
+    val evalSh = shingles(eval, idCol, textCol, n).select(col("sh")).distinct()
+    val hits = trainSh
+      .join(evalSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated")
+      )
+  }
 }

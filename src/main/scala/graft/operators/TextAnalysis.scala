@@ -96,6 +96,64 @@ object TextAnalysis {
       )
   }
 
+  /** Repetition statistics (the Gopher-rule family): how much of a
+    * document is the same thing said again. Two signals per doc:
+    *   - top_bigram_frac: fraction of tokens covered by the single most
+    *     frequent bigram (2 · max bigram count / n_tokens),
+    *   - dup_trigram_frac: fraction of trigram OCCURRENCES that are
+    *     repeats (1 − distinct/total).
+    * Docs too short for a bigram/trigram score 0 on that signal.
+    *
+    * Shape at scale: n-grams explode to (doc, gram) rows and reduce in two
+    * hash aggregations with map-side partial combine — the shuffle carries
+    * (doc, gram, count), never document text, and nothing is held per-doc
+    * in memory (a pathological 1-GiB document is fine).
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    def grams(n: Int): Column = explode(
+      expr(
+        s"transform(sequence(0, size(t)-$n), i -> " +
+          (0 until n).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )
+    )
+    val topBigram = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), grams(2).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"))
+    val triDup = toks
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), grams(3).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("g")).as("dist")
+      )
+    toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(topBigram, Seq("doc_id"), "left")
+      .join(triDup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(
+          coalesce(
+            lit(2.0) * col("top_c") / col("n_tokens"), lit(0.0)), 6
+        ).as("top_bigram_frac"),
+        round(
+          coalesce(
+            lit(1.0) - col("dist").cast("double") / col("total"), lit(0.0)), 6
+        ).as("dup_trigram_frac")
+      )
+  }
+
   /** Profile-based language ID: fit = top-`profileSize` tokens per labeled
     * language (count desc, token asc); predict = the language whose profile
     * overlaps the document's tokens most (ties -> lexicographically first

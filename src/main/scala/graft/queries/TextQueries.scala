@@ -562,6 +562,77 @@ object TextQueries {
         WHERE u < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
       """)
     ),
+    // Test-set decontamination: every training doc (doc_id % 50 != 0)
+    // with the count of distinct 5-grams it shares with the held-out eval
+    // slice (doc_id % 50 = 0) — the pre-training hygiene join, blocked on
+    // the shingle like dedup_jaccard, eval side collapsed to a DISTINCT
+    // shingle set (broadcastable: eval corpora are tiny next to the
+    // training corpus).
+    GQuery(
+      "pipeline_decontaminate",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5
+        )
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        ng AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(t) - 4),
+                        i -> array_to_string(t[i:i+4], ' ')))) AS sh
+               FROM tok WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT sh FROM ng WHERE doc_id % 50 = 0),
+        hits AS (SELECT ng.doc_id, count(*) AS n_hits
+                 FROM ng JOIN ev USING (sh)
+                 WHERE ng.doc_id % 50 != 0
+                 GROUP BY ng.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 != 0
+      """)
+    ),
+    // Repetition quality signals (the Gopher-rule family): top-bigram
+    // coverage and duplicate-trigram fraction per document.
+    GQuery(
+      "text_repetition",
+      (spark, dir) =>
+        TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+1], ' '))) AS g
+               FROM tok WHERE len(t) >= 2),
+        bc AS (SELECT doc_id, max(c) AS top_c
+               FROM (SELECT doc_id, g, count(*) AS c FROM bg
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        tg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) AS g
+               FROM tok WHERE len(t) >= 3),
+        tc AS (SELECT doc_id, count(*) AS total,
+                      count(DISTINCT g) AS dist
+               FROM tg GROUP BY doc_id)
+        SELECT tok.doc_id,
+               len(tok.t)::BIGINT AS n_tokens,
+               round(coalesce(2.0 * bc.top_c / len(tok.t), 0.0), 6)
+                 AS top_bigram_frac,
+               round(coalesce(1.0 - tc.dist::DOUBLE / tc.total, 0.0), 6)
+                 AS dup_trigram_frac
+        FROM tok
+        LEFT JOIN bc ON bc.doc_id = tok.doc_id
+        LEFT JOIN tc ON tc.doc_id = tok.doc_id
+      """)
+    ),
     // D11: corpus token histogram (top 20 by count).
     GQuery(
       "text_token_histogram",

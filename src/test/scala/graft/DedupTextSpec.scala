@@ -176,4 +176,54 @@ class DedupTextSpec extends SparkSpec {
     assert(capped.keySet.subsetOf(uncapped.keySet))
     capped.foreach { case (k, j) => assert(j == uncapped(k)) }
   }
+
+  test("decontaminate: planted eval overlap found, counts exact") {
+    // train doc 1 shares the eval doc's full 6-token span → 2 distinct
+    // 5-grams; train doc 2 shares nothing; doc 3 is too short to shingle
+    val train = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "z a b c d e f")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r == Map(
+      1L -> (2L, true),   // "a b c d e" and "b c d e f"
+      2L -> (0L, false),
+      3L -> (0L, false)
+    ))
+  }
+
+  test("decontaminate counts DISTINCT shared n-grams once") {
+    // the shared 5-gram occurs twice in the train doc and twice across
+    // eval docs — still one distinct shared shingle
+    val train = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a b c d e"),
+      (101L, "x a b c d e")
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, eval, "doc_id", "text", n = 5).collect()
+    // train doc's distinct 5-grams: {a b c d e, b c d e a, c d e a b,
+    //  d e a b c, e a b c d}; eval's: {a b c d e, x a b c d} → overlap 1
+    assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getBoolean(2))
+  }
+
+  test("repetitionStats: hand-computed fixture") {
+    val fix = Seq(
+      (1L, "x y x y x y"),       // bigrams: xy,yx,xy,yx,xy → top 3 → 6/6=1.0
+                                  // trigrams: xyx,yxy,xyx,yxy → 4 total 2 dist
+      (2L, "a b c d e"),          // all grams unique
+      (3L, "w"),                  // too short for either signal
+      (4L, "u v")                 // bigram "u v" ×1 → 2/2=1.0; no trigram
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(fix, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    assert(r(1L) == ((6L, 1.0, 0.5)))
+    assert(r(2L) == ((5L, 0.4, 0.0)))   // top bigram count 1 → 2/5
+    assert(r(3L) == ((1L, 0.0, 0.0)))
+    assert(r(4L) == ((2L, 1.0, 0.0)))
+  }
 }
