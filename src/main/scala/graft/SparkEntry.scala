@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[GQuery] =
     RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
-      PQQueries.all ++ SQQueries.all ++ HnswQueries.all ++ TextQueries.all ++
+      PQQueries.all ++ SQQueries.all ++ BQQueries.all ++ HnswQueries.all ++
+      TextQueries.all ++
       IvfQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
