@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-shaping operators for training-data pipelines: sliding-window
+  * chunking and concat-and-chunk packing — the steps between "clean
+  * documents" and "fixed-length training sequences".
+  *
+  * Both are deterministic token-index arithmetic (no RNG, no float), so
+  * they are DuckDB-oracle-checked end to end.
+  */
+object Packing {
+
+  /** Sliding-window chunks: every `stride`-aligned window of up to `size`
+    * tokens per document. Start offsets are 0, stride, 2·stride, … < n;
+    * the tail chunk is partial. Pure per-row explode — embarrassingly
+    * parallel, no shuffle at all.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t")
+      )
+      .select(
+        col("doc_id"),
+        col("t"),
+        size(col("t")).cast("long").as("n"),
+        explode(expr(s"sequence(0, size(t) - 1, $stride)")).as("start")
+      )
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(chunkSize.toLong), col("n") - col("start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), (col("start") + 1).cast("int"), lit(chunkSize)))
+          .as("chunk_text")
+      )
+  }
+
+  /** Concat-and-chunk packing offsets: documents are laid end to end in
+    * `idCol` order; each doc's `offset` is the global token position where
+    * it starts, and `pack_id = offset / ctx` is the training sequence its
+    * first token lands in.
+    *
+    * The global running sum is a DISTRIBUTED PREFIX SUM, not a
+    * single-partition window (the classic scale trap for cumulative
+    * sums): range-repartition by id, aggregate one total per partition
+    * (a ≤ numPartitions-row collect, bounded however large the corpus),
+    * prefix those on the driver, then add a within-partition running
+    * window. Any range split yields the same global offsets, because
+    * range partitions are disjoint ordered id intervals.
+    */
+  def packOffsets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctx: Int
+  ): DataFrame = {
+    require(ctx >= 1, "ctx must be >= 1")
+    val spark = df.sparkSession
+    val base = df
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")
+      )
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // evaluate once: totals collect + the window below
+    val totals = base
+      .groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("total"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // prefix(i) = sum of totals of partitions BEFORE pid i, broadcast back
+    // as a ≤ numPartitions-row dimension
+    import spark.implicits._
+    val prefixes = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+      .init
+      .map(_._2)
+    val prefixDf = totals.map(_._1).zip(prefixes).toSeq.toDF("pid", "prefix")
+    val w = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(prefixDf), "pid")
+      .withColumn(
+        "offset",
+        col("prefix") + coalesce(sum(col("n_tokens")).over(w), lit(0L))
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("offset"),
+        (col("offset") / ctx).cast("long").as("pack_id")
+      )
+  }
+}

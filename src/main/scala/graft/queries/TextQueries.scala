@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Packing, TextAnalysis}
 import Q._
 
 /** Dedup + text-analysis query surface over `documents` (the LLM-pipeline
@@ -631,6 +631,50 @@ object TextQueries {
         FROM tok
         LEFT JOIN bc ON bc.doc_id = tok.doc_id
         LEFT JOIN tc ON tc.doc_id = tok.doc_id
+      """)
+    ),
+    // Sliding-window chunking — documents to (overlapping) fixed-size
+    // token windows, the step before embedding/packing. Pure per-row
+    // explode, zero shuffle.
+    GQuery(
+      "pipeline_chunk",
+      (spark, dir) =>
+        Packing.chunk(
+          t(spark, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 16),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 16)) AS s
+              FROM tok)
+        SELECT doc_id,
+               ((s - 1) // 16)::BIGINT AS chunk_id,
+               (s - 1)::BIGINT AS start,
+               least(32, len(t) - s + 1)::BIGINT AS n_chunk_tokens,
+               array_to_string(t[s:s+31], ' ') AS chunk_text
+        FROM s
+      """)
+    ),
+    // Concat-and-chunk packing offsets — documents laid end to end in
+    // doc_id order; offset = global token position, pack_id = the ctx-512
+    // training sequence the doc starts in. The running sum is a
+    // distributed prefix sum (range partitions + per-partition totals +
+    // within-partition window), NOT a single-partition global window.
+    GQuery(
+      "pipeline_pack",
+      (spark, dir) =>
+        Packing.packOffsets(
+          t(spark, dir, "documents"), "doc_id", "text", ctx = 512),
+      Some("""
+        WITH nt AS (SELECT doc_id,
+                           len(string_split(text, ' '))::BIGINT AS n_tokens
+                    FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS "offset"
+              FROM nt)
+        SELECT doc_id, n_tokens, "offset", ("offset" // 512)::BIGINT AS pack_id
+        FROM c
       """)
     ),
     // D11: corpus token histogram (top 20 by count).

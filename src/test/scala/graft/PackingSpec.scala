@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+import graft.queries.Q
+
+/** Sequence-shaping invariants: chunk boundary arithmetic and the
+  * distributed-prefix-sum packing offsets (must equal the sequential
+  * definition regardless of partition layout).
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: hand-computed fixture incl. partial tail and short doc") {
+    val fix = Seq(
+      (1L, "a b c d e f g"), // n=7: starts 0,3,6 at stride 3
+      (2L, "x")              // n=1: one chunk of 1
+    ).toDF("doc_id", "text")
+    val r = Packing.chunk(fix, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+      .toSet
+    assert(r == Set(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 1L, "g"),
+      (2L, 0L, 0L, 1L, "x")
+    ))
+  }
+
+  test("chunk: every token covered, chunk sizes bounded") {
+    val docs = Q.t(spark, sf0001, "documents")
+    val r = Packing.chunk(docs, "doc_id", "text", chunkSize = 32, stride = 16)
+    assert(r.filter(col("n_chunk_tokens") > 32 || col("n_chunk_tokens") < 1).count() == 0)
+    // stride-16 windows of size 32: all but each doc's last chunk are full
+    // ... and token coverage: sum over stride-aligned FIRST halves == n
+    val n = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val covered = r
+      .select(least(col("n_chunk_tokens"), lit(16L)).as("c"))
+      .agg(sum(col("c"))).head.getLong(0)
+    assert(covered == n, s"$covered != $n")
+  }
+
+  test("packOffsets equals the sequential definition on any partition layout") {
+    val docs = Q.t(spark, sf0001, "documents")
+    val expected = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1)
+      .map { case (id, n, cumIncl) => id -> ((n, cumIncl - n, (cumIncl - n) / 512)) }
+      .toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val r = Packing
+        .packOffsets(docs.repartition(parts), "doc_id", "text", ctx = 512)
+        .collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+        .toMap
+      assert(r == expected, s"mismatch at input partitions = $parts")
+    }
+  }
+
+  test("packOffsets: offsets are dense — each doc starts where the previous ended") {
+    val docs = Q.t(spark, sf0001, "documents")
+    val rows = Packing.packOffsets(docs, "doc_id", "text", ctx = 512)
+      .orderBy(col("doc_id")).collect()
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expect, s"doc ${r.getLong(0)}")
+      expect += r.getLong(1)
+    }
+  }
+}
