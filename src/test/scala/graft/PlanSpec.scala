@@ -115,6 +115,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pipeline_pack: no single-partition exchange — the prefix sum is distributed") {
+    val p = planOf("pipeline_pack")
+    // the scale trap for global cumulative sums is
+    // Exchange SinglePartition + a global Window; the distributed prefix
+    // sum must never produce one
+    assert(!p.contains("SinglePartition"), p)
+    // the per-partition running window remains (partitioned by pid)
+    assert(p.contains("Window"), p)
+    // the partition-prefix dimension joins broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pipeline_decontaminate: shingle-blocked equi-join, no cartesian") {
+    val p = planOf("pipeline_decontaminate")
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), p)
+  }
+
+  test("bq_hamming_topk: broadcast query batch; partial heap agg below exchange") {
+    val p = planOf("bq_hamming_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("scans prune columns: q11 reads only the two needed orders columns") {
     val p = planOf("q11_orders_by_month")
     val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
