@@ -83,6 +83,11 @@ object Bench {
         case None =>
           timings(name) = median(runs.toSeq)
       }
+      // between-query hygiene, outside every timed region: driver GC lets
+      // the ContextCleaner release dangling localCheckpoint/broadcast
+      // blocks from the previous query, so later queries aren't timed
+      // under the accumulated block-manager pressure of earlier ones
+      System.gc()
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")

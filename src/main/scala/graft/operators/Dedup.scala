@@ -501,24 +501,33 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .select(
           edges("src").as("id"), col("lbl"), lit(Long.MaxValue).as("old"))
-      // materialize the hooked labels before the jump self-join (fresh
-      // attributes for the two sides; also the round's lineage truncation)
+      // the hooked labels feed all three sides of the jump joins below —
+      // NOT materialized separately: the three subtrees share one shuffle
+      // via ReusedExchange inside the single checkpoint job, so a round
+      // costs two jobs (checkpoint + count), not three
       val hooked = labels
         .select(col("id"), col("lbl"), col("lbl").as("old"))
         .unionByName(prop)
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
-        .localCheckpoint()
-      // pointer jump: lbl <- lbl(lbl). Every label value is itself a node
-      // id of the same component (labels start as self and only node
-      // labels propagate), so the inner self-join is total. Materialized
-      // eagerly: the changed-count filter and the next round's two join
-      // consumers all read these blocks instead of replaying the join.
+      // double pointer jump: lbl <- lbl(lbl(lbl)). Every label value is
+      // itself a node id of the same component (labels start as self and
+      // only node labels propagate), so both self-joins are total. Two
+      // jumps per round quarter the label distance instead of halving it
+      // — on a giant component that halves the round count, and a round's
+      // fixed cost (scheduling + one checkpoint) dominates the extra tiny
+      // join. Materialized eagerly: the changed-count filter and the next
+      // round's two join consumers all read these blocks instead of
+      // replaying the joins.
       val next = hooked
         .join(
           hooked.select(col("id").as("rid"), col("lbl").as("rlbl")),
           col("lbl") === col("rid"))
         .select(col("id"), col("rlbl").as("lbl"), col("old"))
+        .join(
+          hooked.select(col("id").as("rid2"), col("lbl").as("rlbl2")),
+          col("lbl") === col("rid2"))
+        .select(col("id"), col("rlbl2").as("lbl"), col("old"))
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select(col("id"), col("lbl"))
