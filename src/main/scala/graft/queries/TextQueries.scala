@@ -677,6 +677,142 @@ object TextQueries {
         FROM c
       """)
     ),
+    // The COMPLETE pipeline in one plan — what a user actually submits:
+    // drop eval-contaminated docs, keep near-dup cluster representatives,
+    // gate on quality + repetition, and pack the survivors into ctx-512
+    // training sequences. Composes decontaminate → simhashPairs →
+    // connectedComponents → qualityScore → repetitionStats → packOffsets;
+    // the oracle mirrors every stage (incl. the recursive-CTE closure) so
+    // the entire composition is hash-checked end to end.
+    GQuery(
+      "pipeline_full",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        val evalSet = docs.filter(col("doc_id") % 50 === 0)
+        // the cleaned corpus and the dedup survivors are natural stage
+        // boundaries with many downstream consumers each — materialize
+        // once (eager, ContextCleaner-freed) instead of re-running the
+        // decontamination join / CC fixpoint per consumer
+        val clean = train.join(
+          Dedup.decontaminate(train, evalSet, "doc_id", "text", n = 5)
+            .filter(!col("contaminated")).select(col("doc_id")),
+          "doc_id")
+          .localCheckpoint()
+        val reps = Dedup.connectedComponents(
+          Dedup.simhashPairs(clean, "doc_id", "text", maxHamming = 3),
+          "doc_a", "doc_b")
+        val kept = clean
+          .join(reps, Seq("doc_id"), "left")
+          .filter(coalesce(col("rep_id"), col("doc_id")) === col("doc_id"))
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val quality = TextAnalysis.qualityScore(kept, "doc_id", "text")
+        val sel = kept
+          .join(quality, "doc_id")
+          .filter(col("quality") >= 0.5)
+          .join(
+            TextAnalysis.repetitionStats(kept, "doc_id", "text")
+              .select(col("doc_id"), col("top_bigram_frac")),
+            "doc_id")
+          .filter(col("top_bigram_frac") <= 0.2)
+        Packing.packOffsets(sel, "doc_id", "text", ctx = 512)
+          .join(quality, "doc_id")
+          .select(
+            col("doc_id"), col("quality"), col("n_tokens"),
+            col("offset"), col("pack_id")
+          )
+      },
+      Some("""
+        WITH RECURSIVE
+        tokall AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+        ng AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(t) - 4),
+                        i -> array_to_string(t[i:i+4], ' ')))) AS sh
+               FROM tokall WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT sh FROM ng WHERE doc_id % 50 = 0),
+        contam AS (SELECT DISTINCT ng.doc_id
+                   FROM ng JOIN ev USING (sh)
+                   WHERE ng.doc_id % 50 != 0),
+        clean AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id % 50 != 0
+                    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM clean),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
+                        simhash & 65535 AS lo
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        kept AS (SELECT c.doc_id, c.text
+                 FROM clean c LEFT JOIN comps ON comps.id = c.doc_id
+                 WHERE coalesce(comps.rep, c.doc_id) = c.doc_id),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+1], ' '))) AS g
+               FROM tok WHERE len(t) >= 2),
+        bc AS (SELECT doc_id, max(c) AS top_c
+               FROM (SELECT doc_id, g, count(*) AS c FROM bg
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        sel AS (SELECT tok.doc_id, q.quality,
+                       len(tok.t)::BIGINT AS n_tokens
+                FROM tok
+                JOIN q ON q.doc_id = tok.doc_id
+                LEFT JOIN bc ON bc.doc_id = tok.doc_id
+                WHERE q.quality >= 0.5
+                  AND round(coalesce(2.0 * bc.top_c / len(tok.t), 0.0), 6)
+                        <= 0.2),
+        c AS (SELECT doc_id, quality, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS "offset"
+              FROM sel)
+        SELECT doc_id, quality, n_tokens, "offset",
+               ("offset" // 512)::BIGINT AS pack_id
+        FROM c
+      """)
+    ),
     // D11: corpus token histogram (top 20 by count).
     GQuery(
       "text_token_histogram",
