@@ -90,6 +90,28 @@ object BruteForceKNN {
     explodeTopK(grouped, qidCol, bidCol, "sim", negate = true)
   }
 
+  /** Same, by inner product descending (MIPS — the retrieval similarity
+    * for unnormalized learned embeddings; ties broken by ascending id).
+    * The heap keeps the k smallest of -dot. Unlike L2/cosine this is not
+    * a metric (no triangle inequality), which is exactly why it needs its
+    * own entry point rather than a normalize-then-L2 rewrite.
+    */
+  def knnDot(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame = {
+    val grouped = base
+      .join(broadcast(queries))
+      .groupBy(col(qidCol))
+      .agg(topK(-dotFast(col(qvecCol), col(bvecCol)), col(bidCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, bidCol, "dot", negate = true)
+  }
+
   /** Radius (range) search: every (query, neighbor) pair within squared-L2
     * `radiusSq`. Same broadcast-queries similarity-join shape as [[knn]],
     * but selection is a filter, not a top-k — result size is data-dependent,

@@ -116,6 +116,38 @@ object VectorQueries {
         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // Max-inner-product search (MIPS) — the retrieval similarity for
+    // unnormalized learned embeddings; same broadcast-join + bounded-heap
+    // shape, ordered by dot descending.
+    GQuery(
+      "knn_dot",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN
+          .knnDot(q, b, K)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("dot"), 6).as("dot"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlDot("qv", "bv")} AS dot
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, dot,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dot DESC, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(dot, 6) AS dot, rnk
+        FROM r WHERE rnk <= $K
+      """)
     )
   )
 }
