@@ -265,4 +265,65 @@ object StreamingOps {
           .parquet(storePath)
       }
       .start()
+
+  /** Parquet schema of the driver's documents table. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Streaming read of a documents directory (one file = one micro-batch). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Streaming test-set decontamination: drop every streamed document that
+    * shares a word n-gram with a STATIC eval corpus — the online half of
+    * [[graft.operators.Dedup.decontaminate]]. The eval shingle set is
+    * computed once in batch and broadcast (eval corpora are small by
+    * definition); the stream side is then a stateless per-row predicate —
+    * no streaming state, no watermark, append-mode safe, arbitrarily
+    * parallel. Shingling matches the batch operator exactly (space
+    * tokenization, space-joined n-grams, docs shorter than n pass).
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalSh = graft.operators.Dedup
+      .shingles(evalDocs, idCol, textCol, n)
+      .select(col("sh"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val bc = spark.sparkContext.broadcast(evalSh)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.filter { case (_, text) =>
+          val toks = text.split(" ", -1)
+          var i = 0
+          var hit = false
+          while (!hit && i + n <= toks.length) {
+            hit = ev.contains(toks.slice(i, i + n).mkString(" "))
+            i += 1
+          }
+          !hit
+        }
+      }
+      .toDF(idCol, textCol)
+  }
 }

@@ -302,4 +302,36 @@ class StreamingSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rnk")
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("streaming decontamination passes exactly the batch operator's clean docs") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf0001, "documents")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    // plant a contaminated doc so the filter provably drops something:
+    // doc -1 copies an eval doc's text verbatim
+    val planted = evalSet.limit(1)
+      .select(lit(-1L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val dir = Files.createTempDirectory("docs_stream").toString
+    train.unionByName(planted).write.parquet(s"$dir/docs")
+    val stream = StreamingOps.decontaminateStream(
+      StreamingOps.readDocuments(spark, s"$dir/docs"),
+      evalSet, "doc_id", "text", n = 5)
+    val q = stream.writeStream
+      .format("memory").queryName("decon").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("decon").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = train.unionByName(planted)
+      .join(
+        Dedup.decontaminate(
+          train.unionByName(planted), evalSet, "doc_id", "text", n = 5)
+          .filter(!col("contaminated")).select(col("doc_id")),
+        "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(!got.contains(-1L), "planted contaminated doc must be dropped")
+  }
 }
