@@ -529,7 +529,9 @@ object Dedup {
           col("lbl") === col("rid2"))
         .select(col("id"), col("rlbl2").as("lbl"), col("old"))
         .localCheckpoint()
-      changed = next.filter(col("lbl") =!= col("old")).count()
+      // convergence needs EXISTENCE of a changed row, not the count —
+      // isEmpty stops at the first match over the materialized blocks
+      changed = if (next.filter(col("lbl") =!= col("old")).isEmpty) 0L else 1L
       labels = next.select(col("id"), col("lbl"))
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
