@@ -813,6 +813,56 @@ object TextQueries {
         FROM c
       """)
     ),
+    // Source mixing with per-source caps — the "source weights" step:
+    // within each source, keep the top-N docs by quality (doc_id
+    // tie-break), N varying by source (trusted sources get more; caps
+    // bite at every test scale factor so the filter discriminates). One
+    // rank window per source partition — the same single-shuffle shape
+    // as pipeline_budget, keyed on source instead of language.
+    GQuery(
+      "pipeline_mix",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val cap = when(col("source") === "src0", lit(15)).otherwise(lit(8))
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        docs
+          .select(col("doc_id"), col("source"))
+          .join(quality, "doc_id")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= cap)
+          .select(
+            col("source"), col("doc_id"), col("quality"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id, source,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id, source,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        r AS (SELECT source, doc_id, quality,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality DESC, doc_id) AS rnk
+              FROM q)
+        SELECT source, doc_id, quality, rnk
+        FROM r
+        WHERE rnk <= CASE WHEN source = 'src0' THEN 15 ELSE 8 END
+      """)
+    ),
     // D11: corpus token histogram (top 20 by count).
     GQuery(
       "text_token_histogram",
