@@ -175,4 +175,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BQ Hamming is a metric: symmetric, zero-iff-equal-code, triangle") {
+    forSamples(dataGen, n = 10) { data =>
+      val d = data(0).length
+      val m = BQModel(Array.fill(d)(-1.0), Array.fill(d)(1.0)) // thr = 0
+      val Seq(a, b, c) = data.take(3).map(m.encodeVec).toSeq
+      assert(m.hamming(a, b) == m.hamming(b, a))
+      assert(m.hamming(a, a) == 0)
+      assert((m.hamming(a, b) == 0) == a.sameElements(b))
+      assert(m.hamming(a, c) <= m.hamming(a, b) + m.hamming(b, c))
+    }
+  }
+
+  test("BQ encode is scale-invariant for positive scaling around the threshold") {
+    forSamples(vecGen, n = 20) { v =>
+      val d = v.length
+      val m = BQModel(Array.fill(d)(-1.0), Array.fill(d)(1.0)) // thr = 0
+      val scaled = v.map(_ * 3.0)
+      assert(m.encodeVec(v).sameElements(m.encodeVec(scaled)))
+    }
+  }
+
+  test("chunk start arithmetic: starts cover [0, n) with stride spacing") {
+    import spark.implicits._
+    val strideGen = for {
+      n <- Gen.chooseNum(1, 40)
+      size <- Gen.chooseNum(1, 12)
+      stride <- Gen.chooseNum(1, 12)
+    } yield (n, size, stride)
+    forSamples(strideGen, n = 25) { case (n, size, stride) =>
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val rows = Packing
+        .chunk(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .collect()
+        .map(r => (r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val expectedStarts = 0L.until(n.toLong, stride.toLong)
+      assert(rows.map(_._1).toSeq == expectedStarts.toSeq, s"n=$n size=$size stride=$stride")
+      rows.foreach { case (start, len) =>
+        assert(len == math.min(size.toLong, n - start))
+      }
+    }
+  }
 }
