@@ -37,12 +37,15 @@ object Dedup {
         count(lit(1)).as("group_n")
       )
 
-  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
-  def shingles(
+  /** One exploded (doc_id, sh) row per n-gram POSITION — duplicates kept
+    * (a doc repeating a span contributes one row per occurrence). Pure
+    * per-row explode, zero shuffle.
+    */
+  private def spanPositions(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 3
+      n: Int
   ): DataFrame =
     df.select(
         col(idCol).as("doc_id"),
@@ -60,7 +63,66 @@ object Dedup {
           ).otherwise(array())
         ).as("sh")
       )
-      .distinct()
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document. */
+  def shingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame =
+    spanPositions(df, idCol, textCol, n).distinct()
+
+  /** Boilerplate span coverage — the token-stream analog of
+    * RefinedWeb/CCNet line-level dedup: an n-token span occurring in at
+    * least `minDf` DISTINCT documents is boilerplate, and each document
+    * reports how much of it is made of such spans. Returns one row per
+    * input document: (doc_id, n_spans, n_boiler, boiler_frac) where
+    * n_spans counts the doc's span positions, n_boiler those whose span
+    * is boilerplate, boiler_frac their ratio (0.0 for docs shorter than
+    * n tokens).
+    *
+    * Scale: two shuffles, both keyed on the span string — the
+    * doc-frequency aggregation (distinct (sh, doc) then count per sh) and
+    * the positions⋈df join back. No pairwise blow-up anywhere: unlike the
+    * pair generators above this is linear in total span positions, which
+    * is why production pipelines run line-dedup over corpora where even
+    * blocked pair enumeration is too big.
+    */
+  def boilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDf: Int = 2
+  ): DataFrame = {
+    val pos = spanPositions(df, idCol, textCol, n)
+    val dfreq = pos
+      .select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+    val per = pos
+      .join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler")
+      )
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(
+          when(
+            coalesce(col("n_spans"), lit(0L)) > 0,
+            col("n_boiler").cast("double") / col("n_spans")
+          ).otherwise(lit(0.0)),
+          6
+        ).as("boiler_frac")
+      )
+  }
 
   /** n-gram Jaccard near-dup pairs via inverted-index self-join: explode
     * shingles, equi-join on the shingle (blocked — only co-occurring pairs
@@ -179,6 +241,32 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** (doc_id, band, sig) LSH band signatures: rows-per-band consecutive
+    * permutations of the doc's MinHash signature, stringified per band.
+    */
+  private def bandSignatures(
+      sh: DataFrame,
+      numPerms: Int,
+      bands: Int
+  ): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val wide = minhashWide(sh, numPerms)
+    val bandCols = (0 until bands).map { bd =>
+      concat_ws(
+        ",",
+        (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+          .map(i => col(s"v$i").cast("string")): _*
+      ).as(s"sig$bd")
+    }
+    val stackArgs = (0 until bands).map(bd => s"$bd, sig$bd").mkString(", ")
+    wide
+      .select(col("doc_id") +: bandCols: _*)
+      .select(
+        col("doc_id"),
+        expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
+      )
+  }
+
   /** MinHash + LSH near-dup detection: band the signature (rows-per-band
     * consecutive permutations, signature string per band), bucket-join on
     * (band, signature) to get candidates, then verify candidates with the
@@ -195,23 +283,8 @@ object Dedup {
       tau: Double = 0.5
   ): DataFrame = {
     require(numPerms % bands == 0)
-    val rowsPerBand = numPerms / bands
     val sh = shingles(df, idCol, textCol, n) // shuffle-reused, not cached
-    val wide = minhashWide(sh, numPerms)
-    val bandCols = (0 until bands).map { bd =>
-      concat_ws(
-        ",",
-        (bd * rowsPerBand until (bd + 1) * rowsPerBand)
-          .map(i => col(s"v$i").cast("string")): _*
-      ).as(s"sig$bd")
-    }
-    val stackArgs = (0 until bands).map(bd => s"$bd, sig$bd").mkString(", ")
-    val sigs = wide
-      .select(col("doc_id") +: bandCols: _*)
-      .select(
-        col("doc_id"),
-        expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
-      )
+    val sigs = bandSignatures(sh, numPerms, bands)
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
@@ -570,6 +643,68 @@ object Dedup {
         col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated")
+      )
+  }
+
+  /** Fuzzy decontamination — MinHash-LSH across two corpora: a training
+    * doc is contaminated when it is NEAR-duplicate (exact shingle Jaccard
+    * ≥ tau, candidates from shared LSH band signatures) to any eval doc,
+    * catching paraphrased/trimmed eval leaks that [[decontaminate]]'s
+    * exact n-gram overlap understates. Returns one row per training doc:
+    * (doc_id, n_matches, max_jaccard, contaminated).
+    *
+    * Scale: both corpora are minhashed independently (one groupBy each —
+    * same shape as [[minhashLsh]]); candidates materialize only inside a
+    * shared (band, signature) bucket, and the verify join touches
+    * candidate pairs only. The eval side is tiny next to the training
+    * corpus, so the bucket join broadcasts it and nothing about the
+    * training side is ever pairwise.
+    */
+  def decontaminateFuzzy(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5
+  ): DataFrame = {
+    require(numPerms % bands == 0)
+    val shT = shingles(train, idCol, textCol, n)
+    val shE = shingles(eval, idCol, textCol, n)
+    val cand = bandSignatures(shT, numPerms, bands).as("a")
+      .join(
+        broadcast(bandSignatures(shE, numPerms, bands)).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(shT.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shE.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .filter(col("sh") === col("shb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizesT = shT.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sizesE = shE.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val matches = common
+      .join(sizesT.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizesE.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c"))
+      )
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+    train
+      .select(col(idCol).as("doc_id"))
+      .join(matches.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(coalesce(col("max_jaccard"), lit(0.0)), 6).as("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated")
       )
   }
 }

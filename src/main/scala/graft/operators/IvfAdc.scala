@@ -135,6 +135,52 @@ object IvfAdc {
       )
   }
 
+  /** IVFADC+R — ADC shortlist + exact refine (Jégou et al. 2011 §V's
+    * re-ranking stage): take the top `kShort` candidates per query by the
+    * quantized ADC estimate, join their RAW vectors back, recompute the
+    * exact L2² and keep the true top `k`. Recovers most of the recall the
+    * code quantization loses for a bounded extra cost: the refine join
+    * touches |Q|·kShort rows — the shortlist, never the corpus — so at
+    * scale it is a small-side join against the raw table (and the only
+    * stage that reads raw vectors at all).
+    */
+  def searchRerank(
+      spark: SparkSession,
+      index: DataFrame,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel,
+      k: Int,
+      kShort: Int,
+      nprobe: Int,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    require(kShort >= k, s"shortlist $kShort must be >= k $k")
+    val short = search(
+      spark, index, queries, qidCol, qvecCol, centroids, model, kShort, nprobe)
+    short
+      .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
+      .join(
+        raw.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+        "neighbor_id")
+      .withColumn(
+        "xdist",
+        graft.functions.VectorExpressions.l2SqFast(col(qvecCol), col("nvec")))
+      .groupBy(col(qidCol))
+      .agg(topK(col("xdist"), col("neighbor_id"), k).as("tk"))
+      .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col(qidCol),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
+  }
+
   /** Partition-pruned search against a [[build]]-written index: the
     * distinct probed cells become a static partition filter (bounded by
     * the centroid count), same tactic as [[IvfIndex.searchPartitioned]] —

@@ -34,6 +34,35 @@ object TextAnalysis {
           .cast("double") / size(col("toks"))).as("avg_token_len")
       )
 
+  /** Engine-portable PII patterns (no lookaround, no backreferences — the
+    * same constructs Java regex and RE2 interpret identically, like
+    * [[BpeTokenPattern]]).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction, the pre-training scrub pass: per-document
+    * match counts for emails and phone numbers, plus the md5 of the
+    * redacted text (emails → `<EMAIL>` first, then phones → `<PHONE>`).
+    * Pure per-row map — zero shuffle, embarrassingly parallel at any
+    * corpus size; the hash keeps the full redacted body out of the result
+    * while still pinning it byte-exactly.
+    */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(
+          regexp_replace(
+            regexp_replace(col("txt"), lit(EmailPattern), lit("<EMAIL>")),
+            lit(PhonePattern), lit("<PHONE>"))
+        ).as("redacted_md5")
+      )
+
   /** GPT-2-flavored pretokenization pattern, restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
     * lookarounds, no unicode classes: an optional leading space glued to a

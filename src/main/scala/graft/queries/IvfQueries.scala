@@ -17,6 +17,7 @@ object IvfQueries {
   private val NCELLS = 8
   private val NPROBE = 2
   private val K = 5
+  private val KSHORT = 3 * K
 
   /** Data-derived fixed coarse centroids (embeddings vec_id < NCELLS). */
   private def fixedCentroids(
@@ -158,19 +159,7 @@ object IvfQueries {
     GQuery(
       "ivfadc_knn",
       (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
-          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-        val cents = fixedCentroids(spark, dir)
-        val cbRows = emb
-          .filter(col("vec_id") < 4).orderBy(col("vec_id"))
-          .select(col("vec"))
-          .collect().map(_.getSeq[Double](0).toArray)
-        val model = PQModel(
-          8, 4, 64,
-          Array.tabulate(8)(mi =>
-            cbRows.map(v => java.util.Arrays.copyOfRange(v, mi * 8, (mi + 1) * 8)))
-        )
-        val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
+        val (emb, cents, model, index) = ivfadcSetup(spark, dir)
         val q = emb
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("query_id"), col("vec").as("qv"))
@@ -183,7 +172,78 @@ object IvfQueries {
           )
       },
       Some(s"""
-        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+        WITH $ivfadcCtes
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    // IVFADC+R (Jégou §V): ADC shortlist of 3K candidates, exact-L2²
+    // refine on the shortlist only, true top-K kept. The refine join
+    // touches |Q|·3K rows — the only stage that reads raw vectors.
+    GQuery(
+      "ivfadc_rerank",
+      (spark, dir) => {
+        val (emb, cents, model, index) = ivfadcSetup(spark, dir)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfAdc
+          .searchRerank(
+            spark, index, q, "query_id", "qv", cents, model,
+            K, KSHORT, NPROBE, emb, "vec_id", "vec")
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH $ivfadcCtes,
+        short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $KSHORT),
+        x AS (SELECT s.query_id, s.neighbor_id,
+                     ${sqlL2Sq("q.qv", "e.ev")} AS dist
+              FROM short s
+              JOIN q ON q.query_id = s.query_id
+              JOIN e ON e.vec_id = s.neighbor_id),
+        rr AS (SELECT query_id, neighbor_id, dist,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, neighbor_id) AS rnk
+               FROM x)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM rr WHERE rnk <= $K
+      """)
+    )
+  )
+
+  /** Shared IVFADC fixture: embeddings as doubles, fixed coarse centroids
+    * (vec_id < 8), fixed 4-codeword codebooks (vec_id < 4 subspace
+    * slices), residual-code index.
+    */
+  private def ivfadcSetup(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (org.apache.spark.sql.DataFrame, Array[Array[Double]], PQModel,
+      org.apache.spark.sql.DataFrame) = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val cents = fixedCentroids(spark, dir)
+    val cbRows = emb
+      .filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val model = PQModel(
+      8, 4, 64,
+      Array.tabulate(8)(mi =>
+        cbRows.map(v => java.util.Arrays.copyOfRange(v, mi * 8, (mi + 1) * 8)))
+    )
+    val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
+    (emb, cents, model, index)
+  }
+
+  /** The IVFADC oracle CTE chain through `r` (ADC distances ranked per
+    * query) — shared by ivfadc_knn and ivfadc_rerank.
+    */
+  private lazy val ivfadcCtes = s"""cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
                       FROM embeddings WHERE vec_id < $NCELLS),
         cb AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
                FROM embeddings WHERE vec_id < 4),
@@ -240,10 +300,5 @@ object IvfQueries {
         r AS (SELECT query_id, neighbor_id, dist,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk
-              FROM adc)
-        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
-        FROM r WHERE rnk <= $K
-      """)
-    )
-  )
+              FROM adc)"""
 }

@@ -598,6 +598,142 @@ object TextQueries {
         WHERE d.doc_id % 50 != 0
       """)
     ),
+    // PII scrub: detection counts + redacted-text hash over a derived
+    // corpus with deterministically injected emails (doc_id % 7 = 0) and
+    // phone numbers (doc_id % 5 = 0) — the raw corpus contains none, so
+    // the injection makes the regexes actually discriminate. Patterns are
+    // Java-regex == RE2 portable (no lookaround/backrefs); both engines
+    // derive the same text and must agree byte-exactly on the redaction.
+    GQuery(
+      "text_pii",
+      (spark, dir) => {
+        val derived = t(spark, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(
+              col("doc_id") % 7 === 0,
+              concat(lit(" reach me at user"), col("doc_id").cast("string"),
+                lit("@mail-"), col("lang"), lit(".org"))
+            ).otherwise(lit("")),
+            when(
+              col("doc_id") % 5 === 0,
+              concat(lit(" call 555-010-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+            ).otherwise(lit(""))
+          ).as("txt")
+        )
+        TextAnalysis.piiStats(derived, "doc_id", "txt")
+      },
+      Some(s"""
+        WITH derived AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' reach me at user' || doc_id::VARCHAR
+                              || '@mail-' || lang || '.org'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' call 555-010-'
+                              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END AS txt
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(txt,
+                 '${TextAnalysis.EmailPattern}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(txt,
+                 '${TextAnalysis.PhonePattern}'))::BIGINT AS n_phones,
+               md5(regexp_replace(regexp_replace(txt,
+                 '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+                 '${TextAnalysis.PhonePattern}', '<PHONE>', 'g'))
+                 AS redacted_md5
+        FROM derived
+      """)
+    ),
+    // Fuzzy decontamination: MinHash-LSH ACROSS corpora (train doc_id %
+    // 50 != 0 vs eval % 50 = 0) — near-duplicate eval leaks that exact
+    // n-gram overlap understates. Same 16-perm/4-band machinery as
+    // dedup_minhash_lsh (signatures depend only on a doc's own shingles,
+    // so the oracle computes them from the combined corpus), candidates
+    // restricted to train x eval, exact-Jaccard verify at 0.5.
+    GQuery(
+      "pipeline_decontaminate_fuzzy",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        Dedup.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, numPerms = 16, bands = 4, tau = 0.5
+        )
+      },
+      Some(s"""
+        WITH $shingleCtes,
+        mh AS (SELECT doc_id, i,
+                      min(((2*i+1) * x + 12289*i) % 1000000007) AS v
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5(sh), 1, 14))::BIGINT
+                              % 1000000007 AS x
+                     FROM sh)
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+               GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(v::VARCHAR, ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id % 50 != 0 AND b.doc_id % 50 = 0),
+        common AS (SELECT doc_a, doc_b, count(*) AS c
+                   FROM cand
+                   JOIN sh sa ON sa.doc_id = doc_a
+                   JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+                   GROUP BY 1, 2),
+        j AS (SELECT doc_a, c::DOUBLE / (sa.nsh + sb.nsh - c) AS jac
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE c::DOUBLE / (sa.nsh + sb.nsh - c) >= 0.5),
+        m AS (SELECT doc_a AS doc_id, count(*) AS n_matches,
+                     max(jac) AS mx
+              FROM j GROUP BY doc_a)
+        SELECT d.doc_id,
+               coalesce(m.n_matches, 0)::BIGINT AS n_matches,
+               round(coalesce(m.mx, 0.0), 6) AS max_jaccard,
+               coalesce(m.n_matches, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN m USING (doc_id)
+        WHERE d.doc_id % 50 != 0
+      """)
+    ),
+    // Boilerplate span coverage (the token-stream analog of RefinedWeb
+    // line-level dedup): 5-token spans occurring in >= 2 distinct docs
+    // are boilerplate; each doc reports the fraction of its span
+    // positions covered. Linear in span positions — no pair enumeration.
+    GQuery(
+      "dedup_boilerplate",
+      (spark, dir) =>
+        Dedup.boilerplate(
+          t(spark, dir, "documents"), "doc_id", "text", n = 5, minDf = 2),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        pos AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 4),
+                         i -> array_to_string(t[i:i+4], ' '))) AS sh
+                FROM tok WHERE len(t) >= 5),
+        dfreq AS (SELECT sh, count(DISTINCT doc_id) AS df
+                  FROM pos GROUP BY sh),
+        per AS (SELECT p.doc_id, count(*) AS n_spans,
+                       sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_boiler
+                FROM pos p JOIN dfreq f USING (sh) GROUP BY p.doc_id)
+        SELECT d.doc_id,
+               coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(per.n_boiler, 0)::BIGINT AS n_boiler,
+               round(CASE WHEN coalesce(per.n_spans, 0) > 0
+                          THEN per.n_boiler::DOUBLE / per.n_spans
+                          ELSE 0.0 END, 6) AS boiler_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+      """)
+    ),
     // Repetition quality signals (the Gopher-rule family): top-bigram
     // coverage and duplicate-trigram fraction per document.
     GQuery(

@@ -209,6 +209,87 @@ class DedupTextSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getBoolean(2))
   }
 
+  test("boilerplate: hand-computed span coverage, positions counted per occurrence") {
+    val fix = Seq(
+      (1L, "a b c"),     // spans(2): "a b", "b c"
+      (2L, "a b x"),     // "a b", "b x"
+      (3L, "z"),         // too short — 0 spans
+      (4L, "b c b c")    // "b c", "c b", "b c" — the dup position counts twice
+    ).toDF("doc_id", "text")
+    // df: "a b"->{1,2}, "b c"->{1,4} boilerplate (df>=2); "b x","c b" not
+    val r = Dedup.boilerplate(fix, "doc_id", "text", n = 2, minDf = 2)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((0L, 0L, 0.0)),
+      4L -> ((3L, 2L, 0.666667))
+    ))
+  }
+
+  test("boilerplate: every doc present, span counts = max(tokens-n+1, 0)") {
+    val r = Dedup.boilerplate(docs, "doc_id", "text", n = 5, minDf = 2)
+    assert(r.count() == docs.count())
+    val expected = docs
+      .select(col("doc_id"), greatest(size(split(col("text"), " ")) - 4, lit(0))
+        .cast("long").as("want"))
+    val bad = r.join(expected, "doc_id").filter(col("n_spans") =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("decontaminateFuzzy: exact eval copy flagged at jaccard 1, disjoint doc clean") {
+    val train = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = Dedup.decontaminateFuzzy(train, eval, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getBoolean(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((1L, 1.0, true)),
+      2L -> ((0L, 0.0, false))
+    ))
+  }
+
+  test("decontaminateFuzzy == full-corpus minhashLsh restricted to train x eval") {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val fuzzy = Dedup.decontaminateFuzzy(train, eval, "doc_id", "text")
+      .filter(col("contaminated"))
+      .collect().map(_.getLong(0)).toSet
+    // signatures depend only on a doc's own shingles, so the self-join
+    // over the whole corpus finds exactly the same cross pairs
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect()
+      .flatMap { r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)) }
+      .filter { case (tr, ev) => tr % 50 != 0 && ev % 50 == 0 }
+      .map(_._1).toSet
+    assert(fuzzy == lsh)
+  }
+
+  test("piiStats: fixture counts exact, redaction byte-exact and complete") {
+    val fix = Seq(
+      (1L, "write to a.b-c@x.co and d@y.org now"),
+      (2L, "call 123-456-7890 or 999-888-7777"),
+      (3L, "no pii here 12-34 a@b")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiStats(fix, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L) == ((2L, 0L, md5hex("write to <EMAIL> and <EMAIL> now"))))
+    assert(r(2L) == ((0L, 2L, md5hex("call <PHONE> or <PHONE>"))))
+    // "12-34" is not a phone, "a@b" has no TLD — both survive unredacted
+    assert(r(3L) == ((0L, 0L, md5hex("no pii here 12-34 a@b"))))
+  }
+
   test("repetitionStats: hand-computed fixture") {
     val fix = Seq(
       (1L, "x y x y x y"),       // bigrams: xy,yx,xy,yx,xy → top 3 → 6/6=1.0

@@ -56,6 +56,36 @@ class IvfAdcSpec extends SparkSpec {
       .except(naive).count() == 0)
   }
 
+  test("rerank: exact distances, recall >= plain ADC, full shortlist == exact scan") {
+    val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
+    val nprobe = cents.length // isolate the rerank effect from probe loss
+    // with the shortlist covering every candidate, rerank IS the exact
+    // brute-force top-k (probed cells = all cells here)
+    val total = emb.count().toInt
+    val rer = IvfAdc.searchRerank(
+      spark, index, queries, "query_id", "qv", cents, model,
+      k = 5, kShort = total, nprobe = nprobe, emb, "vec_id", "vec")
+    val exact = graft.operators.BruteForceKNN
+      .knn(queries, emb.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("bv")), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(rer.select(col("query_id"), col("neighbor_id"))
+      .except(exact).count() == 0)
+    // at a realistic shortlist, recall@5 vs exact must be >= plain ADC's
+    def recall(r: org.apache.spark.sql.DataFrame): Double = {
+      val hits = r.select(col("query_id"), col("neighbor_id"))
+        .intersect(exact).count().toDouble
+      hits / exact.count()
+    }
+    val short = IvfAdc.searchRerank(
+      spark, index, queries, "query_id", "qv", cents, model,
+      k = 5, kShort = 15, nprobe = nprobe, emb, "vec_id", "vec")
+    val adc = IvfAdc.search(
+      spark, index, queries, "query_id", "qv", cents, model, 5, nprobe)
+    assert(recall(short) >= recall(adc),
+      s"rerank recall ${recall(short)} < adc ${recall(adc)}")
+  }
+
   test("searchPartitioned == in-memory search, and the scan partition-prunes") {
     val path = java.nio.file.Files.createTempDirectory("ivfadc").toString + "/idx"
     IvfAdc.build(spark, emb, "vec_id", "vec", cents, model, path)
