@@ -92,6 +92,65 @@ object IvfIndex {
       .select(col(qidCol), col("cell").cast("int").as("cell"), col(qvecCol))
   }
 
+  /** Per-executor memo of the centroid-HNSW used by [[probeCellsAnn]],
+    * keyed by broadcast id: the graph build is deterministic (fixed seed,
+    * insertion order = array order), so every executor materializes the
+    * identical index once and shares it across partitions. Bounded — a
+    * session cycling through many centroid sets clears the map rather
+    * than accumulating dead graphs.
+    */
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, HnswIndex]()
+
+  /** ANN probe selection — the 100-TB path for LARGE cell counts. The
+    * exact [[probeCells]] scores every query against every centroid:
+    * |Q|·nCells·D work, fine at thousands of cells, dominant at the
+    * 64k-1M cells a billion-vector IVF wants (nCells ~ sqrt(N)). Here
+    * each executor builds ONE deterministic HNSW over the broadcast
+    * centroid array and each query finds its nprobe cells in
+    * O(log nCells) graph hops instead. Probe quality follows HNSW recall
+    * (near-1 at production ef); with efSearch >= nCells the traversal is
+    * exhaustive and the result matches [[probeCells]] exactly (spec-
+    * gated). Same (qid, cell, qvec) shape — feed to
+    * [[searchPartitionedWith]]. Query ids must be numeric (cast to long).
+    */
+  def probeCellsAnn(
+      spark: SparkSession,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      params: HnswParams = HnswParams(m = 16, efConstruction = 100, efSearch = 128),
+      seed: Long = 42L
+  ): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val bcId = bc.id
+    val p = params
+    queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        if (annIndexCache.size > 8) annIndexCache.clear()
+        val idx = annIndexCache.computeIfAbsent(
+          bcId,
+          _ => {
+            val index = new HnswIndex(p, seed)
+            bc.value.foreach(index.insert)
+            index
+          }
+        )
+        it.flatMap { case (qid, qv) =>
+          idx.search(qv.toArray, nprobe).map { case (_, cell) =>
+            (qid, cell, qv)
+          }
+        }
+      }
+      .toDF(qidCol, "cell", qvecCol)
+      .select(col(qidCol), col("cell").cast("int").as("cell"), col(qvecCol))
+  }
+
   /** Approximate top-k against an in-memory/assigned base (id, vec, cell).
     * Candidate scan = equi-join on the low-cardinality cell key; join
     * strategy is left to AQE (broadcast when the probe side is small,
@@ -159,9 +218,27 @@ object IvfIndex {
       centroids: Array[Array[Double]],
       k: Int,
       nprobe: Int
+  ): DataFrame =
+    searchPartitionedWith(
+      spark, indexPath,
+      probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe),
+      qidCol, qvecCol, k
+    )
+
+  /** [[searchPartitioned]] over a caller-supplied (qid, cell, qvec) probe
+    * table — from [[probeCells]] (exact) or [[probeCellsAnn]] (the large-
+    * nCells path). The probe set is evaluated once (localCheckpoint) and
+    * shared by the partition-filter collect and the candidate join.
+    */
+  def searchPartitionedWith(
+      spark: SparkSession,
+      indexPath: String,
+      probeTable: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int
   ): DataFrame = {
-    val probes = probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe)
-      .localCheckpoint()
+    val probes = probeTable.localCheckpoint()
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val base = load(spark, indexPath)

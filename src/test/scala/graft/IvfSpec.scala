@@ -43,6 +43,29 @@ class IvfSpec extends SparkSpec {
     assert(probes.filter(col("cell") < 0 || col("cell") >= cents.length).count() == 0)
   }
 
+  test("probeCellsAnn at exhaustive ef == exact probeCells; end-to-end equal") {
+    import graft.operators.HnswParams
+    // efSearch >= nCells makes the centroid-graph traversal exhaustive,
+    // so the ANN probe set must equal the exact crossJoin one (both
+    // tie-break equal distances by ascending cell id)
+    val ann = IvfIndex.probeCellsAnn(
+      spark, queries, "query_id", "qv", cents, nprobe = 2,
+      HnswParams(m = 4, efConstruction = 16, efSearch = cents.length))
+    val exact = IvfIndex.probeCells(spark, queries, "query_id", "qv", cents, 2)
+    val a = ann.select(col("query_id"), col("cell"))
+    val e = exact.select(col("query_id"), col("cell"))
+    assert(a.except(e).count() == 0 && e.except(a).count() == 0)
+    // the ANN probe table drives the partition-pruned search identically
+    val path = java.nio.file.Files.createTempDirectory("ivfann").toString + "/idx"
+    IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+    val viaAnn = IvfIndex.searchPartitionedWith(
+      spark, path, ann, "query_id", "qv", k = 5)
+    val viaExact = IvfIndex.searchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, k = 5, nprobe = 2)
+    assert(viaAnn.except(viaExact).count() == 0
+      && viaExact.except(viaAnn).count() == 0)
+  }
+
   test("searchPartitioned scans the query batch exactly once (single probe evaluation)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("ivfspec1p").toString + "/idx"
