@@ -244,7 +244,7 @@ object Dedup {
   /** (doc_id, band, sig) LSH band signatures: rows-per-band consecutive
     * permutations of the doc's MinHash signature, stringified per band.
     */
-  private def bandSignatures(
+  private[graft] def bandSignatures(
       sh: DataFrame,
       numPerms: Int,
       bands: Int

@@ -326,4 +326,119 @@ object StreamingOps {
       }
       .toDF(idCol, textCol)
   }
+
+  /** Streaming FUZZY decontamination: drop every streamed document that is
+    * MinHash-LSH near-duplicate (exact shingle Jaccard >= tau, candidates
+    * from shared band signatures) to any doc in a STATIC eval corpus — the
+    * online half of [[graft.operators.Dedup.decontaminateFuzzy]].
+    *
+    * The eval side is computed ONCE with the batch operators (band
+    * signatures + per-doc shingle sets) and broadcast; eval corpora are
+    * small by definition. The stream side is then a stateless per-row
+    * kernel — shingle, minhash, band, bucket-probe, exact-Jaccard verify —
+    * so there is no streaming state, no watermark, and the filter is
+    * append-mode safe and arbitrarily parallel. The per-row minhash
+    * reproduces the batch arithmetic bit-for-bit (md5 first-14-hex-chars
+    * mod P, then ((2i+1)·x + 12289·i) mod P per permutation), so a doc is
+    * dropped here exactly when the batch operator marks it contaminated.
+    */
+  def decontaminateFuzzyStream(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5
+  ): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numPerms / bands
+    val evalSh = graft.operators.Dedup.shingles(evalDocs, idCol, textCol, n)
+    // (band, sig) -> eval doc ids sharing that bucket
+    val evalBuckets: Map[(Int, String), Array[Long]] =
+      graft.operators.Dedup
+        .bandSignatures(evalSh, numPerms, bands)
+        .select(col("doc_id"), col("band"), col("sig"))
+        .as[(Long, Int, String)]
+        .collect()
+        .groupBy(r => (r._2, r._3))
+        .map { case (k, rs) => k -> rs.map(_._1).distinct }
+    // eval doc id -> its distinct shingle set (for the exact verify)
+    val evalSets: Map[Long, Set[String]] = evalSh
+      .as[(Long, String)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val bcBuckets = spark.sparkContext.broadcast(evalBuckets)
+    val bcSets = spark.sparkContext.broadcast(evalSets)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val buckets = bcBuckets.value
+        val sets = bcSets.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // batch md5Long: first 14 hex chars (= 7 bytes) of md5, base 16
+        def md5Mod(s: String): Long = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v % 1000000007L
+        }
+        it.filter { case (_, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < n) true // shorter than n ⇒ no shingles ⇒ clean
+          else {
+            val sh = new scala.collection.mutable.HashSet[String]
+            var i = 0
+            while (i + n <= toks.length) {
+              val sb = new StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              sh += sb.result()
+              i += 1
+            }
+            val mins = Array.fill(numPerms)(Long.MaxValue)
+            sh.foreach { s =>
+              val x = md5Mod(s)
+              var p = 0
+              while (p < numPerms) {
+                val v = ((2L * p + 1) * x + 12289L * p) % 1000000007L
+                if (v < mins(p)) mins(p) = v
+                p += 1
+              }
+            }
+            var contaminated = false
+            val seen = new scala.collection.mutable.HashSet[Long]
+            var bd = 0
+            while (!contaminated && bd < bands) {
+              val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+                .map(mins(_).toString)
+                .mkString(",")
+              buckets.get((bd, sig)).foreach { cands =>
+                var c = 0
+                while (!contaminated && c < cands.length) {
+                  if (seen.add(cands(c))) {
+                    val ev = sets(cands(c))
+                    val inter = sh.count(ev.contains)
+                    val jac =
+                      inter.toDouble / (sh.size + ev.size - inter).toDouble
+                    contaminated = jac >= tau
+                  }
+                  c += 1
+                }
+              }
+              bd += 1
+            }
+            !contaminated
+          }
+        }
+      }
+      .toDF(idCol, textCol)
+  }
 }

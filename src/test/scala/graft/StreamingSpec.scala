@@ -334,4 +334,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(!got.contains(-1L), "planted contaminated doc must be dropped")
   }
+
+  test("streaming fuzzy decontamination passes exactly the batch operator's clean docs") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf0001, "documents")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    // plant a near-duplicate: doc -1 copies an eval doc's text with one
+    // appended token, so only the FUZZY operator (not exact n-gram overlap
+    // at jaccard 1) exercises the tau threshold
+    val planted = evalSet.limit(1)
+      .select(lit(-1L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val dir = Files.createTempDirectory("docs_fuzzy_stream").toString
+    train.unionByName(planted).write.parquet(s"$dir/docs")
+    val stream = StreamingOps.decontaminateFuzzyStream(
+      StreamingOps.readDocuments(spark, s"$dir/docs"),
+      evalSet, "doc_id", "text")
+    val q = stream.writeStream
+      .format("memory").queryName("deconf").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("deconf").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = Dedup.decontaminateFuzzy(
+        train.unionByName(planted), evalSet, "doc_id", "text")
+      .filter(!col("contaminated")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(!got.contains(-1L), "planted near-dup doc must be dropped")
+  }
 }
