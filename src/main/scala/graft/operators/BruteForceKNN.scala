@@ -133,6 +133,35 @@ object BruteForceKNN {
       .filter(col("dist") <= radiusSq)
       .select(col(qidCol), col(bidCol), col("dist"))
 
+  /** Attribute-constrained (filtered) exact kNN: for each query, the k
+    * nearest base vectors WHOSE KEY EQUALS THE QUERY'S KEY — the
+    * "filtered ANN" query shape (search only within a category / tenant /
+    * shard). The equality predicate is declared as a JOIN KEY, so Spark
+    * executes a broadcast HASH join on the key instead of the
+    * nested-loop-over-all-pairs of [[knn]]: the codegen'd distance
+    * expression only ever evaluates same-key pairs, and selective keys cut
+    * the distance work by the key's fan-out, not post-hoc. Base is still
+    * never shuffled; the bounded heap still reduces each partition to k
+    * rows per query before the exchange.
+    */
+  def knnConstrained(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      qkeyCol: String = "qkey",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv",
+      bkeyCol: String = "bkey"
+  ): DataFrame = {
+    val grouped = base
+      .join(broadcast(queries), col(qkeyCol) === col(bkeyCol))
+      .groupBy(col(qidCol))
+      .agg(topK(l2SqFast(col(qvecCol), col(bvecCol)), col(bidCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, bidCol, "dist", negate = false)
+  }
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

@@ -231,6 +231,71 @@ object TextAnalysis {
       .withColumn("predicted", coalesce(col("predicted"), lit("??")))
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet-style quality signal: train
+    * an add-½-smoothed bigram language model ON THE CORPUS ITSELF, then
+    * score every document by its per-token negative log-likelihood and
+    * perplexity (high perplexity = the doc reads unlike the corpus; the
+    * classic pre-training filter ranks or drops by this number).
+    *
+    * Model: P(w₂|w₁) = (c(w₁w₂) + ½) / (c(w₁·) + ½·V), with c(w₁·) the
+    * bigram-PREFIX count (so conditionals sum to 1 over the vocab) and V
+    * the corpus unigram vocabulary size.
+    *
+    * Shape at scale: the (doc, w₁, w₂) position table is the only
+    * corpus-sized relation; it joins the two count tables on their own
+    * keys — equi-joins Spark shuffles on (w₁, w₂)/(w₁), never pairwise,
+    * with V a 1-row broadcast. The per-doc mean routes the position NLLs
+    * through a decimal sum, so it is exact under any partial-aggregation
+    * order. Docs with fewer than 2 tokens score NULL (no bigrams).
+    */
+  def perplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val bg = toks
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, size(t)-2)," +
+              " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = toks
+      .select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val nll = bg
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "nll",
+        -log(
+          (col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v"))
+        )
+      )
+    val perDoc = nll
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(38, 20)))
+          .cast("double") / count(lit(1))).as("nll_per_tok")
+      )
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("nll_per_tok"), 6).as("nll_per_tok"),
+        round(exp(col("nll_per_tok")), 6).as("perplexity")
+      )
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (31·acc + md5_56(t) mod P) mod P)` —
     * deterministic, order-sensitive, engine-portable (md5-derived token

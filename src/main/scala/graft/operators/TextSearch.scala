@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Keyword retrieval over the documents table — the lexical complement to
+  * the vector-search surface (a user of the reference's embedding search
+  * pairs it with BM25 for hybrid retrieval; the engine should answer both
+  * from one table).
+  *
+  * Shape at scale: classic inverted-index algebra as dataflow. The corpus
+  * tokenizes once; the (doc, term) postings are FILTERED TO THE QUERY'S
+  * TERMS BEFORE any shuffle (the only aggregations that shuffle carry
+  * ≤ |terms| rows per doc); document frequencies collapse to ≤ |terms|
+  * rows and broadcast; corpus stats (N, avgdl) are a 1-row broadcast. The
+  * final top-k is Spark's TakeOrderedAndProject — per-partition heads, no
+  * global sort. Nothing in the plan is proportional to |corpus| × |terms|
+  * beyond the single streaming pass over the postings.
+  */
+object TextSearch {
+
+  /** Okapi BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with the Robertson–Spärck Jones
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Returns (doc_id, score,
+    * rnk) for the k highest-scoring docs, score rounded to 6 places BEFORE
+    * ranking so the ordering is reproducible across engines; ties break on
+    * ascending doc_id.
+    *
+    * The per-doc sum over terms routes through a decimal (Q.dsum pattern)
+    * so it is exact regardless of partial-aggregation order.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 20
+  ): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t")
+    )
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl").cast(DecimalType(30, 6))).cast("double") / count(lit(1)))
+        .as("avgdl")
+    )
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "c",
+        log(
+          lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        ) * (col("tf") * (lit(k1) + lit(1))) /
+          (col("tf") +
+            lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+      )
+    val scores = contrib
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c").cast(DecimalType(38, 20))).cast("double").as("score")
+      )
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    scores
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long")
+      )
+  }
+}

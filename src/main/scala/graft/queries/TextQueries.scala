@@ -1014,6 +1014,86 @@ object TextQueries {
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w ORDER BY cnt DESC, token LIMIT 20
       """)
+    ),
+    // Keyword retrieval: Okapi BM25 top-20 for a 4-term query — inverted-
+    // index algebra as dataflow (postings filtered to the query terms
+    // before any shuffle, df + corpus stats broadcast, TakeOrdered top-k).
+    GQuery(
+      "text_bm25",
+      (spark, dir) =>
+        graft.operators.TextSearch.bm25(
+          t(spark, dir, "documents"),
+          "doc_id", "text",
+          Seq("vector", "hash", "stream", "query")
+        ),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (sum(dl::DECIMAL(30,6))::DOUBLE / count(*)) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+               WHERE w IN ('vector','hash','stream','query')
+               GROUP BY doc_id, w),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        scores AS (SELECT doc_id,
+                          round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                   FROM contrib GROUP BY doc_id),
+        r AS (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM scores)
+        SELECT doc_id, score, rnk FROM r WHERE rnk <= 20
+      """)
+    ),
+    // Bigram-LM perplexity (CCNet-style quality signal): add-1/2-smoothed
+    // bigram model trained on the corpus itself, every doc scored by
+    // per-token NLL + perplexity. Only the (doc,w1,w2) position table is
+    // corpus-sized; counts join on their own keys, V broadcasts.
+    GQuery(
+      "text_perplexity",
+      (spark, dir) =>
+        graft.operators.TextAnalysis.perplexity(
+          t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                             i -> t[i])) AS w1,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                             i -> t[i+1])) AS w2
+               FROM tok WHERE len(t) >= 2),
+        cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*)::BIGINT AS cu FROM bg GROUP BY w1),
+        vocab AS (SELECT count(DISTINCT w)::BIGINT AS v
+                  FROM (SELECT unnest(t) AS w FROM tok)),
+        nll AS (SELECT bg.doc_id,
+                       -ln((cb + 0.5::DOUBLE) / (cu + 0.5::DOUBLE * v)) AS nll
+                FROM bg
+                JOIN cb USING (w1, w2)
+                JOIN cu USING (w1)
+                CROSS JOIN vocab),
+        per AS (SELECT doc_id,
+                       (sum(nll::DECIMAL(38,20))::DOUBLE / count(*))
+                         AS nll_per_tok
+                FROM nll GROUP BY doc_id)
+        SELECT d.doc_id,
+               round(nll_per_tok, 6) AS nll_per_tok,
+               round(exp(nll_per_tok), 6) AS perplexity
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      """)
     )
   )
 }

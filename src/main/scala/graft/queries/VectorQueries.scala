@@ -148,6 +148,53 @@ object VectorQueries {
         SELECT query_id, neighbor_id, round(dot, 6) AS dot, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // Attribute-constrained (filtered) kNN: neighbors restricted to the
+    // query's own label — the equality predicate becomes the JOIN KEY, so
+    // the plan is a broadcast HASH join (distance evaluated on same-label
+    // pairs only), not a nested loop over all pairs.
+    GQuery(
+      "knn_filtered",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(
+            col("vec_id").as("query_id"),
+            toDouble(col("embedding")).as("qv"),
+            col("label").as("qkey")
+          )
+        val b = emb.select(
+          col("vec_id").as("neighbor_id"),
+          toDouble(col("embedding")).as("bv"),
+          col("label").as("bkey")
+        )
+        BruteForceKNN
+          .knnConstrained(q, b, K)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("dist"), 4).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          label AS qkey
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv,
+                          label AS bkey
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q JOIN b ON qkey = bkey),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
     )
   )
 }

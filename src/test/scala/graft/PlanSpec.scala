@@ -31,6 +31,18 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("knn_filtered: label constraint is the JOIN KEY — hash join, no nested loop") {
+    val p = planOf("knn_filtered")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // bounded heap still partially aggregates before the exchange
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("q2: star-schema dims join as broadcast hash joins, no cartesian") {
     val p = planOf("q2_revenue_by_region")
     assert(p.contains("BroadcastHashJoin"), p)
