@@ -327,6 +327,96 @@ object StreamingOps {
       .toDF(idCol, textCol)
   }
 
+  final case class SimBucket(ids: Array[Long], sims: Array[Long])
+
+  /** Online SimHash near-duplicate DETECTION over a document stream: emit
+    * the id of every streamed doc whose 32-bit SimHash is within
+    * `maxHamming` of an EARLIER-ARRIVED doc sharing a 16-bit signature
+    * half — the online half of [[graft.operators.Dedup.simhashPairs]],
+    * with identical banding and verify math.
+    *
+    * Shape: each doc computes its signature per-row (bit-for-bit the batch
+    * arithmetic: ±1 sums over md5-first-8-hex token hashes), explodes to
+    * its two (half, sig16) bucket keys, and the stream groups by bucket —
+    * state lives per bucket and holds only that bucket's signatures, so
+    * state is as fine-grained as the LSH itself and buckets parallelize
+    * arbitrarily. Verification against earlier members happens inside the
+    * bucket (hamming over the full 32-bit signature); `prior.id < id`
+    * guards the pair order so results are deterministic under re-delivery.
+    * A doc near-dup in both halves is emitted once per hit bucket —
+    * at-least-once semantics; downstream takes DISTINCT doc_id (the memory
+    * few extra rows cost less than a cross-bucket streaming aggregation,
+    * which append mode would disallow anyway).
+    */
+  def simhashDedupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val sums = new Array[Int](32)
+          text.split(" ", -1).foreach { w =>
+            md.reset()
+            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // batch token hash: first 8 hex chars = first 4 md5 bytes
+            var x = 0L
+            var i = 0
+            while (i < 4) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+            var b = 0
+            while (b < 32) {
+              sums(b) += (if (((x >> b) & 1L) == 1L) 1 else -1)
+              b += 1
+            }
+          }
+          var sim = 0L
+          var b = 0
+          while (b < 32) { if (sums(b) >= 0) sim |= (1L << b); b += 1 }
+          (id, sim)
+        }
+      }
+      .flatMap { case (id, sim) =>
+        Seq((0, sim >> 16, id, sim), (1, sim & 0xffffL, id, sim))
+      }
+      .groupByKey { case (half, sig, _, _) => (half, sig) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[SimBucket]) => {
+          val prev = state.getOption.getOrElse(SimBucket(Array.empty, Array.empty))
+          val seenIds = scala.collection.mutable.ArrayBuffer(prev.ids: _*)
+          val seenSims = scala.collection.mutable.ArrayBuffer(prev.sims: _*)
+          val known = scala.collection.mutable.HashSet(prev.ids: _*)
+          val dups = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // arrival order within the batch = ascending id, matching the
+          // batch operator's doc_a < doc_b pair orientation
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sim) =>
+            if (known.add(id)) {
+              var i = 0
+              var hit = false
+              while (!hit && i < seenIds.length) {
+                hit = seenIds(i) < id &&
+                  java.lang.Long.bitCount(seenSims(i) ^ sim) <= maxHamming
+                i += 1
+              }
+              if (hit) dups += id
+              seenIds += id
+              seenSims += sim
+            }
+          }
+          state.update(SimBucket(seenIds.toArray, seenSims.toArray))
+          dups.iterator
+        }
+      )
+      .toDF("doc_id")
+  }
+
   /** Streaming FUZZY decontamination: drop every streamed document that is
     * MinHash-LSH near-duplicate (exact shingle Jaccard >= tau, candidates
     * from shared band signatures) to any doc in a STATIC eval corpus — the

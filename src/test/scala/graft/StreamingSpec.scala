@@ -365,4 +365,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(!got.contains(-1L), "planted near-dup doc must be dropped")
   }
+
+  test("online simhash near-dup detection flags exactly the batch pairs' later docs") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // two micro-batches split by id, delivered low-ids-first so arrival
+    // order equals the batch operator's doc_a < doc_b orientation
+    val cut = 250L
+    val dir = Files.createTempDirectory("docs_simhash_stream").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("simhash_part").toString + "/out"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$dir/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(docs.filter(col("doc_id") < cut), "0_low.parquet")
+    stage(docs.filter(col("doc_id") >= cut), "1_high.parquet")
+    // ensure the low-id file lists as strictly older
+    Files.setLastModifiedTime(Paths.get(s"$dir/0_low.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(s"$dir/1_high.parquet"))
+          .toMillis - 60000))
+    val stream = StreamingOps.simhashDedupStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir),
+      "doc_id", "text")
+    val q = stream.writeStream
+      .format("memory").queryName("simdup").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("simdup").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select(col("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == want)
+  }
 }
