@@ -124,6 +124,71 @@ object Dedup {
       )
   }
 
+  /** Boilerplate REMOVAL — the rewrite half of [[boilerplate]]: drop every
+    * token covered by an occurrence of a boilerplate span (an n-token span
+    * found in >= minDf distinct docs) and reassemble the document from the
+    * surviving tokens. This is what RefinedWeb/CCNet line-dedup actually
+    * does to the corpus: detection ([[boilerplate]]) ranks, removal scrubs.
+    * Returns (doc_id, clean_text, n_kept, n_removed).
+    *
+    * Shape at scale: same two shingle-keyed shuffles as detection (span
+    * doc-frequency, then positions ⋈ boilerplate-spans — the join's build
+    * side is PRE-FILTERED to df >= minDf, a small fraction of the span
+    * vocabulary), plus one join back to the docs. The reconstruction is
+    * purely declarative: covered starts collect per doc, and a
+    * filter/exists/transform HOF chain keeps tokens whose index lies in no
+    * covered window — no UDF, no per-row collect, linear in tokens ×
+    * covered-spans-per-doc.
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDf: Int = 2
+  ): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t")
+    )
+    val spanExpr =
+      s"transform(sequence(0, size(t)-$n), i -> " +
+        (0 until n).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+    val pos = toks
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(expr(spanExpr)).as(Seq("i", "sh")))
+    val boiler = pos
+      .select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("sh"))
+    val starts = pos
+      .join(boiler, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    toks
+      .join(starts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("t"),
+        coalesce(col("starts"), expr("array()")).as("starts")
+      )
+      .select(
+        col("doc_id"),
+        expr(
+          s"filter(sequence(0, size(t)-1), i -> NOT exists(starts, j -> i >= j AND i < j + $n))"
+        ).as("kept"),
+        col("t")
+      )
+      .select(
+        col("doc_id"),
+        expr("array_join(transform(kept, i -> t[i]), ' ')").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed")
+      )
+  }
+
   /** n-gram Jaccard near-dup pairs via inverted-index self-join: explode
     * shingles, equi-join on the shingle (blocked — only co-occurring pairs
     * appear), count the intersection, Jaccard from set sizes, threshold.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Packing, TextAnalysis}
@@ -734,6 +735,44 @@ object TextQueries {
         FROM documents d LEFT JOIN per USING (doc_id)
       """)
     ),
+    // Boilerplate REMOVAL — the rewrite half: drop every token covered by
+    // a boilerplate span occurrence and reassemble the doc (declarative
+    // filter/exists/transform HOF chain, no UDF).
+    GQuery(
+      "dedup_boilerplate_scrub",
+      (spark, dir) =>
+        Dedup.removeBoilerplate(
+          t(spark, dir, "documents"), "doc_id", "text", n = 5, minDf = 2),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        pos AS (SELECT doc_id,
+                       unnest(generate_series(1, len(t) - 4)) AS i,
+                       unnest(list_transform(generate_series(1, len(t) - 4),
+                         i -> array_to_string(t[i:i+4], ' '))) AS sh
+                FROM tok WHERE len(t) >= 5),
+        boiler AS (SELECT sh
+                   FROM (SELECT sh, count(DISTINCT doc_id) AS df
+                         FROM pos GROUP BY sh)
+                   WHERE df >= 2),
+        starts AS (SELECT doc_id, list(i ORDER BY i) AS starts
+                   FROM pos JOIN boiler USING (sh) GROUP BY doc_id),
+        base AS (SELECT d.doc_id, string_split(d.text, ' ') AS t,
+                        coalesce(s.starts, []::BIGINT[]) AS starts
+                 FROM documents d LEFT JOIN starts s ON d.doc_id = s.doc_id),
+        kept AS (SELECT doc_id, t,
+                        list_filter(generate_series(1, len(t)),
+                          i -> len(list_filter(starts,
+                                 j -> i >= j AND i < j + 5)) = 0) AS kept
+                 FROM base)
+        SELECT doc_id,
+               coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '),
+                        '') AS clean_text,
+               len(kept)::BIGINT AS n_kept,
+               (len(t) - len(kept))::BIGINT AS n_removed
+        FROM kept
+      """)
+    ),
     // Repetition quality signals (the Gopher-rule family): top-bigram
     // coverage and duplicate-trigram fraction per document.
     GQuery(
@@ -1013,6 +1052,32 @@ object TextQueries {
         SELECT w AS token, count(*)::BIGINT AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w ORDER BY cnt DESC, token LIMIT 20
+      """)
+    ),
+    // Vocabulary build: every corpus token with its count and a contiguous
+    // deterministic id (frequency-ranked, ties on the token string) — the
+    // tokenizer-training precursor. The global rank window runs AFTER the
+    // count aggregation, so it orders the vocab table (tiny next to the
+    // corpus), never the token stream.
+    GQuery(
+      "text_vocab",
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn(
+            "token_id",
+            (row_number()
+              .over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+              .cast("long")
+          ),
+      Some("""
+        SELECT w AS token, count(*)::BIGINT AS cnt,
+               (row_number() OVER (ORDER BY count(*) DESC, w) - 1)::BIGINT
+                 AS token_id
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
       """)
     ),
     // Keyword retrieval: Okapi BM25 top-20 for a 4-term query — inverted-
