@@ -376,6 +376,56 @@ object RelationalQueries {
         GROUP BY n_name
       """)
     ),
+    // Z-order layout: 2-D Morton code over (customer, order-day) — the
+    // multi-dim clustering key behind ZORDER BY table layout. Pure bit
+    // arithmetic (shift-or-mask spread), whole-stage codegen, no UDF;
+    // both engines compute the identical mask chain.
+    GQuery(
+      "zorder_layout",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val x = col("o_custkey")
+        val y = datediff(
+          to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))
+        )
+        o.select(
+            col("o_orderkey"),
+            graft.operators.ZOrder.zvalue2(x, y).as("z")
+          )
+          .withColumn("zbucket", shiftright(col("z"), 16))
+      },
+      Some("""
+        WITH base AS (SELECT o_orderkey,
+                             o_custkey::BIGINT AS x,
+                             (o_orderdate::DATE - DATE '1970-01-01')::BIGINT
+                               AS y
+                      FROM orders),
+        s1 AS (SELECT o_orderkey,
+                      ((x | (x << 16)) & 281470681808895) AS xa,
+                      ((y | (y << 16)) & 281470681808895) AS ya
+               FROM base),
+        s2 AS (SELECT o_orderkey,
+                      ((xa | (xa << 8)) & 71777214294589695) AS xb,
+                      ((ya | (ya << 8)) & 71777214294589695) AS yb
+               FROM s1),
+        s3 AS (SELECT o_orderkey,
+                      ((xb | (xb << 4)) & 1085102592571150095) AS xc,
+                      ((yb | (yb << 4)) & 1085102592571150095) AS yc
+               FROM s2),
+        s4 AS (SELECT o_orderkey,
+                      ((xc | (xc << 2)) & 3689348814741910323) AS xd,
+                      ((yc | (yc << 2)) & 3689348814741910323) AS yd
+               FROM s3),
+        s5 AS (SELECT o_orderkey,
+                      ((xd | (xd << 1)) & 6148914691236517205) AS xe,
+                      ((yd | (yd << 1)) & 6148914691236517205) AS ye
+               FROM s4)
+        SELECT o_orderkey, (xe | (ye << 1)) AS z,
+               ((xe | (ye << 1)) >> 16) AS zbucket
+        FROM s5
+      """)
+    ),
     // D10 GROUPING SETS through the spark.sql surface (registered temp
     // view), complementing the DataFrame-API rollup/cube.
     GQuery(
