@@ -245,6 +245,31 @@ object RelationalQueries {
         ) ORDER BY c_custkey
       """)
     ),
+    // D9 distribution stats: exact linear-interpolated percentiles of
+    // extendedprice per return flag (both engines use the (n-1)·p
+    // continuous-quantile definition). At 100 TB the scale path swaps in
+    // approx_percentile (t-digest-style mergeable sketch) with identical
+    // plan shape; the exact form is the oracle-checkable twin.
+    GQuery(
+      "q24_percentiles",
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90")
+          ),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag
+      """)
+    ),
     // E3: ranking window — top-3 orders by totalprice per customer.
     GQuery(
       "q9_topk_per_customer",
