@@ -28,18 +28,24 @@ import graft.functions.VectorExpressions._
   */
 object IvfIndex {
 
-  /** (id, vec, cell) assignment under the given coarse centroids. */
+  /** (id, vec, extra..., cell) assignment under the given coarse
+    * centroids. `extraCols` carries metadata (labels, tenant keys,
+    * timestamps) into the index so filtered searches can push predicates
+    * straight to the index scan.
+    */
   def assign(
       spark: SparkSession,
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[Array[Double]]
+      centroids: Array[Array[Double]],
+      extraCols: Seq[String] = Nil
   ): DataFrame =
     df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      KMeans.assignCol(spark, centroids, col(vecCol)).as("cell")
+      col(idCol).as("id") +:
+        col(vecCol).as("vec") +:
+        extraCols.map(col) :+
+        KMeans.assignCol(spark, centroids, col(vecCol)).as("cell"): _*
     )
 
   /** Materialize the index: cell-partitioned parquet. One directory per
@@ -51,9 +57,10 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      path: String
+      path: String,
+      extraCols: Seq[String] = Nil
   ): Unit =
-    assign(spark, df, idCol, vecCol, centroids)
+    assign(spark, df, idCol, vecCol, centroids, extraCols)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Open a [[build]]-written index; `cell` comes back as the partition
@@ -236,13 +243,18 @@ object IvfIndex {
       probeTable: DataFrame,
       qidCol: String,
       qvecCol: String,
-      k: Int
+      k: Int,
+      baseFilter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     val probes = probeTable.localCheckpoint()
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val base = load(spark, indexPath)
+    val pruned = load(spark, indexPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    // a metadata predicate (FILTERED ANN) composes with the partition
+    // pruning: the cell filter prunes directories, the attribute filter
+    // pushes to parquet row groups — both reductions happen at the scan
+    val base = baseFilter.fold(pruned)(pruned.filter)
     searchWithProbes(base, probes, qidCol, qvecCol, k)
   }
 }

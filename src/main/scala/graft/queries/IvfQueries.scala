@@ -45,10 +45,12 @@ object IvfQueries {
     indexCache.getOrElseUpdate(
       dir, {
         val emb = t(spark, dir, "embeddings")
-          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+          .select(
+            col("vec_id"), toDouble(col("embedding")).as("vec"), col("label"))
         val path = java.nio.file.Files
           .createTempDirectory("graft-ivf").toString + "/index"
-        IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+        IvfIndex.build(
+          spark, emb, "vec_id", "vec", cents, path, extraCols = Seq("label"))
         path
       }
     )
@@ -97,6 +99,67 @@ object IvfQueries {
                JOIN probes p ON p.query_id = q.query_id
                JOIN assigned a ON a.cell = p.cell
                JOIN e ON e.vec_id = a.vec_id),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM cd)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    // FILTERED IVF: a metadata predicate (label <= 4) composed with the
+    // probed search — the cell filter prunes partition directories, the
+    // attribute predicate pushes to parquet row groups, so BOTH
+    // reductions happen at the scan (the production filtered-ANN shape).
+    GQuery(
+      "ivf_knn_filtered",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = sharedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .searchPartitionedWith(
+            spark, index,
+            IvfIndex.probeCells(spark, q, "query_id", "qv", cents, NPROBE),
+            "query_id", "qv", K,
+            baseFilter = Some(col("label") <= 4))
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label
+              FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+               WHERE e.label <= 4),
         r AS (SELECT query_id, neighbor_id, dist,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk

@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
       s"cell join must not carry a broadcast hint:\n$opt")
   }
 
+  test("ivf_knn_filtered: cell partition pruning AND label predicate both reach the scan") {
+    val q = SparkEntry.queries("ivf_knn_filtered")(spark, sf0001)
+    val ep = q.queryExecution.executedPlan.toString
+    val scanLine = ep.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
+      .getOrElse("")
+    assert(scanLine.contains("IN ("), s"no cell partition filter:\n$ep")
+    assert(scanLine.contains("LessThanOrEqual(label"),
+      s"label predicate not pushed to the index scan:\n$ep")
+  }
+
   test("sq_adc_topk: broadcast only the query batch; partial heap agg below exchange") {
     val p = planOf("sq_adc_topk")
     // the query side broadcasts, the reconstructed base streams
