@@ -85,4 +85,70 @@ object TextSearch {
           .cast("long")
       )
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
+    * BM25 lexical ranking with an exact-vector ranking of the SAME corpus
+    * (doc ids align with embedding ids). RRF needs only the two rank
+    * columns — fused(d) = Σ_lists 1/(rrfK + rank_list(d)) — so it is
+    * score-scale-free, the standard first fusion for lexical+dense search.
+    *
+    * Shape at scale: each side is already a bounded top-kEach table (BM25's
+    * TakeOrdered head; the vector side is a scan + bounded-heap top-k
+    * against a plan-embedded literal query — no join at all), so the fusion
+    * is a full-outer join of two ≤kEach-row tables: driver-trivial,
+    * independent of corpus size. Fused score is a sum of exact small-int
+    * rationals evaluated identically in any engine — no float hazard.
+    */
+  def hybridRrf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      emb: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryVec: Array[Double],
+      kEach: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    val lex = bm25(docs, idCol, textCol, terms, k1, b, kEach)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val vec = emb
+      .select(
+        col(vecIdCol).cast("long").as("doc_id"),
+        l2SqFast(col(vecCol), typedLit(queryVec.toSeq)).as("dist")
+      )
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(kEach)
+      .select(
+        col("doc_id"),
+        row_number()
+          .over(Window.orderBy(col("dist"), col("doc_id")))
+          .cast("long")
+          .as("vec_rnk")
+      )
+    lex
+      .join(vec, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "fused",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rnk")), lit(0.0))
+      )
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        col("doc_id"),
+        round(col("fused"), 6).as("rrf_score"),
+        col("lex_rnk"),
+        col("vec_rnk"),
+        row_number()
+          .over(Window.orderBy(col("fused").desc, col("doc_id")))
+          .cast("long")
+          .as("rnk")
+      )
+  }
 }

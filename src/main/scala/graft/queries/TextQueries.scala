@@ -1159,6 +1159,77 @@ object TextQueries {
                round(exp(nll_per_tok), 6) AS perplexity
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       """)
+    ),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-20
+    // with the exact-vector top-20 for one query (terms + the embedding of
+    // doc 7 — the tables are row-aligned, doc_id == vec_id). RRF uses only
+    // the two rank columns, so the fused score is a sum of exact small-int
+    // rationals — identical in both engines, no float hazard. Each side is
+    // a bounded TakeOrdered head; the fusion joins two <=20-row tables.
+    GQuery(
+      "text_hybrid_rrf",
+      (spark, dir) => {
+        import graft.functions.VectorFunctions.toDouble
+        val qv = t(spark, dir, "embeddings")
+          .filter(col("vec_id") === 7)
+          .select(toDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        graft.operators.TextSearch.hybridRrf(
+          t(spark, dir, "documents"), "doc_id", "text",
+          Seq("vector", "hash", "stream", "query"),
+          t(spark, dir, "embeddings")
+            .select(col("vec_id"), toDouble(col("embedding")).as("vec")),
+          "vec_id", "vec", qv
+        )
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (sum(dl::DECIMAL(30,6))::DOUBLE / count(*)) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+               WHERE w IN ('vector','hash','stream','query')
+               GROUP BY doc_id, w),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        scores AS (SELECT doc_id,
+                          round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                   FROM contrib GROUP BY doc_id),
+        lex AS (SELECT doc_id, rnk AS lex_rnk FROM (
+                  SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                  FROM scores) WHERE rnk <= 20),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 7),
+        vd AS (SELECT e.vec_id AS doc_id,
+                      ${sqlL2Sq("(e.embedding::DOUBLE[])", "qv.qv")} AS dist
+               FROM embeddings e CROSS JOIN qv),
+        vec AS (SELECT doc_id, rnk AS vec_rnk FROM (
+                  SELECT doc_id,
+                         row_number() OVER (ORDER BY dist, doc_id) AS rnk
+                  FROM vd) WHERE rnk <= 20),
+        fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                         coalesce(1.0::DOUBLE / (60 + lex_rnk), 0)
+                           + coalesce(1.0::DOUBLE / (60 + vec_rnk), 0) AS f,
+                         lex_rnk, vec_rnk
+                  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id),
+        r AS (SELECT doc_id, round(f, 6) AS rrf_score, lex_rnk, vec_rnk,
+                     row_number() OVER (ORDER BY f DESC, doc_id) AS rnk
+              FROM fused)
+        SELECT * FROM r WHERE rnk <= 10
+      """)
     )
   )
 }
