@@ -61,6 +61,7 @@ object IvfIndex {
       extraCols: Seq[String] = Nil
   ): Unit =
     assign(spark, df, idCol, vecCol, centroids, extraCols)
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Open a [[build]]-written index; `cell` comes back as the partition
@@ -68,6 +69,116 @@ object IvfIndex {
     */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ---------------------------------------------------------------------
+  // Index maintenance: LSM-style upsert / delete / compact.
+  //
+  // Every row carries a generation number `gen` (0 at build). A
+  // maintenance transaction allocates the next gen G and appends (a) new
+  // rows stamped gen = G — a CELL-PARTITIONED APPEND, so only the touched
+  // cells' directories gain files, never a rewrite — and (b) tombstones
+  // (id, G) to a tiny side log, meaning "versions of id older than G are
+  // dead". The live view joins the aggregated tombstone log (id → max
+  // gen, |log| rows — maintenance-sized, not corpus-sized; AQE broadcasts
+  // it) and keeps rows with row.gen >= tombstone.gen, so an upsert's own
+  // G-stamped row survives the tombstone it writes. An index that never
+  // saw a delete has no log and pays zero masking cost.
+  //
+  // Single-writer maintenance is assumed (the usual table-format
+  // contract); the gen counter and directory swap use driver-side
+  // filesystem ops (rename-based — a metadata move on HDFS-like stores).
+  // ---------------------------------------------------------------------
+
+  private def logDir(path: String): String = path + ".log"
+  private def tombPath(path: String): String = logDir(path) + "/tombstones"
+  private def genFile(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(logDir(path), "GEN")
+
+  /** Allocate the next generation number (last + 1, persisted). */
+  private def nextGen(path: String): Long = {
+    val f = genFile(path)
+    java.nio.file.Files.createDirectories(f.getParent)
+    val last =
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readString(f).trim.toLong
+      else 0L
+    val g = last + 1
+    java.nio.file.Files.writeString(f, g.toString)
+    g
+  }
+
+  private def appendTombstones(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame, // single numeric id column
+      gen: Long
+  ): Unit =
+    ids
+      .select(col(ids.columns.head).cast("long").as("id"), lit(gen).as("gen"))
+      .write.mode("append").parquet(tombPath(path))
+
+  /** Upsert: append the batch's rows at the next generation and tombstone
+    * their ids at that generation (older versions die, the new ones
+    * survive). Only the touched cells' directories gain files.
+    */
+  def upsert(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      extraCols: Seq[String] = Nil
+  ): Unit = {
+    val g = nextGen(path)
+    assign(spark, df, idCol, vecCol, centroids, extraCols)
+      .withColumn("gen", lit(g))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    appendTombstones(spark, path, df.select(col(idCol)), g)
+  }
+
+  /** Delete: tombstone the ids at the next generation. O(|ids|) log
+    * append — the index directories are untouched.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    appendTombstones(spark, path, ids, nextGen(path))
+
+  /** Apply the tombstone mask to rows read from the index. No log → the
+    * input plan is returned unchanged (zero cost for append-only indexes).
+    */
+  private def masked(spark: SparkSession, path: String, base: DataFrame): DataFrame =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath(path)))) base
+    else {
+      val tomb = spark.read.parquet(tombPath(path))
+        .groupBy(col("id")).agg(max(col("gen")).as("tomb_gen"))
+      base
+        .join(tomb, Seq("id"), "left")
+        .filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
+        .drop("tomb_gen")
+    }
+
+  /** The live view of a maintained index: rows minus tombstoned versions. */
+  def loadLive(spark: SparkSession, path: String): DataFrame =
+    masked(spark, path, load(spark, path))
+
+  /** Major compaction: rewrite the live view at gen 0 and drop the log.
+    * Search results are invariant (spec-gated); the payoff is the masking
+    * join disappearing and the appended small files merging.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths, Path => JPath}
+    import scala.jdk.CollectionConverters._
+    val tmp = path + ".compacting"
+    loadLive(spark, path)
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    def rmTree(p: JPath): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rmTree(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    rmTree(Paths.get(logDir(path)))
+  }
 
   /** Per-query probe set: the `nprobe` nearest cells, with the query
     * vector carried through the aggregation (no second scan of the query
@@ -253,8 +364,10 @@ object IvfIndex {
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
     // a metadata predicate (FILTERED ANN) composes with the partition
     // pruning: the cell filter prunes directories, the attribute filter
-    // pushes to parquet row groups — both reductions happen at the scan
-    val base = baseFilter.fold(pruned)(pruned.filter)
+    // pushes to parquet row groups — both reductions happen at the scan.
+    // The tombstone mask (if a maintenance log exists) applies on top of
+    // the pruned candidates only — never the whole index.
+    val base = masked(spark, indexPath, baseFilter.fold(pruned)(pruned.filter))
     searchWithProbes(base, probes, qidCol, qvecCol, k)
   }
 }

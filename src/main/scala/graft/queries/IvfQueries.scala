@@ -55,6 +55,35 @@ object IvfQueries {
       }
     )
 
+  /** A MAINTAINED index per sf dir: built from 4/5 of the corpus, the
+    * remaining fifth upserted (appended at gen 1 + tombstoned at gen 1),
+    * then every vec_id % 7 == 0 deleted (tombstoned at gen 2). The live
+    * corpus is exactly {vec_id % 7 != 0} — deterministic, so the full
+    * build/append/mask/search path is oracle-checked.
+    */
+  private val maintainedCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def maintainedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cents: Array[Array[Double]]
+  ): String =
+    maintainedCache.getOrElseUpdate(
+      dir, {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-maint").toString + "/index"
+        IvfIndex.build(
+          spark, emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "vec", cents, path)
+        IvfIndex.upsert(
+          spark, path, emb.filter(col("vec_id") % 5 === 0), "vec_id", "vec", cents)
+        IvfIndex.delete(
+          spark, path, emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+        path
+      }
+    )
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "ivf_knn",
@@ -160,6 +189,63 @@ object IvfQueries {
                JOIN assigned a ON a.cell = p.cell
                JOIN e ON e.vec_id = a.vec_id
                WHERE e.label <= 4),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM cd)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    // INDEX MAINTENANCE: search over an index that was built, upserted
+    // (cell-partitioned append at gen 1), and deleted from (tombstones at
+    // gen 2). The tombstone mask joins the maintenance-sized log against
+    // the ALREADY-PRUNED candidates only; the live corpus is exactly
+    // {vec_id % 7 != 0}, which the oracle mirrors with a WHERE clause.
+    GQuery(
+      "ivf_knn_upsert",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = maintainedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .searchPartitioned(spark, index, q, "query_id", "qv", cents, K, NPROBE)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+               WHERE a.vec_id % 7 <> 0),
         r AS (SELECT query_id, neighbor_id, dist,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk

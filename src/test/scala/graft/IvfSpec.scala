@@ -86,6 +86,38 @@ class IvfSpec extends SparkSpec {
     assert(acc.value == 1L, s"query batch evaluated ${acc.value} times")
   }
 
+  test("upsert/delete: maintained index answers exactly like the live corpus") {
+    val path = java.nio.file.Files.createTempDirectory("ivfmaint").toString + "/idx"
+    // build on 4/5 of the corpus, upsert the rest, delete every 7th id
+    IvfIndex.build(
+      spark, emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "vec", cents, path)
+    IvfIndex.upsert(
+      spark, path, emb.filter(col("vec_id") % 5 === 0), "vec_id", "vec", cents)
+    IvfIndex.delete(
+      spark, path, emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+    val live = emb.filter(col("vec_id") % 7 =!= 0)
+    val expected = IvfIndex.search(
+      spark, IvfIndex.assign(spark, live, "vec_id", "vec", cents),
+      queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    val maintained = IvfIndex.searchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    assert(maintained.except(expected).count() == 0
+      && expected.except(maintained).count() == 0)
+    // loadLive exposes exactly one surviving version per live id
+    val ids = IvfIndex.loadLive(spark, path).groupBy(col("id")).count()
+    assert(ids.filter(col("count") =!= 1).count() == 0)
+    assert(ids.count() == live.count())
+
+    // compaction: results invariant, log gone, gens reset to 0
+    IvfIndex.compact(spark, path)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".log")))
+    val compacted = IvfIndex.searchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    assert(compacted.except(expected).count() == 0
+      && expected.except(compacted).count() == 0)
+    assert(IvfIndex.load(spark, path).filter(col("gen") =!= 0).count() == 0)
+  }
+
   test("nprobe = nCells degrades to exact search over all cells") {
     val all = IvfIndex.search(
       spark, IvfIndex.assign(spark, emb, "vec_id", "vec", cents),
