@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfAdc, IvfIndex, PQModel}
+import graft.operators.{BruteForceKNN, IvfAdc, IvfIndex, PQModel, RecallEval}
 import Q._
 
 /** IVF approximate-NN query surface under fixed data-derived coarse
@@ -252,6 +252,72 @@ object IvfQueries {
               FROM cd)
         SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
         FROM r WHERE rnk <= $K
+      """)
+    ),
+    // ACCURACY EVALUATION as a first-class query: per-query Recall@K of
+    // the nprobe=2 probed search against the exact brute-force top-K.
+    // Under fixed centroids BOTH rankings are deterministic, so unlike
+    // hnsw_recall this one is hash-checked — the evaluation harness
+    // itself (join-based hit counting, zero-hit rows kept) is under the
+    // oracle, not just the index.
+    GQuery(
+      "ivf_recall",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = sharedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        val approx = IvfIndex
+          .searchPartitioned(spark, index, q, "query_id", "qv", cents, K, NPROBE)
+        val truth = BruteForceKNN
+          .knn(q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K)
+          .select(col("query_id"), col("neighbor_id"))
+        RecallEval.recallAtK(approx, truth, K)
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id),
+        ivfr AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM cd) WHERE rnk <= $K),
+        ex AS (SELECT query_id, neighbor_id FROM (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY ${sqlL2Sq("q.qv", "e.ev")}, e.vec_id) AS rn
+                 FROM q CROSS JOIN e) WHERE rn <= $K),
+        hits AS (SELECT query_id, count(*)::BIGINT AS c
+                 FROM ivfr JOIN ex USING (query_id, neighbor_id)
+                 GROUP BY query_id)
+        SELECT query_id, (coalesce(c, 0) / $K.0) AS recall
+        FROM (SELECT DISTINCT query_id FROM ivfr)
+        LEFT JOIN hits USING (query_id)
       """)
     ),
     // IVF index introspection: per-cell occupancy and mean quantization
