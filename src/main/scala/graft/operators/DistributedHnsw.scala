@@ -276,6 +276,76 @@ object DistributedHnsw {
       )
   }
 
+  /** Attribute-filtered batch search (the graph half of the filtered-ANN
+    * story — [[IvfIndex.searchPartitionedWith]]'s `baseFilter` is the
+    * inverted-file half): `allowedIds` (one numeric id column — typically
+    * a predicate over a metadata table) flags each shard vector, the
+    * layer-0 traversal routes through disallowed nodes but only surfaces
+    * flagged ones. The flag rides the same shard-cogroup as the vectors —
+    * one extra boolean per row, no extra shuffle of the corpus, and the
+    * allow-set is never collected anywhere.
+    *
+    * Under a selective predicate raise `efSearch` (the standard
+    * over-fetch) — recall is spec-gated; with every id allowed the result
+    * is bit-identical to [[search]].
+    */
+  def searchFiltered(
+      shards: Shards,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      allowedIds: DataFrame,
+      efSearch: Int = -1
+  ): DataFrame = {
+    val spark = shards.vectors.sparkSession
+    import spark.implicits._
+    val params = shards.params
+    val nShards = shards.numShards
+
+    val flagged = shards.vectors
+      .join(
+        allowedIds
+          .select(col(allowedIds.columns.head).cast("long").as("id"))
+          .distinct()
+          .withColumn("ok", lit(true)),
+        Seq("id"), "left")
+      .select(
+        col("shard"), col("id"), col("vec"),
+        coalesce(col("ok"), lit(false)).as("ok"))
+    val baseRdd = flagged
+      .as[(Int, Long, Seq[Double], Boolean)]
+      .rdd.map { case (s, id, v, ok) => (s, (id, (v, ok))) }
+    val edgeRdd = shards.edges
+      .as[(Int, Int, Long, Long)]
+      .rdd.map { case (s, l, a, b) => (s, (l, a, b)) }
+    val entryRdd = shards.entries
+      .as[(Int, Long, Int)]
+      .rdd.map { case (s, ep, h) => (s, (ep, h)) }
+    val queryRdd = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .rdd.flatMap { case (id, v) =>
+        (0 until nShards).iterator.map(s => (s, (id, v)))
+      }
+    val results = searchShards[(Seq[Double], Boolean)](
+      baseRdd, edgeRdd, entryRdd, queryRdd, k, efSearch,
+      (payload, height) => LocalGraphSearcher.rawFiltered(
+        payload.map(_._1.toArray), payload.map(_._2), height, params)
+    ).toDF("query_id", "neighbor_id", "dist")
+
+    results
+      .groupBy(col("query_id"))
+      .agg(topK(col("dist"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("query_id").as(qidCol),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
+  }
+
   /** The shard-cogroup search kernel, generic over the per-node payload
     * (raw vectors or codes): replay the shard's edge table into a local
     * searcher, run every query of the shard's query slice through it.
@@ -320,7 +390,8 @@ final class LocalGraphSearcher private (
     n: Int,
     height: Int,
     params: HnswParams,
-    distQ: (Array[Double], Int) => Double
+    distQ: (Array[Double], Int) => Double,
+    allow: Int => Boolean = null
 ) {
   import scala.collection.mutable
 
@@ -352,11 +423,17 @@ final class LocalGraphSearcher private (
     val ef = math.max(if (efSearch > 0) efSearch else params.efSearch, topK)
     var ep = entry
     var lc = height - 1
+    // upper layers route only (their result never enters W) — descent is
+    // unfiltered even in a filtered search, the hnswlib semantics
     while (lc > 0) {
       ep = searchLayer(q, ep, 1, lc).head._2
       lc -= 1
     }
-    searchLayer(q, ep, ef, 0).take(topK)
+    if (allow == null) searchLayer(q, ep, ef, 0).take(topK)
+    else
+      HnswTraversal.searchLayerFiltered(
+        distQ(q, _), adj(0).getOrElse(_, Iterable.empty), ep, ef, allow
+      ).take(topK)
   }
 }
 
@@ -371,6 +448,20 @@ object LocalGraphSearcher {
     new LocalGraphSearcher(
       vecs.length, height, params,
       (q, id) => KMeansLocal.l2Sq(q, vecs(id)))
+
+  /** Attribute-filtered: exact L2² plus a per-node admission flag. The
+    * walk routes through disallowed nodes; only flagged nodes surface.
+    */
+  def rawFiltered(
+      vecs: Array[Array[Double]],
+      flags: Array[Boolean],
+      height: Int,
+      params: HnswParams
+  ): LocalGraphSearcher =
+    new LocalGraphSearcher(
+      vecs.length, height, params,
+      (q, id) => KMeansLocal.l2Sq(q, vecs(id)),
+      allow = flags(_))
 
   /** Compressed: asymmetric query-to-code distance over the shard's
     * PERSISTED codes (ref py/hnsw.py:184-189 — search compares raw query

@@ -76,6 +76,52 @@ private[operators] object HnswTraversal {
     }
     work.toIndexedSeq.sortBy(x => (x._1, x._2))
   }
+
+  /** Attribute-filtered layer traversal (the hnswlib filter-function
+    * semantics): the walk routes THROUGH every node — disallowed nodes
+    * still expand, otherwise a selective predicate disconnects the
+    * graph — but only allowed nodes enter the working set `W`. With
+    * `allow` constantly true this reduces EXACTLY to [[searchLayer]]:
+    * while `W` is under `ef` nothing has been evicted, so the popped
+    * candidate is always ≤ the furthest of `W` and the extra
+    * `work.size >= ef` guard on the break can never fire earlier than
+    * the reference's — spec-gated by an exact-equality test.
+    */
+  def searchLayerFiltered(
+      dist: Int => Double,
+      neighbors: Int => Iterable[Int],
+      ep: Int,
+      ef: Int,
+      allow: Int => Boolean
+  ): IndexedSeq[(Double, Int)] = {
+    val visited = mutable.HashSet(ep)
+    val minOrd: Ordering[(Double, Int)] =
+      Ordering.by[(Double, Int), (Double, Int)](x => (-x._1, -x._2))
+    val maxOrd: Ordering[(Double, Int)] = Ordering.by(x => (x._1, -x._2))
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](minOrd)
+    val work = mutable.PriorityQueue.empty[(Double, Int)](maxOrd)
+    val d0 = dist(ep)
+    cand.enqueue((d0, ep))
+    if (allow(ep)) work.enqueue((d0, ep))
+    var done = false
+    while (cand.nonEmpty && !done) {
+      val (dc, c) = cand.dequeue()
+      if (work.size >= ef && dc > work.head._1) done = true
+      else {
+        for (e <- neighbors(c) if visited.add(e)) {
+          val de = dist(e)
+          if (work.size < ef || de < work.head._1) {
+            cand.enqueue((de, e))
+            if (allow(e)) {
+              work.enqueue((de, e))
+              if (work.size > ef) work.dequeue()
+            }
+          }
+        }
+      }
+    }
+    work.toIndexedSeq.sortBy(x => (x._1, x._2))
+  }
 }
 
 /** Partition-local HNSW index: sequential build + greedy search, the

@@ -169,6 +169,30 @@ object HnswQueries {
       },
       None
     ),
+    // Attribute-filtered graph search (the HNSW half of filtered ANN —
+    // the IVF half is ivf_knn_filtered): the layer-0 walk routes through
+    // every node but only label<=4 ids surface, with efSearch over-fetch
+    // compensating for the ~50% selectivity. Seeded-stochastic like all
+    // hnsw_* entries: rows-only here; exact-reduction + subset + recall
+    // invariants are HnswSpec-gated.
+    GQuery(
+      "hnsw_knn_filtered",
+      (spark, dir) => {
+        val (_, q) = embAndQueries(spark, dir)
+        val shards = sharedBuild(spark, dir)
+        val allowed = t(spark, dir, "embeddings")
+          .filter(col("label") <= 4).select(col("vec_id"))
+        DistributedHnsw
+          .searchFiltered(shards, q, "query_id", "qv", K, allowed,
+            efSearch = 200)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      None
+    ),
     // M5 compressed search: the same batch over a PQ-compressed build —
     // distances are asymmetric query-to-code against the PERSISTED shard
     // code table (~M shorts/vector on the wire instead of D doubles;

@@ -135,6 +135,49 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("filtered search: all-allowed == unfiltered exactly; subset + recall under a 50% predicate") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"), col("label"))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), numShards = 4, seed = 42
+    )
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+
+    // (1) allow = everything -> the filtered traversal must reduce to the
+    // reference loop bit-for-bit (same admissions, same break)
+    val allIds = emb.select(col("vec_id"))
+    val filteredAll = DistributedHnsw.searchFiltered(
+      shards, queries, "query_id", "qv", k = 10, allowedIds = allIds)
+    val plain = DistributedHnsw.search(shards, queries, "query_id", "qv", k = 10)
+    assert(filteredAll.except(plain).count() == 0
+      && plain.except(filteredAll).count() == 0)
+
+    // (2) selective predicate (~50%): results stay inside the allow-set
+    val allowed = emb.filter(col("label") <= 4).select(col("vec_id"))
+    val filtered = DistributedHnsw.searchFiltered(
+      shards, queries, "query_id", "qv", k = 10, allowedIds = allowed,
+      efSearch = 200) // over-fetch under selectivity, the standard tactic
+    assert(filtered.join(
+      allowed.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+      "left_anti").count() == 0)
+
+    // (3) recall vs the exact filtered brute force
+    val base = emb.filter(col("label") <= 4)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    val exact = BruteForceKNN.knn(queries, base, 10)
+    val nQ = queries.count()
+    val hits = filtered
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id")))
+      .count()
+    val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.9, s"filtered recall $recall")
+    shards.unpersist()
+  }
+
   test("shard-count scaling gate: Recall@10 >= 0.95 at numShards = 16") {
     // sharding is the recall risk (SURVEY §7.3.1): each shard searches
     // 1/N of the corpus, the merge keeps the global best k — gate at the
