@@ -205,7 +205,44 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.IvfIndex
           .assign(batch.sparkSession, batch, idCol, vecCol, centroids)
+          .withColumn("gen", lit(0L)) // append-only contract: ids are new
           .write.mode("append").partitionBy("cell").parquet(indexPath)
+      }
+      .start()
+
+  /** CDC apply sink — the streaming half of [[graft.operators.IvfIndex]]
+    * maintenance. Each micro-batch carries an `op` column: `upsert` rows
+    * (id, vec) replace any prior version of their id, `delete` rows kill
+    * it. Per batch the upserts apply first, then the deletes (deletes win
+    * within one micro-batch — the usual CDC compaction rule); both are
+    * O(batch) work — a cell-partitioned append plus a tombstone-log
+    * append, never an index rewrite — and
+    * [[graft.operators.IvfIndex.searchPartitioned]] over the index is
+    * correct between any two batches. Batch-twin spec: a streamed CDC
+    * history answers exactly like the same history applied with batch
+    * [[graft.operators.IvfIndex.upsert]]/
+    * [[graft.operators.IvfIndex.delete]] calls.
+    */
+  def cdcIvfSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      opCol: String,
+      centroids: Array[Array[Double]],
+      indexPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // one evaluation for both splits
+        val ups = b.filter(col(opCol) === "upsert")
+        val dels = b.filter(col(opCol) === "delete").select(col(idCol))
+        if (!ups.isEmpty)
+          graft.operators.IvfIndex
+            .upsert(b.sparkSession, indexPath, ups, idCol, vecCol, centroids)
+        if (!dels.isEmpty)
+          graft.operators.IvfIndex.delete(b.sparkSession, indexPath, dels)
       }
       .start()
 

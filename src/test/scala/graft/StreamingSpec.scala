@@ -191,6 +191,62 @@ class StreamingSpec extends SparkSpec {
       && batch.except(streamed).count() == 0)
   }
 
+  test("CDC IVF sink: streamed upsert/delete history answers like batch maintenance") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.IvfIndex
+    val srcDir = Files.createTempDirectory("cdcsrc").toString
+    val index = Files.createTempDirectory("cdcidx").toString + "/index"
+    val twin = Files.createTempDirectory("cdctwin").toString + "/index"
+    val ckpt = Files.createTempDirectory("cdcckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val cents = emb.filter(col("id") < 8).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    // wave 1: upsert ids < 300; wave 2: re-upsert [250,500) with SCALED
+    // vectors (so version masking is observable) + delete ids % 9 == 0.
+    // CDC order matters, so each wave is drained before the next arrives.
+    val w1 = emb.filter(col("id") < 300).withColumn("op", lit("upsert"))
+    val w2 = emb.filter(col("id") >= 250)
+      .withColumn("vec", transform(col("vec"), x => x * 2.0))
+      .withColumn("op", lit("upsert"))
+      .unionByName(
+        emb.filter(col("id") % 9 === 0)
+          .withColumn("op", lit("delete")))
+    w1.write.parquet(s"$srcDir/w1")
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>, op STRING")
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.cdcIvfSink(
+      stream, "id", "vec", "op", cents, index, ckpt)
+    try {
+      q.processAllAvailable()
+      w2.write.parquet(s"$srcDir/w2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: the same history through the batch maintenance API
+    IvfIndex.upsert(spark, twin, w1.drop("op"), "id", "vec", cents)
+    IvfIndex.upsert(
+      spark, twin, w2.filter(col("op") === "upsert").drop("op"),
+      "id", "vec", cents)
+    IvfIndex.delete(
+      spark, twin, w2.filter(col("op") === "delete").select(col("id")))
+    val queries = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val streamed = IvfIndex.searchPartitioned(
+      spark, index, queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    val batch = IvfIndex.searchPartitioned(
+      spark, twin, queries, "query_id", "qv", cents, k = 5, nprobe = 3)
+    assert(streamed.except(batch).count() == 0
+      && batch.except(streamed).count() == 0)
+    // the live view holds exactly the surviving versions: one row per
+    // non-deleted id, scaled vectors for every id >= 250
+    val live = IvfIndex.loadLive(spark, index)
+    assert(live.groupBy(col("id")).count()
+      .filter(col("count") =!= 1).count() == 0)
+    assert(live.filter(col("id") % 9 === 0).count() == 0)
+    assert(live.count() === emb.filter(col("id") % 9 =!= 0).count())
+  }
+
   test("incremental IVFADC sink: streamed residual-code appends answer like a batch build") {
     import graft.functions.VectorFunctions._
     import graft.operators.{IvfAdc, PQModel}
