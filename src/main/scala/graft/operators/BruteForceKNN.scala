@@ -162,6 +162,91 @@ object BruteForceKNN {
     explodeTopK(grouped, qidCol, bidCol, "dist", negate = false)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): shortlist the `kCand` nearest exactly, then greedily pick `k`
+    * results maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)` with
+    * `rel = −dist` and `sim = −L2²` — relevance traded against redundancy,
+    * the standard de-duplicating rerank over a retrieval shortlist.
+    *
+    * Shape at scale: the corpus-sized work is [[knn]] (broadcast queries,
+    * partial heap agg); the greedy selection is quadratic only in `kCand`
+    * and runs per query group inside `flatMapGroups` — the shuffle is
+    * |Q|·kCand shortlist rows, never corpus data. Fully deterministic
+    * (ties break on ascending id), so the whole rerank sits under a
+    * recursive-CTE DuckDB oracle.
+    */
+  def knnMmr(
+      queries: DataFrame,
+      base: DataFrame,
+      kCand: Int,
+      k: Int,
+      lambda: Double = 0.5,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val l = lambda
+    val cands = knn(queries, base, kCand, qidCol, qvecCol, bidCol, bvecCol)
+      .join(base.select(col(bidCol), col(bvecCol)), bidCol)
+      .select(
+        col(qidCol).cast("long"),
+        col(bidCol).cast("long"),
+        col("dist"),
+        col(bvecCol).cast("array<double>")
+      )
+    cands
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it
+          .map { case (_, id, d, v) => (id, d, v.toArray) }
+          .toArray
+          .sortBy(r => (r._2, r._1)) // (dist, id): head = most relevant
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        while (selected.length < k && remaining.nonEmpty) {
+          val pick =
+            if (selected.isEmpty) 0
+            else {
+              var best = -1
+              var bestScore = Double.NegativeInfinity
+              var i = 0
+              while (i < remaining.length) {
+                val (id, d, v) = remaining(i)
+                // same float-op order as the oracle: max of negated pair
+                // distances, then l·(−d) − (1−l)·maxSim
+                var maxSim = Double.NegativeInfinity
+                var j = 0
+                while (j < selected.length) {
+                  val s = -KMeansLocal.l2Sq(v, selected(j)._2)
+                  if (s > maxSim) maxSim = s
+                  j += 1
+                }
+                val score = l * (-d) - (1 - l) * maxSim
+                // ties break on ascending id: remaining is (dist, id)-
+                // sorted, not id-sorted, so compare explicitly
+                if (score > bestScore ||
+                    (score == bestScore && (best < 0 || id < remaining(best)._1))) {
+                  bestScore = score
+                  best = i
+                }
+                i += 1
+              }
+              best
+            }
+          val (id, _, v) = remaining.remove(pick)
+          selected += ((id, v))
+          out += ((qid, id, selected.length.toLong))
+        }
+        out.iterator
+      }
+      .toDF(qidCol, bidCol, "mmr_rnk")
+  }
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

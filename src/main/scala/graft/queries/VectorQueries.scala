@@ -150,6 +150,63 @@ object VectorQueries {
       """)
     ),
     // Attribute-constrained (filtered) kNN: neighbors restricted to the
+    // MMR diversified top-k: exact top-20 shortlist, then the greedy
+    // λ=0.5 relevance-vs-redundancy rerank. Deterministic (ties on
+    // ascending id), so the greedy loop itself sits under a RECURSIVE-CTE
+    // oracle — each recursion step appends the arg-max of
+    // 0.5·(−dist) − 0.5·max(−pairDist) over the unpicked shortlist.
+    GQuery(
+      "knn_mmr",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN.knnMmr(q, b, kCand = 20, k = 5)
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        cd AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q CROSS JOIN e),
+        cand AS (SELECT query_id, neighbor_id, dist FROM (
+                   SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rn
+                   FROM cd) WHERE rn <= 20),
+        pr AS (SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+                      ${sqlL2Sq("ea.ev", "eb.ev")} AS d
+               FROM cand a JOIN cand b ON a.query_id = b.query_id
+               JOIN e ea ON ea.vec_id = a.neighbor_id
+               JOIN e eb ON eb.vec_id = b.neighbor_id),
+        sel AS (
+          SELECT query_id, 1 AS step, [neighbor_id] AS ids
+          FROM (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id) AS rn
+                FROM cand) WHERE rn = 1
+          UNION ALL
+          SELECT query_id, step + 1, list_append(ids, neighbor_id)
+          FROM (
+            SELECT query_id, step, ids, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rn
+            FROM (
+              SELECT s.query_id, s.step, s.ids, c.neighbor_id,
+                     0.5::DOUBLE * (-c.dist)
+                       - 0.5::DOUBLE * max(-pr.d) AS score
+              FROM sel s
+              JOIN cand c ON c.query_id = s.query_id
+                         AND NOT list_contains(s.ids, c.neighbor_id)
+              JOIN pr ON pr.query_id = s.query_id AND pr.ia = c.neighbor_id
+                     AND list_contains(s.ids, pr.ib)
+              GROUP BY s.query_id, s.step, s.ids, c.neighbor_id, c.dist))
+          WHERE rn = 1 AND step < 5
+        )
+        SELECT query_id, unnest(ids) AS neighbor_id,
+               unnest(generate_series(1, len(ids)))::BIGINT AS mmr_rnk
+        FROM sel WHERE step = 5
+      """)
+    ),
     // query's own label — the equality predicate becomes the JOIN KEY, so
     // the plan is a broadcast HASH join (distance evaluated on same-label
     // pairs only), not a nested loop over all pairs.
