@@ -55,4 +55,70 @@ object RecallEval {
       avg(col("recall")).as("mean_recall"),
       min(col("recall")).as("min_recall")
     )
+
+  /** The IVF tuning curve: mean Recall@k for SEVERAL nprobe settings in
+    * ONE plan — (nprobe, n_queries, mean_recall), the recall/cost frontier
+    * an operator reads before picking nprobe. Probe ranks are computed
+    * once (|Q|·nCells rows); each nprobe setting reuses them via a tiny
+    * values-table join (`rn <= nprobe`), so the sweep costs one candidate
+    * scan per setting over only the probed cells — never a rebuilt index
+    * or a re-ranked probe set per point on the curve.
+    *
+    * Deterministic under fixed centroids; the mean routes through a
+    * decimal (Q.davg) so it is exact regardless of aggregation order.
+    */
+  def ivfNprobeCurve(
+      base: DataFrame, // (id, vec, cell) from IvfIndex.assign
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      nprobes: Seq[Int],
+      k: Int
+  ): DataFrame = {
+    import graft.functions.TopKAgg.topK
+    import graft.functions.VectorExpressions.l2SqFast
+    import graft.queries.Q.davg
+    import org.apache.spark.sql.expressions.Window
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centsDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    val npDf = nprobes.map(_.toLong).toDF("nprobe")
+    val ranked = queries
+      .crossJoin(broadcast(centsDf))
+      .withColumn("cd", l2SqFast(col(qvecCol), col("cvec")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col(qidCol)).orderBy(col("cd"), col("cell"))))
+      .select(col(qidCol), col("cell"), col("rn"), col(qvecCol))
+    val probes = ranked
+      .join(broadcast(npDf), col("rn") <= col("nprobe"))
+      .select(col("nprobe"), col(qidCol), col("cell"), col(qvecCol))
+    val approx = base
+      .join(probes, "cell")
+      .groupBy(col("nprobe"), col(qidCol))
+      .agg(topK(l2SqFast(col(qvecCol), col("vec")), col("id"), k).as("tk"))
+      .select(
+        col("nprobe"), col(qidCol),
+        explode(col("tk.id")).as("neighbor_id"))
+    val truth = BruteForceKNN
+      .knn(
+        queries, base.select(col("id").as("neighbor_id"), col("vec").as("bv")),
+        k, qidCol = qidCol, qvecCol = qvecCol)
+      .select(col(qidCol), col("neighbor_id"))
+    val hits = approx
+      .join(truth, Seq(qidCol, "neighbor_id"))
+      .groupBy(col("nprobe"), col(qidCol))
+      .agg(count(lit(1)).as("c"))
+    approx
+      .select(col("nprobe"), col(qidCol)).distinct()
+      .join(hits, Seq("nprobe", qidCol), "left")
+      .select(
+        col("nprobe"),
+        (coalesce(col("c"), lit(0L)) / k.toDouble).as("recall"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"), davg(col("recall")).as("mean_recall"))
+  }
 }

@@ -320,6 +320,72 @@ object IvfQueries {
         LEFT JOIN hits USING (query_id)
       """)
     ),
+    // THE TUNING CURVE: mean Recall@K at nprobe = 1,2,4,8 in ONE plan —
+    // probe ranks computed once, each setting a values-table join
+    // (rn <= nprobe); at nprobe = nCells the curve must hit 1.0 (exact).
+    // The operational read: how many cells to probe for a recall target.
+    GQuery(
+      "ivf_recall_curve",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        RecallEval.ivfNprobeCurve(
+          IvfIndex.assign(spark, emb, "vec_id", "vec", cents),
+          q, "query_id", "qv", cents, Seq(1, 2, 4, 8), K)
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        ranked AS (SELECT query_id, ck AS cell,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, ck) AS rn
+                   FROM pd),
+        np AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS nprobe),
+        probes AS (SELECT np.nprobe, r.query_id, r.cell
+                   FROM ranked r CROSS JOIN np WHERE r.rn <= np.nprobe),
+        cd AS (SELECT p.nprobe, q.query_id, a.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id),
+        ar AS (SELECT nprobe, query_id, neighbor_id FROM (
+                 SELECT nprobe, query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY nprobe, query_id
+                                           ORDER BY dist, neighbor_id) AS rnk
+                 FROM cd) WHERE rnk <= $K),
+        ex AS (SELECT query_id, neighbor_id FROM (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY ${sqlL2Sq("q.qv", "e.ev")}, e.vec_id) AS rn
+                 FROM q CROSS JOIN e) WHERE rn <= $K),
+        hits AS (SELECT nprobe, query_id, count(*)::BIGINT AS c
+                 FROM ar JOIN ex USING (query_id, neighbor_id)
+                 GROUP BY nprobe, query_id),
+        per AS (SELECT d.nprobe, (coalesce(c, 0) / $K.0) AS recall
+                FROM (SELECT DISTINCT nprobe, query_id FROM ar) d
+                LEFT JOIN hits ON hits.nprobe = d.nprobe
+                             AND hits.query_id = d.query_id)
+        SELECT nprobe, count(*)::BIGINT AS n_queries,
+               ${sqlAvg("recall")} AS mean_recall
+        FROM per GROUP BY nprobe
+      """)
+    ),
     // IVF index introspection: per-cell occupancy and mean quantization
     // distortion (L2² to the assigned centroid). Cell skew is THE
     // operational concern for IVF at scale — a hot cell caps probe
