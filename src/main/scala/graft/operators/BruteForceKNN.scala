@@ -247,6 +247,47 @@ object BruteForceKNN {
       .toDF(qidCol, bidCol, "mmr_rnk")
   }
 
+  /** Exact kNN for LARGE query batches — the both-sides-big regime where
+    * [[knn]]'s broadcast of the query batch no longer fits an executor.
+    * Classic 2-D block grid: queries hash into `qBlocks` groups, base into
+    * `bBlocks`, each side replicated across the other's axis, and the
+    * equi-join on the composite (qblk, bblk) key creates qBlocks·bBlocks
+    * independent tasks each holding |Q|/qBlocks queries × |B|/bBlocks base
+    * rows. Shuffle volume is |B|·qBlocks + |Q|·bBlocks — both tunable —
+    * and NOTHING broadcasts except the two block-id tables; per-task
+    * memory is a block of each side, not a whole side. The bounded heap
+    * still reduces every task to k rows per query before the merge
+    * exchange, so the second shuffle stays O(|Q|·k·blocks).
+    *
+    * Identical results to [[knn]] (spec-gated): same distance expression,
+    * same heap, same tie-breaks — only the data placement differs.
+    */
+  def knnShuffled(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      qBlocks: Int = 8,
+      bBlocks: Int = 8,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame = {
+    // axis replication is an explode of a literal int array — a Generate
+    // node, no join and no broadcast anywhere in the plan
+    val qrep = queries
+      .withColumn("qblk", pmod(hash(col(qidCol)), lit(qBlocks)))
+      .withColumn("bblk", explode(typedLit((0 until bBlocks).toList)))
+    val brep = base
+      .withColumn("bblk", pmod(hash(col(bidCol)), lit(bBlocks)))
+      .withColumn("qblk", explode(typedLit((0 until qBlocks).toList)))
+    val grouped = brep
+      .join(qrep.hint("shuffle_hash"), Seq("qblk", "bblk"))
+      .groupBy(col(qidCol))
+      .agg(topK(l2SqFast(col(qvecCol), col(bvecCol)), col(bidCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, bidCol, "dist", negate = false)
+  }
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

@@ -711,6 +711,51 @@ object Dedup {
       )
   }
 
+  /** Semantic decontamination — the third rung of the ladder (exact
+    * n-gram overlap → fuzzy MinHash-Jaccard → EMBEDDING COSINE): a
+    * training doc is contaminated when its embedding has cosine ≥ tau to
+    * any eval embedding, catching rewritten/translated eval leaks that
+    * share no surface n-grams at all. Returns one row per training doc:
+    * (doc_id, n_matches, max_cos, contaminated) — max_cos rounded to 6
+    * places, NULL when nothing clears tau.
+    *
+    * Scale: the eval corpus is structurally the small side (a benchmark,
+    * not a crawl), so it broadcasts and the training corpus STREAMS
+    * through the codegen'd cosine filter — one pass, no shuffle of
+    * training data; the only aggregation carries the ≥-tau pairs. Norms
+    * are computed once per side before the join.
+    */
+  def decontaminateEmbedding(
+      train: DataFrame, // (id, vec)
+      eval: DataFrame,  // (id, vec)
+      idCol: String,
+      vecCol: String,
+      tau: Double = 0.9
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.dotFast
+    val t = train.select(
+      col(idCol).as("doc_id"), col(vecCol).as("tv"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("tn"))
+    val e = eval.select(
+      col(idCol).as("eval_id"), col(vecCol).as("ev"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("en"))
+    val hits = t
+      .join(broadcast(e))
+      .withColumn("cos", dotFast(col("tv"), col("ev")) / (col("tn") * col("en")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
+    train
+      .select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(col("max_cos"), 6).as("max_cos"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated")
+      )
+  }
+
   /** Fuzzy decontamination — MinHash-LSH across two corpora: a training
     * doc is contaminated when it is NEAR-duplicate (exact shingle Jaccard
     * ≥ tau, candidates from shared LSH band signatures) to any eval doc,

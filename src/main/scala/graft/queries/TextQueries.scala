@@ -1160,6 +1160,43 @@ object TextQueries {
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       """)
     ),
+    // Semantic decontamination — the third rung of the ladder (exact
+    // n-gram -> fuzzy MinHash -> embedding cosine): training docs whose
+    // embedding clears cosine 0.4 to any eval embedding (eval = every
+    // 17th id; the threshold sits in the contaminated tail of this
+    // near-random corpus — 5 flagged docs at sf0.01). Eval side
+    // broadcasts (a benchmark is structurally small); train streams
+    // through the codegen'd cosine filter, one pass, no train shuffle.
+    GQuery(
+      "pipeline_decontaminate_embedding",
+      (spark, dir) => {
+        import graft.functions.VectorFunctions.toDouble
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        Dedup.decontaminateEmbedding(
+          emb.filter(col("vec_id") % 17 =!= 0),
+          emb.filter(col("vec_id") % 17 === 0),
+          "vec_id", "vec", tau = 0.4)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        t AS (SELECT vec_id AS doc_id, ev AS tv FROM e WHERE vec_id % 17 <> 0),
+        ex AS (SELECT vec_id AS eval_id, ev AS xv FROM e WHERE vec_id % 17 = 0),
+        c AS (SELECT doc_id,
+                     ${sqlDot("t.tv", "ex.xv")}
+                       / (sqrt(${sqlDot("t.tv", "t.tv")})
+                          * sqrt(${sqlDot("ex.xv", "ex.xv")})) AS cos
+              FROM t CROSS JOIN ex),
+        hits AS (SELECT doc_id, count(*)::BIGINT AS n_matches,
+                        max(cos) AS max_cos
+                 FROM c WHERE cos >= 0.4 GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(n_matches, 0) AS n_matches,
+               round(max_cos, 6) AS max_cos,
+               (coalesce(n_matches, 0) > 0) AS contaminated
+        FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+      """)
+    ),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-20
     // with the exact-vector top-20 for one query (terms + the embedding of
     // doc 7 — the tables are row-aligned, doc_id == vec_id). RRF uses only

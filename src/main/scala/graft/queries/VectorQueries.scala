@@ -150,6 +150,39 @@ object VectorQueries {
       """)
     ),
     // Attribute-constrained (filtered) kNN: neighbors restricted to the
+    // The both-sides-big kNN: 2-D block-grid shuffle join instead of a
+    // query-batch broadcast — qBlocks*bBlocks independent tasks, each
+    // holding one block of each side; nothing corpus-sized broadcasts.
+    // Same results as knn_bruteforce by construction (and by this oracle).
+    GQuery(
+      "knn_shuffled",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN
+          .knnShuffled(q, b, K, qBlocks = 4, bBlocks = 8)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("dist"), 4).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // MMR diversified top-k: exact top-20 shortlist, then the greedy
     // λ=0.5 relevance-vs-redundancy rerank. Deterministic (ties on
     // ascending id), so the greedy loop itself sits under a RECURSIVE-CTE

@@ -115,6 +115,27 @@ class PlanSpec extends SparkSpec {
       s"label predicate not pushed to the index scan:\n$ep")
   }
 
+  test("knn_shuffled: block-grid join — no broadcast at all, no nested loop") {
+    val p = planOf("knn_shuffled")
+    // axis replication is an explode of a literal array, so the whole
+    // plan carries ZERO broadcasts and zero nested loops — both data
+    // sides shuffle on the composite block key only
+    assert(!p.contains("BroadcastNestedLoop"), s"nested loop in:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"broadcast in:\n$p")
+    val join = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("qblk") && l.contains("bblk"))
+    assert(join.exists(l => l.contains("ShuffledHashJoin")
+      || l.contains("SortMergeJoin")),
+      s"grid join must shuffle on the composite block key:\n$p")
+    // partial heap agg below the merge exchange: the second shuffle
+    // carries O(|Q|*k) heap rows, not |Q|*|B| pairs
+    val i = p.linesIterator.indexWhere(_.contains("partial_topkagg"))
+    val j = p.linesIterator.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(query_id"))
+    assert(i >= 0 && j >= 0 && j < i,
+      s"partial heap agg must sit below the merge exchange:\n$p")
+  }
+
   test("sq_adc_topk: broadcast only the query batch; partial heap agg below exchange") {
     val p = planOf("sq_adc_topk")
     // the query side broadcasts, the reconstructed base streams

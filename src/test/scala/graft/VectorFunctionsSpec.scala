@@ -86,6 +86,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(heap.except(win).count() == 0 && win.except(heap).count() == 0)
   }
 
+  test("block-grid shuffled kNN == broadcast kNN on random data") {
+    val rng = new scala.util.Random(29)
+    val base = (0L until 300L).map(i => (i, Array.fill(8)(rng.nextDouble())))
+      .toDF("neighbor_id", "bv")
+    val q = (0L until 40L).map(i => (i * 7, Array.fill(8)(rng.nextDouble())))
+      .toDF("query_id", "qv")
+    val bc = BruteForceKNN.knn(q, base, 10)
+      .select("query_id", "neighbor_id", "dist", "rnk")
+    val grid = BruteForceKNN.knnShuffled(q, base, 10, qBlocks = 3, bBlocks = 5)
+      .select("query_id", "neighbor_id", "dist", "rnk")
+    assert(grid.except(bc).count() == 0 && bc.except(grid).count() == 0)
+  }
+
   test("heap top-k handles ties by ascending id") {
     val base = Seq((9L, Array(1.0)), (2L, Array(1.0)), (5L, Array(1.0)))
       .toDF("neighbor_id", "bv")
