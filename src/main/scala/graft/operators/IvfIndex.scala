@@ -145,11 +145,18 @@ object IvfIndex {
 
   /** Apply the tombstone mask to rows read from the index. No log → the
     * input plan is returned unchanged (zero cost for append-only indexes).
+    * `asOfGen` caps which tombstones apply (time travel).
     */
-  private def masked(spark: SparkSession, path: String, base: DataFrame): DataFrame =
+  private def masked(
+      spark: SparkSession,
+      path: String,
+      base: DataFrame,
+      asOfGen: Long = Long.MaxValue
+  ): DataFrame =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath(path)))) base
     else {
       val tomb = spark.read.parquet(tombPath(path))
+        .filter(col("gen") <= asOfGen)
         .groupBy(col("id")).agg(max(col("gen")).as("tomb_gen"))
       base
         .join(tomb, Seq("id"), "left")
@@ -157,9 +164,21 @@ object IvfIndex {
         .drop("tomb_gen")
     }
 
-  /** The live view of a maintained index: rows minus tombstoned versions. */
-  def loadLive(spark: SparkSession, path: String): DataFrame =
-    masked(spark, path, load(spark, path))
+  /** The live view of a maintained index: rows minus tombstoned versions.
+    * `asOfGen` time-travels — the view exactly as of that generation
+    * (rows appended later and tombstones written later are both
+    * invisible), the gen column doubling as a snapshot id the way LSM
+    * sequence numbers do. Default = current.
+    */
+  def loadLive(
+      spark: SparkSession,
+      path: String,
+      asOfGen: Long = Long.MaxValue
+  ): DataFrame =
+    masked(
+      spark, path,
+      load(spark, path).filter(col("gen") <= asOfGen),
+      asOfGen)
 
   /** Major compaction: rewrite the live view at gen 0 and drop the log.
     * Search results are invariant (spec-gated); the payoff is the masking

@@ -108,6 +108,17 @@ class IvfSpec extends SparkSpec {
     assert(ids.filter(col("count") =!= 1).count() == 0)
     assert(ids.count() == live.count())
 
+    // time travel: the view as of each generation of the history —
+    // gen 0 = the base build, gen 1 = after the upsert (every id live,
+    // deletes not yet visible), current = post-delete
+    val asOf0 = IvfIndex.loadLive(spark, path, asOfGen = 0L)
+    assert(asOf0.count() == emb.filter(col("vec_id") % 5 =!= 0).count())
+    assert(asOf0.filter(col("gen") =!= 0).count() == 0)
+    val asOf1 = IvfIndex.loadLive(spark, path, asOfGen = 1L)
+    assert(asOf1.count() == emb.count())
+    assert(asOf1.groupBy(col("id")).count()
+      .filter(col("count") =!= 1).count() == 0)
+
     // compaction: results invariant, log gone, gens reset to 0
     IvfIndex.compact(spark, path)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".log")))
