@@ -711,6 +711,66 @@ object Dedup {
       )
   }
 
+  /** TF-IDF shingle cosine pairs — SPARSE lexical vector similarity as
+    * pure relational algebra: docs become tf·idf-weighted n-gram-shingle
+    * vectors (unigrams degenerate on small vocabularies; shingles are
+    * combinatorial) and the sparse dot product is a postings SELF-JOIN on
+    * the shingle — no dense vectors, no index, the inverted-file algebra
+    * BM25 uses turned into an all-pairs similarity. Returns
+    * (doc_a, doc_b, tfidf_cos) for pairs clearing `tau`, doc_a < doc_b.
+    *
+    * Scale: the df window (2 ≤ df ≤ maxDfFraction·N) is the load-bearing
+    * move — df=1 shingles cannot pair (dropped), high-df shingles are
+    * stopword-like AND quadratic in fan-out (each shingle contributes
+    * ≤ df² pairs), so the cap bounds per-key join blow-up exactly like
+    * dedup_jaccard's hot-shingle skew cap. Every shuffle is keyed on the
+    * shingle or the (doc_a, doc_b) pair; dot products and norms route
+    * through decimals so both engines sum exactly.
+    */
+  def tfidfPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDfFraction: Double = 0.1,
+      tau: Double = 0.4
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = spanPositions(df, idCol, textCol, n)
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n"))
+    val w = tf
+      .join(dfreq, "sh")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") <= floor(col("n") * maxDfFraction))
+      .select(
+        col("doc_id"), col("sh"),
+        (col("tf") *
+          log((lit(1) + col("n")).cast("double") / (lit(1) + col("df"))))
+          .as("w"))
+    val nrm = w
+      .groupBy(col("doc_id"))
+      .agg(sqrt(
+        sum((col("w") * col("w")).cast(DecimalType(38, 20))).cast("double"))
+        .as("nm"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.w") * col("b.w")).as("p"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("p").cast(DecimalType(38, 20))).cast("double").as("dt"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nm").as("nb")), "doc_b")
+      .withColumn("cos", col("dt") / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("tfidf_cos"))
+  }
+
   /** Semantic decontamination — the third rung of the ladder (exact
     * n-gram overlap → fuzzy MinHash-Jaccard → EMBEDDING COSINE): a
     * training doc is contaminated when its embedding has cosine ≥ tau to

@@ -1160,6 +1160,51 @@ object TextQueries {
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       """)
     ),
+    // TF-IDF shingle cosine pairs: sparse lexical similarity as inverted-
+    // file algebra — tf·idf-weighted 3-gram vectors, sparse dot = postings
+    // self-join on the shingle. The df window (2 <= df <= 0.1·N) is the
+    // scale move: df=1 can't pair, high-df shingles are stopword-like AND
+    // quadratic in join fan-out. Decimal-routed sums keep both engines
+    // bit-identical.
+    GQuery(
+      "dedup_tfidf_pairs",
+      (spark, dir) =>
+        Dedup.tfidfPairs(
+          t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, maxDfFraction = 0.1, tau = 0.4),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t)-2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE []::VARCHAR[] END) AS term
+               FROM tok),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM sh GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        w AS (SELECT doc_id, tf.term,
+                     tf * ln((1+n)::DOUBLE/(1+df)) AS w
+              FROM tf JOIN df USING (term) CROSS JOIN n
+              WHERE df >= 2 AND df <= floor(n * 0.1)),
+        nrm AS (SELECT doc_id,
+                       sqrt(sum((w*w)::DECIMAL(38,20))::DOUBLE) AS nm
+                FROM w GROUP BY doc_id),
+        dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        sum((a.w*b.w)::DECIMAL(38,20))::DOUBLE AS dt
+                 FROM w a JOIN w b ON a.term = b.term
+                                  AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+        cosv AS (SELECT doc_a, doc_b, dt/(na.nm*nb.nm) AS cos
+                 FROM dots
+                 JOIN nrm na ON na.doc_id = doc_a
+                 JOIN nrm nb ON nb.doc_id = doc_b)
+        SELECT doc_a, doc_b, round(cos, 6) AS tfidf_cos
+        FROM cosv WHERE cos >= 0.4
+      """)
+    ),
     // Semantic decontamination — the third rung of the ladder (exact
     // n-gram -> fuzzy MinHash -> embedding cosine): training docs whose
     // embedding clears cosine 0.4 to any eval embedding (eval = every
