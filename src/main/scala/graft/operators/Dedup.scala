@@ -741,6 +741,10 @@ object Dedup {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n"))
+    // the weight table feeds three consumers (norms + both join sides);
+    // recomputation measured FASTER than materializing it (the subtree is
+    // two cheap hash aggs that pipeline into each consumer), so no
+    // checkpoint here
     val w = tf
       .join(dfreq, "sh")
       .crossJoin(broadcast(nDocs))
