@@ -67,7 +67,35 @@ object IvfAdc {
       path: String
   ): Unit =
     encode(spark, df, idCol, vecCol, centroids, model)
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** LSM maintenance, sharing [[IvfIndex]]'s log format verbatim (same
+    * gen counter, same tombstone table): upsert appends the batch's
+    * residual codes at the next generation and tombstones their ids;
+    * delete is a pure log append. The codebooks and coarse centroids are
+    * fixed at build time (the IVFADC contract), so maintenance never
+    * re-trains — it only encodes the batch.
+    */
+  def upsert(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      model: PQModel
+  ): Unit = {
+    val g = IvfIndex.nextGen(path)
+    encode(spark, df, idCol, vecCol, centroids, model)
+      .withColumn("gen", lit(g))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    IvfIndex.appendTombstones(spark, path, df.select(col(idCol)), g)
+  }
+
+  /** Tombstone the ids at the next generation (index files untouched). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    IvfIndex.appendTombstones(spark, path, ids, IvfIndex.nextGen(path))
 
   /** Approximate top-k by asymmetric distance over residual codes.
     * `index` is an [[encode]]/[[build]] table (id, cell, code). Returns
@@ -204,8 +232,11 @@ object IvfAdc {
       .localCheckpoint()
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val index = spark.read.parquet(indexPath)
+    val pruned = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    // tombstone mask (when a maintenance log exists) applies on top of
+    // the pruned candidates only, same as IvfIndex
+    val index = IvfIndex.masked(spark, indexPath, pruned)
     searchWithProbes(
       spark, index, probes, qidCol, qvecCol, centroids, model, k)
   }

@@ -94,8 +94,11 @@ object IvfIndex {
   private def genFile(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(logDir(path), "GEN")
 
-  /** Allocate the next generation number (last + 1, persisted). */
-  private def nextGen(path: String): Long = {
+  /** Allocate the next generation number (last + 1, persisted). Shared
+    * with [[IvfAdc]] — the residual-code index uses the identical log
+    * format, so one maintenance story covers both layouts.
+    */
+  private[operators] def nextGen(path: String): Long = {
     val f = genFile(path)
     java.nio.file.Files.createDirectories(f.getParent)
     val last =
@@ -107,7 +110,7 @@ object IvfIndex {
     g
   }
 
-  private def appendTombstones(
+  private[operators] def appendTombstones(
       spark: SparkSession,
       path: String,
       ids: DataFrame, // single numeric id column
@@ -147,7 +150,7 @@ object IvfIndex {
     * input plan is returned unchanged (zero cost for append-only indexes).
     * `asOfGen` caps which tombstones apply (time travel).
     */
-  private def masked(
+  private[operators] def masked(
       spark: SparkSession,
       path: String,
       base: DataFrame,

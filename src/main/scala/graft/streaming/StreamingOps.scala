@@ -269,6 +269,7 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.IvfAdc
           .encode(batch.sparkSession, batch, idCol, vecCol, centroids, model)
+          .withColumn("gen", lit(0L)) // append-only contract: ids are new
           .write.mode("append").partitionBy("cell").parquet(indexPath)
       }
       .start()

@@ -121,6 +121,27 @@ class IvfAdcSpec extends SparkSpec {
     assert(acc.value == 1L, s"query batch evaluated ${acc.value} times")
   }
 
+  test("upsert/delete: maintained residual-code index answers like the live corpus") {
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfadcmaint").toString + "/idx"
+    IvfAdc.build(
+      spark, emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "vec",
+      cents, model, path)
+    IvfAdc.upsert(
+      spark, path, emb.filter(col("vec_id") % 5 === 0), "vec_id", "vec",
+      cents, model)
+    IvfAdc.delete(
+      spark, path, emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+    val live = emb.filter(col("vec_id") % 7 =!= 0)
+    val expected = IvfAdc.search(
+      spark, IvfAdc.encode(spark, live, "vec_id", "vec", cents, model),
+      queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    val maintained = IvfAdc.searchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    assert(maintained.except(expected).count() == 0
+      && expected.except(maintained).count() == 0)
+  }
+
   test("index stores M shorts per vector (the 100-TB compression argument)") {
     val index = IvfAdc.encode(spark, emb, "vec_id", "vec", cents, model)
     val row = index.head()
