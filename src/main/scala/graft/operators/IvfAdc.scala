@@ -97,6 +97,13 @@ object IvfAdc {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
     IvfIndex.appendTombstones(spark, path, ids, IvfIndex.nextGen(path))
 
+  /** Major compaction — [[IvfIndex.compact]] is layout-agnostic (it
+    * rewrites whatever columns the cell-partitioned index carries), so
+    * the residual-code index compacts through the same code path.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    IvfIndex.compact(spark, path)
+
   /** Approximate top-k by asymmetric distance over residual codes.
     * `index` is an [[encode]]/[[build]] table (id, cell, code). Returns
     * (query_id, neighbor_id, dist, rnk) where dist is the ADC estimate

@@ -140,6 +140,13 @@ class IvfAdcSpec extends SparkSpec {
       spark, path, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
     assert(maintained.except(expected).count() == 0
       && expected.except(maintained).count() == 0)
+    // compaction is layout-agnostic: results invariant, log gone
+    IvfAdc.compact(spark, path)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".log")))
+    val compacted = IvfAdc.searchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    assert(compacted.except(expected).count() == 0
+      && expected.except(compacted).count() == 0)
   }
 
   test("index stores M shorts per vector (the 100-TB compression argument)") {

@@ -115,6 +115,26 @@ class PlanSpec extends SparkSpec {
       s"label predicate not pushed to the index scan:\n$ep")
   }
 
+  test("dedup_tfidf_pairs: postings self-join on the shingle — equi-join, no cartesian") {
+    val p = planOf("dedup_tfidf_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the pair generator is an equi-join keyed on the shingle string (the
+    // only nested-loop nodes are the 1-row corpus-stats broadcasts, the
+    // same shape bm25 uses)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin")) && l.contains("sh#")),
+      s"sparse dot must be an equi-join on the shingle:\n$p")
+  }
+
+  test("text_hybrid_rrf: vector side is a scan + TakeOrdered, no corpus join") {
+    val p = planOf("text_hybrid_rrf")
+    // the dense ranking against a literal query vector must not join
+    // anything corpus-sized — it is a scan + bounded TakeOrdered head
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered head:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("knn_shuffled: block-grid join — no broadcast at all, no nested loop") {
     val p = planOf("knn_shuffled")
     // axis replication is an explode of a literal array, so the whole

@@ -197,6 +197,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MMR: lambda=1 degenerates to plain top-k; picks are a shortlist subset led by the nearest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    forSamples(dataGen, n = 5) { data =>
+      val base = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("neighbor_id", "bv")
+      val q = Seq((0L, data.head)).toDF("query_id", "qv")
+      // lambda=1: the redundancy term vanishes -> exactly the relevance
+      // ranking, ties on ascending id, i.e. plain kNN order
+      val mmr1 = BruteForceKNN
+        .knnMmr(q, base, kCand = 10, k = 5, lambda = 1.0)
+        .orderBy(col("mmr_rnk")).collect().map(_.getLong(1)).toSeq
+      val knn = BruteForceKNN.knn(q, base, 5)
+        .orderBy(col("rnk")).collect().map(_.getLong(1)).toSeq
+      assert(mmr1 == knn, s"lambda=1 must equal top-k: $mmr1 vs $knn")
+      // any lambda: k picks, all from the kCand shortlist, first = nearest
+      val mmr = BruteForceKNN
+        .knnMmr(q, base, kCand = 10, k = 5, lambda = 0.5)
+        .orderBy(col("mmr_rnk")).collect().map(_.getLong(1)).toSeq
+      val shortlist = BruteForceKNN.knn(q, base, 10)
+        .collect().map(_.getLong(1)).toSet
+      assert(mmr.length == 5 && mmr.toSet.subsetOf(shortlist))
+      assert(mmr.head == knn.head, "first MMR pick must be the nearest")
+    }
+  }
+
   test("chunk start arithmetic: starts cover [0, n) with stride spacing") {
     import spark.implicits._
     val strideGen = for {
