@@ -59,16 +59,54 @@ object DistributedHnsw {
       numShards: Int,
       seed: Long,
       compression: Option[VectorCompression] = None
-  ): Shards = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val data = df
-      .select(
+  ): Shards =
+    buildAssigned(
+      df.select(
         col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec")
-      )
-      .withColumn("shard", pmod(col("id"), lit(numShards)).cast("int"))
-      .repartition(numShards, col("shard"))
+      ).withColumn("shard", pmod(col("id"), lit(numShards)).cast("int")),
+      params, numShards, seed, compression)
+
+  /** CLUSTER-sharded build (the SPANN/DiskANN-style layout): shards are
+    * coarse k-means cells instead of hash buckets, so vectors that are
+    * close live in the same shard and a query's true neighbors
+    * concentrate in its few nearest shards — which is what makes
+    * [[searchRouted]] sound. Hash sharding spreads neighbors uniformly
+    * (every shard must be searched); cluster sharding buys the
+    * nShards/nProbe fan-out cut at the cost of shard skew (the centroids
+    * come from [[KMeans.fit]] or any fixed set; skew is observable via
+    * ivf_cell_stats' occupancy view of the same assignment).
+    */
+  def buildClustered(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: HnswParams,
+      shardCentroids: Array[Array[Double]],
+      seed: Long,
+      compression: Option[VectorCompression] = None
+  ): Shards = {
+    val spark = df.sparkSession
+    buildAssigned(
+      df.select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec")
+      ).withColumn(
+        "shard",
+        KMeans.assignCol(spark, shardCentroids, col("vec")).cast("int")),
+      params, shardCentroids.length, seed, compression)
+  }
+
+  private def buildAssigned(
+      assigned: DataFrame, // (id long, vec array<double>, shard int)
+      params: HnswParams,
+      numShards: Int,
+      seed: Long,
+      compression: Option[VectorCompression]
+  ): Shards = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val data = assigned.repartition(numShards, col("shard"))
     data.cache()
 
     val built = data
@@ -220,24 +258,71 @@ object DistributedHnsw {
   ): DataFrame = {
     val spark = shards.vectors.sparkSession
     import spark.implicits._
-    val params = shards.params
     val nShards = shards.numShards
-
-    // co-locate base table / edges / entry / queries per shard, rebuild a
-    // local index (graph replay — no random level draws, so exactly the
-    // built graph)
-    val edgeRdd = shards.edges
-      .as[(Int, Int, Long, Long)]
-      .rdd.map { case (s, l, a, b) => (s, (l, a, b)) }
-    val entryRdd = shards.entries
-      .as[(Int, Long, Int)]
-      .rdd.map { case (s, ep, h) => (s, (ep, h)) }
     val queryRdd = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
       .rdd.flatMap { case (id, v) =>
         (0 until nShards).iterator.map(s => (s, (id, v)))
       }
+    searchQueryRdd(shards, queryRdd, qidCol, k, efSearch, compression)
+  }
+
+  /** Routed search over a [[buildClustered]] index: each query visits
+    * only its `nProbeShards` nearest shards (by shard centroid — the same
+    * probe selection as [[IvfIndex.probeCells]]), cutting per-query work
+    * by nShards/nProbeShards. With `nProbeShards = numShards` this
+    * degrades to [[search]] exactly (spec-gated); recall under partial
+    * probing is gated like every approximate path. The probe stage costs
+    * |Q|·nShards centroid distances — the IVF probe economics, reused.
+    */
+  def searchRouted(
+      shards: Shards,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      shardCentroids: Array[Array[Double]],
+      nProbeShards: Int,
+      efSearch: Int = -1,
+      compression: Option[VectorCompression] = None
+  ): DataFrame = {
+    val spark = shards.vectors.sparkSession
+    import spark.implicits._
+    val queryRdd = IvfIndex
+      .probeCells(spark, queries, qidCol, qvecCol, shardCentroids, nProbeShards)
+      .select(
+        col("cell"),
+        col(qidCol).cast("long"),
+        col(qvecCol).cast("array<double>"))
+      .as[(Int, Long, Seq[Double])]
+      .rdd.map { case (s, id, v) => (s, (id, v)) }
+    searchQueryRdd(shards, queryRdd, qidCol, k, efSearch, compression)
+  }
+
+  /** Search kernel shared by the fan-out and routed paths: co-locate base
+    * table / edges / entry / the (shard, query) pairs per shard, rebuild a
+    * local index (graph replay — no random level draws, so exactly the
+    * built graph), merge per-query.
+    */
+  private def searchQueryRdd(
+      shards: Shards,
+      queryRdd: org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double]))],
+      qidCol: String,
+      k: Int,
+      efSearch: Int,
+      compression: Option[VectorCompression]
+  ): DataFrame = {
+    val spark = shards.vectors.sparkSession
+    import spark.implicits._
+    val params = shards.params
+
+    val edgeRdd = shards.edges
+      .as[(Int, Int, Long, Long)]
+      .rdd.map { case (s, l, a, b) => (s, (l, a, b)) }
+    val entryRdd = shards.entries
+      .as[(Int, Long, Int)]
+      .rdd.map { case (s, ep, h) => (s, (ep, h)) }
 
     val results = (compression match {
       case Some(c) =>

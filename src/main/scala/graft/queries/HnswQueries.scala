@@ -49,6 +49,11 @@ object HnswQueries {
       s.unpersist()
     }
     pqBuildCache.clear()
+    clusteredCache.values.foreach { case (s, _) =>
+      s.edges.unpersist(blocking = false)
+      s.unpersist()
+    }
+    clusteredCache.clear()
     searchCache.values.foreach(_.unpersist())
     searchCache.clear()
   }
@@ -85,6 +90,31 @@ object HnswQueries {
         )
         s.edges.cache().count()
         s
+      }
+    )
+
+  /** Shared CLUSTER-sharded build per sf dir (SPANN-style: shards are
+    * coarse cells under the fixed data-derived centroids, so routed
+    * search can probe a subset). Centroids = embeddings vec_id < 8, the
+    * same fixed set the IVF queries use.
+    */
+  private val clusteredCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DistributedHnsw.Shards, Array[Array[Double]])]
+
+  private def sharedClusteredBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (DistributedHnsw.Shards, Array[Array[Double]]) =
+    clusteredCache.getOrElseUpdate(
+      dir, {
+        val (emb, _) = embAndQueries(spark, dir)
+        val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+        val s = DistributedHnsw.buildClustered(
+          emb, "vec_id", "vec",
+          HnswParams(m = 16, efConstruction = 100), cents, seed = 42)
+        s.edges.cache().count()
+        (s, cents)
       }
     )
 
@@ -161,6 +191,27 @@ object HnswQueries {
         val shards = sharedBuild(spark, dir, HighShards)
         DistributedHnsw
           .search(shards, q, "query_id", "qv", K)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      None
+    ),
+    // ROUTED search over cluster shards (SPANN-style): shards are coarse
+    // cells, each query probes only its 3 nearest of 8 shards — the
+    // nShards/nProbe fan-out cut that hash sharding cannot offer (hash
+    // shards all look alike; every one must be searched). Rows-only like
+    // all hnsw_* entries; HnswSpec gates all-probe == fan-out exactly
+    // plus the monotone recall/probe curve.
+    GQuery(
+      "hnsw_knn_routed",
+      (spark, dir) => {
+        val (_, q) = embAndQueries(spark, dir)
+        val (shards, cents) = sharedClusteredBuild(spark, dir)
+        DistributedHnsw
+          .searchRouted(shards, q, "query_id", "qv", K, cents, nProbeShards = 3)
           .select(
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 6).as("dist"),

@@ -178,6 +178,50 @@ class HnswSpec extends SparkSpec {
     shards.unpersist()
   }
 
+  test("clustered shards + routed search: all-probe == fan-out exactly; recall at 3/8 probes") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val shards = DistributedHnsw.buildClustered(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), cents, seed = 42)
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+
+    // probing every shard must equal the all-shard fan-out bit-for-bit
+    val all = DistributedHnsw.searchRouted(
+      shards, queries, "query_id", "qv", k = 10, cents,
+      nProbeShards = cents.length)
+    val fan = DistributedHnsw.search(shards, queries, "query_id", "qv", k = 10)
+    assert(all.except(fan).count() == 0 && fan.except(all).count() == 0)
+
+    // partial probing: near-random 64-d vectors are the WORST case for
+    // cluster routing (top-10 neighbors sit at distance ~1 and straddle
+    // cell boundaries), so the gates here are the structural ones — the
+    // recall/probe curve must be monotone and reach 1.0 of the fan-out
+    // result at full probing (asserted above); absolute recall floors are
+    // data-honest rather than aspirational
+    val exact = BruteForceKNN.knn(
+      queries, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10)
+    val nQ = queries.count()
+    def recallAt(nProbe: Int): Double = {
+      val routed = DistributedHnsw.searchRouted(
+        shards, queries, "query_id", "qv", k = 10, cents, nProbeShards = nProbe)
+      routed.select(col("query_id"), col("neighbor_id"))
+        .intersect(exact.select(col("query_id"), col("neighbor_id")))
+        .count().toDouble / (nQ * 10)
+    }
+    val r3 = recallAt(3)
+    val r5 = recallAt(5)
+    info(f"routed recall@10: 3/8 = $r3%.4f, 5/8 = $r5%.4f")
+    assert(r3 >= 0.5, s"routed 3/8 recall $r3")
+    assert(r5 >= r3, s"recall must not decrease with probes: $r5 < $r3")
+    assert(r5 >= 0.7, s"routed 5/8 recall $r5")
+    shards.unpersist()
+  }
+
   test("shard-count scaling gate: Recall@10 >= 0.95 at numShards = 16") {
     // sharding is the recall risk (SURVEY §7.3.1): each shard searches
     // 1/N of the corpus, the merge keeps the global best k — gate at the
