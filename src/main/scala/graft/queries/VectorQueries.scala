@@ -150,6 +150,46 @@ object VectorQueries {
       """)
     ),
     // Attribute-constrained (filtered) kNN: neighbors restricted to the
+    // The same exact kNN expressed ENTIRELY in spark.sql through the
+    // SparkSessionExtensions-registered functions (graft_l2sq codegen
+    // distance + graft_topk bounded-heap aggregate) — proof that a pure
+    // SQL user gets the engine's vector search, same plan shape (broadcast
+    // hint + partial heap agg) and the same oracle as knn_bruteforce.
+    GQuery(
+      "knn_sql",
+      (spark, dir) => {
+        t(spark, dir, "embeddings").createOrReplaceTempView("emb_sql")
+        spark.sql(s"""
+          WITH q AS (SELECT /*+ BROADCAST */ vec_id AS query_id,
+                            CAST(embedding AS array<double>) AS qv
+                     FROM emb_sql WHERE vec_id % 10 = 0),
+          b AS (SELECT vec_id AS neighbor_id,
+                       CAST(embedding AS array<double>) AS bv
+                FROM emb_sql),
+          tk AS (SELECT query_id,
+                        graft_topk(graft_l2sq(qv, bv), neighbor_id, $K) AS tk
+                 FROM b CROSS JOIN q GROUP BY query_id)
+          SELECT query_id, e.id AS neighbor_id, round(e.dist, 4) AS dist,
+                 CAST(pos + 1 AS BIGINT) AS rnk
+          FROM tk LATERAL VIEW posexplode(tk) x AS pos, e
+        """)
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // The both-sides-big kNN: 2-D block-grid shuffle join instead of a
     // query-batch broadcast — qBlocks*bBlocks independent tasks, each
     // holding one block of each side; nothing corpus-sized broadcasts.
