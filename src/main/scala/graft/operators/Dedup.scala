@@ -615,13 +615,62 @@ object Dedup {
     * changed-row counter, and `localCheckpoint` truncates lineage per
     * round so long chains cannot blow up planning.
     */
+  /** Below this many pairs the component computation runs as driver-local
+    * union-find (one bounded collect, zero iterative jobs) — the same
+    * size-adaptive reasoning as broadcast-join thresholds. A near-dup
+    * pair set is blocking+verification survivors, i.e. maintenance-sized
+    * in practice; the distributed min-label loop below remains the path
+    * for when it isn't.
+    */
+  private val LocalCcMaxEdges = 1000000
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String
   ): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // bounded probe: collect at most threshold+1 rows — small graphs take
+    // the local path, anything bigger falls through to the distributed
+    // loop having held only ~16 MB on the driver
+    val probe = e0.limit(LocalCcMaxEdges + 1).collect()
+    if (probe.length <= LocalCcMaxEdges) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      probe.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // snapshot the keys BEFORE resolving: find() path-compresses (writes
+      // into the map), and mutating a mutable.HashMap under a live
+      // keysIterator drops entries
+      val ids = parent.keys.toArray.sorted
+      val out = ids.map(id => (id, find(id))).toSeq // root = min id
+      return out.toDF("doc_id", "rep_id")
+    }
+    connectedComponentsDistributed(e0)
+  }
+
+  /** The distributed min-label/pointer-jumping loop — the over-threshold
+    * path of [[connectedComponents]], directly testable.
+    */
+  private[graft] def connectedComponentsDistributed(
+      e0: DataFrame // (src long, dst long)
+  ): DataFrame = {
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

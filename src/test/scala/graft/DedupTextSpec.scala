@@ -71,6 +71,22 @@ class DedupTextSpec extends SparkSpec {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components: driver-local union-find == distributed min-label loop") {
+    import org.apache.spark.sql.functions.col
+    // the public API size-dispatches; both paths must agree exactly on
+    // the same graph (chain + triangle + pair + isolated self-loop)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 30L)
+    ).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val dist = Dedup.connectedComponentsDistributed(
+      pairs.select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst")))
+    assert(local.except(dist).count() == 0 && dist.except(local).count() == 0)
+  }
+
   test("connected components on an empty pair table is empty") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
