@@ -67,4 +67,35 @@ class TextSearchSpec extends SparkSpec {
     assert(solo.isNullAt(1) && solo.isNullAt(2))
     assert(!r.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
+
+  private val emb = Seq(
+    (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
+    (4L, Array(0.5, 0.5)), (5L, Array(0.8, 0.0))
+  ).toDF("vec_id", "vec")
+
+  test("hybridRrf: results come from the union of the two sides; ranks consistent") {
+    val r = TextSearch.hybridRrf(
+      corpus, "doc_id", "text", Seq("vector"),
+      emb, "vec_id", "vec", Array(1.0, 0.0), kEach = 3, k = 5)
+      .orderBy(col("rnk")).collect()
+    // every fused row carries at least one side's rank, fused ordering
+    // is descending, and both top-1s are present
+    assert(r.nonEmpty)
+    assert(r.forall(row => !row.isNullAt(2) || !row.isNullAt(3)))
+    val fused = r.map(_.getDouble(1)).toSeq
+    assert(fused == fused.sorted.reverse)
+    val ids = r.map(_.getLong(0)).toSet
+    assert(ids.contains(2L), "lexical top-1 must surface") // 3x 'vector'
+    assert(ids.contains(1L), "vector top-1 must surface")  // qv == vec 1
+  }
+
+  test("hybridRrf: terms matching nothing degrade to the pure vector ranking") {
+    val r = TextSearch.hybridRrf(
+      corpus, "doc_id", "text", Seq("zzz_not_a_token"),
+      emb, "vec_id", "vec", Array(1.0, 0.0), kEach = 3, k = 3)
+      .orderBy(col("rnk")).collect()
+    assert(r.forall(_.isNullAt(2)), "no lexical ranks may appear")
+    // ordering = ascending vector rank; fused = 1/(60 + vec_rnk)
+    assert(r.map(row => row.getLong(4) == row.getLong(3)).forall(identity))
+  }
 }
