@@ -183,6 +183,52 @@ object IvfIndex {
       load(spark, path).filter(col("gen") <= asOfGen),
       asOfGen)
 
+  /** Split one HOT cell into `subCentroids.length` new cells — the
+    * rebalancing move for the skew [[ivf_cell_stats]]-style introspection
+    * surfaces (a hot cell caps probe pruning: every query probing it
+    * scans its whole bag). The cell's rows are re-assigned among the
+    * sub-centroids and appended under FRESH cell ids (`startCell + i`);
+    * the old directory is retired. Only the split cell's rows move —
+    * O(|hot cell|), never an index rewrite — and all other cells, the
+    * maintenance log, and row payloads (id, vec, extras, gen) are
+    * untouched, so tombstones keep masking by id exactly as before.
+    *
+    * Returns the updated centroid TABLE (old minus the split id, plus
+    * the sub-centroids under their new ids) — feed it to
+    * [[probeCellsTable]]; after a split the centroid set is keyed, not
+    * positional.
+    */
+  def splitCell(
+      spark: SparkSession,
+      path: String,
+      cents: DataFrame, // (cell int, cvec array<double>)
+      cell: Int,
+      subCentroids: Array[Array[Double]],
+      startCell: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val hot = load(spark, path).filter(col("cell") === cell).drop("cell")
+    val reassigned = hot.withColumn(
+      "cell",
+      (KMeans.assignCol(spark, subCentroids, col("vec")) + lit(startCell))
+        .cast("int"))
+      // materialize BEFORE writing into the same root: the append must
+      // not race the scan it feeds from
+      .localCheckpoint()
+    reassigned.write.mode("append").partitionBy("cell").parquet(path)
+    // retire the old directory (driver-side rename-scale op, like compact)
+    val oldDir = java.nio.file.Paths.get(path, s"cell=$cell")
+    if (java.nio.file.Files.exists(oldDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(oldDir).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    val subDf = subCentroids.zipWithIndex
+      .map { case (c, i) => (startCell + i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    cents.filter(col("cell") =!= cell).unionByName(subDf)
+  }
+
   /** Major compaction: rewrite the live view at gen 0 and drop the log.
     * Search results are invariant (spec-gated); the payoff is the masking
     * join disappearing and the appended small files merging.
@@ -218,6 +264,21 @@ object IvfIndex {
     val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cvec")
+    probeCellsTable(queries, qidCol, qvecCol, cents, nprobe)
+  }
+
+  /** [[probeCells]] over an EXPLICIT (cell, cvec) centroid table — cell
+    * ids need not be dense positions. This is what post-[[splitCell]]
+    * indexes probe with: splitting retires a cell id and mints fresh
+    * ones, so the centroid set becomes a keyed table, not an array.
+    */
+  def probeCellsTable(
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      cents: DataFrame, // (cell int, cvec array<double>)
+      nprobe: Int
+  ): DataFrame = {
     queries
       .crossJoin(broadcast(cents)) // genuinely tiny dim: |cells| rows
       .groupBy(col(qidCol))

@@ -129,6 +129,43 @@ class IvfSpec extends SparkSpec {
     assert(IvfIndex.load(spark, path).filter(col("gen") =!= 0).count() == 0)
   }
 
+  test("splitCell: hot cell rebalanced, corpus intact, exhaustive search unchanged") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfsplit").toString + "/idx"
+    IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    // hottest cell + two of its own members as deterministic sub-centroids
+    val occ = IvfIndex.load(spark, path)
+      .groupBy(col("cell")).count().orderBy(col("count").desc, col("cell"))
+      .head()
+    val hot = occ.getInt(0)
+    val hotN = occ.getLong(1)
+    val subs = IvfIndex.load(spark, path).filter(col("cell") === hot)
+      .orderBy(col("id")).limit(2)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val newCents = IvfIndex.splitCell(
+      spark, path, centsDf, hot, subs, startCell = cents.length)
+    // corpus intact: every row still present exactly once; old dir gone;
+    // the two new cells hold exactly the split cell's rows
+    val after = IvfIndex.load(spark, path)
+    assert(after.count() == emb.count())
+    assert(after.groupBy(col("id")).count().filter(col("count") =!= 1).count() == 0)
+    assert(after.filter(col("cell") === hot).count() == 0)
+    assert(after.filter(col("cell") >= cents.length).count() == hotN)
+    // exhaustive probe over the UPDATED centroid table == exact search
+    val nCells = newCents.count().toInt
+    val res = IvfIndex.searchPartitionedWith(
+      spark, path,
+      IvfIndex.probeCellsTable(queries, "query_id", "qv", newCents, nCells),
+      "query_id", "qv", k = 5)
+    val exact = graft.operators.BruteForceKNN.knn(
+      queries,
+      emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 5)
+    assert(res.select(col("query_id"), col("neighbor_id"))
+      .except(exact.select(col("query_id"), col("neighbor_id"))).count() == 0)
+  }
+
   test("nprobe = nCells degrades to exact search over all cells") {
     val all = IvfIndex.search(
       spark, IvfIndex.assign(spark, emb, "vec_id", "vec", cents),
