@@ -246,6 +246,36 @@ object StreamingOps {
       }
       .start()
 
+  /** CDC apply sink for the IVFADC residual-code index — same op-column
+    * contract and ordering rule as [[cdcIvfSink]], applied through
+    * [[graft.operators.IvfAdc.upsert]]/[[graft.operators.IvfAdc.delete]]
+    * (shared LSM log; codebooks and coarse centroids stay fixed, the
+    * batch only encodes).
+    */
+  def cdcIvfAdcSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      opCol: String,
+      centroids: Array[Array[Double]],
+      model: graft.operators.PQModel,
+      indexPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        val ups = b.filter(col(opCol) === "upsert")
+        val dels = b.filter(col(opCol) === "delete").select(col(idCol))
+        if (!ups.isEmpty)
+          graft.operators.IvfAdc.upsert(
+            b.sparkSession, indexPath, ups, idCol, vecCol, centroids, model)
+        if (!dels.isEmpty)
+          graft.operators.IvfAdc.delete(b.sparkSession, indexPath, dels)
+      }
+      .start()
+
   /** Incremental IVFADC maintenance: each micro-batch is assigned to its
     * coarse cell, the residual (vector − centroid) is PQ-encoded, and the
     * (id, cell, code) rows are APPENDED to the cell-partitioned

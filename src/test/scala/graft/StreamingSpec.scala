@@ -247,6 +247,54 @@ class StreamingSpec extends SparkSpec {
     assert(live.count() === emb.filter(col("id") % 9 =!= 0).count())
   }
 
+  test("CDC IVFADC sink: streamed upsert/delete history answers like batch maintenance") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{IvfAdc, PQModel}
+    val srcDir = Files.createTempDirectory("cdcadcsrc").toString
+    val index = Files.createTempDirectory("cdcadcidx").toString + "/index"
+    val twin = Files.createTempDirectory("cdcadctwin").toString + "/index"
+    val ckpt = Files.createTempDirectory("cdcadcckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val cents = emb.filter(col("id") < 8).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val cbRows = emb.filter(col("id") < 4).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val model = PQModel(8, 4, 64, Array.tabulate(8)(mi =>
+      cbRows.map(v => java.util.Arrays.copyOfRange(v, mi * 8, (mi + 1) * 8))))
+    val w1 = emb.filter(col("id") < 300).withColumn("op", lit("upsert"))
+    val w2 = emb.filter(col("id") >= 250)
+      .withColumn("vec", transform(col("vec"), x => x * 2.0))
+      .withColumn("op", lit("upsert"))
+      .unionByName(
+        emb.filter(col("id") % 9 === 0).withColumn("op", lit("delete")))
+    w1.write.parquet(s"$srcDir/w1")
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>, op STRING")
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.cdcIvfAdcSink(
+      stream, "id", "vec", "op", cents, model, index, ckpt)
+    try {
+      q.processAllAvailable()
+      w2.write.parquet(s"$srcDir/w2")
+      q.processAllAvailable()
+    } finally q.stop()
+    IvfAdc.upsert(spark, twin, w1.drop("op"), "id", "vec", cents, model)
+    IvfAdc.upsert(
+      spark, twin, w2.filter(col("op") === "upsert").drop("op"),
+      "id", "vec", cents, model)
+    IvfAdc.delete(
+      spark, twin, w2.filter(col("op") === "delete").select(col("id")))
+    val queries = emb.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val streamed = IvfAdc.searchPartitioned(
+      spark, index, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    val batch = IvfAdc.searchPartitioned(
+      spark, twin, queries, "query_id", "qv", cents, model, k = 5, nprobe = 3)
+    assert(streamed.except(batch).count() == 0
+      && batch.except(streamed).count() == 0)
+  }
+
   test("incremental IVFADC sink: streamed residual-code appends answer like a batch build") {
     import graft.functions.VectorFunctions._
     import graft.operators.{IvfAdc, PQModel}
