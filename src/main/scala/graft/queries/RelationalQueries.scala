@@ -270,6 +270,34 @@ object RelationalQueries {
         FROM lineitem GROUP BY l_returnflag
       """)
     ),
+    // D9 sketch path: approx_count_distinct (HLL++) exercised WITH a
+    // correctness role — the output carries only exact-derived columns
+    // (so the DuckDB oracle stays engine-portable) while the HAVING-style
+    // filter pins the sketch to within 5% of the exact count per group: a
+    // broken sketch drops rows and fails the row/hash compare. At 100 TB
+    // the sketch is the one that runs (mergeable, fixed memory); the
+    // exact twin is the gate.
+    GQuery(
+      "q25_approx_distinct",
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_exact"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"),
+            count(lit(1)).as("n_orders")
+          )
+          .filter(
+            abs(col("n_approx") - col("n_exact")) <=
+              col("n_exact") * lit(0.05))
+          .select(col("o_orderpriority"), col("n_exact"), col("n_orders")),
+      Some("""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)::BIGINT AS n_exact,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY o_orderpriority
+      """)
+    ),
     // E3: ranking window — top-3 orders by totalprice per customer.
     GQuery(
       "q9_topk_per_customer",
