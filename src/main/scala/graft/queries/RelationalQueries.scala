@@ -298,6 +298,31 @@ object RelationalQueries {
         FROM orders GROUP BY o_orderpriority
       """)
     ),
+    // D9 sketch path, percentile edition: approx_percentile (mergeable
+    // t-digest-style sketch) pinned to within 1% of the exact continuous
+    // percentile per group — same construction as q25: the output stays
+    // exact/portable, the filter gives the sketch a correctness role.
+    GQuery(
+      "q26_approx_percentile",
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+            count(lit(1)).as("n_rows")
+          )
+          .filter(
+            abs(col("p50_approx") - col("p50_exact")) <=
+              col("p50_exact") * lit(0.01))
+          .select(col("l_returnflag"), col("p50_exact"), col("n_rows")),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+      """)
+    ),
     // E3: ranking window — top-3 orders by totalprice per customer.
     GQuery(
       "q9_topk_per_customer",
