@@ -194,6 +194,85 @@ object Multimodal {
     bos.toByteArray
   }
 
+  final case class DecodedVideo(
+      id: Long,
+      nFrames: Int,
+      width: Int,
+      height: Int,
+      meanIntensity: Double
+  )
+
+  /** Deterministic "motion-PNG" video: a length-prefixed container of
+    * REAL PNG frames — magic `GMPV`, int32 frame count, then per frame
+    * int32 length + PNG bytes. The JDK ships no video codec, so the
+    * CONTAINER is ours (declared plainly); every FRAME decode below runs
+    * the real `javax.imageio` codec, and PNG losslessness keeps the whole
+    * pipeline under an exact oracle: frame i of a `baseGray` video is
+    * solid gray `(baseGray + i) % 256`.
+    */
+  def pngVideo(w: Int, h: Int, nFrames: Int, baseGray: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x474d5056) // "GMPV"
+    out.writeInt(nFrames)
+    var i = 0
+    while (i < nFrames) {
+      val png = grayPng(w, h, (baseGray + i) % 256)
+      out.writeInt(png.length)
+      out.write(png)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Decode a motion-PNG container: every frame through `javax.imageio`,
+    * dims checked consistent across frames, mean = average of per-frame
+    * mean intensities. Partition-batched like [[decodeMeta]]; malformed
+    * containers raise (bad media surfaces, never silently passes).
+    */
+  def decodeVideoMeta(
+      spark: SparkSession,
+      media: DataFrame // (id long, content binary)
+  ): Dataset[DecodedVideo] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          require(in.readInt() == 0x474d5056, s"not a GMPV container (id=$id)")
+          val n = in.readInt()
+          var (w, h) = (-1, -1)
+          var sum = 0.0
+          var i = 0
+          while (i < n) {
+            val frame = new Array[Byte](in.readInt())
+            in.readFully(frame)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            require(img != null, s"frame $i of id=$id failed to decode")
+            if (i == 0) { w = img.getWidth; h = img.getHeight }
+            else require(
+              img.getWidth == w && img.getHeight == h,
+              s"inconsistent frame dims in id=$id")
+            var fs = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                fs += (img.getRGB(x, y) & 0xff); x += 1
+              }
+              y += 1
+            }
+            sum += fs / (img.getWidth.toDouble * img.getHeight)
+            i += 1
+          }
+          DecodedVideo(id, n, w, h, sum / n)
+        }
+      }
+  }
+
   /** Opaque media table derived from the documents fixture: content =
     * UTF-8 bytes, modality round-robins image/audio/video by id. (The test
     * tables ship no real media; the binary plumbing is what is exercised.)

@@ -95,6 +95,56 @@ object MultimodalQueries {
         FROM documents
       """)
     ),
+    // Decode stage for VIDEO: a length-prefixed container of real PNG
+    // frames (the JDK ships no video codec, so the container is ours —
+    // declared plainly — but every frame decode is the real javax.imageio
+    // codec). Frame i is solid gray (base+i)%256; PNG losslessness makes
+    // frame count, dims, and the mean over frames exactly predictable.
+    GQuery(
+      "mm_decode_video",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaVid = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 32 + 1).toInt
+              val h = (id % 32 + 1).toInt
+              val frames = (id % 5 + 1).toInt
+              val base = (nc % 256).toInt
+              (id, Multimodal.pngVideo(w, h, frames, base))
+            }
+          }
+          .toDF("id", "content")
+        Multimodal
+          .decodeVideoMeta(spark, mediaVid)
+          .toDF()
+          .select(
+            col("id"),
+            col("nFrames").cast("long").as("n_frames"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(col("meanIntensity"), 6).as("mean_intensity")
+          )
+      },
+      Some("""
+        SELECT doc_id AS id,
+               (doc_id % 5 + 1)::BIGINT AS n_frames,
+               (n_chars % 32 + 1)::BIGINT AS width,
+               (doc_id % 32 + 1)::BIGINT AS height,
+               round(
+                 list_sum(list_transform(
+                   generate_series(0, (doc_id % 5)::INT),
+                   i -> (n_chars % 256 + i) % 256))::DOUBLE
+                   / (doc_id % 5 + 1), 6) AS mean_intensity
+        FROM documents
+      """)
+    ),
     // Decode stage with the REAL javax.sound.sampled codec: deterministic
     // constant-sample PCM WAVs generated from (doc_id, n_chars) round-trip
     // losslessly, so decoded frames/channels/mean are predictable in plain

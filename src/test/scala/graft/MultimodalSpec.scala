@@ -79,4 +79,18 @@ class MultimodalSpec extends SparkSpec {
       assert(d.meanByte == (d.id * 11 % 256).toDouble, d)
     }
   }
+
+  test("motion-PNG container: per-frame ImageIO decode, exact stats, malformed raises") {
+    import spark.implicits._
+    val bytes = Multimodal.pngVideo(w = 4, h = 3, nFrames = 3, baseGray = 254)
+    val media = Seq((7L, bytes)).toDF("id", "content")
+    val d = Multimodal.decodeVideoMeta(spark, media).collect().head
+    assert(d.nFrames == 3 && d.width == 4 && d.height == 3)
+    // grays 254, 255, 0 (wrap) -> mean of frame means = 509/3
+    assert(d.meanIntensity == (254.0 + 255.0 + 0.0) / 3, d)
+    val bad = Seq((8L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoMeta(spark, bad).collect()
+    }
+  }
 }
