@@ -288,6 +288,48 @@ object BruteForceKNN {
     explodeTopK(grouped, qidCol, bidCol, "dist", negate = false)
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    * query and document are each a BAG of token vectors, and the pair
+    * score is MaxSim — `Σ_{qt∈Q} max_{dt∈D} qt·dt` (each query token
+    * matches its best document token; descending score, ties on
+    * ascending id). This is the multi-vector retrieval shape that single
+    * vector kNN cannot express: relevance is per-token alignment, not
+    * one pooled dot product.
+    *
+    * Shape at scale: identical placement to [[knn]] — the (small) query
+    * batch broadcasts, the corpus streams partition-by-partition, and the
+    * bounded heap reduces every partition to k rows per query before the
+    * one exchange. The MaxSim kernel itself is pure nested HOF algebra
+    * (`aggregate` over query tokens of `array_max` over `transform` of
+    * the codegen dot), so the token loops run inside whole-stage codegen
+    * against the in-memory arrays — no explode, no (doc, token) row
+    * blow-up through a shuffle, no UDF.
+    *
+    * Inputs are `array<array<double>>` token-vector columns; dot order
+    * matches the engine convention (left-to-right double accumulation),
+    * so the whole score sits under a DuckDB list-lambda oracle.
+    */
+  def knnMaxSim(
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      qidCol: String = "query_id",
+      qtoksCol: String = "qtoks",
+      didCol: String = "doc_id",
+      dtoksCol: String = "dtoks"
+  ): DataFrame = {
+    val score = aggregate(
+      col(qtoksCol),
+      lit(0.0),
+      (acc, qt) => acc + array_max(transform(col(dtoksCol), dt => dotFast(qt, dt)))
+    )
+    val grouped = docs
+      .join(broadcast(queries))
+      .groupBy(col(qidCol))
+      .agg(topK(-score, col(didCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, didCol, "score", negate = true)
+  }
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

@@ -280,6 +280,59 @@ object VectorQueries {
         FROM sel WHERE step = 5
       """)
     ),
+    // ColBERT-style late-interaction (MaxSim) retrieval: query and doc are
+    // each a bag of 4 × 16-d token vectors (deterministic slices of the
+    // 64-d embedding — the multi-vector table derived from driver data),
+    // pair score = Σ over query tokens of the best-matching doc-token dot.
+    // Same broadcast + bounded-heap placement as knn_bruteforce; the
+    // token-alignment kernel is pure nested HOF algebra inside codegen
+    // (no explode — token loops never become shuffled rows). The oracle
+    // mirrors the exact fold order with DuckDB list lambdas over the same
+    // slices.
+    GQuery(
+      "knn_maxsim",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        def toks(c: org.apache.spark.sql.Column) =
+          array((0 until 4).map(i => slice(c, i * 16 + 1, 16)): _*)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(
+            col("vec_id").as("query_id"),
+            toks(toDouble(col("embedding"))).as("qtoks")
+          )
+        val d = emb.select(
+          col("vec_id").as("doc_id"),
+          toks(toDouble(col("embedding"))).as("dtoks")
+        )
+        BruteForceKNN
+          .knnMaxSim(q, d, K)
+          .select(
+            col("query_id"),
+            col("doc_id"),
+            round(col("score"), 6).as("score"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             s AS (SELECT query_id, doc_id,
+                          list_sum(list_transform([0,1,2,3], qi ->
+                            list_max(list_transform([0,1,2,3], di ->
+                              list_sum(list_transform(generate_series(1,16), j ->
+                                qv[qi*16+j] * bv[di*16+j])))))) AS score
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, doc_id) AS rnk
+                   FROM s)
+        SELECT query_id, doc_id, round(score, 6) AS score, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // query's own label — the equality predicate becomes the JOIN KEY, so
     // the plan is a broadcast HASH join (distance evaluated on same-label
     // pairs only), not a nested loop over all pairs.

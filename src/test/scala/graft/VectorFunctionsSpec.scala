@@ -123,6 +123,37 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.count() > 0) // radius chosen to be non-trivial on this data
   }
 
+  test("knnMaxSim scores by per-query-token best alignment (hand-computed)") {
+    // doc 1: tokens {(1,0), (0,1)}; doc 2: tokens {(1,1), (-1,0)}
+    // query: tokens {(1,0), (0,2)}
+    //   doc 1: max(1,0) + max(0,2) = 3
+    //   doc 2: max(1,-1) + max(2,0) = 3 -> tie, doc 1 wins on id
+    // doc 3: tokens {(2,0), (0,0)} -> max(2,0) + max(0,0) = 2
+    val docs = Seq(
+      (1L, Array(Array(1.0, 0.0), Array(0.0, 1.0))),
+      (2L, Array(Array(1.0, 1.0), Array(-1.0, 0.0))),
+      (3L, Array(Array(2.0, 0.0), Array(0.0, 0.0)))
+    ).toDF("doc_id", "dtoks")
+    val q = Seq((0L, Array(Array(1.0, 0.0), Array(0.0, 2.0))))
+      .toDF("query_id", "qtoks")
+    val r = BruteForceKNN.knnMaxSim(q, docs, 3).orderBy("rnk").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(3.0, 3.0, 2.0))
+  }
+
+  test("knnMaxSim on a single-token bag reduces to knnDot") {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 100L).map(i => (i, Array.fill(8)(rng.nextDouble())))
+    val qs = (0L until 5L).map(i => (i * 20, Array.fill(8)(rng.nextDouble())))
+    val docs1 = base.map { case (i, v) => (i, Array(v)) }.toDF("doc_id", "dtoks")
+    val q1 = qs.map { case (i, v) => (i, Array(v)) }.toDF("query_id", "qtoks")
+    val ms = BruteForceKNN.knnMaxSim(q1, docs1, 10)
+      .select($"query_id", $"doc_id".as("neighbor_id"), $"score".as("dot"), $"rnk")
+    val dt = BruteForceKNN.knnDot(
+      qs.toDF("query_id", "qv"), base.toDF("neighbor_id", "bv"), 10)
+    assert(ms.except(dt).count() == 0 && dt.except(ms).count() == 0)
+  }
+
   test("rangeSearch includes the self-pair at dist 0 and excludes beyond-radius") {
     val base = Seq(
       (0L, Array(0.0, 0.0)),
