@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout: write a table hash-bucketed + sorted by its join
+  * key so every later co-keyed join/aggregation reads it shuffle-free (the
+  * write-once-join-many layout lever; see q27 + BucketingSpec for the
+  * zero-exchange sort-merge join it buys).
+  *
+  * `saveBucketed` is idempotent across sessions: with the in-memory
+  * catalog, a table written by a PREVIOUS session survives only as a
+  * warehouse directory the new catalog knows nothing about, and a plain
+  * `mode("overwrite").saveAsTable` then fails with
+  * LOCATION_ALREADY_EXISTS — so the stale location is dropped explicitly
+  * before the write.
+  */
+object Bucketing {
+
+  def saveBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keyCol: String
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}

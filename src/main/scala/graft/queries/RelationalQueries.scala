@@ -596,6 +596,52 @@ object RelationalQueries {
                round(sqrt((sq - s * s / n) / (n - 1)), 6) AS stddev_price
         FROM a
       """)
+    ),
+    // Physical-layout co-location: both fact tables written bucketed +
+    // sorted by the join key (catalog `bucketBy` + `saveAsTable`), then
+    // joined bucket-to-bucket. The shuffle a plain orders⋈lineitem pays
+    // on EVERY run is paid once at write time: the sort-merge join reads
+    // matching buckets directly — PlanSpec asserts ZERO Exchange below
+    // the join. This is the bucketing lever of the 100-TB design: at
+    // cluster scale the bucketed write IS the table layout, and every
+    // subsequent co-keyed join or aggregation on orderkey reads it
+    // shuffle-free. (The oracle is the logical join on the raw tables —
+    // layout must not change answers.)
+    GQuery(
+      "q27_bucketed_join",
+      (spark, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val ob = s"graft_orders_b$tag"
+        val lb = s"graft_lineitem_b$tag"
+        graft.operators.Bucketing.saveBucketed(
+          t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          ob, 8, "o_orderkey")
+        graft.operators.Bucketing.saveBucketed(
+          t(spark, dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          lb, 8, "l_orderkey")
+        spark.table(lb)
+          .hint("merge")
+          .join(spark.table(ob), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("rev")
+          )
+          .select(
+            col("o_orderpriority"),
+            col("n_items"),
+            round(col("rev"), 2).as("revenue")
+          )
+      },
+      Some(s"""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+               round(${sqlSum("l_extendedprice * (1 - l_discount)")}, 2)
+                 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+      """)
     )
   )
 }

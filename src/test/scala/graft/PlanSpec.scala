@@ -43,6 +43,32 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("knn_maxsim: broadcast query batch; token loops never explode into rows") {
+    val p = planOf("knn_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the MaxSim kernel is in-row HOF algebra: below the similarity join
+    // there must be NO Generate (an exploded (doc, token) row blow-up
+    // would shuffle token rows; the only Generate is the final top-k
+    // posexplode, which sits above the aggregation)
+    val bnl = p.indexOf("BroadcastNestedLoopJoin")
+    assert(p.indexOf("Generate", bnl) < 0, p)
+    // bounded heap still partially aggregates before the exchange
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
+  test("q27: bucketed join — zero exchange below the sort-merge join") {
+    val p = planOf("q27_bucketed_join")
+    val smj = p.indexOf("SortMergeJoin")
+    assert(smj >= 0, p)
+    // children of the join are the bucketed scans: any Exchange printed
+    // below the join line means the bucket co-location was lost (the agg's
+    // own exchange sits above the join, so it is not matched here)
+    assert(p.indexOf("Exchange", smj) < 0, p)
+  }
+
   test("q2: star-schema dims join as broadcast hash joins, no cartesian") {
     val p = planOf("q2_revenue_by_region")
     assert(p.contains("BroadcastHashJoin"), p)
