@@ -349,7 +349,13 @@ object Dedup {
   ): DataFrame = {
     require(numPerms % bands == 0)
     val sh = shingles(df, idCol, textCol, n) // shuffle-reused, not cached
-    val sigs = bandSignatures(sh, numPerms, bands)
+    // signatures read the RAW span stream, not the distinct'd set: min is
+    // duplicate-insensitive, so the band branch skips the full-width
+    // (doc, shingle) string shuffle entirely — its only exchange is the
+    // partial-min aggregation, numPerms values per doc. The distinct
+    // exchange below exists solely for the exact verify, where set
+    // semantics matter.
+    val sigs = bandSignatures(spanPositions(df, idCol, textCol, n), numPerms, bands)
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
@@ -896,9 +902,11 @@ object Dedup {
     require(numPerms % bands == 0)
     val shT = shingles(train, idCol, textCol, n)
     val shE = shingles(eval, idCol, textCol, n)
-    val cand = bandSignatures(shT, numPerms, bands).as("a")
+    // min is duplicate-insensitive: signatures read the raw span streams,
+    // skipping the distinct string shuffles (see minhashLsh)
+    val cand = bandSignatures(spanPositions(train, idCol, textCol, n), numPerms, bands).as("a")
       .join(
-        broadcast(bandSignatures(shE, numPerms, bands)).as("b"),
+        broadcast(bandSignatures(spanPositions(eval, idCol, textCol, n), numPerms, bands)).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
