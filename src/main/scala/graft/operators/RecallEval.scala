@@ -108,16 +108,15 @@ object RecallEval {
         queries, base.select(col("id").as("neighbor_id"), col("vec").as("bv")),
         k, qidCol = qidCol, qvecCol = qvecCol)
       .select(col(qidCol), col("neighbor_id"))
-    val hits = approx
-      .join(truth, Seq(qidCol, "neighbor_id"))
-      .groupBy(col("nprobe"), col(qidCol))
-      .agg(count(lit(1)).as("c"))
+    // ONE pass over the expensive approx subtree: left-join the truth set
+    // (|Q|·k rows) onto it and count hits and group existence in the same
+    // aggregation — the former two-consumer shape (inner-join for hits +
+    // distinct for the denominator) evaluated the whole probed-search
+    // subtree twice
     approx
-      .select(col("nprobe"), col(qidCol)).distinct()
-      .join(hits, Seq("nprobe", qidCol), "left")
-      .select(
-        col("nprobe"),
-        (coalesce(col("c"), lit(0L)) / k.toDouble).as("recall"))
+      .join(truth.withColumn("hit", lit(1L)), Seq(qidCol, "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col(qidCol))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
       .groupBy(col("nprobe"))
       .agg(count(lit(1)).as("n_queries"), davg(col("recall")).as("mean_recall"))
   }
