@@ -353,6 +353,124 @@ object PQQueries {
         FROM a CROSS JOIN p
         GROUP BY 1, 2
       """)
+    ),
+    // PLAID-style compressed late interaction (Santhanam et al. 2022 ch.
+    // ColBERTv2/PLAID; Khattab & Zaharia 2020): documents keep only PQ
+    // CODES of their token vectors (one shared token codebook — M=2
+    // subspaces of 8 dims, K=4 centroids taken from the first-4
+    // embeddings' leading 16 dims, same fixed-model tactic as the pq_*
+    // oracles), and the MaxSim score is computed asymmetrically: each
+    // query token materializes a dot-LUT against the token codebook
+    // (2×4 entries), and every doc-token dot is then 2 array lookups +
+    // 1 add — never a decode. score(q,d) = Σ_t max_u Σ_s lut[t][s][code].
+    //
+    // Scale shape: identical to knn_bruteforce (broadcast query batch
+    // carrying its LUTs, corpus streams, bounded heap below the one
+    // exchange) — but the streamed side is ~codes (4 tokens × 2 bytes)
+    // per doc instead of 4×16 doubles: the 32× scan-size cut is the whole
+    // point of serving late interaction from a compressed index. Kernel
+    // is pure nested HOFs over the codegen'd encode/dot expressions —
+    // no UDF, no token explode (PlanSpec-guarded).
+    GQuery(
+      "knn_maxsim_pq",
+      (spark, dir) => {
+        import graft.functions.TopKAgg.topK
+        import graft.functions.VectorExpressions.dotFast
+        val rows = headVecs(spark, dir, KCB)
+        val tokModel = PQModel(
+          2, KCB, 16,
+          Array.tabulate(2)(s =>
+            rows.map(v => java.util.Arrays.copyOfRange(v, s * 8, s * 8 + 8))))
+        val centsLit = typedLit(
+          tokModel.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+        val emb = t(spark, dir, "embeddings")
+        def toks(c: org.apache.spark.sql.Column) =
+          array((0 until 4).map(i => slice(c, i * 16 + 1, 16)): _*)
+        val docs = emb.select(
+          col("vec_id").as("doc_id"),
+          transform(
+            toks(toDouble(col("embedding"))),
+            tok => ProductQuantizer.encodeCol(tokModel, tok)
+          ).as("dtokcodes"))
+        val q = emb
+          .filter(col("vec_id") % 20 === 0)
+          .select(
+            col("vec_id").as("query_id"),
+            transform(
+              toks(toDouble(col("embedding"))),
+              qt =>
+                transform(
+                  centsLit,
+                  (ks, s) =>
+                    transform(
+                      ks,
+                      c => dotFast(slice(qt, s * 8 + 1, lit(8)), c)))
+            ).as("qlut"))
+        val score = aggregate(
+          col("qlut"),
+          lit(0.0),
+          (acc, tl) =>
+            acc + array_max(transform(
+              col("dtokcodes"),
+              dc =>
+                element_at(element_at(tl, 1),
+                  element_at(dc, 1).cast("int") + 1) +
+                  element_at(element_at(tl, 2),
+                    element_at(dc, 2).cast("int") + 1)))
+        )
+        val grouped = docs
+          .join(broadcast(q))
+          .groupBy(col("query_id"))
+          .agg(topK(-score, col("doc_id"), 10).as("tk"))
+        grouped
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("doc_id"),
+            round(-col("e.dist"), 6).as("score"),
+            (col("pos") + 1).cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH tc AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id < $KCB),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ts AS (SELECT unnest([0,1,2,3]) AS t),
+        ss AS (SELECT unnest([0,1]) AS s),
+        dd AS (SELECT e.vec_id AS doc_id, ts.t AS u, ss.s, tc.ck,
+                      list_sum(list_transform(generate_series(1,8), j ->
+                        (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])
+                        * (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])))
+                        AS dist
+               FROM e CROSS JOIN ts CROSS JOIN ss CROSS JOIN tc),
+        denc AS (SELECT doc_id, u, s, ck AS code FROM (
+                   SELECT doc_id, u, s, ck,
+                          row_number() OVER (PARTITION BY doc_id, u, s
+                                             ORDER BY dist, ck) AS rn
+                   FROM dd) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e
+              WHERE vec_id % 20 = 0),
+        pads AS (SELECT q.query_id, d.doc_id, ts.t, d.u, d.s,
+                        list_sum(list_transform(generate_series(1,8), j ->
+                          q.qv[ts.t*16 + d.s*8 + j] * tc.cv[d.s*8 + j]))
+                          AS pd
+                 FROM q CROSS JOIN ts CROSS JOIN denc d
+                 JOIN tc ON tc.ck = d.code),
+        padc AS (SELECT query_id, doc_id, t, u,
+                        sum(CASE WHEN s = 0 THEN pd ELSE 0 END)
+                        + sum(CASE WHEN s = 1 THEN pd ELSE 0 END) AS adc
+                 FROM pads GROUP BY 1, 2, 3, 4),
+        tb AS (SELECT query_id, doc_id, t, max(adc) AS best
+               FROM padc GROUP BY 1, 2, 3),
+        sc AS (SELECT query_id, doc_id,
+                      list_sum(list(best ORDER BY t)) AS score
+               FROM tb GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rnk
+              FROM sc)
+        SELECT query_id, doc_id, round(score, 6) AS score, rnk
+        FROM r WHERE rnk <= 10
+      """)
     )
   )
 }

@@ -182,6 +182,52 @@ class PQExpressionsSpec extends SparkSpec {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("token-PQ ADC MaxSim == MaxSim over decoded tokens (compressed late interaction)") {
+    // the knn_maxsim_pq kernel: per-query dot-LUT against the token
+    // codebook, doc-token dot = 2 lookups + 1 add. Must equal the
+    // decode-then-dot formulation up to float reassociation.
+    import graft.functions.VectorExpressions.dotFast
+    val rng = new scala.util.Random(3)
+    val tokD = 16
+    val tokModel = PQModel(
+      2, 4, tokD,
+      Array.tabulate(2)(_ => Array.fill(4)(Array.fill(8)(rng.nextDouble()))))
+    val docs = (0L until 50L)
+      .map(i => (i, Array.fill(3)(Array.fill(tokD)(rng.nextDouble()))))
+      .toDF("doc_id", "dtoks")
+    val qs = (0L until 4L)
+      .map(i => (i, Array.fill(3)(Array.fill(tokD)(rng.nextDouble()))))
+      .toDF("query_id", "qtoks")
+    val centsLit = typedLit(tokModel.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val coded = docs.select(
+      col("doc_id"),
+      transform(col("dtoks"), tok => ProductQuantizer.encodeCol(tokModel, tok))
+        .as("dtokcodes"))
+    val withLut = qs.select(
+      col("query_id"),
+      col("qtoks"),
+      transform(col("qtoks"), qt =>
+        transform(centsLit, (ks, s) =>
+          transform(ks, c => dotFast(slice(qt, s * 8 + 1, lit(8)), c))))
+        .as("qlut"))
+    val lutScore = aggregate(
+      col("qlut"), lit(0.0),
+      (acc, tl) => acc + array_max(transform(col("dtokcodes"), dc =>
+        element_at(element_at(tl, 1), element_at(dc, 1).cast("int") + 1) +
+          element_at(element_at(tl, 2), element_at(dc, 2).cast("int") + 1))))
+    val decScore = aggregate(
+      col("qtoks"), lit(0.0),
+      (acc, qt) => acc + array_max(transform(col("dtokcodes"), dc =>
+        dotFast(qt, ProductQuantizer.decodeCol(tokModel, dc)))))
+    val both = coded.join(withLut)
+      .select(col("query_id"), col("doc_id"), lutScore.as("a"), decScore.as("b"))
+      .collect()
+    assert(both.length == 200)
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9, r)
+    }
+  }
+
   test("analysis-time type validation rejects wrong-typed inputs") {
     val df = Seq((1, "not a vector")).toDF("id", "s")
     val e = intercept[Exception] {

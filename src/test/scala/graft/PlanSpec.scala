@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("knn_maxsim_pq: compressed late interaction — broadcast LUTs, no decode, no explode") {
+    val p = planOf("knn_maxsim_pq")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val bnl = p.indexOf("BroadcastNestedLoopJoin")
+    assert(p.indexOf("Generate", bnl) < 0, p) // token loops stay in-row
+    assert(!p.contains("pq_decode_native"), p) // ADC serves from codes, never a reconstruction
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("q27: bucketed join — zero exchange below the sort-merge join") {
     val p = planOf("q27_bucketed_join")
     val smj = p.indexOf("SortMergeJoin")
