@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotExpr, L2SqExpr, TopKAgg}
+import graft.functions.{DotExpr, L2SqExpr, TopFreqAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -41,15 +41,15 @@ object GraftExtensions {
   /** `k` must be a positive literal integer — resolved at function-build
     * (analysis) time, never at runtime.
     */
-  private def kOf(e: Expression): Int = {
+  private def kOf(e: Expression, name: String = "graft_topk"): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(
-        "graft_topk: k must be a literal integer, got a non-constant expression")
+        s"$name: k must be a literal integer, got a non-constant expression")
     e.eval(null) match {
       case i: Int if i >= 1 => i
       case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
       case x => throw new IllegalArgumentException(
-        s"graft_topk: k must be a positive literal integer, got $x")
+        s"$name: k must be a positive literal integer, got $x")
     }
   }
 
@@ -77,6 +77,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_topk", args, 3)
         TopKAgg(args(0), args(1), kOf(args(2))).toAggregateExpression()
+      }
+    ),
+    (
+      "graft_topfreq",
+      "graft_topfreq(tok, capacity) - Misra-Gries heavy-hitters summary " +
+        "of a string column: struct<dec, items array<struct<tok, est>>> " +
+        "with est <= true <= est + dec for every item",
+      (args: Seq[Expression]) => {
+        arity("graft_topfreq", args, 2)
+        TopFreqAgg(args(0), kOf(args(1), "graft_topfreq")).toAggregateExpression()
       }
     )
   )

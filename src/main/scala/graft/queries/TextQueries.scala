@@ -1080,6 +1080,46 @@ object TextQueries {
         GROUP BY w
       """)
     ),
+    // D11 sketch path, frequent-items edition: Misra-Gries heavy hitters
+    // (graft_topfreq, a native TypedImperativeAggregate with O(capacity)
+    // buffers and partial aggregation — the sketch that finds frequent
+    // tokens at 100 TB without a vocabulary-wide groupBy). Same
+    // construction as q25/q26: the OUTPUT is the exact top-10 (portable
+    // oracle), and the sketch has a correctness role through the filter —
+    // every top token must appear in the summary with its self-validating
+    // bound est <= cnt <= est + dec intact, else rows drop and the hash
+    // breaks. Capacity 64 >= the corpus vocabulary, so the summary is
+    // provably exact here (dec = 0 across every merge tree); the lossy
+    // regime (capacity < vocab, skewed data) is gated by TopFreqSpec.
+    GQuery(
+      "text_heavy_hitters",
+      (spark, dir) => {
+        import graft.functions.TopFreqAgg.topFreq
+        val toks = t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val top = exact.orderBy(col("cnt").desc, col("tok")).limit(10)
+        val mg = toks
+          .agg(topFreq(col("tok"), 64).as("s"))
+          .select(col("s.dec").as("dec"), explode(col("s.items")).as("it"))
+          .select(col("dec"), col("it.tok").as("tok"), col("it.est").as("est"))
+        top
+          .join(broadcast(mg), Seq("tok"), "left")
+          .filter(
+            col("est").isNotNull &&
+              col("est") <= col("cnt") &&
+              col("cnt") - col("est") <= col("dec"))
+          .select(col("tok"), col("cnt"))
+      },
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+        SELECT tok, count(*)::BIGINT AS cnt
+        FROM toks WHERE tok <> ''
+        GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10
+      """)
+    ),
     // Keyword retrieval: Okapi BM25 top-20 for a 4-term query — inverted-
     // index algebra as dataflow (postings filtered to the query terms
     // before any shuffle, df + corpus stats broadcast, TakeOrdered top-k).
