@@ -830,6 +830,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("tfidf_cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then search for near-duplicate pairs only WITHIN
+    * each cluster — the clustering is the blocking structure that turns
+    * the quadratic all-pairs cosine scan into k independent
+    * (N/k)²-sized problems. Returns (cluster, doc_a, doc_b, cosine) for
+    * within-cluster pairs with cosine >= tau (doc_a < doc_b).
+    *
+    * Shape at scale: one argmin pass over the corpus (native codegen
+    * centroid kernel, k×d matrix embedded in the plan), then a
+    * self-equi-join ON THE CLUSTER ID — both sides are the same subtree,
+    * so the assignment exchange is computed once and reused, and no pair
+    * ever crosses a cluster boundary. At web scale k is chosen ~√N so
+    * clusters stay bounded; a skewed hot cluster is handled the same way
+    * as any hot join key (salt the cluster id, or split the cell —
+    * [[IvfIndex.splitCell]] is the same move on the same structure).
+    * Norms are per-row invariants computed before the join.
+    */
+  def semDeDup(
+      df: DataFrame, // (id, vec)
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      tau: Double = 0.9
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.dotFast
+    val spark = df.sparkSession
+    val a = df.select(
+      KMeans.assignCol(spark, centroids, col(vecCol)).cast("long").as("cluster"),
+      col(idCol).as("doc_id"),
+      col(vecCol).as("v"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("nm")
+    )
+    // both join sides are corpus-sized: force the shuffle hash join on the
+    // cluster key (a broadcast of "the smaller corpus half" would be the
+    // auto-pick at toy scale and an OOM at real scale); the two sides are
+    // the same subtree, so one exchange is computed and the other reused
+    a.as("x")
+      .join(a.hint("shuffle_hash").as("y"),
+        col("x.cluster") === col("y.cluster")
+          && col("x.doc_id") < col("y.doc_id"))
+      .withColumn(
+        "cosine",
+        dotFast(col("x.v"), col("y.v")) / (col("x.nm") * col("y.nm")))
+      .filter(col("cosine") >= tau)
+      .select(
+        col("x.cluster").as("cluster"),
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("cosine"))
+  }
+
   /** Semantic decontamination — the third rung of the ladder (exact
     * n-gram overlap → fuzzy MinHash-Jaccard → EMBEDDING COSINE): a
     * training doc is contaminated when its embedding has cosine ≥ tau to

@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("dedup_semdedup: cluster id is the join key — no cartesian, one assignment exchange") {
+    val q = SparkEntry.queries("dedup_semdedup")(spark, sf0001)
+    q.collect() // let AQE finalize stage reuse
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastExchange"), p) // never broadcast corpus data
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("centroid_argmin"), p) // native codegen assignment
+    // both join sides are the same assignment subtree: computed once,
+    // the second side re-reads the exchange
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q27: bucketed join — zero exchange below the sort-merge join") {
     val p = planOf("q27_bucketed_join")
     val smj = p.indexOf("SortMergeJoin")
