@@ -599,4 +599,57 @@ object StreamingOps {
       }
       .toDF(idCol, textCol)
   }
+
+  final case class MGState(toks: Array[String], ests: Array[Long], dec: Long)
+
+  /** Online Misra-Gries heavy hitters over a document stream — the
+    * streaming twin of `text_heavy_hitters` / [[graft.functions.MGBuffer]].
+    *
+    * The summary is SHARDED BY TOKEN HASH: each of `buckets` groups owns
+    * the tokens that hash to it and maintains its own capacity-bounded
+    * MG buffer in `flatMapGroupsWithState` state. A token lives in exactly
+    * one bucket, so the union of bucket summaries is itself a valid
+    * summary and every reported item keeps the self-validating bound
+    * `est <= true <= est + dec` with its OWN bucket's `dec` — while state
+    * stays O(buckets · capacity) forever and buckets parallelize
+    * arbitrarily (the same sharding argument as [[simhashDedupStream]]).
+    * Each micro-batch, a bucket that saw tokens re-emits its full summary
+    * (update semantics): downstream keeps the latest row per (bucket,
+    * tok).
+    */
+  def heavyHittersStream(
+      docs: DataFrame,
+      textCol: String,
+      capacity: Int,
+      buckets: Int = 16
+  ): Dataset[(Int, String, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(
+        pmod(hash(col("tok")), lit(buckets)).cast("int").as("bucket"),
+        col("tok"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bucket: Int, it: Iterator[(Int, String)],
+         state: GroupState[MGState]) => {
+          val buf = new graft.functions.MGBuffer(capacity)
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.toks.length) {
+              buf.counts.put(s.toks(i), s.ests(i)); i += 1
+            }
+            buf.dec = s.dec
+          }
+          it.foreach { case (_, t) => buf.add(t, 1L) }
+          val entries = buf.sortedEntries
+          state.update(MGState(entries.map(_._1), entries.map(_._2), buf.dec))
+          entries.iterator.map { case (t, e) => (bucket, t, e, buf.dec) }
+        })
+      .toDF("bucket", "tok", "est", "dec")
+      .as[(Int, String, Long, Long)]
+  }
 }

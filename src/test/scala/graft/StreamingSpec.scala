@@ -511,4 +511,34 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must contain near-dup pairs")
     assert(got == want)
   }
+
+  test("streaming heavy hitters: two waves converge to the exact batch counts") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("hhstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.heavyHittersStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "text", capacity = 64, buckets = 8)
+    val q = stream.toDF("bucket", "tok", "est", "dec").writeStream
+      .format("memory").queryName("hh").outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val emitted = spark.table("hh")
+    // capacity >= per-bucket vocabulary: the exact regime — dec stays 0
+    // on every emission and est per token is monotone, so the final
+    // summary is the max emission per token and must equal exact counts
+    assert(emitted.agg(max(col("dec"))).collect().head.getLong(0) == 0L)
+    val got = emitted.groupBy(col("tok")).agg(max(col("est")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
