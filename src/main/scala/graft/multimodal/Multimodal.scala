@@ -224,6 +224,109 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic truecolor gradient PNG: pixel (x, y) has all three
+    * channels equal to `(a*x + b*y) % 256`. Unlike the solid [[grayPng]],
+    * a gradient DISCRIMINATES resampling: every resize target picks a
+    * different pixel subset, so a wrong source-index formula changes the
+    * mean. Same direct spec-conformant encoder (deflate + CRC32); decode
+    * still runs the real javax.imageio codec.
+    */
+  def gradientPng(w: Int, h: Int, a: Int, b: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)
+      .put(2.toByte) // truecolor: identity round-trip (see grayPng)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    chunk("IHDR", ihdr)
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((a * x + b * y) % 256).toByte
+        val off = y * stride + 1 + 3 * x
+        raw(off) = v; raw(off + 1) = v; raw(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zbos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zbos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zbos.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  final case class Resized(
+      id: Long,
+      width: Int,
+      height: Int,
+      meanResized: Double
+  )
+
+  /** Resize stage: decode (real `javax.imageio`), nearest-neighbor
+    * resample to `(w2, h2)` with the standard floor source index
+    * `src = tgt * srcDim / tgtDim`, and report the original decoded dims
+    * plus the resampled mean intensity. The per-pixel sum is
+    * integer-valued for equal-channel images ((r+g+b)/3 exact), so the
+    * mean is a single exact division — the property that lets a plain-SQL
+    * oracle reproduce it bit-for-bit.
+    *
+    * Partition-batched kernel over the binary column, embarrassingly
+    * parallel — the multimodal feature-extraction shape at any scale.
+    */
+  def resizeMeta(
+      spark: SparkSession,
+      media: DataFrame,
+      w2: Int,
+      h2: Int
+  ): Dataset[Resized] = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"resizeMeta: undecodable image bytes (${m.content.length} bytes)")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h2) {
+          val sy = y * h / h2
+          var x = 0
+          while (x < w2) {
+            val sx = x * w / w2
+            val rgb = img.getRGB(sx, sy)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Resized(m.id, w, h, sum / (w2.toLong * h2))
+      }
+    }
+  }
+
   final case class DecodedVideo(
       id: Long,
       nFrames: Int,

@@ -95,6 +95,54 @@ object MultimodalQueries {
         FROM documents
       """)
     ),
+    // Resize stage: gradient PNG fixtures (pixel = (3x+5y) % 256 — a
+    // solid color would make any resample look correct; the gradient
+    // discriminates the source-index formula), real javax.imageio decode,
+    // nearest-neighbor resample to 17x13. The resampled mean is an exact
+    // integer sum over the picked grid, so the oracle reproduces it in
+    // plain SQL from the generation parameters.
+    GQuery(
+      "mm_resize",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaPng = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 64 + 1).toInt
+              val h = (nc * 7 % 64 + 1).toInt
+              (id, "image", Multimodal.gradientPng(w, h, 3, 5), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal
+          .resizeMeta(spark, mediaPng, 17, 13)
+          .toDF()
+          .select(
+            col("id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(col("meanResized"), 6).as("mean_resized")
+          )
+      },
+      Some("""
+        SELECT doc_id AS id,
+               (n_chars % 64 + 1)::BIGINT AS width,
+               (n_chars * 7 % 64 + 1)::BIGINT AS height,
+               round(
+                 list_sum(list_transform(generate_series(0, 12), y ->
+                   list_sum(list_transform(generate_series(0, 16), x ->
+                     ((3*((x*(n_chars % 64 + 1))//17)
+                       + 5*((y*(n_chars * 7 % 64 + 1))//13)) % 256)::BIGINT))))
+                 ::DOUBLE / 221, 6) AS mean_resized
+        FROM documents
+      """)
+    ),
     // Decode stage for VIDEO: a length-prefixed container of real PNG
     // frames (the JDK ships no video codec, so the container is ours —
     // declared plainly — but every frame decode is the real javax.imageio

@@ -80,6 +80,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gradient PNG round-trips through the real codec pixel-exactly") {
+    import spark.implicits._
+    val media = Seq((1L, "image", Multimodal.gradientPng(5, 4, 3, 5), 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    val d = Multimodal.decodeMeta(spark, media, Multimodal.ImageIoDecoder)
+      .collect().head
+    assert(d.width == 5 && d.height == 4)
+    val want = (for (y <- 0 until 4; x <- 0 until 5)
+      yield ((3 * x + 5 * y) % 256).toDouble).sum / 20
+    assert(d.meanByte == want, d)
+  }
+
+  test("nearest-neighbor resize: identity at same dims, exact means up and down") {
+    import spark.implicits._
+    val media = Seq((1L, "image", Multimodal.gradientPng(8, 6, 3, 5), 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    def nnMean(w: Int, h: Int, w2: Int, h2: Int): Double =
+      (for (y <- 0 until h2; x <- 0 until w2)
+        yield ((3 * (x * w / w2) + 5 * (y * h / h2)) % 256).toDouble)
+        .sum / (w2 * h2)
+    val same = Multimodal.resizeMeta(spark, media, 8, 6).collect().head
+    assert(same.width == 8 && same.height == 6)
+    assert(same.meanResized == nnMean(8, 6, 8, 6))
+    val down = Multimodal.resizeMeta(spark, media, 3, 2).collect().head
+    assert(down.meanResized == nnMean(8, 6, 3, 2))
+    val up = Multimodal.resizeMeta(spark, media, 16, 9).collect().head
+    assert(up.meanResized == nnMean(8, 6, 16, 9))
+  }
+
   test("motion-PNG container: per-frame ImageIO decode, exact stats, malformed raises") {
     import spark.implicits._
     val bytes = Multimodal.pngVideo(w = 4, h = 3, nFrames = 3, baseGray = 254)
