@@ -107,4 +107,46 @@ object Packing {
         (col("offset") / ctx).cast("long").as("pack_id")
       )
   }
+
+  /** Distributed 0-based global rank under a TOTAL order (the sort key
+    * must be unique, e.g. tie-broken on a key column): range-repartition
+    * on the sort columns, count one total per partition (a bounded
+    * ≤ numPartitions-row collect), prefix on the driver, then a
+    * within-partition row_number plus the partition's prefix. Identical
+    * output to `row_number().over(Window.orderBy(...)) - 1` but without
+    * collapsing the table into one partition — the same prefix-sum move
+    * as [[packOffsets]], packaged for ranking (used by text_vocab, where
+    * "the vocabulary" is only small until the corpus is a web crawl).
+    */
+  def distributedRank(
+      df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      rankName: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // evaluate once: counts collect + the window below
+    val counts = base
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt_p"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val prefixes = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .init
+      .map(_._2)
+    val prefixDf = counts.map(_._1).zip(prefixes).toSeq.toDF("pid", "prefix_p")
+    val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+    base
+      .join(broadcast(prefixDf), "pid")
+      .withColumn(
+        rankName,
+        (col("prefix_p") + row_number().over(w) - 1).cast("long"))
+      .drop("pid", "prefix_p")
+  }
 }

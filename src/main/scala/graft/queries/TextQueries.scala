@@ -1113,16 +1113,19 @@ object TextQueries {
     GQuery(
       "text_vocab",
       (spark, dir) =>
-        t(spark, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("token"))
-          .groupBy(col("token"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn(
-            "token_id",
-            (row_number()
-              .over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
-              .cast("long")
-          ),
+        // token_id = global frequency rank, assigned by the DISTRIBUTED
+        // prefix-sum rank (range partitions + per-partition counts +
+        // within-partition row_number) — a global Window.orderBy would
+        // collapse the vocabulary into one partition, which only looks
+        // harmless until the corpus is a web crawl
+        graft.operators.Packing.distributedRank(
+          t(spark, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("token"))
+            .groupBy(col("token"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq(col("cnt").desc, col("token")),
+          "token_id"
+        ),
       Some("""
         SELECT w AS token, count(*)::BIGINT AS cnt,
                (row_number() OVER (ORDER BY count(*) DESC, w) - 1)::BIGINT

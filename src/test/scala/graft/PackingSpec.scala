@@ -62,6 +62,28 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("distributedRank == global window rank, at any input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Q.t(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val want = counts
+      .withColumn(
+        "token_id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+          .cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Packing
+        .distributedRank(
+          counts.repartition(parts),
+          Seq(col("cnt").desc, col("token")),
+          "token_id")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == want, s"mismatch at input partitions = $parts")
+    }
+  }
+
   test("packOffsets: offsets are dense — each doc starts where the previous ended") {
     val docs = Q.t(spark, sf0001, "documents")
     val rows = Packing.packOffsets(docs, "doc_id", "text", ctx = 512)
