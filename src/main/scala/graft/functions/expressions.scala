@@ -112,6 +112,201 @@ case class DotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MaxSim late-interaction score (Khattab & Zaharia 2020) over two bags of
+  * token vectors: `Σ_{qt ∈ left} max_{dt ∈ right} qt·dt`. Semantically
+  * identical to the HOF formulation
+  * `aggregate(qtoks, 0.0, (acc, qt) -> acc + array_max(transform(dtoks,
+  * dt -> dot(qt, dt))))` — same token fold order, same left-to-right dot,
+  * same truncate-at-shorter ragged rule, empty right bag → NULL, empty
+  * left bag → 0.0 — but as one fused primitive loop: the HOF path
+  * allocates a scores array per pair and walks lambda closures per token;
+  * this walks the nested `ArrayData` directly inside whole-stage codegen.
+  */
+case class MaxSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ArrayType(DoubleType)), ArrayType(ArrayType(DoubleType)))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val d = b.asInstanceOf[ArrayData]
+    val nq = q.numElements()
+    val nd = d.numElements()
+    if (nq > 0 && nd == 0) return null // array_max of an empty list
+    var total = 0.0
+    var t = 0
+    while (t < nq) {
+      val qt = q.getArray(t)
+      var best = Double.NegativeInfinity
+      var u = 0
+      while (u < nd) {
+        val dt = d.getArray(u)
+        val n = math.min(qt.numElements(), dt.numElements())
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += qt.getDouble(i) * dt.getDouble(i)
+          i += 1
+        }
+        if (s > best) best = s
+        u += 1
+      }
+      total += best
+      t += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nq = ctx.freshName("nq")
+      val nd = ctx.freshName("nd")
+      val total = ctx.freshName("total")
+      val t = ctx.freshName("t")
+      val u = ctx.freshName("u")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val qt = ctx.freshName("qt")
+      val dt = ctx.freshName("dt")
+      val ad = classOf[ArrayData].getName
+      s"""
+        |int $nq = $a.numElements();
+        |int $nd = $b.numElements();
+        |if ($nq > 0 && $nd == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $total = 0.0;
+        |  for (int $t = 0; $t < $nq; $t++) {
+        |    $ad $qt = $a.getArray($t);
+        |    double $best = Double.NEGATIVE_INFINITY;
+        |    for (int $u = 0; $u < $nd; $u++) {
+        |      $ad $dt = $b.getArray($u);
+        |      int $n = java.lang.Math.min($qt.numElements(), $dt.numElements());
+        |      double $s = 0.0;
+        |      for (int $i = 0; $i < $n; $i++) {
+        |        $s += $qt.getDouble($i) * $dt.getDouble($i);
+        |      }
+        |      if ($s > $best) $best = $s;
+        |    }
+        |    $total += $best;
+        |  }
+        |  ${ev.value} = $total;
+        |}
+      """.stripMargin
+    })
+
+  override def prettyName: String = "maxsim"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Compressed (ADC) MaxSim over a per-query dot-LUT and per-doc token
+  * codes — the serving kernel of PLAID-style late interaction
+  * (knn_maxsim_pq). Left: `array<array<array<double>>>` — for each query
+  * token, one dot-LUT per code subspace (`lut[t][s][k] = qslice(t,s) ·
+  * centroid(s,k)`). Right: `array<array<short>>` — for each doc token,
+  * its code per subspace. Score = `Σ_t max_u Σ_s lut[t][s][code[u][s]]`
+  * — per doc-token dot is |s| array lookups, never a decode.
+  * Bit-identical to the element_at HOF formulation (same subspace add
+  * order, empty right bag → NULL, empty left → 0.0), fused to one
+  * primitive loop nest.
+  */
+case class MaxSimAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(ArrayType(ArrayType(DoubleType))),
+    ArrayType(ArrayType(org.apache.spark.sql.types.ShortType)))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val d = b.asInstanceOf[ArrayData]
+    val nq = q.numElements()
+    val nd = d.numElements()
+    if (nq > 0 && nd == 0) return null
+    var total = 0.0
+    var t = 0
+    while (t < nq) {
+      val luts = q.getArray(t) // [s][k]
+      val ns = luts.numElements()
+      var best = Double.NegativeInfinity
+      var u = 0
+      while (u < nd) {
+        val codes = d.getArray(u) // [s]
+        val m = math.min(ns, codes.numElements())
+        var s = 0.0
+        var si = 0
+        while (si < m) {
+          s += luts.getArray(si).getDouble(codes.getShort(si).toInt)
+          si += 1
+        }
+        if (s > best) best = s
+        u += 1
+      }
+      total += best
+      t += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nq = ctx.freshName("nq")
+      val nd = ctx.freshName("nd")
+      val total = ctx.freshName("total")
+      val t = ctx.freshName("t")
+      val u = ctx.freshName("u")
+      val si = ctx.freshName("si")
+      val m = ctx.freshName("m")
+      val ns = ctx.freshName("ns")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val luts = ctx.freshName("luts")
+      val codes = ctx.freshName("codes")
+      val ad = classOf[ArrayData].getName
+      s"""
+        |int $nq = $a.numElements();
+        |int $nd = $b.numElements();
+        |if ($nq > 0 && $nd == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $total = 0.0;
+        |  for (int $t = 0; $t < $nq; $t++) {
+        |    $ad $luts = $a.getArray($t);
+        |    int $ns = $luts.numElements();
+        |    double $best = Double.NEGATIVE_INFINITY;
+        |    for (int $u = 0; $u < $nd; $u++) {
+        |      $ad $codes = $b.getArray($u);
+        |      int $m = java.lang.Math.min($ns, $codes.numElements());
+        |      double $s = 0.0;
+        |      for (int $si = 0; $si < $m; $si++) {
+        |        $s += $luts.getArray($si).getDouble($codes.getShort($si));
+        |      }
+        |      if ($s > $best) $best = $s;
+        |    }
+        |    $total += $best;
+        |  }
+        |  ${ev.value} = $total;
+        |}
+      """.stripMargin
+    })
+
+  override def prettyName: String = "maxsim_adc"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def l2SqFast(a: Column, b: Column): Column =
     GraftColumnBridge.column(
@@ -120,5 +315,14 @@ object VectorExpressions {
   def dotFast(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotExpr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b))
+    )
+  def maxSimFast(q: Column, d: Column): Column =
+    GraftColumnBridge.column(
+      MaxSimExpr(GraftColumnBridge.expression(q), GraftColumnBridge.expression(d))
+    )
+  def maxSimAdcFast(qlut: Column, dcodes: Column): Column =
+    GraftColumnBridge.column(
+      MaxSimAdcExpr(
+        GraftColumnBridge.expression(qlut), GraftColumnBridge.expression(dcodes))
     )
 }

@@ -307,7 +307,10 @@ object BruteForceKNN {
     *
     * Inputs are `array<array<double>>` token-vector columns; dot order
     * matches the engine convention (left-to-right double accumulation),
-    * so the whole score sits under a DuckDB list-lambda oracle.
+    * so the whole score sits under a DuckDB list-lambda oracle. The
+    * kernel is the fused native [[graft.functions.MaxSimExpr]] (one
+    * primitive loop nest per pair, no per-pair scores array) —
+    * bit-identical to the HOF formulation, VectorFunctionsSpec-pinned.
     */
   def knnMaxSim(
       queries: DataFrame,
@@ -318,11 +321,7 @@ object BruteForceKNN {
       didCol: String = "doc_id",
       dtoksCol: String = "dtoks"
   ): DataFrame = {
-    val score = aggregate(
-      col(qtoksCol),
-      lit(0.0),
-      (acc, qt) => acc + array_max(transform(col(dtoksCol), dt => dotFast(qt, dt)))
-    )
+    val score = maxSimFast(col(qtoksCol), col(dtoksCol))
     val grouped = docs
       .join(broadcast(queries))
       .groupBy(col(qidCol))

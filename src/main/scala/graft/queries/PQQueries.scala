@@ -406,18 +406,8 @@ object PQQueries {
                       ks,
                       c => dotFast(slice(qt, s * 8 + 1, lit(8)), c)))
             ).as("qlut"))
-        val score = aggregate(
-          col("qlut"),
-          lit(0.0),
-          (acc, tl) =>
-            acc + array_max(transform(
-              col("dtokcodes"),
-              dc =>
-                element_at(element_at(tl, 1),
-                  element_at(dc, 1).cast("int") + 1) +
-                  element_at(element_at(tl, 2),
-                    element_at(dc, 2).cast("int") + 1)))
-        )
+        val score = graft.functions.VectorExpressions
+          .maxSimAdcFast(col("qlut"), col("dtokcodes"))
         val grouped = docs
           .join(broadcast(q))
           .groupBy(col("query_id"))

@@ -219,12 +219,18 @@ class PQExpressionsSpec extends SparkSpec {
       col("qtoks"), lit(0.0),
       (acc, qt) => acc + array_max(transform(col("dtokcodes"), dc =>
         dotFast(qt, ProductQuantizer.decodeCol(tokModel, dc)))))
+    val native = graft.functions.VectorExpressions
+      .maxSimAdcFast(col("qlut"), col("dtokcodes"))
     val both = coded.join(withLut)
-      .select(col("query_id"), col("doc_id"), lutScore.as("a"), decScore.as("b"))
+      .select(
+        col("query_id"), col("doc_id"),
+        lutScore.as("a"), decScore.as("b"), native.as("c"))
       .collect()
     assert(both.length == 200)
     both.foreach { r =>
       assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9, r)
+      // the fused native kernel is BIT-identical to the element_at HOF
+      assert(r.getDouble(2) == r.getDouble(4), r)
     }
   }
 

@@ -141,6 +141,32 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.map(_.getDouble(2)).toSeq == Seq(3.0, 3.0, 2.0))
   }
 
+  test("native MaxSimExpr == HOF formulation, bit-for-bit") {
+    import graft.functions.VectorExpressions.{dotFast, maxSimFast}
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 300L).map { i =>
+      (i,
+        Array.fill(2 + (i % 3).toInt)(Array.fill(7)(rng.nextDouble() * 2 - 1)),
+        Array.fill(1 + (i % 4).toInt)(Array.fill(7)(rng.nextDouble() * 2 - 1)))
+    }.toDF("id", "qtoks", "dtoks")
+    val hof = aggregate(
+      $"qtoks", lit(0.0),
+      (acc, qt) => acc + array_max(transform($"dtoks", dt => dotFast(qt, dt))))
+    val r = rows
+      .select($"id", maxSimFast($"qtoks", $"dtoks").as("a"), hof.as("b"))
+      .collect()
+    r.foreach(x => assert(x.getDouble(1) == x.getDouble(2), x))
+    // empty doc bag -> null (array_max of empty), empty query bag -> 0.0
+    val edge = Seq(
+      (1L, Array(Array(1.0)), Array.empty[Array[Double]]),
+      (2L, Array.empty[Array[Double]], Array(Array(1.0)))
+    ).toDF("id", "qtoks", "dtoks")
+      .select($"id", maxSimFast($"qtoks", $"dtoks").as("a"))
+      .orderBy($"id").collect()
+    assert(edge(0).isNullAt(1))
+    assert(edge(1).getDouble(1) == 0.0)
+  }
+
   test("knnMaxSim on a single-token bag reduces to knnDot") {
     val rng = new scala.util.Random(11)
     val base = (0L until 100L).map(i => (i, Array.fill(8)(rng.nextDouble())))
