@@ -29,7 +29,14 @@ object Bucketing {
     val loc = new Path(wh, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    df
+      // pre-shuffle into the bucket layout: `repartition(n, key)` is the
+      // same HashPartitioning the bucketed write requires, so each write
+      // task holds exactly one bucket and writes ONE file — without this,
+      // every input task writes a sliver of every bucket (tasks × buckets
+      // small files, the classic bucketed-write file explosion)
+      .repartition(buckets, org.apache.spark.sql.functions.col(keyCol))
+      .write
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
