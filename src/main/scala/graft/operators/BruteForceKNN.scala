@@ -329,6 +329,43 @@ object BruteForceKNN {
     explodeTopK(grouped, qidCol, didCol, "score", negate = true)
   }
 
+  /** Retrieve-then-rerank: pooled-vector shortlist, late-interaction
+    * rerank — the canonical two-stage serving pipeline (a cheap
+    * single-vector stage bounds the candidate set; the expensive
+    * per-token MaxSim runs only on |Q|·kShort rows). `queries` carries
+    * BOTH representations (pooled `qvecCol` + token bag `qtoksCol`);
+    * `docs` likewise. Results are the MaxSim top-k OF THE SHORTLIST —
+    * at scale the shortlist is the |Q|·kShort-row small side, so the
+    * rerank join broadcasts it against the doc token table and the
+    * corpus-sized work stays in stage 1.
+    */
+  def knnMaxSimRerank(
+      queries: DataFrame, // (qid, qv, qtoks)
+      docs: DataFrame, // (did, bv, dtoks)
+      kShort: Int,
+      k: Int,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      qtoksCol: String = "qtoks",
+      didCol: String = "doc_id",
+      bvecCol: String = "bv",
+      dtoksCol: String = "dtoks"
+  ): DataFrame = {
+    val shortlist = knn(
+      queries.select(col(qidCol), col(qvecCol)),
+      docs.select(col(didCol).as("nid"), col(bvecCol)),
+      kShort, qidCol, qvecCol, "nid", bvecCol
+    ).select(col(qidCol), col("nid"))
+    val grouped = docs
+      .select(col(didCol), col(dtoksCol))
+      .join(broadcast(shortlist), col(didCol) === col("nid"))
+      .join(broadcast(queries.select(col(qidCol).as("qq"), col(qtoksCol))),
+        col("qq") === col(qidCol))
+      .groupBy(col(qidCol))
+      .agg(topK(-maxSimFast(col(qtoksCol), col(dtoksCol)), col(didCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, didCol, "score", negate = true)
+  }
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

@@ -333,6 +333,66 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Retrieve-then-rerank: pooled-vector top-50 shortlist (the cheap
+    // single-vector stage bounds the candidates), exact MaxSim rerank of
+    // the shortlist only — the canonical two-stage serving pipeline.
+    // Corpus-sized work stays in stage 1; the rerank joins broadcast the
+    // |Q|·50-row shortlist against the token table.
+    GQuery(
+      "knn_maxsim_rerank",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        def toks(c: org.apache.spark.sql.Column) =
+          array((0 until 4).map(i => slice(c, i * 16 + 1, 16)): _*)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(
+            col("vec_id").as("query_id"),
+            toDouble(col("embedding")).as("qv"),
+            toks(toDouble(col("embedding"))).as("qtoks")
+          )
+        val d = emb.select(
+          col("vec_id").as("doc_id"),
+          toDouble(col("embedding")).as("bv"),
+          toks(toDouble(col("embedding"))).as("dtoks")
+        )
+        BruteForceKNN
+          .knnMaxSimRerank(q, d, kShort = 50, k = K)
+          .select(
+            col("query_id"),
+            col("doc_id"),
+            round(col("score"), 6).as("score"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             sl AS (SELECT query_id, doc_id FROM (
+                      SELECT q.query_id, b.doc_id,
+                             row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY ${sqlL2Sq("q.qv", "b.bv")}, b.doc_id)
+                               AS rn
+                      FROM q CROSS JOIN b) WHERE rn <= 50),
+             s AS (SELECT q.query_id, sl.doc_id,
+                          list_sum(list_transform([0,1,2,3], qi ->
+                            list_max(list_transform([0,1,2,3], di ->
+                              list_sum(list_transform(generate_series(1,16), j ->
+                                qv[qi*16+j] * bv[di*16+j])))))) AS score
+                   FROM sl
+                   JOIN q ON q.query_id = sl.query_id
+                   JOIN b ON b.doc_id = sl.doc_id),
+             r AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, doc_id) AS rnk
+                   FROM s)
+        SELECT query_id, doc_id, round(score, 6) AS score, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // query's own label — the equality predicate becomes the JOIN KEY, so
     // the plan is a broadcast HASH join (distance evaluated on same-label
     // pairs only), not a nested loop over all pairs.
