@@ -461,6 +461,134 @@ object PQQueries {
         SELECT query_id, doc_id, round(score, 6) AS score, rnk
         FROM r WHERE rnk <= 10
       """)
+    ),
+    // Cell-partitioned late interaction — the PLAID serving layout at
+    // corpus scale: docs are assigned to coarse IVF cells by their POOLED
+    // vector (native argmin), and a query's compressed MaxSim runs only
+    // inside its nprobe nearest cells — the same nprobe/ncells scan cut
+    // as ivf_knn, applied to the token-level ADC kernel. Both reductions
+    // compose: coarse routing bounds the candidate set, PQ codes bound
+    // the bytes per candidate. (The disk path is the same composition
+    // over IvfIndex.build's cell-partitioned parquet with partition
+    // pruning; the kernel and results are identical.)
+    GQuery(
+      "knn_maxsim_ivf",
+      (spark, dir) => {
+        import graft.functions.TopKAgg.topK
+        import graft.functions.VectorExpressions.{dotFast, maxSimAdcFast}
+        import graft.operators.{IvfIndex, KMeans}
+        val rows8 = headVecs(spark, dir, KKM)
+        val tokModel = PQModel(
+          2, KCB, 16,
+          Array.tabulate(2)(s =>
+            rows8.take(KCB)
+              .map(v => java.util.Arrays.copyOfRange(v, s * 8, s * 8 + 8))))
+        val centsLit = typedLit(
+          tokModel.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+        val emb = t(spark, dir, "embeddings")
+        def toks(c: org.apache.spark.sql.Column) =
+          array((0 until 4).map(i => slice(c, i * 16 + 1, 16)): _*)
+        val docs = emb.select(
+          KMeans.assignCol(spark, rows8, toDouble(col("embedding")))
+            .cast("int").as("cell"),
+          col("vec_id").as("doc_id"),
+          transform(
+            toks(toDouble(col("embedding"))),
+            tok => ProductQuantizer.encodeCol(tokModel, tok)
+          ).as("dtokcodes"))
+        val qbase = emb.filter(col("vec_id") % 20 === 0)
+        val probes = IvfIndex
+          .probeCells(
+            spark,
+            qbase.select(
+              col("vec_id").as("query_id"),
+              toDouble(col("embedding")).as("qv")),
+            "query_id", "qv", rows8, 2)
+          .select(col("query_id"), col("cell"))
+        val qlut = qbase.select(
+          col("vec_id").as("qq"),
+          transform(
+            toks(toDouble(col("embedding"))),
+            qt =>
+              transform(
+                centsLit,
+                (ks, s) =>
+                  transform(ks, c => dotFast(slice(qt, s * 8 + 1, lit(8)), c)))
+          ).as("qlut"))
+        val grouped = docs
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(qlut), col("qq") === col("query_id"))
+          .groupBy(col("query_id"))
+          .agg(topK(-maxSimAdcFast(col("qlut"), col("dtokcodes")),
+            col("doc_id"), 10).as("tk"))
+        grouped
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("doc_id"),
+            round(-col("e.dist"), 6).as("score"),
+            (col("pos") + 1).cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH tc AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id < $KCB),
+        c8 AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < $KKM),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ts AS (SELECT unnest([0,1,2,3]) AS t),
+        ss AS (SELECT unnest([0,1]) AS s),
+        ad AS (SELECT e.vec_id, c8.ck, ${sqlL2Sq("e.ev", "c8.cv")} AS dist
+               FROM e CROSS JOIN c8),
+        a AS (SELECT vec_id AS doc_id, ck AS cell FROM (
+                SELECT vec_id, ck,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, ck) AS rn
+                FROM ad) WHERE rn = 1),
+        dd AS (SELECT e.vec_id AS doc_id, ts.t AS u, ss.s, tc.ck,
+                      list_sum(list_transform(generate_series(1,8), j ->
+                        (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])
+                        * (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])))
+                        AS dist
+               FROM e CROSS JOIN ts CROSS JOIN ss CROSS JOIN tc),
+        denc AS (SELECT doc_id, u, s, ck AS code FROM (
+                   SELECT doc_id, u, s, ck,
+                          row_number() OVER (PARTITION BY doc_id, u, s
+                                             ORDER BY dist, ck) AS rn
+                   FROM dd) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e
+              WHERE vec_id % 20 = 0),
+        pr AS (SELECT query_id, cell FROM (
+                 SELECT q.query_id, c8.ck AS cell,
+                        row_number() OVER (PARTITION BY q.query_id
+                                           ORDER BY ${sqlL2Sq("q.qv", "c8.cv")},
+                                                    c8.ck) AS rn
+                 FROM q CROSS JOIN c8) WHERE rn <= 2),
+        pads AS (SELECT q.query_id, d.doc_id, ts.t, d.u, d.s,
+                        list_sum(list_transform(generate_series(1,8), j ->
+                          q.qv[ts.t*16 + d.s*8 + j] * tc.cv[d.s*8 + j]))
+                          AS pd
+                 FROM q
+                 JOIN pr ON pr.query_id = q.query_id
+                 JOIN a ON a.cell = pr.cell
+                 CROSS JOIN ts
+                 JOIN denc d ON d.doc_id = a.doc_id
+                 JOIN tc ON tc.ck = d.code),
+        padc AS (SELECT query_id, doc_id, t, u,
+                        sum(CASE WHEN s = 0 THEN pd ELSE 0 END)
+                        + sum(CASE WHEN s = 1 THEN pd ELSE 0 END) AS adc
+                 FROM pads GROUP BY 1, 2, 3, 4),
+        tb AS (SELECT query_id, doc_id, t, max(adc) AS best
+               FROM padc GROUP BY 1, 2, 3),
+        sc AS (SELECT query_id, doc_id,
+                      list_sum(list(best ORDER BY t)) AS score
+               FROM tb GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rnk
+              FROM sc)
+        SELECT query_id, doc_id, round(score, 6) AS score, rnk
+        FROM r WHERE rnk <= 10
+      """)
     )
   )
 }
