@@ -41,15 +41,19 @@ object GraftExtensions {
   /** `k` must be a positive literal integer — resolved at function-build
     * (analysis) time, never at runtime.
     */
-  private def kOf(e: Expression, name: String = "graft_topk"): Int = {
+  private def kOf(
+      e: Expression,
+      name: String = "graft_topk",
+      arg: String = "k"
+  ): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(
-        s"$name: k must be a literal integer, got a non-constant expression")
+        s"$name: $arg must be a literal integer, got a non-constant expression")
     e.eval(null) match {
       case i: Int if i >= 1 => i
       case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
       case x => throw new IllegalArgumentException(
-        s"$name: k must be a positive literal integer, got $x")
+        s"$name: $arg must be a positive literal integer, got $x")
     }
   }
 
@@ -86,7 +90,8 @@ object GraftExtensions {
         "with est <= true <= est + dec for every item",
       (args: Seq[Expression]) => {
         arity("graft_topfreq", args, 2)
-        TopFreqAgg(args(0), kOf(args(1), "graft_topfreq")).toAggregateExpression()
+        TopFreqAgg(args(0), kOf(args(1), "graft_topfreq", "capacity"))
+          .toAggregateExpression()
       }
     )
   )

@@ -151,7 +151,10 @@ case class MaxSimExpr(left: Expression, right: Expression)
           s += qt.getDouble(i) * dt.getDouble(i)
           i += 1
         }
-        if (s > best) best = s
+        // NaN is the greatest element under Spark's Double ordering, so
+        // array_max would return it — mirror that, or the two documented-
+        // identical forms diverge on NaN inputs
+        if (s > best || java.lang.Double.isNaN(s)) best = s
         u += 1
       }
       total += best
@@ -191,7 +194,7 @@ case class MaxSimExpr(left: Expression, right: Expression)
         |      for (int $i = 0; $i < $n; $i++) {
         |        $s += $qt.getDouble($i) * $dt.getDouble($i);
         |      }
-        |      if ($s > $best) $best = $s;
+        |      if ($s > $best || Double.isNaN($s)) $best = $s;
         |    }
         |    $total += $best;
         |  }
@@ -249,7 +252,8 @@ case class MaxSimAdcExpr(left: Expression, right: Expression)
           s += luts.getArray(si).getDouble(codes.getShort(si).toInt)
           si += 1
         }
-        if (s > best) best = s
+        // NaN = greatest, matching array_max (see MaxSimExpr)
+        if (s > best || java.lang.Double.isNaN(s)) best = s
         u += 1
       }
       total += best
@@ -291,7 +295,7 @@ case class MaxSimAdcExpr(left: Expression, right: Expression)
         |      for (int $si = 0; $si < $m; $si++) {
         |        $s += $luts.getArray($si).getDouble($codes.getShort($si));
         |      }
-        |      if ($s > $best) $best = $s;
+        |      if ($s > $best || Double.isNaN($s)) $best = $s;
         |    }
         |    $total += $best;
         |  }

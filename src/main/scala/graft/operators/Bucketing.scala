@@ -25,8 +25,12 @@ object Bucketing {
   ): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new Path(wh, table.toLowerCase)
+    // resolve the MANAGED location through the catalog itself (honors the
+    // current database and db-qualified names — a hand-built
+    // <warehouse>/<table> path would miss <warehouse>/<db>.db/<table> and
+    // could delete an unrelated top-level warehouse entry)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new Path(spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df

@@ -348,7 +348,10 @@ object Dedup {
       tau: Double = 0.5
   ): DataFrame = {
     require(numPerms % bands == 0)
-    val sh = shingles(df, idCol, textCol, n) // shuffle-reused, not cached
+    // distinct'd set for the exact verify only (its three uses below share
+    // one exchange via ReusedExchange; caching would add only unreleased
+    // storage memory)
+    val sh = shingles(df, idCol, textCol, n)
     // signatures read the RAW span stream, not the distinct'd set: min is
     // duplicate-insensitive, so the band branch skips the full-width
     // (doc, shingle) string shuffle entirely — its only exchange is the

@@ -66,7 +66,6 @@ object Packing {
       ctx: Int
   ): DataFrame = {
     require(ctx >= 1, "ctx must be >= 1")
-    val spark = df.sparkSession
     val base = df
       .select(
         col(idCol).cast("long").as("doc_id"),
@@ -76,20 +75,7 @@ object Packing {
       .sortWithinPartitions(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // evaluate once: totals collect + the window below
-    val totals = base
-      .groupBy(col("pid"))
-      .agg(sum(col("n_tokens")).as("total"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    // prefix(i) = sum of totals of partitions BEFORE pid i, broadcast back
-    // as a ≤ numPartitions-row dimension
-    import spark.implicits._
-    val prefixes = totals
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
-      .init
-      .map(_._2)
-    val prefixDf = totals.map(_._1).zip(prefixes).toSeq.toDF("pid", "prefix")
+    val prefixDf = pidPrefixes(base, sum(col("n_tokens")))
     val w = Window
       .partitionBy(col("pid"))
       .orderBy(col("doc_id"))
@@ -108,6 +94,30 @@ object Packing {
       )
   }
 
+  /** Shared half of the distributed prefix sum: per-`pid` totals of `agg`
+    * (a bounded ≤ numPartitions-row collect), prefixed on the driver,
+    * returned as a broadcastable (pid, prefix) dimension where
+    * `prefix(i)` = sum of totals of partitions BEFORE pid i.
+    */
+  private def pidPrefixes(
+      base: DataFrame,
+      agg: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val totals = base
+      .groupBy(col("pid"))
+      .agg(agg.as("total"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val prefixes = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+      .init
+      .map(_._2)
+    totals.map(_._1).zip(prefixes).toSeq.toDF("pid", "prefix")
+  }
+
   /** Distributed 0-based global rank under a TOTAL order (the sort key
     * must be unique, e.g. tie-broken on a key column): range-repartition
     * on the sort columns, count one total per partition (a bounded
@@ -123,30 +133,18 @@ object Packing {
       sortCols: Seq[org.apache.spark.sql.Column],
       rankName: String
   ): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val base = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // evaluate once: counts collect + the window below
-    val counts = base
-      .groupBy(col("pid"))
-      .agg(count(lit(1)).as("cnt_p"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val prefixes = counts
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-      .init
-      .map(_._2)
-    val prefixDf = counts.map(_._1).zip(prefixes).toSeq.toDF("pid", "prefix_p")
+    val prefixDf = pidPrefixes(base, count(lit(1)))
     val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
     base
       .join(broadcast(prefixDf), "pid")
       .withColumn(
         rankName,
-        (col("prefix_p") + row_number().over(w) - 1).cast("long"))
-      .drop("pid", "prefix_p")
+        (col("prefix") + row_number().over(w) - 1).cast("long"))
+      .drop("pid", "prefix")
   }
 }

@@ -614,8 +614,12 @@ object StreamingOps {
     * stays O(buckets · capacity) forever and buckets parallelize
     * arbitrarily (the same sharding argument as [[simhashDedupStream]]).
     * Each micro-batch, a bucket that saw tokens re-emits its full summary
-    * (update semantics): downstream keeps the latest row per (bucket,
-    * tok).
+    * PLUS a retraction row (est = 0) for every token evicted from it this
+    * batch — without the retraction, downstream's latest-row view would
+    * keep a stale bound for a token the summary dropped. The retraction
+    * is itself sound: MG evicts a token only when its counter hits 0
+    * after `dec` total decrements, so `0 <= true <= 0 + dec` holds.
+    * Downstream keeps the latest row per (bucket, tok).
     */
   def heavyHittersStream(
       docs: DataFrame,
@@ -644,10 +648,14 @@ object StreamingOps {
             }
             buf.dec = s.dec
           }
+          val prior = state.getOption.map(_.toks.toSet).getOrElse(Set.empty)
           it.foreach { case (_, t) => buf.add(t, 1L) }
           val entries = buf.sortedEntries
           state.update(MGState(entries.map(_._1), entries.map(_._2), buf.dec))
-          entries.iterator.map { case (t, e) => (bucket, t, e, buf.dec) }
+          val kept = entries.iterator.map { case (t, e) => (bucket, t, e, buf.dec) }
+          val evicted = (prior -- entries.map(_._1))
+            .toSeq.sorted.iterator.map(t => (bucket, t, 0L, buf.dec))
+          kept ++ evicted
         })
       .toDF("bucket", "tok", "est", "dec")
       .as[(Int, String, Long, Long)]

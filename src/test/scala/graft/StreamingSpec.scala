@@ -512,6 +512,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming heavy hitters: eviction emits a retraction row in the lossy regime") {
+    // capacity 2, one bucket. Wave 1: {a x3, b}. Wave 2: {b, c, d} —
+    // adding c clamps all counters by 1 (dec=1, c absorbed), adding d
+    // evicts b (dec=2). The batch-2 emission must RETRACT b (est=0), so
+    // downstream's latest row per token never keeps a stale bound.
+    val dir = Files.createTempDirectory("hhlossy").toString
+    Seq((1L, "a a a b")).toDF("doc_id", "text").write.parquet(s"$dir/w1")
+    Seq((2L, "b c d")).toDF("doc_id", "text").write.parquet(s"$dir/w2")
+    val stream = StreamingOps.heavyHittersStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "text", capacity = 2, buckets = 1)
+    val q = stream.toDF("bucket", "tok", "est", "dec").writeStream
+      .format("memory").queryName("hhlossy").outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val rows = spark.table("hhlossy").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // latest emission per token = the one with the highest dec
+    val latest = rows.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    assert(latest("a") == ("a", 1L, 2L)) // est 1, true 3 <= est + dec
+    assert(latest("b") == ("b", 0L, 2L)) // RETRACTED: est 0, true 2 <= dec
+    // self-validating bound against the exact counts
+    val exact = Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L)
+    latest.foreach { case (t, (_, est, dec)) =>
+      assert(est <= exact(t) && exact(t) <= est + dec, s"$t $est $dec")
+    }
+  }
+
   test("streaming heavy hitters: two waves converge to the exact batch counts") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("hhstream").toString

@@ -71,5 +71,6 @@ class TopFreqSpec extends SparkSpec {
       spark.sql("SELECT graft_topfreq(tok, 0) FROM VALUES ('a') AS t(tok)").collect()
     }
     assert(e.getMessage.contains("graft_topfreq"), e.getMessage)
+    assert(e.getMessage.contains("capacity"), e.getMessage)
   }
 }

@@ -167,6 +167,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(edge(1).getDouble(1) == 0.0)
   }
 
+  test("MaxSimExpr matches the HOF form on NaN inputs too (NaN = greatest)") {
+    import graft.functions.VectorExpressions.{dotFast, maxSimFast}
+    val rows = Seq(
+      (1L, Array(Array(1.0, 2.0)), Array(Array(Double.NaN, 0.0), Array(3.0, 1.0))),
+      (2L, Array(Array(1.0, Double.NaN)), Array(Array(2.0, 2.0)))
+    ).toDF("id", "qtoks", "dtoks")
+    val hof = aggregate(
+      $"qtoks", lit(0.0),
+      (acc, qt) => acc + array_max(transform($"dtoks", dt => dotFast(qt, dt))))
+    val r = rows
+      .select($"id", maxSimFast($"qtoks", $"dtoks").as("a"), hof.as("b"))
+      .orderBy($"id").collect()
+    r.foreach { x =>
+      assert(x.getDouble(1).isNaN == x.getDouble(2).isNaN, x)
+      if (!x.getDouble(1).isNaN) assert(x.getDouble(1) == x.getDouble(2), x)
+    }
+    assert(r.forall(_.getDouble(1).isNaN)) // both rows hit a NaN dot
+  }
+
   test("knnMaxSim on a single-token bag reduces to knnDot") {
     val rng = new scala.util.Random(11)
     val base = (0L until 100L).map(i => (i, Array.fill(8)(rng.nextDouble())))
