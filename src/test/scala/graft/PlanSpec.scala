@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("knn_maxsim_ivf: equi-joins on cell/query only, fused ADC kernel, heap below exchange") {
+    val p = planOf("knn_maxsim_ivf")
+    // both corpus-side reductions are HASH joins (cell routing + lut
+    // attach); the only nested loop is probeCells' queries x 8-row
+    // centroid dim — assert it never touches the doc table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnl = p.indexOf("BroadcastNestedLoopJoin")
+    assert(bnl < 0 || p.indexOf("LocalTableScan", bnl) > 0, p)
+    assert(p.contains("maxsim_adc"), p) // fused kernel, not HOF algebra
+    assert(p.contains("centroid_argmin"), p) // native cell assignment
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("q27: bucketed join — zero exchange below the sort-merge join") {
     val p = planOf("q27_bucketed_join")
     val smj = p.indexOf("SortMergeJoin")
