@@ -366,6 +366,42 @@ object BruteForceKNN {
     explodeTopK(grouped, qidCol, didCol, "score", negate = true)
   }
 
+  /** Matryoshka (MRL) two-stage retrieval: a coarse exact kNN over the
+    * FIRST `dPrefix` dimensions bounds the candidates, then the full-dim
+    * distance reranks only the shortlist — the serving pattern for
+    * matryoshka-trained embeddings (Kusupati et al. 2022), where prefixes
+    * of the vector are themselves valid lower-capacity embeddings. At
+    * scale the prefix slice is a stored narrow column, so stage 1 streams
+    * `dPrefix/d` of the corpus bytes and stage 2 touches |Q|·kShort rows;
+    * both stages keep the broadcast-queries + bounded-heap shape of
+    * [[knn]]. Output = full-dim top-k OF THE SHORTLIST, ties on ascending
+    * id in both stages (deterministic, oracle-able end to end).
+    */
+  def knnMrl(
+      queries: DataFrame, // (qid, qv)  full-dim
+      base: DataFrame, // (bid, bv)  full-dim
+      dPrefix: Int,
+      kShort: Int,
+      k: Int,
+      qidCol: String = "query_id",
+      qvecCol: String = "qv",
+      bidCol: String = "neighbor_id",
+      bvecCol: String = "bv"
+  ): DataFrame = {
+    val shortlist = knn(
+      queries.select(col(qidCol), slice(col(qvecCol), 1, dPrefix).as(qvecCol)),
+      base.select(col(bidCol).as("nid"), slice(col(bvecCol), 1, dPrefix).as(bvecCol)),
+      kShort, qidCol, qvecCol, "nid", bvecCol
+    ).select(col(qidCol), col("nid"))
+    val grouped = base
+      .join(broadcast(shortlist), col(bidCol) === col("nid"))
+      .join(broadcast(queries.select(col(qidCol).as("qq"), col(qvecCol))),
+        col("qq") === col(qidCol))
+      .groupBy(col(qidCol))
+      .agg(topK(l2SqFast(col(qvecCol), col(bvecCol)), col(bidCol), k).as("tk"))
+    explodeTopK(grouped, qidCol, bidCol, "dist", negate = false)
+  }
+
   /** Rank-window formulation of [[knn]] — same results, kept for plan
     * comparison and small inputs.
     */

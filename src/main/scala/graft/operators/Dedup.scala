@@ -189,6 +189,42 @@ object Dedup {
       )
   }
 
+  /** Directional n-gram CONTAINMENT pairs — C(sub ⊆ sup) =
+    * |shingles(sub) ∩ shingles(sup)| / |shingles(sub)|. Jaccard misses the
+    * asymmetric near-dup (a snippet lifted into a much longer document
+    * scores J = |sub|/|sup| ≈ 0 but C = 1), which is exactly the
+    * quote/excerpt contamination case in training corpora (Broder's
+    * resemblance-vs-containment distinction). Same inverted-index blocked
+    * self-join as [[jaccardPairs]] — the unordered intersection is counted
+    * ONCE, then emitted in both directions with each direction's own
+    * denominator. Returns (doc_sub, doc_sup, containment), doc_sub ≠
+    * doc_sup, containment ≥ tau.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.9
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val directed = common
+      .select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"), col("c"))
+      .unionAll(common
+        .select(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"), col("c")))
+    directed
+      .join(sizes.select(col("doc_id").as("doc_sub"), col("nsh")), "doc_sub")
+      .withColumn("containment", col("c").cast("double") / col("nsh"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_sub"), col("doc_sup"), col("containment"))
+  }
+
   /** n-gram Jaccard near-dup pairs via inverted-index self-join: explode
     * shingles, equi-join on the shingle (blocked — only co-occurring pairs
     * appear), count the intersection, Jaccard from set sizes, threshold.

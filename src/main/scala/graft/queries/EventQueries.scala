@@ -226,6 +226,87 @@ object EventQueries {
           WHERE p.event_type = 'purchase' AND s.event_type = 'signup')
         WHERE rnk = 1
       """)
+    ),
+    // Ordered conversion funnel signup → view → click → purchase: a user
+    // reaches stage i+1 only with an event STRICTLY AFTER their stage-i
+    // time (min-ts chain — the standard funnel semantics). Each stage is
+    // one filtered agg + an equi-join back on user_id; every shuffle in
+    // the chain hashes the SAME key, so Catalyst reuses the partitioning
+    // instead of re-shuffling — at 100 TB this is 4 same-key partial aggs
+    // over a once-partitioned table, not 4 independent shuffles.
+    GQuery(
+      "q28_funnel",
+      (spark, dir) => {
+        val e = events(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "view")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "click")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val s4 = e.filter(col("event_type") === "purchase")
+          .join(s3, "user_id").filter(col("ts") > col("t3"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t4"))
+        def stage(df: org.apache.spark.sql.DataFrame, i: Int, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(
+              lit(i.toLong).as("stage"),
+              lit(name).as("stage_name"),
+              col("n_users")
+            )
+        stage(s1, 1, "signup")
+          .unionAll(stage(s2, 2, "view"))
+          .unionAll(stage(s3, 3, "click"))
+          .unionAll(stage(s4, 4, "purchase"))
+      },
+      Some("""
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+               JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+               JOIN s2 USING (user_id)
+               WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+        s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e
+               JOIN s3 USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+        SELECT 1::BIGINT AS stage, 'signup' AS stage_name,
+               count(*)::BIGINT AS n_users FROM s1
+        UNION ALL SELECT 2, 'view', count(*) FROM s2
+        UNION ALL SELECT 3, 'click', count(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+      """)
+    ),
+    // Pivot (long → wide): daily event counts, one column per event
+    // type. The value list is EXPLICIT, so Spark skips the
+    // distinct-values discovery job and the output schema is static —
+    // the only plan is one hash agg on (month); each pivot cell is a
+    // map-side conditional count. The oracle is the same query in its
+    // relational normal form (FILTER'd counts).
+    GQuery(
+      "q29_pivot",
+      (spark, dir) => {
+        val e = events(spark, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        e.groupBy(col("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(*) FILTER (event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (event_type = 'error')::BIGINT AS error,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (event_type = 'view')::BIGINT AS view
+        FROM events
+        GROUP BY 1
+      """)
     )
   )
 }

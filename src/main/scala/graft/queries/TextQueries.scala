@@ -67,6 +67,66 @@ object TextQueries {
         $jaccardTail
       """)
     ),
+    // Directional containment dedup — |sub∩sup|/|sub| catches the
+    // asymmetric near-dup (a snippet lifted into a longer doc: J ≈
+    // |sub|/|sup| but C = 1; Broder's resemblance-vs-containment split).
+    // The corpus is derived so the case actually exists: every 20th doc
+    // contributes a prefix-snippet pseudo-doc (id + 100000, first 40% of
+    // tokens) whose shingles are a strict subset of its source's — both
+    // engines derive it identically. Same blocked inverted-index join as
+    // dedup_jaccard; the intersection is counted once, emitted per
+    // direction with that direction's denominator.
+    GQuery(
+      "dedup_containment",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        val snippets = toks
+          .filter(col("doc_id") % 20 === 0)
+          .select(
+            (col("doc_id") + 100000).as("doc_id"),
+            array_join(
+              slice(col("t"), lit(1), expr("greatest(3, (size(t)*2) div 5)")),
+              " "
+            ).as("text")
+          )
+        val corpus = docs.select(col("doc_id"), col("text")).unionAll(snippets)
+        Dedup
+          .containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+          .select(
+            col("doc_sub"), col("doc_sup"),
+            round(col("containment"), 6).as("containment")
+          )
+      },
+      Some("""
+        WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000 AS doc_id,
+                          array_to_string(t[1:greatest(3, len(t)*2//5)], ' ')
+                            AS text
+                   FROM tok0 WHERE doc_id % 20 = 0),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(CASE WHEN len(t) >= 3
+                             THEN list_transform(generate_series(1, len(t)-2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                             ELSE []::VARCHAR[] END) AS sh
+               FROM tok),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        dir AS (SELECT doc_a AS doc_sub, doc_b AS doc_sup, c FROM common
+                UNION ALL
+                SELECT doc_b AS doc_sub, doc_a AS doc_sup, c FROM common)
+        SELECT doc_sub, doc_sup, round(c::DOUBLE / nsh, 6) AS containment
+        FROM dir JOIN sizes ON sizes.doc_id = doc_sub
+        WHERE c::DOUBLE / nsh >= 0.9
+      """)
+    ),
     // MinHash + LSH: 16 permutations, 4 bands of 4, bucket-join candidates,
     // exact-Jaccard verify at 0.5.
     GQuery(

@@ -393,6 +393,51 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Matryoshka (MRL) two-stage retrieval: coarse exact kNN over the
+    // FIRST 16 of 64 dims bounds the candidates to 30/query, then the
+    // full-dim distance reranks only that shortlist — the serving pattern
+    // for matryoshka-trained embeddings, where prefixes are themselves
+    // valid lower-capacity embeddings. At 100 TB the prefix is a stored
+    // narrow column: stage 1 streams 1/4 of the corpus bytes, stage 2
+    // touches |Q|·30 rows. Deterministic ties → exact two-stage oracle.
+    GQuery(
+      "knn_mrl",
+      (spark, dir) => {
+        val (q, b) = qb(spark, dir)
+        BruteForceKNN
+          .knnMrl(q, b, dPrefix = 16, kShort = 30, k = K)
+          .select(
+            col("query_id"),
+            col("neighbor_id"),
+            round(col("dist"), 4).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             sl AS (SELECT query_id, neighbor_id FROM (
+                      SELECT q.query_id, b.neighbor_id,
+                             row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY ${sqlL2Sq("(q.qv[1:16])", "(b.bv[1:16])")},
+                                        b.neighbor_id) AS rn
+                      FROM q CROSS JOIN b) WHERE rn <= 30),
+             rr AS (SELECT q.query_id, sl.neighbor_id,
+                           ${sqlL2Sq("q.qv", "b.bv")} AS dist
+                    FROM sl
+                    JOIN q ON q.query_id = sl.query_id
+                    JOIN b ON b.neighbor_id = sl.neighbor_id),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM rr)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // query's own label — the equality predicate becomes the JOIN KEY, so
     // the plan is a broadcast HASH join (distance evaluated on same-label
     // pairs only), not a nested loop over all pairs.
