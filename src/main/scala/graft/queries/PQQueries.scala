@@ -589,6 +589,47 @@ object PQQueries {
         SELECT query_id, doc_id, round(score, 6) AS score, rnk
         FROM r WHERE rnk <= 10
       """)
+    ),
+    // OPQ vs plain PQ reconstruction error, corpus-wide: both models
+    // trained with identical sampling/seeds so the delta isolates the
+    // learned rotation (Ge et al. 2013 parametric OPQ — PCA basis +
+    // eigenvalue-balanced dim allocation). Model training is an
+    // eigensolve (not SQL-mirrorable) -> rows-only here; the MSE win,
+    // rotation orthonormality, and kernel equalities are gated in
+    // OpqSpec. On THIS near-isotropic table the two MSEs are statistically
+    // equal (~0.54 each at sf0.01 — a rotation cannot help data with no
+    // principal structure; OpqSpec's anisotropic fixture is where the
+    // >10% win is asserted). The scan itself is the 100 TB shape:
+    // broadcast models, per-row codegen encode/decode, one pass, one
+    // 2-row aggregate.
+    GQuery(
+      "pq_opq_recon",
+      (spark, dir) => {
+        val fast = graft.functions.VectorExpressions
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val pq = ProductQuantizer.train(emb, "v", m = M, k = 16, seed = 7)
+        val opq = graft.operators.Opq.train(emb, "v", m = M, k = 16, seed = 7)
+        val errs = emb.select(
+          fast.l2SqFast(
+            col("v"),
+            ProductQuantizer.decodeCol(pq, ProductQuantizer.encodeCol(pq, col("v")))
+          ).as("pq_err"),
+          fast.l2SqFast(
+            col("v"),
+            graft.operators.Opq.reconstructCol(
+              opq, graft.operators.Opq.encodeCol(opq, col("v")))
+          ).as("opq_err")
+        )
+        val agg = errs.agg(
+          avg(col("pq_err")).as("pq_mse"),
+          avg(col("opq_err")).as("opq_mse")
+        )
+        agg.select(lit("pq").as("variant"), round(col("pq_mse"), 6).as("mse"))
+          .unionAll(agg.select(
+            lit("opq").as("variant"), round(col("opq_mse"), 6).as("mse")))
+      },
+      None
     )
   )
 }

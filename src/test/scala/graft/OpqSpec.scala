@@ -1,0 +1,145 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** OPQ (Ge et al. 2013, parametric variant): eigensolver sanity, rotation
+  * isometry, the headline reconstruction-error win over plain PQ on
+  * anisotropic correlated data, and column-kernel == driver-kernel
+  * equality.
+  */
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded orthonormal matrix via Gram-Schmidt on a random Gaussian. */
+  private def randomRotation(d: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new Random(seed)
+    val g = Array.fill(d, d)(rng.nextGaussian())
+    for (i <- 0 until d) {
+      for (j <- 0 until i) {
+        val dot = (0 until d).map(x => g(i)(x) * g(j)(x)).sum
+        for (x <- 0 until d) g(i)(x) -= dot * g(j)(x)
+      }
+      val nrm = math.sqrt((0 until d).map(x => g(i)(x) * g(i)(x)).sum)
+      for (x <- 0 until d) g(i)(x) /= nrm
+    }
+    g
+  }
+
+  /** Anisotropic correlated cloud: x = U · (decaying scales ⊙ z). Plain
+    * PQ's contiguous raw-dim slices cut across U's mixing; OPQ's PCA
+    * basis undoes it.
+    */
+  private def anisotropic(n: Int, d: Int, seed: Long): Seq[Array[Double]] = {
+    val u = randomRotation(d, seed)
+    val rng = new Random(seed + 1)
+    val scales = Array.tabulate(d)(i => math.pow(2.0, -i / 4.0))
+    (0 until n).map { _ =>
+      val z = Array.tabulate(d)(i => rng.nextGaussian() * scales(i))
+      Array.tabulate(d)(i => (0 until d).map(j => u(j)(i) * z(j)).sum)
+    }
+  }
+
+  test("jacobiEigen: recovers eigenpairs of a symmetric matrix") {
+    // A = [[2,1],[1,2]] -> eigenvalues {1, 3}
+    val (vals, vecs) = Opq.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // A·v = λ·v for each pair
+    for (i <- 0 until 2) {
+      val v = vecs(i)
+      val av = Array(2 * v(0) + v(1), v(0) + 2 * v(1))
+      assert(math.abs(av(0) - vals(i) * v(0)) < 1e-9)
+      assert(math.abs(av(1) - vals(i) * v(1)) < 1e-9)
+    }
+  }
+
+  test("balancedAllocation: products of eigenvalues balanced across subspaces") {
+    val eig = Array(256.0, 64.0, 16.0, 4.0, 1.0, 1.0, 1.0, 1.0)
+    val perm = Opq.balancedAllocation(eig, m = 2)
+    assert(perm.sorted.toSeq == (0 until 8).toSeq) // a permutation
+    val s0 = perm.take(4).map(i => math.log(eig(i))).sum
+    val s1 = perm.drop(4).map(i => math.log(eig(i))).sum
+    // greedy keeps the log-sums within one largest-log of each other
+    assert(math.abs(s0 - s1) <= math.log(256.0) + 1e-9)
+  }
+
+  test("trained rotation is orthonormal and isometric") {
+    val data = anisotropic(500, 8, seed = 7)
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val model = Opq.train(df, "v", m = 2, k = 8, seed = 11)
+    val r = model.rotation
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(x => r(i)(x) * r(j)(x)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"RRᵀ[$i][$j] = $dot")
+    }
+    val a = data(0); val b = data(1)
+    val ra = model.rotate(a); val rb = model.rotate(b)
+    def l2(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    assert(math.abs(l2(a, b) - l2(ra, rb)) < 1e-9)
+    // unrotate inverts rotate
+    val back = model.unrotate(ra)
+    assert(a.zip(back).forall { case (p, q) => math.abs(p - q) < 1e-9 })
+  }
+
+  test("OPQ reconstruction MSE beats plain PQ on anisotropic correlated data") {
+    val data = anisotropic(2000, 16, seed = 3)
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val pq = ProductQuantizer.train(df, "v", m = 4, k = 16, seed = 5)
+    val opq = Opq.train(df, "v", m = 4, k = 16, seed = 5)
+    def mse(recon: Array[Double] => Array[Double]): Double =
+      data.map { v =>
+        val r = recon(v)
+        v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / data.size
+    val pqMse = mse(v => pq.decodeCode(pq.encodeVec(v)))
+    val opqMse = mse(v => opq.reconstruct(opq.encodeVec(v)))
+    assert(opqMse < 0.9 * pqMse,
+      s"OPQ MSE $opqMse not < 0.9 × plain PQ MSE $pqMse")
+  }
+
+  test("column kernels == driver kernels (encode bit-equal, recon ≈, adc isometry)") {
+    val data = anisotropic(200, 8, seed = 23)
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val model = Opq.train(df, "v", m = 2, k = 8, seed = 31)
+    val got = df
+      .select(col("id"), Opq.encodeCol(model, col("v")).as("code"))
+      .orderBy("id")
+      .as[(Long, Array[Short])]
+      .collect()
+    val want = data.zipWithIndex.map { case (v, i) => (i.toLong, model.encodeVec(v)) }
+    got.zip(want).foreach { case ((gi, gc), (wi, wc)) =>
+      assert(gi == wi && gc.sameElements(wc), s"encode mismatch at id $gi")
+    }
+    // bulk kernel agrees too
+    val bulk = Opq.encodePartitioned(df, "id", "v", model)
+      .orderBy("id").as[(Long, Array[Short])].collect()
+    bulk.zip(want).foreach { case ((gi, gc), (_, wc)) =>
+      assert(gc.sameElements(wc), s"bulk encode mismatch at id $gi")
+    }
+    val recon = df
+      .select(col("id"), Opq.reconstructCol(model, Opq.encodeCol(model, col("v"))).as("r"))
+      .orderBy("id")
+      .as[(Long, Array[Double])]
+      .collect()
+    recon.zip(want).foreach { case ((gi, gr), (_, wc)) =>
+      val wr = model.reconstruct(wc)
+      assert(gr.zip(wr).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"recon mismatch at id $gi")
+    }
+    // ADC isometry: adc(R·q, code) == ||q - reconstruct(code)||² (fp slack)
+    val q = data(7)
+    val code = model.encodeVec(data(11))
+    val viaAdc = model.queryDistance(q, code)
+    val viaRecon = {
+      val r = model.reconstruct(code)
+      q.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    assert(math.abs(viaAdc - viaRecon) < 1e-9)
+  }
+}
