@@ -59,6 +59,24 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("knn_mrl: rerank joins are broadcast HASH joins; heap partials below exchange") {
+    val p = planOf("knn_mrl")
+    // stage 2 keys on (id, id) equality — shortlist and query batch attach
+    // as broadcast hash joins, never a second corpus-sized nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one nested-loop join in the whole plan: the stage-1
+    // query-batch × corpus distance scan
+    val first = p.indexOf("BroadcastNestedLoopJoin")
+    assert(first >= 0, p)
+    assert(p.indexOf("BroadcastNestedLoopJoin", first + 1) < 0, p)
+    // both stages' bounded heaps partially aggregate before their exchange
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("knn_maxsim_pq: compressed late interaction — broadcast LUTs, no decode, no explode") {
     val p = planOf("knn_maxsim_pq")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
