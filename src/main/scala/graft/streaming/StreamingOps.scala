@@ -600,6 +600,59 @@ object StreamingOps {
       .toDF(idCol, textCol)
   }
 
+  final case class FunnelState(stage: Int, tsUs: Long)
+
+  /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s
+    * min-ts chain. Per-user state is just (stage reached, ts of the
+    * advancing event): O(1) per user forever. Each micro-batch sorts ITS
+    * OWN group slice by (ts, event_id) and replays the greedy advance —
+    * "first `stages(i)` event strictly after the stage-i−1 time" — which
+    * on time-ordered delivery is exactly the batch min-ts chain (the
+    * first qualifying event in time order IS the minimum). Emits the
+    * user's current (stage, ts) each time the group sees data; downstream
+    * keeps the latest row per user. Late events older than the user's
+    * current stage time cannot retract an advance (documented at-most-
+    * monotone semantics — the batch twin is the arbiter on replay).
+    */
+  def funnelStream(
+      events: DataFrame,
+      stages: Seq[String]
+  ): Dataset[(Long, Int, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = stages.length
+    val stageArr = stages.toArray
+    events
+      .select(
+        col("user_id").cast("long"),
+        col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long")
+      )
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, String, Long, Long)],
+         state: GroupState[FunnelState]) => {
+          var st = state.getOption.map(_.stage).getOrElse(0)
+          var ts = state.getOption.map(_.tsUs).getOrElse(Long.MinValue)
+          val evs = it.toArray.sortBy(e => (e._3, e._4))
+          var i = 0
+          while (i < evs.length) {
+            val (_, typ, t, _) = evs(i)
+            if (st < n && typ == stageArr(st) && (st == 0 || t > ts)) {
+              st += 1
+              ts = t
+            }
+            i += 1
+          }
+          state.update(FunnelState(st, ts))
+          Iterator.single((uid, st, ts))
+        })
+      .toDF("user_id", "stage", "ts_us")
+      .as[(Long, Int, Long)]
+  }
+
   final case class MGState(toks: Array[String], ests: Array[Long], dec: Long)
 
   /** Online Misra-Gries heavy hitters over a document stream — the

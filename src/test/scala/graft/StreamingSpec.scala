@@ -543,6 +543,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: time-ordered waves reach the batch min-ts chain counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet") // ts = raw nanos
+    val cutNs = 1705276800L * 1000000000L // 2024-01-15T00:00:00Z
+    val dir = Files.createTempDirectory("funnelstream").toString
+    // wave 2 is written only after wave 1 fully drains, so delivery is
+    // time-ordered across batches (the regime where the greedy replay
+    // equals the batch min-ts chain); coalesce(1) keeps each wave in one
+    // file so maxFilesPerTrigger=1 can't interleave within a wave
+    raw.filter(col("ts") < cutNs).coalesce(1).write.parquet(s"$dir/w1")
+    val stream = StreamingOps.funnelStream(
+      StreamingOps.readEvents(spark, s"$dir/*"),
+      Seq("signup", "view", "click", "purchase"))
+    val q = stream.toDF("user_id", "stage", "ts_us").writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      raw.filter(col("ts") >= cutNs).coalesce(1).write.parquet(s"$dir/w2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // stage is monotone per user -> the final state is the max emission
+    val latest = spark.table("funnel")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+    val got = (1 to 4).map(i => latest.filter(col("stage") >= i).count())
+    val want = graft.SparkEntry.queries("q28_funnel")(spark, sf0001)
+      .orderBy(col("stage"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("streaming heavy hitters: two waves converge to the exact batch counts") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("hhstream").toString
