@@ -290,6 +290,32 @@ object HnswQueries {
       },
       None
     ),
+    // The ef/recall tradeoff curve — HNSW's operating knob, measured the
+    // way ivf_recall_curve measures nprobe: one exact ground truth, one
+    // search per efSearch setting over the SHARED prebuilt index, overall
+    // Recall@K per setting. Monotonicity + the ef=200 floor are gated in
+    // HnswSpec (seeded-stochastic build -> rows-only here).
+    GQuery(
+      "hnsw_ef_curve",
+      (spark, dir) => {
+        import spark.implicits._
+        val (emb, q) = embAndQueries(spark, dir)
+        val shards = sharedBuild(spark, dir)
+        val exact = BruteForceKNN.knn(
+          q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K
+        ).select(col("query_id"), col("neighbor_id"))
+        val denom = exact.count().toDouble
+        Seq(10, 50, 200).map { ef =>
+          val approx = DistributedHnsw
+            .search(shards, q, "query_id", "qv", K, efSearch = ef)
+            .select(col("query_id"), col("neighbor_id"))
+          val matched =
+            approx.join(exact, Seq("query_id", "neighbor_id")).count()
+          (ef.toLong, math.rint(matched / denom * 10000) / 10000)
+        }.toDF("ef", "recall")
+      },
+      None
+    ),
     // E7: graph introspection over the edge table — per-layer node and
     // edge counts (trivial aggregates over the build artifact).
     GQuery(

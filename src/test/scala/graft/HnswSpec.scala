@@ -261,6 +261,19 @@ class HnswSpec extends SparkSpec {
     assert(s2.edges.except(s1.edges).count() == 0)
   }
 
+  test("hnsw_ef_curve: recall non-decreasing in efSearch, ef=200 floor") {
+    val rows = graft.SparkEntry.queries("hnsw_ef_curve")(spark, sf0001)
+      .orderBy(col("ef"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.map(_._1).toSeq == Seq(10L, 50L, 200L))
+    val recall = rows.toMap
+    // wider frontier can only help (0.02 slack for shard-merge ties)
+    assert(recall(50L) >= recall(10L) - 0.02, recall.toString)
+    assert(recall(200L) >= recall(50L) - 0.02, recall.toString)
+    assert(recall(200L) >= 0.9, s"ef=200 recall ${recall(200L)} < 0.9")
+  }
+
   test("param grid sweep: M x ef_construction all build and search (py/test_hnsw.py:425-447)") {
     val rng = new Random(21)
     val data = Array.fill(60)(Array.fill(8)(rng.nextDouble()))
