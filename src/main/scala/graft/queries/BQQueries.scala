@@ -114,6 +114,80 @@ object BQQueries {
         SELECT query_id, neighbor_id, dist, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // Two-stage bit-vector retrieval: Hamming over 1-bit codes bounds the
+    // candidates to kShort=30/query (stage 1 reads 64 BITS per vector —
+    // the 64× byte cut is the scan win at 100 TB), exact L2² reranks only
+    // the broadcast |Q|·30 shortlist. Deterministic training + integer
+    // Hamming + id tie-breaks -> the WHOLE pipeline (train, pack, filter,
+    // rerank) sits under one DuckDB oracle — no rows-only weakening.
+    GQuery(
+      "knn_bq_rerank",
+      (spark, dir) => {
+        val fast = graft.functions.VectorExpressions
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val model = BinaryQuantizer.train(emb, "vec")
+        val codes = BinaryQuantizer.encodePartitioned(emb, "vec_id", "vec", model)
+        val qc = codes
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("words").as("qw"))
+        val shortlist = codes
+          .select(col("vec_id").as("nid"), col("words").as("cw"))
+          .join(broadcast(qc))
+          .withColumn(
+            "hdist",
+            expr("aggregate(zip_with(qw, cw, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+              .cast("double")
+          )
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("hdist"), col("nid"), 30).as("tk"))
+          .select(col("query_id"), explode(col("tk.id")).as("nid"))
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qq"), col("vec").as("qv"))
+        emb
+          .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+          .join(broadcast(shortlist), col("neighbor_id") === col("nid"))
+          .join(broadcast(q), col("qq") === col("query_id"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(fast.l2SqFast(col("qv"), col("bv")), col("neighbor_id"), K)
+            .as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 4).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH $bqCtes,
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(bit_count(xor(q.word, c.word)))::BIGINT AS hdist
+          FROM words q JOIN words c ON q.w = c.w
+          WHERE q.vec_id % 10 = 0
+          GROUP BY 1, 2),
+        sl AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY hdist, neighbor_id) AS rn
+                 FROM pairs) WHERE rn <= 30),
+        rr AS (SELECT s.query_id, s.neighbor_id,
+                      ${sqlL2Sq("qe.ev", "ne.ev")} AS dist
+               FROM sl s
+               JOIN e qe ON qe.vec_id = s.query_id
+               JOIN e ne ON ne.vec_id = s.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM rr)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
     )
   )
 }

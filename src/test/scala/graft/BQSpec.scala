@@ -61,6 +61,27 @@ class BQSpec extends SparkSpec {
     }
   }
 
+  test("knn_bq_rerank: exact rerank recall >= hamming-only recall, floor 0.5") {
+    val exact = BruteForceKNN.knn(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("vec").as("qv")),
+      emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")),
+      5
+    ).select(col("query_id"), col("neighbor_id"))
+    val denom = exact.count().toDouble
+    def recallOf(name: String): Double =
+      graft.SparkEntry.queries(name)(spark, sf0001)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .count() / denom
+    val hamming = recallOf("bq_hamming_topk")
+    val rerank = recallOf("knn_bq_rerank")
+    // the 30-deep Hamming shortlist + exact rerank can only refine the
+    // 1-bit ranking; floor is data-honest for 64-bit codes on random 64-d
+    assert(rerank >= hamming, s"rerank $rerank < hamming-only $hamming")
+    assert(rerank >= 0.5, s"rerank recall@5 too low: $rerank")
+  }
+
   test("HNSW+BQ through the VectorCompression boundary: Recall@10 >= 0.2") {
     val comp = new BQCompression(BinaryQuantizer.train(emb, "vec"))
     val shards = DistributedHnsw.build(
