@@ -33,10 +33,15 @@ class OpqSpec extends SparkSpec {
     * PQ's contiguous raw-dim slices cut across U's mixing; OPQ's PCA
     * basis undoes it.
     */
-  private def anisotropic(n: Int, d: Int, seed: Long): Seq[Array[Double]] = {
+  private def anisotropic(
+      n: Int,
+      d: Int,
+      seed: Long,
+      decay: Double = 4.0
+  ): Seq[Array[Double]] = {
     val u = randomRotation(d, seed)
     val rng = new Random(seed + 1)
-    val scales = Array.tabulate(d)(i => math.pow(2.0, -i / 4.0))
+    val scales = Array.tabulate(d)(i => math.pow(2.0, -i / decay))
     (0 until n).map { _ =>
       val z = Array.tabulate(d)(i => rng.nextGaussian() * scales(i))
       Array.tabulate(d)(i => (0 until d).map(j => u(j)(i) * z(j)).sum)
@@ -101,6 +106,76 @@ class OpqSpec extends SparkSpec {
     val opqMse = mse(v => opq.reconstruct(opq.encodeVec(v)))
     assert(opqMse < 0.9 * pqMse,
       s"OPQ MSE $opqMse not < 0.9 × plain PQ MSE $pqMse")
+  }
+
+  test("OPQ composes with IVFADC (FAISS OPQ,IVF,PQ): isometric cells, sound recall") {
+    // The composition contract, gated on its INVARIANTS rather than a
+    // blanket "OPQ wins" claim: the rotation commutes with the coarse
+    // quantizer (k-means is isometry-equivariant), so cell assignments
+    // and probe sets must be IDENTICAL between the raw and rotated arms —
+    // only the residual codes differ. Recall is floor-gated and band-
+    // compared: on unimodal raw distributions OPQ's allocation wins (the
+    // MSE test above); on coarse-quantizer residuals at 4-bit
+    // subquantizers it is data-dependent (FAISS's own OPQ guidance), so
+    // asserting strict superiority here would be a false universal.
+    val d = 16
+    val data = anisotropic(3000, d, seed = 13)
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "vec")
+    val cents = KMeansLocal.fit(data.toArray, 8, seed = 17).centroids
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int =
+      cs.indices.minBy(i => v.zip(cs(i)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    def residuals(rows: Seq[Array[Double]], cs: Array[Array[Double]]) =
+      rows.map { v =>
+        val c = cs(nearest(v, cs))
+        v.zip(c).map { case (a, b) => a - b }
+      }
+    def trainPq(rows: Seq[Array[Double]], m: Int, k: Int, seed: Long): PQModel = {
+      val dp = d / m
+      PQModel(m, k, d, Array.tabulate(m) { mi =>
+        val sub = rows.map(v => java.util.Arrays.copyOfRange(v, mi * dp, (mi + 1) * dp))
+        KMeansLocal.fit(sub.toArray, k, seed + mi).centroids
+      })
+    }
+    // the rotation must be learned on the RESIDUAL distribution (what PQ
+    // actually encodes under IVFADC), not the raw one — FAISS's OPQ
+    // pre-transform sits between the coarse quantizer and the PQ
+    val rawResid = residuals(data, cents)
+    val residDf = rawResid.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "vec")
+    val opq = Opq.train(residDf, "vec", m = 4, k = 16, seed = 19)
+    val centsR = cents.map(opq.rotate)
+    val pqRaw = trainPq(rawResid, 4, 16, seed = 19)
+    val pqRot = trainPq(rawResid.map(opq.rotate), 4, 16, seed = 19)
+    val dfRot = df.select(col("vec_id"), Opq.rotateCol(opq, col("vec")).as("vec"))
+    val q = df.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val qRot = dfRot.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val exact = BruteForceKNN.knn(
+      q, df.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10
+    ).select(col("query_id"), col("neighbor_id"))
+    val denom = exact.count().toDouble
+    def recallOf(
+        idx: org.apache.spark.sql.DataFrame,
+        qq: org.apache.spark.sql.DataFrame,
+        cs: Array[Array[Double]],
+        pm: PQModel
+    ): Double =
+      IvfAdc.search(spark, idx, qq, "query_id", "qv", cs, pm, k = 10, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count() / denom
+    val rawIdx = IvfAdc.encode(spark, df, "vec_id", "vec", cents, pqRaw)
+    val rotIdx = IvfAdc.encode(spark, dfRot, "vec_id", "vec", centsR, pqRot)
+    // isometry invariant: identical cell assignment for every vector
+    val cellsDiffer = rawIdx.select(col("id"), col("cell"))
+      .except(rotIdx.select(col("id"), col("cell"))).count()
+    assert(cellsDiffer == 0, s"$cellsDiffer vectors change cells under rotation")
+    val rRaw = recallOf(rawIdx, q, cents, pqRaw)
+    val rRot = recallOf(rotIdx, qRot, centsR, pqRot)
+    info(s"IVFADC recall@10 nprobe=3: raw=$rRaw opq=$rRot")
+    assert(rRot >= 0.35, s"OPQ-IVFADC recall too low: $rRot")
+    assert(rRot >= rRaw - 0.1,
+      s"OPQ-IVFADC recall $rRot more than 0.1 below plain $rRaw")
   }
 
   test("column kernels == driver kernels (encode bit-equal, recon ≈, adc isometry)") {
