@@ -307,6 +307,34 @@ object EventQueries {
         FROM events
         GROUP BY 1
       """)
+    ),
+    // SLIDING windows (1 h length, 15 min slide) — the overlap variant
+    // q13's tumbling windows don't exercise: every event lands in exactly
+    // 4 windows. Spark's window() replicates rows map-side (a Generate of
+    // 4, no shuffle amplification beyond the agg); the oracle spells the
+    // same epoch-aligned arithmetic with an explicit 0..3 offset cross.
+    GQuery(
+      "q30_sliding",
+      (spark, dir) => {
+        val e = events(spark, dir)
+        e.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("ws"),
+            col("event_type"), col("n"), col("sum_value")
+          )
+      },
+      Some(s"""
+        WITH b AS (SELECT event_type, value, epoch_us(ts) AS tu FROM events),
+        w AS (SELECT event_type, value,
+                     (tu // 900000000) * 900000000
+                       - k.k * 900000000 AS ws
+              FROM b CROSS JOIN
+                   (SELECT unnest(generate_series(0, 3)) AS k) k)
+        SELECT ws, event_type, count(*)::BIGINT AS n,
+               ${sqlSum("value")} AS sum_value
+        FROM w GROUP BY 1, 2
+      """)
     )
   )
 }
