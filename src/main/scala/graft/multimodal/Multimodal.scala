@@ -150,6 +150,106 @@ object Multimodal {
   }
   object WavDecoder extends WavDecoder(DeterministicFakeDecoder)
 
+  final case class AudioWindow(
+      id: Long,
+      win: Int,
+      nFrames: Int,
+      energy: Long,
+      rms: Double
+  )
+
+  /** Decode a 16-bit PCM WAV to its raw samples (real `javax.sound`
+    * codec — shared validation with [[WavDecoder]]).
+    */
+  def wavSamples(content: Array[Byte]): (Int, Int, Array[Short]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"wavSamples: undecodable audio bytes (${content.length} bytes)", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        throw new IllegalArgumentException(
+          s"wavSamples: expected 16-bit signed PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      if (fmt.isBigEndian)
+        while (i < n) {
+          out(i) = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+          i += 1
+        }
+      else
+        while (i < n) {
+          out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+          i += 1
+        }
+      (ais.getFrameLength.toInt, fmt.getChannels, out)
+    } finally ais.close()
+  }
+
+  /** Windowed audio energy — the first real FEATURE stage over decoded
+    * samples (decode-then-analyze, not just decode-and-summarize): per
+    * `windowFrames`-frame window of a MONO stream, the exact integer
+    * energy Σ s² and the RMS. Per-partition batch kernel like
+    * [[decodeMeta]]; one output row per (id, window), zero shuffle.
+    */
+  def audioEnergy(
+      spark: SparkSession,
+      media: DataFrame,
+      windowFrames: Int
+  ): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.flatMap { m =>
+        val (frames, channels, samples) = wavSamples(m.content)
+        require(channels == 1, s"audioEnergy expects mono, got $channels")
+        (0 until (frames + windowFrames - 1) / windowFrames).iterator.map { w =>
+          val lo = w * windowFrames
+          val hi = math.min(frames, lo + windowFrames)
+          var e = 0L
+          var i = lo
+          while (i < hi) {
+            val s = samples(i).toLong
+            e += s * s
+            i += 1
+          }
+          AudioWindow(m.id, w, hi - lo, e, math.sqrt(e.toDouble / (hi - lo)))
+        }
+      }
+    }
+  }
+
+  /** Deterministic ramp WAV (fixture utility): mono 16-bit PCM, sample i =
+    * (a + i·b) mod 1000 — varying but SQL-derivable, so windowed features
+    * computed off the REAL codec's samples sit under an exact arithmetic
+    * oracle (constWav's flat signal would make any energy query
+    * trivially constant).
+    */
+  def rampWav(nFrames: Int, a: Int, b: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = ((a.toLong + i.toLong * b) % 1000).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic constant-sample WAV (fixture utility): `nFrames` frames
     * of `channels` 16-bit signed PCM samples, every sample = `value`. PCM
     * in a WAV container is lossless, so decode(constWav(n,c,v)) is exactly

@@ -235,6 +235,60 @@ object MultimodalQueries {
         FROM documents
       """)
     ),
+    // Windowed audio energy over REAL-codec samples — decode-then-analyze,
+    // not decode-and-summarize: ramp-PCM fixtures (sample i = (a+i·b) mod
+    // 1000, varying but SQL-derivable) go through the actual javax.sound
+    // decode and a 64-frame Σs²/RMS kernel; the oracle recomputes the
+    // samples arithmetically. Per-partition batch kernel, zero shuffle.
+    GQuery(
+      "mm_audio_energy",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaWav = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val frames = (nc % 256 + 1).toInt
+              val a = (id % 500).toInt
+              val b = (id % 7 + 1).toInt
+              (id, "audio", Multimodal.rampWav(frames, a, b), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal
+          .audioEnergy(spark, mediaWav, windowFrames = 64)
+          .toDF()
+          .select(
+            col("id"),
+            col("win").cast("long").as("win"),
+            col("nFrames").cast("long").as("n_frames"),
+            col("energy"),
+            round(col("rms"), 6).as("rms")
+          )
+      },
+      Some("""
+        WITH d AS (SELECT doc_id AS id,
+                          (n_chars % 256 + 1)::BIGINT AS frames,
+                          (doc_id % 500)::BIGINT AS a,
+                          (doc_id % 7 + 1)::BIGINT AS b
+                   FROM documents),
+        s AS (SELECT id, a, b,
+                     unnest(generate_series(0, frames - 1)) AS i
+              FROM d),
+        w AS (SELECT id, (i // 64)::BIGINT AS win,
+                     ((a + i * b) % 1000) AS v
+              FROM s)
+        SELECT id, win, count(*)::BIGINT AS n_frames,
+               sum(v * v)::BIGINT AS energy,
+               round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms
+        FROM w GROUP BY 1, 2
+      """)
+    ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.
     GQuery(
       "mm_byte_histogram",

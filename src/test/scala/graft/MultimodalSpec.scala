@@ -7,6 +7,7 @@ import graft.multimodal.Multimodal
   * for modalities the JDK cannot decode, and loud failure on bad bytes.
   */
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   test("ImageIoDecoder decodes a generated PNG to exact (w, h, mean)") {
     val bytes = Multimodal.grayPng(37, 11, 200)
@@ -49,6 +50,24 @@ class MultimodalSpec extends SparkSpec {
     val (f1, c1, m1) =
       Multimodal.WavDecoder.decode(Multimodal.constWav(1, 1, 1000), "audio")
     assert(f1 == 1 && c1 == 1 && m1 == 1000.0)
+  }
+
+  test("rampWav round-trips sample-exact through the real codec; energy windows partition frames") {
+    val wav = Multimodal.rampWav(150, a = 7, b = 3)
+    val (frames, channels, samples) = Multimodal.wavSamples(wav)
+    assert(frames == 150 && channels == 1)
+    (0 until 150).foreach { i =>
+      assert(samples(i) == ((7 + i * 3) % 1000).toShort, s"sample $i")
+    }
+    val media = Seq((1L, "audio", wav, 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    val wins = Multimodal.audioEnergy(spark, media, windowFrames = 64)
+      .collect().sortBy(_.win)
+    assert(wins.map(_.nFrames).toSeq == Seq(64, 64, 22))
+    val expect = (128 until 150).map { i =>
+      val v = (7L + i * 3) % 1000; v * v
+    }.sum
+    assert(wins(2).energy == expect)
   }
 
   test("undecodable audio bytes fail loudly; image/video fall back to the stub") {
