@@ -56,6 +56,18 @@ object StreamingOps {
         col("n"), col("sum_value")
       )
 
+  /** Sliding windowed counts (1 h length / 15 min slide) — the streaming
+    * twin of q30_sliding: each event lands in 4 overlapping windows
+    * (map-side replication, the same `window()` operator), watermark
+    * bounds state to ~2 h of open windows per type.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
   /** Session windows per user: events within `gap` of each other merge
     * into one session (the streaming twin of the batch lag-based
     * sessionization in q16_sessions).

@@ -77,6 +77,21 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("knn_bq_rerank: code scan stage 1, broadcast hash-join rerank, heap partials") {
+    val p = planOf("knn_bq_rerank")
+    // stage 2 attaches shortlist + query batch by id equality — hash
+    // joins, never a second all-pairs pass over the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val first = p.indexOf("BroadcastNestedLoopJoin")
+    assert(first >= 0, p) // the Hamming code scan
+    assert(p.indexOf("BroadcastNestedLoopJoin", first + 1) < 0, p)
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("knn_maxsim_pq: compressed late interaction — broadcast LUTs, no decode, no explode") {
     val p = planOf("knn_maxsim_pq")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

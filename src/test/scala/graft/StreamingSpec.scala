@@ -40,6 +40,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("streaming sliding windows == batch q30 window() aggregation") {
+    val dir = stageEventsDir()
+    val stream = StreamingOps.slidingCounts(StreamingOps.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("sliding")
+      .select(col("ws"), col("event_type"), col("n"))
+    val want = Q.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("streaming session count per user == batch lag-based sessionization") {
     val dir = stageEventsDir()
     val stream = StreamingOps.sessions(StreamingOps.readEvents(spark, dir))
