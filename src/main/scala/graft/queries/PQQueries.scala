@@ -608,8 +608,13 @@ object PQQueries {
         val fast = graft.functions.VectorExpressions
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val pq = ProductQuantizer.train(emb, "v", m = M, k = 16, seed = 7)
-        val opq = graft.operators.Opq.train(emb, "v", m = M, k = 16, seed = 7)
+        // 20k-vector training sample: k-means codebooks saturate well
+        // below that, and the driver-side double-train (2 models × M
+        // subspace fits) stays off the bench's critical path
+        val pq = ProductQuantizer
+          .train(emb, "v", m = M, k = 16, seed = 7, maxSample = 20000)
+        val opq = graft.operators.Opq
+          .train(emb, "v", m = M, k = 16, seed = 7, maxSample = 20000)
         val errs = emb.select(
           fast.l2SqFast(
             col("v"),
