@@ -229,11 +229,14 @@ object EventQueries {
     ),
     // Ordered conversion funnel signup → view → click → purchase: a user
     // reaches stage i+1 only with an event STRICTLY AFTER their stage-i
-    // time (min-ts chain — the standard funnel semantics). Each stage is
-    // one filtered agg + an equi-join back on user_id; every shuffle in
-    // the chain hashes the SAME key, so Catalyst reuses the partitioning
-    // instead of re-shuffling — at 100 TB this is 4 same-key partial aggs
-    // over a once-partitioned table, not 4 independent shuffles.
+    // time (min-ts chain — the standard funnel semantics). Every join and
+    // aggregation in the chain keys on the SAME user_id. At bench scale
+    // AQE broadcasts the shrinking stage-i user set against the next
+    // filtered scan (observed plan: broadcast hash joins, no corpus-side
+    // extra shuffles); at 100 TB the identical logical chain degrades
+    // gracefully to co-partitioned shuffle joins on that one key — the
+    // stage side only ever shrinks, so whichever side AQE picks is the
+    // small one.
     GQuery(
       "q28_funnel",
       (spark, dir) => {
