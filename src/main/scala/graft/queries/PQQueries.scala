@@ -590,6 +590,103 @@ object PQQueries {
         FROM r WHERE rnk <= 10
       """)
     ),
+    // Rotated-PQ serving path under a FULL hash-check: the rotation here
+    // is a fixed signed permutation (p ← sign(p)·v[(37p mod 64)]) — an
+    // orthonormal matrix both engines can spell arithmetically — so
+    // rotate → encode → LUT-ADC top-k is oracle-checked end to end, codes
+    // and ranking included (the LEARNED rotation keeps its OpqSpec gates;
+    // this pins the serving algebra those gates rely on). Same plan shape
+    // as pq_adc_topk: plan-embedded codebook, broadcast query LUTs,
+    // bounded heap below the exchange; the rotation is one extra HOF in
+    // the scan projection.
+    GQuery(
+      "pq_rotated",
+      (spark, dir) => {
+        def rotArr(v: Array[Double]): Array[Double] =
+          Array.tabulate(64)(p =>
+            (if (p % 5 == 0) -1.0 else 1.0) * v((p * 37) % 64))
+        def rot(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          transform(sequence(lit(0), lit(63)), p =>
+            when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+              element_at(c, p * 37 % 64 + 1))
+        val model = {
+          val heads = headVecs(spark, dir, KCB).map(rotArr)
+          PQModel(M, KCB, 64, Array.tabulate(M)(mi =>
+            heads.map(v =>
+              java.util.Arrays.copyOfRange(v, mi * DP, (mi + 1) * DP))))
+        }
+        val emb = t(spark, dir, "embeddings")
+        val enc = emb.select(
+          col("vec_id").as("neighbor_id"),
+          ProductQuantizer
+            .encodeCol(model, rot(toDouble(col("embedding")))).as("code")
+        )
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(
+            col("vec_id").as("query_id"),
+            ProductQuantizer
+              .lutCol(model, rot(toDouble(col("embedding")))).as("lut")
+          )
+        enc
+          .join(broadcast(q))
+          .withColumn(
+            "dist",
+            ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("dist"), col("neighbor_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 6).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS ev0
+                     FROM embeddings),
+        rot AS (SELECT vec_id,
+                       list_transform(generate_series(0, 63), p ->
+                         (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
+                           * ev0[(p*37) % 64 + 1]) AS ev
+                FROM raw),
+        cent AS (SELECT vec_id AS ck, ev AS cv FROM rot WHERE vec_id < $KCB),
+        ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+        dists AS (
+          SELECT r.vec_id, ms.m, cent.ck,
+                 list_sum(list_transform(generate_series(1, $DP),
+                   j -> (r.ev[ms.m*$DP+j] - cent.cv[ms.m*$DP+j])
+                        * (r.ev[ms.m*$DP+j] - cent.cv[ms.m*$DP+j]))) AS dist
+          FROM rot r CROSS JOIN ms CROSS JOIN cent),
+        enc AS (
+          SELECT vec_id, m, ck AS code FROM (
+            SELECT vec_id, m, ck,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, ck) AS rn
+            FROM dists) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM rot
+              WHERE vec_id % 10 = 0),
+        qd AS (
+          SELECT q.query_id, ms.m, cent.ck,
+                 list_sum(list_transform(generate_series(1, $DP),
+                   j -> (q.qv[ms.m*$DP+j] - cent.cv[ms.m*$DP+j])
+                        * (q.qv[ms.m*$DP+j] - cent.cv[ms.m*$DP+j]))) AS sdist
+          FROM q CROSS JOIN ms CROSS JOIN cent),
+        adc AS (
+          SELECT qd.query_id, enc.vec_id AS neighbor_id,
+                 list_sum(list(qd.sdist ORDER BY qd.m)) AS dist
+          FROM enc JOIN qd ON qd.m = enc.m AND qd.ck = enc.code
+          GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM adc)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= 5
+      """)
+    ),
     // OPQ vs plain PQ reconstruction error, corpus-wide: both models
     // trained with identical sampling/seeds so the delta isolates the
     // learned rotation (Ge et al. 2013 parametric OPQ — PCA basis +
