@@ -114,38 +114,14 @@ object Multimodal {
     def decode(content: Array[Byte], modality: String): (Int, Int, Double) =
       if (modality != "audio") fallback.decode(content, modality)
       else {
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(content))
-          catch {
-            case e: javax.sound.sampled.UnsupportedAudioFileException =>
-              throw new IllegalArgumentException(
-                s"WavDecoder: undecodable audio bytes (${content.length} bytes)", e)
-          }
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 ||
-              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            throw new IllegalArgumentException(
-              s"WavDecoder: expected 16-bit signed PCM, got $fmt")
-          val frames = ais.getFrameLength.toInt
-          val channels = fmt.getChannels
-          val bytes = ais.readAllBytes()
-          val nSamples = bytes.length / 2
+        val (frames, channels, samples) = wavSamples(content)
+        if (samples.isEmpty) (frames, channels, 0.0)
+        else {
           var sum = 0.0
           var i = 0
-          if (fmt.isBigEndian)
-            while (i < nSamples) {
-              sum += ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
-              i += 1
-            }
-          else
-            while (i < nSamples) {
-              sum += ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
-              i += 1
-            }
-          (frames, channels, if (nSamples == 0) 0.0 else sum / nSamples)
-        } finally ais.close()
+          while (i < samples.length) { sum += samples(i); i += 1 }
+          (frames, channels, sum / samples.length)
+        }
       }
   }
   object WavDecoder extends WavDecoder(DeterministicFakeDecoder)
@@ -159,7 +135,8 @@ object Multimodal {
   )
 
   /** Decode a 16-bit PCM WAV to its raw samples (real `javax.sound`
-    * codec — shared validation with [[WavDecoder]]).
+    * codec). [[WavDecoder]] is a thin mean-statistic wrapper over this —
+    * one open/validate/endian path, no drift between the two.
     */
   def wavSamples(content: Array[Byte]): (Int, Int, Array[Short]) = {
     val ais =
@@ -210,9 +187,15 @@ object Multimodal {
       it.flatMap { m =>
         val (frames, channels, samples) = wavSamples(m.content)
         require(channels == 1, s"audioEnergy expects mono, got $channels")
-        (0 until (frames + windowFrames - 1) / windowFrames).iterator.map { w =>
+        // window over the DECODED sample count, and fail loudly on a
+        // container whose declared frame length disagrees with its data
+        // chunk (frames = -1 means AudioSystem couldn't determine it)
+        val n = samples.length
+        require(frames < 0 || frames == n,
+          s"audioEnergy: WAV declares $frames frames but decodes $n samples (id ${m.id})")
+        (0 until (n + windowFrames - 1) / windowFrames).iterator.map { w =>
           val lo = w * windowFrames
-          val hi = math.min(frames, lo + windowFrames)
+          val hi = math.min(n, lo + windowFrames)
           var e = 0L
           var i = lo
           while (i < hi) {

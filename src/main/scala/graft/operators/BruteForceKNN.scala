@@ -388,6 +388,8 @@ object BruteForceKNN {
       bidCol: String = "neighbor_id",
       bvecCol: String = "bv"
   ): DataFrame = {
+    require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
+    require(kShort >= k, s"kShort ($kShort) must be >= k ($k)")
     val shortlist = knn(
       queries.select(col(qidCol), slice(col(qvecCol), 1, dPrefix).as(qvecCol)),
       base.select(col(bidCol).as("nid"), slice(col(bvecCol), 1, dPrefix).as(bvecCol)),

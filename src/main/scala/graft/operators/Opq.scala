@@ -30,19 +30,7 @@ final case class OpqModel(
   val d: Int = rotation.length
 
   /** R·v. */
-  def rotate(v: Array[Double]): Array[Double] = {
-    val out = new Array[Double](d)
-    var i = 0
-    while (i < d) {
-      val r = rotation(i)
-      var s = 0.0
-      var j = 0
-      while (j < d) { s += r(j) * v(j); j += 1 }
-      out(i) = s
-      i += 1
-    }
-    out
-  }
+  def rotate(v: Array[Double]): Array[Double] = Opq.matvec(rotation, v)
 
   /** Rᵀ·u — the inverse rotation (R orthonormal). */
   def unrotate(u: Array[Double]): Array[Double] = {
@@ -159,10 +147,20 @@ object Opq {
     val d = eigvals.length
     val dp = d / m
     val order = eigvals.zipWithIndex.sortBy { case (l, i) => (-l, i) }
+    // Shift log-weights to be non-negative before the greedy: with raw
+    // logs, any eigenvalue < 1 contributes a NEGATIVE weight, so the
+    // bucket that takes the largest item immediately looks "smallest"
+    // and the min-sum greedy refills it — collapsing to the sorted-
+    // contiguous (maximally unbalanced) split whenever all λ < 1, which
+    // is the normal regime for unit-scale embeddings. Final fills are
+    // equal (dp each), so the shift cancels in the end-state comparison;
+    // during the walk it restores the classic non-negative LPT greedy.
+    val logs = order.map { case (l, _) => math.log(math.max(l, 1e-12)) }
+    val shift = -logs.min
     val sums = new Array[Double](m)
     val fill = new Array[Int](m)
     val buckets = Array.fill(m)(new scala.collection.mutable.ArrayBuffer[Int])
-    for ((l, idx) <- order) {
+    for (((_, idx), w) <- order.zip(logs)) {
       var best = -1
       var bestSum = Double.MaxValue
       var b = 0
@@ -172,7 +170,7 @@ object Opq {
       }
       buckets(best) += idx
       fill(best) += 1
-      sums(best) += math.log(math.max(l, 1e-12))
+      sums(best) += w + shift
     }
     buckets.flatMap(_.toSeq).toArray
   }
@@ -189,12 +187,39 @@ object Opq {
       k: Int,
       seed: Long,
       maxSample: Int = 100000
+  ): OpqModel =
+    trainRows(ProductQuantizer.sampleRows(df, vecCol, maxSample, seed), m, k, seed)
+
+  /** Row-major matrix · vector (shared by [[OpqModel.rotate]] and
+    * training — one kernel, no drift).
+    */
+  private[operators] def matvec(
+      mat: Array[Array[Double]],
+      v: Array[Double]
+  ): Array[Double] = {
+    val d = mat.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val r = mat(i)
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += r(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** Train on already-collected rows (see [[ProductQuantizer.sampleRows]]
+    * — lets comparison paths collect the sample once for both models).
+    */
+  def trainRows(
+      rows: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      seed: Long
   ): OpqModel = {
-    val rows = KMeans
-      .seededSample(
-        df.select(col(vecCol).cast("array<double>").as("v")), maxSample, seed)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "OPQ train on empty data")
     val d = rows(0).length
     require(rows.forall(_.length == d), "inconsistent vector dims")
@@ -234,26 +259,8 @@ object Opq {
     }
     val perm = balancedAllocation(eigvals, m)
     val rotation = perm.map(signed)
-    val rotated = rows.map { v =>
-      val out = new Array[Double](d)
-      var p = 0
-      while (p < d) {
-        val r = rotation(p)
-        var s = 0.0
-        var q = 0
-        while (q < d) { s += r(q) * v(q); q += 1 }
-        out(p) = s
-        p += 1
-      }
-      out
-    }
-    val dp = d / m
-    val codebooks = Array.tabulate(m) { mi =>
-      val sub = rotated.map(v =>
-        java.util.Arrays.copyOfRange(v, mi * dp, (mi + 1) * dp))
-      KMeansLocal.fit(sub, k, seed + mi).centroids
-    }
-    OpqModel(rotation, PQModel(m, k, d, codebooks))
+    val rotated = rows.map(matvec(rotation, _))
+    OpqModel(rotation, ProductQuantizer.fitLocal(rotated, m, k, seed))
   }
 
   /** Column: R·v via the plan-embedded rotation literal — stays inside

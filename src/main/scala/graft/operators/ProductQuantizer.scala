@@ -166,12 +166,35 @@ object ProductQuantizer {
       k: Int,
       seed: Long,
       maxSample: Int = 100000
-  ): PQModel = {
-    val rows = KMeans
+  ): PQModel =
+    fitLocal(sampleRows(df, vecCol, maxSample, seed), m, k, seed)
+
+  /** Seeded driver-side training sample as raw rows — the shared sampling
+    * policy ([[KMeans.seededSample]]), exposed so multi-model trainings
+    * ([[Opq]], comparison queries) collect the corpus sample ONCE.
+    */
+  def sampleRows(
+      df: DataFrame,
+      vecCol: String,
+      maxSample: Int,
+      seed: Long
+  ): Array[Array[Double]] =
+    KMeans
       .seededSample(
         df.select(col(vecCol).cast("array<double>").as("v")), maxSample, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+
+  /** Fit PQ codebooks on already-collected rows: the single shared
+    * subspace-split + seeded-[[KMeansLocal]] tail every PQ-family training
+    * routes through (one copy, no drift between plain PQ and OPQ).
+    */
+  def fitLocal(
+      rows: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      seed: Long
+  ): PQModel = {
     require(rows.nonEmpty, "PQ train on empty data")
     val d = rows(0).length
     require(rows.forall(_.length == d), "inconsistent vector dims")

@@ -693,10 +693,10 @@ object PQQueries {
     // eigenvalue-balanced dim allocation). Model training is an
     // eigensolve (not SQL-mirrorable) -> rows-only here; the MSE win,
     // rotation orthonormality, and kernel equalities are gated in
-    // OpqSpec. On THIS near-isotropic table the two MSEs are statistically
-    // equal (~0.54 each at sf0.01 — a rotation cannot help data with no
-    // principal structure; OpqSpec's anisotropic fixture is where the
-    // >10% win is asserted). The scan itself is the 100 TB shape:
+    // OpqSpec. On this near-isotropic table the allocation still buys
+    // ~5% (0.509 vs 0.540 at sf0.01 — sample covariance always has SOME
+    // spectrum spread to balance); OpqSpec's anisotropic fixture is where
+    // the >10% win is asserted. The scan itself is the 100 TB shape:
     // broadcast models, per-row codegen encode/decode, one pass, one
     // 2-row aggregate.
     GQuery(
@@ -705,13 +705,13 @@ object PQQueries {
         val fast = graft.functions.VectorExpressions
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        // 20k-vector training sample: k-means codebooks saturate well
-        // below that, and the driver-side double-train (2 models × M
-        // subspace fits) stays off the bench's critical path
-        val pq = ProductQuantizer
-          .train(emb, "v", m = M, k = 16, seed = 7, maxSample = 20000)
-        val opq = graft.operators.Opq
-          .train(emb, "v", m = M, k = 16, seed = 7, maxSample = 20000)
+        // ONE 20k-vector sample collected once, shared by both trainings
+        // (identical rows by construction, not just identical policy);
+        // codebooks saturate well below 20k and the driver-side double-
+        // train stays off the bench's critical path
+        val rows = ProductQuantizer.sampleRows(emb, "v", maxSample = 20000, seed = 7)
+        val pq = ProductQuantizer.fitLocal(rows, m = M, k = 16, seed = 7)
+        val opq = graft.operators.Opq.trainRows(rows, m = M, k = 16, seed = 7)
         val errs = emb.select(
           fast.l2SqFast(
             col("v"),

@@ -71,9 +71,10 @@ object TextQueries {
     // asymmetric near-dup (a snippet lifted into a longer doc: J ≈
     // |sub|/|sup| but C = 1; Broder's resemblance-vs-containment split).
     // The corpus is derived so the case actually exists: every 20th doc
-    // contributes a prefix-snippet pseudo-doc (id + 100000, first 40% of
-    // tokens) whose shingles are a strict subset of its source's — both
-    // engines derive it identically. Same blocked inverted-index join as
+    // contributes a prefix-snippet pseudo-doc (id + 10^9 — far above any
+    // test-table doc_id at any scale factor, so snippet ids can never
+    // collide with real ones — first 40% of tokens) whose shingles are a
+    // strict subset of its source's; both engines derive it identically. Same blocked inverted-index join as
     // dedup_jaccard; the intersection is counted once, emitted per
     // direction with that direction's denominator.
     GQuery(
@@ -84,7 +85,7 @@ object TextQueries {
         val snippets = toks
           .filter(col("doc_id") % 20 === 0)
           .select(
-            (col("doc_id") + 100000).as("doc_id"),
+            (col("doc_id") + 1000000000L).as("doc_id"),
             array_join(
               slice(col("t"), lit(1), expr("greatest(3, (size(t)*2) div 5)")),
               " "
@@ -103,7 +104,7 @@ object TextQueries {
                       FROM documents),
         corpus AS (SELECT doc_id, text FROM documents
                    UNION ALL
-                   SELECT doc_id + 100000 AS doc_id,
+                   SELECT doc_id + 1000000000 AS doc_id,
                           array_to_string(t[1:greatest(3, len(t)*2//5)], ' ')
                             AS text
                    FROM tok0 WHERE doc_id % 20 = 0),

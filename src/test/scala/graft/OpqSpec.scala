@@ -69,6 +69,17 @@ class OpqSpec extends SparkSpec {
     val s1 = perm.drop(4).map(i => math.log(eig(i))).sum
     // greedy keeps the log-sums within one largest-log of each other
     assert(math.abs(s0 - s1) <= math.log(256.0) + 1e-9)
+    // sub-unit eigenvalues — the NORMAL regime for unit-scale embeddings.
+    // A raw-log min-sum greedy collapses here (negative weights make the
+    // bucket holding the largest item look smallest, so it absorbs
+    // everything: contiguous split, log-sums -1.20 vs -4.42); the shifted
+    // greedy must stay balanced (~-2.92 vs -2.70).
+    val eigSmall = Array(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2)
+    val permS = Opq.balancedAllocation(eigSmall, m = 2)
+    assert(permS.sorted.toSeq == (0 until 8).toSeq)
+    val a0 = permS.take(4).map(i => math.log(eigSmall(i))).sum
+    val a1 = permS.drop(4).map(i => math.log(eigSmall(i))).sum
+    assert(math.abs(a0 - a1) < 0.7, s"sub-unit eigenvalues unbalanced: $a0 vs $a1")
   }
 
   test("trained rotation is orthonormal and isometric") {
