@@ -493,6 +493,86 @@ object IvfQueries {
         SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
         FROM rr WHERE rnk <= $K
       """)
+    ),
+    // IVF-SQ: cell-routed search over SCALAR-quantized codes — the third
+    // compressed-IVF layout next to ivfadc (PQ residuals) and ivf_knn
+    // (raw vectors). SQ training is a deterministic min/max aggregate, so
+    // unlike IVFADC's fixed codebooks this pipeline is oracle-checked end
+    // to end INCLUDING training: train → 8-bit encode → cell assignment →
+    // probe → decode-distance top-k all hash-match. Per vector the index
+    // carries D bytes instead of D doubles (8× cut); probes bound the
+    // candidate scan exactly as in ivf_knn.
+    GQuery(
+      "ivf_sq_knn",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val model = graft.operators.ScalarQuantizer.train(emb, "vec")
+        val codes = graft.operators.ScalarQuantizer
+          .encodePartitioned(emb, "vec_id", "vec", model)
+        val index = IvfIndex
+          .assign(spark, emb, "vec_id", "vec", cents)
+          .select(col("id"), col("cell"))
+          .join(codes, col("id") === col("vec_id"))
+          .select(
+            col("cell"),
+            col("id").as("neighbor_id"),
+            graft.operators.ScalarQuantizer
+              .decodeCol(model, col("code")).as("dv")
+          )
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        val probes = IvfIndex
+          .probeCells(spark, q, "query_id", "qv", cents, NPROBE)
+        val fast = graft.functions.VectorExpressions
+        probes
+          .join(index, "cell")
+          .withColumn("dist", fast.l2SqFast(col("qv"), col("dv")))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("dist"), col("neighbor_id"), K).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 6).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH ${SQQueries.sqCtes},
+        cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id < $NCELLS),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "dec.dv")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN dec ON dec.vec_id = a.vec_id),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM cd)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
     )
   )
 

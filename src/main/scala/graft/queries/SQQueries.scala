@@ -23,7 +23,7 @@ object SQQueries {
     * and per-vector reconstruction — the SQL mirror of
     * `ScalarQuantizer.train` + `SQModel.encodeVec/decodeCode`.
     */
-  private val sqCtes = s"""
+  private[queries] val sqCtes = s"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     js AS (SELECT unnest(generate_series(1, $D)) AS j),
     stats AS (SELECT j, min(ev[j]) AS lo, max(ev[j]) AS hi
