@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, ScalarQuantizer}
 import graft.queries.Q
 
 /** IVF build/search invariants beyond the ivf_knn oracle: the
@@ -31,6 +31,28 @@ class IvfSpec extends SparkSpec {
     val disk = IvfIndex.searchPartitioned(
       spark, path, queries, "query_id", "qv", cents, k = 5, nprobe = 3)
     assert(mem.except(disk).count() == 0 && disk.except(mem).count() == 0)
+  }
+
+  test("ivf_sq: nprobe = nCells equals flat SQ brute force (routing loses nothing)") {
+    val model = ScalarQuantizer.train(emb, "vec")
+    val codes = ScalarQuantizer.encodePartitioned(emb, "vec_id", "vec", model)
+    val fast = graft.functions.VectorExpressions
+    val index = IvfIndex
+      .assign(spark, emb, "vec_id", "vec", cents)
+      .select(col("id"), col("cell"))
+      .join(codes, col("id") === col("vec_id"))
+      .select(col("cell"), col("id").as("neighbor_id"),
+        ScalarQuantizer.decodeCol(model, col("code")).as("dv"))
+    def topk(cand: org.apache.spark.sql.DataFrame) = cand
+      .withColumn("dist", fast.l2SqFast(col("qv"), col("dv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("dist"), col("neighbor_id"), 5).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"))
+    val probed = topk(
+      IvfIndex.probeCells(spark, queries, "query_id", "qv", cents, cents.length)
+        .join(index, "cell"))
+    val flat = topk(index.drop("cell").crossJoin(broadcast(queries)))
+    assert(probed.except(flat).count() == 0 && flat.except(probed).count() == 0)
   }
 
   test("probeCells: nprobe rows per query, qvec carried through") {
