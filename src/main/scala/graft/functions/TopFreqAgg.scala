@@ -36,8 +36,7 @@ final class MGBuffer(val capacity: Int) {
   var dec: Long = 0L
 
   def add(tok: String, by: Long): Unit = {
-    val cur = counts.get(tok)
-    if (cur != 0L || counts.containsKey(tok)) counts.put(tok, cur + by)
+    if (counts.containsKey(tok)) counts.put(tok, counts.get(tok) + by)
     else if (counts.size < capacity) counts.put(tok, by)
     else {
       // decrement-all by the incoming weight (clamped to the smallest

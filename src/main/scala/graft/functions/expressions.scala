@@ -249,7 +249,13 @@ case class MaxSimAdcExpr(left: Expression, right: Expression)
         var s = 0.0
         var si = 0
         while (si < m) {
-          s += luts.getArray(si).getDouble(codes.getShort(si).toInt)
+          val lut = luts.getArray(si)
+          val code = codes.getShort(si).toInt
+          if (code < 0 || code >= lut.numElements()) {
+            throw new IllegalArgumentException(
+              s"maxsim_adc: code $code out of range for LUT of ${lut.numElements()} entries (subspace $si)")
+          }
+          s += lut.getDouble(code)
           si += 1
         }
         // NaN = greatest, matching array_max (see MaxSimExpr)
@@ -276,6 +282,8 @@ case class MaxSimAdcExpr(left: Expression, right: Expression)
       val best = ctx.freshName("best")
       val luts = ctx.freshName("luts")
       val codes = ctx.freshName("codes")
+      val lut = ctx.freshName("lut")
+      val code = ctx.freshName("code")
       val ad = classOf[ArrayData].getName
       s"""
         |int $nq = $a.numElements();
@@ -293,7 +301,14 @@ case class MaxSimAdcExpr(left: Expression, right: Expression)
         |      int $m = java.lang.Math.min($ns, $codes.numElements());
         |      double $s = 0.0;
         |      for (int $si = 0; $si < $m; $si++) {
-        |        $s += $luts.getArray($si).getDouble($codes.getShort($si));
+        |        $ad $lut = $luts.getArray($si);
+        |        int $code = (int) $codes.getShort($si);
+        |        if ($code < 0 || $code >= $lut.numElements()) {
+        |          throw new IllegalArgumentException(
+        |            "maxsim_adc: code " + $code + " out of range for LUT of "
+        |            + $lut.numElements() + " entries (subspace " + $si + ")");
+        |        }
+        |        $s += $lut.getDouble($code);
         |      }
         |      if ($s > $best || Double.isNaN($s)) $best = $s;
         |    }

@@ -32,7 +32,28 @@ object Bucketing {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new Path(spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      // a directory surviving the DROP is a previous session's orphan (the
+      // in-memory catalog forgets managed tables across restarts). Refuse
+      // to touch anything outside this session's warehouse root — data at
+      // an external location is never ours to destroy — and log what goes.
+      val warehouse =
+        fs.makeQualified(new Path(spark.sessionState.conf.warehousePath))
+      val locQ = fs.makeQualified(loc)
+      val underWarehouse = Iterator
+        .iterate(locQ.getParent)(_.getParent)
+        .takeWhile(_ != null)
+        .contains(warehouse)
+      if (!underWarehouse) {
+        throw new IllegalStateException(
+          s"saveBucketed: refusing to delete $locQ — outside the session " +
+            s"warehouse $warehouse; move or drop it explicitly")
+      }
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(s"saveBucketed: deleting orphaned table location $locQ")
+      fs.delete(locQ, true)
+    }
     df
       // pre-shuffle into the bucket layout: `repartition(n, key)` is the
       // same HashPartitioning the bucketed write requires, so each write

@@ -24,6 +24,15 @@ object PQQueries {
   private val DP = 8
   private val KCB = 4 // PQ codebook size
   private val KKM = 8 // k-means fixed centroid count
+  // MaxSim token-model shape, shared between the Spark side and the DuckDB
+  // oracles of knn_maxsim_pq / knn_maxsim_ivf — the SQL is generated from
+  // these so changing the model can't silently desynchronize the oracle
+  private val MST = 4 // tokens per vector (64 dims = MST tokens of MSD)
+  private val MSD = 16 // dims per token
+  private val MSM = 2 // PQ subspaces per token
+  private val MSDS = MSD / MSM // dims per subspace
+  private def sqlUnnest(n: Int): String =
+    s"unnest([${(0 until n).mkString(",")}])"
 
   /** First-k embedding vectors as doubles, ordered by vec_id. */
   private def headVecs(
@@ -378,14 +387,15 @@ object PQQueries {
         import graft.functions.VectorExpressions.dotFast
         val rows = headVecs(spark, dir, KCB)
         val tokModel = PQModel(
-          2, KCB, 16,
-          Array.tabulate(2)(s =>
-            rows.map(v => java.util.Arrays.copyOfRange(v, s * 8, s * 8 + 8))))
+          MSM, KCB, MSD,
+          Array.tabulate(MSM)(s =>
+            rows.map(v =>
+              java.util.Arrays.copyOfRange(v, s * MSDS, (s + 1) * MSDS))))
         val centsLit = typedLit(
           tokModel.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
         val emb = t(spark, dir, "embeddings")
         def toks(c: org.apache.spark.sql.Column) =
-          array((0 until 4).map(i => slice(c, i * 16 + 1, 16)): _*)
+          array((0 until MST).map(i => slice(c, i * MSD + 1, MSD)): _*)
         val docs = emb.select(
           col("vec_id").as("doc_id"),
           transform(
@@ -404,7 +414,7 @@ object PQQueries {
                   (ks, s) =>
                     transform(
                       ks,
-                      c => dotFast(slice(qt, s * 8 + 1, lit(8)), c)))
+                      c => dotFast(slice(qt, s * MSDS + 1, lit(MSDS)), c)))
             ).as("qlut"))
         val score = graft.functions.VectorExpressions
           .maxSimAdcFast(col("qlut"), col("dtokcodes"))
@@ -424,12 +434,12 @@ object PQQueries {
         WITH tc AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
                     FROM embeddings WHERE vec_id < $KCB),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        ts AS (SELECT unnest([0,1,2,3]) AS t),
-        ss AS (SELECT unnest([0,1]) AS s),
+        ts AS (SELECT ${sqlUnnest(MST)} AS t),
+        ss AS (SELECT ${sqlUnnest(MSM)} AS s),
         dd AS (SELECT e.vec_id AS doc_id, ts.t AS u, ss.s, tc.ck,
-                      list_sum(list_transform(generate_series(1,8), j ->
-                        (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])
-                        * (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])))
+                      list_sum(list_transform(generate_series(1,$MSDS), j ->
+                        (e.ev[ts.t*$MSD + ss.s*$MSDS + j] - tc.cv[ss.s*$MSDS + j])
+                        * (e.ev[ts.t*$MSD + ss.s*$MSDS + j] - tc.cv[ss.s*$MSDS + j])))
                         AS dist
                FROM e CROSS JOIN ts CROSS JOIN ss CROSS JOIN tc),
         denc AS (SELECT doc_id, u, s, ck AS code FROM (
@@ -440,14 +450,12 @@ object PQQueries {
         q AS (SELECT vec_id AS query_id, ev AS qv FROM e
               WHERE vec_id % 20 = 0),
         pads AS (SELECT q.query_id, d.doc_id, ts.t, d.u, d.s,
-                        list_sum(list_transform(generate_series(1,8), j ->
-                          q.qv[ts.t*16 + d.s*8 + j] * tc.cv[d.s*8 + j]))
+                        list_sum(list_transform(generate_series(1,$MSDS), j ->
+                          q.qv[ts.t*$MSD + d.s*$MSDS + j] * tc.cv[d.s*$MSDS + j]))
                           AS pd
                  FROM q CROSS JOIN ts CROSS JOIN denc d
                  JOIN tc ON tc.ck = d.code),
-        padc AS (SELECT query_id, doc_id, t, u,
-                        sum(CASE WHEN s = 0 THEN pd ELSE 0 END)
-                        + sum(CASE WHEN s = 1 THEN pd ELSE 0 END) AS adc
+        padc AS (SELECT query_id, doc_id, t, u, sum(pd) AS adc
                  FROM pads GROUP BY 1, 2, 3, 4),
         tb AS (SELECT query_id, doc_id, t, max(adc) AS best
                FROM padc GROUP BY 1, 2, 3),
@@ -479,15 +487,16 @@ object PQQueries {
         import graft.operators.{IvfIndex, KMeans}
         val rows8 = headVecs(spark, dir, KKM)
         val tokModel = PQModel(
-          2, KCB, 16,
-          Array.tabulate(2)(s =>
+          MSM, KCB, MSD,
+          Array.tabulate(MSM)(s =>
             rows8.take(KCB)
-              .map(v => java.util.Arrays.copyOfRange(v, s * 8, s * 8 + 8))))
+              .map(v =>
+                java.util.Arrays.copyOfRange(v, s * MSDS, (s + 1) * MSDS))))
         val centsLit = typedLit(
           tokModel.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
         val emb = t(spark, dir, "embeddings")
         def toks(c: org.apache.spark.sql.Column) =
-          array((0 until 4).map(i => slice(c, i * 16 + 1, 16)): _*)
+          array((0 until MST).map(i => slice(c, i * MSD + 1, MSD)): _*)
         val docs = emb.select(
           KMeans.assignCol(spark, rows8, toDouble(col("embedding")))
             .cast("int").as("cell"),
@@ -513,7 +522,7 @@ object PQQueries {
               transform(
                 centsLit,
                 (ks, s) =>
-                  transform(ks, c => dotFast(slice(qt, s * 8 + 1, lit(8)), c)))
+                  transform(ks, c => dotFast(slice(qt, s * MSDS + 1, lit(MSDS)), c)))
           ).as("qlut"))
         val grouped = docs
           .join(broadcast(probes), Seq("cell"))
@@ -535,8 +544,8 @@ object PQQueries {
         c8 AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
                FROM embeddings WHERE vec_id < $KKM),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        ts AS (SELECT unnest([0,1,2,3]) AS t),
-        ss AS (SELECT unnest([0,1]) AS s),
+        ts AS (SELECT ${sqlUnnest(MST)} AS t),
+        ss AS (SELECT ${sqlUnnest(MSM)} AS s),
         ad AS (SELECT e.vec_id, c8.ck, ${sqlL2Sq("e.ev", "c8.cv")} AS dist
                FROM e CROSS JOIN c8),
         a AS (SELECT vec_id AS doc_id, ck AS cell FROM (
@@ -545,9 +554,9 @@ object PQQueries {
                                           ORDER BY dist, ck) AS rn
                 FROM ad) WHERE rn = 1),
         dd AS (SELECT e.vec_id AS doc_id, ts.t AS u, ss.s, tc.ck,
-                      list_sum(list_transform(generate_series(1,8), j ->
-                        (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])
-                        * (e.ev[ts.t*16 + ss.s*8 + j] - tc.cv[ss.s*8 + j])))
+                      list_sum(list_transform(generate_series(1,$MSDS), j ->
+                        (e.ev[ts.t*$MSD + ss.s*$MSDS + j] - tc.cv[ss.s*$MSDS + j])
+                        * (e.ev[ts.t*$MSD + ss.s*$MSDS + j] - tc.cv[ss.s*$MSDS + j])))
                         AS dist
                FROM e CROSS JOIN ts CROSS JOIN ss CROSS JOIN tc),
         denc AS (SELECT doc_id, u, s, ck AS code FROM (
@@ -564,8 +573,8 @@ object PQQueries {
                                                     c8.ck) AS rn
                  FROM q CROSS JOIN c8) WHERE rn <= 2),
         pads AS (SELECT q.query_id, d.doc_id, ts.t, d.u, d.s,
-                        list_sum(list_transform(generate_series(1,8), j ->
-                          q.qv[ts.t*16 + d.s*8 + j] * tc.cv[d.s*8 + j]))
+                        list_sum(list_transform(generate_series(1,$MSDS), j ->
+                          q.qv[ts.t*$MSD + d.s*$MSDS + j] * tc.cv[d.s*$MSDS + j]))
                           AS pd
                  FROM q
                  JOIN pr ON pr.query_id = q.query_id
@@ -573,9 +582,7 @@ object PQQueries {
                  CROSS JOIN ts
                  JOIN denc d ON d.doc_id = a.doc_id
                  JOIN tc ON tc.ck = d.code),
-        padc AS (SELECT query_id, doc_id, t, u,
-                        sum(CASE WHEN s = 0 THEN pd ELSE 0 END)
-                        + sum(CASE WHEN s = 1 THEN pd ELSE 0 END) AS adc
+        padc AS (SELECT query_id, doc_id, t, u, sum(pd) AS adc
                  FROM pads GROUP BY 1, 2, 3, 4),
         tb AS (SELECT query_id, doc_id, t, max(adc) AS best
                FROM padc GROUP BY 1, 2, 3),
