@@ -89,11 +89,17 @@ object Bench {
       // under the accumulated block-manager pressure of earlier ones
       System.gc()
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ms precision keeps the line short: the round driver snapshots only
+    // the LAST 2000 output chars, so the line is ordered queries-first /
+    // headline-last — truncation eats the start, and the window always
+    // retains the errors map, sf, and the total
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
     // null total when anything failed: a crash must never read as a speedup
-    val total = if (errors.nonEmpty) "null" else timings.values.sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = if (errors.nonEmpty) "null" else fmt(timings.values.sum)
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir","value":$total}""")
     spark.stop()
   }
 }
