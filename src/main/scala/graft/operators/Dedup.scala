@@ -1029,4 +1029,86 @@ object Dedup {
         (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated")
       )
   }
+
+  /** Exact duplicated-SPAN detection — the character-level substring
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better": duplicate substrings found via suffix
+    * arrays), re-expressed as relational algebra: every length-`w` char
+    * window occurring in >= `minDocs` DISTINCT documents is duplicated,
+    * and overlapping duplicated windows inside a document merge
+    * (gaps-and-islands) into the maximal spans a training pipeline would
+    * cut. Unlike doc-level dedup (exact/minhash/simhash above) this finds
+    * the COPIED PASSAGE inside otherwise-distinct documents — licenses,
+    * boilerplate headers, quoted chunks.
+    *
+    * Returns (doc_id, span_start, span_end, span_len, n_windows) with
+    * 1-based inclusive char offsets, one row per maximal span.
+    *
+    * Scale: one window row per char position — the same O(total chars)
+    * volume a suffix array indexes, with no pairwise enumeration
+    * anywhere. Windows travel as md5-derived hashes (never the strings),
+    * so the duplicate-window groupBy shuffles O(chars × digest) and the
+    * df-filter is a plain equi-join on the hash (AQE handles hot
+    * boilerplate keys). The island merge is a per-doc sort inside one
+    * hash-partitioned window — state O(1) per doc, no driver collection.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 40,
+      minDocs: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            length(col("text")) >= w,
+            sequence(lit(1), length(col("text")) - (w - 1))
+          ).otherwise(array())
+        ).as("i"),
+        col("text")
+      )
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("s"),
+        md5(expr(s"substring(text, i, $w)")).as("h")
+      )
+    val dup = wins
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val pos = wins
+      .join(dup, "h")
+      .select(col("doc_id"), col("s"), (col("s") + (w - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val isl = pos
+      .withColumn(
+        "pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      )
+      .withColumn(
+        "g",
+        sum(
+          when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+            .otherwise(0L)
+        ).over(byDoc)
+      )
+    isl
+      .groupBy(col("doc_id"), col("g"))
+      .agg(
+        min(col("s")).as("span_start"),
+        max(col("e")).as("span_end"),
+        (max(col("e")) - min(col("s")) + 1).as("span_len"),
+        count(lit(1)).as("n_windows")
+      )
+      .select(
+        col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"), col("n_windows")
+      )
+  }
 }

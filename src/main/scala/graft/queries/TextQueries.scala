@@ -128,6 +128,43 @@ object TextQueries {
         WHERE c::DOUBLE / nsh >= 0.9
       """)
     ),
+    // Exact duplicated-span detection (ExactSubstr, Lee et al. 2022):
+    // length-40 char windows occurring in >=2 distinct docs, merged per
+    // doc into maximal spans — finds the copied PASSAGE inside
+    // otherwise-distinct documents, which doc-level dedup cannot. Both
+    // engines hash windows with md5 and run the identical
+    // gaps-and-islands merge, so the span table is hash-checked exactly.
+    GQuery(
+      "dedup_substring",
+      (spark, dir) =>
+        Dedup.duplicatedSpans(
+          t(spark, dir, "documents"), "doc_id", "text", w = 40, minDocs = 2),
+      Some("""
+        WITH w AS (SELECT doc_id,
+                          unnest(generate_series(1,
+                            greatest(length(text)-39, 0)))::BIGINT AS i,
+                          text
+                   FROM documents),
+        wh AS (SELECT doc_id, i, md5(substr(text, i::INT, 40)) AS h FROM w),
+        dh AS (SELECT h FROM wh GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+        p AS (SELECT wh.doc_id, wh.i AS s, wh.i + 39 AS e
+              FROM wh JOIN dh USING (h)),
+        m AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM p),
+        isl AS (SELECT doc_id, s, e,
+                       sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                           THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s) AS g
+                FROM m)
+        SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+               max(e) - min(s) + 1 AS span_len, count(*)::BIGINT AS n_windows
+        FROM isl GROUP BY doc_id, g
+      """)
+    ),
     // MinHash + LSH: 16 permutations, 4 bands of 4, bucket-join candidates,
     // exact-Jaccard verify at 0.5.
     GQuery(

@@ -323,4 +323,63 @@ class DedupTextSpec extends SparkSpec {
     assert(r(3L) == ((1L, 0.0, 0.0)))
     assert(r(4L) == ((2L, 1.0, 0.0)))
   }
+
+  test("duplicatedSpans: planted shared passage found exactly, once per doc") {
+    // 60-char passage shared by docs 1+2 at char offset 11; doc 3 is
+    // PERIODIC (every window repeats WITHIN the doc) but shares nothing
+    // across docs — it must not appear (minDocs counts distinct docs)
+    val passage = "the quick brown fox jumps over the lazy dog; pack my box now!"
+      .take(60)
+    assert(passage.length == 60)
+    val fix = Seq(
+      (1L, "abcdefghij" + passage + "klmnopqrst"),
+      (2L, "ABCDEFGHIJ" + passage + "KLMNOPQRST"),
+      (3L, "9876543210" * 5)
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(fix, "doc_id", "text", w = 40, minDocs = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    // span = exactly the passage: starts at 11, ends at 70, 60 chars,
+    // 60-40+1 = 21 duplicated window positions merged into one island
+    assert(r == Set((1L, 11L, 70L, 60L, 21L), (2L, 11L, 70L, 60L, 21L)), r)
+  }
+
+  test("duplicatedSpans: disjoint shared passages stay separate islands") {
+    val p1 = "zqwhx8k2lmv93tupd6rfyo41cbj7genia50s-ZQWHX8K2LMV93TUPD6RFYO4".take(60)
+    val p2 = "The five boxing wizards jump quickly over sixty dazed gnomes"
+      .take(60)
+    assert(p1.length == 60 && p2.length == 60)
+    // fillers share NO character at any position (else the duplicated
+    // region extends into the filler boundary chars)
+    val fix = Seq(
+      (1L, p1 + "+foo+" + p2),
+      (2L, p1 + "=bar=" + p2)
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(fix, "doc_id", "text", w = 40, minDocs = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    // fillers differ, so boundary windows aren't duplicated: two maximal
+    // islands per doc — p1 at [1,60], p2 at [66,125]
+    assert(r == Set(
+      (1L, 1L, 60L, 60L, 21L), (1L, 66L, 125L, 60L, 21L),
+      (2L, 1L, 60L, 60L, 21L), (2L, 66L, 125L, 60L, 21L)), r)
+  }
+
+  test("duplicatedSpans invariants on real docs: contiguous coverage bounds") {
+    val r = Dedup.duplicatedSpans(docs, "doc_id", "text", w = 40, minDocs = 2)
+    assert(r.filter(col("span_len") < 40).count() == 0)
+    // island coverage is contiguous: windows fit inside the span and
+    // cannot exceed one per start position
+    assert(r.filter(col("n_windows") > col("span_len") - 39).count() == 0)
+    assert(r.filter(col("span_end") - col("span_start") + 1 =!= col("span_len"))
+      .count() == 0)
+    // spans within a doc never overlap (maximality): check via self-join
+    val a = r.select(col("doc_id"), col("span_start").as("s1"), col("span_end").as("e1"))
+    val b = r.select(col("doc_id"), col("span_start").as("s2"), col("span_end").as("e2"))
+    val overlapping = a.join(b, Seq("doc_id"))
+      .filter(col("s1") < col("s2") && col("s2") <= col("e1") + 1)
+    assert(overlapping.count() == 0)
+  }
 }
