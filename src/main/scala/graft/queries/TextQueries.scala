@@ -712,6 +712,58 @@ object TextQueries {
         WHERE u < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
       """)
     ),
+    // Deterministic epoch shuffle — the training-order assignment of a
+    // data-parallel loader (PyTorch DistributedSampler semantics: one
+    // seeded global permutation per epoch, rank r consumes positions
+    // r, r+world, r+2·world, ...). The permutation key is md5(doc:epoch:
+    // seed), not an RNG — deterministic, partition-independent, identical
+    // across engines and reruns. The global position comes from
+    // Packing.distributedRank (range partitions + driver prefix sum), so
+    // there is NO single-partition row_number anywhere: the full corpus
+    // permutation is computed at shuffle parallelism, the thing a naive
+    // Window.orderBy would collapse. Per-epoch position = global rank
+    // minus epoch·N (epoch-major sort), N from one broadcast count row.
+    GQuery(
+      "pipeline_shuffle",
+      (spark, dir) => {
+        val world = 8
+        val docs = t(spark, dir, "documents").select(col("doc_id"))
+        val keyed = docs
+          .select(
+            col("doc_id"),
+            explode(sequence(lit(0), lit(1))).as("epoch0"))
+          .select(col("doc_id"), col("epoch0").cast("long").as("epoch"))
+          .withColumn(
+            "u",
+            Dedup.md5Long(concat(
+              col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string"), lit(":1337"))))
+        val ranked = Packing.distributedRank(
+          keyed, Seq(col("epoch"), col("u"), col("doc_id")), "grank")
+        val n = docs.agg(count(lit(1)).as("n"))
+        ranked
+          .crossJoin(broadcast(n))
+          .withColumn("p", col("grank") - col("epoch") * col("n"))
+          .select(
+            col("epoch"),
+            col("doc_id"),
+            (col("p") % world).as("dp_rank"),
+            (col("p") / world).cast("long").as("step"))
+      },
+      Some("""
+        WITH e AS (SELECT doc_id, unnest([0, 1])::BIGINT AS epoch
+                   FROM documents),
+        k AS (SELECT doc_id, epoch,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                       epoch::VARCHAR || ':1337'), 1, 14))::BIGINT AS u
+              FROM e),
+        r AS (SELECT doc_id, epoch,
+                     row_number() OVER (PARTITION BY epoch
+                                        ORDER BY u, doc_id) - 1 AS p
+              FROM k)
+        SELECT epoch, doc_id, p % 8 AS dp_rank, p // 8 AS step FROM r
+      """)
+    ),
     // Test-set decontamination: every training doc (doc_id % 50 != 0)
     // with the count of distinct 5-grams it shares with the held-out eval
     // slice (doc_id % 50 = 0) — the pre-training hygiene join, blocked on

@@ -94,4 +94,29 @@ class PackingSpec extends SparkSpec {
       expect += r.getLong(1)
     }
   }
+
+  test("pipeline_shuffle: valid balanced permutation per epoch, epochs differ") {
+    val world = 8
+    val rows = graft.SparkEntry.queries("pipeline_shuffle")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Q.t(spark, sf0001, "documents").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.foreach { case (ep, rs) =>
+      // every doc exactly once, (rank, step) reconstructs a bijection onto
+      // 0..N-1 — i.e. a true permutation, DistributedSampler-style
+      assert(rs.map(_._2).distinct.length == nDocs, s"epoch $ep doc set")
+      val ps = rs.map(t => t._3 + t._4 * world)
+      assert(ps.distinct.length == nDocs && ps.min == 0L && ps.max == nDocs - 1,
+        s"epoch $ep positions")
+      // round-robin striping keeps shards balanced within one element
+      val sizes = rs.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"epoch $ep shard sizes $sizes")
+    }
+    // the reshuffle is real: epochs place docs differently
+    val pos0 = byEpoch(0L).map(t => t._2 -> (t._3, t._4)).toMap
+    val pos1 = byEpoch(1L).map(t => t._2 -> (t._3, t._4)).toMap
+    assert(pos0.exists { case (d, p) => pos1(d) != p })
+  }
 }
