@@ -34,7 +34,7 @@ object DistributedHnsw {
       edges: DataFrame,   // shard int, layer int, src long, dst long
       entries: DataFrame, // shard int, ep long, height int
       codes: Option[DataFrame] = None, // shard int, id long, code array<short>
-      private val caches: Seq[DataFrame] = Nil
+      private[DistributedHnsw] val caches: Seq[DataFrame] = Nil
   ) {
     /** Release the build-time caches (the shard-partitioned vectors and the
       * shared edge/entry materialization). Call once the index is persisted
@@ -382,22 +382,70 @@ object DistributedHnsw {
       k: Int,
       allowedIds: DataFrame,
       efSearch: Int = -1
+  ): DataFrame =
+    searchFlagged(
+      shards, queries, qidCol, qvecCol, k,
+      shards.vectors
+        .join(
+          allowedIds
+            .select(col(allowedIds.columns.head).cast("long").as("id"))
+            .distinct()
+            .withColumn("ok", lit(true)),
+          Seq("id"), "left")
+        .select(
+          col("shard"), col("id"), col("vec"),
+          coalesce(col("ok"), lit(false)).as("ok")),
+      efSearch)
+
+  /** Tombstone-excluding search — the DELETE half of index maintenance
+    * without touching the graph: deleted ids stay as routable waypoints in
+    * the traversal (removing their edges would sever paths and crater
+    * recall) but can never surface in results. The flag is the INVERSE of
+    * [[searchFiltered]]'s allow-list, built by one left join of the base
+    * table against the tombstone set — when deletes are sparse (the
+    * steady state between compactions) that ships |tombstones| rows, not
+    * an N-row allow materialization. With an empty tombstone set the plan
+    * degenerates to [[search]]'s results bit-for-bit (spec-gated); as the
+    * tombstone fraction grows, raise `efSearch` (the standard over-fetch)
+    * until [[compact]] rewrites the affected shards.
+    */
+  def searchWithTombstones(
+      shards: Shards,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      tombstones: DataFrame,
+      efSearch: Int = -1
+  ): DataFrame =
+    searchFlagged(
+      shards, queries, qidCol, qvecCol, k,
+      shards.vectors
+        .join(
+          tombstones
+            .select(col(tombstones.columns.head).cast("long").as("id"))
+            .distinct()
+            .withColumn("dead", lit(true)),
+          Seq("id"), "left")
+        .select(
+          col("shard"), col("id"), col("vec"),
+          col("dead").isNull.as("ok")),
+      efSearch)
+
+  private def searchFlagged(
+      shards: Shards,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      flagged: DataFrame, // shard int, id long, vec array<double>, ok boolean
+      efSearch: Int
   ): DataFrame = {
     val spark = shards.vectors.sparkSession
     import spark.implicits._
     val params = shards.params
     val nShards = shards.numShards
 
-    val flagged = shards.vectors
-      .join(
-        allowedIds
-          .select(col(allowedIds.columns.head).cast("long").as("id"))
-          .distinct()
-          .withColumn("ok", lit(true)),
-        Seq("id"), "left")
-      .select(
-        col("shard"), col("id"), col("vec"),
-        coalesce(col("ok"), lit(false)).as("ok"))
     val baseRdd = flagged
       .as[(Int, Long, Seq[Double], Boolean)]
       .rdd.map { case (s, id, v, ok) => (s, (id, (v, ok))) }
@@ -429,6 +477,60 @@ object DistributedHnsw {
         col("e.dist").as("dist"),
         (col("pos") + 1).cast("int").as("rnk")
       )
+  }
+
+  /** Shard-scoped compaction — the physical half of delete maintenance:
+    * tombstoned vectors are removed by REBUILDING ONLY the shards that
+    * contain them; every other shard's graph, entry, and codes pass
+    * through untouched (and with [[save]]'s dynamic partition overwrite,
+    * unaffected shards' files are never rewritten). The affected-shard
+    * set is a ≤ numShards-row collect, not a data collect. Deleting d
+    * ids spread over s shards costs s shard rebuilds — O(corpus/numShards
+    * · s) — independent of total index size, which is what makes
+    * periodic compaction viable at 10^9 vectors.
+    *
+    * A compressed index must pass its codec so the rebuilt shards'
+    * code tables are re-derived; surviving shards keep their persisted
+    * codes.
+    */
+  def compact(
+      shards: Shards,
+      tombstones: DataFrame,
+      seed: Long,
+      compression: Option[VectorCompression] = None
+  ): Shards = {
+    require(
+      shards.codes.isEmpty || compression.isDefined,
+      "compacting a compressed index requires its codec (codes must be re-derived for rebuilt shards)")
+    val tomb = tombstones
+      .select(col(tombstones.columns.head).cast("long").as("id"))
+      .distinct()
+    val affected = shards.vectors
+      .join(tomb, Seq("id"), "left_semi")
+      .select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return shards
+    val survivors = shards.vectors.join(tomb, Seq("id"), "left_anti")
+    val rebuilt = buildAssigned(
+      survivors
+        .filter(col("shard").isin(affected: _*))
+        .select(col("id"), col("vec"), col("shard")),
+      shards.params, shards.numShards, seed, compression)
+    def keep(df: DataFrame): DataFrame =
+      df.filter(!col("shard").isin(affected: _*))
+    Shards(
+      shards.numShards,
+      shards.params,
+      vectors = keep(shards.vectors).unionByName(rebuilt.vectors),
+      edges = keep(shards.edges).unionByName(rebuilt.edges),
+      entries = keep(shards.entries).unionByName(rebuilt.entries),
+      codes = (shards.codes, rebuilt.codes) match {
+        case (Some(o), Some(n)) => Some(keep(o).unionByName(n))
+        case (None, n)          => n
+        case (o, None)          => o.map(keep)
+      },
+      caches = rebuilt.caches
+    )
   }
 
   /** The shard-cogroup search kernel, generic over the per-node payload

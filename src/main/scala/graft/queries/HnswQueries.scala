@@ -244,6 +244,31 @@ object HnswQueries {
       },
       None
     ),
+    // Index-lifecycle DELETE path: every 7th corpus id is tombstoned and
+    // the same query batch runs with deleted ids as routable-but-
+    // unreturnable waypoints (graph untouched — the steady state between
+    // compactions), efSearch over-fetch covering the ~14% loss. Rows-only
+    // like all hnsw_* entries; HnswSpec gates no-deleted-id-surfaces,
+    // empty-tombstone == search equality, post-compaction equivalence,
+    // and recall vs exact kNN over the survivors.
+    GQuery(
+      "hnsw_knn_deleted",
+      (spark, dir) => {
+        val (_, q) = embAndQueries(spark, dir)
+        val shards = sharedBuild(spark, dir)
+        val tomb = t(spark, dir, "embeddings")
+          .filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+        DistributedHnsw
+          .searchWithTombstones(shards, q, "query_id", "qv", K, tomb,
+            efSearch = 200)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      None
+    ),
     // M5 compressed search: the same batch over a PQ-compressed build —
     // distances are asymmetric query-to-code against the PERSISTED shard
     // code table (~M shorts/vector on the wire instead of D doubles;

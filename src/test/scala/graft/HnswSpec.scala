@@ -178,6 +178,142 @@ class HnswSpec extends SparkSpec {
     shards.unpersist()
   }
 
+  test("tombstone search: empty set == plain exactly; deleted never surface; recall vs survivors") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), numShards = 4, seed = 42
+    )
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+
+    // (1) no tombstones -> bit-identical to the plain traversal
+    val none = emb.filter(lit(false)).select(col("vec_id"))
+    val tombNone = DistributedHnsw.searchWithTombstones(
+      shards, queries, "query_id", "qv", k = 10, tombstones = none)
+    val plain = DistributedHnsw.search(shards, queries, "query_id", "qv", k = 10)
+    assert(tombNone.except(plain).count() == 0
+      && plain.except(tombNone).count() == 0)
+
+    // (2) deleted ids route but never surface
+    val tomb = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val res = DistributedHnsw.searchWithTombstones(
+      shards, queries, "query_id", "qv", k = 10, tombstones = tomb,
+      efSearch = 200)
+    assert(res.join(
+      tomb.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+      "left_semi").count() == 0)
+
+    // (3) recall vs the exact brute force over the SURVIVORS
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    val exact = BruteForceKNN.knn(queries, base, 10)
+    val nQ = queries.count()
+    val hits = res
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id")))
+      .count()
+    val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.9, s"tombstone recall $recall")
+    shards.unpersist()
+  }
+
+  test("compact: only affected shards rebuilt, deleted ids gone, recall holds") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), numShards = 4, seed = 42
+    )
+    // tombstones confined to shard 1 (id % 4 == 1), so shards 0/2/3 must
+    // pass through compaction physically untouched
+    val tomb = emb
+      .filter(col("vec_id") % 4 === 1 && col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val nTomb = tomb.count()
+    assert(nTomb > 0)
+    val compacted = DistributedHnsw.compact(shards, tomb, seed = 42)
+
+    // vectors: exactly the survivors
+    assert(compacted.vectors.count() == emb.count() - nTomb)
+    assert(compacted.vectors.join(
+      tomb.select(col("vec_id").as("id")), Seq("id"), "left_semi").count() == 0)
+
+    // unaffected shards: edge + entry tables bit-identical
+    val keepE = shards.edges.filter(col("shard") =!= 1)
+    val keepE2 = compacted.edges.filter(col("shard") =!= 1)
+    assert(keepE.except(keepE2).count() == 0 && keepE2.except(keepE).count() == 0)
+    // rebuilt shard: no tombstoned endpoint anywhere in its graph
+    val tombIds = tomb.select(col("vec_id").as("x"))
+    assert(compacted.edges.filter(col("shard") === 1)
+      .join(tombIds, col("src") === col("x") || col("dst") === col("x"), "left_semi")
+      .count() == 0)
+
+    // search over the compacted index: no deleted id, recall vs survivors
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val res = DistributedHnsw.search(
+      compacted, queries, "query_id", "qv", k = 10, efSearch = 200)
+    assert(res.join(
+      tomb.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+      "left_semi").count() == 0)
+    val base = emb.join(tomb.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    val exact = BruteForceKNN.knn(queries, base, 10)
+    val nQ = queries.count()
+    val hits = res
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id")))
+      .count()
+    val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.9, s"compacted recall $recall")
+    compacted.unpersist()
+    shards.unpersist()
+  }
+
+  test("compact on a compressed index rethreads the code table") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val comp = new PQCompression(
+      ProductQuantizer.train(emb, "vec", m = 8, k = 16, seed = 7))
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec",
+      HnswParams(m = 16, efConstruction = 100), numShards = 4, seed = 42,
+      compression = Some(comp)
+    )
+    val tomb = emb
+      .filter(col("vec_id") % 4 === 1 && col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    // codec is mandatory for a compressed index
+    intercept[IllegalArgumentException] {
+      DistributedHnsw.compact(shards, tomb, seed = 42)
+    }
+    val compacted =
+      DistributedHnsw.compact(shards, tomb, seed = 42, Some(comp))
+    val codes = compacted.codes.get
+    // code table = exactly one code per surviving vector, none deleted
+    assert(codes.count() == emb.count() - tomb.count())
+    assert(codes.join(
+      tomb.select(col("vec_id").as("id")), Seq("id"), "left_semi").count() == 0)
+    // untouched shards keep their persisted codes bit-for-bit
+    val keepC = shards.codes.get.filter(col("shard") =!= 1)
+    val keepC2 = codes.filter(col("shard") =!= 1)
+    assert(keepC.except(keepC2).count() == 0 && keepC2.except(keepC).count() == 0)
+    // compressed search over the compacted artifact still serves
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val res = DistributedHnsw.search(
+      compacted, queries, "query_id", "qv", k = 10, compression = Some(comp))
+    assert(res.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 10).count() == 0)
+    compacted.unpersist()
+    shards.unpersist()
+  }
+
   test("clustered shards + routed search: all-probe == fan-out exactly; recall at 3/8 probes") {
     val emb = Q.t(spark, sf0001, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
