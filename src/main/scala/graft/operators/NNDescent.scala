@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg.topK
+import graft.functions.VectorExpressions.l2SqFast
+
+/** NN-Descent (Dong et al. 2011, "Efficient k-nearest neighbor graph
+  * construction for generic similarity measures") as iterated relational
+  * algebra: start from a deterministic graph, then repeatedly propose each
+  * node's neighbors-of-neighbors as candidates and keep the best k. The
+  * kNN graph is the substrate every graph-ANN index (HNSW, NSG, Vamana)
+  * builds on — constructing it WITHOUT an N² distance pass is its own
+  * corpus-scale workload.
+  *
+  * Spark shape per iteration (all deterministic, no RNG):
+  *   1. undirect the graph (B(v) ∪ R(v), the paper's neighbor union) —
+  *      one distinct on (src, dst);
+  *   2. candidate generation: self-join on the SHARED middle node
+  *      (a→b ⋈ b→c ⇒ a is proposed c) — the one real shuffle, keyed on b.
+  *      Per-node candidates are bounded by (2k)², never by N;
+  *   3. score candidates with the codegen L2² over a two-sided vector
+  *      join, union the current edges, collapse duplicates, and keep the
+  *      best k per node with the bounded-heap [[topK]] aggregate (ties
+  *      (dist, id) — total order, so every iteration is reproducible).
+  *
+  * Convergence follows the paper: each round propagates neighborhood
+  * information one hop, and on metric data a handful of rounds reaches
+  * high recall (NNDescentSpec gates monotone improvement and the final
+  * floor against the exact graph). At corpus scale the candidate volume
+  * is the knob: the paper samples ρ·k neighbors per side — here that is
+  * a `limit`-free `sample`-free exact variant, the right default below
+  * ~10⁷ nodes/shard; plug sampling into step 2 when (2k)² per node is
+  * too much.
+  *
+  * The init graph is pseudo-random but HASH-derived (rank space:
+  * md5(id:j:init) mod n — ranks from [[Packing.distributedRank]], no
+  * contiguity assumption): the paper's random initialization needs
+  * DIVERSITY (a locality-biased init like a ring propagates information
+  * only ±k·2^t ranks per round and converges in log(n/k) rounds instead
+  * of O(1)), and the hash delivers it deterministically and
+  * engine-portably — no RNG, identical across engines and reruns.
+  * Hash self-collisions are filtered and duplicates collapsed, so init
+  * degree may dip below k; the first refinement round refills it.
+  */
+object NNDescent {
+
+  /** Approximate kNN graph after `iterations` refinement rounds.
+    * Input: (id long, vec array<double>). Output: (src, dst, dist, rnk),
+    * k rows per source node, rnk 1..k by (dist, id).
+    */
+  def knnGraph(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1, "knnGraph needs at least one refinement round")
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+
+    // hash init in id-RANK space: rank(dst) = md5(src:j:init) mod n,
+    // mapped back to ids by joining the rank table (no contiguity
+    // assumption, no driver collect)
+    val ranked = Packing
+      .distributedRank(v.select(col("id")), Seq(col("id")), "r")
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val init = ranked
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("r"), col("n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(
+        col("id").as("src"), col("r"),
+        pmod(
+          Dedup.md5Long(concat(
+            col("id").cast("string"), lit(":"),
+            col("j").cast("string"), lit(":init"))),
+          col("n")).as("rd"))
+      .filter(col("rd") =!= col("r")) // no self edges
+      .select(col("src"), col("rd"))
+      .distinct()
+      .join(
+        ranked.select(col("r").as("rd"), col("id").as("dst")), "rd")
+      .select(col("src"), col("dst"))
+
+    var g = score(init, v)
+    var it = 0
+    while (it < iterations) {
+      val und = g
+        .select(col("src"), col("dst"))
+        .unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val cand = und.as("x")
+        .join(und.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val merged = score(cand, v)
+        .unionAll(g.select(col("src"), col("dst"), col("dist")))
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("dist")).as("dist"))
+      g = merged
+        .groupBy(col("src"))
+        .agg(topK(col("dist"), col("dst"), k).as("tk"))
+        .select(col("src"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(
+          col("src"), col("e.id").as("dst"), col("e.dist").as("dist"),
+          (col("pos") + 1).cast("long").as("rnk"))
+      it += 1
+    }
+    g
+  }
+
+  /** Recall of an approximate kNN graph against the exact one (both as
+    * (src, dst) edge sets restricted to rnk <= k): |approx ∩ exact| /
+    * |exact|.
+    */
+  def graphRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.select(col("src"), col("dst"))
+    val e = exact.select(col("src"), col("dst"))
+    val hit = a.intersect(e).count()
+    hit.toDouble / e.count()
+  }
+
+  private def score(pairs: DataFrame, v: DataFrame): DataFrame =
+    pairs
+      .join(v.select(col("id").as("src"), col("vec").as("sv")), "src")
+      .join(v.select(col("id").as("dst"), col("vec").as("dv")), "dst")
+      .select(
+        col("src"), col("dst"), l2SqFast(col("sv"), col("dv")).as("dist"))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.BruteForceKNN
+import graft.operators.{BruteForceKNN, NNDescent}
 import Q._
 
 /** Vector-search query surface: exact kNN (the reference's brute-force
@@ -13,6 +13,31 @@ import Q._
 object VectorQueries {
 
   private val K = 10
+
+  /** One unrolled NN-Descent refinement round in DuckDB — the CTE mirror
+    * of the loop body in [[graft.operators.NNDescent.knnGraph]]:
+    * undirect, propose neighbors-of-neighbors through the shared middle
+    * node, score, merge with the current edges, keep best k by
+    * (dist, dst).
+    */
+  private def nndIter(i: Int, prev: String): String = s"""
+    u$i AS (SELECT src, dst FROM $prev
+            UNION SELECT dst AS src, src AS dst FROM $prev),
+    c$i AS (SELECT DISTINCT x.src AS src, y.dst AS dst
+            FROM u$i x JOIN u$i y ON x.dst = y.src
+            WHERE x.src != y.dst),
+    s$i AS (SELECT c$i.src, c$i.dst, ${sqlL2Sq("a.v", "b.v")} AS dist
+            FROM c$i JOIN e a ON a.id = c$i.src
+                     JOIN e b ON b.id = c$i.dst),
+    m$i AS (SELECT src, dst, min(dist) AS dist
+            FROM (SELECT src, dst, dist FROM s$i
+                  UNION ALL SELECT src, dst, dist FROM $prev)
+            GROUP BY 1, 2),
+    g$i AS (SELECT src, dst, dist, rn FROM (
+              SELECT src, dst, dist,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY dist, dst) AS rn
+              FROM m$i) WHERE rn <= $K)"""
 
   /** Spark-side: embeddings table split into (queries, base). */
   private def qb(spark: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -58,6 +83,49 @@ object VectorQueries {
                    FROM d)
         SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
         FROM r WHERE rnk <= $K
+      """)
+    ),
+    // NN-Descent kNN-GRAPH construction (Dong et al. 2011) — the
+    // substrate every graph-ANN index builds on, grown without an N²
+    // pass: deterministic ring init, then 2 unrolled refinement rounds of
+    // neighbors-of-neighbors propose → score → keep-best-k. Fully
+    // deterministic (no RNG anywhere), so the ENTIRE iterative algorithm
+    // sits under an exact hash-checked oracle — the DuckDB side replays
+    // both rounds CTE by CTE. Per round: one shuffle keyed on the shared
+    // middle node (candidates bounded by (2k)² per node, never N), one
+    // bounded-heap top-k.
+    GQuery(
+      "knn_graph",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+        NNDescent.knnGraph(emb, "id", "vec", k = K, iterations = 2)
+          .select(
+            col("src"), col("dst"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        rk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS r FROM e),
+        nn AS (SELECT count(*) AS n FROM e),
+        r0 AS (SELECT DISTINCT src, rd FROM (
+                 SELECT rk.id AS src, rk.r,
+                        ('0x' || substr(md5(rk.id::VARCHAR || ':' ||
+                          j.j::VARCHAR || ':init'), 1, 14))::BIGINT % nn.n
+                          AS rd
+                 FROM rk CROSS JOIN nn
+                 CROSS JOIN (SELECT unnest(generate_series(1, $K)) AS j) j)
+               WHERE rd != r),
+        g0p AS (SELECT r0.src, rk2.id AS dst
+                FROM r0 JOIN rk rk2 ON rk2.r = r0.rd),
+        g0 AS (SELECT g0p.src, g0p.dst, ${sqlL2Sq("a.v", "b.v")} AS dist
+               FROM g0p JOIN e a ON a.id = g0p.src
+                        JOIN e b ON b.id = g0p.dst),
+        ${nndIter(1, "g0")},
+        ${nndIter(2, "g1")}
+        SELECT src, dst, round(dist, 4) AS dist, rn AS rnk
+        FROM g2
       """)
     ),
     // Radius query: all pairs within L2² <= 1.25 (~0.1% selectivity on the
