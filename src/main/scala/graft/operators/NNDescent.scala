@@ -64,13 +64,14 @@ object NNDescent {
 
     // hash init in id-RANK space: rank(dst) = md5(src:j:init) mod n,
     // mapped back to ids by joining the rank table (no contiguity
-    // assumption, no driver collect)
+    // assumption; corpus stays distributed)
     val ranked = Packing
       .distributedRank(v.select(col("id")), Seq(col("id")), "r")
-    val n = ranked.agg(count(lit(1)).as("n"))
+    // one scalar — same bounded-driver-state budget as distributedRank's
+    // own prefix collect; keeps the init plan free of count-row joins
+    val n = ranked.count()
     val init = ranked
-      .crossJoin(broadcast(n))
-      .select(col("id"), col("r"), col("n"),
+      .select(col("id"), col("r"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .select(
         col("id").as("src"), col("r"),
@@ -78,7 +79,7 @@ object NNDescent {
           Dedup.md5Long(concat(
             col("id").cast("string"), lit(":"),
             col("j").cast("string"), lit(":init"))),
-          col("n")).as("rd"))
+          lit(n)).as("rd"))
       .filter(col("rd") =!= col("r")) // no self edges
       .select(col("src"), col("rd"))
       .distinct()

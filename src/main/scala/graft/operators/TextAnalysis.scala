@@ -296,6 +296,63 @@ object TextAnalysis {
       )
   }
 
+  /** fastText-style linear text classifier (Joulin et al. 2016 "Bag of
+    * Tricks"): bag of word + word-bigram features through the hashing
+    * trick, mean-pooled feature weights, sigmoid — the model family the
+    * DCLM / FineWeb quality-filtering stages run over whole crawls. The
+    * WEIGHTS are a declared deterministic stand-in (md5-derived per
+    * feature, uniform in [-1, 1] at 0.001 resolution — a 2^56-bucket
+    * hashing trick); the product is the PIPELINE SHAPE (feature hash →
+    * weight lookup → mean pool → σ), and a trained weight table drops in
+    * as a broadcast join without touching the plan.
+    *
+    * Exactness: weights are integer MILLIS, so the per-doc feature sum
+    * is an exact long (no float-order dependence across engines or
+    * partitions) and the keep decision (σ(x) ≥ 0.5 ⟺ wsum ≥ 0) is
+    * integer-exact; only the reported score touches floating point.
+    *
+    * Scale: pure per-doc map work — one explode, one hash-keyed groupBy;
+    * no corpus-wide state anywhere.
+    */
+  def linearClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val feats = toks
+      .select(
+        col("doc_id"),
+        explode(
+          concat(
+            expr("transform(t, x -> concat('u:', x))"),
+            when(
+              size(col("t")) >= 2,
+              expr(
+                "transform(sequence(0, size(t)-2)," +
+                  " i -> concat('b:', t[i], ' ', t[i+1]))")
+            ).otherwise(array())
+          )
+        ).as("feat")
+      )
+    val wm = feats.select(
+      col("doc_id"),
+      (Dedup.md5Long(col("feat")) % 2001 - 1000).as("wm"))
+    wm.groupBy(col("doc_id"))
+      .agg(sum(col("wm")).as("wsum"), count(lit(1)).as("nfeat"))
+      .select(
+        col("doc_id"),
+        col("wsum"),
+        col("nfeat"),
+        round(
+          lit(1.0) / (lit(1.0) +
+            exp(-(col("wsum").cast("double") / (lit(1000.0) * col("nfeat"))))),
+          6
+        ).as("score"),
+        (col("wsum") >= 0).as("keep")
+      )
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (31·acc + md5_56(t) mod P) mod P)` —
     * deterministic, order-sensitive, engine-portable (md5-derived token

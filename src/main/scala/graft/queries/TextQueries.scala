@@ -712,6 +712,42 @@ object TextQueries {
         WHERE u < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
       """)
     ),
+    // fastText-style quality classifier (Joulin et al. 2016) — the
+    // DCLM/FineWeb filtering stage: word + bigram features through the
+    // hashing trick, mean-pooled weights, sigmoid. Deterministic
+    // md5-derived stand-in weights (declared; a trained table drops in as
+    // a broadcast join); integer-milli weights keep the feature sum and
+    // the keep decision exact across engines, so the whole classifier is
+    // hash-checked.
+    GQuery(
+      "text_classifier",
+      (spark, dir) =>
+        TextAnalysis.linearClassifier(
+          t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id, unnest(list_concat(
+                list_transform(t, x -> 'u:' || x),
+                CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1),
+                       i -> 'b:' || t[i] || ' ' || t[i+1])
+                ELSE []::VARCHAR[] END)) AS feat
+              FROM tok),
+        wm AS (SELECT doc_id,
+                      (('0x' || substr(md5(feat), 1, 14))::BIGINT % 2001)
+                        - 1000 AS wm
+               FROM f),
+        s AS (SELECT doc_id, sum(wm)::BIGINT AS wsum,
+                     count(*)::BIGINT AS nfeat
+              FROM wm GROUP BY 1)
+        SELECT doc_id, wsum, nfeat,
+               round(1.0 / (1.0 +
+                 exp(-(wsum::DOUBLE / (1000.0 * nfeat)))), 6) AS score,
+               wsum >= 0 AS keep
+        FROM s
+      """)
+    ),
     // Deterministic epoch shuffle — the training-order assignment of a
     // data-parallel loader (PyTorch DistributedSampler semantics: one
     // seeded global permutation per epoch, rank r consumes positions
@@ -722,7 +758,7 @@ object TextQueries {
     // there is NO single-partition row_number anywhere: the full corpus
     // permutation is computed at shuffle parallelism, the thing a naive
     // Window.orderBy would collapse. Per-epoch position = global rank
-    // minus epoch·N (epoch-major sort), N from one broadcast count row.
+    // minus epoch·N (epoch-major sort), N one driver scalar.
     GQuery(
       "pipeline_shuffle",
       (spark, dir) => {
@@ -740,10 +776,12 @@ object TextQueries {
               col("epoch").cast("string"), lit(":1337"))))
         val ranked = Packing.distributedRank(
           keyed, Seq(col("epoch"), col("u"), col("doc_id")), "grank")
-        val n = docs.agg(count(lit(1)).as("n"))
+        // one scalar (same bounded budget as distributedRank's prefix
+        // collect) — keeps the plan free of count-row joins and global
+        // single-partition aggregates
+        val n = docs.count()
         ranked
-          .crossJoin(broadcast(n))
-          .withColumn("p", col("grank") - col("epoch") * col("n"))
+          .withColumn("p", col("grank") - col("epoch") * lit(n))
           .select(
             col("epoch"),
             col("doc_id"),

@@ -324,6 +324,30 @@ class DedupTextSpec extends SparkSpec {
     assert(r(4L) == ((2L, 1.0, 0.0)))
   }
 
+  test("linearClassifier: feature algebra exact on a hand-checked fixture") {
+    def md5w(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val fix = Seq(
+      (1L, "a b c"), // features u:a u:b u:c b:a b b:b c
+      (2L, "solo")   // one unigram, no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.linearClassifier(fix, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))
+      .toMap
+    val w1 = Seq("u:a", "u:b", "u:c", "b:a b", "b:b c").map(md5w).sum
+    assert(r(1L)._1 == w1 && r(1L)._2 == 5L)
+    assert(r(1L)._4 == (w1 >= 0))
+    assert(math.abs(r(1L)._3 -
+      BigDecimal(1.0 / (1.0 + math.exp(-(w1 / 5000.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val w2 = md5w("u:solo")
+    assert(r(2L)._1 == w2 && r(2L)._2 == 1L && r(2L)._4 == (w2 >= 0))
+  }
+
   test("duplicatedSpans: planted shared passage found exactly, once per doc") {
     // 60-char passage shared by docs 1+2 at char offset 11; doc 3 is
     // PERIODIC (every window repeats WITHIN the doc) but shares nothing

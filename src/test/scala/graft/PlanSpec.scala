@@ -308,6 +308,40 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("dedup_substring: hashed equi-join blocking, per-doc windows, no cartesian") {
+    val p = planOf("dedup_substring")
+    // duplicate-window detection is an equi-join on the window hash and
+    // the island merge a per-doc window — never a pair blow-up or a
+    // global single-partition sort
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("pipeline_shuffle: global permutation without a single-partition window") {
+    val p = planOf("pipeline_shuffle")
+    // the whole point of distributedRank here: a corpus-wide shuffle
+    // order with no Exchange SinglePartition anywhere
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+    // rank prefixes and the count row join as broadcasts
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("knn_graph: candidate generation is equi-keyed — no cartesian, no nested loop") {
+    val p = planOf("knn_graph")
+    // neighbors-of-neighbors joins on the shared middle node; scoring
+    // joins on the endpoint ids; the N^2 shapes must never appear
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), p)
+    // per-node top-k partially aggregates before its exchange
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
   test("scans prune columns: q11 reads only the two needed orders columns") {
     val p = planOf("q11_orders_by_month")
     val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
