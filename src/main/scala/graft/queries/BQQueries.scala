@@ -188,6 +188,125 @@ object BQQueries {
         SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // RaBitQ-style 1-bit serving (Gao & Long 2024): rotate with the fixed
+    // signed permutation (orthonormal — the same arithmetic rotation as
+    // pq_rotated), keep one SIGN BIT per rotated dimension (packed 16 to
+    // a word — D/8 bytes/vector on the wire) plus two per-vector floats
+    // (norm ‖x‖ and the correction ⟨x̄, ū⟩), and estimate the true dot as
+    //   ⟨q, x⟩ ≈ ‖x‖ · (⟨sign(Px), Pq⟩ / √D) / corr
+    // — the paper's geometric estimator, which unlike raw Hamming is in
+    // DISTANCE UNITS, so the estimated L2² feeds a shortlist directly.
+    // Exact rerank on the shortlist only. Everything is deterministic
+    // arithmetic, so rotation, packing, estimator, shortlist, and rerank
+    // are hash-checked end to end; the estimator quality gates live in
+    // BQSpec.
+    GQuery(
+      "bq_rabitq_rerank",
+      (spark, dir) => {
+        val fast = graft.functions.VectorExpressions
+        val kShort = 40
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        def rot(c: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(D - 1)), p =>
+            when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+              element_at(c, p * 37 % D + 1))
+        val docs = emb
+          .withColumn("r", rot(col("vec")))
+          .select(
+            col("vec_id").as("nid"),
+            expr(
+              "transform(sequence(0, 3), w -> aggregate(sequence(0, 15)," +
+                " 0, (acc, b) -> acc + IF(r[w*16+b] > 0D, shiftleft(1, b), 0)))"
+            ).as("words"),
+            fast.dotFast(col("vec"), col("vec")).as("n2x"),
+            expr("aggregate(r, 0D, (acc, x) -> acc + abs(x))").as("sx"))
+          .withColumn("nx", sqrt(col("n2x")))
+          .withColumn("corr", col("sx") / (col("nx") * lit(8.0)))
+        val qs = emb
+          .filter(col("vec_id") % 10 === 0)
+          .withColumn("rq", rot(col("vec")))
+          .select(
+            col("vec_id").as("query_id"), col("rq"),
+            fast.dotFast(col("vec"), col("vec")).as("n2q"))
+        val shortlist = docs
+          .join(broadcast(qs))
+          .withColumn(
+            "s",
+            expr(
+              "aggregate(transform(sequence(0, 63), j -> " +
+                "IF((shiftright(words[j div 16], j % 16) & 1) = 1," +
+                " rq[j], -rq[j])), 0D, (acc, x) -> acc + x)"))
+          .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
+          .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("d2est"), col("nid"), kShort).as("tk"))
+          .select(col("query_id"), explode(col("tk.id")).as("nid"))
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qq"), col("vec").as("qv"))
+        emb
+          .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+          .join(broadcast(shortlist), col("neighbor_id") === col("nid"))
+          .join(broadcast(q), col("qq") === col("query_id"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(fast.l2SqFast(col("qv"), col("bv")), col("neighbor_id"), K)
+            .as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 4).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        rr0 AS (SELECT vec_id, ev,
+                       list_transform(generate_series(0, ${D - 1}), p ->
+                         (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
+                           * ev[(p*37) % $D + 1]) AS r
+                FROM e),
+        docs AS (SELECT vec_id AS nid, ev,
+                        r,
+                        ${sqlDot("ev", "ev")} AS n2x,
+                        list_sum(list_transform(generate_series(1, $D),
+                          i -> abs(r[i]))) AS sx
+                 FROM rr0),
+        d2 AS (SELECT nid, ev, r, n2x, sqrt(n2x) AS nx,
+                      sx / (sqrt(n2x) * 8.0) AS corr
+               FROM docs),
+        qs AS (SELECT vec_id AS query_id, ev AS qv, r AS rq,
+                      ${sqlDot("ev", "ev")} AS n2q
+               FROM rr0 WHERE vec_id % 10 = 0),
+        est AS (SELECT q.query_id, d.nid,
+                       q.n2q + d.n2x - 2.0 *
+                         (d.nx * ((list_sum(list_transform(
+                            generate_series(1, $D), j ->
+                            CASE WHEN d.r[j] > 0 THEN q.rq[j]
+                                 ELSE -q.rq[j] END))) / 8.0) / d.corr)
+                         AS d2est
+                FROM d2 d CROSS JOIN qs q),
+        sl AS (SELECT query_id, nid FROM (
+                 SELECT query_id, nid,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY d2est, nid) AS rn
+                 FROM est) WHERE rn <= 40),
+        rrk AS (SELECT s.query_id, s.nid AS neighbor_id,
+                       ${sqlL2Sq("qe.ev", "ne.ev")} AS dist
+                FROM sl s
+                JOIN e qe ON qe.vec_id = s.query_id
+                JOIN e ne ON ne.vec_id = s.nid),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM rrk)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
     )
   )
 }

@@ -82,6 +82,61 @@ class BQSpec extends SparkSpec {
     assert(rerank >= 0.5, s"rerank recall@5 too low: $rerank")
   }
 
+  test("rabitq estimator: unbiased-ish on real pairs, recall beats raw-Hamming serving") {
+    // recompute the estimator columns exactly as bq_rabitq_rerank does
+    def rot(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)), p =>
+        when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+          element_at(c, p * 37 % 64 + 1))
+    val fast = graft.functions.VectorExpressions
+    val docs = emb
+      .withColumn("r", rot(col("vec")))
+      .select(
+        col("vec_id").as("nid"), col("vec").as("bv"),
+        expr("transform(r, x -> IF(x > 0D, 1D, -1D))").as("sgn"),
+        fast.dotFast(col("vec"), col("vec")).as("n2x"),
+        expr("aggregate(r, 0D, (acc, x) -> acc + abs(x))").as("sx"))
+      .withColumn("nx", sqrt(col("n2x")))
+      .withColumn("corr", col("sx") / (col("nx") * lit(8.0)))
+    val pairs = docs
+      .join(broadcast(
+        emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("rq", rot(col("vec")))
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("rq"))))
+      .withColumn("s", fast.dotFast(col("sgn"), col("rq")))
+      .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
+      .withColumn("truth", fast.dotFast(col("qv"), col("bv")))
+    val stats = pairs.agg(
+      avg(col("est") - col("truth")).as("bias"),
+      avg(abs(col("truth"))).as("scale"),
+      corr(col("est"), col("truth")).as("r")
+    ).head
+    val (bias, scale, r) = (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2))
+    // the geometric correction keeps the estimator centered: mean signed
+    // error well under the mean magnitude, and strongly correlated
+    assert(math.abs(bias) <= 0.1 * scale, s"bias $bias vs scale $scale")
+    assert(r >= 0.5, s"estimator correlation $r")
+
+    // serving comparison: distance-unit estimator shortlist + exact
+    // rerank must not lose to raw-Hamming top-k serving
+    val exact = BruteForceKNN.knn(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("vec").as("qv")),
+      emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")),
+      5
+    ).select(col("query_id"), col("neighbor_id"))
+    val denom = exact.count().toDouble
+    def recallOf(name: String): Double =
+      graft.SparkEntry.queries(name)(spark, sf0001)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .count() / denom
+    val rabit = recallOf("bq_rabitq_rerank")
+    val hamming = recallOf("bq_hamming_topk")
+    assert(rabit >= hamming, s"rabitq $rabit < hamming $hamming")
+    assert(rabit >= 0.6, s"rabitq recall@5 too low: $rabit")
+  }
+
   test("HNSW+BQ through the VectorCompression boundary: Recall@10 >= 0.2") {
     val comp = new BQCompression(BinaryQuantizer.train(emb, "vec"))
     val shards = DistributedHnsw.build(
