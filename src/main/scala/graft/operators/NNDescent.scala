@@ -115,6 +115,82 @@ object NNDescent {
     g
   }
 
+  /** Vamana robust prune (Subramanya et al. 2019, DiskANN) over a kNN
+    * graph: per node, greedily keep the closest candidate and discard
+    * every candidate it α-dominates, up to `maxDegree` — the
+    * direction-diversity rule that turns a kNN graph (whose edges all
+    * point into the nearest cluster) into a navigable index graph with
+    * long-range shortcuts. The candidate pool is the node's out-edges ∪
+    * reversed in-edges, so this single pass is the paper's
+    * "prune(N_out(p) ∪ {q : p ∈ N_out(q)})" including the reverse-edge
+    * degree repair.
+    *
+    * Distances are L2² throughout the engine, so the rule α·d(p*,v) ≤
+    * d(p,v) is applied as α²·d²(p*,v) ≤ d²(p,v) — identical semantics.
+    *
+    * Scale: one groupBy on the node id; each group holds ≤ 2k candidate
+    * (id, dist, vec) rows and the greedy is O(k²·D) local work — the
+    * sequential dependence is per-node only, which is exactly the
+    * mapGroups boundary. Nothing pairwise across nodes.
+    */
+  def robustPrune(
+      graph: DataFrame, // src long, dst long, dist double (= d²(src,dst))
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      alpha: Double,
+      maxDegree: Int
+  ): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val a2 = alpha * alpha
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val und = graph
+      .select(col("src"), col("dst"), col("dist"))
+      .unionAll(
+        graph.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("dist")).as("dist"))
+    und
+      .join(v.select(col("id").as("dst"), col("vec").as("dvec")), "dst")
+      .select(col("src"), col("dst"), col("dist"), col("dvec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        val cand = it
+          .map { case (_, dst, dist, dv) => (dst, dist, dv.toArray) }
+          .toArray
+        java.util.Arrays.sort(cand, Ordering.by[(Long, Double, Array[Double]), (Double, Long)](t => (t._2, t._1)))
+        val removed = new Array[Boolean](cand.length)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < cand.length && kept.length < maxDegree) {
+          if (!removed(i)) {
+            val (di, disti, vi) = cand(i)
+            kept += ((src, di, disti))
+            var j = i + 1
+            while (j < cand.length) {
+              if (!removed(j)) {
+                val vj = cand(j)._3
+                var s = 0.0
+                var d = 0
+                while (d < vi.length) {
+                  val x = vi(d) - vj(d); s += x * x; d += 1
+                }
+                if (a2 * s <= cand(j)._2) removed(j) = true
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        kept.iterator
+      }
+      .toDF("src", "dst", "dist")
+  }
+
   /** Recall of an approximate kNN graph against the exact one (both as
     * (src, dst) edge sets restricted to rnk <= k): |approx ∩ exact| /
     * |exact|.

@@ -128,6 +128,25 @@ object VectorQueries {
         FROM g2
       """)
     ),
+    // Vamana robust prune (DiskANN) over the NN-Descent graph: the
+    // α-dominance greedy keeps the closest candidate and drops everything
+    // it dominates, per node over out ∪ reversed-in candidates — the
+    // direction-diversity pass that turns a kNN graph into a navigable
+    // index graph. Deterministic, but the per-node sequential greedy has
+    // no SQL spelling — rows-only here; NNDescentSpec pins the rule on a
+    // hand-built geometry fixture plus degree/subset/determinism gates.
+    GQuery(
+      "knn_graph_vamana",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+        val g = NNDescent.knnGraph(emb, "id", "vec", k = K, iterations = 2)
+        NNDescent
+          .robustPrune(g, emb, "id", "vec", alpha = 1.2, maxDegree = 8)
+          .select(col("src"), col("dst"), round(col("dist"), 4).as("dist"))
+      },
+      None
+    ),
     // Radius query: all pairs within L2² <= 1.25 (~0.1% selectivity on the
     // near-random 64-d table; includes each query's self-pair at dist 0).
     GQuery(

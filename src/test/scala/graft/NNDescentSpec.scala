@@ -68,6 +68,44 @@ class NNDescentSpec extends SparkSpec {
     assert(recall >= 0.95, s"over-provisioned recall $recall")
   }
 
+  test("robustPrune: alpha-dominance exact on a hand-built geometry fixture") {
+    // src 0 at origin; A=(1,0) its nearest. B=(2,0) is BEHIND A
+    // (d²(A,B)=1, α²·1 = 1.44 <= d²(0,B)=4 → pruned); C=(0,2) is a
+    // different direction (d²(A,C)=5, α²·5 = 7.2 > 4 → kept)
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(2.0, 0.0)), (3L, Seq(0.0, 2.0))
+    ).toDF("id", "vec")
+    val g = Seq(
+      (0L, 1L, 1.0), (0L, 2L, 4.0), (0L, 3L, 4.0)
+    ).toDF("src", "dst", "dist")
+    val pruned = NNDescent
+      .robustPrune(g, vecs, "id", "vec", alpha = 1.2, maxDegree = 8)
+      .filter(col("src") === 0L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // candidate order at src 0: A(1.0), then B(4.0) vs C(4.0) — tie broken
+    // by id: B first, but B is dominated by A; C survives
+    assert(pruned == Set((1L, 1.0), (3L, 4.0)), pruned)
+  }
+
+  test("robustPrune: degree cap respected, edges from the candidate pool only") {
+    val g = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
+    val pruned = NNDescent.robustPrune(g, emb, "id", "vec", 1.2, 8)
+    assert(pruned.groupBy(col("src")).count()
+      .filter(col("count") > 8).count() == 0)
+    // pruned ⊆ out ∪ reversed-in of the input graph
+    val pool = g.select(col("src"), col("dst"))
+      .unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    assert(pruned.select(col("src"), col("dst"))
+      .join(pool, Seq("src", "dst"), "left_anti").count() == 0)
+    // every node keeps at least its nearest candidate
+    assert(pruned.select(col("src")).distinct().count() == emb.count())
+    // deterministic
+    val again = NNDescent.robustPrune(g, emb, "id", "vec", 1.2, 8)
+    assert(pruned.except(again).count() == 0 && again.except(pruned).count() == 0)
+  }
+
   test("iterations are deterministic: same input -> identical edge table") {
     val a = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
     val b = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
