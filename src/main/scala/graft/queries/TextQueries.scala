@@ -802,6 +802,55 @@ object TextQueries {
         SELECT epoch, doc_id, p % 8 AS dp_rank, p // 8 AS step FROM r
       """)
     ),
+    // WEIGHTED sampling without an RNG — Efraimidis–Spirakis A-ES as a
+    // bounded-heap aggregate: each doc draws u = md5-uniform in (0, 1]
+    // and the top-5 per language by the key u^(1/w) (w = n_chars, longer
+    // docs proportionally likelier) are the sample. The rank uses the
+    // monotone-equivalent ln(u)/w, skipping pow entirely. One pass, no
+    // per-stratum sort of the corpus: the per-lang top-k is the same
+    // partial-aggregating bounded heap as every kNN merge, so a skewed
+    // giant language costs O(k) state, not a sort. Deterministic,
+    // partition-independent, engine-portable — rerunnable sampling is
+    // what makes pipeline reproducibility real.
+    GQuery(
+      "pipeline_sample_weighted",
+      (spark, dir) => {
+        import graft.functions.TopKAgg.topK
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            col("n_chars").cast("double").as("w"),
+            ((Dedup.md5Long(concat(col("doc_id").cast("string"), lit(":aes")))
+              % 1000000 + 1).cast("double") / lit(1000001.0)).as("u"))
+          .withColumn("key", log(col("u")) / col("w"))
+        val picked = docs
+          .groupBy(col("lang"))
+          .agg(topK(-col("key"), col("doc_id"), 5).as("tk"))
+          .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("lang"), col("e.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("rnk"))
+        picked
+          .join(docs.select(col("doc_id"), col("w"), col("key")), "doc_id")
+          .select(
+            col("lang"), col("doc_id"), col("w").cast("long").as("weight"),
+            round(col("key"), 6).as("key"), col("rnk"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, n_chars::DOUBLE AS w,
+                          ((('0x' || substr(md5(doc_id::VARCHAR || ':aes'),
+                            1, 14))::BIGINT % 1000000 + 1))::DOUBLE
+                            / 1000001.0 AS u
+                   FROM documents),
+        k AS (SELECT doc_id, lang, w, ln(u) / w AS key FROM d),
+        r AS (SELECT lang, doc_id, w, key,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY key DESC, doc_id) AS rnk
+              FROM k)
+        SELECT lang, doc_id, w::BIGINT AS weight, round(key, 6) AS key, rnk
+        FROM r WHERE rnk <= 5
+      """)
+    ),
     // Test-set decontamination: every training doc (doc_id % 50 != 0)
     // with the count of distinct 5-grams it shares with the held-out eval
     // slice (doc_id % 50 = 0) — the pre-training hygiene join, blocked on

@@ -348,6 +348,20 @@ class DedupTextSpec extends SparkSpec {
     assert(r(2L)._1 == w2 && r(2L)._2 == 1L && r(2L)._4 == (w2 >= 0))
   }
 
+  test("pipeline_sample_weighted: 5 per lang, heavier docs over-represented") {
+    val r = graft.SparkEntry.queries("pipeline_sample_weighted")(spark, sf0001)
+    val perLang = r.groupBy(col("lang")).count().collect()
+    assert(perLang.forall(_.getLong(1) == 5L), perLang.mkString(","))
+    assert(r.filter(col("rnk") < 1 || col("rnk") > 5).count() == 0)
+    // A-ES with w = n_chars: the deterministic sample's mean weight must
+    // sit above the corpus mean (longer docs proportionally likelier)
+    val sampleMean = r.agg(avg(col("weight"))).head.getDouble(0)
+    val popMean = Q.t(spark, sf0001, "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > popMean,
+      s"sample mean $sampleMean <= population mean $popMean")
+  }
+
   test("duplicatedSpans: planted shared passage found exactly, once per doc") {
     // 60-char passage shared by docs 1+2 at char offset 11; doc 3 is
     // PERIODIC (every window repeats WITHIN the doc) but shares nothing
