@@ -1046,11 +1046,12 @@ object Dedup {
     *
     * Scale: one window row per char position — the same O(total chars)
     * volume a suffix array indexes, with no pairwise enumeration
-    * anywhere. Windows travel as md5-derived hashes (never the strings),
-    * so the duplicate-window groupBy shuffles O(chars × digest) and the
-    * df-filter is a plain equi-join on the hash (AQE handles hot
-    * boilerplate keys). The island merge is a per-doc sort inside one
-    * hash-partitioned window — state O(1) per doc, no driver collection.
+    * anywhere. Windows travel as 56-bit md5-derived hashes (8-byte
+    * shuffle keys, never the strings), so the duplicate-window groupBy
+    * shuffles O(chars × 8B) and the df-filter is a plain equi-join on the
+    * long key (AQE handles hot boilerplate keys). The island merge is a
+    * per-doc sort inside one hash-partitioned window — state O(1) per
+    * doc, no driver collection.
     */
   def duplicatedSpans(
       df: DataFrame,
@@ -1075,7 +1076,7 @@ object Dedup {
       .select(
         col("doc_id"),
         col("i").cast("long").as("s"),
-        md5(expr(s"substring(text, i, $w)")).as("h")
+        md5Long(expr(s"substring(text, i, $w)")).as("h")
       )
     val dup = wins
       .groupBy(col("h"))

@@ -234,10 +234,12 @@ object BQQueries {
           .join(broadcast(qs))
           .withColumn(
             "s",
+            // single fused fold over the dimension index — no per-pair
+            // 64-element intermediate array on the 400k-pair hot path
             expr(
-              "aggregate(transform(sequence(0, 63), j -> " +
+              "aggregate(sequence(0, 63), 0D, (acc, j) -> acc + " +
                 "IF((shiftright(words[j div 16], j % 16) & 1) = 1," +
-                " rq[j], -rq[j])), 0D, (acc, x) -> acc + x)"))
+                " rq[j], -rq[j]))"))
           .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
           .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
           .groupBy(col("query_id"))

@@ -145,7 +145,10 @@ object TextQueries {
                             greatest(length(text)-39, 0)))::BIGINT AS i,
                           text
                    FROM documents),
-        wh AS (SELECT doc_id, i, md5(substr(text, i::INT, 40)) AS h FROM w),
+        wh AS (SELECT doc_id, i,
+                      ('0x' || substr(md5(substr(text, i::INT, 40)),
+                        1, 14))::BIGINT AS h
+               FROM w),
         dh AS (SELECT h FROM wh GROUP BY h
                HAVING count(DISTINCT doc_id) >= 2),
         p AS (SELECT wh.doc_id, wh.i AS s, wh.i + 39 AS e
