@@ -110,6 +110,9 @@ object NNDescent {
         .select(
           col("src"), col("e.id").as("dst"), col("e.dist").as("dist"),
           (col("pos") + 1).cast("long").as("rnk"))
+        // the loop references g three times (two undirect arms + merge):
+        // truncate the lineage each round or the plan tree grows 3^it
+        .localCheckpoint()
       it += 1
     }
     g
@@ -189,6 +192,83 @@ object NNDescent {
         kept.iterator
       }
       .toDF("src", "dst", "dist")
+  }
+
+  /** Relational beam search over a navigable graph (the serving half of
+    * the DiskANN story; Subramanya et al. 2019 §3): from a fixed entry
+    * node, repeatedly expand every node in each query's current beam
+    * through the edge table, score the neighbors, and keep the best
+    * `beam` per query — greedy best-first search restructured as
+    * BFS-beam so it is PURE JOINS: frontier ⋈ edges (equi on the node
+    * id) → ⋈ vectors → bounded-heap top-beam. The graph and corpus stay
+    * sharded; queries ride the frontier rows; nothing is broadcast but
+    * the per-round frontier (|Q|·beam rows). Small-world graphs reach
+    * their fixpoint in O(diameter) ≈ log N rounds — `rounds` bounds it.
+    *
+    * Monotone by construction: the new beam is top-beam of (old beam ∪
+    * expansions), so per-query best-k never regresses with more rounds
+    * (spec-gated, with final recall against exact kNN).
+    */
+  def beamSearch(
+      graph: DataFrame, // src long, dst long
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      entryId: Long
+  ): DataFrame = {
+    require(beam >= k, "beam must be at least k")
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+    val edges = graph.select(col("src"), col("dst"))
+
+    def scored(cand: DataFrame): DataFrame = // (qid, id) -> + dist
+      cand
+        .join(v, "id")
+        .join(q, "qid")
+        .select(col("qid"), col("id"),
+          l2SqFast(col("qvec"), col("vec")).as("dist"))
+
+    var state = scored(q.select(col("qid"), lit(entryId).as("id")))
+    var r = 0
+    while (r < rounds) {
+      val expanded = state
+        .join(edges.withColumnRenamed("src", "id"), "id")
+        .select(col("qid"), col("dst").as("id"))
+        .distinct()
+      state = scored(expanded)
+        .unionAll(state)
+        .groupBy(col("qid"), col("id"))
+        .agg(min(col("dist")).as("dist"))
+        .groupBy(col("qid"))
+        .agg(topK(col("dist"), col("id"), beam).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("qid"), col("e.id").as("id"), col("e.dist").as("dist"))
+        // each round references the previous state TWICE (expansion +
+        // merge), so an unmaterialized lineage grows ~3^rounds; truncate
+        // it — the state is |Q|·beam rows, the iterative-algorithm
+        // analog of distributedRank's evaluate-once checkpoint
+        .localCheckpoint()
+      r += 1
+    }
+    state
+      .groupBy(col("qid"))
+      .agg(topK(col("dist"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("qid").as("query_id"),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Recall of an approximate kNN graph against the exact one (both as

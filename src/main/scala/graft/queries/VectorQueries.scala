@@ -147,6 +147,34 @@ object VectorQueries {
       },
       None
     ),
+    // The DiskANN serving pipeline end to end: NN-Descent graph →
+    // Vamana α-prune → relational BEAM SEARCH (greedy best-first as
+    // BFS-beam joins: frontier ⋈ edges ⋈ vectors → bounded-heap
+    // top-beam per round; graph and corpus stay sharded, nothing
+    // broadcast but the |Q|·beam frontier). Deterministic but
+    // rows-only (the round-unrolled SQL would be ~50 CTEs);
+    // NNDescentSpec gates round-monotone recall and the final floor
+    // vs exact kNN.
+    GQuery(
+      "knn_graph_search",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+        val g = NNDescent.knnGraph(emb, "id", "vec", k = K, iterations = 2)
+        val pruned = NNDescent
+          .robustPrune(g, emb, "id", "vec", alpha = 1.2, maxDegree = 8)
+        val q = emb
+          .filter(col("id") % 10 === 0)
+          .select(col("id").as("query_id"), col("vec").as("qv"))
+        NNDescent
+          .beamSearch(pruned, emb, "id", "vec", q, "query_id", "qv",
+            k = K, beam = 24, rounds = 6, entryId = 0L)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      None
+    ),
     // Radius query: all pairs within L2² <= 1.25 (~0.1% selectivity on the
     // near-random 64-d table; includes each query's self-pair at dist 0).
     GQuery(

@@ -106,6 +106,28 @@ class NNDescentSpec extends SparkSpec {
     assert(pruned.except(again).count() == 0 && again.except(pruned).count() == 0)
   }
 
+  test("beamSearch: recall monotone in rounds, converged floor vs exact kNN") {
+    val g = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
+    val pruned = NNDescent.robustPrune(g, emb, "id", "vec", 1.2, 8)
+    val q = emb.filter(col("id") % 10 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val exactQ = BruteForceKNN.knn(
+      q, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), K)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = exactQ.count().toDouble
+    def recallAt(rounds: Int): Double =
+      NNDescent.beamSearch(pruned, emb, "id", "vec", q, "query_id", "qv",
+        K, beam = 24, rounds = rounds, entryId = 0L)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exactQ, Seq("query_id", "neighbor_id"))
+        .count() / denom
+    val rs = Seq(2, 4, 6).map(recallAt)
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"beam recall regressed: $rs")
+    }
+    assert(rs.last >= 0.7, s"beam-search recall ${rs.last} ($rs)")
+  }
+
   test("iterations are deterministic: same input -> identical edge table") {
     val a = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
     val b = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
