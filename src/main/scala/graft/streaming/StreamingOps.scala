@@ -322,6 +322,98 @@ object StreamingOps {
     * half of streaming index maintenance (per-shard graph rebuild then
     * happens only for shards whose files changed).
     */
+  /** Incremental kNN-GRAPH maintenance — the online counterpart of
+    * [[graft.operators.NNDescent.knnGraph]], completing the lifecycle
+    * symmetry with the IVF (append/CDC/split) and HNSW (rebuild-touched/
+    * tombstone/compact) sinks. First micro-batch seeds the graph with a
+    * full NN-Descent build; every later batch:
+    *
+    *   1. appends its vectors to the store,
+    *   2. finds each NEW node's neighbors by [[NNDescent.beamSearch]]
+    *      over the EXISTING graph (the HNSW-style insert route — O(batch ·
+    *      beam · rounds) work, never a rebuild),
+    *   3. adds a batch-local NN-Descent graph so intra-batch near pairs
+    *      are not missed (new↔new edges beam search over old nodes cannot
+    *      see),
+    *   4. merges forward + reverse edges and re-caps every touched node
+    *      at degree k with the bounded heap.
+    *
+    * The merged graph is localCheckpoint-ed before the overwrite so the
+    * write never races its own input files. Degradation vs a full
+    * rebuild is spec-gated (StreamingSpec: two-wave recall within a
+    * fixed delta of the batch build).
+    */
+  def incrementalKnnGraphSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      storePath: String,
+      graphPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.NNDescent
+        import graft.functions.TopKAgg.topK
+        val spark = batch.sparkSession
+        val b = batch
+          .select(
+            col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("vec"))
+          .localCheckpoint()
+        val gp = new org.apache.hadoop.fs.Path(graphPath)
+        val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasGraph = fs.exists(gp)
+        b.write.mode("append").parquet(storePath)
+        val store = spark.read.parquet(storePath)
+        val next =
+          if (!hasGraph || b.isEmpty) {
+            if (hasGraph) spark.read.parquet(graphPath)
+            else NNDescent.knnGraph(store, "id", "vec", k, iterations = 2)
+          } else {
+            val graph = spark.read.parquet(graphPath)
+            val entry = graph.agg(min(col("src"))).head.getLong(0)
+            val cand = NNDescent
+              .beamSearch(
+                graph, store, "id", "vec",
+                b.select(col("id").as("qid0"), col("vec").as("qv0")),
+                "qid0", "qv0", k, beam, rounds, entry)
+              .select(
+                col("query_id").as("src"), col("neighbor_id").as("dst"),
+                col("dist"))
+            val local =
+              if (b.count() > 1)
+                NNDescent.knnGraph(b, "id", "vec", k, iterations = 2)
+                  .select(col("src"), col("dst"), col("dist"))
+              else spark.emptyDataFrame
+                .select(lit(0L).as("src"), lit(0L).as("dst"),
+                  lit(0.0).as("dist")).limit(0)
+            val edges = cand.unionAll(local)
+            graph
+              .select(col("src"), col("dst"), col("dist"))
+              .unionAll(edges)
+              .unionAll(edges.select(
+                col("dst").as("src"), col("src").as("dst"), col("dist")))
+              .filter(col("src") =!= col("dst"))
+              .groupBy(col("src"), col("dst"))
+              .agg(min(col("dist")).as("dist"))
+              .groupBy(col("src"))
+              .agg(topK(col("dist"), col("dst"), k).as("tk"))
+              .select(col("src"), posexplode(col("tk")).as(Seq("pos", "e")))
+              .select(
+                col("src"), col("e.id").as("dst"), col("e.dist").as("dist"),
+                (col("pos") + 1).cast("long").as("rnk"))
+          }
+        // materialize BEFORE overwriting the files the plan reads
+        val out = next.localCheckpoint()
+        out.write.mode("overwrite").parquet(graphPath)
+      }
+      .start()
+
   def vectorAppendSink(
       stream: DataFrame,
       idCol: String,

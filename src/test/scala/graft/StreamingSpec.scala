@@ -156,6 +156,51 @@ class StreamingSpec extends SparkSpec {
       s"cached-RDD count grew $before -> $after across 3 micro-batches")
   }
 
+  test("incremental kNN-graph sink: two-wave recall within delta of the batch build") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{BruteForceKNN, NNDescent}
+    val srcDir = Files.createTempDirectory("gsrc").toString
+    val store = Files.createTempDirectory("gstore").toString + "/store"
+    val graph = Files.createTempDirectory("ggraph").toString + "/graph"
+    val ckpt = Files.createTempDirectory("gckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    emb.filter(col("id") < 400).write.parquet(s"$srcDir/w1")
+    emb.filter(col("id") >= 400).write.parquet(s"$srcDir/w2")
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.incrementalKnnGraphSink(
+      stream, "id", "vec", k = 10, beam = 24, rounds = 4, store, graph, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.read.parquet(graph)
+
+    // structure: every node present, degree capped at k
+    assert(streamed.select(col("src")).distinct().count() == emb.count())
+    assert(streamed.groupBy(col("src")).count()
+      .filter(col("count") > 10).count() == 0)
+
+    // quality: recall vs the exact graph within a fixed delta of the full
+    // batch rebuild (the insert route pays a bounded accuracy cost)
+    val qv = emb.select(col("id").as("query_id"), col("vec").as("qv"))
+    val exact = BruteForceKNN.knn(
+      qv, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), 11)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val rStream = NNDescent.graphRecall(streamed, exact)
+    val full = NNDescent.knnGraph(emb, "id", "vec", 10, iterations = 2)
+    val rFull = NNDescent.graphRecall(full, exact)
+    assert(rStream >= rFull - 0.15,
+      s"incremental recall $rStream too far below batch $rFull")
+  }
+
   test("stream-stream interval join == batch interval join") {
     val dir = stageEventsDir()
     val ev = StreamingOps.readEvents(spark, dir)
