@@ -358,6 +358,73 @@ object Multimodal {
     bos.toByteArray
   }
 
+  final case class Hashed(
+      id: Long,
+      width: Int,
+      height: Int,
+      hashHi: Long, // dHash bits of rows 4-7 (32 bits, non-negative)
+      hashLo: Long  // dHash bits of rows 0-3
+  )
+
+  /** Perceptual dHash (difference hash) over the REAL decode path — the
+    * image analog of content-hash dedup: decode (`javax.imageio`),
+    * nearest-neighbor downsample to 9×8 with the standard floor source
+    * index, one bit per 8×8 cell: `bit(x,y) = p(x+1,y) > p(x,y)`. The
+    * hash captures the gradient STRUCTURE, not the bytes, so re-encoded
+    * or resized copies of an image collide (size invariance is
+    * spec-gated) while different images separate. Emitted as two 32-bit
+    * words (rows 0–3 / 4–7) so an engine without 64-bit unsigned shifts
+    * reproduces it without overflow.
+    *
+    * Same shape as [[resizeMeta]]: partition-batched kernel over the
+    * binary column, embarrassingly parallel; the downstream dedup is one
+    * groupBy on the two words.
+    */
+  def dHash(
+      spark: SparkSession,
+      media: DataFrame
+  ): Dataset[Hashed] = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"dHash: undecodable image bytes (${m.content.length} bytes)")
+        val w = img.getWidth
+        val h = img.getHeight
+        // 9x8 sampled grayscale grid (equal-channel: blue channel exact)
+        val g = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 9) {
+            g(y)(x) = img.getRGB(x * w / 9, sy) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y)(x + 1) > g(y)(x)) {
+              val bit = (y % 4) * 8 + x
+              if (y < 4) lo |= 1L << bit else hi |= 1L << bit
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Hashed(m.id, w, h, hi, lo)
+      }
+    }
+  }
+
   final case class Resized(
       id: Long,
       width: Int,

@@ -289,6 +289,72 @@ object MultimodalQueries {
         FROM w GROUP BY 1, 2
       """)
     ),
+    // Perceptual-hash image dedup over the REAL decode path: gradient PNG
+    // fixtures in 16 gradient classes (pixel = (a·x + b·y) % 256, class
+    // params from doc_id) at per-doc sizes, decoded with javax.imageio,
+    // dHashed (9×8 nearest downsample, one gradient-sign bit per 8×8
+    // cell), grouped on the hash — the image analog of dedup_exact, and
+    // the training-pipeline op that catches re-encoded/resized copies
+    // byte-level hashing misses. The oracle reproduces decode + resample
+    // + hash arithmetically from the generation parameters, so the whole
+    // visual-dedup pipeline is hash-checked.
+    GQuery(
+      "mm_phash_dedup",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val media = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 24 + 9).toInt
+              val h = (nc * 7 % 24 + 8).toInt
+              val cls = (id % 16).toInt
+              val a = 1 + (cls % 4) * 3
+              val b = 2 + (cls / 4) * 3
+              (id, "image", Multimodal.gradientPng(w, h, a, b), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal
+          .dHash(spark, media)
+          .toDF()
+          .groupBy(col("hashHi"), col("hashLo"))
+          .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_n"))
+          .select(
+            col("hashHi").as("hash_hi"), col("hashLo").as("hash_lo"),
+            col("canonical_id"), col("group_n"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          (n_chars % 24 + 9) AS w,
+                          (n_chars * 7 % 24 + 8) AS h,
+                          (1 + ((doc_id % 16) % 4) * 3) AS a,
+                          (2 + ((doc_id % 16) // 4) * 3) AS b
+                   FROM documents),
+        hx AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS hash_lo,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hash_hi
+               FROM d)
+        SELECT hash_hi::BIGINT AS hash_hi, hash_lo::BIGINT AS hash_lo,
+               min(doc_id)::BIGINT AS canonical_id, count(*)::BIGINT AS group_n
+        FROM hx GROUP BY 1, 2
+      """)
+    ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.
     GQuery(
       "mm_byte_histogram",

@@ -141,4 +141,30 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeVideoMeta(spark, bad).collect()
     }
   }
+
+  test("dHash: size-invariant for a scaled copy, discriminates gradients, undecodable raises") {
+    import spark.implicits._
+    // same no-wrap gradient at 20x16 and 40x32 (a 2x scaled copy — byte
+    // hashing can never pair them; the perceptual hash must), plus a
+    // WRAPPING gradient (a=50 overflows 256 every ~5 px, flipping some
+    // x-difference bits to 0 — dHash is an x-difference sign map, so only
+    // wrap structure separates monotone gradients)
+    val media = Seq(
+      (1L, "image", Multimodal.gradientPng(20, 16, 2, 3), 0L),
+      (2L, "image", Multimodal.gradientPng(40, 32, 2, 3), 0L),
+      (3L, "image", Multimodal.gradientPng(20, 16, 50, 3), 0L)
+    ).toDF("id", "modality", "content", "metaLen")
+    val h = Multimodal.dHash(spark, media).collect()
+      .map(x => x.id -> (x.hashHi, x.hashLo)).toMap
+    assert(h(1L) == h(2L), s"scaled copy split: $h")
+    assert(h(1L) != h(3L), s"different gradients collided: $h")
+    // no-wrap increasing gradient: every x-difference bit is 1
+    assert(h(1L) == ((0xFFFFFFFFL, 0xFFFFFFFFL)), h)
+
+    val bad = Seq((9L, "image", Array[Byte](1, 2, 3), 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.dHash(spark, bad).collect()
+    }
+  }
 }
