@@ -20,6 +20,52 @@ object EventQueries {
   private val evOrder = Seq(col("ts"), col("event_id"))
 
   val all: Seq[GQuery] = Seq(
+    // Cohort retention triangle — the canonical product-analytics OLAP
+    // shape: users cohorted by first-active ISO week, retention =
+    // fraction of the cohort active again k weeks later. Three hash
+    // aggregations and one join, all keyed on (user | week) — at scale
+    // the distinct (user, week) activity set is the only large
+    // intermediate and it shuffles once.
+    GQuery(
+      "q31_cohort_retention",
+      (spark, dir) => {
+        val act = events(spark, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        val sizes = first.groupBy(col("cw"))
+          .agg(count(lit(1)).as("n_cohort"))
+        act
+          .join(first, "user_id")
+          .withColumn(
+            "week_offset",
+            (datediff(col("w"), col("cw")) / 7).cast("long"))
+          .groupBy(col("cw"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cw")
+          .select(
+            date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"),
+            col("n_active"),
+            col("n_cohort"),
+            round(col("n_active").cast("double") / col("n_cohort"), 6)
+              .as("retention"))
+      },
+      Some("""
+        WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                     FROM events),
+        f AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1),
+        sizes AS (SELECT cw, count(*)::BIGINT AS n_cohort FROM f GROUP BY 1),
+        g AS (SELECT f.cw, (date_diff('day', f.cw, a.w) // 7)::BIGINT
+                       AS week_offset,
+                     count(DISTINCT a.user_id)::BIGINT AS n_active
+              FROM act a JOIN f USING (user_id) GROUP BY 1, 2)
+        SELECT strftime(g.cw, '%Y-%m-%d') AS cohort_week,
+               week_offset, n_active, n_cohort,
+               round(n_active::DOUBLE / n_cohort, 6) AS retention
+        FROM g JOIN sizes ON sizes.cw = g.cw
+      """)
+    ),
     // F9: JSON extraction from props + grouped agg.
     GQuery(
       "q12_json_extract",
