@@ -50,12 +50,18 @@ object NNDescent {
     * Input: (id long, vec array<double>). Output: (src, dst, dist, rnk),
     * k rows per source node, rnk 1..k by (dist, id).
     */
+  /** `truncateLineage = false` skips the per-round localCheckpoint so the
+    * returned frame's executed plan shows the full round shape — ONLY for
+    * plan inspection (PlanSpec); real use keeps the default or the plan
+    * tree grows ~3^iterations.
+    */
   def knnGraph(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int
+      iterations: Int,
+      truncateLineage: Boolean = true
   ): DataFrame = {
     require(iterations >= 1, "knnGraph needs at least one refinement round")
     val v = vecs.select(
@@ -110,9 +116,9 @@ object NNDescent {
         .select(
           col("src"), col("e.id").as("dst"), col("e.dist").as("dist"),
           (col("pos") + 1).cast("long").as("rnk"))
-        // the loop references g three times (two undirect arms + merge):
-        // truncate the lineage each round or the plan tree grows 3^it
-        .localCheckpoint()
+      // the loop references g three times (two undirect arms + merge):
+      // truncate the lineage each round or the plan tree grows 3^it
+      if (truncateLineage) g = g.localCheckpoint()
       it += 1
     }
     g

@@ -330,7 +330,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn_graph: candidate generation is equi-keyed — no cartesian, no nested loop") {
-    val p = planOf("knn_graph")
+    // the production query checkpoints per round (its final plan is a
+    // bare scan); inspect one un-truncated round instead
+    import graft.functions.VectorFunctions._
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val p = graft.operators.NNDescent
+      .knnGraph(emb, "id", "vec", 10, iterations = 1, truncateLineage = false)
+      .queryExecution.executedPlan.toString
     // neighbors-of-neighbors joins on the shared middle node; scoring
     // joins on the endpoint ids; the N^2 shapes must never appear
     for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
