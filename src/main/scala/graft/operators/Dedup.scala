@@ -1078,6 +1078,12 @@ object Dedup {
         col("i").cast("long").as("s"),
         md5Long(expr(s"substring(text, i, $w)")).as("h")
       )
+      // evaluate ONCE: both the duplicate-hash aggregation and the
+      // join-back consume this table, and recomputing it doubles the
+      // dominant cost (one digest per corpus char). The materialized
+      // rows are (long, long, long) — the same size the groupBy shuffle
+      // writes anyway — the distributedRank evaluate-once pattern.
+      .localCheckpoint()
     val dup = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
