@@ -349,6 +349,30 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
   }
 
+  test("bq_rabitq_rerank: broadcast query batch, heap partials below the exchange") {
+    val p = planOf("bq_rabitq_rerank")
+    // corpus streams, the query batch (with its rotated vectors)
+    // broadcasts — the knn_bruteforce placement
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
+  test("mm_phash_dedup: embarrassingly parallel kernel, one grouping exchange") {
+    val p = planOf("mm_phash_dedup")
+    // decode+hash is per-partition map work; the only shuffle is the
+    // hash groupBy (partial agg before it), and nothing joins at all
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+      assert(!p.contains(j), p)
+    val partial = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange", partial)
+    assert(partial >= 0 && exchange > partial, p)
+  }
+
   test("scans prune columns: q11 reads only the two needed orders columns") {
     val p = planOf("q11_orders_by_month")
     val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
