@@ -355,6 +355,97 @@ object MultimodalQueries {
         FROM hx GROUP BY 1, 2
       """)
     ),
+    // NEAR-duplicate image pairs — the actual point of a perceptual hash
+    // (exact-hash grouping only catches identical structure): 4 × 16-bit
+    // bands over the 64-bit dHash block the candidate join (pigeonhole:
+    // hamming ≤ 3 < 4 bands guarantees a shared band — the banded join is
+    // COMPLETE at this radius, same construction as dedup_simhash_pairs),
+    // then the exact Hamming verify touches candidates only. Wrapping
+    // gradients (large a, b overflow 256 repeatedly) make hashes diverse
+    // across classes and sizes, so the banding actually discriminates.
+    GQuery(
+      "mm_phash_pairs",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val media = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 24 + 9).toInt
+              val h = (nc * 7 % 24 + 8).toInt
+              val cls = (id % 16).toInt
+              val a = 30 + (cls % 4) * 7
+              val b = 25 + (cls / 4) * 9
+              (id, "image", Multimodal.gradientPng(w, h, a, b), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        val sig = Multimodal.dHash(spark, media).toDF()
+          .select(col("id"), col("hashHi").as("hi32"), col("hashLo").as("lo32"))
+          .withColumn("b0", col("lo32").bitwiseAND(lit(65535L)))
+          .withColumn("b1", shiftright(col("lo32"), 16))
+          .withColumn("b2", col("hi32").bitwiseAND(lit(65535L)))
+          .withColumn("b3", shiftright(col("hi32"), 16))
+        def band(c: String) = sig.as("a")
+          .join(sig.as("b"),
+            col(s"a.$c") === col(s"b.$c") && col("a.id") < col("b.id"))
+          .select(
+            col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+            col("a.hi32").as("ha"), col("a.lo32").as("la"),
+            col("b.hi32").as("hb"), col("b.lo32").as("lb"))
+        band("b0").union(band("b1")).union(band("b2")).union(band("b3"))
+          .distinct()
+          .withColumn(
+            "hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))) +
+              bit_count(col("la").bitwiseXOR(col("lb"))))
+          .filter(col("hamming") <= 3)
+          .select(
+            col("doc_a"), col("doc_b"),
+            col("hamming").cast("long").as("hamming"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          (n_chars % 24 + 9) AS w,
+                          (n_chars * 7 % 24 + 8) AS h,
+                          (30 + ((doc_id % 16) % 4) * 7) AS a,
+                          (25 + ((doc_id % 16) // 4) * 9) AS b
+                   FROM documents),
+        hx AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS lo32,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hi32
+               FROM d),
+        s AS (SELECT doc_id, hi32, lo32,
+                     lo32 % 65536 AS b0, lo32 // 65536 AS b1,
+                     hi32 % 65536 AS b2, hi32 // 65536 AS b3
+              FROM hx),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.hi32 AS ha, a.lo32 AS la, b.hi32 AS hb, b.lo32 AS lb
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+        v AS (SELECT doc_a, doc_b,
+                     (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT
+                       AS hamming
+              FROM cand)
+        SELECT doc_a, doc_b, hamming FROM v WHERE hamming <= 3
+      """)
+    ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.
     GQuery(
       "mm_byte_histogram",
