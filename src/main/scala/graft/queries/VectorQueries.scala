@@ -39,6 +39,42 @@ object VectorQueries {
                                         ORDER BY dist, dst) AS rn
               FROM m$i) WHERE rn <= $K)"""
 
+  /** Shared NN-Descent graph artifacts per sf dir, mirroring the hnsw_*
+    * bench split (HnswQueries.buildCache): knn_graph measures COLD
+    * construction (clears the memo, rebuilds), knn_graph_vamana measures
+    * the prune stage over the shared graph, knn_graph_search measures
+    * beam search over the shared pruned graph. All three artifacts are
+    * localCheckpoint-materialized, so reuse is a scan, not a recompute.
+    */
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val prunedCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def embOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+
+  private def sharedGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame =
+    graphCache.getOrElseUpdate(
+      dir,
+      NNDescent.knnGraph(embOf(spark, dir), "id", "vec", k = K, iterations = 2))
+
+  private def sharedPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame =
+    prunedCache.getOrElseUpdate(
+      dir,
+      NNDescent
+        .robustPrune(
+          sharedGraph(spark, dir), embOf(spark, dir), "id", "vec",
+          alpha = 1.2, maxDegree = 8)
+        .localCheckpoint())
+
   /** Spark-side: embeddings table split into (queries, base). */
   private def qb(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = t(spark, dir, "embeddings")
@@ -97,9 +133,11 @@ object VectorQueries {
     GQuery(
       "knn_graph",
       (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
-          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-        NNDescent.knnGraph(emb, "id", "vec", k = K, iterations = 2)
+        // cold-construction semantics (the hnsw_build convention): drop
+        // the shared artifacts, rebuild, re-memoize
+        graphCache.remove(dir)
+        prunedCache.remove(dir)
+        sharedGraph(spark, dir)
           .select(
             col("src"), col("dst"),
             round(col("dist"), 4).as("dist"), col("rnk"))
@@ -138,11 +176,11 @@ object VectorQueries {
     GQuery(
       "knn_graph_vamana",
       (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
-          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-        val g = NNDescent.knnGraph(emb, "id", "vec", k = K, iterations = 2)
+        // measures the PRUNE stage over the shared (memoized) graph
         NNDescent
-          .robustPrune(g, emb, "id", "vec", alpha = 1.2, maxDegree = 8)
+          .robustPrune(
+            sharedGraph(spark, dir), embOf(spark, dir), "id", "vec",
+            alpha = 1.2, maxDegree = 8)
           .select(col("src"), col("dst"), round(col("dist"), 4).as("dist"))
       },
       None
@@ -158,17 +196,14 @@ object VectorQueries {
     GQuery(
       "knn_graph_search",
       (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
-          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-        val g = NNDescent.knnGraph(emb, "id", "vec", k = K, iterations = 2)
-        val pruned = NNDescent
-          .robustPrune(g, emb, "id", "vec", alpha = 1.2, maxDegree = 8)
+        // measures BEAM SEARCH over the shared (memoized) pruned graph
+        val emb = embOf(spark, dir)
         val q = emb
           .filter(col("id") % 10 === 0)
           .select(col("id").as("query_id"), col("vec").as("qv"))
         NNDescent
-          .beamSearch(pruned, emb, "id", "vec", q, "query_id", "qv",
-            k = K, beam = 24, rounds = 6, entryId = 0L)
+          .beamSearch(sharedPruned(spark, dir), emb, "id", "vec",
+            q, "query_id", "qv", k = K, beam = 24, rounds = 6, entryId = 0L)
           .select(
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 4).as("dist"), col("rnk"))
