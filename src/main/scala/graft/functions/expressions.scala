@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the vector distance kernels (SURVEY.md
   * §2.H): tight primitive loops over `ArrayData`, no per-pair array
@@ -106,6 +106,63 @@ case class DotExpr(left: Expression, right: Expression)
         |${ev.value} = $s;
       """.stripMargin
     })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** RaBitQ sign dot: `Σ_j (bit j of left set ? right[j] : -right[j])` —
+  * the 1-bit serving inner loop (bq_rabitq_rerank), with the sign bits
+  * packed 16 per int word LSB-first (word `j >> 4`, bit `j & 15` — the
+  * BQModel packing). Bit-identical to the HOF formulation
+  * `aggregate(sequence(0, n-1), 0D, (acc, j) -> acc + IF(bit, rq[j],
+  * -rq[j]))` — same ascending-j fold — but one primitive loop in
+  * whole-stage codegen instead of a per-element lambda walk on the
+  * |Q|·N candidate hot path. `j` ranges over the right (query) array;
+  * missing high words read as 0-bits would be out-of-bounds instead, so
+  * the loop is bounded by both sides.
+  */
+case class BitSignDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val w = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    val n = math.min(r.numElements(), w.numElements() * 16)
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      val v = r.getDouble(j)
+      s += (if (((w.getInt(j >> 4) >> (j & 15)) & 1) == 1) v else -v)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+        |int $n = java.lang.Math.min($b.numElements(), $a.numElements() * 16);
+        |double $s = 0.0;
+        |for (int $j = 0; $j < $n; $j++) {
+        |  double $v = $b.getDouble($j);
+        |  $s += ((($a.getInt($j >> 4) >> ($j & 15)) & 1) == 1) ? $v : -$v;
+        |}
+        |${ev.value} = $s;
+      """.stripMargin
+    })
+
+  override def prettyName: String = "bit_sign_dot"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -343,5 +400,10 @@ object VectorExpressions {
     GraftColumnBridge.column(
       MaxSimAdcExpr(
         GraftColumnBridge.expression(qlut), GraftColumnBridge.expression(dcodes))
+    )
+  def bitSignDotFast(words: Column, rq: Column): Column =
+    GraftColumnBridge.column(
+      BitSignDotExpr(
+        GraftColumnBridge.expression(words), GraftColumnBridge.expression(rq))
     )
 }

@@ -232,14 +232,9 @@ object BQQueries {
             fast.dotFast(col("vec"), col("vec")).as("n2q"))
         val shortlist = docs
           .join(broadcast(qs))
-          .withColumn(
-            "s",
-            // single fused fold over the dimension index — no per-pair
-            // 64-element intermediate array on the 400k-pair hot path
-            expr(
-              "aggregate(sequence(0, 63), 0D, (acc, j) -> acc + " +
-                "IF((shiftright(words[j div 16], j % 16) & 1) = 1," +
-                " rq[j], -rq[j]))"))
+          // native codegen kernel on the |Q|·N hot path (bit-identical to
+          // the HOF fold — ExpressionsSpec-pinned ascending-j order)
+          .withColumn("s", fast.bitSignDotFast(col("words"), col("rq")))
           .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
           .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
           .groupBy(col("query_id"))

@@ -252,4 +252,42 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L))
     assert(r(0).getDouble(2) == 0.0)
   }
+
+  test("bit_sign_dot: native == HOF fold == interpreted eval, exact; ragged bounded") {
+    import graft.functions.VectorExpressions.bitSignDotFast
+    import graft.functions.BitSignDotExpr
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val rng = new scala.util.Random(17)
+    val rows = Seq.tabulate(30) { i =>
+      val words = Array.fill(4)(rng.nextInt(65536))
+      val rq = Array.fill(64)(rng.nextDouble() * 2 - 1)
+      (i.toLong, words, rq)
+    }
+    val df = rows.toDF("id", "words", "rq")
+    val native = df
+      .select(col("id"), bitSignDotFast(col("words"), col("rq")).as("s"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    val hof = df
+      .select(col("id"), expr(
+        "aggregate(sequence(0, 63), 0D, (acc, j) -> acc + " +
+          "IF((shiftright(words[j div 16], j % 16) & 1) = 1, rq[j], -rq[j]))"
+      ).as("s"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    rows.indices.foreach { i =>
+      assert(native(i) == hof(i), s"row $i: native vs HOF")
+      val interp = BitSignDotExpr(
+        Literal.create(rows(i)._2.toSeq, ArrayType(IntegerType)),
+        Literal.create(rows(i)._3.toSeq, ArrayType(DoubleType))
+      ).eval(InternalRow.empty).asInstanceOf[Double]
+      assert(interp == hof(i), s"row $i: interpreted vs HOF")
+    }
+    // ragged inputs bound the loop by BOTH sides (no out-of-bounds read)
+    val short = BitSignDotExpr(
+      Literal.create(Seq(0xFFFF), ArrayType(IntegerType)), // 1 word = 16 bits
+      Literal.create(Seq.fill(64)(1.0), ArrayType(DoubleType))
+    ).eval(InternalRow.empty).asInstanceOf[Double]
+    assert(short == 16.0, s"short-words sum $short")
+  }
 }
