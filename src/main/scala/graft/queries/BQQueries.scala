@@ -304,6 +304,140 @@ object BQQueries {
         SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // Codec x routing composition: the 1-bit RaBitQ estimator INSIDE
+    // coarse IVF cells — a query's sign-dot estimates run only over its
+    // nprobe=2 nearest cells (the ivf_knn scan cut), the estimator
+    // shortlist bounds the exact rerank (the bq_rabitq_rerank byte cut).
+    // Completes the codec x routing matrix alongside ivf_sq_knn (SQ),
+    // ivfadc_knn (PQ residuals), and knn_maxsim_ivf (token PQ). All
+    // deterministic: assignment, probes, estimator, shortlist, and
+    // rerank hash-check end to end.
+    GQuery(
+      "ivf_rabitq_knn",
+      (spark, dir) => {
+        val fast = graft.functions.VectorExpressions
+        import graft.operators.{IvfIndex, KMeans}
+        val kShort = 40
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+        def rot(c: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(D - 1)), p =>
+            when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+              element_at(c, p * 37 % D + 1))
+        val docs = emb
+          .withColumn("r", rot(col("vec")))
+          .select(
+            KMeans.assignCol(spark, cents, col("vec")).cast("int").as("cell"),
+            col("vec_id").as("nid"),
+            expr(
+              "transform(sequence(0, 3), w -> aggregate(sequence(0, 15)," +
+                " 0, (acc, b) -> acc + IF(r[w*16+b] > 0D, shiftleft(1, b), 0)))"
+            ).as("words"),
+            fast.dotFast(col("vec"), col("vec")).as("n2x"),
+            expr("aggregate(r, 0D, (acc, x) -> acc + abs(x))").as("sx"))
+          .withColumn("nx", sqrt(col("n2x")))
+          .withColumn("corr", col("sx") / (col("nx") * lit(8.0)))
+        val qbase = emb.filter(col("vec_id") % 10 === 0)
+        val probes = IvfIndex
+          .probeCells(
+            spark,
+            qbase.select(col("vec_id").as("query_id"), col("vec").as("qv")),
+            "query_id", "qv", cents, 2)
+          .select(col("query_id"), col("cell"))
+        val qs = qbase
+          .withColumn("rq", rot(col("vec")))
+          .select(
+            col("vec_id").as("qq"), col("rq"),
+            fast.dotFast(col("vec"), col("vec")).as("n2q"))
+        val shortlist = docs
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(qs), col("qq") === col("query_id"))
+          .withColumn("s", fast.bitSignDotFast(col("words"), col("rq")))
+          .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
+          .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("d2est"), col("nid"), kShort).as("tk"))
+          .select(col("query_id"), explode(col("tk.id")).as("nid"))
+        val q = qbase.select(col("vec_id").as("qq2"), col("vec").as("qv"))
+        emb
+          .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+          .join(broadcast(shortlist), col("neighbor_id") === col("nid"))
+          .join(broadcast(q), col("qq2") === col("query_id"))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(fast.l2SqFast(col("qv"), col("bv")), col("neighbor_id"), K)
+            .as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 4).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        c8 AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 8),
+        ad AS (SELECT e.vec_id, c8.ck, ${sqlL2Sq("e.ev", "c8.cv")} AS dist
+               FROM e CROSS JOIN c8),
+        a AS (SELECT vec_id, ck AS cell FROM (
+                SELECT vec_id, ck,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, ck) AS rn
+                FROM ad) WHERE rn = 1),
+        rr0 AS (SELECT vec_id, ev,
+                       list_transform(generate_series(0, ${D - 1}), p ->
+                         (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
+                           * ev[(p*37) % $D + 1]) AS r
+                FROM e),
+        d2 AS (SELECT d.vec_id AS nid, a.cell, d.r,
+                      ${sqlDot("d.ev", "d.ev")} AS n2x,
+                      sqrt(${sqlDot("d.ev", "d.ev")}) AS nx,
+                      (list_sum(list_transform(generate_series(1, $D),
+                         i -> abs(d.r[i]))))
+                        / (sqrt(${sqlDot("d.ev", "d.ev")}) * 8.0) AS corr
+               FROM rr0 d JOIN a ON a.vec_id = d.vec_id),
+        qs AS (SELECT vec_id AS query_id, ev AS qv, r AS rq,
+                      ${sqlDot("ev", "ev")} AS n2q
+               FROM rr0 WHERE vec_id % 10 = 0),
+        pr AS (SELECT query_id, cell FROM (
+                 SELECT q.query_id, c8.ck AS cell,
+                        row_number() OVER (PARTITION BY q.query_id
+                                           ORDER BY ${sqlL2Sq("q.qv", "c8.cv")},
+                                                    c8.ck) AS rn
+                 FROM qs q CROSS JOIN c8) WHERE rn <= 2),
+        est AS (SELECT q.query_id, d.nid,
+                       q.n2q + d.n2x - 2.0 *
+                         (d.nx * ((list_sum(list_transform(
+                            generate_series(1, $D), j ->
+                            CASE WHEN d.r[j] > 0 THEN q.rq[j]
+                                 ELSE -q.rq[j] END))) / 8.0) / d.corr)
+                         AS d2est
+                FROM d2 d
+                JOIN pr ON pr.cell = d.cell
+                JOIN qs q ON q.query_id = pr.query_id),
+        sl AS (SELECT query_id, nid FROM (
+                 SELECT query_id, nid,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY d2est, nid) AS rn
+                 FROM est) WHERE rn <= 40),
+        rrk AS (SELECT s.query_id, s.nid AS neighbor_id,
+                       ${sqlL2Sq("qe.ev", "ne.ev")} AS dist
+                FROM sl s
+                JOIN e qe ON qe.vec_id = s.query_id
+                JOIN e ne ON ne.vec_id = s.nid),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM rrk)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
     )
   )
 }
