@@ -502,6 +502,10 @@ object DistributedHnsw {
     require(
       shards.codes.isEmpty || compression.isDefined,
       "compacting a compressed index requires its codec (codes must be re-derived for rebuilt shards)")
+    require(
+      shards.codes.isDefined || compression.isEmpty,
+      "compacting an uncompressed index with a codec would produce codes for the rebuilt shards only " +
+        "(untouched shards would silently vanish from compressed search) — build/encode the full index first")
     val tomb = tombstones
       .select(col(tombstones.columns.head).cast("long").as("id"))
       .distinct()

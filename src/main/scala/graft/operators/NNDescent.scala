@@ -229,6 +229,7 @@ object NNDescent {
       entryId: Long
   ): DataFrame = {
     require(beam >= k, "beam must be at least k")
+    require(rounds >= 1, "beamSearch needs at least one expansion round")
     val v = vecs.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -244,6 +245,11 @@ object NNDescent {
         .select(col("qid"), col("id"),
           l2SqFast(col("qvec"), col("vec")).as("dist"))
 
+    // a missing entry node silently inner-joins to an empty seed, which
+    // would return "no neighbors" for every query — fail loudly instead
+    require(
+      v.filter(col("id") === entryId).limit(1).count() == 1,
+      s"beamSearch: entryId $entryId is not an id in the vector table")
     var state = scored(q.select(col("qid"), lit(entryId).as("id")))
     var r = 0
     while (r < rounds) {

@@ -43,6 +43,145 @@ object BQQueries {
       FROM bits GROUP BY vec_id, w)
   """
 
+  // ---- Shared RaBitQ pieces (bq_rabitq_rerank + ivf_rabitq_knn): ONE
+  // definition of the rotation, sign packing, per-vector measures,
+  // estimator, and exact-rerank tail on BOTH the Spark and oracle sides,
+  // so the flat and cell-routed serving paths cannot drift apart (the
+  // same lesson as the parametric maxsim oracles).
+  private val RKS = 40 // estimator shortlist depth
+
+  private def rabitRot(c: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(D - 1)), p =>
+      when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+        element_at(c, p * 37 % D + 1))
+
+  /** Doc-side artifact: `extra` ++ (nid, packed sign words, n2x, sx, nx,
+    * corr) — D/8 bytes + two floats per vector.
+    */
+  private def rabitDocs(
+      emb: org.apache.spark.sql.DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil
+  ): org.apache.spark.sql.DataFrame = {
+    val fast = graft.functions.VectorExpressions
+    emb
+      .withColumn("r", rabitRot(col("vec")))
+      .select(extra ++ Seq(
+        col("vec_id").as("nid"),
+        expr(
+          "transform(sequence(0, 3), w -> aggregate(sequence(0, 15)," +
+            " 0, (acc, b) -> acc + IF(r[w*16+b] > 0D, shiftleft(1, b), 0)))"
+        ).as("words"),
+        fast.dotFast(col("vec"), col("vec")).as("n2x"),
+        expr("aggregate(r, 0D, (acc, x) -> acc + abs(x))").as("sx")): _*)
+      .withColumn("nx", sqrt(col("n2x")))
+      .withColumn("corr", col("sx") / (col("nx") * lit(8.0)))
+  }
+
+  /** Query-side artifact: (qq, rq, n2q) for every 10th vector. */
+  private def rabitQueries(
+      emb: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val fast = graft.functions.VectorExpressions
+    emb
+      .filter(col("vec_id") % 10 === 0)
+      .withColumn("rq", rabitRot(col("vec")))
+      .select(
+        col("vec_id").as("qq"), col("rq"),
+        fast.dotFast(col("vec"), col("vec")).as("n2q"))
+  }
+
+  /** Estimator + per-query top-RKS shortlist over joined doc×query rows
+    * (native codegen sign-dot kernel on the pair hot path — bit-identical
+    * to the HOF fold, VectorFunctionsSpec-pinned).
+    */
+  private def rabitShortlist(
+      joined: org.apache.spark.sql.DataFrame,
+      qidCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val fast = graft.functions.VectorExpressions
+    joined
+      .withColumn("s", fast.bitSignDotFast(col("words"), col("rq")))
+      .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
+      .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopKAgg
+        .topK(col("d2est"), col("nid"), RKS).as("tk"))
+      .select(col(qidCol).as("query_id"), explode(col("tk.id")).as("nid"))
+  }
+
+  /** Exact L2² rerank of the broadcast shortlist, top-K per query. */
+  private def rabitRerank(
+      emb: org.apache.spark.sql.DataFrame,
+      shortlist: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val fast = graft.functions.VectorExpressions
+    val q = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qq2"), col("vec").as("qv"))
+    emb
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+      .join(broadcast(shortlist), col("neighbor_id") === col("nid"))
+      .join(broadcast(q), col("qq2") === col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topK(fast.l2SqFast(col("qv"), col("bv")), col("neighbor_id"), K)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("query_id"),
+        col("e.id").as("neighbor_id"),
+        round(col("e.dist"), 4).as("dist"),
+        (col("pos") + 1).cast("long").as("rnk")
+      )
+  }
+
+  /** Oracle fragments mirroring the helpers above, 1:1. */
+  private val sqlRabitRr0 = s"""rr0 AS (SELECT vec_id, ev,
+                       list_transform(generate_series(0, ${D - 1}), p ->
+                         (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
+                           * ev[(p*37) % $D + 1]) AS r
+                FROM e)"""
+
+  /** The d2 doc-measure CTE; `extraCols`/`joinClause` admit the cell
+    * assignment in the routed variant.
+    */
+  private def sqlRabitD2(extraCols: String, joinClause: String) =
+    s"""d2 AS (SELECT d.vec_id AS nid,$extraCols d.r,
+                      ${sqlDot("d.ev", "d.ev")} AS n2x,
+                      sqrt(${sqlDot("d.ev", "d.ev")}) AS nx,
+                      (list_sum(list_transform(generate_series(1, $D),
+                         i -> abs(d.r[i]))))
+                        / (sqrt(${sqlDot("d.ev", "d.ev")}) * 8.0) AS corr
+               FROM rr0 d$joinClause)"""
+
+  private val sqlRabitQs = s"""qs AS (SELECT vec_id AS query_id, ev AS qv, r AS rq,
+                      ${sqlDot("ev", "ev")} AS n2q
+               FROM rr0 WHERE vec_id % 10 = 0)"""
+
+  private def sqlRabitEst(d: String, q: String) =
+    s"""$q.n2q + $d.n2x - 2.0 *
+                         ($d.nx * ((list_sum(list_transform(
+                            generate_series(1, $D), j ->
+                            CASE WHEN $d.r[j] > 0 THEN $q.rq[j]
+                                 ELSE -$q.rq[j] END))) / 8.0) / $d.corr)"""
+
+  private val sqlRabitTail = s"""sl AS (SELECT query_id, nid FROM (
+                 SELECT query_id, nid,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY d2est, nid) AS rn
+                 FROM est) WHERE rn <= $RKS),
+        rrk AS (SELECT s.query_id, s.nid AS neighbor_id,
+                       ${sqlL2Sq("qe.ev", "ne.ev")} AS dist
+                FROM sl s
+                JOIN e qe ON qe.vec_id = s.query_id
+                JOIN e ne ON ne.vec_id = s.nid),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM rrk)
+        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K"""
+
   val all: Seq[GQuery] = Seq(
     // Packed sign-bit codes, long-form (vec_id, w, word) — round-trips
     // the kernel's packing against the oracle's arithmetic packing, with
@@ -204,105 +343,23 @@ object BQQueries {
     GQuery(
       "bq_rabitq_rerank",
       (spark, dir) => {
-        val fast = graft.functions.VectorExpressions
-        val kShort = 40
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-        def rot(c: org.apache.spark.sql.Column) =
-          transform(sequence(lit(0), lit(D - 1)), p =>
-            when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
-              element_at(c, p * 37 % D + 1))
-        val docs = emb
-          .withColumn("r", rot(col("vec")))
-          .select(
-            col("vec_id").as("nid"),
-            expr(
-              "transform(sequence(0, 3), w -> aggregate(sequence(0, 15)," +
-                " 0, (acc, b) -> acc + IF(r[w*16+b] > 0D, shiftleft(1, b), 0)))"
-            ).as("words"),
-            fast.dotFast(col("vec"), col("vec")).as("n2x"),
-            expr("aggregate(r, 0D, (acc, x) -> acc + abs(x))").as("sx"))
-          .withColumn("nx", sqrt(col("n2x")))
-          .withColumn("corr", col("sx") / (col("nx") * lit(8.0)))
-        val qs = emb
-          .filter(col("vec_id") % 10 === 0)
-          .withColumn("rq", rot(col("vec")))
-          .select(
-            col("vec_id").as("query_id"), col("rq"),
-            fast.dotFast(col("vec"), col("vec")).as("n2q"))
-        val shortlist = docs
-          .join(broadcast(qs))
-          // native codegen kernel on the |Q|·N hot path (bit-identical to
-          // the HOF fold — ExpressionsSpec-pinned ascending-j order)
-          .withColumn("s", fast.bitSignDotFast(col("words"), col("rq")))
-          .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
-          .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
-          .groupBy(col("query_id"))
-          .agg(graft.functions.TopKAgg
-            .topK(col("d2est"), col("nid"), kShort).as("tk"))
-          .select(col("query_id"), explode(col("tk.id")).as("nid"))
-        val q = emb
-          .filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("qq"), col("vec").as("qv"))
-        emb
-          .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
-          .join(broadcast(shortlist), col("neighbor_id") === col("nid"))
-          .join(broadcast(q), col("qq") === col("query_id"))
-          .groupBy(col("query_id"))
-          .agg(graft.functions.TopKAgg
-            .topK(fast.l2SqFast(col("qv"), col("bv")), col("neighbor_id"), K)
-            .as("tk"))
-          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-          .select(
-            col("query_id"),
-            col("e.id").as("neighbor_id"),
-            round(col("e.dist"), 4).as("dist"),
-            (col("pos") + 1).cast("long").as("rnk")
-          )
+        val joined = rabitDocs(emb)
+          .join(broadcast(rabitQueries(emb)
+            .withColumnRenamed("qq", "query_id")))
+        rabitRerank(emb, rabitShortlist(joined, "query_id"))
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        rr0 AS (SELECT vec_id, ev,
-                       list_transform(generate_series(0, ${D - 1}), p ->
-                         (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
-                           * ev[(p*37) % $D + 1]) AS r
-                FROM e),
-        docs AS (SELECT vec_id AS nid, ev,
-                        r,
-                        ${sqlDot("ev", "ev")} AS n2x,
-                        list_sum(list_transform(generate_series(1, $D),
-                          i -> abs(r[i]))) AS sx
-                 FROM rr0),
-        d2 AS (SELECT nid, ev, r, n2x, sqrt(n2x) AS nx,
-                      sx / (sqrt(n2x) * 8.0) AS corr
-               FROM docs),
-        qs AS (SELECT vec_id AS query_id, ev AS qv, r AS rq,
-                      ${sqlDot("ev", "ev")} AS n2q
-               FROM rr0 WHERE vec_id % 10 = 0),
+        $sqlRabitRr0,
+        ${sqlRabitD2("", "")},
+        $sqlRabitQs,
         est AS (SELECT q.query_id, d.nid,
-                       q.n2q + d.n2x - 2.0 *
-                         (d.nx * ((list_sum(list_transform(
-                            generate_series(1, $D), j ->
-                            CASE WHEN d.r[j] > 0 THEN q.rq[j]
-                                 ELSE -q.rq[j] END))) / 8.0) / d.corr)
+                       ${sqlRabitEst("d", "q")}
                          AS d2est
                 FROM d2 d CROSS JOIN qs q),
-        sl AS (SELECT query_id, nid FROM (
-                 SELECT query_id, nid,
-                        row_number() OVER (PARTITION BY query_id
-                                           ORDER BY d2est, nid) AS rn
-                 FROM est) WHERE rn <= 40),
-        rrk AS (SELECT s.query_id, s.nid AS neighbor_id,
-                       ${sqlL2Sq("qe.ev", "ne.ev")} AS dist
-                FROM sl s
-                JOIN e qe ON qe.vec_id = s.query_id
-                JOIN e ne ON ne.vec_id = s.nid),
-        r AS (SELECT query_id, neighbor_id, dist,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY dist, neighbor_id) AS rnk
-              FROM rrk)
-        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
-        FROM r WHERE rnk <= $K
+        $sqlRabitTail
       """)
     ),
     // Codec x routing composition: the 1-bit RaBitQ estimator INSIDE
@@ -316,68 +373,26 @@ object BQQueries {
     GQuery(
       "ivf_rabitq_knn",
       (spark, dir) => {
-        val fast = graft.functions.VectorExpressions
         import graft.operators.{IvfIndex, KMeans}
-        val kShort = 40
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
         val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
           .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
-        def rot(c: org.apache.spark.sql.Column) =
-          transform(sequence(lit(0), lit(D - 1)), p =>
-            when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
-              element_at(c, p * 37 % D + 1))
-        val docs = emb
-          .withColumn("r", rot(col("vec")))
-          .select(
-            KMeans.assignCol(spark, cents, col("vec")).cast("int").as("cell"),
-            col("vec_id").as("nid"),
-            expr(
-              "transform(sequence(0, 3), w -> aggregate(sequence(0, 15)," +
-                " 0, (acc, b) -> acc + IF(r[w*16+b] > 0D, shiftleft(1, b), 0)))"
-            ).as("words"),
-            fast.dotFast(col("vec"), col("vec")).as("n2x"),
-            expr("aggregate(r, 0D, (acc, x) -> acc + abs(x))").as("sx"))
-          .withColumn("nx", sqrt(col("n2x")))
-          .withColumn("corr", col("sx") / (col("nx") * lit(8.0)))
-        val qbase = emb.filter(col("vec_id") % 10 === 0)
+        val docs = rabitDocs(
+          emb,
+          extra = Seq(
+            KMeans.assignCol(spark, cents, col("vec")).cast("int").as("cell")))
         val probes = IvfIndex
           .probeCells(
             spark,
-            qbase.select(col("vec_id").as("query_id"), col("vec").as("qv")),
+            emb.filter(col("vec_id") % 10 === 0)
+              .select(col("vec_id").as("query_id"), col("vec").as("qv")),
             "query_id", "qv", cents, 2)
           .select(col("query_id"), col("cell"))
-        val qs = qbase
-          .withColumn("rq", rot(col("vec")))
-          .select(
-            col("vec_id").as("qq"), col("rq"),
-            fast.dotFast(col("vec"), col("vec")).as("n2q"))
-        val shortlist = docs
+        val joined = docs
           .join(broadcast(probes), Seq("cell"))
-          .join(broadcast(qs), col("qq") === col("query_id"))
-          .withColumn("s", fast.bitSignDotFast(col("words"), col("rq")))
-          .withColumn("est", col("nx") * (col("s") / lit(8.0)) / col("corr"))
-          .withColumn("d2est", col("n2q") + col("n2x") - lit(2.0) * col("est"))
-          .groupBy(col("query_id"))
-          .agg(graft.functions.TopKAgg
-            .topK(col("d2est"), col("nid"), kShort).as("tk"))
-          .select(col("query_id"), explode(col("tk.id")).as("nid"))
-        val q = qbase.select(col("vec_id").as("qq2"), col("vec").as("qv"))
-        emb
-          .select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
-          .join(broadcast(shortlist), col("neighbor_id") === col("nid"))
-          .join(broadcast(q), col("qq2") === col("query_id"))
-          .groupBy(col("query_id"))
-          .agg(graft.functions.TopKAgg
-            .topK(fast.l2SqFast(col("qv"), col("bv")), col("neighbor_id"), K)
-            .as("tk"))
-          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-          .select(
-            col("query_id"),
-            col("e.id").as("neighbor_id"),
-            round(col("e.dist"), 4).as("dist"),
-            (col("pos") + 1).cast("long").as("rnk")
-          )
+          .join(broadcast(rabitQueries(emb)), col("qq") === col("query_id"))
+        rabitRerank(emb, rabitShortlist(joined, "query_id"))
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -390,21 +405,9 @@ object BQQueries {
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist, ck) AS rn
                 FROM ad) WHERE rn = 1),
-        rr0 AS (SELECT vec_id, ev,
-                       list_transform(generate_series(0, ${D - 1}), p ->
-                         (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
-                           * ev[(p*37) % $D + 1]) AS r
-                FROM e),
-        d2 AS (SELECT d.vec_id AS nid, a.cell, d.r,
-                      ${sqlDot("d.ev", "d.ev")} AS n2x,
-                      sqrt(${sqlDot("d.ev", "d.ev")}) AS nx,
-                      (list_sum(list_transform(generate_series(1, $D),
-                         i -> abs(d.r[i]))))
-                        / (sqrt(${sqlDot("d.ev", "d.ev")}) * 8.0) AS corr
-               FROM rr0 d JOIN a ON a.vec_id = d.vec_id),
-        qs AS (SELECT vec_id AS query_id, ev AS qv, r AS rq,
-                      ${sqlDot("ev", "ev")} AS n2q
-               FROM rr0 WHERE vec_id % 10 = 0),
+        $sqlRabitRr0,
+        ${sqlRabitD2(" a.cell,", " JOIN a ON a.vec_id = d.vec_id")},
+        $sqlRabitQs,
         pr AS (SELECT query_id, cell FROM (
                  SELECT q.query_id, c8.ck AS cell,
                         row_number() OVER (PARTITION BY q.query_id
@@ -412,31 +415,12 @@ object BQQueries {
                                                     c8.ck) AS rn
                  FROM qs q CROSS JOIN c8) WHERE rn <= 2),
         est AS (SELECT q.query_id, d.nid,
-                       q.n2q + d.n2x - 2.0 *
-                         (d.nx * ((list_sum(list_transform(
-                            generate_series(1, $D), j ->
-                            CASE WHEN d.r[j] > 0 THEN q.rq[j]
-                                 ELSE -q.rq[j] END))) / 8.0) / d.corr)
+                       ${sqlRabitEst("d", "q")}
                          AS d2est
                 FROM d2 d
                 JOIN pr ON pr.cell = d.cell
                 JOIN qs q ON q.query_id = pr.query_id),
-        sl AS (SELECT query_id, nid FROM (
-                 SELECT query_id, nid,
-                        row_number() OVER (PARTITION BY query_id
-                                           ORDER BY d2est, nid) AS rn
-                 FROM est) WHERE rn <= 40),
-        rrk AS (SELECT s.query_id, s.nid AS neighbor_id,
-                       ${sqlL2Sq("qe.ev", "ne.ev")} AS dist
-                FROM sl s
-                JOIN e qe ON qe.vec_id = s.query_id
-                JOIN e ne ON ne.vec_id = s.nid),
-        r AS (SELECT query_id, neighbor_id, dist,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY dist, neighbor_id) AS rnk
-              FROM rrk)
-        SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
-        FROM r WHERE rnk <= $K
+        $sqlRabitTail
       """)
     )
   )

@@ -20,6 +20,63 @@ object MultimodalQueries {
   private val modalityCase =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
+  /** Gradient-class PNG fixture shared by the perceptual-hash queries:
+    * per-doc size from n_chars, gradient params from the doc's class
+    * (a = aBase + (cls%4)·aStep, b = bBase + (cls/4)·bStep, cls = id%16).
+    * One definition on the Spark side; [[sqlPhashCtes]] is its oracle
+    * mirror — the two cannot drift apart.
+    */
+  private def gradientClassMedia(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      aBase: Int, aStep: Int, bBase: Int, bStep: Int
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id").cast("long").as("id"),
+        col("n_chars").cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val w = (nc % 24 + 9).toInt
+          val h = (nc * 7 % 24 + 8).toInt
+          val cls = (id % 16).toInt
+          val a = aBase + (cls % 4) * aStep
+          val b = bBase + (cls / 4) * bStep
+          (id, "image", Multimodal.gradientPng(w, h, a, b), nc)
+        }
+      }
+      .toDF("id", "modality", "content", "metaLen")
+  }
+
+  /** `d` + `hx` CTEs: the arithmetic replay of decode → 9×8 nearest
+    * resample → dHash for [[gradientClassMedia]]'s fixture, emitting
+    * (doc_id, hash_lo, hash_hi).
+    */
+  private def sqlPhashCtes(
+      aBase: Int, aStep: Int, bBase: Int, bStep: Int): String = s"""
+        d AS (SELECT doc_id,
+                     (n_chars % 24 + 9) AS w,
+                     (n_chars * 7 % 24 + 8) AS h,
+                     ($aBase + ((doc_id % 16) % 4) * $aStep) AS a,
+                     ($bBase + ((doc_id % 16) // 4) * $bStep) AS b
+              FROM documents),
+        hx AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS hash_lo,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hash_hi
+               FROM d)"""
+
   val all: Seq[GQuery] = Seq(
     // Decode-stage metadata (stub decoder: rolling-hash pseudo dims +
     // mean byte value).
@@ -290,6 +347,8 @@ object MultimodalQueries {
       """)
     ),
     // Perceptual-hash image dedup over the REAL decode path: gradient PNG
+    // (fixture + arithmetic-oracle CTEs shared with mm_phash_pairs via
+    // gradientClassMedia/sqlPhashCtes — one definition of the hash)
     // fixtures in 16 gradient classes (pixel = (a·x + b·y) % 256, class
     // params from doc_id) at per-doc sizes, decoded with javax.imageio,
     // dHashed (9×8 nearest downsample, one gradient-sign bit per 8×8
@@ -300,56 +359,17 @@ object MultimodalQueries {
     // visual-dedup pipeline is hash-checked.
     GQuery(
       "mm_phash_dedup",
-      (spark, dir) => {
-        import spark.implicits._
-        val docs = t(spark, dir, "documents")
-          .select(
-            col("doc_id").cast("long").as("id"),
-            col("n_chars").cast("long").as("nc")
-          )
-        val media = docs
-          .as[(Long, Long)]
-          .mapPartitions { it =>
-            it.map { case (id, nc) =>
-              val w = (nc % 24 + 9).toInt
-              val h = (nc * 7 % 24 + 8).toInt
-              val cls = (id % 16).toInt
-              val a = 1 + (cls % 4) * 3
-              val b = 2 + (cls / 4) * 3
-              (id, "image", Multimodal.gradientPng(w, h, a, b), nc)
-            }
-          }
-          .toDF("id", "modality", "content", "metaLen")
+      (spark, dir) =>
         Multimodal
-          .dHash(spark, media)
+          .dHash(spark, gradientClassMedia(spark, dir, 1, 3, 2, 3))
           .toDF()
           .groupBy(col("hashHi"), col("hashLo"))
           .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_n"))
           .select(
             col("hashHi").as("hash_hi"), col("hashLo").as("hash_lo"),
-            col("canonical_id"), col("group_n"))
-      },
-      Some("""
-        WITH d AS (SELECT doc_id,
-                          (n_chars % 24 + 9) AS w,
-                          (n_chars * 7 % 24 + 8) AS h,
-                          (1 + ((doc_id % 16) % 4) * 3) AS a,
-                          (2 + ((doc_id % 16) // 4) * 3) AS b
-                   FROM documents),
-        hx AS (SELECT doc_id,
-                 list_sum(list_transform(generate_series(0, 3), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
-                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
-                   AS hash_lo,
-                 list_sum(list_transform(generate_series(4, 7), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
-                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
-                   AS hash_hi
-               FROM d)
+            col("canonical_id"), col("group_n")),
+      Some(s"""
+        WITH ${sqlPhashCtes(1, 3, 2, 3)}
         SELECT hash_hi::BIGINT AS hash_hi, hash_lo::BIGINT AS hash_lo,
                min(doc_id)::BIGINT AS canonical_id, count(*)::BIGINT AS group_n
         FROM hx GROUP BY 1, 2
@@ -366,26 +386,9 @@ object MultimodalQueries {
     GQuery(
       "mm_phash_pairs",
       (spark, dir) => {
-        import spark.implicits._
-        val docs = t(spark, dir, "documents")
-          .select(
-            col("doc_id").cast("long").as("id"),
-            col("n_chars").cast("long").as("nc")
-          )
-        val media = docs
-          .as[(Long, Long)]
-          .mapPartitions { it =>
-            it.map { case (id, nc) =>
-              val w = (nc % 24 + 9).toInt
-              val h = (nc * 7 % 24 + 8).toInt
-              val cls = (id % 16).toInt
-              val a = 30 + (cls % 4) * 7
-              val b = 25 + (cls / 4) * 9
-              (id, "image", Multimodal.gradientPng(w, h, a, b), nc)
-            }
-          }
-          .toDF("id", "modality", "content", "metaLen")
-        val sig = Multimodal.dHash(spark, media).toDF()
+        val sig = Multimodal
+          .dHash(spark, gradientClassMedia(spark, dir, 30, 7, 25, 9))
+          .toDF()
           .select(col("id"), col("hashHi").as("hi32"), col("hashLo").as("lo32"))
           .withColumn("b0", col("lo32").bitwiseAND(lit(65535L)))
           .withColumn("b1", shiftright(col("lo32"), 16))
@@ -409,30 +412,11 @@ object MultimodalQueries {
             col("doc_a"), col("doc_b"),
             col("hamming").cast("long").as("hamming"))
       },
-      Some("""
-        WITH d AS (SELECT doc_id,
-                          (n_chars % 24 + 9) AS w,
-                          (n_chars * 7 % 24 + 8) AS h,
-                          (30 + ((doc_id % 16) % 4) * 7) AS a,
-                          (25 + ((doc_id % 16) // 4) * 9) AS b
-                   FROM documents),
-        hx AS (SELECT doc_id,
-                 list_sum(list_transform(generate_series(0, 3), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
-                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
-                   AS lo32,
-                 list_sum(list_transform(generate_series(4, 7), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)) % 256)
-                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
-                   AS hi32
-               FROM d),
-        s AS (SELECT doc_id, hi32, lo32,
-                     lo32 % 65536 AS b0, lo32 // 65536 AS b1,
-                     hi32 % 65536 AS b2, hi32 // 65536 AS b3
+      Some(s"""
+        WITH ${sqlPhashCtes(30, 7, 25, 9)},
+        s AS (SELECT doc_id, hash_hi AS hi32, hash_lo AS lo32,
+                     hash_lo % 65536 AS b0, hash_lo // 65536 AS b1,
+                     hash_hi % 65536 AS b2, hash_hi // 65536 AS b3
               FROM hx),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

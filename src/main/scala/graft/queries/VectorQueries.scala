@@ -176,12 +176,17 @@ object VectorQueries {
     GQuery(
       "knn_graph_vamana",
       (spark, dir) => {
-        // measures the PRUNE stage over the shared (memoized) graph
-        NNDescent
+        // measures the PRUNE stage over the shared (memoized) graph, and
+        // hands the materialized result to knn_graph_search (the
+        // hnsw_knn -> searchCache pattern: the next stage scores THE
+        // artifact this query just benchmarked, not a recompute)
+        val pruned = NNDescent
           .robustPrune(
             sharedGraph(spark, dir), embOf(spark, dir), "id", "vec",
             alpha = 1.2, maxDegree = 8)
-          .select(col("src"), col("dst"), round(col("dist"), 4).as("dist"))
+          .localCheckpoint()
+        prunedCache.put(dir, pruned)
+        pruned.select(col("src"), col("dst"), round(col("dist"), 4).as("dist"))
       },
       None
     ),

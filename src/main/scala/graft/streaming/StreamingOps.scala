@@ -368,15 +368,25 @@ object StreamingOps {
         val gp = new org.apache.hadoop.fs.Path(graphPath)
         val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val hasGraph = fs.exists(gp)
+        // an empty trigger over an existing graph is a NO-OP: don't
+        // reread and rewrite identical parquet once per idle trigger
+        if (hasGraph && b.isEmpty) ()
+        else {
         b.write.mode("append").parquet(storePath)
         val store = spark.read.parquet(storePath)
+        // a persisted graph can legitimately be EMPTY (seed batch of 0-1
+        // vectors: every hash draw is a self-edge) — min(src) is then
+        // null, so route the degenerate case to a full rebuild instead
+        // of dereferencing it
+        val entryRow =
+          if (hasGraph) spark.read.parquet(graphPath).agg(min(col("src"))).head
+          else null
         val next =
-          if (!hasGraph || b.isEmpty) {
-            if (hasGraph) spark.read.parquet(graphPath)
-            else NNDescent.knnGraph(store, "id", "vec", k, iterations = 2)
+          if (entryRow == null || entryRow.isNullAt(0)) {
+            NNDescent.knnGraph(store, "id", "vec", k, iterations = 2)
           } else {
             val graph = spark.read.parquet(graphPath)
-            val entry = graph.agg(min(col("src"))).head.getLong(0)
+            val entry = entryRow.getLong(0)
             val cand = NNDescent
               .beamSearch(
                 graph, store, "id", "vec",
@@ -411,6 +421,7 @@ object StreamingOps {
         // materialize BEFORE overwriting the files the plan reads
         val out = next.localCheckpoint()
         out.write.mode("overwrite").parquet(graphPath)
+        }
       }
       .start()
 
