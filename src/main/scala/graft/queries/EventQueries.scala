@@ -66,6 +66,68 @@ object EventQueries {
         FROM g JOIN sizes ON sizes.cw = g.cw
       """)
     ),
+    // Banded INTERVAL join via bucket blocking — the missing join class
+    // next to equi (q2), as-of (q17), and range-predicate (knn): each
+    // purchase is matched to OTHER users' clicks within ±1 hour. The
+    // naive spelling is an inequality join (O(n·m) nested loop at any
+    // scale); the scale-honest plan bins both sides to hour buckets,
+    // replicates the purchase side to its 3 covering buckets (a click
+    // lives in exactly ONE bucket, so each qualifying pair meets exactly
+    // once — no distinct needed), equi-joins on the bucket, and applies
+    // the exact |Δt| predicate to bucket-mates only. Time in integer
+    // MICROSECONDS on both engines (unix_micros / epoch_us) — no
+    // float-epoch rounding divergence.
+    GQuery(
+      "q32_interval_join",
+      (spark, dir) => {
+        val hourUs = 3600L * 1000000L
+        val ev = events(spark, dir)
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("p_id"), col("user_id").as("p_user"),
+            unix_micros(col("ts")).as("p_us"))
+          .withColumn("b0", expr(s"p_us div ${hourUs}L"))
+          .select(
+            col("p_id"), col("p_user"), col("p_us"),
+            explode(array(
+              col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+        val c = ev
+          .filter(col("event_type") === "click")
+          .select(
+            col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("c_us"))
+          .withColumn("bucket", expr(s"c_us div ${hourUs}L"))
+        val matched = p
+          .join(c, Seq("bucket"))
+          .filter(
+            col("c_user") =!= col("p_user") &&
+              abs(col("p_us") - col("c_us")) <= hourUs)
+          .groupBy(col("p_id"))
+          .agg(count(lit(1)).as("n_nearby_clicks"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"))
+          .join(matched, Seq("p_id"), "left")
+          .select(
+            col("p_id"),
+            coalesce(col("n_nearby_clicks"), lit(0L)).as("n_nearby_clicks"))
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+                          epoch_us(ts) AS p_us
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us
+              FROM events WHERE event_type = 'click'),
+        m AS (SELECT p.p_id, count(*)::BIGINT AS n_nearby_clicks
+              FROM p JOIN c
+                ON c.c_user != p.p_user
+               AND abs(p.p_us - c.c_us) <= 3600000000
+              GROUP BY 1)
+        SELECT p.p_id, coalesce(m.n_nearby_clicks, 0)::BIGINT
+                 AS n_nearby_clicks
+        FROM p LEFT JOIN m ON m.p_id = p.p_id
+      """)
+    ),
     // F9: JSON extraction from props + grouped agg.
     GQuery(
       "q12_json_extract",

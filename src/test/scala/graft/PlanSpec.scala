@@ -373,6 +373,16 @@ class PlanSpec extends SparkSpec {
     assert(partial >= 0 && exchange > partial, p)
   }
 
+  test("q32: interval join runs as a bucket equi-join — no nested loop") {
+    val p = planOf("q32_interval_join")
+    // the inequality predicate must ride a bucket-keyed hash join, never
+    // a cartesian/nested-loop evaluation of |Δt| over all pairs
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("scans prune columns: q11 reads only the two needed orders columns") {
     val p = planOf("q11_orders_by_month")
     val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
