@@ -244,4 +244,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicatedSpans == brute-force reference on random small-alphabet corpora") {
+    import spark.implicits._
+    // small alphabet + short docs force plenty of genuine cross-doc
+    // window collisions, the regime where the hash/join/island pipeline
+    // has to agree with the obvious quadratic reference
+    val w = 6
+    val docGen = Gen.containerOfN[List, Char](30, Gen.oneOf('a', 'b'))
+      .map(_.mkString)
+    val corpusGen = Gen.containerOfN[List, String](8, docGen)
+    forSamples(corpusGen, n = 15) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.duplicatedSpans(df, "doc_id", "text", w, minDocs = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // reference: literal window extraction, cross-doc duplicate filter,
+      // interval merge — no hashing, no Spark
+      val wins = docs.zipWithIndex.flatMap { case (t, d) =>
+        (0 to t.length - w).map(s => (t.substring(s, s + w), d, s))
+      }
+      val dupWins = wins
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+        .values.flatten
+      val want = dupWins
+        .groupBy(_._2)
+        .flatMap { case (d, ws) =>
+          val iv = ws.map(x => (x._3, x._3 + w - 1)).toSeq.sortBy(_._1)
+          iv.foldLeft(List.empty[(Int, Int)]) {
+            case (acc @ ((s0, e0) :: rest), (s, e)) =>
+              if (s <= e0 + 1) (s0, math.max(e0, e)) :: rest
+              else (s, e) :: acc
+            case (Nil, span) => span :: Nil
+          }.map { case (s, e) => (d.toLong, s + 1L, e + 1L) }
+        }
+        .toSet
+      assert(got == want, s"docs=$docs")
+    }
+  }
 }
