@@ -1118,4 +1118,96 @@ object Dedup {
         col("span_len"), col("n_windows")
       )
   }
+
+  /** The k Bloom bit positions of a shingle: double hashing (Kirsch &
+    * Mitzenmacher 2006) over two independent xxhash64 draws, masked into a
+    * power-of-two bit space. Pure built-in column algebra — codegen'd on
+    * both the build and the probe side, and identical on both by
+    * construction.
+    */
+  private def bloomPositions(sh: Column, mBits: Int, k: Int): Seq[Column] = {
+    // both draws masked to 31 bits (h2 forced odd) so h1 + 15·h2 stays
+    // far below Long.MaxValue — ANSI mode makes a wrapping overflow an
+    // ERROR, so the combination must genuinely not overflow
+    val h1 = xxhash64(sh).bitwiseAND(lit(0x7fffffffL))
+    val h2 = xxhash64(sh, lit(0x9e3779b9L)).bitwiseAND(lit(0x7fffffffL))
+      .bitwiseOR(lit(1L))
+    (0 until k).map { i =>
+      (h1 + lit(i.toLong) * h2).bitwiseAND(lit((mBits - 1).toLong)).cast("int")
+    }
+  }
+
+  /** Bloom-filter decontamination — bit-identical to [[decontaminate]],
+    * with the eval-side shingle set carried to the train scan as a COMPACT
+    * Bloom bit array instead of a distinct-set join side. Two stages:
+    *
+    *   1. prefilter: every train shingle tests k bits of the broadcast
+    *      bit array (plan-embedded literal long array, element_at + shift
+    *      — stays inside whole-stage codegen). False positives pass,
+    *      false negatives cannot (every true eval shingle set its bits).
+    *   2. exact verify: only the surviving (doc_id, sh) candidates join
+    *      the true distinct eval shingle set, so the result is EXACT —
+    *      the Bloom only prunes the join's probe side.
+    *
+    * Scale: this is the 100 TB shape of decontamination. The eval corpus
+    * (benchmark suites) is tiny next to train but its distinct-shingle
+    * set is still millions of strings; as a broadcast hash set that is
+    * GBs of JVM strings per executor, as a Bloom it is `mBits/8` bytes
+    * (e.g. 128 MB worth of eval shingles → a 16 MB filter at 10 bits/key,
+    * ~1% FP). The bit array is built by a distributed OR-fold
+    * (`treeAggregate`) over the eval shingles — no driver-side set
+    * materialization — and the exact-verify join then touches only the
+    * ~(true hits + FP·|train shingles|) surviving rows.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      mBits: Int = 1 << 20,
+      kHashes: Int = 5
+  ): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "mBits: power of two >= 64")
+    require(kHashes >= 1 && kHashes <= 16, "kHashes in [1,16]")
+    val evalSh = shingles(eval, idCol, textCol, n).select(col("sh")).distinct()
+    val mWords = mBits >>> 6
+    val bits = evalSh
+      .select(array(bloomPositions(col("sh"), mBits, kHashes): _*).as("pos"))
+      .select(explode(col("pos")).as("pos"))
+      .rdd
+      .map(_.getInt(0))
+      .treeAggregate(new Array[Long](mWords))(
+        (acc, p) => { acc(p >>> 6) |= 1L << (p & 63); acc },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a }
+      )
+    val bitsLit = lit(bits)
+    // element_at is 1-based; positions are pre-masked < mBits, so the word
+    // index is a plain shift. The bit shift distance is a COLUMN, which the
+    // Scala `shiftright` wrapper doesn't accept — route through the SQL
+    // function, same codegen'd ShiftRight expression.
+    def testBit(pos: Column): Column =
+      call_function(
+        "shiftright",
+        element_at(bitsLit, shiftright(pos, 6) + 1),
+        pos.bitwiseAND(lit(63))
+      ).bitwiseAND(lit(1L)) === 1L
+    val mightContain = bloomPositions(col("sh"), mBits, kHashes)
+      .map(testBit)
+      .reduce(_ && _)
+    val trainSh = shingles(train, idCol, textCol, n)
+    val hits = trainSh
+      .filter(mightContain)
+      .join(evalSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated")
+      )
+  }
 }

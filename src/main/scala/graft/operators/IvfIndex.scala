@@ -453,4 +453,86 @@ object IvfIndex {
     val base = masked(spark, indexPath, baseFilter.fold(pruned)(pruned.filter))
     searchWithProbes(base, probes, qidCol, qvecCol, k)
   }
+
+  /** Per-cell covering radii of a built index: (cell, cvec, rmax) where
+    * rmax = max ||p − c|| over the cell's members. One hash aggregation
+    * over the index — at scale this is a build-time artifact computed
+    * once and persisted beside the centroids, not a per-query pass.
+    */
+  def cellRadii(
+      spark: SparkSession,
+      indexPath: String,
+      centroids: Array[Array[Double]]
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    load(spark, indexPath)
+      .join(broadcast(cents), "cell")
+      .groupBy(col("cell"))
+      .agg(max(sqrt(l2SqFast(col("vec"), col("cvec")))).as("rmax"))
+      .join(broadcast(cents), "cell")
+      .select(col("cell"), col("cvec"), col("rmax"))
+  }
+
+  /** Cells a range query must scan: by the triangle inequality, a cell
+    * with ||q − c|| > r + rmax(cell) provably contains no point within r
+    * of q, so dropping it cannot lose a match; every other cell is kept.
+    * `radius2` is the SQUARED threshold (the engine's range-search
+    * convention). The 1e-9 slack absorbs sqrt rounding so float noise in
+    * the PRUNE TEST can only over-include — exactness never rides on it.
+    */
+  def rangeProbeCells(
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      cellsWithRadii: DataFrame, // (cell, cvec, rmax) from [[cellRadii]]
+      radius2: Double
+  ): DataFrame =
+    queries
+      .select(col(qidCol), col(qvecCol))
+      .crossJoin(broadcast(cellsWithRadii))
+      .filter(
+        sqrt(l2SqFast(col(qvecCol), col("cvec"))) <=
+          lit(math.sqrt(radius2)) + col("rmax") + lit(1e-9)
+      )
+      .select(col(qidCol), col("cell"), col(qvecCol))
+
+  /** EXACT radius search over a built index — the range-query twin of
+    * [[searchPartitioned]]. Returns every (query, neighbor) pair with
+    * squared L2 ≤ radius2, identical to the brute-force scan
+    * ([[BruteForceKNN.rangeSearch]]): cell pruning drops only
+    * provably-empty cells and every candidate is verified exactly, so
+    * what the index buys a range query is the scan cut (pruned parquet
+    * directories), not an approximation. Per-query pruning happens twice:
+    * the union of probed cells statically prunes the scan, and the
+    * (qid, cell) equi-join restricts each query to ITS admissible cells.
+    */
+  def rangeSearchPartitioned(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      radius2: Double
+  ): DataFrame = {
+    val probes = rangeProbeCells(
+      queries, qidCol, qvecCol,
+      cellRadii(spark, indexPath, centroids), radius2
+    ).localCheckpoint()
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = load(spark, indexPath)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    masked(spark, indexPath, pruned)
+      .join(probes, "cell")
+      .select(
+        col(qidCol),
+        col("id").as("neighbor_id"),
+        l2SqFast(col(qvecCol), col("vec")).as("dist")
+      )
+      .filter(col("dist") <= radius2)
+  }
 }

@@ -368,4 +368,175 @@ object TextAnalysis {
             "0L, (acc, x) -> (acc * 31 + x) % " + P + "L)"
         ).as("fingerprint")
       )
+
+  /** BPE merge-rule training (Sennrich et al. 2016) over the corpus.
+    *
+    * The split follows how production tokenizer training actually scales:
+    * the CORPUS-SIZED pass is one distributed hash aggregation — token →
+    * weighted count (at 100 TB this is the only stage that touches the
+    * data, map-side combined on vocabulary keys) — and the merge loop
+    * then runs over the weighted vocabulary (bounded by |vocab|·maxLen,
+    * millions of entries, not corpus-sized) on the driver, exactly where
+    * HF/sentencepiece run it. Each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the most frequent (ties broken
+    * lexicographically — fully deterministic), and rewrites the vocab.
+    *
+    * Returns the learned merge table (merge_rank, left, right,
+    * pair_count) — the tokenizer artifact itself.
+    */
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .collect()
+    // vocab as mutable symbol sequences, weighted by word frequency
+    var vocab: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      val best = pairCounts.toSeq
+        .filter(_._2 >= minPairCount)
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .headOption
+      best match {
+        case None => done = true
+        case Some(((l, r), c)) =>
+          merges += ((rank, l, r, c))
+          val merged = l + r
+          vocab = vocab.map { case (syms, wc) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += merged; i += 2 // greedy left-to-right, no overlap
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, wc)
+          }
+          rank += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned merge table: tokenize each document's words with the
+    * merges in rank order (each merge rewrites every non-overlapping
+    * occurrence left-to-right, mirroring [[bpeMerges]]'s training
+    * rewrite). The merge list is driver-small (numMerges rows) and ships
+    * inside the task closure; the kernel runs embarrassingly parallel
+    * per partition. Returns (doc_id, n_words, n_tokens, tokens_hash) —
+    * the fingerprint keeps the full token stream checkable without
+    * shipping it.
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nTok = 0L
+          var h = 0L
+          words.foreach { w =>
+            var syms = w.map(_.toString).toArray
+            ms.foreach { case (l, r) =>
+              if (syms.length > 1) {
+                val out = scala.collection.mutable.ArrayBuffer[String]()
+                var i = 0
+                while (i < syms.length) {
+                  if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                    out += (l + r); i += 2
+                  } else { out += syms(i); i += 1 }
+                }
+                syms = out.toArray
+              }
+            }
+            nTok += syms.length
+            syms.foreach { s => h = (h * 31 + s.hashCode.toLong) % P }
+          }
+          (id, words.length.toLong, nTok, h)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "tokens_hash")
+  }
+
+  /** PMI-ranked bigram collocations over the corpus token stream:
+    * pointwise mutual information as the LIFT ratio
+    * `p(xy) / (p(x)·p(y)) = c_xy·N² / (B·c_x·c_y)` (N tokens, B bigram
+    * positions) — the log is monotone, so ranking by the ratio ranks by
+    * PMI while keeping the score a deterministic double both engines
+    * compute bit-identically from exact counts. Returns
+    * (bigram, n_pair, lift) for bigrams seen ≥ minCount times.
+    *
+    * Scale: two hash aggregations (unigrams, bigrams) — both partial-agg
+    * map-side combined on low-cardinality vocab keys — plus joins of the
+    * bigram table against the broadcast-sized unigram table and the
+    * 1-row totals. No per-doc state, no windows; linear in corpus tokens.
+    */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5
+  ): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bg = toks
+      .select(
+        explode(
+          when(
+            size(col("t")) >= 2,
+            expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")
+          ).otherwise(array())
+        ).as("bigram")
+      )
+    val bcnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+    val totals = uni
+      .agg(count(lit(1)).as("n_tok"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_bg")))
+    bcnt
+      .filter(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(ucnt.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(ucnt.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bigram"),
+        col("n_pair"),
+        round(
+          col("n_pair").cast("double") * col("n_tok") * col("n_tok") /
+            (col("n_bg").cast("double") * col("c1") * col("c2")),
+          6
+        ).as("lift")
+      )
+  }
 }

@@ -386,6 +386,41 @@ object IvfQueries {
         FROM per GROUP BY nprobe
       """)
     ),
+    // EXACT range search THROUGH the IVF index: triangle-inequality cell
+    // pruning (skip cells with ||q−c|| > r + rmax(cell)) + exact verify,
+    // so the result is identical to the brute-force scan and the oracle
+    // is the plain cross-join range SQL — no IVF mirror needed. The index
+    // buys the scan cut; correctness never depends on the probe choice.
+    GQuery(
+      "ivf_range",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = sharedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .rangeSearchPartitioned(
+            spark, index, q, "query_id", "qv", cents, 1.25)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist
+        FROM d WHERE dist <= 1.25
+      """)
+    ),
     // IVF index introspection: per-cell occupancy and mean quantization
     // distortion (L2² to the assigned centroid). Cell skew is THE
     // operational concern for IVF at scale — a hot cell caps probe

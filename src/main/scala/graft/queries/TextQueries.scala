@@ -996,6 +996,43 @@ object TextQueries {
         WHERE d.doc_id % 50 != 0
       """)
     ),
+    // Bloom-prefiltered exact decontamination: the eval shingle set rides
+    // to the train scan as a 64 Kbit plan-embedded Bloom filter (codegen
+    // bit tests), with an exact verify join over only the survivors — the
+    // 100 TB shape of the same query (a compact filter instead of a
+    // GB-scale broadcast string set). The Bloom cannot produce false
+    // negatives, so the result — and the oracle — are IDENTICAL to
+    // pipeline_decontaminate's.
+    GQuery(
+      "pipeline_decontaminate_bloom",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5, mBits = 1 << 16, kHashes = 5
+        )
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        ng AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(t) - 4),
+                        i -> array_to_string(t[i:i+4], ' ')))) AS sh
+               FROM tok WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT sh FROM ng WHERE doc_id % 50 = 0),
+        hits AS (SELECT ng.doc_id, count(*) AS n_hits
+                 FROM ng JOIN ev USING (sh)
+                 WHERE ng.doc_id % 50 != 0
+                 GROUP BY ng.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 != 0
+      """)
+    ),
     // Boilerplate span coverage (the token-stream analog of RefinedWeb
     // line-level dedup): 5-token spans occurring in >= 2 distinct docs
     // are boilerplate; each doc reports the fraction of its span
@@ -1372,6 +1409,65 @@ object TextQueries {
                  AS token_id
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w
+      """)
+    ),
+    // BPE tokenizer TRAINING (Sennrich 2016): the corpus-sized pass is
+    // one distributed word-count hash agg; the merge loop runs over the
+    // weighted vocabulary. Iterative + greedy — SQL-inexpressible, so
+    // rows-only here; DedupTextSpec gates the merge sequence on a
+    // hand-computed fixture and the compression monotonicity.
+    GQuery(
+      "text_bpe_train",
+      (spark, dir) =>
+        TextAnalysis.bpeMerges(
+          t(spark, dir, "documents"), "text", numMerges = 24),
+      None
+    ),
+    // Encoding under the learned merges: per-doc word/token counts + a
+    // rolling fingerprint of the token stream (rows-only; spec-gated
+    // round-trip + monotone-compression invariants).
+    GQuery(
+      "text_bpe_encode",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val ms = TextAnalysis
+          .bpeMerges(docs, "text", numMerges = 24)
+          .orderBy(col("merge_rank"))
+          .collect()
+          .map(r => (r.getString(1), r.getString(2)))
+          .toSeq
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", ms)
+      },
+      None
+    ),
+    // PMI collocations: bigram lift c_xy·N²/(B·c_x·c_y) over exact
+    // counts — rank-equivalent to PMI (log is monotone) with the score a
+    // deterministic double both engines compute identically. Two hash
+    // aggs + broadcast unigram joins; linear in corpus tokens.
+    GQuery(
+      "text_collocations",
+      (spark, dir) =>
+        TextAnalysis.collocations(
+          t(spark, dir, "documents"), "text", minCount = 5),
+      Some("""
+        WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM tok),
+        ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        tot AS (SELECT (SELECT count(*) FROM uni) AS n_tok),
+        bg AS (SELECT unnest(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+               FROM tok WHERE len(t) >= 2),
+        btot AS (SELECT count(*) AS n_bg FROM bg),
+        bcnt AS (SELECT bigram, count(*) AS n_pair FROM bg
+                 GROUP BY bigram HAVING count(*) >= 5)
+        SELECT b.bigram, b.n_pair::BIGINT AS n_pair,
+               round(b.n_pair::DOUBLE * t.n_tok * t.n_tok /
+                     (bt.n_bg::DOUBLE * u1.c * u2.c), 6) AS lift
+        FROM bcnt b
+        JOIN ucnt u1 ON u1.w = string_split(b.bigram, ' ')[1]
+        JOIN ucnt u2 ON u2.w = string_split(b.bigram, ' ')[2]
+        CROSS JOIN tot t CROSS JOIN btot bt
       """)
     ),
     // D11 sketch path, frequent-items edition: Misra-Gries heavy hitters

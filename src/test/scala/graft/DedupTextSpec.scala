@@ -225,6 +225,59 @@ class DedupTextSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getBoolean(2))
   }
 
+  test("decontaminateBloom == decontaminate, even under a tiny high-FP filter") {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Dedup.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // roomy filter (low FP) and a deliberately saturated 64-bit filter
+    // (every probe likely passes): the verify join must keep both exact
+    for (mBits <- Seq(1 << 16, 64)) {
+      val bloom = Dedup
+        .decontaminateBloom(train, eval, "doc_id", "text", n = 5, mBits = mBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(bloom == exact, s"mBits=$mBits diverged")
+    }
+  }
+
+  test("bpeMerges: hand-computed merge sequence, weighted + deterministic ties") {
+    val fix = Seq((1L, "aa aa aaa"), (2L, "ab")).toDF("doc_id", "text")
+    // word counts: aa->2, aaa->1, ab->1
+    // round 0 pairs: (a,a) = 2*1 + 1*2 = 4; (a,b) = 1 -> merge (a,a) @ 4
+    // after rewrite: [aa]x2, [aa,a]x1, [a,b]x1
+    // round 1 pairs: (aa,a) = 1, (a,b) = 1, both < minPairCount=2 -> stop
+    val m = TextAnalysis.bpeMerges(fix, "text", numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((0, "a", "a", 4L)))
+    // tie-break: (a,b) and (c,d) both count 2 -> lexicographically first
+    val tie = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val mt = TextAnalysis.bpeMerges(tie, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(mt == Seq(("a", "b")))
+  }
+
+  test("bpeEncode: round-trip counts and monotone compression in merges") {
+    val m1 = Seq(("a", "a"))
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, "aa aaa b")).toDF("doc_id", "text"), "doc_id", "text", m1)
+      .collect().head
+    // "aa"->[aa]=1 tok, "aaa"->[aa,a]=2, "b"->[b]=1
+    assert(enc.getLong(1) == 3L && enc.getLong(2) == 4L)
+    // more merges can only shorten the token stream
+    val docs = Q.t(spark, sf0001, "documents")
+    val totalFor = (k: Int) => {
+      val ms =
+        if (k == 0) Seq.empty[(String, String)]
+        else TextAnalysis.bpeMerges(docs, "text", k).orderBy(col("merge_rank"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", ms)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+    }
+    val t0 = totalFor(0); val t8 = totalFor(8); val t24 = totalFor(24)
+    assert(t0 >= t8 && t8 >= t24, s"not monotone: $t0 $t8 $t24")
+    assert(t24 < t0, "24 merges compressed nothing")
+  }
+
   test("boilerplate: hand-computed span coverage, positions counted per occurrence") {
     val fix = Seq(
       (1L, "a b c"),     // spans(2): "a b", "b c"

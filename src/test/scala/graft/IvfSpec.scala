@@ -33,6 +33,59 @@ class IvfSpec extends SparkSpec {
     assert(mem.except(disk).count() == 0 && disk.except(mem).count() == 0)
   }
 
+  test("rangeSearchPartitioned == brute force at every radius; pruning bites") {
+    val path = java.nio.file.Files.createTempDirectory("ivfrange").toString + "/idx"
+    IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+    val base = emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    for (r2 <- Seq(0.6, 1.25, 3.0)) {
+      val pruned = IvfIndex.rangeSearchPartitioned(
+        spark, path, queries, "query_id", "qv", cents, r2)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = queries.crossJoin(base)
+        .filter(graft.functions.VectorExpressions
+          .l2SqFast(col("qv"), col("bv")) <= r2)
+        .select(col("query_id"), col("neighbor_id"))
+      assert(pruned.except(brute).count() == 0 &&
+        brute.except(pruned).count() == 0, s"radius2=$r2 diverged")
+    }
+    // pruning needs clustered geometry (near-random high-dim data has
+    // every cell's covering ball overlapping every query — nothing is
+    // provably empty, and the spec above only demands exactness there).
+    // On tight clusters around separated centroids, a radius smaller
+    // than the centroid gaps must drop most (query, cell) pairs.
+    import spark.implicits._
+    val cluster = (0 until 4).flatMap { c =>
+      (0 until 25).map { j =>
+        val v = Array.fill(8)(c * 10.0)
+        v(j % 8) += 0.01 * (j + 1) // jitter within 0.25 of the center
+        ((c * 25 + j).toLong, v.toSeq)
+      }
+    }.toDF("vec_id", "vec")
+    val cCents = (0 until 4)
+      .map(c => Array.fill(8)(c * 10.0)).toArray
+    val cPath = java.nio.file.Files.createTempDirectory("ivfrangec").toString + "/idx"
+    IvfIndex.build(spark, cluster, "vec_id", "vec", cCents, cPath)
+    val cq = cluster.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val radii = IvfIndex.cellRadii(spark, cPath, cCents)
+    val nProbePairs = IvfIndex
+      .rangeProbeCells(cq, "query_id", "qv", radii, 1.0).count()
+    val nQ = cq.count()
+    // each query's own cluster only: exactly one admissible cell
+    assert(nProbePairs == nQ, s"expected $nQ probe pairs, got $nProbePairs")
+    // and the pruned search still equals brute force on this geometry
+    val cBase = cluster.select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    val prunedC = IvfIndex.rangeSearchPartitioned(
+      spark, cPath, cq, "query_id", "qv", cCents, 1.0)
+      .select(col("query_id"), col("neighbor_id"))
+    val bruteC = cq.crossJoin(cBase)
+      .filter(graft.functions.VectorExpressions
+        .l2SqFast(col("qv"), col("bv")) <= 1.0)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(prunedC.except(bruteC).count() == 0 &&
+      bruteC.except(prunedC).count() == 0)
+  }
+
   test("ivf_sq: nprobe = nCells equals flat SQ brute force (routing loses nothing)") {
     val model = ScalarQuantizer.train(emb, "vec")
     val codes = ScalarQuantizer.encodePartitioned(emb, "vec_id", "vec", model)
