@@ -223,14 +223,18 @@ object KMeans {
       seed: Long,
       maxIter: Int = 100,
       tol: Double = 1e-6,
-      initSample: Int = 10000
+      initSample: Int = 10000,
+      initCentroids: Option[Array[Array[Double]]] = None
   ): Result = {
     val spark = df.sparkSession
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
-    val sample = seededSample(vecs, initSample, seed)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    var centroids = KMeansLocal.kMeansPlusPlus(sample, k, new Random(seed))
+    var centroids = initCentroids.getOrElse {
+      val sample = seededSample(vecs, initSample, seed)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      KMeansLocal.kMeansPlusPlus(sample, k, new Random(seed))
+    }
+    require(centroids.length == k, s"init size ${centroids.length} != k=$k")
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -253,5 +257,115 @@ object KMeans {
       iter += 1
     }
     Result(centroids, iter)
+  }
+
+  /** Scalable k-means|| initialization (Bahmani et al. 2012) — the
+    * DISTRIBUTED replacement for k-means++'s inherently sequential D²
+    * sampling. Each of `rounds` passes samples every point independently
+    * with probability min(1, l·d²(x,C)/φ) (l = oversampleFactor·k, φ =
+    * current total cost), so one aggregation + one filter per round grows
+    * the candidate set by ~l regardless of data size; candidates are then
+    * weighted by the points they attract and reduced to k by a local
+    * weighted k-means++ over the ~rounds·l candidates. The per-point
+    * coin is an md5-uniform over (id, round, seed) — deterministic and
+    * partition-independent, so the init is bit-reproducible across runs
+    * and cluster layouts (same property as pipeline_sample_weighted's
+    * RNG-free sampling).
+    *
+    * Unlike [[fit]]'s `initSample` driver sample (capped — at 100 TB a
+    * 10k-row sample of a skewed corpus can miss small clusters), every
+    * point in the corpus gets a sampling coin each round.
+    */
+  def parallelInit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seed: Long,
+      rounds: Int = 5,
+      oversampleFactor: Int = 2
+  ): Array[Array[Double]] = {
+    import graft.functions.VectorExpressions.l2SqFast
+    val spark = df.sparkSession
+    val l = math.max(oversampleFactor * k, k)
+    val vecs = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")
+    )
+    val first = vecs.orderBy(col("id")).limit(1)
+      .collect()(0).getSeq[Double](1).toArray
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
+    var r = 0
+    var saturated = false
+    while (r < rounds && !saturated) {
+      val cLit = typedLit(centers.toSeq.map(_.toSeq))
+      val withD = vecs
+        .withColumn("c", assignCol(spark, centers.toArray, col("v")))
+        .withColumn("d2", l2SqFast(col("v"), element_at(cLit, col("c") + 1)))
+      val phi = withD.agg(sum(col("d2"))).head.getDouble(0)
+      if (phi <= 0) saturated = true // every point IS a center already
+      else {
+        val u = (conv(
+          substring(md5(concat(col("id"), lit(s":kmll:$r:$seed"))), 1, 14),
+          16, 10
+        ).cast("long") % 1000000L + 1L).cast("double") / lit(1000001.0)
+        centers ++= withD
+          .filter(u < lit(l.toDouble) * col("d2") / lit(phi))
+          .select(col("v"))
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        r += 1
+      }
+    }
+    val cArr = centers.toArray
+    if (cArr.length <= k) cArr
+    else {
+      // weight candidates by the points they attract (+1 so an
+      // empty-cell candidate stays selectable), then local weighted
+      // k-means++ over the candidate set only
+      val wMap = vecs
+        .withColumn("c", assignCol(spark, cArr, col("v")))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(row => row.getInt(0) -> row.getLong(1))
+        .toMap
+      val weights = cArr.indices.map(i => wMap.getOrElse(i, 0L) + 1L).toArray
+      weightedKMeansPlusPlus(cArr, weights, k, new Random(seed))
+    }
+  }
+
+  /** Weighted k-means++ over a driver-resident candidate set: D²·w
+    * sampling (chosen points have D² = 0, so re-picks cannot happen while
+    * any unchosen candidate remains).
+    */
+  private def weightedKMeansPlusPlus(
+      data: Array[Array[Double]],
+      weights: Array[Long],
+      k: Int,
+      rng: Random
+  ): Array[Array[Double]] = {
+    def draw(ws: Array[Double]): Int = {
+      val total = ws.sum
+      val t = rng.nextDouble() * total
+      var acc = 0.0
+      var i = 0
+      while (i < ws.length) {
+        acc += ws(i)
+        if (acc >= t) return i
+        i += 1
+      }
+      ws.length - 1
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    chosen += data(draw(weights.map(_.toDouble)))
+    while (chosen.length < k) {
+      val ws = Array.tabulate(data.length) { i =>
+        val d2 = chosen.iterator.map(c => KMeansLocal.l2Sq(data(i), c)).min
+        d2 * weights(i)
+      }
+      chosen += data(if (ws.sum <= 0) rng.nextInt(data.length) else draw(ws))
+    }
+    chosen.toArray
   }
 }

@@ -304,6 +304,31 @@ object PQQueries {
       },
       None
     ),
+    // k-means with k-means|| initialization (Bahmani 2012) — the fully
+    // distributed init path: every corpus point gets an md5-uniform
+    // sampling coin each round (no driver sample cap), candidates are
+    // weighted and reduced to k locally. Seeded-stochastic like
+    // kmeans_fit (rows-only); KMeansPQSpec gates determinism and
+    // cluster-coverage on separated geometry.
+    GQuery(
+      "kmeans_parallel_fit",
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val init = graft.operators.KMeans.parallelInit(
+          emb, "vec_id", "v", k = 8, seed = 42, rounds = 3)
+        val r = graft.operators.KMeans.fit(
+          emb, "v", k = 8, seed = 42, maxIter = 8, initCentroids = Some(init))
+        r.centroids.zipWithIndex
+          .flatMap { case (c, ci) =>
+            c.zipWithIndex.map { case (x, pos) => (ci.toLong, pos.toLong, x) }
+          }
+          .toSeq
+          .toDF("cluster", "pos", "cval")
+      },
+      None
+    ),
     // C4: k-means E-step assignment to 8 fixed full-dim centroids.
     GQuery(
       "kmeans_estep",

@@ -41,6 +41,37 @@ class KMeansPQSpec extends SparkSpec {
     }
   }
 
+  test("parallelInit: deterministic, covers separated clusters, feeds fit") {
+    import org.apache.spark.sql.functions.col
+    val data = clustered(4, seed = 11)
+    val df = data.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("id", "v")
+    val i1 = KMeans.parallelInit(df, "id", "v", k = 3, seed = 5, rounds = 3)
+    val i2 = KMeans.parallelInit(df, "id", "v", k = 3, seed = 5, rounds = 3)
+    assert(i1.map(_.toSeq).toSeq == i2.map(_.toSeq).toSeq, "not deterministic")
+    assert(i1.length == 3)
+    // every true cluster center has an init centroid nearby: the ||
+    // rounds give every point a coin, so no separated cluster is missed
+    Seq(0.0, 10.0, 20.0).foreach { c =>
+      val center = Array.fill(4)(c)
+      val nearest = i1.map(KMeansLocal.l2Sq(_, center)).min
+      assert(nearest <= 4.0 * 4, s"cluster at $c missed, d2=$nearest")
+    }
+    // and Lloyd from that init recovers the structure exactly like the
+    // ++-seeded path
+    val r = KMeans.fit(df, "v", k = 3, seed = 5, initCentroids = Some(i1))
+    val found = r.centroids.map(_.head).sorted
+    Seq(0.0, 10.0, 20.0).zip(found).foreach { case (e, f) =>
+      assert(math.abs(f - e) <= 2.0, s"centroid $f vs $e")
+    }
+    // real-data smoke: k centroids out of the embeddings table
+    val emb = graft.queries.Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val ri = KMeans.parallelInit(emb, "vec_id", "v", k = 8, seed = 42, rounds = 2)
+    assert(ri.length == 8 && ri.map(_.toSeq).distinct.length == 8)
+  }
+
   test("seededSample: narrow plan (no sort/range shuffle), deterministic") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.queries.Q.t(spark, sf0001, "embeddings").select(col("embedding"))
