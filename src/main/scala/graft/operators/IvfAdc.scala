@@ -32,6 +32,14 @@ object IvfAdc {
 
   /** (id, cell, code) residual-code table under the given coarse
     * centroids + PQ model.
+    *
+    * Optional `rotate`: an orthonormal rotation applied to every residual
+    * before PQ — the OPQ composition (Ge et al. 2013 on top of Jégou
+    * §IV): rotating residuals redistributes their variance across the M
+    * subspaces while preserving every distance, so the same LUT-ADC
+    * search runs unchanged in rotated space. Must be a column-to-column
+    * isometry (e.g. [[Opq]]'s learned R or a fixed signed permutation);
+    * the SAME rotation must be passed to [[search]].
     */
   def encode(
       spark: SparkSession,
@@ -39,7 +47,8 @@ object IvfAdc {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      model: PQModel
+      model: PQModel,
+      rotate: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
   ): DataFrame = {
     import spark.implicits._
     val cents = centroids.zipWithIndex
@@ -48,6 +57,7 @@ object IvfAdc {
     IvfIndex.assign(spark, df, idCol, vecCol, centroids)
       .join(broadcast(cents), "cell")
       .withColumn("resid", expr("zip_with(vec, cvec, (x, y) -> x - y)"))
+      .withColumn("resid", rotate.fold(col("resid"))(f => f(col("resid"))))
       .select(
         col("id"), col("cell"),
         ProductQuantizer.encodeCol(model, col("resid")).as("code")
@@ -118,12 +128,13 @@ object IvfAdc {
       centroids: Array[Array[Double]],
       model: PQModel,
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      rotate: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
   ): DataFrame =
     searchWithProbes(
       spark, index,
       IvfIndex.probeCells(spark, queries, qidCol, qvecCol, centroids, nprobe),
-      qidCol, qvecCol, centroids, model, k
+      qidCol, qvecCol, centroids, model, k, rotate
     )
 
   /** LUT derivation + candidate ADC scan over a precomputed
@@ -139,17 +150,20 @@ object IvfAdc {
       qvecCol: String,
       centroids: Array[Array[Double]],
       model: PQModel,
-      k: Int
+      k: Int,
+      rotate: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
   ): DataFrame = {
     import spark.implicits._
     val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cvec")
     // (qid, cell, lut): one LUT per probed (query, cell) pair, from the
-    // query's residual against that cell's centroid
+    // query's residual against that cell's centroid (rotated like the
+    // stored codes when an OPQ rotation is in play)
     val luts = probes
       .join(broadcast(cents), "cell")
       .withColumn("qresid", expr(s"zip_with($qvecCol, cvec, (x, y) -> x - y)"))
+      .withColumn("qresid", rotate.fold(col("qresid"))(f => f(col("qresid"))))
       .select(
         col("cell"), col(qidCol),
         ProductQuantizer.lutCol(model, col("qresid")).as("lut")

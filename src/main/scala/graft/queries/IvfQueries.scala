@@ -529,6 +529,41 @@ object IvfQueries {
         FROM rr WHERE rnk <= $K
       """)
     ),
+    // OPQ-rotated IVFADC (Ge 2013 on Jégou §IV): residuals pass through
+    // the fixed signed-permutation rotation (orthonormal — distances
+    // preserved, SQL-expressible) before PQ, on both the stored codes and
+    // the query LUTs. Same fixed codebooks, same LUT-ADC search; the
+    // oracle derives from the SAME CTE chain as ivfadc_knn with the
+    // rotation injected, so the two cannot drift. The learned-R OPQ path
+    // keeps its own spec gates (OpqSpec).
+    GQuery(
+      "ivfadc_opq_knn",
+      (spark, dir) => {
+        val (emb, cents, model, _) = ivfadcSetup(spark, dir)
+        val rot = Some((c: org.apache.spark.sql.Column) =>
+          transform(sequence(lit(0), lit(63)), p =>
+            when(p % 5 === 0, lit(-1.0)).otherwise(lit(1.0)) *
+              element_at(c, p * 37 % 64 + 1)))
+        val index = IvfAdc.encode(
+          spark, emb, "vec_id", "vec", cents, model, rot)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfAdc
+          .search(
+            spark, index, q, "query_id", "qv", cents, model, K, NPROBE, rot)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH $ivfadcOpqCtes
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // IVF-SQ: cell-routed search over SCALAR-quantized codes — the third
     // compressed-IVF layout next to ivfadc (PQ residuals) and ivf_knn
     // (raw vectors). SQ training is a deterministic min/max aggregate, so
@@ -639,7 +674,11 @@ object IvfQueries {
   /** The IVFADC oracle CTE chain through `r` (ADC distances ranked per
     * query) — shared by ivfadc_knn and ivfadc_rerank.
     */
-  private lazy val ivfadcCtes = s"""cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+  /** `rot` wraps a residual-list SQL expression: identity for plain
+    * IVFADC, the fixed signed permutation for the OPQ-rotated variant —
+    * one CTE chain serves both oracles, so they cannot drift.
+    */
+  private def ivfadcCtesWith(rot: String => String): String = s"""cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
                       FROM embeddings WHERE vec_id < $NCELLS),
         cb AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
                FROM embeddings WHERE vec_id < 4),
@@ -653,8 +692,7 @@ object IvfQueries {
                                                  ORDER BY dist, ck) AS rn
                        FROM ad) WHERE rn = 1),
         res AS (SELECT e.vec_id, a.cell,
-                       list_transform(generate_series(1, 64),
-                         j -> e.ev[j] - cent.cv[j]) AS rv
+                       ${rot("list_transform(generate_series(1, 64), j -> e.ev[j] - cent.cv[j])")} AS rv
                 FROM e JOIN assigned a ON a.vec_id = e.vec_id
                 JOIN cent ON cent.ck = a.cell),
         rd AS (SELECT res.vec_id, ms.m, cb.ck,
@@ -676,8 +714,7 @@ object IvfQueries {
                                                ORDER BY dist, ck) AS rn
                      FROM pd) WHERE rn <= $NPROBE),
         qres AS (SELECT p.query_id, p.cell,
-                        list_transform(generate_series(1, 64),
-                          j -> q.qv[j] - cent.cv[j]) AS qrv
+                        ${rot("list_transform(generate_series(1, 64), j -> q.qv[j] - cent.cv[j])")} AS qrv
                  FROM probes p
                  JOIN q ON q.query_id = p.query_id
                  JOIN cent ON cent.ck = p.cell),
@@ -697,4 +734,16 @@ object IvfQueries {
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk
               FROM adc)"""
+
+  private lazy val ivfadcCtes = ivfadcCtesWith(identity)
+
+  /** The pq_rotated signed permutation, applied to RESIDUAL lists (1-based
+    * DuckDB indexing): out[p+1] = sign(p) * in[(p*37) % 64 + 1].
+    */
+  private def sqlRot(inner: String): String =
+    s"""list_transform(generate_series(0, 63), p ->
+          (CASE WHEN p % 5 = 0 THEN -1.0 ELSE 1.0 END)
+            * ($inner)[(p*37) % 64 + 1])"""
+
+  private lazy val ivfadcOpqCtes = ivfadcCtesWith(sqlRot)
 }
