@@ -386,6 +386,9 @@ object MultimodalQueries {
     GQuery(
       "mm_phash_pairs",
       (spark, dir) => {
+        // the signature table feeds BOTH sides of all four band joins —
+        // materialize it once (id + two longs per image), or the
+        // decode+hash kernel re-runs 8× under the union
         val sig = Multimodal
           .dHash(spark, gradientClassMedia(spark, dir, 30, 7, 25, 9))
           .toDF()
@@ -394,6 +397,7 @@ object MultimodalQueries {
           .withColumn("b1", shiftright(col("lo32"), 16))
           .withColumn("b2", col("hi32").bitwiseAND(lit(65535L)))
           .withColumn("b3", shiftright(col("hi32"), 16))
+          .localCheckpoint()
         def band(c: String) = sig.as("a")
           .join(sig.as("b"),
             col(s"a.$c") === col(s"b.$c") && col("a.id") < col("b.id"))
