@@ -391,4 +391,42 @@ class PlanSpec extends SparkSpec {
     assert(!schemaLine.contains("o_orderpriority"), p)
     assert(!schemaLine.contains("o_custkey"), p)
   }
+
+  test("ivf_range: index scan partition-pruned by the admissible cell set") {
+    val q = SparkEntry.queries("ivf_range")(spark, sf0001)
+    val ep = q.queryExecution.executedPlan.toString
+    // same static pruning contract as ivf_knn: the union of per-query
+    // admissible cells becomes a partition IN-filter on the index scan
+    val scanLine = ep.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
+      .getOrElse("")
+    assert(scanLine.contains("IN ("), s"no cell partition filter:\n$ep")
+    // the probe side is the materialized localCheckpoint — the
+    // radii+crossJoin subtree is not re-evaluated in the result plan
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LogicalRDD"), s"probe side not materialized:\n$opt")
+    assert(!opt.contains("Join Cross"),
+      s"probe subtree re-evaluated inside the result plan:\n$opt")
+  }
+
+  test("pipeline_decontaminate_bloom: codegen bit-test prefilter BELOW the verify join") {
+    val q = SparkEntry.queries("pipeline_decontaminate_bloom")(spark, sf0001)
+    q.collect() // finalize AQE so WholeStageCodegen spans materialize
+    val p = q.queryExecution.executedPlan.toString
+    // the Bloom probe is plain column algebra (shiftright over the
+    // plan-embedded word array) evaluated as a FILTER under the exact
+    // verify join — candidates shrink before any shuffle
+    val filterAt = p.indexOf("shiftright")
+    assert(filterAt >= 0, s"no bloom bit-test filter in plan:\n$p")
+    val joinAt = p.indexOf("SortMergeJoin") max p.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, p)
+    assert(filterAt > joinAt,
+      s"bloom filter should sit below (after, in toString order) the verify join:\n$p")
+    // and the bit-test filter itself runs inside a whole-stage-codegen span
+    // (final AQE plans print codegen as a `*(n)` prefix on the operator line)
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("shiftright")).getOrElse("")
+    assert(filterLine.contains("*("),
+      s"bloom bit-test filter not codegen'd: $filterLine")
+  }
 }
