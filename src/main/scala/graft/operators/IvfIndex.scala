@@ -535,4 +535,58 @@ object IvfIndex {
       )
       .filter(col("dist") <= radius2)
   }
+
+  /** EXACT top-k through the IVF layout — two phases, both partition-
+    * pruned, no full scan:
+    *
+    *   1. probe the `nprobe` nearest cells ([[searchPartitioned]]) and
+    *      take each query's kth-best distance as an UPPER BOUND on its
+    *      true kth-neighbor distance (any k candidates give a valid
+    *      bound; fewer than k probed points → no bound → all cells);
+    *   2. by the triangle inequality, a cell with
+    *      ||q − c|| > sqrt(ub) + rmax(cell) provably contains no point
+    *      within the bound, so scanning only the admissible cells and
+    *      re-ranking exactly returns the TRUE top-k.
+    *
+    * The result is bit-identical to brute force (same (dist, id)
+    * tie-break) while the scan is cut to the admissible directories —
+    * the index buys exactness a scan reduction, not an approximation.
+    * How much it cuts is data-dependent: tight clusters prune hard;
+    * high-dimensional near-random data has cell radii comparable to
+    * inter-cell distances and may admit everything (the bound is still
+    * sound — the query degrades to a verified full scan, never to a
+    * wrong answer). The 1e-9 slack absorbs sqrt rounding so float noise
+    * can only over-include.
+    */
+  def exactSearchPartitioned(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val ub = searchPartitioned(
+      spark, indexPath, queries, qidCol, qvecCol, centroids, k, nprobe)
+      .groupBy(col(qidCol))
+      .agg(max(col("dist")).as("ub2"), count(lit(1)).as("nfound"))
+    val bounded = queries
+      .select(col(qidCol), col(qvecCol))
+      .join(ub, Seq(qidCol), "left")
+      .select(
+        col(qidCol), col(qvecCol),
+        when(col("nfound") >= k, sqrt(col("ub2")))
+          .otherwise(lit(Double.MaxValue)).as("rub")
+      )
+    val probes = bounded
+      .crossJoin(broadcast(cellRadii(spark, indexPath, centroids)))
+      .filter(
+        sqrt(l2SqFast(col(qvecCol), col("cvec"))) <=
+          col("rub") + col("rmax") + lit(1e-9)
+      )
+      .select(col(qidCol), col("cell"), col(qvecCol))
+    searchPartitionedWith(spark, indexPath, probes, qidCol, qvecCol, k)
+  }
 }

@@ -421,6 +421,49 @@ object IvfQueries {
         FROM d WHERE dist <= 1.25
       """)
     ),
+    // EXACT top-k THROUGH the IVF index — the kNN twin of ivf_range:
+    // phase 1 probes nprobe cells for a kth-distance upper bound, phase 2
+    // scans only the cells the triangle inequality cannot rule out, then
+    // re-ranks exactly. Bit-identical to brute force (the oracle is the
+    // plain cross-join kNN SQL — no IVF mirror needed); the index buys a
+    // scan cut that grows with cluster tightness, and on data where the
+    // bound admits everything the query degrades to a verified full scan,
+    // never to a wrong answer.
+    GQuery(
+      "ivf_exact_knn",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = sharedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .exactSearchPartitioned(
+            spark, index, q, "query_id", "qv", cents, K, NPROBE)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk")
+          )
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM d)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // IVF index introspection: per-cell occupancy and mean quantization
     // distortion (L2² to the assigned centroid). Cell skew is THE
     // operational concern for IVF at scale — a hot cell caps probe

@@ -241,6 +241,60 @@ class IvfSpec extends SparkSpec {
       .except(exact.select(col("query_id"), col("neighbor_id"))).count() == 0)
   }
 
+  test("exactSearchPartitioned == brute force (low nprobe, random data)") {
+    // near-random 64-d data is the WORST case for the triangle-inequality
+    // prune (cell balls overlap everything) — exactness must hold anyway,
+    // with the query degrading to a verified full scan.
+    val path = java.nio.file.Files.createTempDirectory("ivfexact").toString + "/idx"
+    IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+    val got = IvfIndex.exactSearchPartitioned(
+      spark, path, queries, "query_id", "qv", cents, k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val exact = graft.operators.BruteForceKNN.knn(
+      queries,
+      emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    assert(got.except(exact).count() == 0 && exact.except(got).count() == 0)
+  }
+
+  test("exactSearchPartitioned prunes cells on clustered geometry") {
+    // tight clusters around separated centroids: the phase-1 bound from
+    // probing the query's own cluster rules out every other cell, so the
+    // admissible probe count must collapse to ~1 cell/query while the
+    // answer stays bit-identical to brute force.
+    import spark.implicits._
+    val cluster = (0 until 4).flatMap { c =>
+      (0 until 25).map { j =>
+        val v = Array.fill(8)(c * 10.0)
+        v(j % 8) += 0.01 * (j + 1)
+        (c * 25L + j, v.toSeq)
+      }
+    }.toDF("vec_id", "vec")
+    val cc = (0 until 4).map(c => Array.fill(8)(c * 10.0)).toArray
+    val path = java.nio.file.Files.createTempDirectory("ivfexactc").toString + "/idx"
+    IvfIndex.build(spark, cluster, "vec_id", "vec", cc, path)
+    val q = cluster.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val got = IvfIndex.exactSearchPartitioned(
+      spark, path, q, "query_id", "qv", cc, k = 3, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val exact = graft.operators.BruteForceKNN.knn(
+      q, cluster.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    assert(got.except(exact).count() == 0 && exact.except(got).count() == 0)
+    // the admissible set itself: kth-dist bound + triangle inequality
+    // leaves exactly the home cell for every query (clusters are 10·√8
+    // apart; rmax ≈ 0.25, in-cluster kth-dist ≪ 1).
+    val ub = IvfIndex.searchPartitioned(
+      spark, path, q, "query_id", "qv", cc, k = 3, nprobe = 1)
+      .groupBy(col("query_id")).agg(max(sqrt(col("dist"))).as("rub"))
+    val admissible = q.join(ub, "query_id")
+      .crossJoin(broadcast(IvfIndex.cellRadii(spark, path, cc)))
+      .filter(sqrt(graft.functions.VectorExpressions.l2SqFast(col("qv"), col("cvec")))
+        <= col("rub") + col("rmax") + lit(1e-9))
+    assert(admissible.count() == q.count(), "expected exactly 1 admissible cell/query")
+  }
+
   test("nprobe = nCells degrades to exact search over all cells") {
     val all = IvfIndex.search(
       spark, IvfIndex.assign(spark, emb, "vec_id", "vec", cents),
