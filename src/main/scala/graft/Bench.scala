@@ -113,8 +113,19 @@ object Bench {
     spark.stop()
     val budget = 1600
     val bySlowest = timings.toSeq.sortBy(-_._2)
+    // the compact line's fixed head must stay bounded even in failure
+    // rounds: cap the error map at 5 entries of ≤80 chars each (the full
+    // messages are in fullLine / bench_full.json) so the trailing fields
+    // always survive the driver's 2000-char snapshot
+    val esCompact = {
+      val shown = errors.take(5)
+        .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v.take(80)) + "\"" }
+        .mkString("{", ",", "}")
+      if (errors.size <= 5) shown
+      else shown.dropRight(1) + s""","errors_omitted":"${errors.size - 5}"}"""
+    }
     val head =
-      s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${timings.size},"errors":$es,"queries":{"""
+      s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${timings.size},"errors":$esCompact,"queries":{"""
     val tail0 = s"""},"value":$total}"""
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var used = head.length + tail0.length + 30 // slack for queries_omitted

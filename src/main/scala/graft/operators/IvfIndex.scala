@@ -440,18 +440,32 @@ object IvfIndex {
       k: Int,
       baseFilter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
+    val (probes, base) = probesAndPrunedBase(spark, indexPath, probeTable, baseFilter)
+    searchWithProbes(base, probes, qidCol, qvecCol, k)
+  }
+
+  /** Shared probe-materialize + prune + mask step: evaluate the probe
+    * table ONCE (localCheckpoint), turn its distinct cells (≤ nCells —
+    * a bounded driver list, never data-sized) into a static partition
+    * filter on the index scan, and apply the tombstone mask to the
+    * pruned candidates only. A metadata predicate (FILTERED ANN)
+    * composes with the partition pruning: the cell filter prunes
+    * directories, the attribute filter pushes to parquet row groups —
+    * both reductions happen at the scan.
+    */
+  private def probesAndPrunedBase(
+      spark: SparkSession,
+      indexPath: String,
+      probeTable: DataFrame,
+      baseFilter: Option[org.apache.spark.sql.Column] = None
+  ): (DataFrame, DataFrame) = {
     val probes = probeTable.localCheckpoint()
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val pruned = load(spark, indexPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
-    // a metadata predicate (FILTERED ANN) composes with the partition
-    // pruning: the cell filter prunes directories, the attribute filter
-    // pushes to parquet row groups — both reductions happen at the scan.
-    // The tombstone mask (if a maintenance log exists) applies on top of
-    // the pruned candidates only — never the whole index.
     val base = masked(spark, indexPath, baseFilter.fold(pruned)(pruned.filter))
-    searchWithProbes(base, probes, qidCol, qvecCol, k)
+    (probes, base)
   }
 
   /** Per-cell covering radii of a built index: (cell, cvec, rmax) where
@@ -518,15 +532,13 @@ object IvfIndex {
       centroids: Array[Array[Double]],
       radius2: Double
   ): DataFrame = {
-    val probes = rangeProbeCells(
-      queries, qidCol, qvecCol,
-      cellRadii(spark, indexPath, centroids), radius2
-    ).localCheckpoint()
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val pruned = load(spark, indexPath)
-      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
-    masked(spark, indexPath, pruned)
+    val (probes, base) = probesAndPrunedBase(
+      spark, indexPath,
+      rangeProbeCells(
+        queries, qidCol, qvecCol,
+        cellRadii(spark, indexPath, centroids), radius2
+      ))
+    base
       .join(probes, "cell")
       .select(
         col(qidCol),
@@ -566,8 +578,10 @@ object IvfIndex {
       qvecCol: String,
       centroids: Array[Array[Double]],
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      cellsWithRadii: Option[DataFrame] = None // precomputed [[cellRadii]] — the build-time artifact; omitted = recompute (one index scan)
   ): DataFrame = {
+    val radii = cellsWithRadii.getOrElse(cellRadii(spark, indexPath, centroids))
     val ub = searchPartitioned(
       spark, indexPath, queries, qidCol, qvecCol, centroids, k, nprobe)
       .groupBy(col(qidCol))
@@ -581,7 +595,7 @@ object IvfIndex {
           .otherwise(lit(Double.MaxValue)).as("rub")
       )
     val probes = bounded
-      .crossJoin(broadcast(cellRadii(spark, indexPath, centroids)))
+      .crossJoin(broadcast(radii))
       .filter(
         sqrt(l2SqFast(col(qvecCol), col("cvec"))) <=
           col("rub") + col("rmax") + lit(1e-9)

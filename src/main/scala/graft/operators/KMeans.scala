@@ -292,8 +292,9 @@ object KMeans {
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")
     )
-    val first = vecs.orderBy(col("id")).limit(1)
-      .collect()(0).getSeq[Double](1).toArray
+    val firstRows = vecs.orderBy(col("id")).limit(1).collect()
+    require(firstRows.nonEmpty, "parallelInit: input DataFrame is empty")
+    val first = firstRows(0).getSeq[Double](1).toArray
     val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
     var r = 0
     var saturated = false
@@ -309,15 +310,43 @@ object KMeans {
           substring(md5(concat(col("id"), lit(s":kmll:$r:$seed"))), 1, 14),
           16, 10
         ).cast("long") % 1000000L + 1L).cast("double") / lit(1000001.0)
+        // sort sampled candidates by id: collect() order follows partition
+        // layout, and the downstream weighted k-means++ draws are
+        // index-sensitive — sorting makes the init layout-independent,
+        // honoring the bit-reproducibility claim above
         centers ++= withD
           .filter(u < lit(l.toDouble) * col("d2") / lit(phi))
-          .select(col("v"))
+          .select(col("id"), col("v"))
           .collect()
-          .map(_.getSeq[Double](0).toArray)
+          .map(row => (row.getLong(0), row.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+          .map(_._2)
         r += 1
       }
     }
-    val cArr = centers.toArray
+    val cArr0 = centers.toArray
+    val cArr =
+      if (cArr0.length >= k) cArr0
+      else {
+        // tiny or early-saturated inputs can leave fewer than k candidates;
+        // top up deterministically with the lowest-id points whose vectors
+        // aren't already candidates so fit()'s `length == k` precondition
+        // always holds. If the corpus has fewer than k distinct vectors,
+        // repeat the first one — empty-cluster carry absorbs the degenerate
+        // cells downstream.
+        val seen = scala.collection.mutable.HashSet[Seq[Double]](
+          cArr0.map(_.toSeq).toIndexedSeq: _*)
+        val extra = vecs.orderBy(col("id")).limit(k + cArr0.length)
+          .collect().iterator
+          .map(_.getSeq[Double](1))
+          .filterNot(seen.contains)
+          .take(k - cArr0.length)
+          .map(_.toArray)
+          .toArray
+        val topped = cArr0 ++ extra
+        if (topped.length >= k) topped
+        else topped ++ Array.fill(k - topped.length)(topped.head)
+      }
     if (cArr.length <= k) cArr
     else {
       // weight candidates by the points they attract (+1 so an

@@ -72,6 +72,24 @@ class KMeansPQSpec extends SparkSpec {
     assert(ri.length == 8 && ri.map(_.toSeq).distinct.length == 8)
   }
 
+  test("parallelInit: tiny input tops up to exactly k; empty input fails clearly") {
+    import org.apache.spark.sql.functions.col
+    // 3 points, k = 5: the candidate pool saturates below k and the
+    // deterministic top-up must still hand fit() exactly k centroids
+    val tiny = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), (2L, Seq(20.0, 20.0))
+    ).toDF("id", "v")
+    val init = KMeans.parallelInit(tiny, "id", "v", k = 5, seed = 7, rounds = 2)
+    assert(init.length == 5)
+    // all 3 distinct points survive as centroids; repeats fill the rest
+    assert(init.map(_.toSeq).distinct.length == 3)
+    val empty = tiny.filter(col("id") < 0)
+    val ex = intercept[IllegalArgumentException] {
+      KMeans.parallelInit(empty, "id", "v", k = 2, seed = 7)
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+
   test("seededSample: narrow plan (no sort/range shuffle), deterministic") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.queries.Q.t(spark, sf0001, "embeddings").select(col("embedding"))
