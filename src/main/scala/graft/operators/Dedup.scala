@@ -1046,12 +1046,17 @@ object Dedup {
     *
     * Scale: one window row per char position — the same O(total chars)
     * volume a suffix array indexes, with no pairwise enumeration
-    * anywhere. Windows travel as 56-bit md5-derived hashes (8-byte
-    * shuffle keys, never the strings), so the duplicate-window groupBy
-    * shuffles O(chars × 8B) and the df-filter is a plain equi-join on the
-    * long key (AQE handles hot boilerplate keys). The island merge is a
-    * per-doc sort inside one hash-partitioned window — state O(1) per
-    * doc, no driver collection.
+    * anywhere. Window hashing is a native Rabin–Karp rolling kernel
+    * ([[graft.functions.RollingHashWindowsExpr]]): ONE multiply-add per
+    * corpus character instead of a digest over every w-char window
+    * (O(chars), not O(chars × w)), emitting 8-byte shuffle keys — never
+    * the strings — so the duplicate-window groupBy shuffles O(chars × 8B)
+    * and the df-filter is a plain equi-join on the long key (AQE handles
+    * hot boilerplate keys). The hash is output-invisible (any
+    * equal-window-preserving key yields the same spans), which is what
+    * licenses the cheaper kernel against the oracle's md5 grouping. The
+    * island merge is a per-doc sort inside one hash-partitioned window —
+    * state O(1) per doc, no driver collection.
     */
   def duplicatedSpans(
       df: DataFrame,
@@ -1065,18 +1070,15 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .select(
         col("doc_id"),
-        explode(
-          when(
-            length(col("text")) >= w,
-            sequence(lit(1), length(col("text")) - (w - 1))
-          ).otherwise(array())
-        ).as("i"),
-        col("text")
+        posexplode(
+          graft.functions.RollingHashWindowsExpr
+            .rollingHashWindows(col("text"), w)
+        ).as(Seq("p", "h"))
       )
       .select(
         col("doc_id"),
-        col("i").cast("long").as("s"),
-        md5Long(expr(s"substring(text, i, $w)")).as("h")
+        (col("p") + 1).cast("long").as("s"),
+        col("h")
       )
       // evaluate ONCE: both the duplicate-hash aggregation and the
       // join-back consume this table, and recomputing it doubles the

@@ -21,15 +21,26 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Load the events table. Its `ts` is parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects — read nanos as long and truncate to
-    * microsecond timestamps (integer division, matching DuckDB's own ns→us
-    * truncation when it loads the same file).
+  /** Load the events table, normalizing `ts` to a session-TZ (UTC)
+    * TIMESTAMP whatever the parquet physical type is:
+    *  - TIMESTAMP(NANOS) (older driver data): the vectorized reader
+    *    rejects it — read nanos as long and truncate to microsecond
+    *    timestamps (integer division, matching DuckDB's own ns→us
+    *    truncation when it loads the same file);
+    *  - TIMESTAMP(MICROS) without timezone (current driver data): Spark
+    *    reads TIMESTAMP_NTZ — cast to TIMESTAMP, which under the UTC
+    *    session zone is epoch-identical to DuckDB's reading of the same
+    *    file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Order-insensitive exact double sum: route through a decimal so the

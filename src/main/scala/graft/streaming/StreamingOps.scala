@@ -31,16 +31,28 @@ object StreamingOps {
   ))
 
   /** Streaming read of an events directory (one file = one micro-batch via
-    * maxFilesPerTrigger=1), ts truncated to microsecond timestamps exactly
-    * like the batch loader.
+    * maxFilesPerTrigger=1), `ts` normalized to a session-TZ TIMESTAMP the
+    * same way as the batch loader ([[graft.queries.Q.events]]). A streaming
+    * source needs its schema up front, so peek at the existing files with a
+    * one-off batch read to learn the physical `ts` type (long nanos in
+    * older driver data, TIMESTAMP_NTZ micros in current).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType)
+    val schema = StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour

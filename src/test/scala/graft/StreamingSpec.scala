@@ -605,15 +605,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming funnel: time-ordered waves reach the batch min-ts chain counts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf0001/events.parquet") // ts = raw nanos
-    val cutNs = 1705276800L * 1000000000L // 2024-01-15T00:00:00Z
+    val raw = Q.events(spark, sf0001) // ts normalized to TIMESTAMP
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
     val dir = Files.createTempDirectory("funnelstream").toString
     // wave 2 is written only after wave 1 fully drains, so delivery is
     // time-ordered across batches (the regime where the greedy replay
     // equals the batch min-ts chain); coalesce(1) keeps each wave in one
     // file so maxFilesPerTrigger=1 can't interleave within a wave
-    raw.filter(col("ts") < cutNs).coalesce(1).write.parquet(s"$dir/w1")
+    raw.filter(col("ts") < cut).coalesce(1).write.parquet(s"$dir/w1")
     val stream = StreamingOps.funnelStream(
       StreamingOps.readEvents(spark, s"$dir/*"),
       Seq("signup", "view", "click", "purchase"))
@@ -621,7 +620,7 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("funnel").outputMode("update").start()
     try {
       q.processAllAvailable()
-      raw.filter(col("ts") >= cutNs).coalesce(1).write.parquet(s"$dir/w2")
+      raw.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$dir/w2")
       q.processAllAvailable()
     } finally q.stop()
     // stage is monotone per user -> the final state is the max emission

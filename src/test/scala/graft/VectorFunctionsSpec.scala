@@ -290,4 +290,48 @@ class VectorFunctionsSpec extends SparkSpec {
     ).eval(InternalRow.empty).asInstanceOf[Double]
     assert(short == 16.0, s"short-words sum $short")
   }
+
+  test("rolling_hash_windows: hash-equal iff window-equal; codegen == interpreted") {
+    import graft.functions.RollingHashWindowsExpr
+    import graft.functions.RollingHashWindowsExpr.rollingHashWindows
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = 5
+    // small alphabet forces genuine repeated windows
+    val rng = new scala.util.Random(23)
+    val texts = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(40 + rng.nextInt(60))("abc" (rng.nextInt(3))).mkString))
+    val df = texts.toDF("id", "text")
+    val got = df
+      .select(col("id"), posexplode(rollingHashWindows(col("text"), w)).as(Seq("p", "h")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // window count per doc and hash⇔substring agreement, both directions
+    val byDoc = got.groupBy(_._1)
+    texts.foreach { case (id, t) =>
+      assert(byDoc(id).length == t.length - w + 1, s"doc $id window count")
+    }
+    val pairs = got.map { case (id, p, h) =>
+      (texts(id.toInt)._2.substring(p, p + w), h)
+    }
+    val byWin = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byWin.values.forall(_.size == 1), "equal windows must hash equal")
+    val byHash = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(byHash.values.forall(_.size == 1), "distinct windows collided")
+    // interpreted eval == codegen path (same values through the DataFrame)
+    val interp = RollingHashWindowsExpr(
+      Literal.create(UTF8String.fromString(texts.head._2),
+        org.apache.spark.sql.types.StringType), w
+    ).eval(InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    assert(interp.toSeq == byDoc(0L).sortBy(_._2).map(_._3).toSeq)
+    // shorter-than-window and null inputs
+    val edge = Seq((1L, "abcd"), (2L, null: String)).toDF("id", "text")
+      .select(col("id"), rollingHashWindows(col("text"), w).as("hs"))
+      .collect()
+    assert(edge.find(_.getLong(0) == 1L).get.getSeq[Long](1).isEmpty)
+    assert(edge.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
 }
