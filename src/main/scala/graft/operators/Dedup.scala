@@ -1094,6 +1094,17 @@ object Dedup {
     val pos = wins
       .join(dup, "h")
       .select(col("doc_id"), col("s"), (col("s") + (w - 1)).as("e"))
+    mergeSpans(pos)
+  }
+
+  /** Gaps-and-islands merge of (doc_id, s, e) window hits into maximal
+    * disjoint spans — the shared tail of [[duplicatedSpans]] and
+    * [[contaminatedSpans]]. Per-doc sort inside one hash-partitioned
+    * window, state O(1) per doc, no driver collection. Overlapping OR
+    * adjacent (gap 0) windows merge; a ≥2-char gap starts a new span.
+    */
+  private def mergeSpans(pos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val isl = pos
       .withColumn(
@@ -1118,6 +1129,102 @@ object Dedup {
       .select(
         col("doc_id"), col("span_start"), col("span_end"),
         col("span_len"), col("n_windows")
+      )
+  }
+
+  /** Span-level decontamination (the surgical variant of
+    * [[decontaminate]]): maximal character spans of each training doc
+    * that appear verbatim (any length-`w` window) anywhere in the eval
+    * corpus. Doc-level decontamination drops a 10k-token document over
+    * one leaked benchmark sentence; span detection localizes the leak so
+    * [[scrubSpans]] can cut just the contaminated characters and keep
+    * the rest — the Lee et al. 2022 ExactSubstr move applied across
+    * corpora instead of within one.
+    *
+    * Returns (doc_id, span_start, span_end, span_len, n_windows), one
+    * row per maximal span per train doc, 1-based inclusive char offsets.
+    *
+    * Scale: both corpora stream through the O(chars) rolling-hash kernel
+    * ([[graft.functions.RollingHashWindowsExpr]]); the eval side
+    * collapses to its DISTINCT 8-byte window hashes (eval corpora are
+    * benchmark-sized — AQE broadcasts the set when it fits, and the
+    * Bloom-prefilter move of [[decontaminateBloom]] drops in unchanged
+    * if it ever doesn't). The train side never shuffles strings: the
+    * probe is (long, long, long) rows, the merge is per-doc windowed.
+    */
+  def contaminatedSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 20
+  ): DataFrame = {
+    import graft.functions.RollingHashWindowsExpr.rollingHashWindows
+    val evH = eval
+      .select(explode(rollingHashWindows(col(textCol), w)).as("h"))
+      .distinct()
+    val pos = train
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(rollingHashWindows(col(textCol), w)).as(Seq("p", "h"))
+      )
+      .join(evH, "h")
+      .select(
+        col("doc_id"),
+        (col("p") + 1).cast("long").as("s"),
+        (col("p") + w).cast("long").as("e")
+      )
+    mergeSpans(pos)
+  }
+
+  /** Cut disjoint character spans out of each doc and reassemble the
+    * remainder — the rewrite half of [[contaminatedSpans]] (the
+    * char-level twin of [[removeBoilerplate]]). `spans` must be disjoint
+    * per doc (which [[mergeSpans]]-derived tables are by construction).
+    * Docs with no spans pass through byte-identical. Returns
+    * (doc_id, clean_text, n_spans, removed_chars).
+    *
+    * The reassembly is a per-row HOF fold over the doc's sorted span
+    * array (kept-gap substrings concatenated left to right) — pure
+    * column algebra, no UDF, no extra shuffle beyond the one
+    * span-table groupBy.
+    */
+  def scrubSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame // (doc_id, span_start, span_end), disjoint per doc
+  ): DataFrame = {
+    val sp = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("sps"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("removed_chars")
+      )
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(sp, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("sps").isNull, col("text"))
+          .otherwise(expr(
+            """aggregate(
+              sps,
+              struct(CAST(1 AS BIGINT) AS pos, '' AS acc),
+              (st, sp) -> struct(
+                CAST(sp.e + 1 AS BIGINT),
+                concat(st.acc,
+                  substring(text, CAST(st.pos AS INT),
+                            CAST(greatest(sp.s - st.pos, 0) AS INT)))),
+              st -> concat(st.acc,
+                substring(text, CAST(st.pos AS INT),
+                          greatest(length(text) - CAST(st.pos AS INT) + 1, 0))))"""
+          ))
+          .as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars")
       )
   }
 

@@ -890,6 +890,81 @@ object TextQueries {
         WHERE d.doc_id % 50 != 0
       """)
     ),
+    // Span-level decontamination + scrub: instead of DROPPING a training
+    // doc that shares an n-gram with the eval slice (pipeline_decontaminate
+    // above), locate the maximal leaked character spans (any 20-char window
+    // appearing verbatim in an eval doc) and CUT them, keeping the rest of
+    // the doc — ExactSubstr (Lee et al. 2022) applied across corpora. One
+    // row per training doc: span stats + the scrubbed text's length and
+    // md5, so the whole detect→merge→rewrite pipeline is hash-checked.
+    // Spark runs the O(chars) rolling-hash window kernel on both corpora;
+    // the oracle replays windows→islands→gap-reassembly in plain SQL.
+    GQuery(
+      "pipeline_decontaminate_spans",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        val spans = Dedup.contaminatedSpans(
+          train, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", w = 20)
+        Dedup.scrubSpans(train, "doc_id", "text", spans)
+          .select(
+            col("doc_id"), col("n_spans"), col("removed_chars"),
+            length(col("clean_text")).cast("long").as("clean_len"),
+            md5(col("clean_text")).as("clean_md5"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        w AS (SELECT doc_id,
+                     unnest(generate_series(1,
+                       greatest(length(text)-19, 0)))::BIGINT AS i,
+                     text
+              FROM d),
+        wh AS (SELECT doc_id, i, substr(text, i::INT, 20) AS win FROM w),
+        ev AS (SELECT DISTINCT win FROM wh WHERE doc_id % 50 = 0),
+        p AS (SELECT wh.doc_id, wh.i AS s, wh.i + 19 AS e
+              FROM wh JOIN ev USING (win)
+              WHERE wh.doc_id % 50 != 0),
+        m AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM p),
+        isl AS (SELECT doc_id, s, e,
+                       sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                           THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s) AS g
+                FROM m),
+        spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+                  FROM isl GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, count(*) AS n_spans,
+                       sum(se - ss + 1) AS removed
+                FROM spans GROUP BY doc_id),
+        segs AS (SELECT doc_id,
+                        coalesce(lag(se) OVER (PARTITION BY doc_id
+                                               ORDER BY ss), 0) + 1 AS ks,
+                        ss - 1 AS ke
+                 FROM spans
+                 UNION ALL
+                 SELECT s.doc_id, max(s.se) + 1 AS ks,
+                        max(length(d.text))::BIGINT AS ke
+                 FROM spans s JOIN d USING (doc_id) GROUP BY s.doc_id),
+        kept AS (SELECT g.doc_id,
+                        string_agg(substr(d.text, g.ks::INT,
+                          greatest(g.ke - g.ks + 1, 0)::INT),
+                          '' ORDER BY g.ks) AS ct
+                 FROM segs g JOIN d ON d.doc_id = g.doc_id
+                 GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(a.removed, 0)::BIGINT AS removed_chars,
+               length(coalesce(k.ct, d.text))::BIGINT AS clean_len,
+               md5(coalesce(k.ct, d.text)) AS clean_md5
+        FROM d LEFT JOIN agg a USING (doc_id)
+               LEFT JOIN kept k USING (doc_id)
+        WHERE d.doc_id % 50 != 0
+      """)
+    ),
     // PII scrub: detection counts + redacted-text hash over a derived
     // corpus with deterministically injected emails (doc_id % 7 = 0) and
     // phone numbers (doc_id % 5 = 0) — the raw corpus contains none, so

@@ -473,4 +473,54 @@ class DedupTextSpec extends SparkSpec {
       .filter(col("s1") < col("s2") && col("s2") <= col("e1") + 1)
     assert(overlapping.count() == 0)
   }
+
+  test("contaminatedSpans + scrubSpans: planted leak located and cut exactly") {
+    // the eval doc holds a 30-char benchmark sentence; train doc 1 embeds
+    // it mid-doc, train doc 2 is clean. w=20 windows: every window of the
+    // leaked copy (positions 11..21 of the 30-char run) hits the eval set,
+    // merging to exactly the planted span.
+    val leak = "What is the capital of France?".take(30)
+    assert(leak.length == 30)
+    val train = Seq(
+      (1L, "abcdefghij" + leak + "klmnopqrst"),
+      (2L, "a clean training document with no leak at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "Q17: " + leak + " A: Paris")).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(train, eval, "doc_id", "text", w = 20)
+    val got = spans.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    // span = the leaked 30 chars at [11, 40]; 30-20+1 = 11 windows
+    assert(got == Set((1L, 11L, 40L, 30L, 11L)), got)
+
+    val clean = Dedup.scrubSpans(train, "doc_id", "text", spans)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(clean(1L) == (("abcdefghij" + "klmnopqrst", 1L, 30L)), clean(1L))
+    assert(clean(2L) ==
+      (("a clean training document with no leak at all", 0L, 0L)))
+  }
+
+  test("scrubSpans edge spans: doc-start, doc-end, adjacent, full-cover") {
+    val docs = Seq(
+      (1L, "0123456789"), // span at start [1,3] and end [8,10]
+      (2L, "0123456789"), // adjacent spans [2,4],[5,7] cut as one region
+      (3L, "0123456789"), // full cover [1,10] -> empty remainder
+      (4L, "0123456789")  // no spans
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 1L, 3L), (1L, 8L, 10L),
+      (2L, 2L, 4L), (2L, 5L, 7L),
+      (3L, 1L, 10L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.scrubSpans(docs, "doc_id", "text", spans)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (("3456", 2L, 6L)), got(1L))
+    assert(got(2L) == (("0789", 2L, 6L)), got(2L))
+    assert(got(3L) == (("", 1L, 10L)), got(3L))
+    assert(got(4L) == (("0123456789", 0L, 0L)), got(4L))
+  }
 }
