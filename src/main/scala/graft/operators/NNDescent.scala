@@ -100,11 +100,14 @@ object NNDescent {
         .select(col("src"), col("dst"))
         .unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
+      // no distinct here: the (src,dst) groupBy below collapses duplicate
+      // proposals anyway, and a pre-dedup would cost a full extra shuffle
+      // of the expanded candidate set just to trim the (low-multiplicity)
+      // shared-middle-node duplicates from the two vector joins
       val cand = und.as("x")
         .join(und.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       val merged = score(cand, v)
         .unionAll(g.select(col("src"), col("dst"), col("dist")))
         .groupBy(col("src"), col("dst"))
