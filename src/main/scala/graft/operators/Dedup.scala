@@ -830,7 +830,14 @@ object Dedup {
       tau: Double = 0.4
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // shingles travel as 56-bit md5 keys from the first shuffle on:
+    // every downstream consumer (tf/df aggs, both self-join sides) keys
+    // on the shingle only — the string itself is never needed again, so
+    // 8-byte keys replace multi-word strings in every exchange. The hash
+    // is output-invisible (pairs + cosines are over doc ids), same
+    // licence as the rolling-hash window keys in duplicatedSpans.
     val tf = spanPositions(df, idCol, textCol, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("sh"))
       .groupBy(col("doc_id"), col("sh"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
