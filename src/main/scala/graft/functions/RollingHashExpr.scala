@@ -82,8 +82,15 @@ object RollingHashWindowsExpr {
     */
   final val B = 0x100000001b3L
 
-  def compute(s: UTF8String, w: Int): ArrayData = {
-    val cps = s.toString.codePoints().toArray()
+  def compute(s: UTF8String, w: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(computeLongs(s.toString, w))
+
+  /** The raw kernel, for executor-side consumers outside the expression
+    * (e.g. the streaming span scrub) — identical arithmetic to the
+    * codegen path, so batch and stream hash bit-for-bit alike.
+    */
+  def computeLongs(s: String, w: Int): Array[Long] = {
+    val cps = s.codePoints().toArray()
     val n = cps.length
     val out = new Array[Long](math.max(0, n - w + 1))
     if (n >= w) {
@@ -101,7 +108,7 @@ object RollingHashWindowsExpr {
         i += 1
       }
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 
   def rollingHashWindows(text: Column, w: Int): Column =

@@ -727,6 +727,88 @@ object StreamingOps {
       .toDF(idCol, textCol)
   }
 
+  /** Streaming span-level decontamination scrub — the online twin of
+    * [[graft.operators.Dedup.contaminatedSpans]] +
+    * [[graft.operators.Dedup.scrubSpans]]: every streamed doc has its
+    * eval-leaked character spans (any length-`w` window appearing
+    * verbatim in the STATIC eval corpus) located, merged and cut before
+    * it lands — ingest-time hygiene instead of a post-hoc sweep.
+    *
+    * The eval side is computed once with the batch rolling-hash kernel
+    * and broadcast as a SORTED long array (8 bytes per distinct eval
+    * window — the same budget argument as [[decontaminateFuzzyStream]]'s
+    * eval artifacts; the Bloom move of `decontaminateBloom` drops in if
+    * an eval corpus ever outgrows it). The stream side is then a
+    * STATELESS per-row kernel — roll, binary-search probe, island-merge,
+    * reassemble — no streaming state, no watermark, append-safe,
+    * arbitrarily parallel. Hash arithmetic and merge semantics reproduce
+    * the batch operators bit-for-bit (same [[graft.functions.RollingHashWindowsExpr]]
+    * kernel, same overlap-or-adjacent merge rule, code-point offsets), so
+    * a streamed doc scrubs to exactly the batch clean_text.
+    *
+    * Returns (doc_id, clean_text, n_spans, removed_chars).
+    */
+  def scrubSpansStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      evalDocs: DataFrame, // static eval corpus
+      idCol: String,
+      textCol: String,
+      w: Int = 20
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.RollingHashWindowsExpr
+    val evalH: Array[Long] = evalDocs
+      .select(explode(
+        RollingHashWindowsExpr.rollingHashWindows(col(textCol), w)).as("h"))
+      .distinct()
+      .as[Long]
+      .collect()
+      .sorted
+    val bc = spark.sparkContext.broadcast(evalH)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.map { case (id, text) =>
+          val hs = RollingHashWindowsExpr.computeLongs(text, w)
+          // 1-based inclusive code-point spans, merged as they stream by
+          // (positions arrive in increasing s; overlap-or-adjacent joins
+          // the previous island — identical to the batch mergeSpans rule)
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var i = 0
+          while (i < hs.length) {
+            if (java.util.Arrays.binarySearch(ev, hs(i)) >= 0) {
+              val s = i + 1
+              val e = i + w
+              if (spans.nonEmpty && s <= spans.last._2 + 1) {
+                val last = spans.last
+                spans(spans.length - 1) = (last._1, math.max(last._2, e))
+              } else spans += ((s, e))
+            }
+            i += 1
+          }
+          if (spans.isEmpty) (id, text, 0L, 0L)
+          else {
+            val cps = text.codePoints().toArray()
+            val kept = new java.lang.StringBuilder
+            var pos = 1
+            spans.foreach { case (s, e) =>
+              var j = pos
+              while (j < s) { kept.appendCodePoint(cps(j - 1)); j += 1 }
+              pos = e + 1
+            }
+            var j = pos
+            while (j <= cps.length) { kept.appendCodePoint(cps(j - 1)); j += 1 }
+            val removed = spans.iterator.map { case (s, e) => (e - s + 1).toLong }.sum
+            (id, kept.toString, spans.length.toLong, removed)
+          }
+        }
+      }
+      .toDF("doc_id", "clean_text", "n_spans", "removed_chars")
+  }
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

@@ -633,6 +633,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("streaming span scrub: two waves equal the batch detect+scrub, bit-for-bit") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val dir = Files.createTempDirectory("scrubstream").toString
+    train.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    train.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.scrubSpansStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      eval, "doc_id", "text", w = 20)
+    val q = stream.writeStream
+      .format("memory").queryName("scrub").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("scrub")
+      .select(col("doc_id"), md5(col("clean_text")).as("h"),
+        col("n_spans"), col("removed_chars"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val spans = graft.operators.Dedup.contaminatedSpans(
+      train, eval, "doc_id", "text", w = 20)
+    val want = graft.operators.Dedup.scrubSpans(train, "doc_id", "text", spans)
+      .select(col("doc_id"), md5(col("clean_text")).as("h"),
+        col("n_spans"), col("removed_chars"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // the stream actually cut something (fixture isn't trivially clean)
+    assert(got.values.exists(_._2 > 0L), "no contaminated doc in fixture")
+  }
+
   test("streaming heavy hitters: two waves converge to the exact batch counts") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("hhstream").toString
