@@ -1585,6 +1585,65 @@ object TextQueries {
         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10
       """)
     ),
+    // D11 sketch path, point-query edition: a count-min sketch (Cormode &
+    // Muthukrishnan 2005) spelled as relational algebra — the d×w counter
+    // matrix IS a (row, bucket) groupBy count table, so it inherits
+    // partial aggregation, mergeability (counts add) and bounded state
+    // (d·w cells regardless of corpus size) from the engine instead of a
+    // custom buffer. Hashes are md5-derived (engine-portable), so the
+    // whole sketch is deterministic and the OUTPUT — per-token exact vs
+    // CMS estimate for the exact top-20 — sits under a full DuckDB
+    // replay, pinning the one-sided error est >= exact in the hash
+    // itself. The lossy-regime bound (est - exact <= overcount) is gated
+    // in TopFreqSpec alongside the Misra-Gries twin.
+    GQuery(
+      "text_cms",
+      (spark, dir) => {
+        val d = 4
+        val wW = 512
+        val js = expr(s"array(${(0 until d).mkString(",")})")
+        def bucket(j: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+          pmod(Dedup.md5Long(concat(j.cast("string"), lit(":"), tok)), lit(wW))
+        val toks = t(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val sketch = toks
+          .select(explode(js).as("j"), col("tok"))
+          .select(col("j"), bucket(col("j"), col("tok")).as("b"))
+          .groupBy(col("j"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val top = toks
+          .groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        top
+          .select(col("tok"), col("exact_n"), explode(js).as("j"))
+          .select(col("tok"), col("exact_n"), col("j"),
+            bucket(col("j"), col("tok")).as("b"))
+          .join(sketch, Seq("j", "b"))
+          .groupBy(col("tok"), col("exact_n"))
+          .agg(min(col("c")).as("est_n"))
+      },
+      Some("""
+        WITH t2 AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        toks AS (SELECT tok FROM t2 WHERE tok <> ''),
+        jj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        sketch AS (SELECT j,
+                          ('0x' || substr(md5(j::VARCHAR || ':' || tok),
+                            1, 14))::BIGINT % 512 AS b,
+                          count(*) AS c
+                   FROM toks CROSS JOIN jj GROUP BY 1, 2),
+        top AS (SELECT tok, count(*) AS exact_n FROM toks
+                GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20),
+        probes AS (SELECT tok, exact_n, j,
+                          ('0x' || substr(md5(j::VARCHAR || ':' || tok),
+                            1, 14))::BIGINT % 512 AS b
+                   FROM top CROSS JOIN jj)
+        SELECT p.tok, p.exact_n::BIGINT AS exact_n, min(s.c)::BIGINT AS est_n
+        FROM probes p JOIN sketch s USING (j, b)
+        GROUP BY p.tok, p.exact_n
+      """)
+    ),
     // Keyword retrieval: Okapi BM25 top-20 for a 4-term query — inverted-
     // index algebra as dataflow (postings filtered to the query terms
     // before any shuffle, df + corpus stats broadcast, TakeOrdered top-k).

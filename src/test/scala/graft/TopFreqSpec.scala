@@ -73,4 +73,45 @@ class TopFreqSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_topfreq"), e.getMessage)
     assert(e.getMessage.contains("capacity"), e.getMessage)
   }
+
+  test("relational CMS in the lossy regime: mass conserved, error one-sided, collisions real") {
+    // the text_cms algebra at a vocabulary (4000 tokens) >> width (64
+    // buckets), so bucket collisions genuinely overcount — the regime the
+    // oracle's tiny-vocab corpus can't exercise
+    val d = 4
+    val wW = 64
+    val js = expr(s"array(${(0 until d).mkString(",")})")
+    def bucket(j: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+      pmod(graft.operators.Dedup.md5Long(concat(j.cast("string"), lit(":"), tok)), lit(wW))
+    // zipf-ish: token t_i appears ~ 4000/(i+1) times, 4000 distinct
+    val toks = (0 until 4000)
+      .flatMap(i => Seq.fill(math.max(1, 4000 / (i + 1) / 40))(s"t$i"))
+      .toDF("tok")
+    val n = toks.count()
+    val sketch = toks
+      .select(explode(js).as("j"), col("tok"))
+      .select(col("j"), bucket(col("j"), col("tok")).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // every sketch row conserves the full token mass
+    val rowMass = sketch.groupBy(col("j")).agg(sum(col("c")).as("m"))
+      .collect().map(r => r.getLong(1))
+    assert(rowMass.length == d && rowMass.forall(_ == n), rowMass.toSeq)
+    // estimate EVERY token; the error must be one-sided (est >= exact)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val est = exact
+      .select(col("tok"), col("exact_n"), explode(js).as("j"))
+      .select(col("tok"), col("exact_n"), col("j"),
+        bucket(col("j"), col("tok")).as("b"))
+      .join(sketch, Seq("j", "b"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length == 4000)
+    assert(est.forall { case (_, ex, e) => e >= ex },
+      est.filter { case (_, ex, e) => e < ex }.take(5).toSeq)
+    // at vocab/width = 62 the sketch must actually collide somewhere
+    assert(est.exists { case (_, ex, e) => e > ex }, "no collision at 4000/64")
+  }
 }
