@@ -710,6 +710,52 @@ object Dedup {
     connectedComponentsDistributed(e0)
   }
 
+  /** Leakage-safe holdout split: assign every doc to train/val by hashing
+    * its near-dup CLUSTER representative, not the doc itself — so a
+    * cluster of near-duplicates lands wholly on one side and a val doc
+    * can never have a train-side near-twin (the contamination a
+    * doc-level random split silently creates). `comp` is a
+    * [[connectedComponents]] table (doc_id, rep_id); docs absent from it
+    * are singletons and split on their own id. The coin is the engine's
+    * standard md5-uniform over (rep, salt) — deterministic,
+    * partition-independent, engine-portable, rerunnable.
+    *
+    * Returns (doc_id, rep_id, split) with split ∈ {'train','val'};
+    * P(train) = trainPct/100 per CLUSTER (so doc-level fractions track
+    * cluster mass, which is the correct unit — leakage, not doc count,
+    * is what the split must control).
+    *
+    * Scale: one left join against the (pair-survivor-sized) component
+    * table and a per-row hash — no shuffle beyond the join, and the join
+    * side is the small one.
+    */
+  def leakSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      comp: DataFrame, // (doc_id, rep_id) from connectedComponents
+      trainPct: Int = 90,
+      salt: String = "holdout"
+  ): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id")
+      )
+      .select(
+        col("doc_id"), col("rep_id"),
+        when(
+          pmod(
+            md5Long(concat(col("rep_id").cast("string"), lit(s":$salt"))),
+            lit(100)
+          ) < trainPct,
+          lit("train")
+        ).otherwise(lit("val")).as("split")
+      )
+  }
+
   /** The distributed min-label/pointer-jumping loop — the over-threshold
     * path of [[connectedComponents]], directly testable.
     */

@@ -319,6 +319,64 @@ object TextQueries {
         FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
       """)
     ),
+    // Leakage-safe holdout split: train/val assignment hashed on the
+    // near-dup CLUSTER representative (the dedup_clusters table), so a
+    // cluster of near-duplicates lands wholly on one side and no val doc
+    // has a train-side near-twin — the contamination a doc-level random
+    // split silently creates. Same simhash-cluster CTEs as
+    // dedup_clusters, plus the engine's standard md5-coin on the rep id.
+    GQuery(
+      "pipeline_split",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        Dedup.leakSafeSplit(docs, "doc_id", comp, trainPct = 90)
+      },
+      Some("""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
+                        simhash & 65535 AS lo
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        reps AS (SELECT d.doc_id,
+                        coalesce(c.rep, d.doc_id)::BIGINT AS rep_id
+                 FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+        SELECT doc_id, rep_id,
+               CASE WHEN ('0x' || substr(md5(rep_id::VARCHAR || ':holdout'),
+                           1, 14))::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM reps
+      """)
+    ),
     // Embedding-cosine near-dup pairs over embeddings.
     GQuery(
       "dedup_embedding",

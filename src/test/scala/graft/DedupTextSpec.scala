@@ -502,6 +502,32 @@ class DedupTextSpec extends SparkSpec {
       (("a clean training document with no leak at all", 0L, 0L)))
   }
 
+  test("leakSafeSplit: clusters never straddle the split; fraction tracks trainPct") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val split = Dedup.leakSafeSplit(docs, "doc_id", comp, trainPct = 90)
+    // every doc assigned exactly once
+    assert(split.count() == docs.count())
+    // the leakage invariant: a near-dup PAIR is always same-side
+    val sides = split.select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(sides.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0)
+    // md5-coin fraction: ~90% of CLUSTERS on the train side (loose gate)
+    val reps = split.select(col("rep_id")).distinct().count().toDouble
+    val trainReps = split.filter(col("split") === "train")
+      .select(col("rep_id")).distinct().count().toDouble
+    assert(trainReps / reps > 0.8 && trainReps / reps < 0.98,
+      s"train cluster fraction ${trainReps / reps}")
+    // deterministic under repartitioning
+    val again = Dedup
+      .leakSafeSplit(docs.repartition(7), "doc_id", comp, trainPct = 90)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == split.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
+  }
+
   test("scrubSpans edge spans: doc-start, doc-end, adjacent, full-cover") {
     val docs = Seq(
       (1L, "0123456789"), // span at start [1,3] and end [8,10]
