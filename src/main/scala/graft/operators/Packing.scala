@@ -94,6 +94,57 @@ object Packing {
       )
   }
 
+  /** No-split sequence packing (the SFT regime, where [[packOffsets]]'s
+    * concat-and-chunk is wrong because examples must not straddle pack
+    * boundaries): next-fit-decreasing bin packing per group — docs
+    * sorted by (tokens desc, id), walked once, a new bin opened whenever
+    * the current doc no longer fits `ctx`. A doc longer than `ctx` gets
+    * a bin of its own (callers chunk or drop oversize docs upstream).
+    *
+    * Returns (group, doc_id, n_tokens, bin, fill) with bins numbered
+    * from 0 in walk order and `fill` the bin occupancy AFTER placing the
+    * doc.
+    *
+    * Scale: the walk is sequential BY CONSTRUCTION (each placement
+    * depends on the running fill), so parallelism comes from the group
+    * key — language, source shard, curriculum bucket — exactly how
+    * packing runs in production (per-stratum). Each group sorts and
+    * walks inside one task (flatMapGroups); nothing is ever
+    * driver-collected. Deterministic: the (tokens desc, id) order is a
+    * total order, so reruns and repartitionings bin identically.
+    */
+  def binPack(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      ctx: Int
+  ): DataFrame = {
+    require(ctx >= 1, "ctx must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df
+      .select(
+        col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")
+      )
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val docs = it.map { case (_, id, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        var bin = -1L
+        var fill = 0L
+        docs.iterator.map { case (id, n) =>
+          if (bin >= 0 && fill + n <= ctx) fill += n
+          else { bin += 1; fill = n }
+          (g, id, n, bin, fill)
+        }
+      }
+      .toDF("group", "doc_id", "n_tokens", "bin", "fill")
+  }
+
   /** Shared half of the distributed prefix sum: per-`pid` totals of `agg`
     * (a bounded ≤ numPartitions-row collect), prefixed on the driver,
     * returned as a broadcastable (pid, prefix) dimension where

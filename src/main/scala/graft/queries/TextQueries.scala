@@ -1313,6 +1313,45 @@ object TextQueries {
         FROM c
       """)
     ),
+    // No-split packing (the SFT regime): next-fit-decreasing bins per
+    // language — docs sorted (tokens desc, id), walked once, a new
+    // ctx-512 bin opened when the next doc no longer fits. Examples never
+    // straddle a pack boundary (pipeline_pack's concat-and-chunk would
+    // split them). The walk is sequential per group by construction —
+    // parallelism is across groups, production packing's actual shape —
+    // and deterministic, so the DuckDB oracle replays it with a
+    // recursive CTE row by row.
+    GQuery(
+      "pipeline_binpack",
+      (spark, dir) =>
+        Packing.binPack(
+          t(spark, dir, "documents"), "lang", "doc_id", "text", ctx = 512)
+          .select(
+            col("group").as("grp"), col("doc_id"), col("n_tokens"),
+            col("bin"), col("fill")),
+      Some("""
+        WITH RECURSIVE
+        d AS (SELECT lang, doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tok
+              FROM documents),
+        rk AS (SELECT lang, doc_id, n_tok,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_tok DESC, doc_id) AS r
+               FROM d),
+        walk(lang, r, doc_id, n_tok, bin, fill) AS (
+          SELECT lang, r, doc_id, n_tok, 0::BIGINT, n_tok
+          FROM rk WHERE r = 1
+          UNION ALL
+          SELECT rk.lang, rk.r, rk.doc_id, rk.n_tok,
+                 CASE WHEN w.fill + rk.n_tok <= 512
+                      THEN w.bin ELSE w.bin + 1 END,
+                 CASE WHEN w.fill + rk.n_tok <= 512
+                      THEN w.fill + rk.n_tok ELSE rk.n_tok END
+          FROM walk w JOIN rk ON rk.lang = w.lang AND rk.r = w.r + 1
+        )
+        SELECT lang AS grp, doc_id, n_tok AS n_tokens, bin, fill FROM walk
+      """)
+    ),
     // The COMPLETE pipeline in one plan — what a user actually submits:
     // drop eval-contaminated docs, keep near-dup cluster representatives,
     // gate on quality + repetition, and pack the survivors into ctx-512

@@ -119,4 +119,40 @@ class PackingSpec extends SparkSpec {
     val pos1 = byEpoch(1L).map(t => t._2 -> (t._3, t._4)).toMap
     assert(pos0.exists { case (d, p) => pos1(d) != p })
   }
+
+  test("binPack: hand-computed NFD walk, capacity, oversize own-bin, determinism") {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val fix = Seq(
+      (1L, "a", doc(600)), // oversize -> its own bin 0
+      (2L, "a", doc(300)),
+      (3L, "a", doc(300)),
+      (4L, "a", doc(200)),
+      (5L, "a", doc(100)),
+      (6L, "b", doc(512)) // exact fit -> bin 0 of group b
+    ).toDF("doc_id", "lang", "text")
+    val got = Packing.binPack(fix, "lang", "doc_id", "text", ctx = 512)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // walk of group a, sorted (tokens desc, id): 600 -> b0(600);
+    // 300 -> b1(300); 300 -> 600>512 -> b2(300); 200 -> b2(500);
+    // 100 -> 600>512 -> b3(100)
+    assert(got == Set(
+      ("a", 1L, 600L, 0L, 600L),
+      ("a", 2L, 300L, 1L, 300L),
+      ("a", 3L, 300L, 2L, 300L),
+      ("a", 4L, 200L, 2L, 500L),
+      ("a", 5L, 100L, 3L, 100L),
+      ("b", 6L, 512L, 0L, 512L)), got)
+    // capacity holds except for single-doc oversize bins
+    val over = got.filter(_._5 > 512)
+    assert(over.forall { case (_, _, n, _, fill) => fill == n })
+    // partition-layout independence
+    val again = Packing
+      .binPack(fix.repartition(5), "lang", "doc_id", "text", ctx = 512)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(again == got)
+  }
 }
