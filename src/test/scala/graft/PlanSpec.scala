@@ -429,4 +429,40 @@ class PlanSpec extends SparkSpec {
     assert(filterLine.contains("*("),
       s"bloom bit-test filter not codegen'd: $filterLine")
   }
+
+  test("pipeline_decontaminate_spans: rolling kernel feeds an equi-join, no cartesian") {
+    val p = planOf("pipeline_decontaminate_spans")
+    // the train-vs-eval probe is an equi-join on the 8-byte window hash
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both sides hash windows with the native rolling expression, never
+    // a per-window digest
+    assert(p.contains("rolling_hash_windows"), p)
+    assert(!p.toLowerCase.contains("md5(substring"), p)
+  }
+
+  test("pipeline_split: one small-side join, no corpus-sized shuffle surprises") {
+    val p = planOf("pipeline_split")
+    assert(!p.contains("CartesianProduct"), p)
+    // the component table joins the doc table as a plain equi-join
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("text_cms: sketch counts partially aggregate before their exchange") {
+    val p = planOf("text_cms")
+    assert(!p.contains("CartesianProduct"), p)
+    // the (j, bucket) count — the sketch matrix build — must map-side
+    // combine: a HashAggregate appears below its Exchange
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("HashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
+  test("pipeline_binpack: one grouping exchange, no single-partition collapse") {
+    val p = planOf("pipeline_binpack")
+    assert(!p.contains("CartesianProduct"), p)
+    // parallelism is the group key: no Exchange SinglePartition anywhere
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
