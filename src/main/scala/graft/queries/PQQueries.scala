@@ -58,6 +58,56 @@ object PQQueries {
     )
   }
 
+  private val RQK = 32 // RVQ fixed codebook size per stage
+
+  /** Fixed 2-stage RVQ model: stage 0 = first RQK embeddings, stage 1 =
+    * the same vectors scaled by 0.25 (exact power-of-two scaling, so both
+    * engines derive bit-identical stage-1 codewords).
+    */
+  private def fixedRqModel(
+      spark: SparkSession,
+      dir: String
+  ): graft.operators.ResidualQuantizer.RQModel = {
+    val rows = headVecs(spark, dir, RQK)
+    graft.operators.ResidualQuantizer.RQModel(
+      2, RQK, rows(0).length,
+      Array(rows, rows.map(_.map(_ * 0.25))))
+  }
+
+  /** DuckDB CTEs shared by the RVQ oracles: stage-0 argmin, residual
+    * carry, stage-1 argmin over the 0.25-scaled book. Same left-to-right
+    * accumulation and (dist, index) tie-break as the native argmin.
+    */
+  private val rqCtes = s"""
+    cb AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < $RQK),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    d0 AS (SELECT e.vec_id, cb.ck,
+                  list_sum(list_transform(generate_series(1, 64),
+                    j -> (e.ev[j]-cb.cv[j])*(e.ev[j]-cb.cv[j]))) AS dist
+           FROM e CROSS JOIN cb),
+    c0 AS (SELECT vec_id, ck AS code0 FROM (
+             SELECT vec_id, ck,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, ck) AS rn
+             FROM d0)
+           WHERE rn = 1),
+    r1 AS (SELECT e.vec_id,
+                  list_transform(generate_series(1, 64),
+                    j -> e.ev[j] - cb.cv[j]) AS rv
+           FROM e JOIN c0 USING (vec_id) JOIN cb ON cb.ck = c0.code0),
+    d1 AS (SELECT r1.vec_id, cb.ck,
+                  list_sum(list_transform(generate_series(1, 64),
+                    j -> (r1.rv[j]-0.25*cb.cv[j])*(r1.rv[j]-0.25*cb.cv[j]))) AS dist
+           FROM r1 CROSS JOIN cb),
+    c1 AS (SELECT vec_id, ck AS code1 FROM (
+             SELECT vec_id, ck,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, ck) AS rn
+             FROM d1)
+           WHERE rn = 1)
+  """
+
   /** DuckDB CTEs shared by the PQ oracles: fixed codebook + encode +
     * decode. Distances accumulate left-to-right exactly like the Scala
     * kernels, so argmins and ranks agree bit-for-bit.
@@ -764,6 +814,62 @@ object PQQueries {
             lit("opq").as("variant"), round(col("opq_mse"), 6).as("mse")))
       },
       None
+    ),
+    // Residual (multi-stage) VQ encode under a FIXED 2-stage model:
+    // stage-0 codebook = first 32 embeddings, stage-1 = the same vectors
+    // scaled by 0.25 (a deterministic stand-in for a trained residual
+    // book — the oracle checks the MECHANICS: sequential argmin +
+    // residual carry; RQSpec gates the trained codec's stage-wise MSE
+    // contraction). Encode is a pure codegen chain — per stage one
+    // native argmin and one zip_with subtraction, codebooks
+    // plan-embedded, no shuffle.
+    GQuery(
+      "rq_encode",
+      (spark, dir) => {
+        val model = fixedRqModel(spark, dir)
+        t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            posexplode(
+              graft.operators.ResidualQuantizer
+                .encodeCol(spark, model, toDouble(col("embedding"))))
+              .as(Seq("stage", "code")))
+          .select(
+            col("vec_id"),
+            col("stage").cast("long").as("stage"),
+            col("code").cast("long").as("code"))
+      },
+      Some(s"""
+        WITH $rqCtes
+        SELECT vec_id, 0::BIGINT AS stage, code0::BIGINT AS code FROM c0
+        UNION ALL
+        SELECT vec_id, 1::BIGINT AS stage, code1::BIGINT AS code FROM c1
+      """)
+    ),
+    // RVQ reconstruction error per vector: err = ||v − (cb0[c0] +
+    // 0.25·cb0[c1])||² — additive recon, both stages summed.
+    GQuery(
+      "rq_recon",
+      (spark, dir) => {
+        val model = fixedRqModel(spark, dir)
+        val rq = graft.operators.ResidualQuantizer
+        val v = toDouble(col("embedding"))
+        t(spark, dir, "embeddings")
+          .withColumn("recon", rq.reconCol(model, rq.encodeCol(spark, model, v)))
+          .select(
+            col("vec_id"),
+            round(l2Sq(v, col("recon")), 6).as("err"))
+      },
+      Some(s"""
+        WITH $rqCtes
+        SELECT e.vec_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                 j -> (e.ev[j] - (a.cv[j] + 0.25*b.cv[j]))
+                      * (e.ev[j] - (a.cv[j] + 0.25*b.cv[j])))), 6) AS err
+        FROM e JOIN c0 USING (vec_id) JOIN c1 USING (vec_id)
+             JOIN cb a ON a.ck = c0.code0
+             JOIN cb b ON b.ck = c1.code1
+      """)
     )
   )
 }
