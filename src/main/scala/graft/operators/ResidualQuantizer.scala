@@ -136,4 +136,44 @@ object ResidualQuantizer {
         element_at(cbLit, element_at(codes, mi + 1) + 1)
       }
       .reduceLeft((a, b) => zip_with(a, b, (x, y) => x + y))
+
+  /** Per-query dot LUT for one stage: ⟨q, codeword⟩ for every codeword —
+    * a k-element array column computed ONCE on the (small) query side
+    * before the pair join, so the per-pair ADC cost is lookups + adds,
+    * never a dot product (the Jégou ADC move, additive-codes edition).
+    */
+  def dotLutCol(model: RQModel, stage: Int, qv: Column): Column = {
+    import graft.functions.VectorExpressions.dotFast
+    transform(
+      typedLit(model.codebooks(stage).map(_.toSeq).toSeq),
+      c => dotFast(qv, c))
+  }
+
+  /** Query-independent half of the 2-stage ADC estimate:
+    * nrm(c0,c1) = ‖w0‖² + ‖w1‖² + 2⟨w0,w1⟩ = ‖w0 + w1‖², as a k×k
+    * table (k² doubles — kilobytes, plan-embeddable), so
+    * dist(q, recon) = ((⟨q,q⟩ − 2·d0[c0]) − 2·d1[c1]) + nrm[c0][c1]
+    * with d_m the [[dotLutCol]] arrays. Accumulation is left-to-right
+    * per term, and the combination order above is part of the contract
+    * (the oracle mirrors it exactly).
+    */
+  def pairNormTable(model: RQModel): Array[Array[Double]] = {
+    require(model.m == 2, "pairNormTable: 2-stage serving shape")
+    val b0 = model.codebooks(0)
+    val b1 = model.codebooks(1)
+    def sq(c: Array[Double]): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      s
+    }
+    val n0 = b0.map(sq)
+    val n1 = b1.map(sq)
+    Array.tabulate(model.k, model.k) { (k0, k1) =>
+      var cx = 0.0
+      var j = 0
+      while (j < model.d) { cx += b0(k0)(j) * b1(k1)(j); j += 1 }
+      (n0(k0) + n1(k1)) + 2 * cx
+    }
+  }
 }

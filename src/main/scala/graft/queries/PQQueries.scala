@@ -870,6 +870,96 @@ object PQQueries {
              JOIN cb a ON a.ck = c0.code0
              JOIN cb b ON b.ck = c1.code1
       """)
+    ),
+    // RVQ ADC top-k — the serving half: corpus stored as 2-byte-ish code
+    // pairs, per-query dot LUTs (k dots per stage, computed once on the
+    // broadcast query side), and a query-INDEPENDENT k×k pair-norm table
+    // ‖w0+w1‖² embedded in the plan — so the per-pair cost is 3 lookups
+    // and 3 adds, never a decode, never a dot. Same bounded-heap top-k
+    // placement as pq_adc_topk; the combination order of the estimate is
+    // pinned and mirrored exactly by the oracle.
+    GQuery(
+      "rq_adc_topk",
+      (spark, dir) => {
+        import graft.functions.VectorExpressions.dotFast
+        val rq = graft.operators.ResidualQuantizer
+        val model = fixedRqModel(spark, dir)
+        val emb = t(spark, dir, "embeddings")
+        val enc = emb.select(
+          col("vec_id").as("neighbor_id"),
+          rq.encodeCol(spark, model, toDouble(col("embedding"))).as("codes"))
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"),
+            toDouble(col("embedding")).as("qv"))
+          .select(
+            col("query_id"),
+            dotFast(col("qv"), col("qv")).as("qq"),
+            rq.dotLutCol(model, 0, col("qv")).as("d0"),
+            rq.dotLutCol(model, 1, col("qv")).as("d1"))
+        val nrmLit = typedLit(rq.pairNormTable(model).map(_.toSeq).toSeq)
+        val pairs = enc
+          .join(broadcast(q))
+          .withColumn("c0", element_at(col("codes"), 1))
+          .withColumn("c1", element_at(col("codes"), 2))
+          .withColumn(
+            "dist",
+            col("qq") - lit(2.0) * element_at(col("d0"), col("c0") + 1)
+              - lit(2.0) * element_at(col("d1"), col("c1") + 1)
+              + element_at(element_at(nrmLit, col("c0") + 1), col("c1") + 1))
+        pairs
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg.topK(col("dist"), col("neighbor_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 6).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH $rqCtes,
+        gs AS (SELECT unnest(generate_series(1, 64)) AS j),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e
+              WHERE vec_id % 10 = 0),
+        qq AS (SELECT query_id,
+                      list_sum(list_transform(generate_series(1, 64),
+                        j -> qv[j]*qv[j])) AS qq
+               FROM q),
+        qd0 AS (SELECT q.query_id, cb.ck,
+                       list_sum(list_transform(generate_series(1, 64),
+                         j -> q.qv[j]*cb.cv[j])) AS d
+                FROM q CROSS JOIN cb),
+        qd1 AS (SELECT q.query_id, cb.ck,
+                       list_sum(list_transform(generate_series(1, 64),
+                         j -> q.qv[j]*(0.25*cb.cv[j]))) AS d
+                FROM q CROSS JOIN cb),
+        n0 AS (SELECT ck, list_sum(list_transform(generate_series(1, 64),
+                 j -> cv[j]*cv[j])) AS v FROM cb),
+        n1 AS (SELECT ck, list_sum(list_transform(generate_series(1, 64),
+                 j -> (0.25*cv[j])*(0.25*cv[j]))) AS v FROM cb),
+        cx AS (SELECT a.ck AS k0, b.ck AS k1,
+                      list_sum(list_transform(generate_series(1, 64),
+                        j -> a.cv[j]*(0.25*b.cv[j]))) AS v
+               FROM cb a CROSS JOIN cb b),
+        nrm AS (SELECT cx.k0, cx.k1, (n0.v + n1.v) + 2*cx.v AS nrm
+                FROM cx JOIN n0 ON n0.ck = cx.k0 JOIN n1 ON n1.ck = cx.k1),
+        est AS (SELECT qq.query_id, c0.vec_id AS neighbor_id,
+                       qq.qq - 2*qd0.d - 2*qd1.d + nrm.nrm AS dist
+                FROM c0 JOIN c1 USING (vec_id)
+                     CROSS JOIN qq
+                     JOIN qd0 ON qd0.query_id = qq.query_id
+                            AND qd0.ck = c0.code0
+                     JOIN qd1 ON qd1.query_id = qq.query_id
+                            AND qd1.ck = c1.code1
+                     JOIN nrm ON nrm.k0 = c0.code0 AND nrm.k1 = c1.code1),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM est)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= 5
+      """)
     )
   )
 }

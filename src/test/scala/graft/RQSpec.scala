@@ -62,6 +62,33 @@ class RQSpec extends SparkSpec {
     }
   }
 
+  test("2-stage ADC estimate equals decode-then-L2 up to float noise") {
+    val vs = sampleVecs(200)
+    val model = ResidualQuantizer.trainLocal(vs, m = 2, k = 16, seed = 3)
+    val nrm = ResidualQuantizer.pairNormTable(model)
+    val q = vs(7)
+    val qq = q.map(x => x * x).sum
+    vs.take(50).foreach { v =>
+      val codes = ResidualQuantizer.encodeLocal(model, v)
+      val recon = ResidualQuantizer.reconLocal(model, codes)
+      val exact = graft.operators.KMeansLocal.l2Sq(q, recon)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var j = 0
+        while (j < a.length) { s += a(j) * b(j); j += 1 }; s
+      }
+      val est = qq - 2 * dot(q, model.codebooks(0)(codes(0))) -
+        2 * dot(q, model.codebooks(1)(codes(1))) + nrm(codes(0))(codes(1))
+      assert(math.abs(est - exact) <= 1e-7 * math.max(1.0, exact),
+        s"est $est vs exact $exact")
+    }
+    // the serving table is a 2-stage shape by contract
+    val e = intercept[IllegalArgumentException] {
+      ResidualQuantizer.pairNormTable(
+        ResidualQuantizer.trainLocal(vs, m = 3, k = 8, seed = 1))
+    }
+    assert(e.getMessage.contains("2-stage"))
+  }
+
   test("oversized stage count still trains (k > residual diversity is absorbed)") {
     // 4 identical vectors, k=3: stage 0 nails them, later stages quantize
     // a zero residual — MSE 0, no crash, codes defined
