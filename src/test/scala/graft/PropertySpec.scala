@@ -284,4 +284,54 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"docs=$docs")
     }
   }
+
+  test("contaminatedSpans + scrubSpans agree with the quadratic cross-corpus reference") {
+    import spark.implicits._
+    val w = 6
+    val docGen = Gen.containerOfN[List, Char](30, Gen.oneOf('a', 'b'))
+      .map(_.mkString)
+    val caseGen = for {
+      train <- Gen.containerOfN[List, String](6, docGen)
+      eval <- Gen.containerOfN[List, String](3, docGen)
+    } yield (train, eval)
+    forSamples(caseGen, n = 15) { case (train, eval) =>
+      val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val evalDf = eval.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val spans = Dedup.contaminatedSpans(trainDf, evalDf, "doc_id", "text", w)
+      val got = spans.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // reference: literal membership of every train window in the eval
+      // window set, then interval merge — no hashing, no Spark
+      val evalWins = eval.flatMap(t =>
+        (0 to t.length - w).map(s => t.substring(s, s + w))).toSet
+      val want = train.zipWithIndex.flatMap { case (t, d) =>
+        val hits = (0 to t.length - w)
+          .filter(s => evalWins.contains(t.substring(s, s + w)))
+          .map(s => (s, s + w - 1))
+        hits.foldLeft(List.empty[(Int, Int)]) {
+          case (acc @ ((s0, e0) :: rest), (s, e)) =>
+            if (s <= e0 + 1) (s0, math.max(e0, e)) :: rest
+            else (s, e) :: acc
+          case (Nil, span) => span :: Nil
+        }.map { case (s, e) => (d.toLong, s + 1L, e + 1L) }
+      }.toSet
+      assert(got == want, s"train=$train eval=$eval")
+      // scrub equals literal span removal on the reference spans
+      val cleaned = Dedup.scrubSpans(trainDf, "doc_id", "text", spans)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      train.zipWithIndex.foreach { case (t, d) =>
+        val cut = want.filter(_._1 == d.toLong).toSeq.sortBy(_._2)
+        val kept = new StringBuilder
+        var pos = 1
+        cut.foreach { case (_, s, e) =>
+          kept ++= t.substring(pos - 1, s.toInt - 1); pos = e.toInt + 1
+        }
+        kept ++= t.substring(pos - 1)
+        assert(cleaned(d.toLong) == kept.result(), s"doc $d")
+      }
+    }
+  }
 }
