@@ -56,6 +56,9 @@ object HnswQueries {
     clusteredCache.clear()
     searchCache.values.foreach(_.unpersist())
     searchCache.clear()
+    // checkpoint blocks are reclaimed by the ContextCleaner once the
+    // frames are unreachable
+    exactCache.clear()
   }
 
   /** hnsw_knn's materialized result per sf dir (|Q|·k rows — tiny), so
@@ -65,6 +68,28 @@ object HnswQueries {
     */
   private val searchCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Exact brute-force ground truth per sf dir (|Q|·K rows — tiny,
+    * localCheckpoint-materialized): the recall EVALUATION input shared by
+    * hnsw_recall and hnsw_ef_curve, immutable per dir like the build
+    * artifacts, so the eval harness doesn't re-pay a corpus scan per
+    * query entry. The measured operators (build, per-ef searches) are
+    * untouched.
+    */
+  private val exactCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def sharedExact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame =
+    exactCache.getOrElseUpdate(dir, {
+      val (emb, q) = embAndQueries(spark, dir)
+      BruteForceKNN.knn(
+        q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K
+      ).select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+    })
 
   /** Default bench shard count, and the production-scale one: sharding is
     * exactly what degrades HNSW recall (each shard searches 1/N of the
@@ -296,20 +321,14 @@ object HnswQueries {
     GQuery(
       "hnsw_recall",
       (spark, dir) => {
-        val (emb, q) = embAndQueries(spark, dir)
+        val (_, q) = embAndQueries(spark, dir)
         val approx = searchCache.getOrElse(dir, {
           val shards = sharedBuild(spark, dir)
           DistributedHnsw.search(shards, q, "query_id", "qv", K)
         })
-        val exact = BruteForceKNN.knn(
-          q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K
-        )
         approx
           .select(col("query_id"), col("neighbor_id"))
-          .join(
-            exact.select(col("query_id"), col("neighbor_id")),
-            Seq("query_id", "neighbor_id")
-          )
+          .join(sharedExact(spark, dir), Seq("query_id", "neighbor_id"))
           .groupBy(col("query_id"))
           .agg((count(lit(1)) / K.toDouble).as("recall"))
       },
@@ -324,11 +343,9 @@ object HnswQueries {
       "hnsw_ef_curve",
       (spark, dir) => {
         import spark.implicits._
-        val (emb, q) = embAndQueries(spark, dir)
+        val (_, q) = embAndQueries(spark, dir)
         val shards = sharedBuild(spark, dir)
-        val exact = BruteForceKNN.knn(
-          q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), K
-        ).select(col("query_id"), col("neighbor_id"))
+        val exact = sharedExact(spark, dir)
         val denom = exact.count().toDouble
         Seq(10, 50, 200).map { ef =>
           val approx = DistributedHnsw
