@@ -112,20 +112,35 @@ object Packing {
     * walks inside one task (flatMapGroups); nothing is ever
     * driver-collected. Deterministic: the (tokens desc, id) order is a
     * total order, so reruns and repartitionings bin identically.
+    *
+    * When a single stratum is itself corpus-sized (one language of a
+    * 100 TB crawl), `subShards > 1` salts the group with a deterministic
+    * md5 shard of the doc id — packing quality is stratum-local anyway
+    * (NFD waste changes negligibly under random splits), and the walk
+    * regains task-level parallelism within the stratum. Group ids become
+    * `<group>#<shard>`; bins number per salted group.
     */
   def binPack(
       df: DataFrame,
       groupCol: String,
       idCol: String,
       textCol: String,
-      ctx: Int
+      ctx: Int,
+      subShards: Int = 1
   ): DataFrame = {
     require(ctx >= 1, "ctx must be >= 1")
+    require(subShards >= 1, "subShards must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    val groupExpr =
+      if (subShards <= 1) col(groupCol).cast("string")
+      else concat(
+        col(groupCol).cast("string"), lit("#"),
+        pmod(Dedup.md5Long(col(idCol).cast("string")), lit(subShards))
+          .cast("string"))
     df
       .select(
-        col(groupCol).cast("string").as("group"),
+        groupExpr.as("group"),
         col(idCol).cast("long").as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens")
       )

@@ -155,4 +155,27 @@ class PackingSpec extends SparkSpec {
       .toSet
     assert(again == got)
   }
+
+  test("binPack subShards: stratum splits deterministically, capacity still holds") {
+    val docs = Q.t(spark, sf0001, "documents")
+    val sharded = Packing.binPack(docs, "lang", "doc_id", "text", ctx = 512, subShards = 4)
+    val plain = Packing.binPack(docs, "lang", "doc_id", "text", ctx = 512)
+    // same doc multiset, every doc exactly once
+    assert(sharded.count() == plain.count())
+    assert(sharded.select(col("doc_id")).distinct().count() == docs.count())
+    // salted groups are <lang>#<shard> and more numerous
+    val gPlain = plain.select(col("group")).distinct().count()
+    val gSharded = sharded.select(col("group")).distinct().count()
+    assert(gSharded > gPlain && gSharded <= gPlain * 4)
+    assert(sharded.filter(!col("group").contains("#")).count() == 0)
+    // capacity invariant survives the split (oversize docs excepted)
+    assert(sharded.filter(col("fill") > 512 && col("fill") =!= col("n_tokens"))
+      .count() == 0)
+    // token mass per language is preserved across the salting
+    val massOf = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("lang", split(col("group"), "#").getItem(0))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(massOf(sharded) == massOf(plain))
+  }
 }
