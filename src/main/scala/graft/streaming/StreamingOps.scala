@@ -809,6 +809,41 @@ object StreamingOps {
       .toDF("doc_id", "clean_text", "n_spans", "removed_chars")
   }
 
+  /** Streaming count-min sketch — the online half of `text_cms`: the
+    * d×w counter matrix maintained as an UPDATE-mode streaming
+    * aggregation on (row, bucket). This is the textbook case where a
+    * watermark-free streaming agg is CORRECT: the key space is the
+    * sketch geometry itself, so state is exactly d·w counters no matter
+    * how long the stream runs — the bounded-state property that makes
+    * CMS a streaming structure is realized by the engine's own agg
+    * state. Counts only grow, so the latest emission per cell is the
+    * sketch; estimates read est(x) = min_j cell(j, h_j(x)) exactly as in
+    * batch, and the md5 bucket hashes are bit-identical to the batch
+    * operator, so a drained stream equals the batch sketch cell for
+    * cell.
+    */
+  def cmsStream(
+      docs: DataFrame, // streaming (… textCol …)
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 512
+  ): DataFrame = {
+    val js = expr(s"array(${(0 until depth).mkString(",")})")
+    docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(explode(js).as("j"), col("tok"))
+      .select(
+        col("j"),
+        pmod(
+          graft.operators.Dedup.md5Long(
+            concat(col("j").cast("string"), lit(":"), col("tok"))),
+          lit(width)
+        ).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

@@ -670,6 +670,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L), "no contaminated doc in fixture")
   }
 
+  test("streaming CMS: drained stream equals the batch sketch cell for cell") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("cmsstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.cmsStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "text", depth = 4, width = 512)
+    val q = stream.writeStream
+      .format("memory").queryName("cms").outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // counts are monotone, so the final sketch is the max emission per cell
+    val got = spark.table("cms")
+      .groupBy(col("j"), col("b")).agg(max(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = StreamingOps.cmsStream(docs, "text", 4, 512) // same algebra, batch
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // bounded state: the cell count can never exceed the sketch geometry
+    assert(got.size <= 4 * 512)
+  }
+
   test("streaming heavy hitters: two waves converge to the exact batch counts") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("hhstream").toString
