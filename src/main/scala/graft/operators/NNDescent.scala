@@ -286,6 +286,99 @@ object NNDescent {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** [[beamSearch]] in the DiskANN serving layout: the WALK reads only a
+    * PQ code table (~M bytes/node) and per-query dot LUTs — never a raw
+    * vector — and the raw corpus is touched once at the end, by an exact
+    * rerank of the ≤ |Q|·beam surviving candidates (Subramanya et al.
+    * 2019 §3: "compressed vectors guide the search, full-precision
+    * vectors re-rank"). At graph scale this is the difference between
+    * shipping D·8 bytes and M bytes per expanded node through every
+    * round's join — the same codes-not-vectors argument as the persisted
+    * HNSW shard code table.
+    *
+    * ADC distances are approximate, so the walk can locally deviate from
+    * the raw-vector walk; the exact rerank restores precision on
+    * whatever the compressed beam retained (recall floor spec-gated in
+    * NNDescentSpec, alongside the raw path's).
+    */
+  def beamSearchCompressed(
+      graph: DataFrame, // src long, dst long
+      codes: DataFrame, // (id long, code array) — the corpus in the walk
+      model: PQModel,
+      vecs: DataFrame, // raw vectors — read ONLY by the final rerank
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      entryId: Long
+  ): DataFrame = {
+    require(beam >= k, "beam must be at least k")
+    require(rounds >= 1, "beamSearchCompressed needs at least one round")
+    val c = codes.select(col("id").cast("long").as("id"), col("code"))
+    val q = queries
+      .select(
+        col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qvec"))
+      .select(
+        col("qid"), col("qvec"),
+        ProductQuantizer.lutCol(model, col("qvec")).as("lut"))
+      // the LUT table is |Q| rows × M·K doubles — evaluate once, every
+      // round's scoring joins it
+      .localCheckpoint()
+    val edges = graph.select(col("src"), col("dst"))
+
+    def scoredAdc(cand: DataFrame): DataFrame = // (qid, id) -> + ADC dist
+      cand
+        .join(c, "id")
+        .join(q.select(col("qid"), col("lut")), "qid")
+        .select(col("qid"), col("id"),
+          ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")).as("dist"))
+
+    require(
+      c.filter(col("id") === entryId).limit(1).count() == 1,
+      s"beamSearchCompressed: entryId $entryId is not in the code table")
+    var state = scoredAdc(q.select(col("qid"), lit(entryId).as("id")))
+    var r = 0
+    while (r < rounds) {
+      val expanded = state
+        .join(edges.withColumnRenamed("src", "id"), "id")
+        .select(col("qid"), col("dst").as("id"))
+        .distinct()
+      state = scoredAdc(expanded)
+        .unionAll(state)
+        .groupBy(col("qid"), col("id"))
+        .agg(min(col("dist")).as("dist"))
+        .groupBy(col("qid"))
+        .agg(topK(col("dist"), col("id"), beam).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("qid"), col("e.id").as("id"), col("e.dist").as("dist"))
+        .localCheckpoint() // same 3^rounds lineage argument as beamSearch
+      r += 1
+    }
+    // exact rerank: the ONLY raw-vector read, over ≤ |Q|·beam rows
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    state
+      .select(col("qid"), col("id"))
+      .join(v, "id")
+      .join(q.select(col("qid"), col("qvec")), "qid")
+      .select(col("qid"), col("id"),
+        l2SqFast(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(topK(col("dist"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("qid").as("query_id"),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Recall of an approximate kNN graph against the exact one (both as
     * (src, dst) edge sets restricted to rnk <= k): |approx ∩ exact| /
     * |exact|.

@@ -215,6 +215,36 @@ object VectorQueries {
       },
       None
     ),
+    // DiskANN-serving beam search: the WALK reads only a PQ code table
+    // (~M bytes/node) via per-query dot LUTs — never a raw vector — and
+    // the raw corpus is read once, by the exact rerank of the |Q|·beam
+    // survivors. The codes-not-vectors move that makes graph serving
+    // feasible when the corpus doesn't fit memory. Rows-only (iterative
+    // walk); NNDescentSpec gates the reranked recall floor vs exact.
+    GQuery(
+      "knn_graph_search_pq",
+      (spark, dir) => {
+        val emb = embOf(spark, dir)
+        val q = emb
+          .filter(col("id") % 10 === 0)
+          .select(col("id").as("query_id"), col("vec").as("qv"))
+        val model = graft.operators.ProductQuantizer.fitLocal(
+          graft.operators.ProductQuantizer
+            .sampleRows(emb, "vec", maxSample = 20000, seed = 7),
+          m = 8, k = 16, seed = 7)
+        val codes = emb.select(
+          col("id"),
+          graft.operators.ProductQuantizer.encodeCol(model, col("vec")).as("code"))
+        NNDescent
+          .beamSearchCompressed(
+            sharedPruned(spark, dir), codes, model, emb, "id", "vec",
+            q, "query_id", "qv", k = K, beam = 24, rounds = 6, entryId = 0L)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      None
+    ),
     // Radius query: all pairs within L2² <= 1.25 (~0.1% selectivity on the
     // near-random 64-d table; includes each query's self-pair at dist 0).
     GQuery(

@@ -133,4 +133,42 @@ class NNDescentSpec extends SparkSpec {
     val b = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("compressed beam search: ADC walk + exact rerank holds a recall floor") {
+    import graft.operators.ProductQuantizer
+    val g = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
+    val pruned = NNDescent.robustPrune(g, emb, "id", "vec", 1.2, 8)
+    val q = emb.filter(col("id") % 10 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val exactQ = BruteForceKNN.knn(
+      q, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), K)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = exactQ.count().toDouble
+    val model = ProductQuantizer.fitLocal(
+      ProductQuantizer.sampleRows(emb, "vec", maxSample = 20000, seed = 7),
+      m = 8, k = 16, seed = 7)
+    val codes = emb.select(
+      col("id"), ProductQuantizer.encodeCol(model, col("vec")).as("code"))
+    val got = NNDescent.beamSearchCompressed(
+      pruned, codes, model, emb, "id", "vec", q, "query_id", "qv",
+      K, beam = 24, rounds = 6, entryId = 0L)
+    // output shape: k rows per query, exact distances (rerank is raw)
+    assert(got.groupBy(col("query_id")).count()
+      .filter(col("count") =!= K).count() == 0)
+    val recall = got
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exactQ, Seq("query_id", "neighbor_id"))
+      .count() / denom
+    // the ADC walk is approximate; the floor is below the raw walk's 0.7
+    // but must stay useful (near-random 64-d data is PQ's worst case)
+    assert(recall >= 0.55, s"compressed beam recall $recall")
+    // reranked distances are exact L2^2: spot-check against the vectors
+    val vmap = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.limit(20).collect().foreach { r =>
+      val d = graft.operators.KMeansLocal.l2Sq(
+        vmap(r.getLong(0)), vmap(r.getLong(1)))
+      assert(math.abs(d - r.getDouble(2)) < 1e-9, s"row $r: $d")
+    }
+  }
 }
