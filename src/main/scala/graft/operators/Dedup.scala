@@ -1133,12 +1133,14 @@ object Dedup {
         (col("p") + 1).cast("long").as("s"),
         col("h")
       )
-      // evaluate ONCE: both the duplicate-hash aggregation and the
-      // join-back consume this table, and recomputing it doubles the
-      // dominant cost (one digest per corpus char). The materialized
-      // rows are (long, long, long) — the same size the groupBy shuffle
-      // writes anyway — the distributedRank evaluate-once pattern.
-      .localCheckpoint()
+      // NO evaluate-once materialization here, deliberately: with the
+      // rolling kernel the window table costs one multiply-add per char
+      // to rebuild, while materializing it writes 24 B/char (3 longs) —
+      // at corpus scale that dwarfs re-reading ~1 B/char of compressed
+      // text. Both consumers (dup agg, join-back) shuffle on `h`, so the
+      // exchange below is shareable anyway. (With the old per-window md5
+      // kernel the trade went the other way; measured neutral at bench
+      // scale.)
     val dup = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
