@@ -1612,6 +1612,64 @@ object TextQueries {
       },
       None
     ),
+    // GloVe-style windowed co-occurrence counts (Pennington et al. 2014
+    // §3: X_ij accumulated with 1/distance weighting inside a ±w token
+    // window) — the embedding-training-prep stage upstream of any factor
+    // model. The window pairing is an EQUI-join on (doc, pos + delta)
+    // with delta exploded 1..w, so pair volume is tokens×w, never a
+    // per-doc quadratic join (the q32 bucket move in token-position
+    // space). Weights route through DECIMAL(30,6) so the sum is
+    // order-free and engine-exact; output = top-200 directed pairs,
+    // total (x desc, ta, tb) order.
+    GQuery(
+      "text_cooccurrence",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = 5
+        val pt = t(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"),
+            posexplode(col("t")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+        val pairs = pt
+          .filter(col("tok") =!= "")
+          .select(col("doc_id"), col("p"), col("tok").as("ta"),
+            explode(expr(s"sequence(1, $w)")).as("delta"))
+          .select(col("doc_id"), (col("p") + col("delta")).as("p"),
+            col("ta"), col("delta"))
+          .join(
+            pt.filter(col("tok") =!= "").select(
+              col("doc_id"), col("p"), col("tok").as("tb")),
+            Seq("doc_id", "p"))
+        pairs
+          .groupBy(col("ta"), col("tb"))
+          .agg(
+            sum((lit(1.0) / col("delta").cast("double"))
+              .cast(DecimalType(30, 6))).cast("double").as("x"),
+            count(lit(1)).as("n"))
+          .orderBy(col("x").desc, col("ta"), col("tb"))
+          .limit(200)
+          .select(col("ta"), col("tb"), round(col("x"), 6).as("x"), col("n"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        pp AS (SELECT doc_id,
+                      unnest(generate_series(1, len(t)))::BIGINT AS p, t
+               FROM tok),
+        pt AS (SELECT doc_id, p, t[p::INT] AS tok FROM pp),
+        d AS (SELECT unnest(generate_series(1, 5))::BIGINT AS delta),
+        pr AS (SELECT a.tok AS ta, b.tok AS tb,
+                      (1.0/d.delta)::DECIMAL(30,6) AS w
+               FROM pt a CROSS JOIN d
+               JOIN pt b ON b.doc_id = a.doc_id AND b.p = a.p + d.delta
+               WHERE a.tok <> '' AND b.tok <> ''),
+        x AS (SELECT ta, tb, sum(w)::DOUBLE AS x, count(*)::BIGINT AS n
+              FROM pr GROUP BY ta, tb)
+        SELECT ta, tb, round(x, 6) AS x, n FROM x
+        ORDER BY x DESC, ta, tb LIMIT 200
+      """)
+    ),
     // PMI collocations: bigram lift c_xy·N²/(B·c_x·c_y) over exact
     // counts — rank-equivalent to PMI (log is monotone) with the score a
     // deterministic double both engines compute identically. Two hash
