@@ -710,6 +710,47 @@ object Dedup {
     connectedComponentsDistributed(e0)
   }
 
+  /** Edit-distance near-dup pairs — the classic character-level verify
+    * (one typo/OCR-noise edit ≠ a new document) on top of the simhash
+    * band blocking: candidates come from [[simhashPairs]] (hamming ≤
+    * `maxHamming` inside shared 16-bit bands — at the default
+    * maxHamming = 1 the two 16-bit bands make the candidate set COMPLETE
+    * by pigeonhole, so no qualifying pair is ever missed), and only those pairs pay
+    * the O(len²) Levenshtein DP, computed by the engine's codegen
+    * `levenshtein` builtin. A pair qualifies when its edit distance is
+    * at most `maxEditFrac` of the longer doc. Returns
+    * (doc_a, doc_b, edit_distance).
+    *
+    * Scale: the quadratic-in-length DP runs ONLY on blocked candidate
+    * pairs (band survivors — maintenance-sized), never corpus×corpus;
+    * the text join against the candidate list is the small-side join.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 1,
+      maxEditFrac: Double = 0.25
+  ): DataFrame = {
+    val cand = simhashPairs(df, idCol, textCol, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val txt = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+    cand
+      .join(txt.select(col("doc_id").as("doc_a"), col("txt").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("txt").as("tb")), "doc_b")
+      // length-gap prefilter: ed >= |len_a - len_b|, so a gap beyond the
+      // budget can never qualify — prunes before the O(len^2) DP without
+      // changing the result set
+      .filter(
+        abs(length(col("ta")) - length(col("tb"))) <=
+          lit(maxEditFrac) * greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("ed", levenshtein(col("ta"), col("tb")))
+      .filter(
+        col("ed") <= lit(maxEditFrac) *
+          greatest(length(col("ta")), length(col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("edit_distance"))
+  }
+
   /** Leakage-safe holdout split: assign every doc to train/val by hashing
     * its near-dup CLUSTER representative, not the doc itself — so a
     * cluster of near-duplicates lands wholly on one side and a val doc

@@ -261,6 +261,56 @@ object TextQueries {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       """)
     ),
+    // Edit-distance near-dup pairs: simhash band candidates (hamming <= 1,
+    // where the two 16-bit bands are COMPLETE by pigeonhole)
+    // verified by the REAL Levenshtein DP — the character-level notion of
+    // "same doc up to typos/OCR noise" that token-set measures miss. The
+    // O(len²) DP runs only on blocked candidates; both engines' builtin
+    // levenshtein implements the same unit-cost DP, so the verify is
+    // hash-checked end to end.
+    GQuery(
+      "dedup_edit_pairs",
+      (spark, dir) =>
+        Dedup.editDistancePairs(
+          t(spark, dir, "documents"), "doc_id", "text",
+          maxHamming = 1, maxEditFrac = 0.25),
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
+              FROM w),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
+                        simhash & 65535 AS lo
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 1),
+        ed AS (SELECT pr.doc_a, pr.doc_b,
+                      levenshtein(a.text, b.text) AS ed,
+                      greatest(length(a.text), length(b.text)) AS ml
+               FROM pr JOIN documents a ON a.doc_id = pr.doc_a
+                       JOIN documents b ON b.doc_id = pr.doc_b
+               WHERE abs(length(a.text) - length(b.text))
+                     <= 0.25 * greatest(length(a.text), length(b.text)))
+        SELECT doc_a, doc_b, ed::BIGINT AS edit_distance
+        FROM ed WHERE ed <= 0.25 * ml
+      """)
+    ),
     // Dedup clustering: connected components over the simhash near-dup
     // pair graph -> every document mapped to its canonical representative
     // (min reachable doc_id; singletons map to themselves). The stage a
