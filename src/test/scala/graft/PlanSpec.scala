@@ -465,4 +465,19 @@ class PlanSpec extends SparkSpec {
     // parallelism is the group key: no Exchange SinglePartition anywhere
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("text_cooccurrence: window pairing is an equi-join, never per-doc quadratic") {
+    val p = planOf("text_cooccurrence")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_edit_pairs: DP only below blocked equi-joins, no cartesian") {
+    val p = planOf("dedup_edit_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the levenshtein verify must sit above the candidate join, not on a
+    // corpus-sized pair set — banding shows as equi self-joins on bands
+    assert(p.contains("levenshtein"), p)
+  }
 }
