@@ -823,6 +823,70 @@ object TextQueries {
         WHERE u < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.5 END
       """)
     ),
+    // Multilingual temperature rebalancing (mT5 §3.1 / CCNet): sample
+    // languages to p_l ∝ n_l^α (α = 0.5 spelled as sqrt — IEEE
+    // correctly-rounded on both engines, unlike pow) so low-resource
+    // languages are up-weighted relative to their natural share. Budget
+    // B = N/2 docs; per-language acceptance rate min(1, B·p_l/n_l),
+    // applied with the engine's standard md5 coin — deterministic,
+    // partition-independent, rerunnable. The normalizer routes through
+    // DECIMAL(30,6) so the language sum is order-free; every arithmetic
+    // step is mirrored exactly by the oracle.
+    GQuery(
+      "pipeline_temperature",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val docs = t(spark, dir, "documents")
+        val langs = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_l"))
+        val tot = langs.agg(
+          sum(col("n_l")).as("n"),
+          sum(sqrt(col("n_l").cast("double")).cast(DecimalType(30, 6)))
+            .cast("double").as("s"))
+        val rates = langs
+          .crossJoin(broadcast(tot))
+          .select(
+            col("lang"), col("n_l"),
+            least(
+              lit(1.0),
+              (floor(col("n") / 2).cast("double") *
+                (sqrt(col("n_l").cast("double"))
+                  .cast(DecimalType(30, 6)).cast("double") / col("s")))
+                / col("n_l").cast("double")
+            ).as("rate"))
+        val u = (Dedup.md5Long(
+          concat(col("doc_id").cast("string"), lit(":temp"))) % 1000000)
+          .cast("double") / lit(1000000.0)
+        docs
+          .select(col("doc_id"), col("lang"), u.as("u"))
+          .join(broadcast(rates), "lang")
+          .filter(col("u") < col("rate"))
+          .select(
+            col("doc_id"), col("lang"),
+            round(col("rate"), 6).as("rate"), round(col("u"), 6).as("u"))
+      },
+      Some("""
+        WITH l AS (SELECT lang, count(*)::BIGINT AS n_l
+                   FROM documents GROUP BY lang),
+        tot AS (SELECT sum(n_l)::BIGINT AS n,
+                       sum((sqrt(n_l::DOUBLE))::DECIMAL(30,6))::DOUBLE AS s
+                FROM l),
+        rates AS (SELECT l.lang, l.n_l,
+                         least(1.0,
+                           (floor(tot.n / 2)::DOUBLE *
+                            ((sqrt(l.n_l::DOUBLE))::DECIMAL(30,6)::DOUBLE
+                             / tot.s)) / l.n_l::DOUBLE) AS rate
+                  FROM l CROSS JOIN tot),
+        d AS (SELECT doc_id, lang,
+                     (('0x' || substr(md5(doc_id::VARCHAR || ':temp'),
+                       1, 14))::BIGINT % 1000000)::DOUBLE / 1000000.0 AS u
+              FROM documents)
+        SELECT d.doc_id, d.lang,
+               round(r.rate, 6) AS rate, round(d.u, 6) AS u
+        FROM d JOIN rates r ON r.lang = d.lang
+        WHERE d.u < r.rate
+      """)
+    ),
     // fastText-style quality classifier (Joulin et al. 2016) — the
     // DCLM/FineWeb filtering stage: word + bigram features through the
     // hashing trick, mean-pooled weights, sigmoid. Deterministic
