@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotExpr, L2SqExpr, TopFreqAgg, TopKAgg}
+import graft.functions.{DotExpr, L2SqExpr, RollingHashWindowsExpr, TopFreqAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -13,6 +13,8 @@ import graft.functions.{DotExpr, L2SqExpr, TopFreqAgg, TopKAgg}
   *   - `graft_l2sq(a, b)`  — squared L2 distance (codegen, SURVEY F1)
   *   - `graft_dot(a, b)`   — dot product (codegen)
   *   - `graft_topk(dist, id, k)` — bounded-heap top-k aggregate (D1)
+  *   - `graft_rolling_windows(text, w)` — all length-w window hashes
+  *     (Rabin–Karp, one multiply-add per char)
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -81,6 +83,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_topk", args, 3)
         TopKAgg(args(0), args(1), kOf(args(2))).toAggregateExpression()
+      }
+    ),
+    (
+      "graft_rolling_windows",
+      "graft_rolling_windows(text, w) - Rabin-Karp hashes of every " +
+        "length-w character window (array<bigint>, entry i hashing the " +
+        "window at 1-based position i+1; empty when length(text) < w)",
+      (args: Seq[Expression]) => {
+        arity("graft_rolling_windows", args, 2)
+        RollingHashWindowsExpr(
+          args(0), kOf(args(1), "graft_rolling_windows", "w"))
       }
     ),
     (

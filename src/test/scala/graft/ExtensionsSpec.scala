@@ -30,6 +30,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(entries.map(_.getDouble(0)) == Seq(1.0, 3.0))
   }
 
+  test("graft_rolling_windows usable from spark.sql; matches the column API") {
+    GraftExtensions.register(spark)
+    val r = spark
+      .sql("SELECT graft_rolling_windows('abcab', 3) AS hs, " +
+        "graft_rolling_windows('ab', 3) AS short")
+      .head()
+    val hs = r.getSeq[Long](0)
+    assert(hs.length == 3)
+    // equal windows hash equal: 'abc' at 1 vs 'cab' at 3 differ, no dupes
+    // here, but the same call through the column API must agree exactly
+    import org.apache.spark.sql.functions.lit
+    val viaCol = spark.range(1)
+      .select(graft.functions.RollingHashWindowsExpr
+        .rollingHashWindows(lit("abcab"), 3).as("hs"))
+      .head().getSeq[Long](0)
+    assert(hs == viaCol)
+    assert(r.getSeq[Long](1).isEmpty)
+    // w must be a positive literal
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_rolling_windows('abc', 0)").collect()
+    }
+    assert(e.getMessage.contains("graft_rolling_windows"), e.getMessage)
+  }
+
   test("SQL surface: type validation at analysis, ragged truncation, literal k") {
     GraftExtensions.register(spark)
     // numeric element types implicitly cast to array<double>
