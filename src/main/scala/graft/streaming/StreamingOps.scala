@@ -844,6 +844,32 @@ object StreamingOps {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming multilingual temperature rebalancing — the online half of
+    * `pipeline_temperature`: per-language acceptance rates are computed
+    * ONCE from a static reference corpus (the rate table is a
+    * languages-sized artifact, broadcast via the join) and each streamed
+    * doc flips the engine's standard md5 coin against its language's
+    * rate — stateless, append-safe, bit-identical to the batch filter on
+    * the same rates. At ingest scale the rates would be refreshed
+    * periodically from corpus stats; the coin keeps every decision
+    * deterministic and rerunnable regardless.
+    */
+  def temperatureSampleStream(
+      docs: DataFrame, // streaming (idCol, langCol, …)
+      rates: DataFrame, // static (lang, rate) — e.g. the batch rate table
+      idCol: String,
+      langCol: String
+  ): DataFrame = {
+    val u = (graft.operators.Dedup.md5Long(
+      concat(col(idCol).cast("string"), lit(":temp"))) % 1000000)
+      .cast("double") / lit(1000000.0)
+    docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"), u.as("u"))
+      .join(broadcast(rates.select(col("lang"), col("rate"))), "lang")
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("u"))
+  }
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

@@ -670,6 +670,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L), "no contaminated doc in fixture")
   }
 
+  test("streaming temperature sampling: two waves equal the batch filter") {
+    val docs = Q.t(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("tempstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    // the batch query's own rate table is the static reference artifact
+    val rates = graft.SparkEntry.queries("pipeline_temperature")(spark, sf0001)
+      .select(col("lang"), col("rate")).distinct()
+    val stream = StreamingOps.temperatureSampleStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      rates, "doc_id", "lang")
+    val q = stream.writeStream
+      .format("memory").queryName("temp").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("temp").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val want = graft.SparkEntry.queries("pipeline_temperature")(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming CMS: drained stream equals the batch sketch cell for cell") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("cmsstream").toString
