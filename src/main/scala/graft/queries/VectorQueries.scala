@@ -334,6 +334,56 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Passage-level MaxP retrieval (Dai & Callan 2019): long docs are
+    // retrieved by their best-matching PASSAGE — doc score = max over
+    // its passages' dots — the aggregation granularity between
+    // whole-doc vectors (knn_dot) and token-level MaxSim (knn_maxsim).
+    // Passages = the embeddings table grouped 8-per-doc (vec_id div 8).
+    // Same broadcast-queries placement as knn_bruteforce; the per-doc
+    // max is a plain partial-aggregating groupBy, then the bounded heap
+    // takes top-5 docs (max-heap spelled as min-heap on the negated
+    // score, exact negation).
+    GQuery(
+      "knn_maxp",
+      (spark, dir) => {
+        import graft.functions.VectorExpressions.dotFast
+        import graft.functions.TopKAgg.topK
+        val emb = t(spark, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("query_id"),
+            toDouble(col("embedding")).as("qv"))
+        val p = emb.select(
+          expr("vec_id div 8").as("doc_id"),
+          toDouble(col("embedding")).as("pv"))
+        p.join(broadcast(q))
+          .select(col("query_id"), col("doc_id"),
+            dotFast(col("qv"), col("pv")).as("s"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(max(col("s")).as("s"))
+          .groupBy(col("query_id"))
+          .agg(topK(col("s") * lit(-1.0), col("doc_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"),
+            col("e.id").as("doc_id"),
+            round(col("e.dist") * lit(-1.0), 6).as("maxp"),
+            (col("pos") + 1).cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 40 = 0),
+        p AS (SELECT vec_id // 8 AS doc_id, embedding::DOUBLE[] AS pv
+              FROM embeddings),
+        s AS (SELECT query_id, doc_id, max(${sqlDot("qv", "pv")}) AS s
+              FROM q CROSS JOIN p GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, doc_id) AS rnk
+              FROM s)
+        SELECT query_id, doc_id, round(s, 6) AS maxp, rnk
+        FROM r WHERE rnk <= 5
+      """)
+    ),
     // Attribute-constrained (filtered) kNN: neighbors restricted to the
     // The same exact kNN expressed ENTIRELY in spark.sql through the
     // SparkSessionExtensions-registered functions (graft_l2sq codegen
