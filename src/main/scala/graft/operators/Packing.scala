@@ -142,7 +142,11 @@ object Packing {
       .select(
         groupExpr.as("group"),
         col(idCol).cast("long").as("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens")
+        // null text packs as a zero-token doc instead of failing the
+        // encoder — the graceful-degradation convention of the other
+        // text operators
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+          .as("n_tokens")
       )
       .as[(String, Long, Long)]
       .groupByKey(_._1)

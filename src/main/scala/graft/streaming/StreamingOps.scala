@@ -771,7 +771,9 @@ object StreamingOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val ev = bc.value
-        it.map { case (id, text) =>
+        it.map {
+          case (id, null) => (id, null: String, 0L, 0L) // null docs pass through like the batch operator
+          case (id, text) =>
           val hs = RollingHashWindowsExpr.computeLongs(text, w)
           // 1-based inclusive code-point spans, merged as they stream by
           // (positions arrive in increasing s; overlap-or-adjacent joins

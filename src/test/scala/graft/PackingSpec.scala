@@ -128,7 +128,8 @@ class PackingSpec extends SparkSpec {
       (3L, "a", doc(300)),
       (4L, "a", doc(200)),
       (5L, "a", doc(100)),
-      (6L, "b", doc(512)) // exact fit -> bin 0 of group b
+      (6L, "b", doc(512)), // exact fit -> bin 0 of group b
+      (7L, "b", null: String) // null text packs as zero tokens
     ).toDF("doc_id", "lang", "text")
     val got = Packing.binPack(fix, "lang", "doc_id", "text", ctx = 512)
       .collect()
@@ -143,7 +144,8 @@ class PackingSpec extends SparkSpec {
       ("a", 3L, 300L, 2L, 300L),
       ("a", 4L, 200L, 2L, 500L),
       ("a", 5L, 100L, 3L, 100L),
-      ("b", 6L, 512L, 0L, 512L)), got)
+      ("b", 6L, 512L, 0L, 512L),
+      ("b", 7L, 0L, 0L, 512L)), got)
     // capacity holds except for single-doc oversize bins
     val over = got.filter(_._5 > 512)
     assert(over.forall { case (_, _, n, _, fill) => fill == n })
