@@ -846,6 +846,43 @@ object StreamingOps {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming leakage-safe split routing — the online half of
+    * [[graft.operators.Dedup.leakSafeSplit]]: each arriving doc is
+    * assigned train/val by the md5 coin on its near-dup CLUSTER
+    * representative, looked up in a STATIC component table (computed by
+    * the batch clustering over the reference corpus; docs absent from it
+    * are singletons and split on their own id). Stateless stream-static
+    * left join + hash — append-safe, and identical decisions to the
+    * batch operator on the same component table, so a doc routes to the
+    * same side whether it arrived in the batch build or on the stream.
+    */
+  def leakSafeSplitStream(
+      docs: DataFrame, // streaming (idCol, …)
+      comp: DataFrame, // static (doc_id, rep_id) from connectedComponents
+      idCol: String,
+      trainPct: Int = 90,
+      salt: String = "holdout"
+  ): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(comp.select(col("doc_id"), col("rep_id"))),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .select(
+        col("doc_id"), col("rep_id"),
+        when(
+          pmod(
+            graft.operators.Dedup.md5Long(
+              concat(col("rep_id").cast("string"), lit(s":$salt"))),
+            lit(100)
+          ) < trainPct,
+          lit("train")
+        ).otherwise(lit("val")).as("split"))
+  }
+
   /** Streaming multilingual temperature rebalancing — the online half of
     * `pipeline_temperature`: per-language acceptance rates are computed
     * ONCE from a static reference corpus (the rate table is a

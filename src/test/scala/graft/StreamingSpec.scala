@@ -670,6 +670,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L), "no contaminated doc in fixture")
   }
 
+  test("streaming leak-safe split routes every doc exactly like batch") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf0001, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .localCheckpoint()
+    val dir = Files.createTempDirectory("splitstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.leakSafeSplitStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      comp, "doc_id", trainPct = 90)
+    val q = stream.writeStream
+      .format("memory").queryName("split").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = Dedup.leakSafeSplit(docs, "doc_id", comp, trainPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(got.map(_._3) == Set("train", "val"))
+  }
+
   test("streaming temperature sampling: two waves equal the batch filter") {
     val docs = Q.t(spark, sf0001, "documents")
     val dir = Files.createTempDirectory("tempstream").toString
