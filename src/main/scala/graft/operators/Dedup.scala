@@ -6,14 +6,19 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for large-scale text/embedding corpora
   * (SURVEY.md §2 C7 + the LLM-pipeline extension surface): exact,
   * token-shingle Jaccard (inverted-index self-join), MinHash+LSH,
-  * SimHash, and embedding-cosine near-dup.
+  * SimHash, embedding-cosine, TF-IDF cosine, containment, edit-distance
+  * and char-span near-dup; cross-corpus decontamination at doc, fuzzy,
+  * semantic and span level (with the scrub rewrite halves); near-dup
+  * clustering with a leakage-safe holdout split on the cluster
+  * representative.
   *
   * Scale notes (100 TB): every candidate-pair generator here is *blocked* —
   * pairs materialize only inside a bucket (shared shingle / LSH band
   * signature / SimHash band), never as a full cross join. The verify step
-  * (exact Jaccard / hamming) touches candidate pairs only. All hashes are
-  * md5-derived and engine-portable, so results are reproducible across
-  * engines and runs (no JVM hashCode anywhere).
+  * (exact Jaccard / hamming / Levenshtein) touches candidate pairs only.
+  * All hashes are md5-derived (or the Rabin–Karp rolling kernel) and
+  * engine-portable, so results are reproducible across engines and runs
+  * (no JVM hashCode anywhere).
   */
 object Dedup {
 
