@@ -409,33 +409,30 @@ object Dedup {
     verifyJaccard(cand, sh, tau)
   }
 
-  /** 32-bit SimHash over token hashes: bit b of the signature is set when
-    * the sum over tokens of ±1 (sign of bit b of the token hash) is >= 0.
+  /** 64-bit SimHash over token hashes: bit b of the signature is set when
+    * the sum over tokens of ±1 (sign of bit b of the token hash = first
+    * 8 md5 bytes) is >= 0. Computed by the one-pass
+    * [[graft.functions.SimHash64Expr]] kernel — the signature is a
+    * per-doc scalar, so this is a MAP-ONLY projection: no token
+    * row-explosion, no 64-column aggregation exchange, nothing shuffled.
     * Returns (doc_id, simhash).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // 32 signed bit-sums as parallel aggregates over one token scan — no
-    // 32-way row explosion; shuffle is one row per doc
-    val hashed = df
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .withColumn("x", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { b =>
-      sum(when(expr(s"(x >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    hashed
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 32)
-          .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _)
-          .as("simhash")
-      )
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.SimHash64Expr.simhash64(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup pairs: candidates share a 16-bit half (two-band
-    * exact-match blocking), verified by hamming distance <= maxHamming.
+  /** SimHash near-dup pairs: candidates share one of four 16-bit bands of
+    * the 64-bit signature (exact-match blocking), verified by hamming
+    * distance <= maxHamming. By pigeonhole, four bands make the candidate
+    * set COMPLETE w.r.t. the signature for any maxHamming <= 3: at most 3
+    * differing bits cannot touch all 4 bands, so some band matches
+    * exactly. (The previous 32-bit/2-band spelling was only complete at
+    * hamming <= 1 while defaulting maxHamming = 3 — pairs with 2–3
+    * differing bits split across both halves were silently missed.)
+    * Doubling the signature width also halves the chance that two
+    * UNRELATED docs land within hamming 3 of each other, so verified
+    * false-positive pairs shrink as the corpus grows.
     * Returns (doc_a, doc_b, hamming).
     */
   def simhashPairs(
@@ -444,19 +441,28 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    // not cached: `simhash` ends in a groupBy exchange, so both half-joins
-    // re-read the same shuffle files (ReusedExchange)
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only candidate-complete for maxHamming <= 3, got $maxHamming")
+    // simhash is now map-only (no exchange of its own), so without a
+    // pinned exchange each of the 8 join sides would recompute md5 over
+    // the whole corpus; repartition materializes the (doc_id, simhash)
+    // rows ONCE — all 8 sides hit the same shuffle files (ReusedExchange,
+    // n × 16-byte rows) and the band columns are cheap post-shuffle bit
+    // ops that never travel
     val sig = simhash(df, idCol, textCol)
-      .withColumn("hi", shiftright(col("simhash"), 16))
-      .withColumn("lo", col("simhash").bitwiseAND(65535))
-    def half(c: String) = sig.as("a")
+      .repartition(col("doc_id"))
+      .withColumn("b0", col("simhash").bitwiseAND(65535))
+      .withColumn("b1", shiftright(col("simhash"), 16).bitwiseAND(65535))
+      .withColumn("b2", shiftright(col("simhash"), 32).bitwiseAND(65535))
+      .withColumn("b3", shiftright(col("simhash"), 48).bitwiseAND(65535))
+    def band(c: String) = sig.as("a")
       .join(sig.as("b"),
         col(s"a.$c") === col(s"b.$c") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb")
       )
-    half("hi").union(half("lo")).distinct()
+    Seq("b0", "b1", "b2", "b3").map(band).reduce(_ union _).distinct()
       .withColumn(
         "hamming",
         bit_count(col("sa").bitwiseXOR(col("sb")))
@@ -717,13 +723,18 @@ object Dedup {
 
   /** Edit-distance near-dup pairs — the classic character-level verify
     * (one typo/OCR-noise edit ≠ a new document) on top of the simhash
-    * band blocking: candidates come from [[simhashPairs]] (hamming ≤
-    * `maxHamming` inside shared 16-bit bands — at the default
-    * maxHamming = 1 the two 16-bit bands make the candidate set COMPLETE
-    * by pigeonhole, so no qualifying pair is ever missed), and only those pairs pay
-    * the O(len²) Levenshtein DP, computed by the engine's codegen
-    * `levenshtein` builtin. A pair qualifies when its edit distance is
-    * at most `maxEditFrac` of the longer doc. Returns
+    * band blocking: candidates come from [[simhashPairs]], whose four
+    * 16-bit bands of the 64-bit signature are candidate-COMPLETE for any
+    * hamming radius ≤ 3 by pigeonhole — so w.r.t. the simhash-hamming
+    * filter, no qualifying pair is ever missed at the default
+    * maxHamming = 1 (or at 2–3). Note the completeness claim is scoped to
+    * the hamming filter only: w.r.t. the pure edit-distance predicate the
+    * operator is a recall HEURISTIC — a pair within `maxEditFrac` whose
+    * signatures differ in more than `maxHamming` bits is never examined
+    * (blocking-dependent recall, the standard near-dup trade). Only band
+    * survivors pay the O(len²) Levenshtein DP, computed by the engine's
+    * codegen `levenshtein` builtin. A pair qualifies when its edit
+    * distance is at most `maxEditFrac` of the longer doc. Returns
     * (doc_a, doc_b, edit_distance).
     *
     * Scale: the quadratic-in-length DP runs ONLY on blocked candidate

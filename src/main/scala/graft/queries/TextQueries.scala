@@ -206,7 +206,7 @@ object TextQueries {
         $jaccardTail
       """)
     ),
-    // SimHash signatures per document (32-bit, token-hash sign sums).
+    // SimHash signatures per document (64-bit, token-hash sign sums).
     GQuery(
       "dedup_simhash",
       (spark, dir) =>
@@ -214,19 +214,27 @@ object TextQueries {
       Some("""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                    FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b)
         SELECT doc_id,
-               sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+               sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                  AS simhash
         FROM s GROUP BY doc_id
       """)
     ),
-    // SimHash near-dup pairs: 16-bit half-signature blocking, hamming <= 3.
+    // SimHash near-dup pairs: 4x16-bit band blocking over the 64-bit
+    // signature (candidate-complete at hamming <= 3 by pigeonhole).
     GQuery(
       "dedup_simhash_pairs",
       (spark, dir) =>
@@ -236,33 +244,53 @@ object TextQueries {
       Some("""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                    FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b),
         sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                          AS simhash
                 FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
-                        simhash & 65535 AS lo
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
                  FROM sig),
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sa, b.simhash AS sb
                  FROM sig2 a JOIN sig2 b
-                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
                  UNION
                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
                  FROM sig2 a JOIN sig2 b
-                   ON a.lo = b.lo AND a.doc_id < b.doc_id)
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       """)
     ),
     // Edit-distance near-dup pairs: simhash band candidates (hamming <= 1,
-    // where the two 16-bit bands are COMPLETE by pigeonhole)
+    // where the four 16-bit bands are COMPLETE up to hamming 3 by
+    // pigeonhole — so a fortiori at 1; recall w.r.t. pure edit distance
+    // stays blocking-dependent)
     // verified by the REAL Levenshtein DP — the character-level notion of
     // "same doc up to typos/OCR noise" that token-set measures miss. The
     // O(len²) DP runs only on blocked candidates; both engines' builtin
@@ -277,27 +305,45 @@ object TextQueries {
       Some("""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                    FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b),
         sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                          AS simhash
                 FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
-                        simhash & 65535 AS lo
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
                  FROM sig),
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sa, b.simhash AS sb
                  FROM sig2 a JOIN sig2 b
-                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
                  UNION
                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
                  FROM sig2 a JOIN sig2 b
-                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
         pr AS (SELECT doc_a, doc_b FROM cand
                WHERE bit_count(xor(sa, sb)) <= 1),
         ed AS (SELECT pr.doc_a, pr.doc_b,
@@ -335,27 +381,45 @@ object TextQueries {
         WITH RECURSIVE
         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b),
         sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                          AS simhash
                 FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
-                        simhash & 65535 AS lo
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
                  FROM sig),
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sa, b.simhash AS sb
                  FROM sig2 a JOIN sig2 b
-                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
                  UNION
                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
                  FROM sig2 a JOIN sig2 b
-                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
         pr AS (SELECT doc_a, doc_b FROM cand
                WHERE bit_count(xor(sa, sb)) <= 3),
         ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
@@ -387,27 +451,45 @@ object TextQueries {
         WITH RECURSIVE
         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b),
         sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                          AS simhash
                 FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
-                        simhash & 65535 AS lo
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
                  FROM sig),
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sa, b.simhash AS sb
                  FROM sig2 a JOIN sig2 b
-                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
                  UNION
                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
                  FROM sig2 a JOIN sig2 b
-                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
         pr AS (SELECT doc_a, doc_b FROM cand
                WHERE bit_count(xor(sa, sb)) <= 3),
         ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
@@ -689,27 +771,45 @@ object TextQueries {
         WITH RECURSIVE
         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               FROM documents),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b),
         sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                          AS simhash
                 FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
-                        simhash & 65535 AS lo
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
                  FROM sig),
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sa, b.simhash AS sb
                  FROM sig2 a JOIN sig2 b
-                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
                  UNION
                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
                  FROM sig2 a JOIN sig2 b
-                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
         pr AS (SELECT doc_a, doc_b FROM cand
                WHERE bit_count(xor(sa, sb)) <= 3),
         ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
@@ -1530,27 +1630,45 @@ object TextQueries {
                     AND doc_id NOT IN (SELECT doc_id FROM contam)),
         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               FROM clean),
-        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x
-              FROM w),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
         s AS (SELECT doc_id, b,
                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
               GROUP BY doc_id, b),
         sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
                          AS simhash
                 FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash, simhash >> 16 AS hi,
-                        simhash & 65535 AS lo
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
                  FROM sig),
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sa, b.simhash AS sb
                  FROM sig2 a JOIN sig2 b
-                   ON a.hi = b.hi AND a.doc_id < b.doc_id
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
                  UNION
                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
                  FROM sig2 a JOIN sig2 b
-                   ON a.lo = b.lo AND a.doc_id < b.doc_id),
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
         pr AS (SELECT doc_a, doc_b FROM cand
                WHERE bit_count(xor(sa, sb)) <= 3),
         ed AS (SELECT doc_a AS a, doc_b AS b FROM pr

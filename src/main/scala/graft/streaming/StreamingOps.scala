@@ -525,20 +525,21 @@ object StreamingOps {
   final case class SimBucket(ids: Array[Long], sims: Array[Long])
 
   /** Online SimHash near-duplicate DETECTION over a document stream: emit
-    * the id of every streamed doc whose 32-bit SimHash is within
-    * `maxHamming` of an EARLIER-ARRIVED doc sharing a 16-bit signature
-    * half — the online half of [[graft.operators.Dedup.simhashPairs]],
-    * with identical banding and verify math.
+    * the id of every streamed doc whose 64-bit SimHash is within
+    * `maxHamming` of an EARLIER-ARRIVED doc sharing one of four 16-bit
+    * signature bands — the online half of
+    * [[graft.operators.Dedup.simhashPairs]], with identical banding
+    * (candidate-complete at hamming <= 3 by pigeonhole) and verify math.
     *
     * Shape: each doc computes its signature per-row (bit-for-bit the batch
-    * arithmetic: ±1 sums over md5-first-8-hex token hashes), explodes to
-    * its two (half, sig16) bucket keys, and the stream groups by bucket —
+    * arithmetic: ±1 sums over md5-first-16-hex token hashes), explodes to
+    * its four (band, sig16) bucket keys, and the stream groups by bucket —
     * state lives per bucket and holds only that bucket's signatures, so
     * state is as fine-grained as the LSH itself and buckets parallelize
     * arbitrarily. Verification against earlier members happens inside the
-    * bucket (hamming over the full 32-bit signature); `prior.id < id`
+    * bucket (hamming over the full 64-bit signature); `prior.id < id`
     * guards the pair order so results are deterministic under re-delivery.
-    * A doc near-dup in both halves is emitted once per hit bucket —
+    * A doc near-dup in several bands is emitted once per hit bucket —
     * at-least-once semantics; downstream takes DISTINCT doc_id (the memory
     * few extra rows cost less than a cross-bucket streaming aggregation,
     * which append mode would disallow anyway).
@@ -554,31 +555,13 @@ object StreamingOps {
     docs
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val sums = new Array[Int](32)
-          text.split(" ", -1).foreach { w =>
-            md.reset()
-            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            // batch token hash: first 8 hex chars = first 4 md5 bytes
-            var x = 0L
-            var i = 0
-            while (i < 4) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
-            var b = 0
-            while (b < 32) {
-              sums(b) += (if (((x >> b) & 1L) == 1L) 1 else -1)
-              b += 1
-            }
-          }
-          var sim = 0L
-          var b = 0
-          while (b < 32) { if (sums(b) >= 0) sim |= (1L << b); b += 1 }
-          (id, sim)
-        }
+      // the batch kernel itself (SimHash64Expr.computeSig) — batch and
+      // stream signatures are bit-identical by construction
+      .map { case (id, text) =>
+        (id, graft.functions.SimHash64Expr.computeSig(text))
       }
       .flatMap { case (id, sim) =>
-        Seq((0, sim >> 16, id, sim), (1, sim & 0xffffL, id, sim))
+        (0 until 4).map(k => (k, (sim >>> (16 * k)) & 0xffffL, id, sim))
       }
       .groupByKey { case (half, sig, _, _) => (half, sig) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

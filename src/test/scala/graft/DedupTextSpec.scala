@@ -46,6 +46,25 @@ class DedupTextSpec extends SparkSpec {
     assert(byHash >= 3)
   }
 
+  test("simhashPairs 4x16-bit banding is COMPLETE at hamming <= 3 (pigeonhole)") {
+    // brute-force ground truth over the 64-bit signatures: every pair
+    // within hamming 3 must be produced by the banded join — pigeonhole
+    // guarantees at most 3 flipped bits leave one of 4 bands intact
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the 64-bit signature actually uses its top bits (sign bit included
+    // for some doc, with overwhelming probability at this corpus size)
+    assert(sigs.exists(_._2 < 0), "no signature with bit 63 set")
+  }
+
   test("connected components: chain, triangle, singleton endpoints") {
     import org.apache.spark.sql.functions.col
     // chain 1-2-3-4-5 (diameter 4 — multiple propagation rounds), a
