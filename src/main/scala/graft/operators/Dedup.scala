@@ -916,13 +916,19 @@ object Dedup {
     * BM25 uses turned into an all-pairs similarity. Returns
     * (doc_a, doc_b, tfidf_cos) for pairs clearing `tau`, doc_a < doc_b.
     *
-    * Scale: the df window (2 ≤ df ≤ maxDfFraction·N) is the load-bearing
-    * move — df=1 shingles cannot pair (dropped), high-df shingles are
-    * stopword-like AND quadratic in fan-out (each shingle contributes
-    * ≤ df² pairs), so the cap bounds per-key join blow-up exactly like
-    * dedup_jaccard's hot-shingle skew cap. Every shuffle is keyed on the
-    * shingle or the (doc_a, doc_b) pair; dot products and norms route
-    * through decimals so both engines sum exactly.
+    * Scale: the df window (2 ≤ df ≤ min(maxDfFraction·N, maxDfAbs)) is
+    * the load-bearing move — df=1 shingles cannot pair (dropped), high-df
+    * shingles are stopword-like AND quadratic in fan-out (each shingle
+    * contributes ≤ df² pairs). The FRACTIONAL cap alone is not a scale
+    * bound: a shingle sitting at 0.1·N emits ~0.01·N² pairs, quadratic in
+    * corpus size. `maxDfAbs` is the N-INDEPENDENT ceiling — per-shingle
+    * fan-out is ≤ maxDfAbs² pairs no matter how large the corpus grows,
+    * so total candidate volume is ≤ (#shingles)·maxDfAbs², linear in
+    * corpus size for fixed cap. At the test scale factors the fractional
+    * cap is the binding one (0.1·N ≪ 10⁴), so small-SF oracle results are
+    * unchanged; at web scale the absolute cap takes over. Every shuffle
+    * is keyed on the shingle or the (doc_a, doc_b) pair; dot products and
+    * norms route through decimals so both engines sum exactly.
     */
   def tfidfPairs(
       df: DataFrame,
@@ -930,6 +936,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       maxDfFraction: Double = 0.1,
+      maxDfAbs: Int = 10000,
       tau: Double = 0.4
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -956,7 +963,8 @@ object Dedup {
     val w = tf
       .join(dfreq, "sh")
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") >= 2 && col("df") <= floor(col("n") * maxDfFraction))
+      .filter(col("df") >= 2 &&
+        col("df") <= least(floor(col("n") * maxDfFraction), lit(maxDfAbs.toLong)))
       .select(
         col("doc_id"), col("sh"),
         (col("tf") *

@@ -2113,16 +2113,19 @@ object TextQueries {
     ),
     // TF-IDF shingle cosine pairs: sparse lexical similarity as inverted-
     // file algebra — tf·idf-weighted 3-gram vectors, sparse dot = postings
-    // self-join on the shingle. The df window (2 <= df <= 0.1·N) is the
-    // scale move: df=1 can't pair, high-df shingles are stopword-like AND
-    // quadratic in join fan-out. Decimal-routed sums keep both engines
+    // self-join on the shingle. The df window
+    // (2 <= df <= min(0.1·N, 10000)) is the scale move: df=1 can't pair,
+    // high-df shingles are stopword-like AND quadratic in join fan-out;
+    // the absolute cap bounds per-shingle fan-out independently of corpus
+    // size (non-binding at test SFs, so results match the fractional
+    // spelling there). Decimal-routed sums keep both engines
     // bit-identical.
     GQuery(
       "dedup_tfidf_pairs",
       (spark, dir) =>
         Dedup.tfidfPairs(
           t(spark, dir, "documents"), "doc_id", "text",
-          n = 3, maxDfFraction = 0.1, tau = 0.4),
+          n = 3, maxDfFraction = 0.1, maxDfAbs = 10000, tau = 0.4),
       Some("""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
                      FROM documents),
@@ -2139,7 +2142,7 @@ object TextQueries {
         w AS (SELECT doc_id, tf.term,
                      tf * ln((1+n)::DOUBLE/(1+df)) AS w
               FROM tf JOIN df USING (term) CROSS JOIN n
-              WHERE df >= 2 AND df <= floor(n * 0.1)),
+              WHERE df >= 2 AND df <= least(floor(n * 0.1), 10000)),
         nrm AS (SELECT doc_id,
                        sqrt(sum((w*w)::DECIMAL(38,20))::DOUBLE) AS nm
                 FROM w GROUP BY doc_id),

@@ -212,6 +212,32 @@ class DedupTextSpec extends SparkSpec {
     capped.foreach { case (k, j) => assert(j == uncapped(k)) }
   }
 
+  test("tfidfPairs maxDfAbs bounds per-shingle fan-out independently of N") {
+    // four docs share exactly one df>=2 shingle ("a b c"); every other
+    // shingle is unique (df=1, dropped). With the absolute cap above the
+    // shared shingle's df the pairs exist; lowering the cap below df=4
+    // must eliminate the shingle — and with it every pair — even though
+    // the FRACTIONAL cap (1.0·N = 6) would have kept it.
+    val six = Seq(
+      (1L, "a b c p1 q1 r1"), (2L, "a b c p2 q2 r2"),
+      (3L, "a b c p3 q3 r3"), (4L, "a b c p4 q4 r4"),
+      (5L, "u5 v5 w5 x5 y5 z5"), (6L, "u6 v6 w6 x6 y6 z6")
+    ).toDF("doc_id", "text")
+    val loose = Dedup.tfidfPairs(six, "doc_id", "text",
+      n = 3, maxDfFraction = 1.0, maxDfAbs = 10, tau = 0.1)
+    assert(loose.count() == 6) // C(4,2) pairs through the shared shingle
+    val tight = Dedup.tfidfPairs(six, "doc_id", "text",
+      n = 3, maxDfFraction = 1.0, maxDfAbs = 3, tau = 0.1)
+    assert(tight.count() == 0)
+    // at the engine defaults the absolute cap is non-binding on the test
+    // corpus (0.1·N << 10000): results identical with and without it
+    val a = Dedup.tfidfPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val b = Dedup.tfidfPairs(docs, "doc_id", "text", maxDfAbs = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("decontaminate: planted eval overlap found, counts exact") {
     // train doc 1 shares the eval doc's full 6-token span → 2 distinct
     // 5-grams; train doc 2 shares nothing; doc 3 is too short to shingle
