@@ -27,6 +27,69 @@ object TextQueries {
     sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)
   """
 
+  /** Shared DuckDB recursion replaying [[TextAnalysis.bpeMerges]]'s
+    * deterministic greedy merge loop (numMerges = 24, minPairCount = 2).
+    * Working table at rank k = the symbol-split vocabulary after k
+    * merges, each row carrying the merge (ml, mr, mc) that produced the
+    * rank. The best pair is an aggregate subquery over the recursive
+    * reference — DuckDB's recursive refs see exactly the previous
+    * iteration's rows, which IS the loop semantics. The greedy
+    * left-to-right non-overlap rewrite: matched pair position p is
+    * merged iff the run of consecutively matched positions immediately
+    * before p has even length (kept(p) = marked(p) AND NOT kept(p-1),
+    * unrolled); survivors emit the fused symbol, their right neighbor
+    * is dropped. Recursion ends at 24 rounds or when no pair reaches
+    * the min count (empty CROSS JOIN).
+    */
+  private val bpeRecursiveCte = """
+    WITH RECURSIVE
+    wc AS (SELECT w, count(*)::BIGINT AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w),
+    t(rank, w, syms, c, ml, mr, mc) AS (
+      SELECT 0, w,
+             list_transform(generate_series(1, length(w)), i -> w[i]),
+             c, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+      FROM wc
+      UNION ALL
+      SELECT t.rank + 1, t.w,
+             (SELECT list_filter(
+                       list_transform(generate_series(1, len(t.syms)),
+                         p -> CASE WHEN list_contains(k.kept, p)
+                                   THEN t.syms[p] || t.syms[p+1]
+                                   WHEN list_contains(k.kept, p - 1)
+                                   THEN NULL
+                                   ELSE t.syms[p] END),
+                       x -> x IS NOT NULL)
+              FROM (SELECT list_filter(m.marked,
+                             p -> ((p - 1 - list_max(
+                                     list_filter(n.nm, q -> q <= p - 1)))
+                                   % 2) = 0)
+                             AS kept
+                    FROM (SELECT list_filter(
+                             list_transform(
+                               generate_series(1, len(t.syms) - 1),
+                               p -> CASE WHEN t.syms[p] = best.l
+                                          AND t.syms[p+1] = best.r
+                                    THEN p ELSE NULL END),
+                             x -> x IS NOT NULL) AS marked) m,
+                         (SELECT [0] || list_filter(
+                             generate_series(1, len(t.syms) - 1),
+                             q -> NOT (t.syms[q] = best.l
+                                       AND t.syms[q+1] = best.r)) AS nm) n
+                   ) k),
+             t.c, best.l, best.r, best.pc
+      FROM t CROSS JOIN (
+        SELECT pl AS l, pr AS r, sum(cc)::BIGINT AS pc
+        FROM (SELECT u.syms[g.i] AS pl, u.syms[g.i + 1] AS pr, u.c AS cc
+              FROM t u, unnest(generate_series(1, len(u.syms) - 1)) AS g(i))
+        GROUP BY pl, pr HAVING sum(cc) >= 2
+        ORDER BY pc DESC, l, r LIMIT 1
+      ) best
+      WHERE t.rank < 24
+    )
+  """
+
   private val jaccardTail = """
     SELECT doc_a, doc_b,
            round(c::DOUBLE / (na + nb - c), 6) AS jaccard
@@ -1817,19 +1880,32 @@ object TextQueries {
     ),
     // BPE tokenizer TRAINING (Sennrich 2016): the corpus-sized pass is
     // one distributed word-count hash agg; the merge loop runs over the
-    // weighted vocabulary. Iterative + greedy — SQL-inexpressible, so
-    // rows-only here; DedupTextSpec gates the merge sequence on a
-    // hand-computed fixture and the compression monotonicity.
+    // weighted vocabulary. The loop is greedy but DETERMINISTIC (ties
+    // break lexicographically), so DuckDB replays it as a recursive CTE:
+    // each round's working table is the rewritten vocabulary, the best
+    // pair is an aggregate subquery over the previous round (DuckDB
+    // recursive refs see exactly the prior iteration), and the greedy
+    // left-to-right non-overlap rewrite is the kept-position calculus —
+    // merge position p survives iff the run of consecutive matched
+    // positions immediately before it has even length.
     GQuery(
       "text_bpe_train",
       (spark, dir) =>
         TextAnalysis.bpeMerges(
           t(spark, dir, "documents"), "text", numMerges = 24),
-      None
+      Some(bpeRecursiveCte + """
+        SELECT DISTINCT (rank - 1)::INTEGER AS merge_rank, ml AS "left",
+               mr AS "right", mc AS pair_count
+        FROM t WHERE rank >= 1
+      """)
     ),
     // Encoding under the learned merges: per-doc word/token counts + a
-    // rolling fingerprint of the token stream (rows-only; spec-gated
-    // round-trip + monotone-compression invariants).
+    // rolling fingerprint of the token stream. The oracle reuses the
+    // training recursion's FINAL vocabulary state (applying the merge
+    // list to the corpus it was learned from IS the last round's
+    // rewrite), then replays the two-level hash exactly: Java
+    // String.hashCode per token (31-polynomial over chars, wrapped to
+    // signed 32-bit each step) folded doc-wide mod 1e9+7 in word order.
     GQuery(
       "text_bpe_encode",
       (spark, dir) => {
@@ -1842,7 +1918,40 @@ object TextQueries {
           .toSeq
         TextAnalysis.bpeEncode(docs, "doc_id", "text", ms)
       },
-      None
+      Some(bpeRecursiveCte + """,
+        final AS (SELECT w, syms FROM t WHERE rank = (SELECT max(rank) FROM t)),
+        dw AS (SELECT doc_id, i, tl[i] AS w
+               FROM (SELECT doc_id, string_split(text, ' ') AS tl
+                     FROM documents),
+                    unnest(generate_series(1, len(tl))) AS g(i)
+               WHERE tl[i] <> ''),
+        enc AS (SELECT dw.doc_id, dw.i, f.syms FROM dw JOIN final f USING (w)),
+        hcs AS (SELECT doc_id, i,
+                       list_transform(syms, s ->
+                         list_reduce(
+                           list_prepend(0::BIGINT,
+                             list_transform(generate_series(1, length(s)),
+                               j -> unicode(s[j])::BIGINT)),
+                           (a, u) -> ((a * 31 + u + 2147483648) % 4294967296
+                                      + 4294967296) % 4294967296
+                                     - 2147483648))
+                         AS hl,
+                       len(syms)::BIGINT AS ntok
+                FROM enc),
+        agg AS (SELECT doc_id,
+                       count(*)::BIGINT AS n_words,
+                       sum(ntok)::BIGINT AS n_tokens,
+                       list_reduce(
+                         list_prepend(0::BIGINT,
+                           flatten(list(hl ORDER BY i))),
+                         (acc, x) -> (acc * 31 + x) % 1000000007)
+                         AS tokens_hash
+                FROM hcs GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.tokens_hash, 0)::BIGINT AS tokens_hash
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+      """)
     ),
     // GloVe-style windowed co-occurrence counts (Pennington et al. 2014
     // §3: X_ij accumulated with 1/distance weighting inside a ±w token
