@@ -680,10 +680,25 @@ object Dedup {
     */
   private val LocalCcMaxEdges = 1000000
 
+  /** Total completed [[connectedComponentsDistributed]] invocations in
+    * this JVM — the end-to-end proof hook that a given run actually took
+    * the distributed double-pointer-jumping loop rather than the local
+    * union-find (specs assert on the delta; the oracle query
+    * dedup_clusters_distributed pins `localMaxEdges = 0` so its green
+    * CORRECTNESS row is produced by this path).
+    */
+  private[graft] val ccDistributedRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `localMaxEdges` overrides the local/distributed cutover (default
+    * [[LocalCcMaxEdges]]); 0 forces the distributed loop regardless of
+    * graph size.
+    */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
-      bCol: String
+      bCol: String,
+      localMaxEdges: Int = LocalCcMaxEdges
   ): DataFrame = {
     val spark = pairs.sparkSession
     val e0 = pairs
@@ -691,8 +706,8 @@ object Dedup {
     // bounded probe: collect at most threshold+1 rows — small graphs take
     // the local path, anything bigger falls through to the distributed
     // loop having held only ~16 MB on the driver
-    val probe = e0.limit(LocalCcMaxEdges + 1).collect()
-    if (probe.length <= LocalCcMaxEdges) {
+    val probe = e0.limit(localMaxEdges + 1).collect()
+    if (probe.length <= localMaxEdges) {
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -869,6 +884,7 @@ object Dedup {
       changed = if (next.filter(col("lbl") =!= col("old")).isEmpty) 0L else 1L
       labels = next.select(col("id"), col("lbl"))
     }
+    ccDistributedRuns.incrementAndGet()
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
   }
 

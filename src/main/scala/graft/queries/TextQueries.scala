@@ -90,6 +90,68 @@ object TextQueries {
     )
   """
 
+  /** The dedup_clusters oracle: 64-bit simhash pairs (4×16-bit bands,
+    * hamming ≤ 3) + a recursive transitive closure mapping every doc to
+    * its min reachable id. Shared verbatim by dedup_clusters (local
+    * union-find path) and dedup_clusters_distributed (forced distributed
+    * min-label loop) — one ground truth, two execution paths.
+    */
+  private val simhashClustersOracle = """
+        WITH RECURSIVE
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        SELECT d.doc_id, coalesce(c.rep, d.doc_id)::BIGINT AS rep_id
+        FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+  """
+
   private val jaccardTail = """
     SELECT doc_a, doc_b,
            round(c::DOUBLE / (na + nb - c), 6) AS jaccard
@@ -440,61 +502,31 @@ object TextQueries {
             coalesce(col("rep_id"), col("doc_id")).as("rep_id")
           )
       },
-      Some("""
-        WITH RECURSIVE
-        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              FROM documents),
-        h AS (SELECT doc_id,
-                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
-                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
-              FROM (SELECT doc_id,
-                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
-                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
-                    FROM w)),
-        s AS (SELECT doc_id, b,
-                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
-              GROUP BY doc_id, b),
-        sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN
-                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
-                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
-                         AS simhash
-                FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash,
-                        simhash & 65535 AS b0,
-                        (simhash >> 16) & 65535 AS b1,
-                        (simhash >> 32) & 65535 AS b2,
-                        (simhash >> 48) & 65535 AS b3
-                 FROM sig),
-        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.simhash AS sa, b.simhash AS sb
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-                 UNION
-                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-                 UNION
-                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-                 UNION
-                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
-        pr AS (SELECT doc_a, doc_b FROM cand
-               WHERE bit_count(xor(sa, sb)) <= 3),
-        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
-               UNION SELECT doc_b, doc_a FROM pr),
-        reach(id, r) AS (
-          SELECT a, a FROM ed
-          UNION
-          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
-        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
-        SELECT d.doc_id, coalesce(c.rep, d.doc_id)::BIGINT AS rep_id
-        FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
-      """)
+      Some(simhashClustersOracle)
+    ),
+    // The SAME clustering forced down the distributed double-pointer-
+    // jumping min-label loop (localMaxEdges = 0 disables the driver-local
+    // union-find cutover) — the code path a 100-TB pair graph takes. One
+    // oracle-checked row per doc proves the distributed loop end to end
+    // against the identical recursive-closure oracle; DedupTextSpec
+    // asserts via the run counter that this entry point really executes
+    // the loop.
+    GQuery(
+      "dedup_clusters_distributed",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        val comp = Dedup.connectedComponents(
+          pairs, "doc_a", "doc_b", localMaxEdges = 0)
+        docs
+          .select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("rep_id"), col("doc_id")).as("rep_id")
+          )
+      },
+      Some(simhashClustersOracle)
     ),
     // Leakage-safe holdout split: train/val assignment hashed on the
     // near-dup CLUSTER representative (the dedup_clusters table), so a

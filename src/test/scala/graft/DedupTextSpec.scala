@@ -106,6 +106,24 @@ class DedupTextSpec extends SparkSpec {
     assert(local.except(dist).count() == 0 && dist.except(local).count() == 0)
   }
 
+  test("localMaxEdges = 0 provably routes through the distributed CC loop") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // default cutover: graph is tiny, local union-find, counter untouched
+    val before = Dedup.ccDistributedRuns.get()
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.ccDistributedRuns.get() == before)
+    // forced: the distributed double-pointer-jumping loop must RUN (the
+    // dedup_clusters_distributed oracle query pins this same override,
+    // so its CORRECTNESS row is produced by this code path)
+    val dist = Dedup
+      .connectedComponents(pairs, "doc_a", "doc_b", localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.ccDistributedRuns.get() == before + 1)
+    assert(dist == local)
+  }
+
   test("connected components on an empty pair table is empty") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
