@@ -29,10 +29,16 @@ import graft.functions.VectorExpressions.l2SqFast
   * information one hop, and on metric data a handful of rounds reaches
   * high recall (NNDescentSpec gates monotone improvement and the final
   * floor against the exact graph). At corpus scale the candidate volume
-  * is the knob: the paper samples ρ·k neighbors per side — here that is
-  * a `limit`-free `sample`-free exact variant, the right default below
-  * ~10⁷ nodes/shard; plug sampling into step 2 when (2k)² per node is
-  * too much.
+  * is the knob: `rho` is the paper's §2.3 sample rate — each directed
+  * neighbor-list entry enters the candidate self-join with probability
+  * ρ, decided by a DETERMINISTIC per-(edge, round) md5 coin (no RNG,
+  * engine-portable, rerun-identical), so per-node proposals shrink to
+  * ~(2kρ)² while the current graph edges are always retained (sampling
+  * gates proposals only — an edge skipped this round is re-eligible
+  * next round under a fresh coin, the paper's incremental flavor).
+  * ρ = 1 bypasses the coin entirely and is plan-identical to the exact
+  * variant — the right default below ~10⁷ nodes/shard; the paper finds
+  * ρ = 0.5 costs little recall at half the candidate volume.
   *
   * The init graph is pseudo-random but HASH-derived (rank space:
   * md5(id:j:init) mod n — ranks from [[Packing.distributedRank]], no
@@ -61,9 +67,11 @@ object NNDescent {
       vecCol: String,
       k: Int,
       iterations: Int,
-      truncateLineage: Boolean = true
+      truncateLineage: Boolean = true,
+      rho: Double = 1.0
   ): DataFrame = {
     require(iterations >= 1, "knnGraph needs at least one refinement round")
+    require(rho > 0.0 && rho <= 1.0, s"sample rate must be in (0, 1], got $rho")
     val v = vecs.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -96,10 +104,22 @@ object NNDescent {
     var g = score(init, v)
     var it = 0
     while (it < iterations) {
-      val und = g
+      val undFull = g
         .select(col("src"), col("dst"))
         .unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
+      // ρ-sampling (Dong et al. §2.3): gate each directed entry into the
+      // candidate join by a per-(edge, round) md5 coin — deterministic
+      // counterpart of the paper's random neighbor sample. Only proposal
+      // GENERATION is thinned; `merged` below still unions the full g
+      val und =
+        if (rho >= 1.0) undFull
+        else undFull.filter(
+          pmod(
+            Dedup.md5Long(concat(
+              col("src").cast("string"), lit(":"),
+              col("dst").cast("string"), lit(s":nnd-rho:$it"))),
+            lit(1000000L)) < lit((rho * 1000000L).toLong))
       // no distinct here: the (src,dst) groupBy below collapses duplicate
       // proposals anyway, and a pre-dedup would cost a full extra shuffle
       // of the expanded candidate set just to trim the (low-multiplicity)

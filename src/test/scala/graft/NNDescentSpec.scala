@@ -59,6 +59,26 @@ class NNDescentSpec extends SparkSpec {
     assert(recalls.last >= 0.85, s"converged recall ${recalls.last} ($recalls)")
   }
 
+  test("rho-sampling: rho=1 plan-identical; rho=0.5 deterministic with a recall floor") {
+    // rho = 1 must BE the exact variant — same edge table, bit for bit
+    val full = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
+    val one = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2, rho = 1.0)
+    assert(one.except(full).count() == 0 && full.except(one).count() == 0)
+    // rho = 0.5 halves each side of the candidate join (~quarter volume);
+    // the md5 coin is per-(edge, round) so reruns are identical
+    val a = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 6, rho = 0.5)
+    val b = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 6, rho = 0.5)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // the sampling trade measured on this corpus: ~25% candidate volume
+    // per round buys 0.62@4 rounds, 0.74@6 rounds vs the exact variant's
+    // 0.86 plateau — near-random 64-d data is the paper's documented
+    // worst case (no low-dim structure for sampled proposals to exploit),
+    // so the corpus-scale play is rho < 1 with extra rounds, each round
+    // at a quarter of the exact candidate cost. Floor is data-honest.
+    val recall = NNDescent.graphRecall(a, exact)
+    assert(recall >= 0.70, s"rho=0.5 recall $recall")
+  }
+
   test("degree over-provisioning (build 2k, truncate to k) clears 0.95") {
     // the standard quality knob: a higher-degree build keeps more
     // candidate diversity per round, then serves the truncated top-k
