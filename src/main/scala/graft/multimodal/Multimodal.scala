@@ -509,10 +509,55 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode a motion-PNG container: every frame through `javax.imageio`,
-    * dims checked consistent across frames, mean = average of per-frame
-    * mean intensities. Partition-batched like [[decodeMeta]]; malformed
-    * containers raise (bad media surfaces, never silently passes).
+  /** Deterministic animated GIF — a REAL-WORLD multi-frame container
+    * (GIF89a application loop block written by the JDK's own
+    * `javax.imageio` GIF writer; zero new dependencies): frame i of a
+    * `baseGray` video is solid gray `(baseGray + i) % 256`, written as
+    * TYPE_BYTE_GRAY so the 256-entry grayscale palette round-trips every
+    * pixel losslessly and the whole decode stays under an exact oracle.
+    */
+  def gifVideo(w: Int, h: Int, nFrames: Int, baseGray: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    // the default write param interlaces, and the JDK codec's interlaced
+    // round-trip drops rows (observed: middle row of a 3-row frame reads
+    // back 0) — non-progressive output round-trips pixel-exact
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = (baseGray + i) % 256
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode a multi-frame video container: animated GIF (the real-world
+    * format, via the JDK's `javax.imageio` GIF reader — frame count from
+    * `getNumImages`, every frame decoded by the real codec) or the
+    * motion-PNG fallback container (`GMPV` magic: length-prefixed real
+    * PNG frames — kept for corpora produced before the GIF path landed).
+    * Dispatch is on the leading magic bytes; dims are checked consistent
+    * across frames and mean = average of per-frame mean intensities.
+    * Partition-batched like [[decodeMeta]]; malformed containers raise
+    * (bad media surfaces, never silently passes).
     */
   def decodeVideoMeta(
       spark: SparkSession,
@@ -522,38 +567,81 @@ object Multimodal {
     media.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val in = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          require(in.readInt() == 0x474d5056, s"not a GMPV container (id=$id)")
-          val n = in.readInt()
-          var (w, h) = (-1, -1)
-          var sum = 0.0
-          var i = 0
-          while (i < n) {
-            val frame = new Array[Byte](in.readInt())
-            in.readFully(frame)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(frame))
-            require(img != null, s"frame $i of id=$id failed to decode")
-            if (i == 0) { w = img.getWidth; h = img.getHeight }
-            else require(
-              img.getWidth == w && img.getHeight == h,
-              s"inconsistent frame dims in id=$id")
-            var fs = 0.0
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                fs += (img.getRGB(x, y) & 0xff); x += 1
-              }
-              y += 1
-            }
-            sum += fs / (img.getWidth.toDouble * img.getHeight)
-            i += 1
-          }
-          DecodedVideo(id, n, w, h, sum / n)
+          require(bytes.length >= 4, s"truncated video container (id=$id)")
+          if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+            decodeGifFrames(id, bytes)
+          else
+            decodeGmpvFrames(id, bytes)
         }
       }
+  }
+
+  private def decodeGifFrames(id: Long, bytes: Array[Byte]): DecodedVideo = {
+    val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n >= 1, s"GIF with no frames (id=$id)")
+      var (w, h) = (-1, -1)
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val img = reader.read(i)
+        if (i == 0) { w = img.getWidth; h = img.getHeight }
+        else require(
+          img.getWidth == w && img.getHeight == h,
+          s"inconsistent frame dims in id=$id")
+        sum += frameMean(img)
+        i += 1
+      }
+      DecodedVideo(id, n, w, h, sum / n)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  private def decodeGmpvFrames(id: Long, bytes: Array[Byte]): DecodedVideo = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == 0x474d5056, s"not a GIF or GMPV container (id=$id)")
+    val n = in.readInt()
+    var (w, h) = (-1, -1)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val frame = new Array[Byte](in.readInt())
+      in.readFully(frame)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      require(img != null, s"frame $i of id=$id failed to decode")
+      if (i == 0) { w = img.getWidth; h = img.getHeight }
+      else require(
+        img.getWidth == w && img.getHeight == h,
+        s"inconsistent frame dims in id=$id")
+      sum += frameMean(img)
+      i += 1
+    }
+    DecodedVideo(id, n, w, h, sum / n)
+  }
+
+  /** Mean of the low (blue) channel — all video fixtures are gray, where
+    * the three channels are equal, so this is the gray intensity.
+    */
+  private def frameMean(img: java.awt.image.BufferedImage): Double = {
+    var fs = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        fs += (img.getRGB(x, y) & 0xff); x += 1
+      }
+      y += 1
+    }
+    fs / (img.getWidth.toDouble * img.getHeight)
   }
 
   /** Opaque media table derived from the documents fixture: content =

@@ -200,11 +200,61 @@ object MultimodalQueries {
         FROM documents
       """)
     ),
-    // Decode stage for VIDEO: a length-prefixed container of real PNG
-    // frames (the JDK ships no video codec, so the container is ours —
-    // declared plainly — but every frame decode is the real javax.imageio
-    // codec). Frame i is solid gray (base+i)%256; PNG losslessness makes
-    // frame count, dims, and the mean over frames exactly predictable.
+    // Decode stage for VIDEO, real-world container: ANIMATED GIF written
+    // and read by the JDK's own javax.imageio GIF codec (multi-frame,
+    // GIF89a). Frame i is solid gray (base+i)%256 in TYPE_BYTE_GRAY, so
+    // the 256-entry grayscale palette round-trips losslessly and frame
+    // count, dims, and the mean over frames are exactly predictable.
+    GQuery(
+      "mm_decode_gif",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaGif = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 32 + 1).toInt
+              val h = (id % 32 + 1).toInt
+              val frames = (id % 5 + 1).toInt
+              val base = (nc % 256).toInt
+              (id, Multimodal.gifVideo(w, h, frames, base))
+            }
+          }
+          .toDF("id", "content")
+        Multimodal
+          .decodeVideoMeta(spark, mediaGif)
+          .toDF()
+          .select(
+            col("id"),
+            col("nFrames").cast("long").as("n_frames"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            round(col("meanIntensity"), 6).as("mean_intensity")
+          )
+      },
+      Some("""
+        SELECT doc_id AS id,
+               (doc_id % 5 + 1)::BIGINT AS n_frames,
+               (n_chars % 32 + 1)::BIGINT AS width,
+               (doc_id % 32 + 1)::BIGINT AS height,
+               round(
+                 list_sum(list_transform(
+                   generate_series(0, (doc_id % 5)::INT),
+                   i -> (n_chars % 256 + i) % 256))::DOUBLE
+                   / (doc_id % 5 + 1), 6) AS mean_intensity
+        FROM documents
+      """)
+    ),
+    // Decode stage for VIDEO, fallback container: length-prefixed real
+    // PNG frames (GMPV — kept for corpora produced before the GIF path;
+    // decodeVideoMeta dispatches on the magic bytes, every frame decode
+    // is the real javax.imageio codec either way). Same fixture algebra
+    // as mm_decode_gif.
     GQuery(
       "mm_decode_video",
       (spark, dir) => {

@@ -142,6 +142,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF: real-world container round-trips per-frame through the JDK codec") {
+    import spark.implicits._
+    val bytes = Multimodal.gifVideo(w = 4, h = 3, nFrames = 3, baseGray = 254)
+    // it really is a GIF — the standard magic, readable by any GIF tool
+    assert(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+    val media = Seq((7L, bytes)).toDF("id", "content")
+    val d = Multimodal.decodeVideoMeta(spark, media).collect().head
+    assert(d.nFrames == 3 && d.width == 4 && d.height == 3)
+    // grays 254, 255, 0 (wrap) survive the 256-gray palette losslessly
+    assert(d.meanIntensity == (254.0 + 255.0 + 0.0) / 3, d)
+    // one entry point, two containers: GIF and the motion-PNG fallback
+    // decode identically through the magic-byte dispatch
+    val mixed = Seq(
+      (1L, Multimodal.gifVideo(5, 2, 4, 10)),
+      (2L, Multimodal.pngVideo(5, 2, 4, 10))
+    ).toDF("id", "content")
+    val rows = Multimodal.decodeVideoMeta(spark, mixed).collect()
+      .map(r => (r.nFrames, r.width, r.height, r.meanIntensity)).toSet
+    assert(rows == Set((4, 5, 2, (10.0 + 11 + 12 + 13) / 4)), rows.toString)
+  }
+
   test("dHash: size-invariant for a scaled copy, discriminates gradients, undecodable raises") {
     import spark.implicits._
     // same no-wrap gradient at 20x16 and 40x32 (a 2x scaled copy — byte
