@@ -1020,9 +1020,19 @@ object Dedup {
     * self-equi-join ON THE CLUSTER ID — both sides are the same subtree,
     * so the assignment exchange is computed once and reused, and no pair
     * ever crosses a cluster boundary. At web scale k is chosen ~√N so
-    * clusters stay bounded; a skewed hot cluster is handled the same way
-    * as any hot join key (salt the cluster id, or split the cell —
-    * [[IvfIndex.splitCell]] is the same move on the same structure).
+    * clusters stay bounded; a skewed HOT cluster is handled by
+    * `hotClusterTarget > 0`: every cluster whose size exceeds the target
+    * is triangle-block salted — each doc draws a deterministic salt in
+    * `[0, ceil(size/target))` from its md5 and replicates to the
+    * `(pi, pj)` triangle tasks containing that salt (the
+    * [[embeddingPairs]] blocking, here keyed per cluster), so the join
+    * key becomes `(cluster, pi, pj)` and no single reducer ever holds
+    * more than ~2·target rows. Each unordered pair still meets in
+    * EXACTLY one task (distinct salts meet only in `(min, max)`; equal
+    * salts are restricted to the diagonal `pi = pj` task), and the
+    * cosine is the same codegen kernel, so the output is bit-identical
+    * to the unsalted spelling. The per-cluster salt count rides a
+    * broadcast of the ≤k-row size table — metadata, never corpus data.
     * Norms are per-row invariants computed before the join.
     */
   def semDeDup(
@@ -1030,7 +1040,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      tau: Double = 0.9
+      tau: Double = 0.9,
+      hotClusterTarget: Int = 0
   ): DataFrame = {
     import graft.functions.VectorExpressions.dotFast
     val spark = df.sparkSession
@@ -1044,10 +1055,40 @@ object Dedup {
     // cluster key (a broadcast of "the smaller corpus half" would be the
     // auto-pick at toy scale and an OOM at real scale); the two sides are
     // the same subtree, so one exchange is computed and the other reused
-    a.as("x")
-      .join(a.hint("shuffle_hash").as("y"),
-        col("x.cluster") === col("y.cluster")
-          && col("x.doc_id") < col("y.doc_id"))
+    val (lhs, rhs, joinKey) =
+      if (hotClusterTarget <= 0) {
+        (a, a, (x: String, y: String) => col(s"$x.cluster") === col(s"$y.cluster"))
+      } else {
+        val sizes = a
+          .groupBy(col("cluster"))
+          .agg(ceil(count(lit(1)).cast("double") / hotClusterTarget)
+            .cast("int").as("n_salts"))
+        val salted = a
+          .join(broadcast(sizes), "cluster")
+          .withColumn(
+            "salt",
+            pmod(md5Long(col("doc_id").cast("string")), col("n_salts")).cast("int"))
+          .select(
+            col("cluster"), col("salt"), col("doc_id"), col("v"), col("nm"),
+            explode(expr(
+              "transform(sequence(0, n_salts - 1), k -> " +
+                "struct(least(salt, k) AS pi, greatest(salt, k) AS pj))"
+            )).as("p"))
+          .select(
+            col("cluster"), col("p.pi").as("pi"), col("p.pj").as("pj"),
+            col("salt"), col("doc_id"), col("v"), col("nm"))
+        (salted, salted, (x: String, y: String) =>
+          col(s"$x.cluster") === col(s"$y.cluster")
+            && col(s"$x.pi") === col(s"$y.pi")
+            && col(s"$x.pj") === col(s"$y.pj")
+            // same-salt pairs share every task holding their salt; keep
+            // them only on the diagonal so each pair is emitted once
+            && (col(s"$x.salt") =!= col(s"$y.salt")
+              || col(s"$x.pi") === col(s"$x.pj")))
+      }
+    lhs.as("x")
+      .join(rhs.hint("shuffle_hash").as("y"),
+        joinKey("x", "y") && col("x.doc_id") < col("y.doc_id"))
       .withColumn(
         "cosine",
         dotFast(col("x.v"), col("y.v")) / (col("x.nm") * col("y.nm")))

@@ -681,6 +681,57 @@ object TextQueries {
         FROM p WHERE cosine >= 0.45
       """)
     ),
+    // SemDeDup with HOT-CLUSTER SALTING exercised end-to-end: target=24
+    // forces every ~60-doc cluster to triangle-block into ~3 salts, so
+    // this oracle run provably executes the salted join (cluster, pi,
+    // pj) — and the oracle is the SAME SQL as dedup_semdedup, because
+    // salting is a pure repartitioning move: each pair meets in exactly
+    // one triangle task and the cosine kernel is unchanged.
+    GQuery(
+      "dedup_semdedup_salted",
+      (spark, dir) => {
+        val cents = t(spark, dir, "embeddings")
+          .filter(col("vec_id") < 8)
+          .orderBy(col("vec_id"))
+          .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        Dedup
+          .semDeDup(
+            t(spark, dir, "embeddings").select(
+              col("vec_id"),
+              graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+            ),
+            "vec_id", "v", cents, tau = 0.45, hotClusterTarget = 24
+          )
+          .select(
+            col("cluster"), col("doc_a"), col("doc_b"),
+            round(col("cosine"), 6).as("cosine")
+          )
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.v", "cent.cv")} AS dist
+              FROM e CROSS JOIN cent),
+        a AS (SELECT vec_id, ck AS cluster FROM (
+                SELECT vec_id, ck,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, ck) AS rn
+                FROM d) WHERE rn = 1),
+        p AS (SELECT aa.cluster, x.vec_id AS doc_a, y.vec_id AS doc_b,
+                     ${sqlDot("x.v", "y.v")}
+                     / (sqrt(${sqlDot("x.v", "x.v")})
+                        * sqrt(${sqlDot("y.v", "y.v")})) AS cosine
+              FROM e x JOIN a aa ON aa.vec_id = x.vec_id
+              JOIN a bb ON bb.cluster = aa.cluster AND bb.vec_id > x.vec_id
+              JOIN e y ON y.vec_id = bb.vec_id)
+        SELECT cluster::BIGINT AS cluster, doc_a, doc_b,
+               round(cosine, 6) AS cosine
+        FROM p WHERE cosine >= 0.45
+      """)
+    ),
     // Hyperplane-LSH approximate embedding dedup: the sub-quadratic scale
     // path. The oracle rebuilds the identical md5-seeded hyperplanes in
     // SQL, so the band signatures — and hence the candidate set — are

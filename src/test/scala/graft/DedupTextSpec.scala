@@ -190,6 +190,36 @@ class DedupTextSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("semDeDup hot-cluster salting: bit-identical under deliberate skew") {
+    val e = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+    )
+    val d = e.first().getSeq[Double](1).length
+    // deliberately skewed fixture: one centroid at the origin, one far
+    // outside the data range — every one of the 500 docs lands in
+    // cluster 0, the worst-case hot cluster for the within-cluster join
+    val cents = Array(Array.fill(d)(0.0), Array.fill(d)(1e9))
+    def run(target: Int) = Dedup
+      .semDeDup(e, "vec_id", "v", cents, tau = 0.4, hotClusterTarget = target)
+    val base = run(0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    assert(base.nonEmpty && base.keySet.forall(_._1 == 0L),
+      "fixture must funnel everything into one hot cluster")
+    for (target <- Seq(8, 64)) {
+      val q = run(target)
+      val salted = q.collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      assert(salted == base, s"target=$target diverged from unsalted")
+      // the salted plan really joins on the triangle keys, it isn't a
+      // silent fallback to the plain cluster join
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("pi") && p.contains("pj"), p)
+    }
+  }
+
   test("LSH embedding dedup: subset of exact; planted near-dups all found") {
     val e = Q.t(spark, sf0001, "embeddings").select(
       col("vec_id"),

@@ -118,6 +118,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("dedup_semdedup_salted: triangle keys in the join, broadcast only for the size table") {
+    val q = SparkEntry.queries("dedup_semdedup_salted")(spark, sf0001)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // the pair join shuffles on (cluster, pi, pj) — the salted shape
+    assert(p.contains("pi") && p.contains("pj"), p)
+    // the only broadcast is the <=k-row per-cluster salt-count table
+    val b = p.indexOf("BroadcastExchange")
+    assert(b >= 0 && p.indexOf("n_salts", b) >= 0, p)
+  }
+
   test("knn_maxsim_ivf: equi-joins on cell/query only, fused ADC kernel, heap below exchange") {
     val p = planOf("knn_maxsim_ivf")
     // both corpus-side reductions are HASH joins (cell routing + lut
