@@ -1330,31 +1330,68 @@ object Dedup {
     * collapses to its DISTINCT 8-byte window hashes (eval corpora are
     * benchmark-sized — AQE broadcasts the set when it fits, and the
     * Bloom-prefilter move of [[decontaminateBloom]] drops in unchanged
-    * if it ever doesn't). The train side never shuffles strings: the
-    * probe is (long, long, long) rows, the merge is per-doc windowed.
+    * if it ever doesn't). The train side never shuffles strings in the
+    * PROBE pass: it ships (long, long, long) rows, the merge is per-doc
+    * windowed.
+    *
+    * Because [[scrubSpans]] makes this path DESTRUCTIVE, hash hits are
+    * verified VERBATIM by default before any span is reported: a base-B
+    * polynomial hash mod 2^64 has structured collision classes (e.g.
+    * Thue–Morse-style inputs collide for any odd base), so crafted or
+    * pathological corpora could otherwise silently delete clean text.
+    * The verify pass is candidate-bounded — only hash-hit windows have
+    * their actual strings extracted (one extra equi-join of the tiny
+    * candidate set against the train table) and matched against the
+    * distinct eval window strings for those hashes, so the O(chars)
+    * probe economics are untouched and the result is EXACT even
+    * adversarially. `verifyVerbatim = false` restores the pure-hash
+    * probe (collision probability ~2^-64 per pair on RANDOM inputs —
+    * fine for analytics, not for the scrub).
     */
   def contaminatedSpans(
       train: DataFrame,
       eval: DataFrame,
       idCol: String,
       textCol: String,
-      w: Int = 20
+      w: Int = 20,
+      verifyVerbatim: Boolean = true
   ): DataFrame = {
     import graft.functions.RollingHashWindowsExpr.rollingHashWindows
     val evH = eval
       .select(explode(rollingHashWindows(col(textCol), w)).as("h"))
       .distinct()
-    val pos = train
+    val cand = train
       .select(
         col(idCol).as("doc_id"),
         posexplode(rollingHashWindows(col(textCol), w)).as(Seq("p", "h"))
       )
       .join(evH, "h")
-      .select(
-        col("doc_id"),
-        (col("p") + 1).cast("long").as("s"),
-        (col("p") + w).cast("long").as("e")
-      )
+    val hits =
+      if (!verifyVerbatim) cand
+      else {
+        // eval window strings, deduped on (hash, string) — benchmark-sized
+        val evW = eval
+          .select(
+            col(textCol).as("t"),
+            posexplode(rollingHashWindows(col(textCol), w)).as(Seq("q", "h")))
+          .select(col("h"), expr(s"substring(t, q + 1, $w)").as("str"))
+          .distinct()
+        // extract each candidate's actual window text (candidate-bounded
+        // re-join against train) and keep only verbatim matches
+        cand
+          .join(
+            train.select(col(idCol).as("doc_id"), col(textCol).as("t")),
+            "doc_id")
+          .select(
+            col("doc_id"), col("p"), col("h"),
+            expr(s"substring(t, p + 1, $w)").as("str"))
+          .join(evW, Seq("h", "str"))
+      }
+    val pos = hits.select(
+      col("doc_id"),
+      (col("p") + 1).cast("long").as("s"),
+      (col("p") + w).cast("long").as("e")
+    )
     mergeSpans(pos)
   }
 

@@ -18,6 +18,22 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Lowercase-hex md5 of the string's UTF-8 bytes — the exact Spark
+    * `md5()` spelling, with a caller-held digest instance so per-window
+    * calls in a hot kernel allocate nothing but the output.
+    */
+  private[graft] def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Parquet schema of the driver's events table when nanos are read as
     * longs (spark.sql.legacy.parquet.nanosAsLong=true).
     */
@@ -35,12 +51,19 @@ object StreamingOps {
     * same way as the batch loader ([[graft.queries.Q.events]]). A streaming
     * source needs its schema up front, so peek at the existing files with a
     * one-off batch read to learn the physical `ts` type (long nanos in
-    * older driver data, TIMESTAMP_NTZ micros in current).
+    * older driver data, TIMESTAMP_NTZ micros in current). The peek FAILS
+    * FAST when the directory has no readable files yet: silently assuming
+    * one physical type would mis-normalize every batch of the query if
+    * files of the other type later arrived.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(LongType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"readEvents: cannot determine the physical ts type of '$dir' — " +
+          "the directory must hold at least one readable events parquet " +
+          "file before the stream is defined (long nanos vs " +
+          "TIMESTAMP_NTZ micros change the normalization)"))
     val schema = StructType(eventsRawSchema.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
@@ -718,16 +741,31 @@ object StreamingOps {
     * it lands — ingest-time hygiene instead of a post-hoc sweep.
     *
     * The eval side is computed once with the batch rolling-hash kernel
-    * and broadcast as a SORTED long array (8 bytes per distinct eval
-    * window — the same budget argument as [[decontaminateFuzzyStream]]'s
-    * eval artifacts; the Bloom move of `decontaminateBloom` drops in if
-    * an eval corpus ever outgrows it). The stream side is then a
-    * STATELESS per-row kernel — roll, binary-search probe, island-merge,
-    * reassemble — no streaming state, no watermark, append-safe,
-    * arbitrarily parallel. Hash arithmetic and merge semantics reproduce
-    * the batch operators bit-for-bit (same [[graft.functions.RollingHashWindowsExpr]]
-    * kernel, same overlap-or-adjacent merge rule, code-point offsets), so
-    * a streamed doc scrubs to exactly the batch clean_text.
+    * and broadcast as a SORTED (rolling-hash, md5) pair table (8 + 32
+    * bytes per distinct eval window — the same budget argument as
+    * [[decontaminateFuzzyStream]]'s eval artifacts; the Bloom move of
+    * `decontaminateBloom` drops in if an eval corpus ever outgrows it).
+    * The stream side is then a STATELESS per-row kernel — roll,
+    * binary-search probe, island-merge, reassemble — no streaming state,
+    * no watermark, append-safe, arbitrarily parallel.
+    *
+    * Because this path is DESTRUCTIVE, a rolling-hash hit alone never
+    * cuts text: the candidate window's md5 must ALSO match the eval
+    * window's md5 (two independent hash families — the polynomial
+    * kernel's structured collision classes, e.g. Thue–Morse-style
+    * inputs, don't transfer to md5, so a false cut needs a simultaneous
+    * collision in both, i.e. effectively an md5 second-preimage). The
+    * md5 is computed only for rolling-hash HITS, so clean text pays
+    * nothing. The batch [[graft.operators.Dedup.contaminatedSpans]]
+    * verifies candidates VERBATIM instead (it can afford the string
+    * join); the two agree everywhere except under such a double
+    * collision, where batch is exact and the stream may still cut.
+    *
+    * Hash arithmetic and merge semantics otherwise reproduce the batch
+    * operators bit-for-bit (same
+    * [[graft.functions.RollingHashWindowsExpr]] kernel, same
+    * overlap-or-adjacent merge rule, code-point offsets), so a streamed
+    * doc scrubs to exactly the batch clean_text.
     *
     * Returns (doc_id, clean_text, n_spans, removed_chars).
     */
@@ -741,30 +779,65 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.RollingHashWindowsExpr
-    val evalH: Array[Long] = evalDocs
-      .select(explode(
-        RollingHashWindowsExpr.rollingHashWindows(col(textCol), w)).as("h"))
+    // one (rolling-hash, window-md5) row per distinct eval window,
+    // computed with the SAME JVM kernel the stream side probes with
+    val evPairs: Array[(Long, String)] = evalDocs
+      .select(col(textCol))
+      .as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { t =>
+          if (t == null) Iterator.empty
+          else {
+            val hs = RollingHashWindowsExpr.computeLongs(t, w)
+            val cps = t.codePoints().toArray()
+            Iterator.tabulate(hs.length) { i =>
+              (hs(i), StreamingOps.md5Hex(md, new String(cps, i, w)))
+            }
+          }
+        }
+      }
       .distinct()
-      .as[Long]
       .collect()
       .sorted
-    val bc = spark.sparkContext.broadcast(evalH)
+    val evH: Array[Long] = evPairs.map(_._1)
+    val evM: Array[String] = evPairs.map(_._2)
+    val bc = spark.sparkContext.broadcast((evH, evM))
     docs
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val ev = bc.value
+        val (ev, evMd5) = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map {
           case (id, null) => (id, null: String, 0L, 0L) // null docs pass through like the batch operator
           case (id, text) =>
           val hs = RollingHashWindowsExpr.computeLongs(text, w)
+          lazy val cpsAll = text.codePoints().toArray()
+          // a rolling-hash hit is only a CANDIDATE: the window md5 must
+          // also match one of the eval md5s recorded for that hash
+          def verified(i: Int): Boolean = {
+            var lo = java.util.Arrays.binarySearch(ev, hs(i))
+            if (lo < 0) false
+            else {
+              while (lo > 0 && ev(lo - 1) == hs(i)) lo -= 1
+              val m = StreamingOps.md5Hex(md, new String(cpsAll, i, w))
+              var ok = false
+              var j = lo
+              while (!ok && j < ev.length && ev(j) == hs(i)) {
+                if (evMd5(j) == m) ok = true
+                j += 1
+              }
+              ok
+            }
+          }
           // 1-based inclusive code-point spans, merged as they stream by
           // (positions arrive in increasing s; overlap-or-adjacent joins
           // the previous island — identical to the batch mergeSpans rule)
           val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
           var i = 0
           while (i < hs.length) {
-            if (java.util.Arrays.binarySearch(ev, hs(i)) >= 0) {
+            if (verified(i)) {
               val s = i + 1
               val e = i + w
               if (spans.nonEmpty && s <= spans.last._2 + 1) {
@@ -776,7 +849,7 @@ object StreamingOps {
           }
           if (spans.isEmpty) (id, text, 0L, 0L)
           else {
-            val cps = text.codePoints().toArray()
+            val cps = cpsAll
             val kept = new java.lang.StringBuilder
             var pos = 1
             spans.foreach { case (s, e) =>
@@ -838,6 +911,12 @@ object StreamingOps {
     * left join + hash — append-safe, and identical decisions to the
     * batch operator on the same component table, so a doc routes to the
     * same side whether it arrived in the batch build or on the stream.
+    *
+    * No broadcast hint on `comp`: the table is pair-survivor-sized — it
+    * scales with the corpus's near-dup pairs, not with a fixed artifact
+    * budget — so the planner (or an explicit `broadcast()` by a caller
+    * who KNOWS their component table is small) decides; a stream-static
+    * shuffled join is correct either way.
     */
   def leakSafeSplitStream(
       docs: DataFrame, // streaming (idCol, …)
@@ -849,7 +928,7 @@ object StreamingOps {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct")
     docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(comp.select(col("doc_id"), col("rep_id"))),
+      .join(comp.select(col("doc_id"), col("rep_id")),
         Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -621,6 +621,37 @@ class DedupTextSpec extends SparkSpec {
     assert(again == split.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
   }
 
+  test("crafted rolling-hash collision: hash-only path fooled, verbatim verify immune") {
+    // Thue–Morse construction: S_k/T_k differ everywhere yet their
+    // polynomial hashes mod 2^64 differ by (a-b)·∏(B^{2^i}-1), whose
+    // 2-adic valuation reaches 64 at k = 10 for the FNV base — a true
+    // 1024-char collision for ANY odd base, per the advisory
+    def tm(k: Int): (String, String) = {
+      var s = "a"; var t = "b"
+      for (_ <- 1 to k) { val ns = s + t; val nt = t + s; s = ns; t = nt }
+      (s, t)
+    }
+    val (s10, t10) = tm(10)
+    assert(s10 != t10 && s10.length == 1024)
+    val hs = graft.functions.RollingHashWindowsExpr.computeLongs(s10, 1024)
+    val ht = graft.functions.RollingHashWindowsExpr.computeLongs(t10, 1024)
+    assert(hs.head == ht.head, "fixture must be a real kernel collision")
+    val train = Seq((1L, s10)).toDF("doc_id", "text")
+    val ev = Seq((100L, t10)).toDF("doc_id", "text")
+    // pure-hash probe is fooled by the collision…
+    assert(Dedup.contaminatedSpans(train, ev, "doc_id", "text",
+      w = 1024, verifyVerbatim = false).count() == 1L)
+    // …the default verbatim verify is not: no clean text is ever cut
+    assert(Dedup.contaminatedSpans(train, ev, "doc_id", "text",
+      w = 1024).count() == 0L)
+    // and a genuine verbatim leak still localizes exactly
+    val leaky = Seq((2L, "xx" + t10 + "yy")).toDF("doc_id", "text")
+    val found = Dedup.contaminatedSpans(leaky, ev, "doc_id", "text", w = 1024)
+      .collect()
+    assert(found.length == 1
+      && found(0).getLong(1) == 3L && found(0).getLong(2) == 1026L)
+  }
+
   test("scrubSpans edge spans: doc-start, doc-end, adjacent, full-cover") {
     val docs = Seq(
       (1L, "0123456789"), // span at start [1,3] and end [8,10]

@@ -670,6 +670,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L), "no contaminated doc in fixture")
   }
 
+  test("streaming span scrub: md5 guard rejects a crafted rolling-hash collision") {
+    def tm(k: Int): (String, String) = {
+      var s = "a"; var t = "b"
+      for (_ <- 1 to k) { val ns = s + t; val nt = t + s; s = ns; t = nt }
+      (s, t)
+    }
+    val (s10, t10) = tm(10) // 1024-char Thue–Morse pair: equal rolling hash
+    val ev = Seq((100L, t10)).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("scrubcollide").toString
+    // doc 1 merely COLLIDES with eval; doc 2 genuinely contains it
+    Seq((1L, s10), (2L, "xx" + t10 + "yy")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/w1")
+    val stream = StreamingOps.scrubSpansStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      ev, "doc_id", "text", w = 1024)
+    val q = stream.writeStream
+      .format("memory").queryName("scrubcollide").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("scrubcollide")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((s10, 0L)), "collision must NOT cut clean text")
+    assert(got(2L) == (("xxyy", 1L)), "true leak must still be cut")
+  }
+
   test("streaming leak-safe split routes every doc exactly like batch") {
     import graft.operators.Dedup
     val docs = Q.t(spark, sf0001, "documents")
