@@ -28,6 +28,23 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
+  /** Thresholded (banded) Levenshtein: the builtin DP restricted to the
+    * ±threshold diagonal band — O(len·threshold) work and an early exit,
+    * returning −1 when the true distance exceeds the per-row threshold
+    * and the exact distance otherwise. The `functions.levenshtein`
+    * wrapper only accepts a literal threshold; near-dup verification
+    * needs a PER-PAIR budget (a fraction of the longer doc), so this
+    * builds the same catalyst expression with the threshold as a third
+    * child column.
+    */
+  private[graft] def levenshteinBounded(
+      a: Column, b: Column, threshold: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b),
+        Some(org.apache.spark.sql.GraftColumnBridge.expression(threshold))))
+
   private val P = 1000000007L
 
   /** Exact dedup by full-content hash: every doc mapped to the smallest
@@ -747,14 +764,23 @@ object Dedup {
     * operator is a recall HEURISTIC — a pair within `maxEditFrac` whose
     * signatures differ in more than `maxHamming` bits is never examined
     * (blocking-dependent recall, the standard near-dup trade). Only band
-    * survivors pay the O(len²) Levenshtein DP, computed by the engine's
-    * codegen `levenshtein` builtin. A pair qualifies when its edit
-    * distance is at most `maxEditFrac` of the longer doc. Returns
-    * (doc_a, doc_b, edit_distance).
+    * survivors pay the Levenshtein DP, and that DP is BANDED: the engine's
+    * codegen `levenshtein` builtin takes a per-row threshold — here the
+    * pair's own budget floor(maxEditFrac·maxLen) — and walks only the
+    * ±threshold diagonal band, O(len·threshold) instead of O(len²), with
+    * an early exit (−1) the moment every band cell exceeds the budget.
+    * Since the filter keeps exactly the pairs with ed ≤ budget, and the
+    * thresholded DP returns the true distance for those pairs (−1 only
+    * above budget, which the unbounded spelling would filter out anyway),
+    * the result set is bit-identical to the unbounded DP. A pair
+    * qualifies when its edit distance is at most `maxEditFrac` of the
+    * longer doc. Returns (doc_a, doc_b, edit_distance).
     *
-    * Scale: the quadratic-in-length DP runs ONLY on blocked candidate
-    * pairs (band survivors — maintenance-sized), never corpus×corpus;
-    * the text join against the candidate list is the small-side join.
+    * Scale: the banded DP runs ONLY on blocked candidate pairs (band
+    * survivors — maintenance-sized), never corpus×corpus; far pairs
+    * (most band false-positives) bail out of the band early instead of
+    * paying the full quadratic table; the text join against the
+    * candidate list is the small-side join.
     */
   def editDistancePairs(
       df: DataFrame,
@@ -770,15 +796,21 @@ object Dedup {
       .join(txt.select(col("doc_id").as("doc_a"), col("txt").as("ta")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("txt").as("tb")), "doc_b")
       // length-gap prefilter: ed >= |len_a - len_b|, so a gap beyond the
-      // budget can never qualify — prunes before the O(len^2) DP without
-      // changing the result set
+      // budget can never qualify — prunes before the DP without changing
+      // the result set
       .filter(
         abs(length(col("ta")) - length(col("tb"))) <=
           lit(maxEditFrac) * greatest(length(col("ta")), length(col("tb"))))
-      .withColumn("ed", levenshtein(col("ta"), col("tb")))
-      .filter(
-        col("ed") <= lit(maxEditFrac) *
-          greatest(length(col("ta")), length(col("tb"))))
+      // per-pair budget: ed <= frac·maxLen  <=>  ed <= floor(frac·maxLen)
+      // (ed is an integer), so the floor IS the banded-DP threshold
+      .withColumn(
+        "budget",
+        floor(lit(maxEditFrac) *
+          greatest(length(col("ta")), length(col("tb")))).cast("int"))
+      .withColumn(
+        "ed", levenshteinBounded(col("ta"), col("tb"), col("budget")))
+      // -1 = the banded DP proved ed > budget; >= 0 is the exact distance
+      .filter(col("ed") >= 0 && col("ed") <= col("budget"))
       .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("edit_distance"))
   }
 

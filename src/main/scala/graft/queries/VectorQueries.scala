@@ -18,26 +18,106 @@ object VectorQueries {
     * of the loop body in [[graft.operators.NNDescent.knnGraph]]:
     * undirect, propose neighbors-of-neighbors through the shared middle
     * node, score, merge with the current edges, keep best k by
-    * (dist, dst).
+    * (dist, dst). MATERIALIZED pins each CTE to one evaluation — a
+    * recursive downstream consumer (the vamana / beam replays) would
+    * otherwise re-inline and re-run the whole upstream chain once per
+    * recursion step (measured 9× slower).
     */
   private def nndIter(i: Int, prev: String): String = s"""
-    u$i AS (SELECT src, dst FROM $prev
+    u$i AS MATERIALIZED (SELECT src, dst FROM $prev
             UNION SELECT dst AS src, src AS dst FROM $prev),
-    c$i AS (SELECT DISTINCT x.src AS src, y.dst AS dst
+    c$i AS MATERIALIZED (SELECT DISTINCT x.src AS src, y.dst AS dst
             FROM u$i x JOIN u$i y ON x.dst = y.src
             WHERE x.src != y.dst),
-    s$i AS (SELECT c$i.src, c$i.dst, ${sqlL2Sq("a.v", "b.v")} AS dist
+    s$i AS MATERIALIZED (SELECT c$i.src, c$i.dst, ${sqlL2Sq("a.v", "b.v")} AS dist
             FROM c$i JOIN e a ON a.id = c$i.src
                      JOIN e b ON b.id = c$i.dst),
-    m$i AS (SELECT src, dst, min(dist) AS dist
+    m$i AS MATERIALIZED (SELECT src, dst, min(dist) AS dist
             FROM (SELECT src, dst, dist FROM s$i
                   UNION ALL SELECT src, dst, dist FROM $prev)
             GROUP BY 1, 2),
-    g$i AS (SELECT src, dst, dist, rn FROM (
+    g$i AS MATERIALIZED (SELECT src, dst, dist, rn FROM (
               SELECT src, dst, dist,
                      row_number() OVER (PARTITION BY src
                                         ORDER BY dist, dst) AS rn
               FROM m$i) WHERE rn <= $K)"""
+
+  /** The full graph-replay CTE block (embeddings → 2-round NN-Descent
+    * graph `g2`) shared by the knn_graph oracle and the vamana / beam
+    * replays that consume the same graph.
+    */
+  private def graphCtes: String = s"""
+        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        rk AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY id) - 1 AS r FROM e),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM e),
+        r0 AS MATERIALIZED (SELECT DISTINCT src, rd FROM (
+                 SELECT rk.id AS src, rk.r,
+                        ('0x' || substr(md5(rk.id::VARCHAR || ':' ||
+                          j.j::VARCHAR || ':init'), 1, 14))::BIGINT % nn.n
+                          AS rd
+                 FROM rk CROSS JOIN nn
+                 CROSS JOIN (SELECT unnest(generate_series(1, $K)) AS j) j)
+               WHERE rd != r),
+        g0p AS MATERIALIZED (SELECT r0.src, rk2.id AS dst
+                FROM r0 JOIN rk rk2 ON rk2.r = r0.rd),
+        g0 AS MATERIALIZED (SELECT g0p.src, g0p.dst, ${sqlL2Sq("a.v", "b.v")} AS dist
+               FROM g0p JOIN e a ON a.id = g0p.src
+                        JOIN e b ON b.id = g0p.dst),
+        ${nndIter(1, "g0")},
+        ${nndIter(2, "g1")}"""
+
+  /** Vamana robust-prune replay over `g2` (alpha = 1.2, maxDegree = 8 —
+    * the knn_graph_vamana config). The per-node sequential greedy is a
+    * recursive CTE in the knn_mmr mold: state = (src, kept-ids list);
+    * each step picks the min-(dist, id) candidate not yet kept and not
+    * α-dominated by any kept member (α²·d²(kept, c) ≤ d²(src, c) — the
+    * exact rule [[graft.operators.NNDescent.robustPrune]] applies, and
+    * domination by an earlier-picked member is exactly the Scala loop's
+    * `removed` mark since picks ascend in (dist, id)). `pd` pre-computes
+    * the candidate-pair distances the domination checks read — per-node
+    * candidates are ≤ 2k, so `pd` is Σ|cand|² rows, never corpus².
+    * Emits `pedges` (the directed pruned graph) for the beam replay.
+    */
+  private def pruneCtes: String = s"""
+        und AS MATERIALIZED (SELECT src, dst, min(dist) AS dist FROM (
+                  SELECT src, dst, dist FROM g2
+                  UNION ALL SELECT dst AS src, src AS dst, dist FROM g2)
+                GROUP BY 1, 2),
+        pd AS MATERIALIZED (SELECT a.src, a.dst AS ia, b.dst AS ib,
+                                   ${sqlL2Sq("ea.v", "eb.v")} AS d
+               FROM und a JOIN und b ON a.src = b.src AND a.dst != b.dst
+               JOIN e ea ON ea.id = a.dst
+               JOIN e eb ON eb.id = b.dst),
+        vsel AS (
+          SELECT src, 1 AS step, [dst] AS ids
+          FROM (SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY dist, dst) AS rn
+                FROM und) WHERE rn = 1
+          UNION ALL
+          SELECT src, step + 1, list_append(ids, cand)
+          FROM (
+            SELECT src, step, ids, cand,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cdist, cand) AS rn
+            FROM (
+              SELECT v.src, v.step, v.ids, c.dst AS cand, c.dist AS cdist,
+                     max(CASE WHEN pd.ib IS NOT NULL
+                               AND (1.2::DOUBLE * 1.2::DOUBLE) * pd.d
+                                   <= c.dist THEN 1 ELSE 0 END) AS dom
+              FROM vsel v
+              JOIN und c ON c.src = v.src AND NOT list_contains(v.ids, c.dst)
+              LEFT JOIN pd ON pd.src = v.src AND pd.ib = c.dst
+                          AND list_contains(v.ids, pd.ia)
+              GROUP BY v.src, v.step, v.ids, c.dst, c.dist)
+            WHERE dom = 0)
+          WHERE rn = 1 AND step < 8
+        ),
+        vlast AS (SELECT src, max(step) AS ms FROM vsel GROUP BY src),
+        pedges AS MATERIALIZED (
+          SELECT v.src, unnest(v.ids) AS dst
+          FROM vsel v JOIN vlast l ON l.src = v.src AND v.step = l.ms)"""
 
   /** Shared NN-Descent graph artifacts per sf dir, mirroring the hnsw_*
     * bench split (HnswQueries.buildCache): knn_graph measures COLD
@@ -143,25 +223,7 @@ object VectorQueries {
             round(col("dist"), 4).as("dist"), col("rnk"))
       },
       Some(s"""
-        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-                   FROM embeddings),
-        rk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS r FROM e),
-        nn AS (SELECT count(*) AS n FROM e),
-        r0 AS (SELECT DISTINCT src, rd FROM (
-                 SELECT rk.id AS src, rk.r,
-                        ('0x' || substr(md5(rk.id::VARCHAR || ':' ||
-                          j.j::VARCHAR || ':init'), 1, 14))::BIGINT % nn.n
-                          AS rd
-                 FROM rk CROSS JOIN nn
-                 CROSS JOIN (SELECT unnest(generate_series(1, $K)) AS j) j)
-               WHERE rd != r),
-        g0p AS (SELECT r0.src, rk2.id AS dst
-                FROM r0 JOIN rk rk2 ON rk2.r = r0.rd),
-        g0 AS (SELECT g0p.src, g0p.dst, ${sqlL2Sq("a.v", "b.v")} AS dist
-               FROM g0p JOIN e a ON a.id = g0p.src
-                        JOIN e b ON b.id = g0p.dst),
-        ${nndIter(1, "g0")},
-        ${nndIter(2, "g1")}
+        WITH $graphCtes
         SELECT src, dst, round(dist, 4) AS dist, rn AS rnk
         FROM g2
       """)
@@ -170,8 +232,11 @@ object VectorQueries {
     // α-dominance greedy keeps the closest candidate and drops everything
     // it dominates, per node over out ∪ reversed-in candidates — the
     // direction-diversity pass that turns a kNN graph into a navigable
-    // index graph. Deterministic, but the per-node sequential greedy has
-    // no SQL spelling — rows-only here; NNDescentSpec pins the rule on a
+    // index graph. Deterministic, and the per-node sequential greedy DOES
+    // have a SQL spelling after all — the knn_mmr recursive-CTE pattern
+    // (state = kept list, each step appends the min-(dist, id)
+    // non-dominated candidate), so the whole prune is hash-checked
+    // end to end; NNDescentSpec additionally pins the rule on a
     // hand-built geometry fixture plus degree/subset/determinism gates.
     GQuery(
       "knn_graph_vamana",
@@ -188,16 +253,27 @@ object VectorQueries {
         prunedCache.put(dir, pruned)
         pruned.select(col("src"), col("dst"), round(col("dist"), 4).as("dist"))
       },
-      None
+      Some(s"""
+        WITH RECURSIVE
+        $graphCtes,
+        $pruneCtes
+        SELECT p.src, p.dst, round(u.dist, 4) AS dist
+        FROM pedges p JOIN und u ON u.src = p.src AND u.dst = p.dst
+      """)
     ),
     // The DiskANN serving pipeline end to end: NN-Descent graph →
     // Vamana α-prune → relational BEAM SEARCH (greedy best-first as
     // BFS-beam joins: frontier ⋈ edges ⋈ vectors → bounded-heap
     // top-beam per round; graph and corpus stay sharded, nothing
-    // broadcast but the |Q|·beam frontier). Deterministic but
-    // rows-only (the round-unrolled SQL would be ~50 CTEs);
-    // NNDescentSpec gates round-monotone recall and the final floor
-    // vs exact kNN.
+    // broadcast but the |Q|·beam frontier). Deterministic, and
+    // hash-checked end to end: the oracle chains the graph replay, the
+    // vamana-prune recursion, and a second recursive CTE that replays
+    // all 6 beam rounds (state = the sorted top-beam id list per query;
+    // each round expands the beam through `pedges`, rescores beam ∪
+    // neighbors — bit-identical to the engine's score-merge-dedup since
+    // both engines recompute the same IEEE double distance — and keeps
+    // the (dist, id)-ascending top 24). NNDescentSpec gates
+    // round-monotone recall and the final floor vs exact kNN.
     GQuery(
       "knn_graph_search",
       (spark, dir) => {
@@ -213,7 +289,47 @@ object VectorQueries {
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 4).as("dist"), col("rnk"))
       },
-      None
+      Some(s"""
+        WITH RECURSIVE
+        $graphCtes,
+        $pruneCtes,
+        q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
+        bsel AS (
+          SELECT qid, 0 AS r, [0::BIGINT] AS ids FROM q
+          UNION ALL
+          SELECT qid, r, list(id ORDER BY dist, id) AS ids FROM (
+            SELECT qid, r, id, dist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, id) AS rn
+            FROM (
+              SELECT cand.qid, cand.r, cand.id,
+                     ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+              FROM (
+                SELECT DISTINCT m.qid, m.r, pe.dst AS id
+                FROM (SELECT s.qid, s.r + 1 AS r, unnest(s.ids) AS bid
+                      FROM bsel s WHERE s.r < 6) m
+                JOIN pedges pe ON pe.src = m.bid
+                UNION
+                SELECT s.qid, s.r + 1 AS r, unnest(s.ids) AS id
+                FROM bsel s WHERE s.r < 6
+              ) cand
+              JOIN e ee ON ee.id = cand.id
+              JOIN q qq ON qq.qid = cand.qid))
+          WHERE rn <= 24
+          GROUP BY qid, r
+        ),
+        fin AS (SELECT qid, unnest(ids) AS id FROM bsel WHERE r = 6),
+        fd AS (SELECT f.qid, f.id, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+               FROM fin f JOIN e ee ON ee.id = f.id
+               JOIN q qq ON qq.qid = f.qid),
+        rkd AS (SELECT qid, id, dist,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY dist, id) AS rnk
+                FROM fd)
+        SELECT qid AS query_id, id AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM rkd WHERE rnk <= $K
+      """)
     ),
     // DiskANN-serving beam search: the WALK reads only a PQ code table
     // (~M bytes/node) via per-query dot LUTs — never a raw vector — and
