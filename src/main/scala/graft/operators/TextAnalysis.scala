@@ -97,6 +97,87 @@ object TextAnalysis {
         ).as("avg_token_len")
       )
 
+  /** A C4 line-keep predicate over one line column: at least `minWords`
+    * whitespace words AND a terminal-punctuation ending (. ! ? ") —
+    * Raffel et al. 2020 §2.2's "retained only lines that ended in a
+    * terminal punctuation mark" + "at least 3 words".
+    */
+  private def c4LineKept(l: Column, minWords: Int): Column =
+    (size(filter(split(l, " "), w => w =!= "")) >= minWords) &&
+      substring(l, -1, 1).isin(".", "!", "?", "\"")
+
+  /** C4-style heuristic page filters (Raffel et al. 2020 §2.2 — the
+    * cleaning pass behind the C4 corpus, kept by every successor
+    * pipeline up to FineWeb): per-page line census under the line-keep
+    * rule ([[c4LineKept]]), the page-level placeholder/code flags
+    * ("lorem ipsum" anywhere → boilerplate placeholder page; `{`
+    * anywhere → likely source code), and the page keep decision
+    * keep = kept_lines ≥ minKeptLines AND neither flag (C4 discards
+    * flagged pages wholesale; the line rule trims the rest — the
+    * rewrite half is [[c4Scrub]]).
+    *
+    * Returns (doc_id, n_lines, n_kept, kept_frac, has_lorem, has_brace,
+    * keep). Pure per-row HOF arithmetic over `split(text, '\n')`: zero
+    * shuffle, zero UDF — at corpus scale this streams through the
+    * codegen'd filters at parquet-scan speed, the cheapest stage a
+    * pipeline has.
+    */
+  def c4Stats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      minKeptLines: Int = 3
+  ): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("lines"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn(
+        "n_kept",
+        size(filter(col("lines"), l => c4LineKept(l, minWords))).cast("long"))
+      .withColumn(
+        "has_lorem",
+        exists(col("lines"), l => lower(l).contains("lorem ipsum")))
+      .withColumn("has_brace", exists(col("lines"), l => l.contains("{")))
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_lines"), 6)
+          .as("kept_frac"),
+        col("has_lorem"),
+        col("has_brace"),
+        (col("n_kept") >= minKeptLines && !col("has_lorem") &&
+          !col("has_brace")).as("keep")
+      )
+
+  /** The rewrite half of [[c4Stats]]: pages that survive the page-level
+    * flags keep only their [[c4LineKept]] lines, reassembled with the
+    * newline preserved; flagged pages are dropped entirely. Returns
+    * (doc_id, clean_text, n_dropped_lines) for surviving pages only —
+    * the same per-row zero-shuffle shape as the stats pass.
+    */
+  def c4Scrub(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      minKeptLines: Int = 3
+  ): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("lines"))
+      .withColumn(
+        "has_flag",
+        exists(
+          col("lines"),
+          l => lower(l).contains("lorem ipsum") || l.contains("{")))
+      .withColumn("kept", filter(col("lines"), l => c4LineKept(l, minWords)))
+      .filter(!col("has_flag") && size(col("kept")) >= minKeptLines)
+      .select(
+        col("doc_id"),
+        array_join(col("kept"), "\n").as("clean_text"),
+        (size(col("lines")) - size(col("kept"))).cast("long")
+          .as("n_dropped_lines")
+      )
+
   /** Heuristic quality score in [0,1]: blend of length saturation,
     * stopword ratio and token diversity. The exact formula is part of the
     * declared semantics (mirrored in the oracle SQL).

@@ -13,6 +13,82 @@ import Q._
   */
 object TextQueries {
 
+  /** Deterministic PAGED fixture for the C4 filter queries: the flat
+    * token stream re-lined at 8 tokens/line, a 70% md5-coin terminal
+    * period per line, a "lorem ipsum" placeholder line prepended to 5%
+    * of pages and a "{" code line to 4% — the derived-fixture precedent
+    * (containment's snippet corpus, text_pii's injected PII) that makes
+    * every C4 rule observable on a corpus that natively has no line
+    * structure. Mirrored step for step in [[pagedCtes]].
+    */
+  private def pagedDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nl", ceil(size(col("toks")) / lit(8.0)).cast("int"))
+      .withColumn(
+        "lines",
+        transform(
+          sequence(lit(0), col("nl") - 1),
+          i =>
+            concat(
+              array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "),
+              when(
+                Dedup.md5Long(concat(
+                  col("doc_id").cast("string"), lit(":"),
+                  i.cast("string"), lit(":punct"))) % 10 < 7,
+                lit(".")).otherwise(lit("")))))
+      .withColumn(
+        "lines",
+        when(
+          Dedup.md5Long(
+            concat(col("doc_id").cast("string"), lit(":brace"))) % 25 === 0,
+          concat(array(lit("config { retries: 3 }")), col("lines")))
+          .otherwise(col("lines")))
+      .withColumn(
+        "lines",
+        when(
+          Dedup.md5Long(
+            concat(col("doc_id").cast("string"), lit(":lorem"))) % 20 === 0,
+          concat(array(lit("lorem ipsum dolor sit amet.")), col("lines")))
+          .otherwise(col("lines")))
+      .select(col("doc_id"), array_join(col("lines"), "\n").as("page"))
+
+  /** DuckDB mirror of [[pagedDocs]] — ends at `pl3(doc_id, lines)`. */
+  private val pagedCtes: String = """
+    pg AS (SELECT doc_id, t, ceil(len(t) / 8.0)::INT AS nl
+           FROM (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents)),
+    pl AS (SELECT doc_id,
+                  list_transform(generate_series(0, nl - 1), i ->
+                    array_to_string(t[(i*8+1):(i*8+8)], ' ') ||
+                    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                               i::VARCHAR || ':punct'), 1, 14))::BIGINT
+                              % 10 < 7
+                         THEN '.' ELSE '' END) AS lines
+           FROM pg),
+    pl2 AS (SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR ||
+                              ':brace'), 1, 14))::BIGINT % 25 = 0
+                        THEN ['config { retries: 3 }'] || lines
+                        ELSE lines END AS lines
+            FROM pl),
+    pl3 AS (SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR ||
+                              ':lorem'), 1, 14))::BIGINT % 20 = 0
+                        THEN ['lorem ipsum dolor sit amet.'] || lines
+                        ELSE lines END AS lines
+            FROM pl2)"""
+
+  /** DuckDB spelling of [[TextAnalysis]]'s C4 line-keep rule (applied to
+    * a lambda-bound line `l`).
+    */
+  private val c4KeptSql: String =
+    """len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
+       AND right(l, 1) IN ('.', '!', '?', '"')"""
+
   /** Shared DuckDB CTEs: tokens, distinct 3-gram shingles, shingle-set
     * sizes (mirror of [[Dedup.shingles]]).
     */
@@ -841,6 +917,69 @@ object TextQueries {
                      + 0.3::DOUBLE * stop_ratio
                      + 0.3::DOUBLE * diversity, 6) AS quality
         FROM f
+      """)
+    ),
+    // C4 heuristic page filters (Raffel et al. 2020 §2.2) — the cleaning
+    // pass behind C4 and every successor pipeline (FineWeb): line-keep
+    // rule (≥3 words + terminal punctuation) + page-level placeholder
+    // ("lorem ipsum") and code ("{") flags + the page keep decision.
+    // documents.text is a flat token stream, so the query first derives
+    // a deterministic PAGED fixture (the containment/PII precedent:
+    // md5-coin line punctuation, 5% lorem pages, 4% brace pages) —
+    // mirrored step for step in the oracle — and runs the generic
+    // operator on real line structure.
+    GQuery(
+      "text_c4_filters",
+      (spark, dir) =>
+        TextAnalysis.c4Stats(pagedDocs(spark, dir), "doc_id", "page"),
+      Some(s"""
+        WITH $pagedCtes,
+        cen AS (SELECT doc_id,
+                       len(lines)::BIGINT AS n_lines,
+                       len(list_filter(lines, l -> $c4KeptSql))::BIGINT
+                         AS n_kept,
+                       len(list_filter(lines,
+                         l -> contains(lower(l), 'lorem ipsum'))) > 0
+                         AS has_lorem,
+                       len(list_filter(lines, l -> contains(l, '{'))) > 0
+                         AS has_brace
+                FROM pl3)
+        SELECT doc_id, n_lines, n_kept,
+               round(n_kept::DOUBLE / n_lines, 6) AS kept_frac,
+               has_lorem, has_brace,
+               (n_kept >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+        FROM cen
+      """)
+    ),
+    // The rewrite half: surviving pages keep only their rule-passing
+    // lines (flagged pages dropped wholesale, C4 semantics). One row per
+    // surviving page with the clean text's length + md5 — the whole
+    // derive→census→rewrite pipeline hash-checked (the scrub-query
+    // convention from pipeline_decontaminate_spans).
+    GQuery(
+      "text_c4_scrub",
+      (spark, dir) =>
+        TextAnalysis.c4Scrub(pagedDocs(spark, dir), "doc_id", "page")
+          .select(
+            col("doc_id"),
+            length(col("clean_text")).cast("long").as("n_chars_clean"),
+            md5(col("clean_text")).as("clean_md5"),
+            col("n_dropped_lines")),
+      Some(s"""
+        WITH $pagedCtes,
+        sc AS (SELECT doc_id,
+                      len(lines)::BIGINT AS n_lines,
+                      list_filter(lines, l -> $c4KeptSql) AS kept
+               FROM pl3
+               WHERE len(list_filter(lines,
+                       l -> contains(lower(l), 'lorem ipsum')
+                            OR contains(l, '{'))) = 0)
+        SELECT doc_id,
+               length(array_to_string(kept, chr(10)))::BIGINT
+                 AS n_chars_clean,
+               md5(array_to_string(kept, chr(10))) AS clean_md5,
+               (n_lines - len(kept))::BIGINT AS n_dropped_lines
+        FROM sc WHERE len(kept) >= 3
       """)
     ),
     // Profile-based language id (fit on labels, predict per doc).

@@ -137,6 +137,33 @@ class DedupTextSpec extends SparkSpec {
     assert(s.filter(col("n_tokens") <= 0 || col("avg_token_len") <= 0).count() == 0)
   }
 
+  test("C4 filters: hand-built page census, flags, keep rule, scrub") {
+    val fix = Seq(
+      // 4 good lines -> keep
+      (1L, "one two three.\nfour five six!\nseven eight nine?\nten eleven twelve."),
+      // only 2 rule-passing lines (one too short, one unpunctuated) -> drop
+      (2L, "one two three.\nshort.\nno terminal punct here\nfour five six."),
+      // placeholder page: lines fine but lorem flag -> drop wholesale
+      (3L, "Lorem Ipsum dolor sit.\none two three.\nfour five six.\nseven eight nine."),
+      // code page: brace flag -> drop wholesale
+      (4L, "one two three.\nvar x = { 1 }\nfour five six.\nseven eight nine.")
+    ).toDF("doc_id", "page")
+    val s = TextAnalysis.c4Stats(fix, "doc_id", "page")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(s(1L).getLong(1) == 4 && s(1L).getLong(2) == 4 && s(1L).getBoolean(6))
+    assert(s(1L).getDouble(3) == 1.0)
+    assert(s(2L).getLong(2) == 2 && !s(2L).getBoolean(6)) // below minKeptLines
+    assert(s(3L).getBoolean(4) && !s(3L).getBoolean(6))   // lorem flag (case-folded)
+    assert(s(4L).getBoolean(5) && !s(4L).getBoolean(6))   // brace flag
+    val c = TextAnalysis.c4Scrub(fix, "doc_id", "page")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // only page 1 survives; nothing dropped from it
+    assert(c.keySet == Set(1L))
+    assert(c(1L).getString(1) ==
+      "one two three.\nfour five six!\nseven eight nine?\nten eleven twelve.")
+    assert(c(1L).getLong(2) == 0)
+  }
+
   test("BPE-ish tokenizer: lossless cover, class counts, known example") {
     val df = Seq(
       (1L, "hello world 42 times!"),
