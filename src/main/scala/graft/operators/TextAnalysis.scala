@@ -377,6 +377,82 @@ object TextAnalysis {
       )
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Chen & Goodman 1999 —
+    * the smoothing the CCNet filter's KenLM models actually use, a rung
+    * above [[perplexity]]'s add-½): the discounted bigram estimate backs
+    * off to the CONTINUATION unigram — how many distinct contexts a word
+    * follows, not how often it occurs — which is what separates
+    * "Francisco" (frequent, one context) from genuinely productive words.
+    *
+    * Model, with absolute discount D:
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+    *              + (D·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/N₁₊(··))
+    * where N₁₊(w₁·)/N₁₊(·w₂) count distinct continuations/contexts and
+    * N₁₊(··) is the bigram-type total. Self-scored on the training
+    * corpus every scored bigram has c ≥ 1 > D, so the discounted term
+    * never clips and every probability is strictly positive.
+    *
+    * Shape at scale: identical to [[perplexity]] — the (doc, w₁, w₂)
+    * position table is the only corpus-sized relation, joined on its own
+    * keys against the count tables (all derived from one bigram-type
+    * aggregate); the type total is a 1-row broadcast; per-doc means are
+    * decimal-routed. Docs with fewer than 2 tokens score NULL.
+    */
+  def perplexityKN(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val bg = toks
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, size(t)-2)," +
+              " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // continuation counts live on the bigram-TYPE table, not occurrences
+    val n1r = cb.groupBy(col("w1")).agg(count(lit(1)).as("n1r"))
+    val n1l = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    val nbt = cb.agg(count(lit(1)).as("nbt"))
+    val d = lit(discount)
+    val nll = bg
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .join(n1r, Seq("w1"))
+      .join(n1l, Seq("w2"))
+      .crossJoin(broadcast(nbt))
+      .withColumn(
+        "nll",
+        -log(
+          (col("cb") - d) / col("cu") +
+            ((d * col("n1r")) / col("cu")) *
+            (col("n1l").cast("double") / col("nbt"))
+        )
+      )
+    val perDoc = nll
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(38, 20)))
+          .cast("double") / count(lit(1))).as("nll_per_tok")
+      )
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("nll_per_tok"), 6).as("nll_per_tok"),
+        round(exp(col("nll_per_tok")), 6).as("perplexity")
+      )
+  }
+
   /** fastText-style linear text classifier (Joulin et al. 2016 "Bag of
     * Tricks"): bag of word + word-bigram features through the hashing
     * trick, mean-pooled feature weights, sigmoid — the model family the

@@ -250,6 +250,57 @@ object MultimodalQueries {
         FROM documents
       """)
     ),
+    // Frame-difference motion score over the GIF fixture — the
+    // video-curation signal that separates static slideshows from real
+    // footage: per consecutive frame pair, the mean absolute per-pixel
+    // intensity difference, averaged over the video's transitions.
+    // Solid-gray fixture frames step by exactly 1 gray level per frame
+    // ((base+i)%256), so each transition scores 1 — except across the
+    // 255→0 palette wrap, where it scores 255 — making both the normal
+    // and the wrap arithmetic observable under an exact oracle.
+    // Single-frame videos (doc_id%5=0) have no transitions -> NULL.
+    GQuery(
+      "mm_motion_score",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaGif = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val w = (nc % 32 + 1).toInt
+              val h = (id % 32 + 1).toInt
+              val frames = (id % 5 + 1).toInt
+              val base = (nc % 256).toInt
+              (id, Multimodal.gifVideo(w, h, frames, base))
+            }
+          }
+          .toDF("id", "content")
+        Multimodal
+          .motionScore(spark, mediaGif)
+          .toDF()
+          .select(
+            col("id"),
+            col("nFrames").cast("long").as("n_frames"),
+            round(col("motion"), 6).as("motion")
+          )
+      },
+      Some("""
+        SELECT doc_id AS id,
+               (doc_id % 5 + 1)::BIGINT AS n_frames,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE round(list_sum(list_transform(
+                           generate_series(1, (doc_id % 5)::INT),
+                           i -> CASE WHEN (n_chars % 256 + i) % 256 = 0
+                                     THEN 255 ELSE 1 END))::DOUBLE
+                         / (doc_id % 5), 6) END AS motion
+        FROM documents
+      """)
+    ),
     // Decode stage for VIDEO, fallback container: length-prefixed real
     // PNG frames (GMPV — kept for corpora produced before the GIF path;
     // decodeVideoMeta dispatches on the magic bytes, every frame decode

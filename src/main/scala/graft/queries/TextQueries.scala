@@ -2404,6 +2404,51 @@ object TextQueries {
         SELECT doc_id, score, rnk FROM r WHERE rnk <= 20
       """)
     ),
+    // Interpolated Kneser-Ney bigram perplexity (Chen & Goodman 1999 —
+    // the smoothing CCNet's KenLM filter models actually use): the
+    // discounted bigram estimate backs off to the CONTINUATION unigram
+    // (distinct contexts, not occurrences). Same scale shape as
+    // text_perplexity; every count table derives from the bigram-type
+    // aggregate, the type total is a 1-row broadcast.
+    GQuery(
+      "text_perplexity_kn",
+      (spark, dir) =>
+        graft.operators.TextAnalysis.perplexityKN(
+          t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                             i -> t[i])) AS w1,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                             i -> t[i+1])) AS w2
+               FROM tok WHERE len(t) >= 2),
+        cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*)::BIGINT AS cu FROM bg GROUP BY w1),
+        n1r AS (SELECT w1, count(*)::BIGINT AS n1r FROM cb GROUP BY w1),
+        n1l AS (SELECT w2, count(*)::BIGINT AS n1l FROM cb GROUP BY w2),
+        nbt AS (SELECT count(*)::BIGINT AS nbt FROM cb),
+        nll AS (SELECT bg.doc_id,
+                       -ln((cb - 0.75::DOUBLE) / cu
+                           + ((0.75::DOUBLE * n1r) / cu)
+                             * (n1l::DOUBLE / nbt)) AS nll
+                FROM bg
+                JOIN cb USING (w1, w2)
+                JOIN cu USING (w1)
+                JOIN n1r USING (w1)
+                JOIN n1l USING (w2)
+                CROSS JOIN nbt),
+        per AS (SELECT doc_id,
+                       (sum(nll::DECIMAL(38,20))::DOUBLE / count(*))
+                         AS nll_per_tok
+                FROM nll GROUP BY doc_id)
+        SELECT d.doc_id,
+               round(nll_per_tok, 6) AS nll_per_tok,
+               round(exp(nll_per_tok), 6) AS perplexity
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      """)
+    ),
     // Bigram-LM perplexity (CCNet-style quality signal): add-1/2-smoothed
     // bigram model trained on the corpus itself, every doc scored by
     // per-token NLL + perplexity. Only the (doc,w1,w2) position table is

@@ -137,6 +137,26 @@ class DedupTextSpec extends SparkSpec {
     assert(s.filter(col("n_tokens") <= 0 || col("avg_token_len") <= 0).count() == 0)
   }
 
+  test("Kneser-Ney perplexity: hand-computed bigram model on a tiny corpus") {
+    // corpus "a b a c": bigrams (a,b),(b,a),(a,c) each once
+    // cu: a->2 b->1; n1r: a->2 b->1; n1l: a->1 b->1 c->1; types nbt=3
+    // P(b|a) = (1-.75)/2 + (.75*2/2)*(1/3) = 0.375
+    // P(a|b) = (1-.75)/1 + (.75*1/1)*(1/3) = 0.5
+    // P(c|a) = 0.375
+    val fix = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityKN(fix, "doc_id", "text").collect()
+    assert(r.length == 1)
+    val expected =
+      -(math.log(0.375) + math.log(0.5) + math.log(0.375)) / 3.0
+    assert(math.abs(r(0).getDouble(1) - expected) < 1e-6, r(0))
+    assert(math.abs(r(0).getDouble(2) - math.exp(expected)) < 1e-5, r(0))
+    // a one-token doc has no bigrams -> NULL scores, row kept
+    val short = Seq((1L, "a b a c"), (2L, "solo")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.perplexityKN(short, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.isNullAt(1)).toMap
+    assert(!r2(1L) && r2(2L))
+  }
+
   test("C4 filters: hand-built page census, flags, keep rule, scrub") {
     val fix = Seq(
       // 4 good lines -> keep

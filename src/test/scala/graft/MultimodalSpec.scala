@@ -163,6 +163,27 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == Set((4, 5, 2, (10.0 + 11 + 12 + 13) / 4)), rows.toString)
   }
 
+  test("motion score: unit steps, palette wrap, single-frame NULL, both containers") {
+    import spark.implicits._
+    // grays 254, 255, 0: transitions |255-254|=1 and |0-255|=255
+    val media = Seq(
+      (1L, Multimodal.gifVideo(w = 4, h = 3, nFrames = 3, baseGray = 254)),
+      (2L, Multimodal.pngVideo(w = 4, h = 3, nFrames = 3, baseGray = 254)),
+      (3L, Multimodal.gifVideo(w = 4, h = 3, nFrames = 1, baseGray = 10))
+    ).toDF("id", "content")
+    val r = Multimodal.motionScore(spark, media).collect()
+      .map(v => v.id -> v).toMap
+    assert(r(1L).nFrames == 3 && r(1L).motion.contains((1.0 + 255.0) / 2))
+    // the fallback container decodes identically through the dispatch
+    assert(r(2L).motion == r(1L).motion)
+    // single frame: no transitions
+    assert(r(3L).nFrames == 1 && r(3L).motion.isEmpty)
+    val bad = Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("id", "content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.motionScore(spark, bad).collect()
+    }
+  }
+
   test("dHash: size-invariant for a scaled copy, discriminates gradients, undecodable raises") {
     import spark.implicits._
     // same no-wrap gradient at 20x16 and 40x32 (a 2x scaled copy — byte
