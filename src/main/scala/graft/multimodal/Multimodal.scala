@@ -209,6 +209,53 @@ object Multimodal {
     }
   }
 
+  final case class Resampled(
+      id: Long,
+      nIn: Int,
+      nOut: Int,
+      energy: Long,
+      rms: Double
+  )
+
+  /** Nearest-neighbor audio resample to a fixed frame count — the audio
+    * analog of [[resizeMeta]]'s image resample (rate normalization is
+    * the first transform an audio-training pipeline applies; every
+    * sample-rate mix must land on one grid before feature extraction):
+    * output frame j reads source frame floor(j·nIn/nOut) — the same
+    * floor-index rule as the image path, so the resampled signal is
+    * SQL-derivable from the fixture ramp — and the summary emits the
+    * exact integer resampled energy Σs² plus the RMS.
+    *
+    * Per-partition batch kernel, one output row per clip, zero shuffle;
+    * only the decoded clip is in memory (O(clip), not O(partition)).
+    */
+  def resampleAudio(
+      spark: SparkSession,
+      media: DataFrame,
+      outFrames: Int
+  ): Dataset[Resampled] = {
+    import spark.implicits._
+    require(outFrames >= 1, "resampleAudio needs outFrames >= 1")
+    media.as[Media].mapPartitions { it =>
+      it.map { m =>
+        val (frames, channels, samples) = wavSamples(m.content)
+        require(channels == 1, s"resampleAudio expects mono, got $channels")
+        val n = samples.length
+        require(frames < 0 || frames == n,
+          s"resampleAudio: WAV declares $frames frames but decodes $n samples (id ${m.id})")
+        require(n >= 1, s"resampleAudio: empty clip (id ${m.id})")
+        var e = 0L
+        var j = 0
+        while (j < outFrames) {
+          val s = samples((j.toLong * n / outFrames).toInt).toLong
+          e += s * s
+          j += 1
+        }
+        Resampled(m.id, n, outFrames, e, math.sqrt(e.toDouble / outFrames))
+      }
+    }
+  }
+
   /** Deterministic ramp WAV (fixture utility): mono 16-bit PCM, sample i =
     * (a + i·b) mod 1000 — varying but SQL-derivable, so windowed features
     * computed off the REAL codec's samples sit under an exact arithmetic

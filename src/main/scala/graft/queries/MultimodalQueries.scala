@@ -447,6 +447,60 @@ object MultimodalQueries {
         FROM w GROUP BY 1, 2
       """)
     ),
+    // Nearest-neighbor audio RESAMPLE to a fixed 48-frame grid — the
+    // audio analog of mm_resize (rate normalization before feature
+    // extraction): output frame j reads source frame floor(j*nIn/48),
+    // the same floor-index rule as the image resample, so the resampled
+    // ramp signal and its exact integer energy are SQL-derivable.
+    GQuery(
+      "mm_audio_resample",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("nc")
+          )
+        val mediaWav = docs
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val frames = (nc % 256 + 1).toInt
+              val a = (id % 500).toInt
+              val b = (id % 7 + 1).toInt
+              (id, "audio", Multimodal.rampWav(frames, a, b), nc)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal
+          .resampleAudio(spark, mediaWav, outFrames = 48)
+          .toDF()
+          .select(
+            col("id"),
+            col("nIn").cast("long").as("n_in"),
+            col("nOut").cast("long").as("n_out"),
+            col("energy"),
+            round(col("rms"), 6).as("rms")
+          )
+      },
+      Some("""
+        WITH d AS (SELECT doc_id AS id,
+                          (n_chars % 256 + 1)::BIGINT AS frames,
+                          (doc_id % 500)::BIGINT AS a,
+                          (doc_id % 7 + 1)::BIGINT AS b
+                   FROM documents),
+        s AS (SELECT id, frames, a, b,
+                     unnest(generate_series(0, 47)) AS j
+              FROM d),
+        v AS (SELECT id, frames,
+                     ((a + ((j * frames) // 48) * b) % 1000) AS v
+              FROM s)
+        SELECT id, any_value(frames) AS n_in, 48::BIGINT AS n_out,
+               sum(v * v)::BIGINT AS energy,
+               round(sqrt(sum(v * v)::DOUBLE / 48), 6) AS rms
+        FROM v GROUP BY id
+      """)
+    ),
     // Perceptual-hash image dedup over the REAL decode path: gradient PNG
     // (fixture + arithmetic-oracle CTEs shared with mm_phash_pairs via
     // gradientClassMedia/sqlPhashCtes — one definition of the hash)

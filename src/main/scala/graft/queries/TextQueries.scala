@@ -1028,6 +1028,109 @@ object TextQueries {
         FROM tok
       """)
     ),
+    // The FineWeb-style FILTER STACK as one declarative plan: C4 page
+    // keep (structure), heuristic quality (lexical), Kneser-Ney
+    // perplexity (fluency-vs-corpus), top-bigram repetition (Gopher) —
+    // four independent signal families joined on doc_id with one
+    // conjunctive keep decision. Thresholds sit at discriminating
+    // quantiles of each signal (each gate cuts 10-40% alone). Every
+    // signal is individually hash-checked elsewhere; this row proves the
+    // COMPOSITION — all four stacked, rounded-signal comparisons
+    // identical across engines. NULL perplexity (sub-2-token docs)
+    // fails the gate explicitly.
+    GQuery(
+      "pipeline_filter_stack",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val c4 = TextAnalysis
+          .c4Stats(pagedDocs(spark, dir), "doc_id", "page")
+          .select(col("doc_id"), col("keep").as("c4_keep"))
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val kn = TextAnalysis.perplexityKN(docs, "doc_id", "text")
+          .select(col("doc_id"), col("perplexity"))
+        val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+          .select(col("doc_id"), col("top_bigram_frac"))
+        c4.join(quality, "doc_id")
+          .join(kn, "doc_id")
+          .join(rep, "doc_id")
+          .select(
+            col("doc_id"), col("c4_keep"), col("quality"),
+            col("perplexity"), col("top_bigram_frac"),
+            (col("c4_keep") && col("quality") >= 0.5 &&
+              coalesce(col("perplexity") <= 30.0, lit(false)) &&
+              col("top_bigram_frac") <= 0.13).as("keep"))
+      },
+      Some(s"""
+        WITH $pagedCtes,
+        c4 AS (SELECT doc_id,
+                      (len(list_filter(lines, l -> $c4KeptSql)) >= 3
+                       AND len(list_filter(lines,
+                             l -> contains(lower(l), 'lorem ipsum'))) = 0
+                       AND len(list_filter(lines,
+                             l -> contains(l, '{'))) = 0) AS c4_keep
+               FROM pl3),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+        qf AS (SELECT doc_id,
+                      len(t)::DOUBLE AS n,
+                      len(list_filter(t, x -> x IN
+                        ('the','a','of','to','and','in','is','for')))::DOUBLE
+                        / len(t) AS stop_ratio,
+                      len(list_distinct(t))::DOUBLE / len(t) AS diversity
+               FROM tok),
+        qual AS (SELECT doc_id,
+                        round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                              + 0.3::DOUBLE * stop_ratio
+                              + 0.3::DOUBLE * diversity, 6) AS quality
+                 FROM qf),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                             i -> t[i])) AS w1,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                             i -> t[i+1])) AS w2
+               FROM tok WHERE len(t) >= 2),
+        cb AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*)::BIGINT AS cu FROM bg GROUP BY w1),
+        n1r AS (SELECT w1, count(*)::BIGINT AS n1r FROM cb GROUP BY w1),
+        n1l AS (SELECT w2, count(*)::BIGINT AS n1l FROM cb GROUP BY w2),
+        nbt AS (SELECT count(*)::BIGINT AS nbt FROM cb),
+        nll AS (SELECT bg.doc_id,
+                       -ln((cb - 0.75::DOUBLE) / cu
+                           + ((0.75::DOUBLE * n1r) / cu)
+                             * (n1l::DOUBLE / nbt)) AS nll
+                FROM bg
+                JOIN cb USING (w1, w2)
+                JOIN cu USING (w1)
+                JOIN n1r USING (w1)
+                JOIN n1l USING (w2)
+                CROSS JOIN nbt),
+        per AS (SELECT doc_id,
+                       round(exp(sum(nll::DECIMAL(38,20))::DOUBLE
+                                 / count(*)), 6) AS perplexity
+                FROM nll GROUP BY doc_id),
+        bgr AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+1], ' '))) AS g
+                FROM tok WHERE len(t) >= 2),
+        bc AS (SELECT doc_id, max(c) AS top_c
+               FROM (SELECT doc_id, g, count(*) AS c FROM bgr
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        rep AS (SELECT tok.doc_id,
+                       round(coalesce(2.0 * bc.top_c / len(tok.t), 0.0), 6)
+                         AS top_bigram_frac
+                FROM tok LEFT JOIN bc ON bc.doc_id = tok.doc_id)
+        SELECT c4.doc_id, c4.c4_keep, qual.quality,
+               per.perplexity, rep.top_bigram_frac,
+               (c4.c4_keep AND qual.quality >= 0.5
+                AND coalesce(per.perplexity <= 30.0, false)
+                AND rep.top_bigram_frac <= 0.13) AS keep
+        FROM c4
+        JOIN qual USING (doc_id)
+        LEFT JOIN per USING (doc_id)
+        JOIN rep USING (doc_id)
+      """)
+    ),
     // The capstone composition a training-data pipeline actually runs:
     // keep each near-dup cluster's canonical representative, gate on the
     // heuristic quality score, and carry the token count for downstream

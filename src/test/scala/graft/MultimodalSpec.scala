@@ -163,6 +163,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == Set((4, 5, 2, (10.0 + 11 + 12 + 13) / 4)), rows.toString)
   }
 
+  test("audio resample: identity at source rate, floor-index downsample, mono enforced") {
+    import spark.implicits._
+    // ramp 10,13,16,19 (a=10,b=3,n=4)
+    val wav = Multimodal.rampWav(nFrames = 4, a = 10, b = 3)
+    val media = Seq((1L, "audio", wav, 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    // identity: outFrames == nIn reads every sample once
+    val idn = Multimodal.resampleAudio(spark, media, outFrames = 4).collect().head
+    assert(idn.nIn == 4 && idn.energy == 100L + 169 + 256 + 361)
+    // downsample to 2: indices floor(0*4/2)=0, floor(1*4/2)=2 -> 10,16
+    val dn = Multimodal.resampleAudio(spark, media, outFrames = 2).collect().head
+    assert(dn.energy == 100L + 256 && dn.rms == math.sqrt((100.0 + 256) / 2))
+    // upsample to 8: each source sample read twice
+    val up = Multimodal.resampleAudio(spark, media, outFrames = 8).collect().head
+    assert(up.energy == 2 * idn.energy)
+    val stereo = Seq((2L, "audio", Multimodal.constWav(4, 2, 5), 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.resampleAudio(spark, stereo, 4).collect()
+    }
+  }
+
   test("motion score: unit steps, palette wrap, single-frame NULL, both containers") {
     import spark.implicits._
     // grays 254, 255, 0: transitions |255-254|=1 and |0-255|=255

@@ -20,6 +20,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThanOrEqual(l_shipdate"), p)
   }
 
+  test("text_c4_filters/scrub: pure per-row maps — zero Exchange in the plan") {
+    // the C4 stage's whole scale argument is that it streams at
+    // parquet-scan speed; any future shuffle here is a design break
+    for (name <- Seq("text_c4_filters", "text_c4_scrub")) {
+      val p = planOf(name)
+      assert(!p.contains("Exchange"), s"$name grew a shuffle:\n$p")
+    }
+  }
+
   test("knn: query side broadcast + partial heap aggregation before exchange") {
     val p = planOf("knn_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
