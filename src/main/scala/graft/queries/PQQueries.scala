@@ -404,6 +404,85 @@ object PQQueries {
         SELECT vec_id, ck::BIGINT AS cluster FROM r WHERE rn = 1
       """)
     ),
+    // Topic rebalancing — the embedding-space analog of the language
+    // temperature sampler (mT5 §3.1 arithmetic, md5 coin): documents are
+    // k-means-assigned to topic clusters (the E-step under fixed
+    // centroids), cluster sizes feed p_c ∝ √n_c acceptance rates under a
+    // half-corpus budget, and each doc flips the engine's standard
+    // deterministic coin against its CLUSTER's rate — over-represented
+    // topics are thinned, rare topics kept. One assignment pass + one
+    // tiny crossJoin'd stats table + a broadcast rate join; the decimal
+    // normalizer keeps the √-sum order-free on both engines.
+    GQuery(
+      "pipeline_topic_balance",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val cents = headVecs(spark, dir, KKM)
+        val assigned = t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            KMeans.assignCol(spark, cents, toDouble(col("embedding")))
+              .cast("long").as("cluster"))
+        val sizes = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_c"))
+        val tot = sizes.agg(
+          sum(col("n_c")).as("n"),
+          sum(sqrt(col("n_c").cast("double")).cast(DecimalType(30, 6)))
+            .cast("double").as("s"))
+        val rates = sizes
+          .crossJoin(broadcast(tot))
+          .select(
+            col("cluster"), col("n_c"),
+            least(
+              lit(1.0),
+              (floor(col("n") / 2).cast("double") *
+                (sqrt(col("n_c").cast("double"))
+                  .cast(DecimalType(30, 6)).cast("double") / col("s")))
+                / col("n_c").cast("double")
+            ).as("rate"))
+        val u = (graft.operators.Dedup.md5Long(
+          concat(col("vec_id").cast("string"), lit(":topic"))) % 1000000)
+          .cast("double") / lit(1000000.0)
+        assigned
+          .select(col("vec_id"), col("cluster"), u.as("u"))
+          .join(broadcast(rates), "cluster")
+          .filter(col("u") < col("rate"))
+          .select(
+            col("vec_id"), col("cluster"),
+            round(col("rate"), 6).as("rate"), round(col("u"), 6).as("u"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $KKM),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        d AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+              FROM e CROSS JOIN cent),
+        r AS (SELECT vec_id, ck,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, ck) AS rn
+              FROM d),
+        a AS (SELECT vec_id, ck::BIGINT AS cluster FROM r WHERE rn = 1),
+        cs AS (SELECT cluster, count(*)::BIGINT AS n_c FROM a
+               GROUP BY cluster),
+        tot AS (SELECT sum(n_c)::BIGINT AS n,
+                       sum((sqrt(n_c::DOUBLE))::DECIMAL(30,6))::DOUBLE AS s
+                FROM cs),
+        rates AS (SELECT cs.cluster, cs.n_c,
+                         least(1.0,
+                           (floor(tot.n / 2)::DOUBLE *
+                            ((sqrt(cs.n_c::DOUBLE))::DECIMAL(30,6)::DOUBLE
+                             / tot.s)) / cs.n_c::DOUBLE) AS rate
+                  FROM cs CROSS JOIN tot),
+        uu AS (SELECT vec_id, cluster,
+                      (('0x' || substr(md5(vec_id::VARCHAR || ':topic'),
+                        1, 14))::BIGINT % 1000000)::DOUBLE / 1000000.0 AS u
+               FROM a)
+        SELECT uu.vec_id, uu.cluster,
+               round(rates.rate, 6) AS rate, round(uu.u, 6) AS u
+        FROM uu JOIN rates USING (cluster)
+        WHERE uu.u < rates.rate
+      """)
+    ),
     // D4 + D5 shape: M-step per-cluster per-dimension means from that
     // assignment (exact decimal aggregation; pos is 1-based).
     GQuery(

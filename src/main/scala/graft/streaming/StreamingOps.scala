@@ -971,6 +971,27 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("rate"), col("u"))
   }
 
+  /** Streaming C4 page filter + scrub — the online half of the
+    * text_c4_scrub stage: the SAME zero-state per-row HOF pipeline
+    * ([[graft.operators.TextAnalysis.c4Scrub]] delegates unchanged —
+    * line census, page flags, kept-lines rewrite are all row-local
+    * expressions, so the batch operator IS streaming-safe), applied to
+    * an append stream. Stateless and append-only: every page decides
+    * alone, re-delivery re-produces the identical row, and the batch
+    * twin is bit-equal by construction (StreamingSpec pins it anyway —
+    * the guard is against someone later adding corpus-level state, the
+    * one thing that would break the stream path).
+    */
+  def c4ScrubStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      minKeptLines: Int = 3
+  ): DataFrame =
+    graft.operators.TextAnalysis
+      .c4Scrub(docs, idCol, textCol, minWords, minKeptLines)
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

@@ -753,6 +753,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming C4 scrub: two waves equal the batch rewrite bit for bit") {
+    // paged fixture with real line structure (lines of 3 words, every
+    // second line unpunctuated, one lorem page, one brace page)
+    val pages = (0L until 40L).map { id =>
+      val lines = (0 until 6).map { i =>
+        val l = s"tok${id} tok$i tok${i + 1}"
+        if (i % 2 == 0) l + "." else l
+      }
+      val extra =
+        if (id % 10 == 3) Seq("lorem ipsum dolor sit amet.")
+        else if (id % 10 == 7) Seq("conf { x }")
+        else Seq.empty
+      (id, (extra ++ lines).mkString("\n"))
+    }
+    val docs = pages.toDF("doc_id", "page")
+    val dir = Files.createTempDirectory("c4stream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.c4ScrubStream(
+      spark.readStream
+        .schema("doc_id LONG, page STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "page")
+    val q = stream.writeStream
+      .format("memory").queryName("c4scrub").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("c4scrub")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.operators.TextAnalysis.c4Scrub(docs, "doc_id", "page")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the fixture exercises all three fates: kept pages (scrubbed of the
+    // unpunctuated lines), lorem-flagged drops, brace-flagged drops
+    assert(got.nonEmpty && got.size < 40)
+    assert(got.forall { case (id, _, dropped) =>
+      id % 10 != 3 && id % 10 != 7 && dropped == 3 })
+  }
+
   test("streaming CMS: drained stream equals the batch sketch cell for cell") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("cmsstream").toString
