@@ -37,6 +37,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded Levenshtein == unbounded DP filter on random string pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val strGen = for {
+      n <- Gen.chooseNum(0, 24)
+      cs <- Gen.containerOfN[Array, Char](n, Gen.oneOf('a', 'b', 'c', ' '))
+    } yield new String(cs)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    forSamples(Gen.zip(strGen, strGen), n = 120) { p => pairs += p }
+    val df = pairs.toSeq.toDF("ta", "tb")
+      // the operator's per-pair budget shape: a fraction of the longer
+      .withColumn("budget",
+        floor(lit(0.3) * greatest(length(col("ta")), length(col("tb"))))
+          .cast("int"))
+      .withColumn("full", levenshtein(col("ta"), col("tb")))
+      .withColumn("banded",
+        Dedup.levenshteinBounded(col("ta"), col("tb"), col("budget")))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (full, banded, budget) = (r.getInt(3), r.getInt(4), r.getInt(2))
+      // in budget: exact distance; over budget: the -1 early-exit marker
+      if (full <= budget) assert(banded == full, r)
+      else assert(banded == -1, r)
+    }
+    // both branches must actually occur for the property to mean anything
+    assert(rows.exists(r => r.getInt(4) >= 0) && rows.exists(r => r.getInt(4) == -1))
+  }
+
   test("recall(BF, BF) == 1: each base vector's own NN is itself (distinct vecs)") {
     forSamples(dataGen) { data =>
       val distinct = data.map(_.toSeq).distinct.map(_.toArray)
