@@ -201,6 +201,101 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Contrastive triplet mining — the data-prep stage embedding-model
+    // training runs over a corpus (DPR/SimCSE shape): per anchor, the
+    // nearest non-self neighbor as the POSITIVE, ranks 21-23 as HARD
+    // negatives (retrieved-but-not-top — the negatives that actually
+    // teach the margin), and one md5-drawn RANDOM negative (excluded if
+    // it accidentally lands in the anchor's top-25 or on the anchor —
+    // the standard collision rule, applied identically on both engines).
+    // One exact-kNN pass feeds all three roles; the random draw joins
+    // back for its true distance. Deterministic end to end.
+    GQuery(
+      "pipeline_triplets",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (q, b) = qb(spark, dir)
+        val top = BruteForceKNN.knn(q, b, 25)
+          .select(col("query_id"), col("neighbor_id"), col("dist"),
+            col("rnk").cast("long").as("rnk"))
+        val pos = top
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("rnk"))))
+          .filter(col("pr") === 1)
+          .select(col("query_id"), lit("positive").as("role"),
+            col("neighbor_id"), col("dist"), col("rnk"))
+        val hard = top
+          .filter(col("rnk").between(21, 23))
+          .select(col("query_id"), lit("hard_negative").as("role"),
+            col("neighbor_id"), col("dist"), col("rnk"))
+        val nTab = b.agg(count(lit(1)).as("n"))
+        val rnd = q.select(col("query_id"), col("qv"))
+          .crossJoin(broadcast(nTab))
+          .select(col("query_id"), col("qv"),
+            (graft.operators.Dedup.md5Long(
+              concat(col("query_id").cast("string"), lit(":neg")))
+              % col("n")).as("neighbor_id"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .join(top.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_anti")
+          .join(b, "neighbor_id")
+          .select(col("query_id"), lit("random_negative").as("role"),
+            col("neighbor_id"),
+            graft.functions.VectorExpressions
+              .l2SqFast(col("qv"), col("bv")).as("dist"),
+            lit(null).cast("long").as("rnk"))
+        pos.unionAll(hard).unionAll(rnd)
+          .select(col("query_id"), col("role"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+                   FROM embeddings),
+             d AS (SELECT query_id, neighbor_id,
+                          ${sqlL2Sq("qv", "bv")} AS dist
+                   FROM q CROSS JOIN b),
+             r AS (SELECT query_id, neighbor_id, dist,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist, neighbor_id) AS rnk
+                   FROM d),
+             top AS (SELECT * FROM r WHERE rnk <= 25),
+             pos AS (SELECT query_id, neighbor_id, dist, rnk FROM (
+                       SELECT top.*, row_number() OVER (
+                                PARTITION BY query_id ORDER BY rnk) AS pr
+                       FROM top WHERE neighbor_id != query_id)
+                     WHERE pr = 1),
+             hard AS (SELECT query_id, neighbor_id, dist, rnk
+                      FROM top WHERE rnk BETWEEN 21 AND 23),
+             n AS (SELECT count(*) AS n FROM b),
+             rndp AS (SELECT query_id, qv,
+                             ('0x' || substr(md5(query_id::VARCHAR ||
+                               ':neg'), 1, 14))::BIGINT % n.n AS neighbor_id
+                      FROM q CROSS JOIN n),
+             rnd AS (SELECT rndp.query_id, rndp.qv, rndp.neighbor_id
+                     FROM rndp
+                     WHERE rndp.neighbor_id != rndp.query_id
+                       AND NOT EXISTS (SELECT 1 FROM top t
+                                       WHERE t.query_id = rndp.query_id
+                                         AND t.neighbor_id = rndp.neighbor_id)),
+             rndd AS (SELECT rnd.query_id, rnd.neighbor_id,
+                             ${sqlL2Sq("rnd.qv", "b.bv")} AS dist
+                      FROM rnd JOIN b USING (neighbor_id))
+        SELECT query_id, 'positive' AS role, neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM pos
+        UNION ALL
+        SELECT query_id, 'hard_negative', neighbor_id,
+               round(dist, 4), rnk
+        FROM hard
+        UNION ALL
+        SELECT query_id, 'random_negative', neighbor_id,
+               round(dist, 4), NULL::BIGINT
+        FROM rndd
+      """)
+    ),
     // NN-Descent kNN-GRAPH construction (Dong et al. 2011) — the
     // substrate every graph-ANN index builds on, grown without an N²
     // pass: deterministic ring init, then 2 unrolled refinement rounds of
