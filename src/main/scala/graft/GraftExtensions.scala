@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotExpr, L2SqExpr, RollingHashWindowsExpr, TopFreqAgg, TopKAgg}
+import graft.functions.{DotExpr, L2SqExpr, NfcNormalizeExpr, RollingHashWindowsExpr, TopFreqAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -15,6 +15,7 @@ import graft.functions.{DotExpr, L2SqExpr, RollingHashWindowsExpr, TopFreqAgg, T
   *   - `graft_topk(dist, id, k)` — bounded-heap top-k aggregate (D1)
   *   - `graft_rolling_windows(text, w)` — all length-w window hashes
   *     (Rabin–Karp, one multiply-add per char)
+  *   - `graft_nfc(text)` — Unicode NFC canonical-composition normalize
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -94,6 +95,15 @@ object GraftExtensions {
         arity("graft_rolling_windows", args, 2)
         RollingHashWindowsExpr(
           args(0), kOf(args(1), "graft_rolling_windows", "w"))
+      }
+    ),
+    (
+      "graft_nfc",
+      "graft_nfc(text) - Unicode NFC (canonical composition) " +
+        "normalization; byte-identical to nfc_normalize in engines " +
+        "implementing Unicode TR#15",
+      (args: Seq[Expression]) => {
+        arity("graft_nfc", args, 1); NfcNormalizeExpr(args(0))
       }
     ),
     (

@@ -982,6 +982,53 @@ object TextQueries {
         FROM sc WHERE len(kept) >= 3
       """)
     ),
+    // Unicode NFC normalization — the hygiene stage every tokenizer
+    // pipeline runs first: canonically-equivalent byte sequences
+    // (composed é vs e+U+0301) otherwise split dedup buckets, vocab
+    // entries and tf-idf mass. Both engines implement the published
+    // TR#15 algorithm (JVM java.text.Normalizer / DuckDB nfc_normalize),
+    // so normalized output is byte-identical and the stage hash-checks.
+    // The corpus is pure ASCII, so the query derives a mixed fixture:
+    // an md5 coin appends a DECOMPOSED accent (normalization composes
+    // it, code-point count drops), an already-COMPOSED one (no-op), or
+    // nothing — all three paths observable.
+    GQuery(
+      "text_normalize",
+      (spark, dir) => {
+        val coin = Dedup.md5Long(
+          concat(col("doc_id").cast("string"), lit(":norm"))) % 3
+        val nfc = graft.functions.NfcNormalizeExpr.nfc _
+        t(spark, dir, "documents")
+          .select(
+            col("doc_id"),
+            concat(
+              col("text"),
+              when(coin === 0, lit(" café")) // decomposed: e + U+0301
+                .when(coin === 1, lit(" café")) // precomposed U+00E9
+                .otherwise(lit(""))).as("raw"))
+          .select(
+            col("doc_id"),
+            length(col("raw")).cast("long").as("n_raw"),
+            length(nfc(col("raw"))).cast("long").as("n_norm"),
+            (nfc(col("raw")) =!= col("raw")).as("changed"),
+            md5(nfc(col("raw"))).as("norm_md5"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          text || CASE ('0x' || substr(md5(doc_id::VARCHAR
+                                    || ':norm'), 1, 14))::BIGINT % 3
+                                  WHEN 0 THEN ' cafe' || chr(769)
+                                  WHEN 1 THEN ' caf' || chr(233)
+                                  ELSE '' END AS raw
+                   FROM documents)
+        SELECT doc_id,
+               length(raw)::BIGINT AS n_raw,
+               length(nfc_normalize(raw))::BIGINT AS n_norm,
+               nfc_normalize(raw) != raw AS changed,
+               md5(nfc_normalize(raw)) AS norm_md5
+        FROM d
+      """)
+    ),
     // Profile-based language id (fit on labels, predict per doc).
     GQuery(
       "text_langid",

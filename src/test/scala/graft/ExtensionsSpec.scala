@@ -30,6 +30,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(entries.map(_.getDouble(0)) == Seq(1.0, 3.0))
   }
 
+  test("graft_nfc: decomposed composes, normalized passes through, null-safe") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('café') AS a, graft_nfc('café') AS b, " +
+        "length(graft_nfc('café')) AS la, " +
+        "graft_nfc(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) == "café") // composed
+    assert(r.getString(1) == "café") // untouched
+    assert(r.getInt(2) == 4) // 5 code points -> 4 after composition
+    assert(r.isNullAt(3))
+    // column API matches SQL registration
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val c = Seq("café").toDF("s")
+      .select(graft.functions.NfcNormalizeExpr.nfc(col("s"))).head().getString(0)
+    assert(c == "café")
+  }
+
   test("graft_rolling_windows usable from spark.sql; matches the column API") {
     GraftExtensions.register(spark)
     val r = spark
