@@ -37,6 +37,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NFC normalize: idempotent, JVM-reference-equal, astral-plane safe") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // alphabet mixes ASCII, a combining acute, precomposed é, and an
+    // astral-plane emoji (surrogate pair) — the code-point edge cases
+    val charGen = Gen.oneOf("a", "e", "́", "é", "😀", " ")
+    val strGen = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val samples = scala.collection.mutable.ArrayBuffer.empty[String]
+    forSamples(strGen, n = 80) { s => samples += s }
+    val rows = samples.toSeq.toDF("s")
+      .select(
+        col("s"),
+        graft.functions.NfcNormalizeExpr.nfc(col("s")).as("n1"),
+        graft.functions.NfcNormalizeExpr.nfc(
+          graft.functions.NfcNormalizeExpr.nfc(col("s"))).as("n2"))
+      .collect()
+    rows.foreach { r =>
+      val (s, n1, n2) = (r.getString(0), r.getString(1), r.getString(2))
+      // matches the JVM reference implementation exactly
+      assert(n1 == java.text.Normalizer.normalize(
+        s, java.text.Normalizer.Form.NFC), s"input=$s")
+      // idempotent
+      assert(n2 == n1, s"input=$s")
+    }
+    // the generator actually produced decomposed sequences that change
+    assert(rows.exists(r => r.getString(0) != r.getString(1)))
+  }
+
   test("banded Levenshtein == unbounded DP filter on random string pairs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
