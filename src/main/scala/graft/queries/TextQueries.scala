@@ -89,6 +89,62 @@ object TextQueries {
     """len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
        AND right(l, 1) IN ('.', '!', '?', '"')"""
 
+  /** Shared oracle block: 64-bit simhash -> 4x16-bit band candidates ->
+    * hamming <= 3 pairs -> recursive closure to near-dup components
+    * (rep = min id). Byte-identical to the spelling previously inlined
+    * in pipeline_select; ends at `comps(id, rep)`.
+    */
+  private val simhashClosureCtes: String = """        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        h AS (SELECT doc_id,
+                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                    FROM w)),
+        s AS (SELECT doc_id, b,
+                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN s >= 0 THEN
+                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
+                         AS simhash
+                FROM s GROUP BY doc_id),
+        sig2 AS (SELECT doc_id, simhash,
+                        simhash & 65535 AS b0,
+                        (simhash >> 16) & 65535 AS b1,
+                        (simhash >> 32) & 65535 AS b2,
+                        (simhash >> 48) & 65535 AS b3
+                 FROM sig),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                 UNION
+                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                 FROM sig2 a JOIN sig2 b
+                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+        pr AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sa, sb)) <= 3),
+        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)"""
+
   /** Shared DuckDB CTEs: tokens, distinct 3-gram shingles, shingle-set
     * sizes (mirror of [[Dedup.shingles]]).
     */
@@ -1202,58 +1258,9 @@ object TextQueries {
           .join(toks, "doc_id")
           .select(col("doc_id"), col("quality"), col("n_tokens"))
       },
-      Some("""
+      Some(s"""
         WITH RECURSIVE
-        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-              FROM documents),
-        h AS (SELECT doc_id,
-                     ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
-                            ELSE xh END) * 4294967296 + xl)::BIGINT AS x
-              FROM (SELECT doc_id,
-                           ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
-                           ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
-                    FROM w)),
-        s AS (SELECT doc_id, b,
-                     sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
-              GROUP BY doc_id, b),
-        sig AS (SELECT doc_id,
-                       sum(CASE WHEN s >= 0 THEN
-                     CASE WHEN b = 63 THEN -9223372036854775807 - 1
-                          ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
-                         AS simhash
-                FROM s GROUP BY doc_id),
-        sig2 AS (SELECT doc_id, simhash,
-                        simhash & 65535 AS b0,
-                        (simhash >> 16) & 65535 AS b1,
-                        (simhash >> 32) & 65535 AS b2,
-                        (simhash >> 48) & 65535 AS b3
-                 FROM sig),
-        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.simhash AS sa, b.simhash AS sb
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-                 UNION
-                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-                 UNION
-                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-                 UNION
-                 SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-                 FROM sig2 a JOIN sig2 b
-                   ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
-        pr AS (SELECT doc_a, doc_b FROM cand
-               WHERE bit_count(xor(sa, sb)) <= 3),
-        ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
-               UNION SELECT doc_b, doc_a FROM pr),
-        reach(id, r) AS (
-          SELECT a, a FROM ed
-          UNION
-          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
-        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        $simhashClosureCtes,
         tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         f AS (SELECT doc_id,
                      len(t)::DOUBLE AS n,
@@ -1274,6 +1281,70 @@ object TextQueries {
         JOIN q ON q.doc_id = d.doc_id
         JOIN nt ON nt.doc_id = d.doc_id
         WHERE coalesce(c.rep, d.doc_id) = d.doc_id AND q.quality >= 0.5
+      """)
+    ),
+    // Quality-aware representative selection — what production dedup
+    // actually keeps: not the lowest-id member of each near-dup cluster
+    // but the BEST one (highest quality, doc_id tie-break). Same
+    // component structure as pipeline_select (shared closure CTEs);
+    // singletons represent themselves; one rank window per cluster plus
+    // the cluster size for downstream dedup-ratio reporting.
+    GQuery(
+      "pipeline_select_best",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val reps = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3),
+          "doc_a", "doc_b")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val withRep = docs
+          .select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("rep_id"), col("doc_id")).as("rep"))
+          .join(quality, "doc_id")
+        val w = Window.partitionBy(col("rep"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        withRep
+          .withColumn("rn", row_number().over(w))
+          .withColumn(
+            "cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("rep"))))
+          .filter(col("rn") === 1)
+          .select(
+            col("doc_id"), col("rep").as("rep_id"),
+            col("cluster_size").cast("long").as("cluster_size"),
+            col("quality"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        $simhashClosureCtes,
+        tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        allr AS (SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+                 FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+        rk AS (SELECT allr.doc_id, allr.rep, q.quality,
+                      row_number() OVER (PARTITION BY allr.rep
+                                         ORDER BY q.quality DESC,
+                                                  allr.doc_id) AS rn,
+                      count(*) OVER (PARTITION BY allr.rep) AS cluster_size
+               FROM allr JOIN q ON q.doc_id = allr.doc_id)
+        SELECT doc_id, rep AS rep_id, cluster_size::BIGINT AS cluster_size,
+               quality
+        FROM rk WHERE rn = 1
       """)
     ),
     // Token-budget packing — the data-mixing step: within each language,
