@@ -155,6 +155,31 @@ object VectorQueries {
           alpha = 1.2, maxDegree = 8)
         .localCheckpoint())
 
+  // fixed walk-codebook shape (knn_graph_search_pq): M=8 subspaces of 8
+  // dims, K=16 codewords per subspace = slices of the first 16 embeddings
+  // — the PQQueries fixed-model convention, which makes the compressed
+  // walk deterministic and therefore DuckDB-replayable
+  private val WPQM = 8
+  private val WPQDP = 8
+  private val WPQK = 16
+
+  private def fixedWalkModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): graft.operators.PQModel = {
+    val rows = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < WPQK)
+      .orderBy(col("vec_id"))
+      .select(toDouble(col("embedding")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    graft.operators.PQModel(
+      WPQM, WPQK, rows(0).length,
+      Array.tabulate(WPQM)(mi =>
+        rows.map(v =>
+          java.util.Arrays.copyOfRange(v, mi * WPQDP, (mi + 1) * WPQDP))))
+  }
+
   /** Spark-side: embeddings table split into (queries, base). */
   private def qb(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = t(spark, dir, "embeddings")
@@ -430,8 +455,16 @@ object VectorQueries {
     // (~M bytes/node) via per-query dot LUTs — never a raw vector — and
     // the raw corpus is read once, by the exact rerank of the |Q|·beam
     // survivors. The codes-not-vectors move that makes graph serving
-    // feasible when the corpus doesn't fit memory. Rows-only (iterative
-    // walk); NNDescentSpec gates the reranked recall floor vs exact.
+    // feasible when the corpus doesn't fit memory. Under the engine's
+    // FIXED-codebook convention (PQQueries: centroids = the first
+    // embeddings rows, here K=16 of M=8×8 dims) the whole pipeline —
+    // graph build, vamana prune, the 6-round ADC-scored walk, and the
+    // exact rerank — is deterministic, so the oracle hash-checks it end
+    // to end: a third recursive CTE replays the walk with the SAME
+    // LUT-sum arithmetic as the pq_adc_topk oracle (per-subspace sums in
+    // j order, then an m-ordered list_sum), chained onto the shared
+    // graph + prune replay. NNDescentSpec separately gates the reranked
+    // recall floor vs exact on a fitted codebook.
     GQuery(
       "knn_graph_search_pq",
       (spark, dir) => {
@@ -439,10 +472,7 @@ object VectorQueries {
         val q = emb
           .filter(col("id") % 10 === 0)
           .select(col("id").as("query_id"), col("vec").as("qv"))
-        val model = graft.operators.ProductQuantizer.fitLocal(
-          graft.operators.ProductQuantizer
-            .sampleRows(emb, "vec", maxSample = 20000, seed = 7),
-          m = 8, k = 16, seed = 7)
+        val model = fixedWalkModel(spark, dir)
         val codes = emb.select(
           col("id"),
           graft.operators.ProductQuantizer.encodeCol(model, col("vec")).as("code"))
@@ -454,7 +484,70 @@ object VectorQueries {
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 4).as("dist"), col("rnk"))
       },
-      None
+      Some(s"""
+        WITH RECURSIVE
+        $graphCtes,
+        $pruneCtes,
+        q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
+        pcent AS MATERIALIZED (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id < $WPQK),
+        pms AS (SELECT unnest(generate_series(0, ${WPQM - 1})) AS m),
+        pdists AS MATERIALIZED (
+          SELECT e.id AS vid, pms.m, pcent.ck,
+                 list_sum(list_transform(generate_series(1, $WPQDP),
+                   j -> (e.v[pms.m*$WPQDP+j] - pcent.cv[pms.m*$WPQDP+j])
+                        * (e.v[pms.m*$WPQDP+j] - pcent.cv[pms.m*$WPQDP+j]))) AS dist
+          FROM e CROSS JOIN pms CROSS JOIN pcent),
+        penc AS MATERIALIZED (
+          SELECT vid, m, ck AS code FROM (
+            SELECT vid, m, ck,
+                   row_number() OVER (PARTITION BY vid, m
+                                      ORDER BY dist, ck) AS rn
+            FROM pdists) WHERE rn = 1),
+        pqd AS MATERIALIZED (
+          SELECT q.qid, pms.m, pcent.ck,
+                 list_sum(list_transform(generate_series(1, $WPQDP),
+                   j -> (q.qv[pms.m*$WPQDP+j] - pcent.cv[pms.m*$WPQDP+j])
+                        * (q.qv[pms.m*$WPQDP+j] - pcent.cv[pms.m*$WPQDP+j]))) AS sdist
+          FROM q CROSS JOIN pms CROSS JOIN pcent),
+        psel AS (
+          SELECT qid, 0 AS r, [0::BIGINT] AS ids FROM q
+          UNION ALL
+          SELECT qid, r, list(id ORDER BY dist, id) AS ids FROM (
+            SELECT qid, r, id, dist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, id) AS rn
+            FROM (
+              SELECT cand.qid, cand.r, cand.id,
+                     list_sum(list(pqd.sdist ORDER BY pqd.m)) AS dist
+              FROM (
+                SELECT DISTINCT m.qid, m.r, pe.dst AS id
+                FROM (SELECT s.qid, s.r + 1 AS r, unnest(s.ids) AS bid
+                      FROM psel s WHERE s.r < 6) m
+                JOIN pedges pe ON pe.src = m.bid
+                UNION
+                SELECT s.qid, s.r + 1 AS r, unnest(s.ids) AS id
+                FROM psel s WHERE s.r < 6
+              ) cand
+              JOIN penc ON penc.vid = cand.id
+              JOIN pqd ON pqd.qid = cand.qid AND pqd.m = penc.m
+                      AND pqd.ck = penc.code
+              GROUP BY cand.qid, cand.r, cand.id))
+          WHERE rn <= 24
+          GROUP BY qid, r
+        ),
+        pfin AS (SELECT qid, unnest(ids) AS id FROM psel WHERE r = 6),
+        pfd AS (SELECT f.qid, f.id, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+                FROM pfin f JOIN e ee ON ee.id = f.id
+                JOIN q qq ON qq.qid = f.qid),
+        prkd AS (SELECT qid, id, dist,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY dist, id) AS rnk
+                 FROM pfd)
+        SELECT qid AS query_id, id AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM prkd WHERE rnk <= $K
+      """)
     ),
     // Radius query: all pairs within L2² <= 1.25 (~0.1% selectivity on the
     // near-random 64-d table; includes each query's self-pair at dist 0).
