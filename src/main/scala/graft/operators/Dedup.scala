@@ -335,6 +335,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Sorted-neighborhood (SNM) near-dup pairs (Hernández & Stolfo 1995):
+    * the classic blocking alternative to inverted-index / LSH families —
+    * sort the corpus once by a cheap canonical key, then candidates are
+    * only the pairs within `window` positions of each other in sort
+    * order; survivors are verified with the exact n-gram Jaccard. The
+    * key here is the first 24 chars of the whitespace-collapsed
+    * lowercased text — near-dup docs (shared prefixes, boilerplate
+    * openings, copies with tail edits) sort adjacent. Returns
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b by id, jaccard >= tau.
+    *
+    * Scale shape: the global sort is [[Packing.distributedRank]] (range
+    * partitions + per-partition prefix counts — never a one-partition
+    * window), and the windowed self-join is a RANK-BUCKET equi-join, not
+    * a window function: bucket = rank div window, the lower-rank side
+    * sits in its own bucket, the higher-rank side also visits the
+    * previous bucket, and the join filters 0 < rb−ra < window. A
+    * qualifying pair spans at most two adjacent buckets, so it meets in
+    * EXACTLY one task; fan-out is a fixed 2× row replication however big
+    * the corpus — candidate volume is n·(window−1), linear in n, the
+    * whole point of SNM at corpus scale. Verification cost is bounded by
+    * the same linear candidate count (vs LSH's collision-driven volume).
+    */
+  def snmPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      n: Int = 3,
+      tau: Double = 0.3
+  ): DataFrame = {
+    require(window >= 2, s"SNM window must be at least 2, got $window")
+    val keyed = df.select(
+      col(idCol).as("doc_id"),
+      // literal ' +' (not \s+): Java \s and RE2 \s disagree on \x0B, and
+      // the key only needs space-run collapsing to sort near-dups adjacent
+      substring(
+        regexp_replace(lower(col(textCol)), " +", " "), 1, 24).as("k"))
+    val ranked = Packing
+      .distributedRank(keyed, Seq(col("k"), col("doc_id")), "r")
+      .select(col("doc_id"), col("r"))
+    val lo = ranked.select(
+      col("doc_id").as("id_lo"), col("r").as("ra"),
+      expr(s"r div $window").as("bkt"))
+    val hi = ranked
+      .select(
+        col("doc_id").as("id_hi"), col("r").as("rb"),
+        explode(expr(s"array(r div $window, r div $window - 1)")).as("bkt"))
+      .filter(col("bkt") >= 0)
+    val cand = lo
+      .join(hi, "bkt")
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + window)
+      .select(
+        least(col("id_lo"), col("id_hi")).as("doc_a"),
+        greatest(col("id_lo"), col("id_hi")).as("doc_b"))
+    verifyJaccard(cand, shingles(df, idCol, textCol, n), tau)
+  }
+
   /** MinHash signatures: for permutation i (0-based), the min over the
     * doc's shingle hashes of `((2i+1)·x + 12289·i) mod P`. Returns
     * (doc_id, i, v).

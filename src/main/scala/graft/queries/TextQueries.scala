@@ -324,6 +324,54 @@ object TextQueries {
         $jaccardTail
       """)
     ),
+    // Sorted-neighborhood (SNM) near-dup pairs — the third blocking
+    // family next to the inverted index (dedup_jaccard) and LSH
+    // (dedup_minhash_lsh): ONE global sort by a cheap canonical key
+    // (24-char collapsed-lowercase prefix), candidates = pairs within 8
+    // sort positions, exact-Jaccard verify. Candidate volume is n·7 —
+    // linear in the corpus, no collision-driven tail — at the price of
+    // prefix-local recall (docs differing in their opening line never
+    // pair; the standard SNM trade, stated in the scaladoc). The rank is
+    // distributedRank (range partitions, never a global window) and the
+    // windowed self-join is a rank-bucket equi-join with fixed 2×
+    // replication, so every pair meets in exactly one task. The space
+    // collapse is a literal ' +' regex on both engines (Java \s and RE2
+    // \s disagree on \x0B).
+    GQuery(
+      "dedup_snm",
+      (spark, dir) =>
+        Dedup
+          .snmPairs(
+            t(spark, dir, "documents"), "doc_id", "text",
+            window = 8, n = 3, tau = 0.3)
+          .select(
+            col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")
+          ),
+      Some(s"""
+        WITH ky AS (SELECT doc_id,
+                           substr(regexp_replace(lower(text), ' +', ' ', 'g'),
+                                  1, 24) AS k
+                    FROM documents),
+        rk AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS r
+               FROM ky),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+                 FROM rk a JOIN rk b ON b.r > a.r AND b.r < a.r + 8),
+        $shingleCtes,
+        common AS (SELECT cd.doc_a, cd.doc_b, count(*) AS c
+                   FROM cand cd
+                   JOIN sh sa ON sa.doc_id = cd.doc_a
+                   JOIN sh sb ON sb.doc_id = cd.doc_b AND sb.sh = sa.sh
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(c::DOUBLE / (na + nb - c), 6) AS jaccard
+        FROM (SELECT doc_a, doc_b, c, sa.nsh AS na, sb.nsh AS nb
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE c::DOUBLE / (na + nb - c) >= 0.3
+      """)
+    ),
     // Directional containment dedup — |sub∩sup|/|sub| catches the
     // asymmetric near-dup (a snippet lifted into a longer doc: J ≈
     // |sub|/|sup| but C = 1; Broder's resemblance-vs-containment split).

@@ -37,6 +37,38 @@ class DedupTextSpec extends SparkSpec {
       s"LSH recall ${lsh.size}/${exact.size}")
   }
 
+  test("snmPairs: rank-bucket join == naive window join; dups pair; no double emits") {
+    // ground truth: rank every doc by the SNM key, enumerate ALL pairs
+    // within the window naively, verify with the same exact jaccard
+    val window = 8
+    val keyed = docs.select(
+      col("doc_id"),
+      substring(regexp_replace(lower(col("text")), " +", " "), 1, 24).as("k"))
+    val ranked = keyed.orderBy(col("k"), col("doc_id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+    val candWant = (for {
+      (ida, ra) <- ranked; (idb, rb) <- ranked
+      if rb > ra && rb < ra + window
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    val exactJ = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = candWant.flatMap(p => exactJ.get(p).map(j => (p, j)))
+    val gotRows = Dedup.snmPairs(docs, "doc_id", "text", window, 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // exactly-once: the bucket join must not emit any candidate twice
+    assert(gotRows.map(_._1).distinct.length == gotRows.length,
+      "rank-bucket join emitted a pair more than once")
+    assert(gotRows.toSet == want,
+      s"SNM mismatch: extra=${gotRows.toMap.keySet -- want.map(_._1)} " +
+        s"missing=${want.map(_._1) -- gotRows.toMap.keySet}")
+    // a literal duplicate pair sorts adjacent and must always surface
+    val dup = docs.limit(3)
+      .union(docs.limit(3).withColumn("doc_id", col("doc_id") + 10000))
+    val dupPairs = Dedup.snmPairs(dup, "doc_id", "text", window, 3, 0.3)
+      .filter(col("jaccard") === 1.0).count()
+    assert(dupPairs >= 3, s"identical docs failed to pair: $dupPairs")
+  }
+
   test("simhash of identical docs is identical; hamming 0 pairs are dups") {
     val dup = docs.limit(3)
       .union(docs.limit(3).withColumn("doc_id", col("doc_id") + 10000))
