@@ -977,6 +977,62 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Canonical DBSCAN over the embedding table — density clustering as
+    // the curation counterpart to k-means (SemDeDup) blocking: cores by
+    // the eps-degree rule, clusters = connected components over CORE-core
+    // eps-edges (min-id representative, the engine's standard canonical
+    // labeling), borders attached by min cluster among core neighbors,
+    // everything else noise. Every visit-order ambiguity of textbook
+    // DBSCAN is replaced by a min rule, so the full labeling sits under
+    // an exact oracle: the same pair predicate, degree count, recursive
+    // closure (the dedup_clusters pattern), and min-attach replayed in
+    // DuckDB. Pure integer/string output — no float ever leaves the plan.
+    GQuery(
+      "cluster_dbscan",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        graft.operators.Dbscan
+          .dbscan(emb, "vec_id", "vec", eps2 = 1.25, minPts = 4)
+          .select(col("vec_id"), col("role"), col("cluster"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        pr AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib
+          FROM e a JOIN e b ON a.id < b.id
+          WHERE ${sqlL2Sq("a.v", "b.v")} <= 1.25),
+        und AS (SELECT ia AS id, ib AS nb FROM pr
+                UNION ALL SELECT ib, ia FROM pr),
+        deg AS (SELECT e.id, count(und.nb) + 1 AS deg
+                FROM e LEFT JOIN und ON und.id = e.id GROUP BY e.id),
+        core AS (SELECT id FROM deg WHERE deg >= 4),
+        ce AS (SELECT ia, ib FROM pr
+               WHERE ia IN (SELECT id FROM core)
+                 AND ib IN (SELECT id FROM core)),
+        ed AS (SELECT ia AS a, ib AS b FROM ce
+               UNION SELECT ib, ia FROM ce),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        corec AS (SELECT c.id, coalesce(comps.rep, c.id) AS cluster
+                  FROM core c LEFT JOIN comps ON comps.id = c.id),
+        border AS (SELECT u.id, min(cc.cluster) AS cluster
+                   FROM und u JOIN corec cc ON cc.id = u.nb
+                   WHERE u.id NOT IN (SELECT id FROM core)
+                   GROUP BY u.id)
+        SELECT e.id AS vec_id,
+               CASE WHEN c.id IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               coalesce(c.cluster, b.cluster, -1)::BIGINT AS cluster
+        FROM e LEFT JOIN corec c ON c.id = e.id
+               LEFT JOIN border b ON b.id = e.id
+      """)
+    ),
     // query's own label — the equality predicate becomes the JOIN KEY, so
     // the plan is a broadcast HASH join (distance evaluated on same-label
     // pairs only), not a nested loop over all pairs.
