@@ -977,6 +977,49 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // k-center greedy (farthest-first) coreset selection — geometric
+    // data selection: pick the 12 embeddings that best cover the space,
+    // in selection order, with each round's coverage radius. One linear
+    // running-min pass + one TakeOrdered argmax per round; the greedy is
+    // deterministic (seed = min id, ties (dist DESC, id ASC)), so the
+    // whole loop replays as a recursive CTE (state = the chosen-id list,
+    // the knn_mmr pattern).
+    GQuery(
+      "pipeline_coreset",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        graft.operators.Coreset
+          .kCenterGreedy(emb, "vec_id", "vec", k = 12)
+          .select(col("rnd"), col("center_id"),
+            round(col("radius"), 6).as("radius"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        seed AS (SELECT min(id) AS sid FROM e),
+        sel AS (
+          SELECT 1 AS rnd, [sid] AS ids, sid AS cid, NULL::DOUBLE AS radius
+          FROM seed
+          UNION ALL
+          SELECT rnd + 1, list_append(ids, id), id, md
+          FROM (
+            SELECT rnd, ids, id, md,
+                   row_number() OVER (ORDER BY md DESC, id) AS rn
+            FROM (
+              SELECT s.rnd, s.ids, e.id, min(${sqlL2Sq("e.v", "c.v")}) AS md
+              FROM sel s
+              CROSS JOIN e
+              JOIN e c ON list_contains(s.ids, c.id)
+              WHERE NOT list_contains(s.ids, e.id) AND s.rnd < 12
+              GROUP BY s.rnd, s.ids, e.id))
+          WHERE rn = 1
+        )
+        SELECT rnd::BIGINT AS rnd, cid AS center_id,
+               round(radius, 6) AS radius
+        FROM sel
+      """)
+    ),
     // Canonical DBSCAN over the embedding table — density clustering as
     // the curation counterpart to k-means (SemDeDup) blocking: cores by
     // the eps-degree rule, clusters = connected components over CORE-core

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Coreset
+import graft.queries.Q
+
+/** Invariants for the k-center greedy coreset. */
+class CoresetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kCenterGreedy: hand-checked line fixture (order + radii)") {
+    // line 0,1,2,10: seed = min id (at 0.0); farthest = 10.0 (r=100);
+    // then md over {0,10}: 1 -> min(1,81)=1, 2 -> min(4,64)=4 -> pick 2
+    val df = Seq(
+      (0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(2.0)), (3L, Seq(10.0))
+    ).toDF("id", "vec")
+    val got = Coreset.kCenterGreedy(df, "id", "vec", k = 4)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, -1.0), (2L, 3L, 100.0), (3L, 2L, 4.0), (4L, 1L, 1.0)))
+  }
+
+  test("kCenterGreedy: coverage radius is non-increasing; prefixes agree") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val full = Coreset.kCenterGreedy(emb, "vec_id", "vec", k = 10)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) Double.MaxValue else r.getDouble(2)))
+    val radii = full.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"coverage radius increased: $a -> $b")
+    }
+    // greedy prefix consistency: k=5 is exactly the first 5 rows of k=10
+    val short = Coreset.kCenterGreedy(emb, "vec_id", "vec", k = 5)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) Double.MaxValue else r.getDouble(2)))
+    assert(short.toSeq == full.take(5).toSeq)
+  }
+
+  test("kCenterGreedy: k larger than n stops at n centers") {
+    val df = Seq((7L, Seq(0.0)), (9L, Seq(3.0))).toDF("id", "vec")
+    val got = Coreset.kCenterGreedy(df, "id", "vec", k = 10).collect()
+    assert(got.length == 2)
+  }
+}
