@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  * pick raw-corpus documents that look like a small TARGET corpus, by
+  * importance weights from two hashed n-gram bag-of-features language
+  * models. Per document, log w(d) = Σ over feature occurrences of
+  * ln p̂_target(bucket) − ln p̂_raw(bucket), with unigram+bigram word
+  * features hashed into `buckets` buckets and add-1 smoothing — then
+  * sample without replacement via Gumbel top-k, the paper's resampling
+  * made deterministic with the engine's md5 coin (u = (h+0.5)/1000003,
+  * g = −ln(−ln u), select top n by logw + g).
+  *
+  * Scale shape: the bucket LMs are two B-row aggregates (B = O(10³) —
+  * broadcastable however big either corpus is); scoring is one join of
+  * the feature stream against the B-row log-ratio table and a per-doc
+  * decimal-exact sum (order-insensitive, engine-portable); selection is
+  * a bounded TakeOrdered head. Nothing pairwise, nothing corpus-sized on
+  * the driver. Cross-engine exactness: ln of identical doubles is
+  * identical (the text_perplexity precedent), the per-doc sum routes
+  * through DECIMAL(38,20), and the Gumbel coin is md5-derived.
+  */
+object Dsir {
+
+  /** Unigram + bigram feature stream: one row per feature OCCURRENCE
+    * (DSIR counts occurrences, not distinct features).
+    */
+  private def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    toks.select(col("doc_id"), explode(col("t")).as("f"))
+      .unionAll(
+        toks
+          .filter(size(col("t")) >= 2)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"
+            )).as("f")))
+  }
+
+  private def bucketOf(f: Column, buckets: Int): Column =
+    pmod(Dedup.md5Long(f), lit(buckets))
+
+  /** (doc_id, logw) for every raw doc. `target` is any DataFrame with the
+    * same (idCol, textCol) shape — typically a small curated slice.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 512
+  ): DataFrame = {
+    val fbRaw = features(raw, idCol, textCol)
+      .select(col("doc_id"), bucketOf(col("f"), buckets).as("b"))
+    val fbTgt = features(target, idCol, textCol)
+      .select(bucketOf(col("f"), buckets).as("b"))
+    val crTab = fbRaw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ctTab = fbTgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // B-row log-ratio table: every bucket 0..B-1 present (a bucket absent
+    // from either corpus still has an add-1 smoothed probability)
+    val lb = raw.sparkSession
+      .range(buckets).select(col("id").as("b"))
+      .join(ctTab, Seq("b"), "left")
+      .join(crTab, Seq("b"), "left")
+      .select(
+        col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(fbTgt.agg(count(lit(1)).as("tt"))))
+      .crossJoin(broadcast(fbRaw.agg(count(lit(1)).as("rt"))))
+      .select(
+        col("b"),
+        (log((col("ct") + 1).cast("double")
+            / (col("tt") + buckets).cast("double"))
+          - log((col("cr") + 1).cast("double")
+            / (col("rt") + buckets).cast("double"))).as("term"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(
+        fbRaw
+          .join(broadcast(lb.select(col("b"), col("term"))), "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("term").cast(DecimalType(38, 20))).cast("double").as("lw")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lw"), lit(0.0)).as("logw"))
+  }
+
+  /** Gumbel top-n importance resample (without replacement): key =
+    * logw + (−ln(−ln u)) with the deterministic md5 coin on the doc id.
+    * Returns (doc_id, logw, sel_key, rnk), n rows, rnk 1..n by
+    * (sel_key DESC, doc_id).
+    */
+  def resample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      buckets: Int = 512
+  ): DataFrame = {
+    val u = (pmod(
+      Dedup.md5Long(concat(col("doc_id").cast("string"), lit(":dsir"))),
+      lit(1000003L)).cast("double") + lit(0.5)) / lit(1000003.0)
+    val keyed = importanceWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("sel_key", col("logw") + -log(-log(u)))
+    keyed
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(n)
+      .select(
+        col("doc_id"), col("logw"), col("sel_key"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("sel_key").desc, col("doc_id"))).cast("long").as("rnk"))
+  }
+}

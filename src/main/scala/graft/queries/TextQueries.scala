@@ -2277,6 +2277,76 @@ object TextQueries {
     // Source mixing with per-source caps — the "source weights" step:
     // within each source, keep the top-N docs by quality (doc_id
     // tie-break), N varying by source (trusted sources get more; caps
+    // DSIR (Xie et al. 2023) — importance resampling toward a target
+    // distribution: hashed unigram+bigram bucket LMs of the target slice
+    // (source = 'src0') and the raw corpus, per-doc log importance
+    // weight as a decimal-exact sum of B-row log-ratio terms, then the
+    // paper's Gumbel top-k resample without replacement made
+    // deterministic with the md5 coin. The bucket LMs are two 512-row
+    // aggregates (broadcastable at any corpus size), scoring is one
+    // feature-stream join against the broadcast ratio table, selection a
+    // bounded TakeOrdered head. ln is bit-identical across engines (the
+    // text_perplexity precedent), so the whole selection hash-checks.
+    GQuery(
+      "pipeline_dsir",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        graft.operators.Dsir
+          .resample(
+            docs, docs.filter(col("source") === "src0"),
+            "doc_id", "text", n = 100, buckets = 512)
+          .select(
+            col("doc_id"),
+            round(col("logw"), 6).as("logw"),
+            round(col("sel_key"), 6).as("sel_key"),
+            col("rnk"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        feat AS (SELECT doc_id, unnest(t) AS f FROM tok
+                 UNION ALL
+                 SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS f
+                 FROM tok WHERE len(t) >= 2),
+        fb AS (SELECT doc_id,
+                      ('0x' || substr(md5(f), 1, 14))::BIGINT % 512 AS b
+               FROM feat),
+        ctt AS (SELECT b, count(*)::BIGINT AS ct
+                FROM fb JOIN documents USING (doc_id)
+                WHERE source = 'src0' GROUP BY b),
+        crt AS (SELECT b, count(*)::BIGINT AS cr FROM fb GROUP BY b),
+        tt AS (SELECT count(*)::BIGINT AS tt
+               FROM fb JOIN documents USING (doc_id) WHERE source = 'src0'),
+        rt AS (SELECT count(*)::BIGINT AS rt FROM fb),
+        lb AS (SELECT g.b,
+                      ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 512)::DOUBLE)
+                        - ln((coalesce(cr, 0) + 1)::DOUBLE
+                             / (rt + 512)::DOUBLE) AS term
+               FROM (SELECT unnest(generate_series(0, 511)) AS b) g
+               LEFT JOIN ctt USING (b) LEFT JOIN crt USING (b)
+               CROSS JOIN tt CROSS JOIN rt),
+        dw AS (SELECT fb.doc_id,
+                      sum(term::DECIMAL(38,20))::DOUBLE AS lw
+               FROM fb JOIN lb USING (b) GROUP BY fb.doc_id),
+        w AS (SELECT d.doc_id, coalesce(dw.lw, 0.0::DOUBLE) AS logw
+              FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id),
+        k AS (SELECT doc_id, logw,
+                     logw + -ln(-ln(
+                       ((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'),
+                            1, 14))::BIGINT % 1000003)::DOUBLE + 0.5)
+                         / 1000003.0)) AS sel_key
+              FROM w),
+        r AS (SELECT doc_id, logw, sel_key,
+                     row_number() OVER (ORDER BY sel_key DESC, doc_id)
+                       AS rnk
+              FROM k)
+        SELECT doc_id, round(logw, 6) AS logw,
+               round(sel_key, 6) AS sel_key, rnk
+        FROM r WHERE rnk <= 100
+      """)
+    ),
     // bite at every test scale factor so the filter discriminates). One
     // rank window per source partition — the same single-shuffle shape
     // as pipeline_budget, keyed on source instead of language.
