@@ -526,6 +526,53 @@ object TextAnalysis {
         ).as("fingerprint")
       )
 
+  /** Zipf-law fit over the corpus token frequency distribution — the
+    * one-row corpus-health diagnostic (natural text slopes ≈ −1; heavily
+    * templated/duplicated or synthetic corpora drift off): least-squares
+    * of ln(freq) on ln(rank) over the top `topN` token ranks. Returns
+    * (n, slope, intercept).
+    *
+    * Scale: one corpus-sized token aggregation (map-side combined on the
+    * vocabulary key), ranks from [[Packing.distributedRank]] (never a
+    * one-partition window over the vocabulary), then a topN-row bounded
+    * regression whose four sums route through DECIMAL(38,20) — exact,
+    * order-insensitive, engine-portable.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 100
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = Packing
+      .distributedRank(tf, Seq(col("c").desc, col("w")), "r")
+      .filter(col("r") < topN)
+      .select(
+        log((col("r") + 1).cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 20))).cast("double")
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("sx"), col("sy"))
+      .select(
+        col("n"),
+        col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+  }
+
   /** BPE merge-rule training (Sennrich et al. 2016) over the corpus.
     *
     * The split follows how production tokenizer training actually scales:

@@ -2277,6 +2277,42 @@ object TextQueries {
     // Source mixing with per-source caps — the "source weights" step:
     // within each source, keep the top-N docs by quality (doc_id
     // tie-break), N varying by source (trusted sources get more; caps
+    // Zipf-law fit — the one-row corpus-health diagnostic: least-squares
+    // slope/intercept of ln(freq) vs ln(rank) over the top-100 token
+    // ranks (natural text ≈ −1; templated or synthetic corpora drift).
+    // One vocabulary aggregation + distributedRank, then a bounded
+    // 100-row regression with decimal-exact sums.
+    GQuery(
+      "text_zipf",
+      (spark, dir) =>
+        graft.operators.TextAnalysis
+          .zipfFit(t(spark, dir, "documents"), "text", topN = 100)
+          .select(
+            col("n"),
+            round(col("slope"), 6).as("slope"),
+            round(col("intercept"), 6).as("intercept")),
+      Some("""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        tf AS (SELECT w, count(*)::BIGINT AS c FROM w
+               WHERE w <> '' GROUP BY w),
+        rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+               FROM tf),
+        top AS (SELECT ln(rnk::DOUBLE) AS x, ln(c::DOUBLE) AS y
+                FROM rk WHERE rnk <= 100),
+        s AS (SELECT count(*)::BIGINT AS n,
+                     sum(x::DECIMAL(38,20))::DOUBLE AS sx,
+                     sum(y::DECIMAL(38,20))::DOUBLE AS sy,
+                     sum((x*y)::DECIMAL(38,20))::DOUBLE AS sxy,
+                     sum((x*x)::DECIMAL(38,20))::DOUBLE AS sxx
+              FROM top)
+        SELECT n,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n,
+                     6) AS intercept
+        FROM s
+      """)
+    ),
     // DSIR (Xie et al. 2023) — importance resampling toward a target
     // distribution: hashed unigram+bigram bucket LMs of the target slice
     // (source = 'src0') and the raw corpus, per-doc log importance

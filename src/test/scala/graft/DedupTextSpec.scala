@@ -37,6 +37,18 @@ class DedupTextSpec extends SparkSpec {
       s"LSH recall ${lsh.size}/${exact.size}")
   }
 
+  test("zipfFit: exact power-law corpus recovers slope -1 and intercept ln(24)") {
+    // freqs 24/r for ranks 1..4 — integer counts exactly on freq = 24·r⁻¹
+    val text = (Seq.fill(24)("alpha") ++ Seq.fill(12)("beta") ++
+      Seq.fill(8)("gamma") ++ Seq.fill(6)("delta")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text", topN = 100).head()
+    assert(r.getLong(0) == 4)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(24.0)) < 1e-9,
+      s"intercept ${r.getDouble(2)}")
+  }
+
   test("snmPairs: rank-bucket join == naive window join; dups pair; no double emits") {
     // ground truth: rank every doc by the SNM key, enumerate ALL pairs
     // within the window naively, verify with the same exact jaccard
