@@ -155,6 +155,23 @@ object VectorQueries {
           alpha = 1.2, maxDegree = 8)
         .localCheckpoint())
 
+  /** One unrolled label-propagation round in DuckDB — count labeled
+    * neighbors per node and label, majority pick (count DESC, label
+    * ASC), unlabeled nodes adopt, labeled stay clamped. Mirrors
+    * [[graft.operators.LabelProp.labelPropagation]] exactly.
+    */
+  private def lpIter(i: Int, prev: String): String = s"""
+    cnt$i AS MATERIALIZED (SELECT u.dst AS id, s.lab, count(*) AS c
+            FROM und u JOIN $prev s ON s.id = u.src AND s.lab IS NOT NULL
+            GROUP BY u.dst, s.lab),
+    maj$i AS (SELECT id, lab AS mlab FROM (
+                SELECT id, lab,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY c DESC, lab) AS rn
+                FROM cnt$i) WHERE rn = 1),
+    lp$i AS MATERIALIZED (SELECT s.id, coalesce(s.lab, m.mlab) AS lab
+            FROM $prev s LEFT JOIN maj$i m ON m.id = s.id)"""
+
   // fixed walk-codebook shape (knn_graph_search_pq): M=8 subspaces of 8
   // dims, K=16 codewords per subspace = slices of the first 16 embeddings
   // — the PQQueries fixed-model convention, which makes the compressed
@@ -975,6 +992,49 @@ object VectorQueries {
                    FROM rr)
         SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
         FROM r WHERE rnk <= $K
+      """)
+    ),
+    // Synchronous label propagation over the shared kNN graph (Zhu &
+    // Ghahramani 2002): the weak-supervision pass that extends a
+    // hand-labeled slice (every 4th vector keeps its label) to the whole
+    // corpus — 3 rounds of clamped majority voting over graph neighbors,
+    // ties (count DESC, label ASC). Deterministic end to end, so the
+    // oracle chains 3 unrolled voting rounds onto the shared NN-Descent
+    // graph replay. Per round: one edge⋈labeled-state equi-join, one
+    // count aggregate, one majority window, linear in edges.
+    GQuery(
+      "pipeline_label_prop",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val seeds = emb
+          .filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("id"), col("label").cast("long").as("lab"))
+        val ids = emb.select(col("vec_id").as("id"))
+        graft.operators.LabelProp
+          .labelPropagation(sharedGraph(spark, dir), seeds, ids, rounds = 3)
+          .select(
+            col("id").as("vec_id"),
+            coalesce(col("lab"), lit(-1L)).as("label"),
+            col("role"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM g2
+                 UNION ALL SELECT dst, src FROM g2)),
+        sd AS (SELECT vec_id AS id, label::BIGINT AS lab
+               FROM embeddings WHERE vec_id % 4 = 0),
+        lp0 AS MATERIALIZED (SELECT e.id, sd.lab
+                FROM e LEFT JOIN sd ON sd.id = e.id),
+        ${lpIter(1, "lp0")},
+        ${lpIter(2, "lp1")},
+        ${lpIter(3, "lp2")}
+        SELECT l.id AS vec_id,
+               coalesce(l.lab, -1)::BIGINT AS label,
+               CASE WHEN sd.id IS NOT NULL THEN 'seed'
+                    WHEN l.lab IS NOT NULL THEN 'propagated'
+                    ELSE 'unlabeled' END AS role
+        FROM lp3 l LEFT JOIN sd ON sd.id = l.id
       """)
     ),
     // k-center greedy (farthest-first) coreset selection — geometric
