@@ -44,10 +44,13 @@ object Dsir {
   private def bucketOf(f: Column, buckets: Int): Column =
     pmod(Dedup.md5Long(f), lit(buckets))
 
-  /** (doc_id, logw) for every raw doc. `target` is any DataFrame with the
-    * same (idCol, textCol) shape — typically a small curated slice.
+  /** The B-row log-ratio table (b, term) — term = ln p̂_target(b) −
+    * ln p̂_raw(b), every bucket 0..B−1 present (a bucket absent from
+    * either corpus still has an add-1 smoothed probability). This is the
+    * model artifact: train once in batch, broadcast anywhere — including
+    * to the stateless streaming scorer.
     */
-  def importanceWeights(
+  def logRatioTable(
       raw: DataFrame,
       target: DataFrame,
       idCol: String,
@@ -55,14 +58,12 @@ object Dsir {
       buckets: Int = 512
   ): DataFrame = {
     val fbRaw = features(raw, idCol, textCol)
-      .select(col("doc_id"), bucketOf(col("f"), buckets).as("b"))
+      .select(bucketOf(col("f"), buckets).as("b"))
     val fbTgt = features(target, idCol, textCol)
       .select(bucketOf(col("f"), buckets).as("b"))
     val crTab = fbRaw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val ctTab = fbTgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // B-row log-ratio table: every bucket 0..B-1 present (a bucket absent
-    // from either corpus still has an add-1 smoothed probability)
-    val lb = raw.sparkSession
+    raw.sparkSession
       .range(buckets).select(col("id").as("b"))
       .join(ctTab, Seq("b"), "left")
       .join(crTab, Seq("b"), "left")
@@ -78,6 +79,21 @@ object Dsir {
             / (col("tt") + buckets).cast("double"))
           - log((col("cr") + 1).cast("double")
             / (col("rt") + buckets).cast("double"))).as("term"))
+  }
+
+  /** (doc_id, logw) for every raw doc. `target` is any DataFrame with the
+    * same (idCol, textCol) shape — typically a small curated slice.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 512
+  ): DataFrame = {
+    val fbRaw = features(raw, idCol, textCol)
+      .select(col("doc_id"), bucketOf(col("f"), buckets).as("b"))
+    val lb = logRatioTable(raw, target, idCol, textCol, buckets)
     raw.select(col(idCol).as("doc_id"))
       .join(
         fbRaw
@@ -86,6 +102,40 @@ object Dsir {
           .agg(sum(col("term").cast(DecimalType(38, 20))).cast("double").as("lw")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lw"), lit(0.0)).as("logw"))
+  }
+
+  /** Per-row (no-shuffle) scorer against a COLLECTED log-ratio table —
+    * the streaming-safe spelling: the B terms ride the plan as an array
+    * literal and each doc folds its own feature array through a
+    * DECIMAL(38,20) accumulator (exact, so the fold order vs the batch
+    * aggregation order cannot matter). `terms` must be the `buckets`
+    * doubles of [[logRatioTable]] in bucket order.
+    */
+  def scoreRow(
+      docs: DataFrame,
+      terms: Seq[Double],
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val buckets = terms.length
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("t"),
+        typedLit(terms).as("terms"))
+      .select(
+        col("doc_id"),
+        expr(
+          "cast(aggregate(" +
+            "concat(t, CASE WHEN size(t) >= 2 THEN " +
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1])) " +
+            "ELSE array() END), " +
+            "cast(0 AS decimal(38,20)), " +
+            "(acc, f) -> cast(acc + cast(element_at(terms, cast(" +
+            "pmod(cast(conv(substring(md5(f), 1, 14), 16, 10) AS bigint), " +
+            s"$buckets) + 1 AS int)) AS decimal(38,20)) AS decimal(38,20))" +
+            ") AS double)"
+        ).as("logw"))
   }
 
   /** Gumbel top-n importance resample (without replacement): key =

@@ -971,6 +971,25 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("rate"), col("u"))
   }
 
+  /** Streaming DSIR scoring — the online quality gate of the
+    * pipeline_dsir stage: the B-bucket log-ratio LM is trained ONCE in
+    * batch ([[graft.operators.Dsir.logRatioTable]]) and rides the plan
+    * as a bounded B-double array literal; every arriving doc folds its
+    * own unigram+bigram feature array through a DECIMAL(38,20)
+    * accumulator ([[graft.operators.Dsir.scoreRow]]) — zero shuffle,
+    * zero state, re-delivery-idempotent, and bit-equal to the batch
+    * weights because decimal addition is exact (the fold order vs the
+    * batch aggregation order cannot matter). StreamingSpec pins
+    * two-wave == batch.
+    */
+  def dsirScoreStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      terms: Seq[Double], // logRatioTable's B terms in bucket order
+      idCol: String,
+      textCol: String
+  ): DataFrame =
+    graft.operators.Dsir.scoreRow(docs, terms, idCol, textCol)
+
   /** Streaming C4 page filter + scrub — the online half of the
     * text_c4_scrub stage: the SAME zero-state per-row HOF pipeline
     * ([[graft.operators.TextAnalysis.c4Scrub]] delegates unchanged —

@@ -753,6 +753,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming DSIR scoring: two waves bit-equal the batch weights") {
+    import graft.operators.Dsir
+    val docs = Q.t(spark, sf0001, "documents")
+    val tgt = docs.filter(col("source") === "src0")
+    val terms = Dsir.logRatioTable(docs, tgt, "doc_id", "text", buckets = 512)
+      .orderBy(col("b")).collect().map(_.getDouble(1)).toSeq
+    val dir = Files.createTempDirectory("dsirstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.dsirScoreStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      terms, "doc_id", "text")
+    val q = stream.writeStream
+      .format("memory").queryName("dsirscore").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("dsirscore")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = Dsir.importanceWeights(docs, tgt, "doc_id", "text", buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == want.keySet)
+    // bit-equality: exact decimal accumulation makes fold order irrelevant
+    got.foreach { case (id, lw) =>
+      assert(lw == want(id), s"doc $id: stream $lw != batch ${want(id)}")
+    }
+  }
+
   test("streaming C4 scrub: two waves equal the batch rewrite bit for bit") {
     // paged fixture with real line structure (lines of 3 words, every
     // second line unpunctuated, one lorem page, one brace page)
