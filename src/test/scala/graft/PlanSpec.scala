@@ -205,6 +205,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cluster_dbscan: blocked pair kernel + equi-joins — no nested loop, no cartesian") {
+    val p = planOf("cluster_dbscan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_snm: rank-bucket equi-join windowing — no nested loop, no global window") {
+    val p = planOf("dedup_snm")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the global order comes from distributedRank's pid-partitioned
+    // window, never a single-partition sort window over the corpus
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(pid"),
+      s"global unpartitioned window crept in:\n$p")
+  }
+
+  test("pipeline_dsir: the B-row log-ratio table joins as a broadcast") {
+    val p = planOf("pipeline_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline_label_prop: voting rounds are equi-joins — no nested loop, no cartesian") {
+    val p = planOf("pipeline_label_prop")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ivf: probed scan prunes partitions; probe set materialized once; no broadcast cap on the query batch") {
     val q = SparkEntry.queries("ivf_knn")(spark, sf0001)
     val ep = q.queryExecution.executedPlan.toString
