@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions.dotFast
+
+/** Random-projection tree forest (Annoy-style; Dasgupta & Freund 2008's
+  * RP-tree median split): each tree recursively splits the corpus at
+  * the LOWER MEDIAN of projections onto a deterministic md5-derived
+  * hyperplane — `numTrees` independent trees of fixed `depth`, leaves =
+  * 2^depth buckets per tree. Search descends each tree by the sign of
+  * (proj − median) at every node, takes the union of the query's leaf
+  * buckets across trees as the candidate set, and exact-reranks it —
+  * the tree-forest ANN family (Annoy/FLANN lineage) next to IVF
+  * (cells), HNSW (graphs), and NN-Descent (kNN graphs).
+  *
+  * Everything is deterministic and engine-portable: hyperplanes come
+  * from [[Dedup.hyperplane]] (the SQL-replayable md5 formula),
+  * projections accumulate left-to-right like every engine dot product,
+  * and the split point is the lower median — the projection value at
+  * in-node rank ⌈n/2⌉ under the total order (proj, id) — so ties and
+  * even counts break identically everywhere. `proj <= median` goes
+  * left.
+  *
+  * Scale shape (build): per level, one projection map (the hyperplane
+  * is a plan literal), then ONE `Packing.distributedRank` over
+  * (tree, node, proj, id) — range partitions spread every node across
+  * the cluster, so the root split never sees a single-partition window
+  * — plus a per-node (count, min-rank) aggregate to turn global ranks
+  * into in-node ranks; the median table is 2^level·numTrees rows,
+  * broadcastable at every level. `depth` levels = `depth` such passes.
+  * Search: descending is `depth` broadcast-joins against the tiny
+  * median table (queries never shuffle); the candidate join is an
+  * equi-join on (tree, leaf); the rerank is the standard bounded-heap
+  * top-k over |candidates| ≈ numTrees·n/2^depth rows per query.
+  */
+object RpTree {
+
+  /** Forest build artifact: per-point leaf assignments and the
+    * per-level split tables that let a query descend.
+    */
+  final case class Forest(
+      leaves: DataFrame, // (tree, id, leaf)
+      medians: DataFrame // (level, tree, node, med)
+  )
+
+  /** Deterministic hyperplane for (tree, level): component d of the
+    * splitting direction, reusing the shared md5 formula with a
+    * namespaced plane index so trees and levels are independent.
+    */
+  private[graft] def plane(tree: Int, level: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => Dedup.hyperplane(1000 + tree * 64 + level, d))
+
+  /** Per-tree projection column for one level: the hyperplane of the
+    * row's own tree, as a literal-folded CASE chain over `numTrees`
+    * plan-embedded plane literals.
+    */
+  private def projFor(
+      vecCol: org.apache.spark.sql.Column,
+      numTrees: Int,
+      level: Int,
+      dim: Int
+  ): org.apache.spark.sql.Column =
+    (0 until numTrees).foldLeft(lit(Double.NaN)) { (acc, t) =>
+      when(col("tree") === t, dotFast(vecCol, typedLit(plane(t, level, dim).toSeq)))
+        .otherwise(acc)
+    }
+
+  /** Lower median of `proj` per (tree, node) via ONE distributedRank
+    * over (tree, node, proj, id) — global ranks + a per-node
+    * (min-rank, count) aggregate give in-node ranks without any
+    * single-partition window, even for the root node that holds the
+    * whole corpus.
+    */
+  private def medians(proj: DataFrame): DataFrame = {
+    val ranked = Packing.distributedRank(
+      proj.select(col("tree"), col("node"), col("proj"), col("id")),
+      Seq(col("tree"), col("node"), col("proj"), col("id")), "r")
+    val bounds = ranked
+      .groupBy(col("tree"), col("node"))
+      .agg(min(col("r")).as("r0"), count(lit(1)).as("n"))
+    ranked
+      .join(bounds, Seq("tree", "node"))
+      // lower median = in-node rank ⌈n/2⌉; `div` keeps it integer math
+      .filter(col("r") - col("r0") + 1 === expr("(n + 1) div 2"))
+      .select(col("tree"), col("node"), col("proj").as("med"))
+  }
+
+  /** Build the forest: `depth` median-split passes shared between both
+    * artifacts (leaf table and split tables).
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTrees: Int,
+      depth: Int,
+      dim: Int
+  ): Forest = {
+    require(numTrees >= 1 && depth >= 1, "need >= 1 tree and >= 1 level")
+    val v = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    var asg = v
+      .crossJoin(
+        v.sparkSession.range(numTrees).select(col("id").cast("int").as("tree")))
+      .select(col("tree"), col("id"), col("vec"), lit(0L).as("node"))
+    var medOut: DataFrame = null
+    var level = 0
+    while (level < depth) {
+      val proj = asg.withColumn("proj", projFor(col("vec"), numTrees, level, dim))
+      val meds = medians(proj).localCheckpoint() // ≤ numTrees·2^level rows
+      val lvl = meds.select(
+        lit(level).as("level"), col("tree"), col("node"), col("med"))
+      medOut = if (medOut == null) lvl else medOut.unionAll(lvl)
+      asg = proj
+        .join(broadcast(meds), Seq("tree", "node"))
+        .select(
+          col("tree"), col("id"), col("vec"),
+          (col("node") * 2 +
+            when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
+        .localCheckpoint() // evaluate once per level; truncate lineage
+      level += 1
+    }
+    Forest(asg.select(col("tree"), col("id"), col("node").as("leaf")), medOut)
+  }
+
+  /** Forest kNN: descend every tree with the query, union the leaf
+    * buckets, exact-rerank. Returns (query_id, neighbor_id, dist, rnk).
+    */
+  def knn(
+      forest: Forest,
+      vecs: DataFrame, // raw corpus — read only by the rerank
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      numTrees: Int,
+      depth: Int,
+      dim: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    import graft.functions.TopKAgg.topK
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+    var qn = q
+      .crossJoin(
+        q.sparkSession.range(numTrees).select(col("id").cast("int").as("tree")))
+      .select(col("tree"), col("qid"), col("qvec"), lit(0L).as("node"))
+    var level = 0
+    while (level < depth) {
+      qn = qn
+        .withColumn("proj", projFor(col("qvec"), numTrees, level, dim))
+        .join(
+          broadcast(forest.medians
+            .filter(col("level") === level)
+            .select(col("tree"), col("node"), col("med"))),
+          Seq("tree", "node"))
+        .select(
+          col("tree"), col("qid"), col("qvec"),
+          (col("node") * 2 +
+            when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
+      level += 1
+    }
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val cand = qn
+      .select(col("tree"), col("qid"), col("node").as("leaf"))
+      .join(forest.leaves, Seq("tree", "leaf"))
+      .select(col("qid"), col("id"))
+      .distinct() // forest union: a point in the query's leaf of 2 trees scores once
+    cand
+      .join(v, "id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("id"),
+        l2SqFast(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(topK(col("dist"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("qid").as("query_id"),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+}

@@ -155,6 +155,65 @@ object VectorQueries {
           alpha = 1.2, maxDegree = 8)
         .localCheckpoint())
 
+  // RP-tree forest shape (rpt_*): 2 trees × depth 4 over the 64-d table
+  private val RPT_T = 2
+  private val RPT_D = 4
+
+  private val forestCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.RpTree.Forest]
+
+  private def sharedForest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): graft.operators.RpTree.Forest =
+    forestCache.getOrElseUpdate(
+      dir,
+      graft.operators.RpTree.build(
+        embOf(spark, dir), "id", "vec",
+        numTrees = RPT_T, depth = RPT_D, dim = 64))
+
+  /** One unrolled RP-tree median-split level in DuckDB: project every
+    * point of node table a$r onto its tree's level-r hyperplane, take
+    * the LOWER median per (tree, node) — rank ⌈n/2⌉ under (proj, id) —
+    * and route `proj <= med` left. Mirrors
+    * [[graft.operators.RpTree.build]] exactly.
+    */
+  private def rptLevel(r: Int): String = s"""
+    p$r AS MATERIALIZED (SELECT a.tree, a.id, a.v, a.node,
+           list_sum(list_transform(generate_series(1, 64),
+             j -> a.v[j] * pll.hv[j])) AS proj
+         FROM a$r a JOIN pll ON pll.tree = a.tree AND pll.level = $r),
+    m$r AS MATERIALIZED (SELECT tree, node, proj AS med FROM (
+           SELECT tree, node, proj,
+                  row_number() OVER (PARTITION BY tree, node
+                                     ORDER BY proj, id) AS rn,
+                  count(*) OVER (PARTITION BY tree, node) AS n
+           FROM p$r) WHERE rn = (n + 1) // 2),
+    a${r + 1} AS MATERIALIZED (SELECT p.tree, p.id, p.v,
+           p.node * 2 + CASE WHEN p.proj <= m.med THEN 0 ELSE 1 END AS node
+         FROM p$r p JOIN m$r m ON m.tree = p.tree AND m.node = p.node)"""
+
+  /** The full forest-build replay: md5 hyperplanes (the
+    * [[graft.operators.Dedup.hyperplane]] formula with plane index
+    * 1000 + tree·64 + level), then `RPT_D` unrolled median-split
+    * levels; a$RPT_D is the leaf table.
+    */
+  private def rptCtes: String = s"""
+    e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+    tr AS (SELECT unnest([${(0 until RPT_T).mkString(",")}]) AS tree),
+    lv AS (SELECT unnest([${(0 until RPT_D).mkString(",")}]) AS level),
+    dd AS (SELECT unnest(generate_series(0, 63)) AS d),
+    pl AS (SELECT tr.tree, lv.level, dd.d,
+                  ((('0x' || substr(md5((1000 + tr.tree*64 + lv.level)::VARCHAR
+                     || '_' || dd.d::VARCHAR), 1, 14))::BIGINT % 1000003)
+                    / 1000003.0 - 0.5) AS h
+           FROM tr CROSS JOIN lv CROSS JOIN dd),
+    pll AS MATERIALIZED (SELECT tree, level, list(h ORDER BY d) AS hv
+           FROM pl GROUP BY tree, level),
+    a0 AS (SELECT tr.tree, e.id, e.v, 0::BIGINT AS node FROM e CROSS JOIN tr),
+    ${(0 until RPT_D).map(rptLevel).mkString(",")}"""
+
   /** One unrolled label-propagation round in DuckDB — count labeled
     * neighbors per node and label, majority pick (count DESC, label
     * ASC), unlabeled nodes adopt, labeled stay clamped. Mirrors
@@ -991,6 +1050,81 @@ object VectorQueries {
                                              ORDER BY dist, neighbor_id) AS rnk
                    FROM rr)
         SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    // RP-tree forest BUILD (Annoy lineage, Dasgupta-Freund median
+    // splits) — the tree-forest ANN family next to IVF cells, HNSW
+    // graphs, and NN-Descent kNN graphs. Cold construction (clears the
+    // memo, rebuilds — the hnsw_build convention), reported as the
+    // per-leaf occupancy histogram. Deterministic md5 hyperplanes +
+    // lower-median splits put the whole build under an exact oracle of
+    // 4 unrolled median-split rounds.
+    GQuery(
+      "rpt_leaf_stats",
+      (spark, dir) => {
+        forestCache.remove(dir)
+        sharedForest(spark, dir).leaves
+          .groupBy(col("tree"), col("leaf"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""
+        WITH $rptCtes
+        SELECT tree, node AS leaf, count(*)::BIGINT AS n
+        FROM a$RPT_D GROUP BY tree, node
+      """)
+    ),
+    // RP-tree forest kNN: descend each of the 2 trees by hyperplane
+    // sign (4 broadcast-joins against the ≤ 2·2^4-row median table —
+    // queries never shuffle), union the leaf buckets, exact-rerank the
+    // ≈ numTrees·n/16 candidates with the bounded heap. Deterministic
+    // end to end -> hash-checked: the oracle chains the query descent +
+    // candidate join + rerank onto the forest replay. NNDescentSpec-
+    // style recall floor lives in RpTreeSpec.
+    GQuery(
+      "rpt_knn",
+      (spark, dir) => {
+        val emb = embOf(spark, dir)
+        val q = emb
+          .filter(col("id") % 10 === 0)
+          .select(col("id").as("query_id"), col("vec").as("qv"))
+        graft.operators.RpTree
+          .knn(
+            sharedForest(spark, dir), emb, "id", "vec",
+            q, "query_id", "qv", k = K,
+            numTrees = RPT_T, depth = RPT_D, dim = 64)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      Some(s"""
+        WITH $rptCtes,
+        q AS (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
+        q0 AS (SELECT tr.tree, q.qid, q.qv, 0::BIGINT AS node
+               FROM q CROSS JOIN tr),
+        ${(0 until RPT_D).map(r => s"""
+        qp$r AS (SELECT x.tree, x.qid, x.qv,
+                 x.node * 2 + CASE WHEN
+                   list_sum(list_transform(generate_series(1, 64),
+                     j -> x.qv[j] * pll.hv[j])) <= m$r.med
+                   THEN 0 ELSE 1 END AS node
+                 FROM q$r x
+                 JOIN pll ON pll.tree = x.tree AND pll.level = $r
+                 JOIN m$r ON m$r.tree = x.tree AND m$r.node = x.node),
+        q${r + 1} AS (SELECT tree, qid, qv, node FROM qp$r)""").mkString(",")},
+        cand AS (SELECT DISTINCT qf.qid, af.id
+                 FROM q$RPT_D qf
+                 JOIN a$RPT_D af ON af.tree = qf.tree AND af.node = qf.node),
+        d AS (SELECT cand.qid, cand.id,
+                     ${sqlL2Sq("q.qv", "e.v")} AS dist
+              FROM cand JOIN e ON e.id = cand.id
+              JOIN q ON q.qid = cand.qid),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dist, id) AS rnk
+              FROM d)
+        SELECT qid AS query_id, id AS neighbor_id,
+               round(dist, 4) AS dist, rnk
         FROM r WHERE rnk <= $K
       """)
     ),

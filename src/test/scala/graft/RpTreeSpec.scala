@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForceKNN, RpTree}
+import graft.queries.Q
+
+/** Invariants for the RP-tree forest. */
+class RpTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Q.t(spark, sf0001, "embeddings")
+    .select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+  private lazy val q = emb
+    .filter(col("id") % 10 === 0)
+    .select(col("id").as("query_id"), col("vec").as("qv"))
+
+  private def recallAt10(numTrees: Int): Double = {
+    val f = RpTree.build(emb, "id", "vec", numTrees, depth = 4, dim = 64)
+    val got = RpTree
+      .knn(f, emb, "id", "vec", q, "query_id", "qv", 10, numTrees, 4, 64)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = BruteForceKNN
+      .knn(q, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (got & exact).size.toDouble / exact.size
+  }
+
+  test("median splits keep leaves balanced; every point lands in one leaf per tree") {
+    val f = RpTree.build(emb, "id", "vec", numTrees = 2, depth = 4, dim = 64)
+    val n = emb.count()
+    val sizes = f.leaves.groupBy(col("tree"), col("leaf")).count()
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+    // each tree holds every point exactly once
+    val perTree = sizes.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    perTree.foreach { case (t, tot) => assert(tot == n, s"tree $t holds $tot of $n") }
+    // lower-median splits on continuous projections: leaf sizes within
+    // the ±1-per-level rounding envelope of n/2^depth
+    val want = n / 16.0
+    sizes.foreach { case ((t, l), s) =>
+      assert(math.abs(s - want) <= 4, s"tree $t leaf $l size $s vs ~$want")
+    }
+  }
+
+  test("build is deterministic: two builds produce identical leaf tables") {
+    val a = RpTree.build(emb, "id", "vec", 2, 4, 64).leaves
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val b = RpTree.build(emb, "id", "vec", 2, 4, 64).leaves
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("forest recall floor on random 64-d data; more trees never hurt") {
+    val r2 = recallAt10(2)
+    val r4 = recallAt10(4)
+    // 2 trees x 16 leaves scan ~12% of the corpus — random data is the
+    // tree family's worst case (same honesty as the routed-HNSW floors)
+    assert(r2 >= 0.2, s"recall@10 with 2 trees: $r2")
+    assert(r4 >= r2 - 1e-12, s"recall fell with more trees: $r2 -> $r4")
+  }
+
+  test("every returned neighbor shares a leaf with its query in some tree") {
+    val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
+    val got = RpTree
+      .knn(f, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64)
+    val leafOf = f.leaves.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // recompute the query descent via the median tables the same way
+    val meds = f.medians.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val qs = q.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qLeaf = (for {
+      (qid, qv) <- qs; t <- 0 until 2
+    } yield {
+      var node = 0L
+      for (lvl <- 0 until 4) {
+        val h = RpTree.plane(t, lvl, 64)
+        var s = 0.0; var i = 0
+        while (i < 64) { s += qv(i) * h(i); i += 1 }
+        node = node * 2 + (if (s <= meds((lvl, t, node))) 0L else 1L)
+      }
+      (qid, t) -> node
+    }).toMap
+    got.collect().foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      val shares = (0 until 2).exists(t => leafOf((t, nid)) == qLeaf((qid, t)))
+      assert(shares, s"neighbor $nid of query $qid shares no leaf")
+    }
+  }
+}
