@@ -102,10 +102,12 @@ object RpTree {
     val v = df.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
+    // tree replication is a per-row explode of a literal sequence — a
+    // map, never a join node in the plan
     var asg = v
-      .crossJoin(
-        v.sparkSession.range(numTrees).select(col("id").cast("int").as("tree")))
-      .select(col("tree"), col("id"), col("vec"), lit(0L).as("node"))
+      .select(
+        explode(typedLit((0 until numTrees).toList)).as("tree"),
+        col("id"), col("vec"), lit(0L).as("node"))
     var medOut: DataFrame = null
     var level = 0
     while (level < depth) {
@@ -148,9 +150,9 @@ object RpTree {
       col(qidCol).cast("long").as("qid"),
       col(qvecCol).cast("array<double>").as("qvec"))
     var qn = q
-      .crossJoin(
-        q.sparkSession.range(numTrees).select(col("id").cast("int").as("tree")))
-      .select(col("tree"), col("qid"), col("qvec"), lit(0L).as("node"))
+      .select(
+        explode(typedLit((0 until numTrees).toList)).as("tree"),
+        col("qid"), col("qvec"), lit(0L).as("node"))
     var level = 0
     while (level < depth) {
       qn = qn

@@ -233,6 +233,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rpt_knn: descent joins broadcast the median table; no cartesian anywhere") {
+    val p = planOf("rpt_knn")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ivf: probed scan prunes partitions; probe set materialized once; no broadcast cap on the query batch") {
     val q = SparkEntry.queries("ivf_knn")(spark, sf0001)
     val ep = q.queryExecution.executedPlan.toString
