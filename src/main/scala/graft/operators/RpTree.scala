@@ -128,6 +128,48 @@ object RpTree {
     Forest(asg.select(col("tree"), col("id"), col("node").as("leaf")), medOut)
   }
 
+  /** Descend points through a built forest's median tables: `depth`
+    * broadcast-joins against the ≤ numTrees·2^depth-row artifact — the
+    * points never shuffle. Routes exactly like [[build]] (`proj <= med`
+    * left), so re-assigning the build corpus reproduces its leaf table
+    * bit for bit — which also makes this the INCREMENTAL MAINTENANCE
+    * path: new points (batch or a stream) land in the leaf the built
+    * tree would have given them. Returns (tree, id, leaf).
+    */
+  def assignPoints(
+      points: DataFrame,
+      medians: DataFrame, // (level, tree, node, med)
+      idCol: String,
+      vecCol: String,
+      numTrees: Int,
+      depth: Int,
+      dim: Int
+  ): DataFrame = {
+    var pn = points
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("pvec"))
+      .select(
+        explode(typedLit((0 until numTrees).toList)).as("tree"),
+        col("id"), col("pvec"), lit(0L).as("node"))
+    var level = 0
+    while (level < depth) {
+      pn = pn
+        .withColumn("proj", projFor(col("pvec"), numTrees, level, dim))
+        .join(
+          broadcast(medians
+            .filter(col("level") === level)
+            .select(col("tree"), col("node"), col("med"))),
+          Seq("tree", "node"))
+        .select(
+          col("tree"), col("id"), col("pvec"),
+          (col("node") * 2 +
+            when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
+      level += 1
+    }
+    pn.select(col("tree"), col("id"), col("node").as("leaf"))
+  }
+
   /** Forest kNN: descend every tree with the query, union the leaf
     * buckets, exact-rerank. Returns (query_id, neighbor_id, dist, rnk).
     */
@@ -149,25 +191,9 @@ object RpTree {
     val q = queries.select(
       col(qidCol).cast("long").as("qid"),
       col(qvecCol).cast("array<double>").as("qvec"))
-    var qn = q
-      .select(
-        explode(typedLit((0 until numTrees).toList)).as("tree"),
-        col("qid"), col("qvec"), lit(0L).as("node"))
-    var level = 0
-    while (level < depth) {
-      qn = qn
-        .withColumn("proj", projFor(col("qvec"), numTrees, level, dim))
-        .join(
-          broadcast(forest.medians
-            .filter(col("level") === level)
-            .select(col("tree"), col("node"), col("med"))),
-          Seq("tree", "node"))
-        .select(
-          col("tree"), col("qid"), col("qvec"),
-          (col("node") * 2 +
-            when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
-      level += 1
-    }
+    val qn = assignPoints(
+      queries, forest.medians, qidCol, qvecCol, numTrees, depth, dim)
+      .select(col("tree"), col("id").as("qid"), col("leaf").as("node"))
     val v = vecs.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))

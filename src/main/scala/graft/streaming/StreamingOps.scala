@@ -971,6 +971,29 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("rate"), col("u"))
   }
 
+  /** Streaming RP-tree leaf assignment — incremental maintenance of the
+    * tree-forest index: new vectors descend the batch-built median
+    * tables ([[graft.operators.RpTree.assignPoints]] — `depth`
+    * stream-static broadcast joins against the ≤ numTrees·2^depth-row
+    * artifact, the stream never shuffles) and land in exactly the leaf
+    * the build would have given them, so appending the assignments to
+    * the leaf table keeps forest search correct as the corpus grows —
+    * the same pure-append maintenance story as the IVF cell sink.
+    * Stateless, re-delivery idempotent; StreamingSpec pins streamed ==
+    * build assignment bit for bit.
+    */
+  def rptAssignStream(
+      vecs: DataFrame, // streaming (idCol, vecCol)
+      medians: DataFrame, // static (level, tree, node, med) from RpTree.build
+      idCol: String,
+      vecCol: String,
+      numTrees: Int,
+      depth: Int,
+      dim: Int
+  ): DataFrame =
+    graft.operators.RpTree.assignPoints(
+      vecs, medians, idCol, vecCol, numTrees, depth, dim)
+
   /** Streaming DSIR scoring — the online quality gate of the
     * pipeline_dsir stage: the B-bucket log-ratio LM is trained ONCE in
     * batch ([[graft.operators.Dsir.logRatioTable]]) and rides the plan

@@ -753,6 +753,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming RP-tree assignment: streamed leaves == build leaves bit for bit") {
+    import graft.operators.RpTree
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val forest = RpTree.build(emb, "id", "vec", numTrees = 2, depth = 4, dim = 64)
+    val meds = forest.medians.localCheckpoint()
+    val dir = Files.createTempDirectory("rptstream").toString
+    val flat = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    flat.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/w1")
+    flat.filter(col("vec_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.rptAssignStream(
+      spark.readStream
+        .schema("vec_id LONG, vec ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      meds, "vec_id", "vec", numTrees = 2, depth = 4, dim = 64)
+    val q = stream.writeStream
+      .format("memory").queryName("rptassign").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("rptassign")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = forest.leaves
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "streamed assignment diverged from the build's leaf table")
+  }
+
   test("streaming DSIR scoring: two waves bit-equal the batch weights") {
     import graft.operators.Dsir
     val docs = Q.t(spark, sf0001, "documents")
