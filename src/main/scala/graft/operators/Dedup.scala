@@ -917,6 +917,36 @@ object Dedup {
       )
   }
 
+  /** Leakage-safe k-FOLD assignment — [[leakSafeSplit]] generalized to
+    * cross-validation: fold = md5(rep:salt) mod k on the near-dup
+    * CLUSTER representative, so a family of near-duplicates lands
+    * wholly in one fold and no fold's held-out slice has a near-twin
+    * in any training fold. Same one-small-side-join shape as the
+    * split.
+    */
+  def leakSafeFolds(
+      docs: DataFrame,
+      idCol: String,
+      comp: DataFrame, // (doc_id, rep_id) from connectedComponents
+      k: Int,
+      salt: String = "kfold"
+  ): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id")
+      )
+      .select(
+        col("doc_id"), col("rep_id"),
+        pmod(
+          md5Long(concat(col("rep_id").cast("string"), lit(s":$salt"))),
+          lit(k)).cast("long").as("fold")
+      )
+  }
+
   /** The distributed min-label/pointer-jumping loop — the over-threshold
     * path of [[connectedComponents]], directly testable.
     */

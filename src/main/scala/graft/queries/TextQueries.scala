@@ -708,6 +708,57 @@ object TextQueries {
       },
       Some(simhashClustersOracle)
     ),
+    // Dedup REPORT — the cluster-size histogram every production dedup
+    // run publishes (how much survives, how big the dup families are):
+    // one row per cluster size with cluster and doc counts, singletons
+    // included, off the same simhash-cluster table as dedup_clusters.
+    // Derivable sanity: Σ n_docs = corpus size; dedup ratio =
+    // Σ n_clusters / Σ n_docs. Aggregation-only on top of the cluster
+    // artifact — two grouping exchanges, nothing pairwise.
+    GQuery(
+      "dedup_stats",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        docs
+          .select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(coalesce(col("rep_id"), col("doc_id")).as("rep"))
+          .groupBy(col("rep"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(
+            count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+      },
+      Some(s"""
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+               sum(cluster_size)::BIGINT AS n_docs
+        FROM (SELECT rep_id, count(*)::BIGINT AS cluster_size
+              FROM ( $simhashClustersOracle ) GROUP BY rep_id)
+        GROUP BY cluster_size
+      """)
+    ),
+    // Leakage-safe k-FOLD cross-validation assignment — pipeline_split
+    // generalized: fold = md5 coin mod 5 on the near-dup cluster
+    // representative, so a family of near-duplicates lands wholly in one
+    // fold and no held-out slice has a near-twin in any training fold.
+    GQuery(
+      "pipeline_kfold",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        Dedup.leakSafeFolds(docs, "doc_id", comp, k = 5)
+      },
+      Some(s"""
+        SELECT doc_id, rep_id,
+               (('0x' || substr(md5(rep_id::VARCHAR || ':kfold'), 1, 14))::BIGINT
+                 % 5)::BIGINT AS fold
+        FROM ( $simhashClustersOracle )
+      """)
+    ),
     // Leakage-safe holdout split: train/val assignment hashed on the
     // near-dup CLUSTER representative (the dedup_clusters table), so a
     // cluster of near-duplicates lands wholly on one side and no val doc

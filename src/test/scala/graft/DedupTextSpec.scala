@@ -712,6 +712,26 @@ class DedupTextSpec extends SparkSpec {
     assert(again == split.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
   }
 
+  test("leakSafeFolds: pairs never straddle folds; all k folds populated") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val folds = Dedup.leakSafeFolds(docs, "doc_id", comp, k = 5)
+    assert(folds.count() == docs.count())
+    val f = folds.select(col("doc_id"), col("fold"))
+    val straddling = pairs
+      .join(f.select(col("doc_id").as("doc_a"), col("fold").as("fa")), "doc_a")
+      .join(f.select(col("doc_id").as("doc_b"), col("fold").as("fb")), "doc_b")
+      .filter(col("fa") =!= col("fb"))
+    assert(straddling.count() == 0, "a near-dup pair straddles folds")
+    val seen = folds.select(col("fold")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(seen == (0L until 5L).toSet, s"folds seen: $seen")
+    // roughly balanced: no fold is empty-ish or dominant (loose gate)
+    val counts = folds.groupBy(col("fold")).count()
+      .collect().map(_.getLong(1))
+    assert(counts.min > docs.count() / 20, s"fold sizes ${counts.toSeq}")
+  }
+
   test("crafted rolling-hash collision: hash-only path fooled, verbatim verify immune") {
     // Thue–Morse construction: S_k/T_k differ everywhere yet their
     // polynomial hashes mod 2^64 differ by (a-b)·∏(B^{2^i}-1), whose
