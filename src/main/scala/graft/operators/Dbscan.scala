@@ -106,6 +106,37 @@ object Dbscan {
       .toDF("id_a", "id_b")
   }
 
+  /** APPROXIMATE eps-neighbor pairs for the corpus-scale path: SRP
+    * band-collision candidates ([[Dedup.srpCandidates]] — sub-quadratic,
+    * collision-driven volume instead of n²/blocks) verified with the
+    * exact codegen L2² <= eps2. Surviving pairs are exact; RECALL is
+    * blocking-dependent (an eps-pair outside every band is never
+    * examined — SRP bands block on angle, which correlates with but
+    * does not equal the eps-ball), so densities are under-counted near
+    * the blocking boundary: the standard approximate-DBSCAN trade,
+    * feed to [[dbscanFromPairs]].
+    */
+  def epsNeighborPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps2: Double,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = -1
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    val e = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    Dedup.srpCandidates(df, idCol, vecCol, numPlanes, bands, dim)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .join(e.select(col("id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(e.select(col("id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .filter(l2SqFast(col("va"), col("vb")) <= eps2)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+  }
+
   /** Canonical DBSCAN labeling. Returns one row per input row:
     * (idCol, role in {'core','border','noise'}, cluster long; -1 = noise).
     */

@@ -675,14 +675,17 @@ object Dedup {
     * recall drops, which is the standard LSH trade. This is the 100-TB
     * path: candidate volume scales with bucket collisions, not n².
     */
-  def embeddingPairsLsh(
+  /** SRP band-collision candidate pairs (doc_a < doc_b, distinct) — the
+    * sub-quadratic blocking stage shared by [[embeddingPairsLsh]] and
+    * the DBSCAN corpus-scale path ([[Dbscan.epsNeighborPairsLsh]]).
+    */
+  private[graft] def srpCandidates(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      tau: Double,
-      numPlanes: Int = 16,
-      bands: Int = 4,
-      dim: Int = -1
+      numPlanes: Int,
+      bands: Int,
+      dim: Int
   ): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     import graft.functions.VectorExpressions._
@@ -692,12 +695,8 @@ object Dedup {
       else df.select(size(col(vecCol))).head.getInt(0)
     val planes =
       Array.tabulate(numPlanes)(k => Array.tabulate(d)(j => hyperplane(k, j)))
-    // not cached: the three consumers (signatures + the two verify joins)
-    // re-scan the source; a norm recompute per scan is cheaper at scale
-    // than pinning the corpus in executor storage with no release point
     val e = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
     val bitCols = (0 until numPlanes).map { k =>
       when(dotFast(col("v"), typedLit(planes(k).toSeq)) >= 0, lit("1"))
         .otherwise(lit("0"))
@@ -713,12 +712,31 @@ object Dedup {
         col("id"),
         expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
       )
-    val cand = sigs.as("a")
+    sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  def embeddingPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = -1
+  ): DataFrame = {
+    import graft.functions.VectorExpressions._
+    // not cached: the three consumers (signatures + the two verify joins)
+    // re-scan the source; a norm recompute per scan is cheaper at scale
+    // than pinning the corpus in executor storage with no release point
+    val e = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    val cand = srpCandidates(df, idCol, vecCol, numPlanes, bands, dim)
     cand
       .join(e.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
       .join(e.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")

@@ -172,6 +172,45 @@ object VectorQueries {
         embOf(spark, dir), "id", "vec",
         numTrees = RPT_T, depth = RPT_D, dim = 64))
 
+  /** The DBSCAN labeling CTE block over any `pr(ia, ib)` eps-pair
+    * table — degree count, core rule, min-id closure over core-core
+    * edges, min-attach borders. Shared by cluster_dbscan (exact pairs)
+    * and cluster_dbscan_lsh (SRP-banded pairs): the labeling is
+    * pair-source-agnostic on both engines, mirroring
+    * [[graft.operators.Dbscan.dbscanFromPairs]].
+    */
+  private val dbscanLabelCtes: String = """
+        und AS (SELECT ia AS id, ib AS nb FROM pr
+                UNION ALL SELECT ib, ia FROM pr),
+        deg AS (SELECT e.id, count(und.nb) + 1 AS deg
+                FROM e LEFT JOIN und ON und.id = e.id GROUP BY e.id),
+        core AS (SELECT id FROM deg WHERE deg >= 4),
+        ce AS (SELECT ia, ib FROM pr
+               WHERE ia IN (SELECT id FROM core)
+                 AND ib IN (SELECT id FROM core)),
+        ed AS (SELECT ia AS a, ib AS b FROM ce
+               UNION SELECT ib, ia FROM ce),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        corec AS (SELECT c.id, coalesce(comps.rep, c.id) AS cluster
+                  FROM core c LEFT JOIN comps ON comps.id = c.id),
+        border AS (SELECT u.id, min(cc.cluster) AS cluster
+                   FROM und u JOIN corec cc ON cc.id = u.nb
+                   WHERE u.id NOT IN (SELECT id FROM core)
+                   GROUP BY u.id)"""
+
+  private val dbscanLabelSelect: String = """
+        SELECT e.id AS vec_id,
+               CASE WHEN c.id IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               coalesce(c.cluster, b.cluster, -1)::BIGINT AS cluster
+        FROM e LEFT JOIN corec c ON c.id = e.id
+               LEFT JOIN border b ON b.id = e.id"""
+
   /** One unrolled RP-tree median-split level in DuckDB: project every
     * point of node table a$r onto its tree's level-r hyperplane, take
     * the LOWER median per (tree, node) — rank ⌈n/2⌉ under (proj, id) —
@@ -1240,35 +1279,61 @@ object VectorQueries {
           SELECT a.id AS ia, b.id AS ib
           FROM e a JOIN e b ON a.id < b.id
           WHERE ${sqlL2Sq("a.v", "b.v")} <= 1.25),
-        und AS (SELECT ia AS id, ib AS nb FROM pr
-                UNION ALL SELECT ib, ia FROM pr),
-        deg AS (SELECT e.id, count(und.nb) + 1 AS deg
-                FROM e LEFT JOIN und ON und.id = e.id GROUP BY e.id),
-        core AS (SELECT id FROM deg WHERE deg >= 4),
-        ce AS (SELECT ia, ib FROM pr
-               WHERE ia IN (SELECT id FROM core)
-                 AND ib IN (SELECT id FROM core)),
-        ed AS (SELECT ia AS a, ib AS b FROM ce
-               UNION SELECT ib, ia FROM ce),
-        reach(id, r) AS (
-          SELECT a, a FROM ed
-          UNION
-          SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
-        comps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
-        corec AS (SELECT c.id, coalesce(comps.rep, c.id) AS cluster
-                  FROM core c LEFT JOIN comps ON comps.id = c.id),
-        border AS (SELECT u.id, min(cc.cluster) AS cluster
-                   FROM und u JOIN corec cc ON cc.id = u.nb
-                   WHERE u.id NOT IN (SELECT id FROM core)
-                   GROUP BY u.id)
-        SELECT e.id AS vec_id,
-               CASE WHEN c.id IS NOT NULL THEN 'core'
-                    WHEN b.id IS NOT NULL THEN 'border'
-                    ELSE 'noise' END AS role,
-               coalesce(c.cluster, b.cluster, -1)::BIGINT AS cluster
-        FROM e LEFT JOIN corec c ON c.id = e.id
-               LEFT JOIN border b ON b.id = e.id
+        $dbscanLabelCtes
+        $dbscanLabelSelect
       """)
+    ),
+    // The SAME DBSCAN labeling forced down the declared corpus-scale
+    // pair path: SRP band-collision candidates (sub-quadratic,
+    // collision-driven volume) verified at the exact eps-ball, instead
+    // of the exact triangle block-pair enumeration — proving end to end
+    // that dbscanFromPairs really is pair-source-agnostic. Surviving
+    // pairs are exact; recall is blocking-dependent (documented), and
+    // the oracle replays the identical band signatures, so the
+    // approximate labeling is still hash-checked bit for bit.
+    GQuery(
+      "cluster_dbscan_lsh",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        graft.operators.Dbscan
+          .dbscanFromPairs(
+            emb, "vec_id",
+            graft.operators.Dbscan.epsNeighborPairsLsh(
+              emb, "vec_id", "vec", eps2 = 1.25,
+              numPlanes = 16, bands = 4, dim = 64),
+            minPts = 4)
+          .select(col("vec_id"), col("role"), col("cluster"))
+      },
+      Some {
+        def bit(k: Int): String =
+          s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+             |  i -> v[i] * ((('0x'||substr(md5('${k}_'||(i-1)::VARCHAR),1,14))::BIGINT
+             |                % 1000003) / 1000003.0 - 0.5))) >= 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        val sigDefs = (0 until 4).map { b =>
+          (4 * b until 4 * b + 4).map(bit).mkString("(", " || ", s") AS sig$b")
+        }.mkString(",\n")
+        val bandUnion = (0 until 4)
+          .map(b => s"SELECT $b AS band, sig$b AS sig, id FROM s")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT id, $sigDefs FROM e),
+        bs AS ($bandUnion),
+        cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                 FROM bs a JOIN bs b
+                   ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+        pr AS MATERIALIZED (
+          SELECT cand.ia, cand.ib
+          FROM cand JOIN e ea ON ea.id = cand.ia
+                    JOIN e eb ON eb.id = cand.ib
+          WHERE ${sqlL2Sq("ea.v", "eb.v")} <= 1.25),
+        $dbscanLabelCtes
+        $dbscanLabelSelect
+      """
+      }
     ),
     // query's own label — the equality predicate becomes the JOIN KEY, so
     // the plan is a broadcast HASH join (distance evaluated on same-label

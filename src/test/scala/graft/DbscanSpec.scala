@@ -53,6 +53,19 @@ class DbscanSpec extends SparkSpec {
     assert(got == naive, s"extra=${got -- naive} missing=${naive -- got}")
   }
 
+  test("epsNeighborPairsLsh: survivors are a subset of exact eps-pairs with useful recall") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val exact = Dbscan.epsNeighborPairs(emb, "id", "vec", eps2 = 1.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dbscan.epsNeighborPairsLsh(emb, "id", "vec", eps2 = 1.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-eps pairs: ${lsh -- exact}")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.3,
+      s"LSH eps-pair recall ${lsh.size}/${exact.size}")
+  }
+
   test("dbscan partitions: every core's eps-neighbors that are core share its cluster") {
     val emb = Q.t(spark, sf0001, "embeddings")
       .select(col("vec_id").cast("long").as("id"),
