@@ -170,6 +170,103 @@ object RpTree {
     pn.select(col("tree"), col("id"), col("node").as("leaf"))
   }
 
+  /** Spill descent (Liu, Moore & Gray 2004's spill-tree idea applied at
+    * query time): like [[assignPoints]], but when a projection falls
+    * STRICTLY within `spill` of the split median the point visits BOTH
+    * children — the classic tree-family recall lever (a query near a
+    * split boundary has true neighbors on both sides). `spill = 0`
+    * reduces exactly to the single-path descent. Returns one row per
+    * visited (tree, id, leaf) — up to 2^depth leaves per tree in the
+    * worst case, typically few; downstream consumers dedupe candidates.
+    */
+  def assignPointsSpill(
+      points: DataFrame,
+      medians: DataFrame, // (level, tree, node, med)
+      idCol: String,
+      vecCol: String,
+      numTrees: Int,
+      depth: Int,
+      dim: Int,
+      spill: Double
+  ): DataFrame = {
+    require(spill >= 0.0, s"spill margin must be >= 0, got $spill")
+    var pn = points
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("pvec"))
+      .select(
+        explode(typedLit((0 until numTrees).toList)).as("tree"),
+        col("id"), col("pvec"), lit(0L).as("node"))
+    var level = 0
+    while (level < depth) {
+      val main = when(col("proj") <= col("med"), 0L).otherwise(1L)
+      pn = pn
+        .withColumn("proj", projFor(col("pvec"), numTrees, level, dim))
+        .join(
+          broadcast(medians
+            .filter(col("level") === level)
+            .select(col("tree"), col("node"), col("med"))),
+          Seq("tree", "node"))
+        .select(
+          col("tree"), col("id"), col("pvec"),
+          explode(
+            when(abs(col("proj") - col("med")) < spill,
+              array(col("node") * 2, col("node") * 2 + 1))
+              .otherwise(array(col("node") * 2 + main))).as("node"))
+      level += 1
+    }
+    pn.select(col("tree"), col("id"), col("node").as("leaf"))
+  }
+
+  /** [[knn]] with spill descent: the candidate union grows with every
+    * boundary-straddling split, recall monotone in `spill` (candidate
+    * set is a superset — RpTreeSpec gates it).
+    */
+  def knnSpill(
+      forest: Forest,
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      numTrees: Int,
+      depth: Int,
+      dim: Int,
+      spill: Double
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    import graft.functions.TopKAgg.topK
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+    val qn = assignPointsSpill(
+      queries, forest.medians, qidCol, qvecCol, numTrees, depth, dim, spill)
+      .select(col("tree"), col("id").as("qid"), col("leaf").as("node"))
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val cand = qn
+      .select(col("tree"), col("qid"), col("node").as("leaf"))
+      .join(forest.leaves, Seq("tree", "leaf"))
+      .select(col("qid"), col("id"))
+      .distinct()
+    cand
+      .join(v, "id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("id"),
+        l2SqFast(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(topK(col("dist"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("qid").as("query_id"),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Forest kNN: descend every tree with the query, union the leaf
     * buckets, exact-rerank. Returns (query_id, neighbor_id, dist, rnk).
     */

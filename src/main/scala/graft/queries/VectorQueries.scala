@@ -1167,6 +1167,65 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // Spill-tree forest kNN (Liu-Moore-Gray 2004): a query straddling a
+    // split boundary (|proj − median| < 0.2) visits BOTH children — the
+    // tree family's recall lever, trading candidate volume for recall
+    // with zero index change. Same broadcast-descent/equi-join/rerank
+    // plan as rpt_knn; deterministic, so the unrolled oracle rounds just
+    // gain an unnest over the visited-children list. RpTreeSpec gates
+    // recall(spill) >= recall(plain) and the superset property.
+    GQuery(
+      "rpt_knn_spill",
+      (spark, dir) => {
+        val emb = embOf(spark, dir)
+        val q = emb
+          .filter(col("id") % 10 === 0)
+          .select(col("id").as("query_id"), col("vec").as("qv"))
+        graft.operators.RpTree
+          .knnSpill(
+            sharedForest(spark, dir), emb, "id", "vec",
+            q, "query_id", "qv", k = K,
+            numTrees = RPT_T, depth = RPT_D, dim = 64, spill = 0.2)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      Some(s"""
+        WITH $rptCtes,
+        q AS (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
+        q0 AS (SELECT tr.tree, q.qid, q.qv, 0::BIGINT AS node
+               FROM q CROSS JOIN tr),
+        ${(0 until RPT_D).map(r => s"""
+        qp$r AS (SELECT x.tree, x.qid, x.qv, x.node,
+                 list_sum(list_transform(generate_series(1, 64),
+                   j -> x.qv[j] * pll.hv[j])) AS proj, m$r.med AS med
+                 FROM q$r x
+                 JOIN pll ON pll.tree = x.tree AND pll.level = $r
+                 JOIN m$r ON m$r.tree = x.tree AND m$r.node = x.node),
+        q${r + 1} AS (SELECT tree, qid, qv, node * 2 + c AS node FROM (
+                 SELECT tree, qid, qv, node,
+                        unnest(CASE WHEN abs(proj - med) < 0.2
+                               THEN [0::BIGINT, 1::BIGINT]
+                               ELSE [CASE WHEN proj <= med
+                                     THEN 0::BIGINT ELSE 1::BIGINT END]
+                               END) AS c
+                 FROM qp$r))""").mkString(",")},
+        cand AS (SELECT DISTINCT qf.qid, af.id
+                 FROM q$RPT_D qf
+                 JOIN a$RPT_D af ON af.tree = qf.tree AND af.node = qf.node),
+        d AS (SELECT cand.qid, cand.id,
+                     ${sqlL2Sq("q.qv", "e.v")} AS dist
+              FROM cand JOIN e ON e.id = cand.id
+              JOIN q ON q.qid = cand.qid),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dist, id) AS rnk
+              FROM d)
+        SELECT qid AS query_id, id AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
     // Synchronous label propagation over the shared kNN graph (Zhu &
     // Ghahramani 2002): the weak-supervision pass that extends a
     // hand-labeled slice (every 4th vector keeps its label) to the whole

@@ -62,6 +62,35 @@ class RpTreeSpec extends SparkSpec {
     assert(r4 >= r2 - 1e-12, s"recall fell with more trees: $r2 -> $r4")
   }
 
+  test("spill descent: zero margin == plain; candidates superset; recall never drops") {
+    val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
+    val plain = RpTree
+      .knn(f, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val zero = RpTree
+      .knnSpill(f, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64, spill = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(zero == plain, "spill=0 must reduce to the single-path descent")
+    // visited leaves with a margin are a superset per (tree, query)
+    val v0 = RpTree.assignPointsSpill(q, f.medians, "query_id", "qv", 2, 4, 64, 0.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val v1 = RpTree.assignPointsSpill(q, f.medians, "query_id", "qv", 2, 4, 64, 0.2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v0.subsetOf(v1), "spill descent lost a plain-descent leaf")
+    // recall floor: spill search at the exact-kNN ground truth
+    val exact = BruteForceKNN
+      .knn(q, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spill = RpTree
+      .knnSpill(f, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64, 0.2)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rPlain = (plain.map(t => (t._1, t._2)) & exact).size.toDouble / exact.size
+    val rSpill = (spill & exact).size.toDouble / exact.size
+    assert(rSpill >= rPlain - 1e-12, s"spill recall $rSpill < plain $rPlain")
+  }
+
   test("every returned neighbor shares a leaf with its query in some tree") {
     val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
     val got = RpTree
