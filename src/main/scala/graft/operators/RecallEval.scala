@@ -48,6 +48,62 @@ object RecallEval {
       )
   }
 
+  /** Per-query RANKED retrieval metrics — the evaluation pair every
+    * serving stack reports beyond set-recall: MRR (reciprocal rank of
+    * the TRUE nearest neighbor, i.e. the truth's rank-1 item, in the
+    * approximate ranking; 0 when absent) and binary-relevance nDCG@k
+    * (rel = membership in the truth top-k, DCG = Σ rel_i / log2(i+1),
+    * ideal = the first min(k, |truth|) positions all relevant). Both
+    * rankings arrive in the engine's (query_id, neighbor_id, rnk)
+    * shape. Two equi-joins on (query, neighbor) + per-query aggregates
+    * — |Q|·k rows end to end, no driver loop. Engine-portable floats:
+    * log2 spelled ln(x)/ln(2) and the ≤k-term DCG sums routed through
+    * DECIMAL(38,20), so both engines divide identical doubles.
+    */
+  def rankMetrics(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = approx.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val t = truth.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("trnk"))
+    // MRR: where does the truth's top-1 item land in the approx ranking?
+    val rr = t.filter(col("trnk") === 1)
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(lit(1.0) / col("rnk"), lit(0.0)).as("rr"))
+    // binary-relevance DCG over the approx ranking
+    val lg2 = log(lit(2.0))
+    val dcg = a
+      .join(t.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("rel")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(
+          when(col("rel").isNotNull,
+            (lit(1.0) / (log(col("rnk").cast("double") + 1) / lg2))
+              .cast(DecimalType(38, 20)))
+            .otherwise(lit(null))).cast("double").as("dcg"),
+        count(lit(1)).as("na"))
+    // ideal DCG: the first min(k, |truth|) positions all relevant
+    val idcg = t.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nt"))
+      .select(
+        col("query_id"),
+        expr(
+          s"""aggregate(sequence(1, int(least(nt, $k))),
+             |  cast(0 as decimal(38,20)),
+             |  (acc, i) -> cast(acc + cast(1.0d / (ln(double(i) + 1d) / ln(2.0d))
+             |                   as decimal(38,20)) as decimal(38,20)))
+             |""".stripMargin.replace("\n", " ")).cast("double").as("idcg"))
+    rr
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("rr"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
   /** Corpus-level summary: (n_queries, mean_recall, min_recall). */
   def summary(perQuery: DataFrame): DataFrame =
     perQuery.agg(

@@ -253,6 +253,41 @@ object VectorQueries {
     a0 AS (SELECT tr.tree, e.id, e.v, 0::BIGINT AS node FROM e CROSS JOIN tr),
     ${(0 until RPT_D).map(rptLevel).mkString(",")}"""
 
+  /** Spill-descent replay (rpt_knn_spill / eval_rank_metrics): queries
+    * walk the forest visiting BOTH children when |proj − med| < 0.2,
+    * leaf-union candidates, exact distances ranked into `spr`.
+    */
+  private def rptSpillCtes: String = s"""
+        q AS (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
+        q0 AS (SELECT tr.tree, q.qid, q.qv, 0::BIGINT AS node
+               FROM q CROSS JOIN tr),
+        ${(0 until RPT_D).map(r => s"""
+        qp$r AS (SELECT x.tree, x.qid, x.qv, x.node,
+                 list_sum(list_transform(generate_series(1, 64),
+                   j -> x.qv[j] * pll.hv[j])) AS proj, m$r.med AS med
+                 FROM q$r x
+                 JOIN pll ON pll.tree = x.tree AND pll.level = $r
+                 JOIN m$r ON m$r.tree = x.tree AND m$r.node = x.node),
+        q${r + 1} AS (SELECT tree, qid, qv, node * 2 + c AS node FROM (
+                 SELECT tree, qid, qv, node,
+                        unnest(CASE WHEN abs(proj - med) < 0.2
+                               THEN [0::BIGINT, 1::BIGINT]
+                               ELSE [CASE WHEN proj <= med
+                                     THEN 0::BIGINT ELSE 1::BIGINT END]
+                               END) AS c
+                 FROM qp$r))""").mkString(",")},
+        scand AS (SELECT DISTINCT qf.qid, af.id
+                 FROM q$RPT_D qf
+                 JOIN a$RPT_D af ON af.tree = qf.tree AND af.node = qf.node),
+        sd AS (SELECT scand.qid, scand.id,
+                     ${sqlL2Sq("q.qv", "e.v")} AS dist
+              FROM scand JOIN e ON e.id = scand.id
+              JOIN q ON q.qid = scand.qid),
+        spr AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dist, id) AS rnk
+              FROM sd)"""
+
   /** One unrolled label-propagation round in DuckDB — count labeled
     * neighbors per node and label, majority pick (count DESC, label
     * ASC), unlabeled nodes adopt, labeled stay clamped. Mirrors
@@ -1192,38 +1227,76 @@ object VectorQueries {
       },
       Some(s"""
         WITH $rptCtes,
-        q AS (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
-        q0 AS (SELECT tr.tree, q.qid, q.qv, 0::BIGINT AS node
-               FROM q CROSS JOIN tr),
-        ${(0 until RPT_D).map(r => s"""
-        qp$r AS (SELECT x.tree, x.qid, x.qv, x.node,
-                 list_sum(list_transform(generate_series(1, 64),
-                   j -> x.qv[j] * pll.hv[j])) AS proj, m$r.med AS med
-                 FROM q$r x
-                 JOIN pll ON pll.tree = x.tree AND pll.level = $r
-                 JOIN m$r ON m$r.tree = x.tree AND m$r.node = x.node),
-        q${r + 1} AS (SELECT tree, qid, qv, node * 2 + c AS node FROM (
-                 SELECT tree, qid, qv, node,
-                        unnest(CASE WHEN abs(proj - med) < 0.2
-                               THEN [0::BIGINT, 1::BIGINT]
-                               ELSE [CASE WHEN proj <= med
-                                     THEN 0::BIGINT ELSE 1::BIGINT END]
-                               END) AS c
-                 FROM qp$r))""").mkString(",")},
-        cand AS (SELECT DISTINCT qf.qid, af.id
-                 FROM q$RPT_D qf
-                 JOIN a$RPT_D af ON af.tree = qf.tree AND af.node = qf.node),
-        d AS (SELECT cand.qid, cand.id,
-                     ${sqlL2Sq("q.qv", "e.v")} AS dist
-              FROM cand JOIN e ON e.id = cand.id
-              JOIN q ON q.qid = cand.qid),
-        r AS (SELECT qid, id, dist,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY dist, id) AS rnk
-              FROM d)
+        $rptSpillCtes
         SELECT qid AS query_id, id AS neighbor_id,
                round(dist, 4) AS dist, rnk
-        FROM r WHERE rnk <= $K
+        FROM spr WHERE rnk <= $K
+      """)
+    ),
+    // Ranked-retrieval evaluation metrics — MRR (reciprocal rank of the
+    // exact top-1 in the approximate ranking) and binary-relevance
+    // nDCG@10, per query, scoring the spill-forest search against exact
+    // kNN — the metric pair a serving stack reports beyond set recall.
+    // Two (query, neighbor) equi-joins + per-query aggregates; log2 is
+    // ln/ln2 and every ≤10-term DCG sum routes through DECIMAL(38,20),
+    // so both engines divide identical doubles and the metric table
+    // hash-checks exactly.
+    GQuery(
+      "eval_rank_metrics",
+      (spark, dir) => {
+        val emb = embOf(spark, dir)
+        val q = emb
+          .filter(col("id") % 10 === 0)
+          .select(col("id").as("query_id"), col("vec").as("qv"))
+        val approx = graft.operators.RpTree.knnSpill(
+          sharedForest(spark, dir), emb, "id", "vec",
+          q, "query_id", "qv", k = K,
+          numTrees = RPT_T, depth = RPT_D, dim = 64, spill = 0.2)
+        val truth = BruteForceKNN.knn(
+          q, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), K)
+        graft.operators.RecallEval
+          .rankMetrics(approx, truth, k = K)
+          .select(
+            col("query_id"),
+            round(col("rr"), 6).as("rr"),
+            round(col("ndcg"), 6).as("ndcg"))
+      },
+      Some(s"""
+        WITH $rptCtes,
+        $rptSpillCtes,
+        td AS (SELECT q.qid, e.id, ${sqlL2Sq("q.qv", "e.v")} AS dist
+               FROM q CROSS JOIN e),
+        tr2 AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                                   ORDER BY dist, id) AS trnk
+                FROM td),
+        truth AS (SELECT qid, id, trnk FROM tr2 WHERE trnk <= $K),
+        ap AS (SELECT qid, id, rnk FROM spr WHERE rnk <= $K),
+        rrt AS (SELECT t.qid,
+                       coalesce(1.0 / ap.rnk, 0.0::DOUBLE) AS rr
+                FROM truth t LEFT JOIN ap
+                  ON ap.qid = t.qid AND ap.id = t.id
+                WHERE t.trnk = 1),
+        dcg AS (SELECT ap.qid,
+                       sum(CASE WHEN t.id IS NOT NULL THEN
+                             (1.0 / (ln(ap.rnk::DOUBLE + 1) / ln(2.0)))
+                               ::DECIMAL(38,20) END)::DOUBLE AS dcg
+                FROM ap LEFT JOIN truth t
+                  ON t.qid = ap.qid AND t.id = ap.id
+                GROUP BY ap.qid),
+        terms AS (SELECT i, (1.0 / (ln(i::DOUBLE + 1) / ln(2.0)))
+                            ::DECIMAL(38,20) AS term
+                  FROM generate_series(1, $K) g(i)),
+        icv AS (SELECT nn.n, sum(t.term)::DOUBLE AS idcg
+                FROM (SELECT unnest(generate_series(1, $K)) AS n) nn
+                JOIN terms t ON t.i <= nn.n GROUP BY nn.n),
+        idcg AS (SELECT nt.qid, icv.idcg
+                 FROM (SELECT qid, count(*) AS nt FROM truth GROUP BY qid) nt
+                 JOIN icv ON icv.n = least(nt.nt, $K))
+        SELECT rrt.qid AS query_id, round(rrt.rr, 6) AS rr,
+               round(coalesce(dcg.dcg, 0.0::DOUBLE) / idcg.idcg, 6) AS ndcg
+        FROM rrt
+        LEFT JOIN dcg ON dcg.qid = rrt.qid
+        LEFT JOIN idcg ON idcg.qid = rrt.qid
       """)
     ),
     // Synchronous label propagation over the shared kNN graph (Zhu &
