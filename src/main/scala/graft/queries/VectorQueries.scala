@@ -1233,6 +1233,77 @@ object VectorQueries {
         FROM spr WHERE rnk <= $K
       """)
     ),
+    // Attribute-constrained forest search — the filtered-ANN entry for
+    // the tree family (completing the symmetry with ivf_knn_filtered /
+    // hnsw_knn_filtered / knn_filtered): spill-descend, union leaves,
+    // then keep only candidates sharing the query's label before the
+    // exact rerank. Composed entirely from the public operator surface
+    // (assignPointsSpill + the leaf artifact + the bounded heap) — the
+    // predicate lands on the candidate table, never on the corpus scan.
+    GQuery(
+      "rpt_knn_filtered",
+      (spark, dir) => {
+        import graft.functions.VectorExpressions.l2SqFast
+        import graft.functions.TopKAgg.topK
+        val embL = t(spark, dir, "embeddings")
+        val lab = embL.select(
+          col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("lab"))
+        val emb = embOf(spark, dir)
+        val q = emb
+          .filter(col("id") % 10 === 0)
+          .select(col("id").as("query_id"), col("vec").as("qv"))
+        val f = sharedForest(spark, dir)
+        val qn = graft.operators.RpTree
+          .assignPointsSpill(
+            q, f.medians, "query_id", "qv",
+            RPT_T, RPT_D, 64, spill = 0.2)
+          .select(col("tree"), col("id").as("qid"), col("leaf"))
+        val cand = qn
+          .join(f.leaves, Seq("tree", "leaf"))
+          .select(col("qid"), col("id"))
+          .distinct()
+          .join(lab.select(col("id").as("qid"), col("lab").as("qlab")), "qid")
+          .join(lab, "id")
+          .filter(col("lab") === col("qlab"))
+          .select(col("qid"), col("id"))
+        cand
+          .join(emb, "id")
+          .join(broadcast(q.select(col("query_id").as("qid"), col("qv"))), "qid")
+          .select(col("qid"), col("id"),
+            l2SqFast(col("qv"), col("vec")).as("dist"))
+          .groupBy(col("qid"))
+          .agg(topK(col("dist"), col("id"), K).as("tk"))
+          .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("qid").as("query_id"),
+            col("e.id").as("neighbor_id"),
+            round(col("e.dist"), 4).as("dist"),
+            (col("pos") + 1).cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH $rptCtes,
+        $rptSpillCtes,
+        lab AS (SELECT vec_id AS id, label::BIGINT AS lab FROM embeddings),
+        fc AS (SELECT s.qid, s.id FROM (
+                 SELECT DISTINCT qf.qid, af.id
+                 FROM q$RPT_D qf
+                 JOIN a$RPT_D af ON af.tree = qf.tree AND af.node = qf.node) s
+               JOIN lab ql ON ql.id = s.qid
+               JOIN lab cl ON cl.id = s.id
+               WHERE cl.lab = ql.lab),
+        fd AS (SELECT fc.qid, fc.id, ${sqlL2Sq("q.qv", "e.v")} AS dist
+               FROM fc JOIN e ON e.id = fc.id
+               JOIN q ON q.qid = fc.qid),
+        fr AS (SELECT qid, id, dist,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY dist, id) AS rnk
+               FROM fd)
+        SELECT qid AS query_id, id AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM fr WHERE rnk <= $K
+      """)
+    ),
     // Ranked-retrieval evaluation metrics — MRR (reciprocal rank of the
     // exact top-1 in the approximate ranking) and binary-relevance
     // nDCG@10, per query, scoring the spill-forest search against exact
