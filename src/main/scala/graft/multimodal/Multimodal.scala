@@ -439,35 +439,8 @@ object Multimodal {
         if (img == null)
           throw new IllegalArgumentException(
             s"dHash: undecodable image bytes (${m.content.length} bytes)")
-        val w = img.getWidth
-        val h = img.getHeight
-        // 9x8 sampled grayscale grid (equal-channel: blue channel exact)
-        val g = Array.ofDim[Int](8, 9)
-        var y = 0
-        while (y < 8) {
-          val sy = y * h / 8
-          var x = 0
-          while (x < 9) {
-            g(y)(x) = img.getRGB(x * w / 9, sy) & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        var lo = 0L
-        var hi = 0L
-        y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (g(y)(x + 1) > g(y)(x)) {
-              val bit = (y % 4) * 8 + x
-              if (y < 4) lo |= 1L << bit else hi |= 1L << bit
-            }
-            x += 1
-          }
-          y += 1
-        }
-        Hashed(m.id, w, h, hi, lo)
+        val (hi, lo) = dhashBits(img)
+        Hashed(m.id, img.getWidth, img.getHeight, hi, lo)
       }
     }
   }
@@ -590,6 +563,113 @@ object Multimodal {
           VideoMotion(id, n, if (n < 2) None else Some(sum / (n - 1)))
         }
       }
+  }
+
+  /** The 9×8-sample dHash kernel over one decoded image — shared by the
+    * image operator ([[dHash]]) and the per-frame video signature
+    * ([[videoFrameHashes]]); one definition of the hash.
+    */
+  private[graft] def dhashBits(
+      img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // 9x8 sampled grayscale grid (equal-channel: blue channel exact)
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 9) {
+        g(y)(x) = img.getRGB(x * w / 9, sy) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) {
+          val bit = (y % 4) * 8 + x
+          if (y < 4) lo |= 1L << bit else hi |= 1L << bit
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  final case class FrameHashed(id: Long, frame: Int, hashHi: Long, hashLo: Long)
+
+  /** Per-frame perceptual signature of a video column: every frame of
+    * the container (GIF or GMPV fallback, dispatched on magic bytes,
+    * REAL `javax.imageio` decode either way) dHashed with the shared
+    * kernel → (id, frame, hashHi, hashLo). The video analog of [[dHash]]
+    * — frames stream one at a time through the iterator (O(frame)
+    * memory), embarrassingly parallel across videos; downstream
+    * video-level dedup treats the hash SET as the signature.
+    */
+  def videoFrameHashes(
+      spark: SparkSession,
+      media: DataFrame // (id long, content binary)
+  ): Dataset[FrameHashed] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          require(bytes.length >= 4, s"truncated video container (id=$id)")
+          val frames =
+            if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+              gifFrameIterator(id, bytes)
+            else gmpvFrameIterator(id, bytes)
+          frames.zipWithIndex.map { case (img, i) =>
+            val (hi, lo) = dhashBits(img)
+            FrameHashed(id, i, hi, lo)
+          }
+        }
+      }
+  }
+
+  /** Deterministic gradient animated GIF — the near-dup VIDEO fixture:
+    * frame for offset `off` has pixel (a·x + b·y + offScale·off) % 256
+    * (TYPE_BYTE_GRAY — the 256-gray palette round-trips losslessly), so
+    * videos sharing (w, h, a, b) and overlapping offset sets share
+    * exactly those frames, and every frame hash is predictable in plain
+    * SQL from the generation parameters.
+    */
+  def gifVideoGradient(
+      w: Int, h: Int, offsets: Seq[Int],
+      a: Int, b: Int, offScale: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    offsets.foreach { off =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (a * x + b * y + offScale * off) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
   }
 
   private def grayPixels(img: java.awt.image.BufferedImage): Array[Int] = {

@@ -589,6 +589,116 @@ object MultimodalQueries {
         SELECT doc_a, doc_b, hamming FROM v WHERE hamming <= 3
       """)
     ),
+    // VIDEO near-dup pairs — frame-hash-set signatures: every frame of
+    // the GIF container is dHashed with the shared kernel, the video's
+    // signature is its frame-hash SET, candidates come from an inverted
+    // index on the hash (videos sharing ANY frame hash), and exact
+    // set-Jaccard verifies — the footage-level analog of mm_phash_dedup
+    // (catches re-cut/trimmed/offset copies that whole-file hashing
+    // misses). Fixture: videos in the same group of 8 share the gradient
+    // class and dims; offset sets overlap partially (start ∈ {0,1},
+    // length ∈ {2,3,4}), so Jaccard takes real fractional values. The
+    // oracle replays generation → decode → per-frame dHash → set algebra
+    // arithmetically.
+    GQuery(
+      "mm_video_dedup",
+      (spark, dir) => {
+        import spark.implicits._
+        val vids = t(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val g = id / 8
+              val w = (g % 24 + 9).toInt
+              val h = (g * 7 % 24 + 8).toInt
+              val a = (30 + (g % 4) * 7).toInt
+              val b = (25 + ((g / 4) % 4) * 9).toInt
+              val st = (id % 2).toInt
+              val n = (id % 3 + 2).toInt
+              (id, Multimodal.gifVideoGradient(
+                w, h, st until (st + n), a, b, offScale = 40))
+            }
+          }
+          .toDF("id", "content")
+        val hset = Multimodal.videoFrameHashes(spark, vids).toDF()
+          .select(col("id"), col("hashHi"), col("hashLo"))
+          .distinct()
+          .localCheckpoint() // feeds sizes + both candidate sides + verify
+        val sizes = hset.groupBy(col("id")).agg(count(lit(1)).as("nh"))
+        val cand = hset.as("a")
+          .join(hset.as("b"),
+            col("a.hashHi") === col("b.hashHi")
+              && col("a.hashLo") === col("b.hashLo")
+              && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val common = cand
+          .join(hset.select(col("id").as("id_a"), col("hashHi"), col("hashLo")), "id_a")
+          .join(
+            hset.select(col("id").as("id_b"),
+              col("hashHi").as("h2"), col("hashLo").as("l2")), "id_b")
+          .filter(col("hashHi") === col("h2") && col("hashLo") === col("l2"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("id").as("id_a"), col("nh").as("na")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("nh").as("nb")), "id_b")
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          ((doc_id // 8) % 24 + 9) AS w,
+                          ((doc_id // 8) * 7 % 24 + 8) AS h,
+                          (30 + ((doc_id // 8) % 4) * 7) AS a,
+                          (25 + (((doc_id // 8) // 4) % 4) * 9) AS b,
+                          (doc_id % 2) AS st,
+                          (doc_id % 3 + 2) AS n
+                   FROM documents),
+        fr AS (SELECT doc_id, w, h, a, b,
+                      unnest(generate_series(st, st + n - 1)) AS off
+               FROM p),
+        hx AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + 40 * off) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + 40 * off) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS hash_lo,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + 40 * off) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + 40 * off) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hash_hi
+               FROM fr),
+        hs AS (SELECT DISTINCT doc_id, hash_hi, hash_lo FROM hx),
+        sz AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY doc_id),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM hs a JOIN hs b
+                   ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo
+                      AND a.doc_id < b.doc_id),
+        cm AS (SELECT c.id_a, c.id_b, count(*) AS c
+               FROM cand c
+               JOIN hs x ON x.doc_id = c.id_a
+               JOIN hs y ON y.doc_id = c.id_b
+                        AND y.hash_hi = x.hash_hi AND y.hash_lo = x.hash_lo
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(c::DOUBLE / (sa.nh + sb.nh - c), 6) AS jaccard
+        FROM cm
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE c::DOUBLE / (sa.nh + sb.nh - c) >= 0.5
+      """)
+    ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.
     GQuery(
       "mm_byte_histogram",

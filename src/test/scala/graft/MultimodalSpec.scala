@@ -231,4 +231,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.dHash(spark, bad).collect()
     }
   }
+
+  test("videoFrameHashes: per-frame == image dHash of the same content; trims overlap") {
+    import spark.implicits._
+    // video of gradient frames at offsets {0,1,2}; a "trimmed copy" at
+    // {1,2}; an unrelated class. Frame hash must equal the image dHash
+    // of an identically-generated still (one kernel, two containers).
+    def frame(off: Int) = {
+      // same pixel law as gifVideoGradient: (a·x + b·y + 40·off) % 256
+      val w = 20; val h = 16
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (37 * x + 25 * y + 40 * off) % 256)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val vids = Seq(
+      (1L, Multimodal.gifVideoGradient(20, 16, Seq(0, 1, 2), 37, 25, 40)),
+      (2L, Multimodal.gifVideoGradient(20, 16, Seq(1, 2), 37, 25, 40)),
+      (3L, Multimodal.gifVideoGradient(20, 16, Seq(0, 1), 91, 13, 40))
+    ).toDF("id", "content")
+    val fh = Multimodal.videoFrameHashes(spark, vids).collect()
+      .groupBy(_.id).view
+      .mapValues(_.map(f => (f.hashHi, f.hashLo)).toSet).toMap
+    val still = Seq(
+      (10L, "image", frame(0), 0L), (11L, "image", frame(1), 0L),
+      (12L, "image", frame(2), 0L)
+    ).toDF("id", "modality", "content", "metaLen")
+    val ih = Multimodal.dHash(spark, still).collect()
+      .map(x => x.id -> ((x.hashHi, x.hashLo))).toMap
+    assert(fh(1L) == Set(ih(10L), ih(11L), ih(12L)),
+      s"GIF frame hashes diverge from still-image dHash: ${fh(1L)} vs $ih")
+    // the trimmed copy's signature is a strict subset -> Jaccard 2/3
+    assert(fh(2L).subsetOf(fh(1L)) && fh(2L).size == 2)
+    // unrelated class shares nothing
+    assert((fh(3L) & fh(1L)).isEmpty, s"${fh(3L)} overlaps ${fh(1L)}")
+  }
 }
