@@ -447,6 +447,96 @@ object MultimodalQueries {
         FROM w GROUP BY 1, 2
       """)
     ),
+    // AUDIO near-dup pairs — windowed-energy fingerprints: the
+    // signature is the SET of (window, exact-integer energy) pairs from
+    // the real-codec decode (audioEnergy), candidates share ANY window
+    // fingerprint (inverted index), exact set-Jaccard verifies — the
+    // audio analog of mm_video_dedup, closing the modality square
+    // (text/image/video/audio each have a content-level dedup). The
+    // fixture derives per-GROUP ramp audio with per-member TAIL TRIMS
+    // (8·(id%3) frames cut), so trimmed copies share every full window
+    // and differ in the tail — the edit byte-hashing can never catch.
+    // Signatures are exact integers end to end: zero float risk.
+    GQuery(
+      "mm_audio_dedup",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val mediaWav = docs
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val g = id / 6
+              val full = (g % 256 + 33).toInt
+              val frames = full - 8 * (id % 3).toInt
+              val a = (g % 500).toInt
+              val b = (g % 7 + 1).toInt
+              (id, "audio", Multimodal.rampWav(frames, a, b), 0L)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        val sig = Multimodal
+          .audioEnergy(spark, mediaWav, windowFrames = 64)
+          .toDF()
+          .select(col("id"), col("win").cast("long").as("win"), col("energy"))
+          .localCheckpoint() // feeds sizes + both join sides + verify
+        val sizes = sig.groupBy(col("id")).agg(count(lit(1)).as("nw"))
+        val cand = sig.as("a")
+          .join(sig.as("b"),
+            col("a.win") === col("b.win")
+              && col("a.energy") === col("b.energy")
+              && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val common = cand
+          .join(sig.select(col("id").as("id_a"), col("win"), col("energy")), "id_a")
+          .join(
+            sig.select(col("id").as("id_b"),
+              col("win").as("w2"), col("energy").as("e2")), "id_b")
+          .filter(col("win") === col("w2") && col("energy") === col("e2"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("id").as("id_a"), col("nw").as("na")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("nw").as("nb")), "id_b")
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id AS id,
+                          ((doc_id // 6) % 256 + 33
+                            - 8 * (doc_id % 3))::BIGINT AS frames,
+                          ((doc_id // 6) % 500)::BIGINT AS a,
+                          ((doc_id // 6) % 7 + 1)::BIGINT AS b
+                   FROM documents),
+        s AS (SELECT id, a, b, unnest(generate_series(0, frames - 1)) AS i
+              FROM d),
+        hs AS (SELECT id, (i // 64)::BIGINT AS win,
+                      sum(((a + i * b) % 1000) * ((a + i * b) % 1000))
+                        ::BIGINT AS energy
+               FROM s GROUP BY 1, 2),
+        sz AS (SELECT id, count(*) AS nw FROM hs GROUP BY id),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM hs a JOIN hs b
+                   ON a.win = b.win AND a.energy = b.energy
+                      AND a.id < b.id),
+        cm AS (SELECT c.id_a, c.id_b, count(*) AS c
+               FROM cand c
+               JOIN hs x ON x.id = c.id_a
+               JOIN hs y ON y.id = c.id_b
+                        AND y.win = x.win AND y.energy = x.energy
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(c::DOUBLE / (sa.nw + sb.nw - c), 6) AS jaccard
+        FROM cm
+        JOIN sz sa ON sa.id = id_a
+        JOIN sz sb ON sb.id = id_b
+        WHERE c::DOUBLE / (sa.nw + sb.nw - c) >= 0.5
+      """)
+    ),
     // Nearest-neighbor audio RESAMPLE to a fixed 48-frame grid — the
     // audio analog of mm_resize (rate normalization before feature
     // extraction): output frame j reads source frame floor(j*nIn/48),
