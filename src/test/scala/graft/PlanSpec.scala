@@ -233,6 +233,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mm_video_dedup / mm_audio_dedup: inverted-index equi-joins, no cartesian") {
+    for (name <- Seq("mm_video_dedup", "mm_audio_dedup")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("rpt_knn: descent joins broadcast the median table; no cartesian anywhere") {
     val p = planOf("rpt_knn")
     assert(p.contains("BroadcastHashJoin"), p)
