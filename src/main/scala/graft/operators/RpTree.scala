@@ -128,6 +128,39 @@ object RpTree {
     Forest(asg.select(col("tree"), col("id"), col("node").as("leaf")), medOut)
   }
 
+  /** Persist the forest artifact: the leaf table partitioned by tree
+    * (a search's (tree, leaf) candidate join prunes whole trees at the
+    * scan) and the tiny median table — the codebook-save analog for the
+    * tree family.
+    */
+  def save(forest: Forest, path: String): Unit = {
+    forest.leaves.write.partitionBy("tree").parquet(s"$path/leaves")
+    forest.medians.write.parquet(s"$path/medians")
+  }
+
+  /** Load a persisted forest, shape-validated: every (level, tree) of a
+    * complete depth-D forest must have its median rows (2^level per
+    * tree), or descent would silently drop queries at the missing node.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Forest = {
+    val leaves = spark.read.parquet(s"$path/leaves")
+      .select(col("tree").cast("int").as("tree"), col("id"), col("leaf"))
+    val medians = spark.read.parquet(s"$path/medians")
+      .select(col("level"), col("tree").cast("int").as("tree"),
+        col("node"), col("med"))
+    val counts = medians.groupBy(col("level"), col("tree"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    require(counts.nonEmpty, s"empty forest at $path")
+    counts.foreach { r =>
+      val (level, tree, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      require(n == (1L << level),
+        s"forest at $path is incomplete: tree $tree level $level has " +
+          s"$n median rows, expected ${1L << level}")
+    }
+    Forest(leaves, medians)
+  }
+
   /** Descend points through a built forest's median tables: `depth`
     * broadcast-joins against the ≤ numTrees·2^depth-row artifact — the
     * points never shuffle. Routes exactly like [[build]] (`proj <= med`

@@ -62,6 +62,24 @@ class RpTreeSpec extends SparkSpec {
     assert(r4 >= r2 - 1e-12, s"recall fell with more trees: $r2 -> $r4")
   }
 
+  test("save/load round-trip: identical search results; incomplete artifact rejected") {
+    val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
+    val dir = java.nio.file.Files.createTempDirectory("rptforest").toString
+    RpTree.save(f, dir)
+    val g = RpTree.load(spark, dir)
+    val a = RpTree.knn(f, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = RpTree.knn(g, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, "search over the loaded forest diverged")
+    // drop one median row -> load must refuse
+    val dir2 = java.nio.file.Files.createTempDirectory("rptforest2").toString
+    f.leaves.write.partitionBy("tree").parquet(s"$dir2/leaves")
+    f.medians.filter(!(col("level") === 2 && col("node") === 1))
+      .write.parquet(s"$dir2/medians")
+    intercept[IllegalArgumentException] { RpTree.load(spark, dir2) }
+  }
+
   test("spill descent: zero margin == plain; candidates superset; recall never drops") {
     val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
     val plain = RpTree
