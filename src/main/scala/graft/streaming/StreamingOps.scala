@@ -994,6 +994,32 @@ object StreamingOps {
     graft.operators.RpTree.assignPoints(
       vecs, medians, idCol, vecCol, numTrees, depth, dim)
 
+  /** Streaming video frame-hash signatures — the extraction stage of
+    * mm_video_dedup online: every arriving container decodes frame by
+    * frame through the real codec and emits its (id, frame, hashHi,
+    * hashLo) rows ([[graft.multimodal.Multimodal.videoFrameHashes]] is a
+    * pure per-row flatMap — zero state, zero shuffle, re-delivery
+    * idempotent). The pair stage stays batch (set-Jaccard needs the
+    * corpus); appending streamed signatures to the signature table is
+    * the same pure-append maintenance as the RP-tree leaf sink.
+    */
+  def videoHashStream(
+      media: DataFrame // streaming (id, content)
+  ): DataFrame =
+    graft.multimodal.Multimodal
+      .videoFrameHashes(media.sparkSession, media).toDF()
+
+  /** Streaming audio window fingerprints — mm_audio_dedup's extraction
+    * stage online; same stateless per-row argument as
+    * [[videoHashStream]], integer-exact energies.
+    */
+  def audioFingerprintStream(
+      media: DataFrame, // streaming (id, modality, content, metaLen)
+      windowFrames: Int
+  ): DataFrame =
+    graft.multimodal.Multimodal
+      .audioEnergy(media.sparkSession, media, windowFrames).toDF()
+
   /** Streaming DSIR scoring — the online quality gate of the
     * pipeline_dsir stage: the B-bucket log-ratio LM is trained ONCE in
     * batch ([[graft.operators.Dsir.logRatioTable]]) and rides the plan

@@ -782,6 +782,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed assignment diverged from the build's leaf table")
   }
 
+  test("streaming video/audio signatures: two waves bit-equal the batch extraction") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val vids = (0L until 24L).map { id =>
+      val g = id / 8
+      (id, Multimodal.gifVideoGradient(
+        (g % 24 + 9).toInt, (g * 7 % 24 + 8).toInt,
+        (id % 2).toInt until ((id % 2) + (id % 3) + 2).toInt,
+        (30 + (g % 4) * 7).toInt, (25 + ((g / 4) % 4) * 9).toInt, 40))
+    }.toDF("id", "content")
+    val vdir = Files.createTempDirectory("vhashstream").toString
+    vids.filter(col("id") % 2 === 0).write.parquet(s"$vdir/w1")
+    vids.filter(col("id") % 2 === 1).write.parquet(s"$vdir/w2")
+    val vq = StreamingOps.videoHashStream(
+      spark.readStream.schema("id LONG, content BINARY")
+        .option("maxFilesPerTrigger", 1).parquet(s"$vdir/*"))
+      .writeStream.format("memory").queryName("vhash").outputMode("append").start()
+    try vq.processAllAvailable() finally vq.stop()
+    val vGot = spark.table("vhash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val vWant = Multimodal.videoFrameHashes(spark, vids).collect()
+      .map(f => (f.id, f.frame, f.hashHi, f.hashLo)).toSet
+    assert(vGot == vWant, "streamed video signatures diverged")
+
+    val wavs = (0L until 24L).map { id =>
+      val g = id / 6
+      (id, "audio",
+        Multimodal.rampWav(
+          (g % 256 + 33).toInt - 8 * (id % 3).toInt,
+          (g % 500).toInt, (g % 7 + 1).toInt), 0L)
+    }.toDF("id", "modality", "content", "metaLen")
+    val adir = Files.createTempDirectory("afpstream").toString
+    wavs.filter(col("id") % 2 === 0).write.parquet(s"$adir/w1")
+    wavs.filter(col("id") % 2 === 1).write.parquet(s"$adir/w2")
+    val aq = StreamingOps.audioFingerprintStream(
+      spark.readStream
+        .schema("id LONG, modality STRING, content BINARY, metaLen LONG")
+        .option("maxFilesPerTrigger", 1).parquet(s"$adir/*"),
+      windowFrames = 64)
+      .writeStream.format("memory").queryName("afp").outputMode("append").start()
+    try aq.processAllAvailable() finally aq.stop()
+    val aGot = spark.table("afp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    val aWant = Multimodal.audioEnergy(spark, wavs, 64).collect()
+      .map(w => (w.id, w.win, w.energy)).toSet
+    assert(aGot == aWant, "streamed audio fingerprints diverged")
+  }
+
   test("streaming DSIR scoring: two waves bit-equal the batch weights") {
     import graft.operators.Dsir
     val docs = Q.t(spark, sf0001, "documents")
