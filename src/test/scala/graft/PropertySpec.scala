@@ -10,6 +10,8 @@ import graft.operators._
   * k-means inertia not worse than its initialization, SDC symmetry.
   */
 class PropertySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.queries.Q
 
   /** Deterministic ScalaCheck sampling: run `body` over `n` seeded draws. */
   private def forSamples[T](gen: Gen[T], n: Int = 30)(body: T => Unit): Unit =
@@ -27,6 +29,62 @@ class PropertySpec extends SparkSpec {
     data.zipWithIndex
       .map { case (v, i) => (KMeansLocal.l2Sq(q, v), i) }
       .sortBy(x => (x._1, x._2)).take(k).map(_._2).toSeq
+
+  test("k-center greedy is a 2-approximation: coverage radius <= 2x brute-force optimum") {
+    import graft.operators.Coreset
+    // 10 deterministic 2-d points; optimum over all C(10,3) center sets
+    val pts = (0 until 10).map { i =>
+      (i.toLong, Seq((i * 37 % 11).toDouble, (i * 53 % 13).toDouble))
+    }
+    val df = pts.toDF("id", "vec")
+    val centers = Coreset.kCenterGreedy(df, "id", "vec", k = 3)
+      .collect().map(_.getLong(1)).toSet
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def radius(cs: Set[Long]): Double = {
+      val cvs = pts.filter(p => cs.contains(p._1)).map(_._2)
+      pts.map(p => cvs.map(c => d2(p._2, c)).min).max
+    }
+    val greedy = math.sqrt(radius(centers))
+    val opt = math.sqrt(
+      pts.map(_._1).combinations(3).map(c => radius(c.toSet)).min)
+    assert(greedy <= 2.0 * opt + 1e-12,
+      s"greedy radius $greedy exceeds 2x optimum $opt")
+  }
+
+  test("label propagation: labeled set grows monotonically; labels never flip") {
+    import graft.operators.LabelProp
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7L), (10L, 9L)).toDF("id", "lab")
+    val ids = ((1L to 6L) ++ Seq(10L, 11L, 99L)).toDF("id")
+    var prev = Map.empty[Long, Long]
+    for (r <- 1 to 4) {
+      val cur = LabelProp.labelPropagation(edges, seeds, ids, rounds = r)
+        .collect().filter(!_.isNullAt(1))
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(prev.keySet.subsetOf(cur.keySet),
+        s"round $r lost labels: ${prev.keySet -- cur.keySet}")
+      prev.foreach { case (id, lab) =>
+        assert(cur(id) == lab, s"round $r flipped $id: $lab -> ${cur(id)}")
+      }
+      prev = cur
+    }
+    assert(prev.keySet == Set(1L, 2L, 3L, 4L, 5L, 10L, 11L))
+  }
+
+  test("SNM: pairs at a smaller window are a subset of a larger window's") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf0001, "documents")
+    val small = Dedup.snmPairs(docs, "doc_id", "text", window = 4, 3, 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val large = Dedup.snmPairs(docs, "doc_id", "text", window = 8, 3, 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small.subsetOf(large), s"lost pairs: ${small -- large}")
+  }
 
   test("top-k is always a prefix of the full (dist, id) sort") {
     forSamples(Gen.zip(dataGen, vecGen)) { case (data, q) =>
