@@ -1370,6 +1370,49 @@ object VectorQueries {
         LEFT JOIN idcg ON idcg.qid = rrt.qid
       """)
     ),
+    // PageRank centrality over the shared kNN graph — the density-
+    // representative selection signal, complementing k-center's
+    // geometric coverage pick: 3 damped power-iteration rounds, mass
+    // from isolated nodes dropped (stated convention). Per-edge
+    // contributions are identical IEEE divisions; each round's per-node
+    // sum routes through DECIMAL(38,20), so the next round's inputs are
+    // bit-equal across engines and the fixed schedule replays as three
+    // unrolled SQL rounds. The (1−d) constant is spelled 1.0 − 0.85 on
+    // BOTH engines (0.15 has no exact double, so the literal spelling
+    // must match the arithmetic one).
+    GQuery(
+      "pipeline_pagerank",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.PageRank
+          .pageRank(
+            sharedGraph(spark, dir),
+            emb.select(col("vec_id").as("id")),
+            rounds = 3)
+          .select(col("id").as("vec_id"), round(col("pr"), 6).as("pr"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM g2
+                 UNION ALL SELECT dst, src FROM g2)),
+        dg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src),
+        pr0 AS (SELECT e.id, 1.0 / nn.n AS pr FROM e CROSS JOIN nn),
+        ${(1 to 3).map(i => s"""
+        pc$i AS (SELECT u.dst AS id,
+                       sum((p.pr / d.deg)::DECIMAL(38,20))::DOUBLE AS s
+                FROM und u
+                JOIN pr${i - 1} p ON p.id = u.src
+                JOIN dg d ON d.id = u.src
+                GROUP BY u.dst),
+        pr$i AS (SELECT e.id,
+                        ((1.0 - 0.85) / nn.n
+                          + 0.85 * coalesce(c.s, 0.0::DOUBLE)) AS pr
+                 FROM e CROSS JOIN nn
+                 LEFT JOIN pc$i c ON c.id = e.id)""").mkString(",")}
+        SELECT id AS vec_id, round(pr, 6) AS pr FROM pr3
+      """)
+    ),
     // Synchronous label propagation over the shared kNN graph (Zhu &
     // Ghahramani 2002): the weak-supervision pass that extends a
     // hand-labeled slice (every 4th vector keeps its label) to the whole

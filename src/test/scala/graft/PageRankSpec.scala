@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+/** Invariants for the power-iteration PageRank. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cycle graph: perfect symmetry keeps every rank at exactly 1/N") {
+    val n = 6
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val ids = (0L until n.toLong).toDF("id")
+    val pr = PageRank.pageRank(edges, ids, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.values.foreach(v =>
+      assert(math.abs(v - 1.0 / n) < 1e-15, s"cycle rank $v != 1/$n"))
+  }
+
+  test("star graph: the hub outranks every leaf; mass conserved when nothing dangles") {
+    val edges = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val ids = (0L to 8L).toDF("id")
+    val pr = PageRank.pageRank(edges, ids, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hub = pr(0L)
+    (1L to 8L).foreach(i => assert(hub > pr(i), s"leaf $i >= hub"))
+    // undirected star with no isolated nodes: total mass stays ~1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass ${pr.values.sum}")
+  }
+
+  test("isolated nodes keep the teleport floor (1-d)/N and leak that mass") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val ids = Seq(1L, 2L, 9L).toDF("id")
+    val pr = PageRank.pageRank(edges, ids, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(9L) == (1.0 - 0.85) / 3, s"isolated ${pr(9L)}")
+    assert(pr(1L) == pr(2L) && pr(1L) > pr(9L))
+    // the declared dangling convention: total mass < 1
+    assert(pr.values.sum < 1.0)
+  }
+}
