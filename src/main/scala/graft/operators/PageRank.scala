@@ -35,6 +35,29 @@ object PageRank {
       ids: DataFrame, // one row per node id in the universe
       rounds: Int,
       damping: Double = 0.85
+  ): DataFrame = pageRankImpl(edges, ids, None, rounds, damping)
+
+  /** Personalized PageRank — the teleport mass lands ONLY on `seeds`
+    * (uniformly), so ranks measure proximity to the seed set through
+    * the graph: the graph-walk complement of DSIR's n-gram importance
+    * ("find more data like this curated slice", Haveliwala 2002).
+    * Same arithmetic discipline as [[pageRank]]; pr₀ = 1/|S| on seeds,
+    * 0 elsewhere.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      ids: DataFrame,
+      seeds: DataFrame, // one row per seed id
+      rounds: Int,
+      damping: Double = 0.85
+  ): DataFrame = pageRankImpl(edges, ids, Some(seeds), rounds, damping)
+
+  private def pageRankImpl(
+      edges: DataFrame,
+      ids: DataFrame,
+      seedsOpt: Option[DataFrame],
+      rounds: Int,
+      damping: Double
   ): DataFrame = {
     require(rounds >= 1, s"pageRank needs >= 1 round, got $rounds")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
@@ -44,8 +67,26 @@ object PageRank {
       .localCheckpoint() // reused by the degree table + every round
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val nodes = ids.select(col("id").cast("long").as("id")).localCheckpoint()
-    val n = nodes.count()
-    var pr = nodes.withColumn("pr", lit(1.0) / n).localCheckpoint()
+    // teleport column: (1−d)/N everywhere (global), or (1−d)/|S| on the
+    // seed set and 0 elsewhere (personalized); pr₀ uses d = 0's shape
+    val (base, tele) = seedsOpt match {
+      case None =>
+        val n = nodes.count()
+        (nodes.withColumn("tp", lit(1.0) / n), lit(1.0 - damping) / n)
+      case Some(seeds) =>
+        val s = seeds.select(col("id").cast("long").as("id")).distinct()
+          .localCheckpoint()
+        val ns = s.count()
+        require(ns > 0, "personalized PageRank needs a non-empty seed set")
+        val tagged = nodes
+          .join(s.withColumn("isSeed", lit(true)), Seq("id"), "left")
+          .withColumn("tp",
+            when(col("isSeed"), lit(1.0) / ns).otherwise(lit(0.0)))
+          .select(col("id"), col("tp"))
+        (tagged, when(col("tp") > 0, lit(1.0 - damping) / ns).otherwise(lit(0.0)))
+    }
+    val anchored = base.localCheckpoint()
+    var pr = anchored.select(col("id"), col("tp").as("pr")).localCheckpoint()
     var r = 0
     while (r < rounds) {
       val contrib = und
@@ -54,12 +95,11 @@ object PageRank {
         .groupBy(col("dst").as("id"))
         .agg(sum((col("pr") / col("deg")).cast(DecimalType(38, 20)))
           .cast("double").as("s"))
-      pr = nodes
+      pr = anchored
         .join(contrib, Seq("id"), "left")
         .select(
           col("id"),
-          (lit(1.0 - damping) / n
-            + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (tele + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint()
       r += 1
     }

@@ -1413,6 +1413,51 @@ object VectorQueries {
         SELECT id AS vec_id, round(pr, 6) AS pr FROM pr3
       """)
     ),
+    // Personalized PageRank from a curated seed slice (every 25th
+    // vector) — the graph-walk complement of DSIR's n-gram importance:
+    // teleport mass lands only on the seeds, so ranks measure proximity
+    // to the curated set through the kNN graph ("find more data like
+    // this"). Same decimal-exact round arithmetic as pipeline_pagerank;
+    // three unrolled oracle rounds with the CASE teleport.
+    GQuery(
+      "pipeline_ppr",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.PageRank
+          .personalizedPageRank(
+            sharedGraph(spark, dir),
+            emb.select(col("vec_id").as("id")),
+            emb.filter(col("vec_id") % 25 === 0).select(col("vec_id").as("id")),
+            rounds = 3)
+          .select(col("id").as("vec_id"), round(col("pr"), 6).as("pr"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM g2
+                 UNION ALL SELECT dst, src FROM g2)),
+        dg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src),
+        ns AS (SELECT count(*) AS ns FROM e WHERE id % 25 = 0),
+        ppr0 AS (SELECT e.id,
+                        CASE WHEN e.id % 25 = 0 THEN 1.0 / ns.ns
+                             ELSE 0.0::DOUBLE END AS pr
+                 FROM e CROSS JOIN ns),
+        ${(1 to 3).map(i => s"""
+        ppc$i AS (SELECT u.dst AS id,
+                        sum((p.pr / d.deg)::DECIMAL(38,20))::DOUBLE AS s
+                 FROM und u
+                 JOIN ppr${i - 1} p ON p.id = u.src
+                 JOIN dg d ON d.id = u.src
+                 GROUP BY u.dst),
+        ppr$i AS (SELECT e.id,
+                         (CASE WHEN e.id % 25 = 0 THEN (1.0 - 0.85) / ns.ns
+                               ELSE 0.0::DOUBLE END
+                           + 0.85 * coalesce(c.s, 0.0::DOUBLE)) AS pr
+                  FROM e CROSS JOIN ns
+                  LEFT JOIN ppc$i c ON c.id = e.id)""").mkString(",")}
+        SELECT id AS vec_id, round(pr, 6) AS pr FROM ppr3
+      """)
+    ),
     // Synchronous label propagation over the shared kNN graph (Zhu &
     // Ghahramani 2002): the weak-supervision pass that extends a
     // hand-labeled slice (every 4th vector keeps its label) to the whole

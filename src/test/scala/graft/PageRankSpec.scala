@@ -30,6 +30,28 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass ${pr.values.sum}")
   }
 
+  test("personalized PageRank: mass concentrates near the seed; far nodes get zero") {
+    // path 1-2-3-4-5, seed {1}: rank decays with distance; node 5 is 4
+    // hops out and unreachable in 3 rounds; disconnected 9 stays 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val pr = PageRank.personalizedPageRank(edges, ids, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // mass reaches exactly the 3-hop ball (no monotone decay claim —
+    // synchronous iteration oscillates on a path before convergence)
+    for (i <- Seq(1L, 2L, 3L, 4L)) assert(pr(i) > 0.0, s"unreached $i: $pr")
+    assert(pr(5L) == 0.0 && pr(9L) == 0.0, s"out-of-ball nodes must be 0: $pr")
+    // the seed keeps at least its teleport share
+    assert(pr(1L) >= (1.0 - 0.85), s"seed lost its teleport floor: $pr")
+    // global and personalized agree when the seed set IS the universe
+    val glob = PageRank.pageRank(edges, ids, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pAll = PageRank.personalizedPageRank(edges, ids, ids, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(glob == pAll, "seeds == universe must reduce to global PageRank")
+  }
+
   test("isolated nodes keep the teleport floor (1-d)/N and leak that mass") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val ids = Seq(1L, 2L, 9L).toDF("id")
