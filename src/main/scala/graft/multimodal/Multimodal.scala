@@ -967,4 +967,70 @@ object Multimodal {
         }
       }
   }
+
+  /** Content-level near-dup pairs over SET-of-fingerprint signatures —
+    * the shared engine behind video dedup (fingerprint = a frame's
+    * (dHashHi, dHashLo)) and audio dedup (fingerprint = a window's
+    * (win, energy)): candidates come from an inverted-index self-join
+    * (tracks sharing ANY fingerprint), exact set-Jaccard over the FULL
+    * signature sets verifies.
+    *
+    * Scale guard (`maxDfAbs`, the tfidfPairs cap applied to the binary
+    * modality): a fingerprint present in f tracks emits C(f,2)
+    * candidate pairs, and real corpora have degenerate fingerprints —
+    * solid/black/intro frames, silence windows — with f ≈ corpus size.
+    * Fingerprints with df > maxDfAbs are dropped from the CANDIDATE
+    * index only (they carry no discriminative signal; a pair sharing
+    * nothing else is noise by definition), bounding candidate volume to
+    * #fingerprints·maxDfAbs² — linear in the corpus. Verification
+    * still counts capped fingerprints: a genuine near-dup pair reaches
+    * the verify through any of its discriminative shared fingerprints
+    * and gets its exact uncapped Jaccard.
+    *
+    * @param sig one row per (id, fingerprint components); duplicates
+    *            collapse (signatures are sets)
+    * @return (id_a < id_b, jaccard) for pairs with jaccard >= jaccardMin
+    */
+  def fingerprintPairs(
+      sig0: DataFrame,
+      idCol: String,
+      fpCols: Seq[String],
+      jaccardMin: Double,
+      maxDfAbs: Long = 4096L
+  ): DataFrame = {
+    require(fpCols.nonEmpty, "need at least one fingerprint column")
+    require(maxDfAbs >= 2, s"maxDfAbs must be >= 2 to pair anything: $maxDfAbs")
+    val fp = fpCols.map(col)
+    val sig = sig0
+      .select(col(idCol).cast("long").as("id") +: fp: _*)
+      .distinct()
+      .localCheckpoint() // feeds sizes + df + both join sides + verify
+    val sizes = sig.groupBy(col("id")).agg(count(lit(1)).as("nw"))
+    val capped = sig.join(
+      sig.groupBy(fp: _*).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDfAbs)
+        .select(fp: _*),
+      fpCols, "left_semi")
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        fpCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val common = cand
+      .join(sig.select(col("id").as("id_a") +: fp: _*), "id_a")
+      .join(
+        sig.select(col("id").as("id_b") +: fpCols.map(c => col(c).as(s"${c}_2")): _*),
+        "id_b")
+      .filter(fpCols.map(c => col(c) === col(s"${c}_2")).reduce(_ && _))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("nw").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nw").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -17,25 +17,42 @@ import graft.functions.VectorExpressions.l2SqFast
   * so the whole iterative greedy replays under an exact recursive-CTE
   * oracle (the knn_mmr pattern: state = chosen-id list).
   *
-  * Spark shape per round: one map over the remaining points (update the
-  * running min-distance against the ONE new center — a broadcast scalar,
-  * not a join), one TakeOrdered(1) argmax. k rounds = k linear passes,
-  * never a pairwise table; driver state is k rows. The running-min
-  * column makes each round O(n·D) instead of the naive O(n·|centers|·D).
+  * Spark shape: exact farthest-first is inherently sequential, but the
+  * CLUSTER round-trips are not — each round collects the TOP-`batch`
+  * remaining points by running min-distance (one TakeOrdered action)
+  * and then accepts greedy picks from that buffer on the driver for as
+  * long as they are PROVABLY the global argmax: a buffered candidate
+  * whose distance, updated against the centers accepted from the same
+  * buffer, still meets or beats the buffer's cutoff (the `batch`-th
+  * collected distance — an upper bound on every uncollected point,
+  * whose running min can only shrink) is exactly the pick sequential
+  * greedy would make. Identical output to batch = 1, but k centers cost
+  * ~k/accepted-per-round Spark jobs instead of 3k. Between rounds the
+  * running-min column folds ALL newly accepted centers in one map
+  * (`least` chain over plan-literal vectors); localCheckpoint truncates
+  * the lineage. Driver state is O(batch) rows, O(batch²·D) arithmetic
+  * per round.
   */
 object Coreset {
 
   /** Returns (rnd 1..k, center_id, radius): the selection order, and for
     * each added center the max-min-distance that selected it — the
     * coverage radius of the PREVIOUS center set (null for the seed).
+    *
+    * @param batch candidate buffer collected per cluster round-trip;
+    *              any value returns the identical exact greedy sequence
+    *              (picks beyond the provable-argmax prefix are discarded
+    *              and re-fetched), it only tunes jobs-per-center.
     */
   def kCenterGreedy(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      batch: Int = 16
   ): DataFrame = {
     require(k >= 1, s"coreset size must be >= 1, got $k")
+    require(batch >= 1, s"candidate batch must be >= 1, got $batch")
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(
@@ -48,26 +65,80 @@ object Coreset {
     val centers =
       scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
         (1L, seedId, None))
+    def l2Sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
     // state = remaining points with their running min-dist² to the chosen
-    // set; each round re-evaluates ONE new-center distance and keeps the
-    // min — localCheckpoint truncates the k-deep lineage
+    // set; each round folds the newly accepted centers into the min —
+    // localCheckpoint truncates the growing lineage
     var state = v
       .filter(col("id") =!= seedId)
       .withColumn("md", l2SqFast(col("vec"), typedLit(seedVec)))
       .localCheckpoint()
-    var r = 2
-    while (r <= k && state.limit(1).count() == 1) {
-      val pick = state
-        .orderBy(col("md").desc, col("id").asc).limit(1).head()
-      val pid = pick.getLong(0)
-      val pvec = pick.getSeq[Double](1)
-      centers += ((r.toLong, pid, Some(pick.getDouble(2))))
-      state = state
-        .filter(col("id") =!= pid)
-        .withColumn("md",
-          least(col("md"), l2SqFast(col("vec"), typedLit(pvec))))
-        .localCheckpoint()
-      r += 1
+    while (centers.length < k) {
+      // ONE action: the top-`batch` remaining points by (md DESC, id ASC)
+      val buf = state
+        .orderBy(col("md").desc, col("id").asc)
+        .limit(batch)
+        .collect()
+      if (buf.isEmpty) {
+        // corpus exhausted before k centers — return what exists
+        return centers.toSeq
+          .toDF("rnd", "center_id", "radius")
+          .select(col("rnd"), col("center_id"),
+            col("radius").cast("double").as("radius"))
+      }
+      // cutoff = an upper bound on the updated md of every point NOT in
+      // the buffer (its collected md bounds its updated md); when the
+      // buffer is the whole remainder there is no outside point to beat
+      val cutoff =
+        if (buf.length < batch) Double.NegativeInfinity
+        else buf.last.getDouble(2)
+      val accepted = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])]()
+      // driver-side exact greedy over the buffer: updated md = collected
+      // md (already folds all pre-round centers) min distance to centers
+      // accepted from this same buffer
+      val upd = buf.map(r =>
+        (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      var live = upd.toBuffer
+      var firstPick = true
+      var continue = true
+      while (continue && centers.length < k && live.nonEmpty) {
+        var bi = 0
+        var i = 1
+        while (i < live.length) {
+          val c = live(i); val b = live(bi)
+          if (c._3 > b._3 || (c._3 == b._3 && c._1 < b._1)) bi = i
+          i += 1
+        }
+        val best = live(bi)
+        // the round's FIRST pick is the global argmax by construction
+        // (the collect was a global (md DESC, id ASC) head and no center
+        // has been added since); later picks must clear the cutoff
+        // STRICTLY — at equality an uncollected point could win the
+        // id tie-break
+        if (firstPick || best._3 > cutoff) {
+          firstPick = false
+          centers += ((centers.length + 1L, best._1, Some(best._3)))
+          accepted += ((best._1, best._2))
+          live.remove(bi)
+          live = live.map { case (id, vec, md) =>
+            (id, vec, math.min(md, l2Sq(vec, best._2)))
+          }
+        } else continue = false // argmax may be outside the buffer — refetch
+      }
+      if (centers.length < k) {
+        val acceptedIds = accepted.map(_._1).toSet
+        val newMd = accepted.foldLeft(col("md")) { (acc, c) =>
+          least(acc, l2SqFast(col("vec"), typedLit(c._2)))
+        }
+        state = state
+          .filter(!col("id").isInCollection(acceptedIds))
+          .withColumn("md", newMd)
+          .localCheckpoint()
+      }
     }
     centers.toSeq
       .toDF("rnd", "center_id", "radius")

@@ -57,13 +57,27 @@ object Dsir {
       textCol: String,
       buckets: Int = 512
   ): DataFrame = {
-    val fbRaw = features(raw, idCol, textCol)
+    val crTab = features(raw, idCol, textCol)
       .select(bucketOf(col("f"), buckets).as("b"))
-    val fbTgt = features(target, idCol, textCol)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ctTab = features(target, idCol, textCol)
       .select(bucketOf(col("f"), buckets).as("b"))
-    val crTab = fbRaw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val ctTab = fbTgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    raw.sparkSession
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    logRatioFromCounts(raw.sparkSession, crTab, ctTab, buckets)
+  }
+
+  /** The log-ratio arithmetic over already-aggregated B-row bucket
+    * counts — totals come from the SAME count tables (Σ counts = stream
+    * length), so neither corpus-sized feature stream is ever scanned
+    * twice.
+    */
+  private def logRatioFromCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      crTab: DataFrame,
+      ctTab: DataFrame,
+      buckets: Int
+  ): DataFrame = {
+    spark
       .range(buckets).select(col("id").as("b"))
       .join(ctTab, Seq("b"), "left")
       .join(crTab, Seq("b"), "left")
@@ -71,8 +85,10 @@ object Dsir {
         col("b"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
-      .crossJoin(broadcast(fbTgt.agg(count(lit(1)).as("tt"))))
-      .crossJoin(broadcast(fbRaw.agg(count(lit(1)).as("rt"))))
+      .crossJoin(broadcast(
+        ctTab.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))))
+      .crossJoin(broadcast(
+        crTab.agg(coalesce(sum(col("cr")), lit(0L)).as("rt"))))
       .select(
         col("b"),
         (log((col("ct") + 1).cast("double")
@@ -91,9 +107,18 @@ object Dsir {
       textCol: String,
       buckets: Int = 512
   ): DataFrame = {
+    // the raw feature stream is tokenize+explode over the whole corpus —
+    // materialize it ONCE (localCheckpoint) and derive both the raw
+    // bucket LM and the per-doc scoring join from the same pass; the
+    // target stream (small curated slice) is scanned once for its counts
     val fbRaw = features(raw, idCol, textCol)
       .select(col("doc_id"), bucketOf(col("f"), buckets).as("b"))
-    val lb = logRatioTable(raw, target, idCol, textCol, buckets)
+      .localCheckpoint()
+    val crTab = fbRaw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ctTab = features(target, idCol, textCol)
+      .select(bucketOf(col("f"), buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val lb = logRatioFromCounts(raw.sparkSession, crTab, ctTab, buckets)
     raw.select(col(idCol).as("doc_id"))
       .join(
         fbRaw

@@ -39,7 +39,14 @@ object LabelProp {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // reused every round
-    val s0 = seeds.select(col("id").cast("long").as("id"), col("lab").cast("long").as("lab"))
+    // seeds deduped deterministically (min label per id): duplicate or
+    // conflicting seed rows would otherwise fan out the state table on
+    // the ids left-join — one propagated row (and one majority vote)
+    // per duplicate, every round
+    val s0 = seeds
+      .select(col("id").cast("long").as("id"), col("lab").cast("long").as("lab"))
+      .groupBy(col("id"))
+      .agg(min(col("lab")).as("lab"))
     var state = ids.select(col("id").cast("long").as("id"))
       .join(s0, Seq("id"), "left")
       .localCheckpoint()

@@ -10,12 +10,17 @@ import org.apache.spark.sql.types.DecimalType
   * complement of the k-center geometric coverage pick. Synchronous
   * power iteration with damping d:
   *
-  *   pr₀(v) = 1/N;  pr_{r+1}(v) = (1−d)/N + d·Σ_{u→v} pr_r(u)/outdeg(u)
+  *   pr₀(v) = 1/N;  pr_{r+1}(v) = (1−d)/N + d·(Σ_{u→v} pr_r(u)/outdeg(u)
+  *                                             + Dm_r·tp(v)/(Σtp))
   *
   * over the UNDIRECTED neighbor edge set (each edge contributes both
-  * ways). Mass leaving isolated nodes is dropped (the simplified
-  * dangling-node convention, stated here) — ranks still order nodes by
-  * in-neighborhood density, which is all selection needs.
+  * ways). Mass on DANGLING nodes (isolated — no edges at all after
+  * undirecting) is redistributed along the teleport distribution each
+  * round, the textbook convention: Dm_r = Σ pr_r over dangling nodes
+  * (decimal-exact), landing uniformly for global PageRank and on the
+  * seed set for personalized — so total mass is conserved at 1. On a
+  * graph with no isolated nodes Dm = 0.0 exactly and every float is
+  * bit-identical to the plain power iteration.
   *
   * Engine-portable by construction: per-edge contributions pr/outdeg
   * are identical IEEE divisions on both engines, and each round's
@@ -95,11 +100,22 @@ object PageRank {
         .groupBy(col("dst").as("id"))
         .agg(sum((col("pr") / col("deg")).cast(DecimalType(38, 20)))
           .cast("double").as("s"))
+      // dangling mass: pr on nodes with no out-edge, re-entering along
+      // the teleport distribution (Σtp = 1 by construction, so the
+      // per-node share is Dm·tp); decimal-exact sum, broadcast scalar —
+      // exactly 0.0 (and float-invisible) when no node is isolated
+      val dang = pr
+        .join(deg.select(col("id")), Seq("id"), "left_anti")
+        .agg(coalesce(
+          sum(col("pr").cast(DecimalType(38, 20))).cast("double"),
+          lit(0.0)).as("dm"))
       pr = anchored
         .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
         .select(
           col("id"),
-          (tele + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (tele + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dm") * col("tp"))).as("pr"))
         .localCheckpoint()
       r += 1
     }

@@ -59,6 +59,11 @@ object RecallEval {
     * — |Q|·k rows end to end, no driver loop. Engine-portable floats:
     * log2 spelled ln(x)/ln(2) and the ≤k-term DCG sums routed through
     * DECIMAL(38,20), so both engines divide identical doubles.
+    *
+    * Query universe is TRUTH-ANCHORED: one metric row per query that
+    * has ground truth (rr is built from truth's rank-1 rows); queries
+    * present only in `approx` carry no relevance information and are
+    * dropped from the metric table by design.
     */
   def rankMetrics(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -83,8 +88,7 @@ object RecallEval {
           when(col("rel").isNotNull,
             (lit(1.0) / (log(col("rnk").cast("double") + 1) / lg2))
               .cast(DecimalType(38, 20)))
-            .otherwise(lit(null))).cast("double").as("dcg"),
-        count(lit(1)).as("na"))
+            .otherwise(lit(null))).cast("double").as("dcg"))
     // ideal DCG: the first min(k, |truth|) positions all relevant
     val idcg = t.groupBy(col("query_id"))
       .agg(count(lit(1)).as("nt"))

@@ -99,6 +99,9 @@ object RpTree {
       dim: Int
   ): Forest = {
     require(numTrees >= 1 && depth >= 1, "need >= 1 tree and >= 1 level")
+    require(depth <= 24,
+      s"depth $depth: the 2^depth-row median table must stay broadcastable")
+    val spark = df.sparkSession
     val v = df.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -108,11 +111,26 @@ object RpTree {
       .select(
         explode(typedLit((0 until numTrees).toList)).as("tree"),
         col("id"), col("vec"), lit(0L).as("node"))
+    // a node holding ≤ 1 point can leave a child EMPTY (its single point
+    // routes left: proj <= its own median); empty nodes produce no data
+    // median, but descent (and load()'s completeness check) needs a
+    // routing value at EVERY node of the complete binary level — so each
+    // level's table is completed with +Infinity sentinels on the empty
+    // nodes (everything routes left; spill never triggers: |proj−∞| is
+    // never < spill). Sentinels cost nothing on healthy corpora: with
+    // median splits every node holding ≥ 2 points fills both children,
+    // so a complete level has zero empty nodes whenever n ≥ 2^depth.
+    var expected = spark.range(numTrees)
+      .select(col("id").cast("int").as("tree"), lit(0L).as("node"))
     var medOut: DataFrame = null
     var level = 0
     while (level < depth) {
       val proj = asg.withColumn("proj", projFor(col("vec"), numTrees, level, dim))
-      val meds = medians(proj).localCheckpoint() // ≤ numTrees·2^level rows
+      val meds = expected
+        .join(medians(proj), Seq("tree", "node"), "left")
+        .select(col("tree"), col("node"),
+          coalesce(col("med"), lit(Double.PositiveInfinity)).as("med"))
+        .localCheckpoint() // exactly numTrees·2^level rows
       val lvl = meds.select(
         lit(level).as("level"), col("tree"), col("node"), col("med"))
       medOut = if (medOut == null) lvl else medOut.unionAll(lvl)
@@ -123,6 +141,8 @@ object RpTree {
           (col("node") * 2 +
             when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
         .localCheckpoint() // evaluate once per level; truncate lineage
+      expected = meds.select(col("tree"), (col("node") * 2).as("node"))
+        .unionAll(meds.select(col("tree"), (col("node") * 2 + 1).as("node")))
       level += 1
     }
     Forest(asg.select(col("tree"), col("id"), col("node").as("leaf")), medOut)

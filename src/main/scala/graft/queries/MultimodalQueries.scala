@@ -480,29 +480,14 @@ object MultimodalQueries {
           .audioEnergy(spark, mediaWav, windowFrames = 64)
           .toDF()
           .select(col("id"), col("win").cast("long").as("win"), col("energy"))
-          .localCheckpoint() // feeds sizes + both join sides + verify
-        val sizes = sig.groupBy(col("id")).agg(count(lit(1)).as("nw"))
-        val cand = sig.as("a")
-          .join(sig.as("b"),
-            col("a.win") === col("b.win")
-              && col("a.energy") === col("b.energy")
-              && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
-        val common = cand
-          .join(sig.select(col("id").as("id_a"), col("win"), col("energy")), "id_a")
-          .join(
-            sig.select(col("id").as("id_b"),
-              col("win").as("w2"), col("energy").as("e2")), "id_b")
-          .filter(col("win") === col("w2") && col("energy") === col("e2"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("c"))
-        common
-          .join(sizes.select(col("id").as("id_a"), col("nw").as("na")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("nw").as("nb")), "id_b")
-          .withColumn("jaccard",
-            col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .filter(col("jaccard") >= 0.5)
+        // shared capped-inverted-index engine: df > 4096 fingerprints
+        // (silence-window analogs) never generate candidates — the
+        // tfidfPairs maxDfAbs guard for the binary modality; verify
+        // stays exact over the uncapped sets. No-op on this fixture
+        // (dup-class df ≪ cap), bounds candidates at any corpus size.
+        Multimodal
+          .fingerprintPairs(sig, "id", Seq("win", "energy"),
+            jaccardMin = 0.5, maxDfAbs = 4096L)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some("""
@@ -519,8 +504,12 @@ object MultimodalQueries {
                         ::BIGINT AS energy
                FROM s GROUP BY 1, 2),
         sz AS (SELECT id, count(*) AS nw FROM hs GROUP BY id),
+        dfc AS (SELECT win, energy FROM hs
+                GROUP BY win, energy HAVING count(*) <= 4096),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                 FROM hs a JOIN hs b
+                 FROM hs a
+                 JOIN dfc f ON f.win = a.win AND f.energy = a.energy
+                 JOIN hs b
                    ON a.win = b.win AND a.energy = b.energy
                       AND a.id < b.id),
         cm AS (SELECT c.id_a, c.id_b, count(*) AS c
@@ -713,30 +702,14 @@ object MultimodalQueries {
           .toDF("id", "content")
         val hset = Multimodal.videoFrameHashes(spark, vids).toDF()
           .select(col("id"), col("hashHi"), col("hashLo"))
-          .distinct()
-          .localCheckpoint() // feeds sizes + both candidate sides + verify
-        val sizes = hset.groupBy(col("id")).agg(count(lit(1)).as("nh"))
-        val cand = hset.as("a")
-          .join(hset.as("b"),
-            col("a.hashHi") === col("b.hashHi")
-              && col("a.hashLo") === col("b.hashLo")
-              && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
-        val common = cand
-          .join(hset.select(col("id").as("id_a"), col("hashHi"), col("hashLo")), "id_a")
-          .join(
-            hset.select(col("id").as("id_b"),
-              col("hashHi").as("h2"), col("hashLo").as("l2")), "id_b")
-          .filter(col("hashHi") === col("h2") && col("hashLo") === col("l2"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("c"))
-        common
-          .join(sizes.select(col("id").as("id_a"), col("nh").as("na")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("nh").as("nb")), "id_b")
-          .withColumn("jaccard",
-            col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .filter(col("jaccard") >= 0.5)
+        // shared capped-inverted-index engine: frame hashes in > 4096
+        // videos (solid/black/intro-card analogs) never generate
+        // candidates — the tfidfPairs maxDfAbs guard for footage;
+        // set-Jaccard verify stays exact over the uncapped hash sets.
+        // No-op on this fixture (dup-class df ≪ cap).
+        Multimodal
+          .fingerprintPairs(hset, "id", Seq("hashHi", "hashLo"),
+            jaccardMin = 0.5, maxDfAbs = 4096L)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some("""
@@ -771,8 +744,13 @@ object MultimodalQueries {
                FROM fr),
         hs AS (SELECT DISTINCT doc_id, hash_hi, hash_lo FROM hx),
         sz AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY doc_id),
+        dfc AS (SELECT hash_hi, hash_lo FROM hs
+                GROUP BY hash_hi, hash_lo HAVING count(*) <= 4096),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM hs a JOIN hs b
+                 FROM hs a
+                 JOIN dfc f ON f.hash_hi = a.hash_hi
+                           AND f.hash_lo = a.hash_lo
+                 JOIN hs b
                    ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo
                       AND a.doc_id < b.doc_id),
         cm AS (SELECT c.id_a, c.id_b, count(*) AS c

@@ -40,6 +40,36 @@ class CoresetSpec extends SparkSpec {
     assert(short.toSeq == full.take(5).toSeq)
   }
 
+  test("kCenterGreedy: lazy-batched rounds reproduce sequential greedy exactly") {
+    // batch = 1 degenerates to one-pick-per-round sequential greedy (the
+    // round's first pick is always the global argmax); larger buffers
+    // must accept extra picks ONLY when provably the argmax — identical
+    // output for every batch size, fewer cluster round-trips
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    def run(b: Int) = Coreset.kCenterGreedy(emb, "vec_id", "vec", k = 12, batch = b)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    val seq1 = run(1)
+    assert(run(4) == seq1)
+    assert(run(64) == seq1)
+  }
+
+  test("kCenterGreedy: batched rounds exact under heavy distance ties") {
+    // duplicated points force md ties at the buffer cutoff — the strict
+    // > cutoff rule must refetch rather than mis-order the id tie-break
+    val base = (0L until 40L).map(i => (i, Seq((i % 5).toDouble, (i % 3).toDouble)))
+    val df = base.toDF("id", "vec")
+    def run(b: Int) = Coreset.kCenterGreedy(df, "id", "vec", k = 15, batch = b)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    val seq1 = run(1)
+    assert(run(8) == seq1)
+    assert(run(40) == seq1)
+  }
+
   test("kCenterGreedy: k larger than n stops at n centers") {
     val df = Seq((7L, Seq(0.0)), (9L, Seq(3.0))).toDF("id", "vec")
     val got = Coreset.kCenterGreedy(df, "id", "vec", k = 10).collect()

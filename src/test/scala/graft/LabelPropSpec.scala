@@ -23,6 +23,24 @@ class LabelPropSpec extends SparkSpec {
         ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getString(2)))
       .toMap
 
+  test("duplicate/conflicting seed rows dedupe to min label — no vote or row fan-out") {
+    val edges = Seq((1L, 2L), (1L, 3L))
+    val ids = Seq(1L, 2L, 3L)
+    // id 1 seeded three times with conflicting labels: deterministic
+    // dedup keeps min(5,7)=5, emits ONE row per node, ONE vote per edge
+    val dup = run(edges, Seq((1L, 7L), (1L, 5L), (1L, 5L)), ids, rounds = 1)
+    val clean = run(edges, Seq((1L, 5L)), ids, rounds = 1)
+    assert(dup == clean, s"duplicate seeds diverged: $dup vs $clean")
+    assert(dup(1L) == (Some(5L), "seed"))
+    assert(dup(2L) == (Some(5L), "propagated"))
+    // the Map above masks duplicates — assert the row count directly
+    val rows = LabelProp.labelPropagation(
+      edges.toDF("src", "dst"),
+      Seq((1L, 7L), (1L, 5L), (1L, 5L)).toDF("id", "lab"),
+      ids.toDF("id"), rounds = 1).count()
+    assert(rows == 3L, s"seed fan-out produced $rows rows for 3 nodes")
+  }
+
   test("labels walk one hop per round along a path; isolated stays unlabeled") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     val ids = Seq(1L, 2L, 3L, 4L, 9L)

@@ -269,4 +269,31 @@ class MultimodalSpec extends SparkSpec {
     // unrelated class shares nothing
     assert((fh(3L) & fh(1L)).isEmpty, s"${fh(3L)} overlaps ${fh(1L)}")
   }
+
+  test("fingerprintPairs: planted ubiquitous fingerprint never generates candidates; verify stays exact") {
+    // 10 tracks; fingerprint (0,0) is in EVERY one (the black-frame /
+    // silence-window degenerate) — uncapped it alone fans out C(10,2) =
+    // 45 candidate pairs; tracks 1 and 2 additionally share 3 genuine
+    // fingerprints (a real near-dup pair)
+    val rows =
+      (1L to 10L).map(id => (id, 0L, 0L)) ++ // ubiquitous
+        Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+          (2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L)) ++
+        (3L to 10L).map(id => (id, id * 100, id * 100)) // own noise
+    val sig = rows.toDF("id", "f1", "f2")
+    // cap 5 kills the df=10 fingerprint from the candidate index: only
+    // the genuine pair survives, and its Jaccard still counts the
+    // ubiquitous fingerprint in BOTH sets (4 shared / 4 union = 1.0)
+    val capped = Multimodal
+      .fingerprintPairs(sig, "id", Seq("f1", "f2"), jaccardMin = 0.0, maxDfAbs = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((1L, 2L)), s"capped candidates: $capped")
+    assert(capped((1L, 2L)) == 1.0, s"verify must be uncapped-exact: $capped")
+    // without the cap the degenerate fingerprint pairs everything: 45
+    // candidate pairs reach the verify — the quadratic tail the cap cuts
+    val uncapped = Multimodal
+      .fingerprintPairs(sig, "id", Seq("f1", "f2"), jaccardMin = 0.0, maxDfAbs = 1000)
+      .count()
+    assert(uncapped == 45L, s"uncapped pair count: $uncapped")
+  }
 }

@@ -52,14 +52,42 @@ class PageRankSpec extends SparkSpec {
     assert(glob == pAll, "seeds == universe must reduce to global PageRank")
   }
 
-  test("isolated nodes keep the teleport floor (1-d)/N and leak that mass") {
+  test("dangling mass redistributes along the teleport vector; total mass = 1") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val ids = Seq(1L, 2L, 9L).toDF("id")
     val pr = PageRank.pageRank(edges, ids, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(pr(9L) == (1.0 - 0.85) / 3, s"isolated ${pr(9L)}")
+    // the isolated node keeps MORE than the bare teleport floor: it also
+    // receives its uniform share of its own redistributed dangling mass
+    assert(pr(9L) > (1.0 - 0.85) / 3, s"isolated ${pr(9L)}")
     assert(pr(1L) == pr(2L) && pr(1L) > pr(9L))
-    // the declared dangling convention: total mass < 1
-    assert(pr.values.sum < 1.0)
+    // textbook conservation: redistribution keeps Σpr = 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, s"mass ${pr.values.sum}")
+  }
+
+  test("personalized dangling mass lands only on seeds; seed-set mass = 1") {
+    // node 9 is isolated; its mass must flow back to the seed, never to
+    // other non-seed nodes' teleport (they have tp = 0)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val ids = Seq(1L, 2L, 9L).toDF("id")
+    val pr = PageRank.personalizedPageRank(
+      edges, ids, Seq(1L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(9L) == 0.0, s"non-seed isolated node gained mass: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, s"mass ${pr.values.sum}")
+  }
+
+  test("no-dangling graphs are bit-identical to the plain power iteration") {
+    // cycle: closed under out-edges, Dm = 0.0 every round — redistribution
+    // must be float-invisible (s + 0.0·tp == s), which is what keeps the
+    // pipeline_pagerank / pipeline_ppr oracles valid verbatim
+    val n = 5
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val ids = (0L until n.toLong).toDF("id")
+    val pr = PageRank.pageRank(edges, ids, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.values.foreach(v =>
+      assert(math.abs(v - 1.0 / n) < 1e-15, s"cycle rank $v"))
   }
 }

@@ -80,6 +80,35 @@ class RpTreeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RpTree.load(spark, dir2) }
   }
 
+  test("degenerate corpus (n < 2^depth): sentinel medians complete every level, no query drops") {
+    import spark.implicits._
+    // 5 points, depth 4 -> branches shrink to 1 point and leave empty
+    // children; +Inf sentinels must keep every level at 2^level rows so
+    // save/load round-trips and descent never drops a query mid-walk
+    val tiny = (0L until 5L)
+      .map(i => (i, Seq.tabulate(64)(d => math.sin(i * 13.0 + d))))
+      .toDF("id", "vec")
+    val f = RpTree.build(tiny, "id", "vec", 2, 4, 64)
+    val perLevel = f.medians.groupBy(col("level"), col("tree"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (lvl <- 0 until 4; tr <- 0 until 2)
+      assert(perLevel((lvl, tr)) == (1L << lvl),
+        s"level $lvl tree $tr has ${perLevel((lvl, tr))} median rows")
+    val dir = java.nio.file.Files.createTempDirectory("rptdegen").toString
+    RpTree.save(f, dir)
+    val g = RpTree.load(spark, dir) // completeness check must pass
+    // 40 probe points spread wide: every one must reach a leaf in BOTH trees
+    val probes = (100L until 140L)
+      .map(i => (i, Seq.tabulate(64)(d => math.cos(i * 7.0 + d) * 3)))
+      .toDF("id", "vec")
+    val asg = RpTree.assignPoints(probes, g.medians, "id", "vec", 2, 4, 64)
+    assert(asg.count() == 40L * 2, "descent dropped probes at an empty node")
+    // all corpus points still land in exactly one leaf per tree
+    val leaves = RpTree.assignPoints(tiny, g.medians, "id", "vec", 2, 4, 64)
+    assert(leaves.count() == 5L * 2)
+  }
+
   test("spill descent: zero margin == plain; candidates superset; recall never drops") {
     val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
     val plain = RpTree
