@@ -397,4 +397,128 @@ object KMeans {
     }
     chosen.toArray
   }
+
+  /** DETERMINISTIC k-means++ seeding — the paper's D²-weighted sampling
+    * with the engine's md5 coin instead of a JVM RNG, making the init
+    * (and therefore a whole fixed-round fit) engine-portable and
+    * hash-checkable:
+    *
+    *  - pick 0 (the paper's uniform draw): argmin (u, id) over
+    *    u = md5-uniform(id:kmpp:0) — every point equally likely, ties
+    *    by id;
+    *  - pick j ≥ 1 (the D²-weighted draw): the Efraimidis–Spirakis
+    *    single-pick — key = ln(u_j)/D²(x), argmax (key, −id); P(pick)
+    *    is exactly D²/ΣD² (A-ES with one sample), coins fresh per round
+    *    (salt `:kmpp:j`). Points already chosen have D² = 0 — excluded,
+    *    matching kmeans++'s zero probability mass. If EVERY remaining
+    *    point sits on a chosen centroid (all D² = 0 — fewer distinct
+    *    vectors than k), falls back to the uniform md5 draw over all
+    *    points (the local path's fallback, py/pq.py:91-95 analog).
+    *
+    * Spark shape per pick: one map updating the running min-D² against
+    * the ONE new plan-literal centroid + one TakeOrdered(1) — k linear
+    * passes, the coreset discipline (never a pairwise table).
+    *
+    * @return (rnd 0..k−1, id, vec)
+    */
+  def ppInitDet(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    def u(j: Int) =
+      (Dedup.md5Long(concat(col("id").cast("string"), lit(s":kmpp:$j")))
+        % 1000000 + 1).cast("double") / lit(1000001.0)
+    val first = v.withColumn("u", u(0))
+      .orderBy(col("u"), col("id")).limit(1)
+      .select(col("id"), col("vec")).head()
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Double])](
+      (0L, first.getLong(0), first.getSeq[Double](1)))
+    var state = v
+      .withColumn("md", l2SqFast(col("vec"), typedLit(first.getSeq[Double](1))))
+      .localCheckpoint()
+    var j = 1
+    while (j < k) {
+      val cand = state
+        .filter(col("md") > 0)
+        .withColumn("key", log(u(j)) / col("md"))
+        .orderBy(col("key").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("vec"))
+        .collect()
+      val pick =
+        if (cand.nonEmpty) cand(0)
+        else // degenerate: < k distinct vectors — uniform md5 fallback
+          v.withColumn("u", u(j)).orderBy(col("u"), col("id")).limit(1)
+            .select(col("id"), col("vec")).head()
+      val pvec = pick.getSeq[Double](1)
+      picks += ((j.toLong, pick.getLong(0), pvec))
+      state = state
+        .withColumn("md", least(col("md"), l2SqFast(col("vec"), typedLit(pvec))))
+        .localCheckpoint()
+      j += 1
+    }
+    picks.toSeq.toDF("rnd", "id", "vec")
+  }
+
+  /** Fully deterministic distributed k-means: [[ppInitDet]] seeding +
+    * a FIXED number of Lloyd rounds (no convergence cut — a fixed
+    * schedule is what lets the whole trajectory replay as unrolled SQL
+    * rounds). E-step is the plan-embedded native argmin (first-lowest
+    * index on ties); M-step per-(cluster, dim) means route through
+    * DECIMAL(38,30) (exact, order-free) before the double division, so
+    * the next round's centroid literals are bit-identical on any
+    * engine/partitioning; empty clusters keep their previous centroid.
+    *
+    * @return final centroids as (cluster, pos 1-based, mval)
+    */
+  def fitDeterministic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids = ppInitDet(df, idCol, vecCol, k)
+      .orderBy(col("rnd"))
+      .collect()
+      .map(_.getSeq[Double](2).toArray)
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+    var r = 0
+    while (r < rounds) {
+      val means = vecs
+        .withColumn("c", assignCol(spark, centroids, col("v")))
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double")
+          / count(lit(1))).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { row =>
+        next(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
+      }
+      centroids = next
+      r += 1
+    }
+    centroids.zipWithIndex
+      .flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (x, pos) =>
+          (ci.toLong, pos + 1L, x)
+        }
+      }
+      .toSeq
+      .toDF("cluster", "pos", "mval")
+  }
 }

@@ -34,6 +34,40 @@ object PQQueries {
   private def sqlUnnest(n: Int): String =
     s"unnest([${(0 until n).mkString(",")}])"
 
+  private val KDET = 4 // deterministic k-means++ / fixed-round fit k
+
+  /** Unrolled replay of [[graft.operators.KMeans.ppInitDet]]: `e`
+    * (embeddings as (id, v)), picks p0..p{k−1}, running min-D² tables
+    * md0..md{k−2}. Coin/key spellings mirror the Spark side exactly
+    * (md5-uniform in (0,1], A-ES key ln(u)/D², ties by id).
+    */
+  private def kmppCtes(k: Int): String = {
+    def coin(j: Int) =
+      s"((('0x' || substr(md5(id::VARCHAR || ':kmpp:$j'), 1, 14))::BIGINT" +
+        s" % 1000000 + 1))::DOUBLE / 1000001.0"
+    val sb = new StringBuilder
+    sb ++= s"""
+        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        p0 AS MATERIALIZED (SELECT id, v FROM (
+               SELECT id, v, row_number() OVER (ORDER BY ${coin(0)}, id) AS rn
+               FROM e) WHERE rn = 1),
+        md0 AS MATERIALIZED (SELECT e.id, e.v,
+               ${sqlL2Sq("e.v", "p0.v")} AS md FROM e CROSS JOIN p0)"""
+    for (j <- 1 until k) {
+      sb ++= s""",
+        p$j AS MATERIALIZED (SELECT id, v FROM (
+               SELECT id, v, row_number() OVER (
+                 ORDER BY ln(${coin(j)}) / md DESC, id) AS rn
+               FROM md${j - 1} WHERE md > 0) WHERE rn = 1)"""
+      if (j < k - 1) sb ++= s""",
+        md$j AS MATERIALIZED (SELECT m.id, m.v,
+               least(m.md, ${sqlL2Sq("m.v", s"p$j.v")}) AS md
+               FROM md${j - 1} m CROSS JOIN p$j)"""
+    }
+    sb.toString
+  }
+
   /** First-k embedding vectors as doubles, ordered by vec_id. */
   private def headVecs(
       spark: SparkSession,
@@ -378,6 +412,73 @@ object PQQueries {
           .toDF("cluster", "pos", "cval")
       },
       None
+    ),
+    // DETERMINISTIC k-means++ seeding (md5 A-ES coin, no JVM RNG):
+    // pick 0 = argmin (u, id) — the uniform draw; pick j = argmax
+    // (ln(u_j)/D², −id) over points off the chosen set — Efraimidis–
+    // Spirakis gives exactly the paper's P ∝ D². Every float the replay
+    // touches is engine-identical (md5 coin, left-fold D², ln of equal
+    // doubles), so the init that kept kmeans_fit rows-only is itself
+    // hash-checked here.
+    GQuery(
+      "kmeans_init_det",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        KMeans.ppInitDet(emb, "vec_id", "v", k = KDET)
+          .select(col("rnd"), col("id").as("vec_id"))
+      },
+      Some(s"""
+        WITH ${kmppCtes(KDET)}
+        ${(0 until KDET)
+          .map(j => s"SELECT $j::BIGINT AS rnd, id AS vec_id FROM p$j")
+          .mkString(" UNION ALL ")}
+      """)
+    ),
+    // Fully deterministic distributed k-means fit: md5-coin k-means++
+    // init + 2 FIXED Lloyd rounds (native-argmin E-step, DECIMAL(38,30)
+    // exact M-step means, empty clusters keep their centroid) — the
+    // fixed schedule unrolls into SQL CTE rounds, moving the full-fit
+    // trajectory from rows-only (kmeans_fit's JVM-RNG init) to
+    // hash-checked end to end.
+    GQuery(
+      "kmeans_fit_det",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        KMeans.fitDeterministic(emb, "vec_id", "v", k = KDET, rounds = 2)
+          .select(col("cluster"), col("pos"), round(col("mval"), 6).as("mval"))
+      },
+      Some(s"""
+        WITH ${kmppCtes(KDET)},
+        cent0 AS MATERIALIZED (
+          ${(0 until KDET)
+            .map(j => s"SELECT $j AS ck, v FROM p$j")
+            .mkString(" UNION ALL ")}),
+        ${(1 to 2).map(r => s"""
+        d$r AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist
+                FROM e CROSS JOIN cent${r - 1} c),
+        a$r AS MATERIALIZED (SELECT id, ck FROM (
+                 SELECT id, ck, row_number() OVER (PARTITION BY id
+                                                   ORDER BY dist, ck) AS rn
+                 FROM d$r) WHERE rn = 1),
+        m$r AS (SELECT a.ck, gs.i AS pos,
+                       sum((e.v[gs.i])::DECIMAL(38,30))::DOUBLE
+                         / count(*) AS m
+                FROM a$r a JOIN e ON e.id = a.id
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+                GROUP BY a.ck, gs.i),
+        cent$r AS MATERIALIZED (
+          SELECT c.ck, coalesce(ml.vv, c.v) AS v
+          FROM cent${r - 1} c
+          LEFT JOIN (SELECT ck, list(m ORDER BY pos) AS vv
+                     FROM m$r GROUP BY ck) ml ON ml.ck = c.ck)""")
+          .mkString(",")}
+        SELECT ck::BIGINT AS cluster, gs.i::BIGINT AS pos,
+               round(v[gs.i], 6) AS mval
+        FROM cent2
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+      """)
     ),
     // C4: k-means E-step assignment to 8 fixed full-dim centroids.
     GQuery(

@@ -1458,6 +1458,54 @@ object VectorQueries {
         SELECT id AS vec_id, round(pr, 6) AS pr FROM ppr3
       """)
     ),
+    // PageRank with REAL dangling mass: every 5th node's edges are cut
+    // (a curation pass dropped them from the graph but not the corpus),
+    // leaving ~20% of the universe isolated — their rank mass must
+    // re-enter along the teleport vector each round (the textbook
+    // convention; Σpr stays 1). The oracle adds the per-round dangling
+    // scalar — a decimal-exact sum over the isolated ids divided along
+    // 1/N — to the unrolled pipeline_pagerank arithmetic, proving the
+    // redistribution path float-for-float, not just the Dm = 0 no-op.
+    GQuery(
+      "pipeline_pagerank_dangling",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.PageRank
+          .pageRank(
+            sharedGraph(spark, dir)
+              .filter(col("src") % 5 =!= 0 && col("dst") % 5 =!= 0),
+            emb.select(col("vec_id").as("id")),
+            rounds = 3)
+          .select(col("id").as("vec_id"), round(col("pr"), 6).as("pr"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM g2 WHERE src % 5 != 0 AND dst % 5 != 0
+                 UNION ALL
+                 SELECT dst, src FROM g2 WHERE src % 5 != 0 AND dst % 5 != 0)),
+        dg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src),
+        pr0 AS (SELECT e.id, 1.0 / nn.n AS pr FROM e CROSS JOIN nn),
+        ${(1 to 3).map(i => s"""
+        pc$i AS (SELECT u.dst AS id,
+                       sum((p.pr / d.deg)::DECIMAL(38,20))::DOUBLE AS s
+                FROM und u
+                JOIN pr${i - 1} p ON p.id = u.src
+                JOIN dg d ON d.id = u.src
+                GROUP BY u.dst),
+        dm$i AS (SELECT coalesce(sum(p.pr::DECIMAL(38,20))::DOUBLE,
+                                 0.0::DOUBLE) AS dm
+                 FROM pr${i - 1} p
+                 WHERE p.id NOT IN (SELECT src FROM und)),
+        pr$i AS (SELECT e.id,
+                        ((1.0 - 0.85) / nn.n
+                          + 0.85 * (coalesce(c.s, 0.0::DOUBLE)
+                                    + dm.dm * (1.0 / nn.n))) AS pr
+                 FROM e CROSS JOIN nn CROSS JOIN dm$i dm
+                 LEFT JOIN pc$i c ON c.id = e.id)""").mkString(",")}
+        SELECT id AS vec_id, round(pr, 6) AS pr FROM pr3
+      """)
+    ),
     // Synchronous label propagation over the shared kNN graph (Zhu &
     // Ghahramani 2002): the weak-supervision pass that extends a
     // hand-labeled slice (every 4th vector keeps its label) to the whole

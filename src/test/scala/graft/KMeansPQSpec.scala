@@ -110,6 +110,41 @@ class KMeansPQSpec extends SparkSpec {
     assert(r.centroids.exists(c => KMeansLocal.l2Sq(c, Array(1.0, 1.0)) < 1e-12))
   }
 
+  test("ppInitDet/fitDeterministic: partition-invariant, distinct picks, covers separated clusters") {
+    import org.apache.spark.sql.functions._
+    val data = clustered(8, seed = 7).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+    val df = data.toDF("id", "vec")
+    def picks(parts: Int) = KMeans
+      .ppInitDet(df.repartition(parts), "id", "vec", k = 3)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val p2 = picks(2)
+    // deterministic and partition-independent (md5 coins, no RNG)
+    assert(p2 == picks(7), "init depends on partitioning")
+    assert(p2.map(_._2).distinct.size == 3, s"duplicate picks: $p2")
+    // D²-weighting on 3 well-separated blobs covers all 3 (each pick
+    // after the first has ~99% of its mass off the chosen blobs; the
+    // fixed coins make the outcome reproducible, so assert it fully)
+    val blobs = p2.map { case (_, id) => id / 10 }.toSet
+    assert(blobs.size == 3, s"picks missed a cluster: $p2")
+    // rounds = 0 returns exactly the init vectors (pos is 1-based)
+    val c0 = KMeans.fitDeterministic(df, "id", "vec", k = 3, rounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPick = data.toMap
+    c0.foreach { case (c, pos, x) =>
+      assert(x == byPick(p2(c.toInt)._2)(pos.toInt - 1))
+    }
+    // 2 Lloyd rounds land one centroid per true cluster center
+    val fitted = KMeans.fitDeterministic(df, "id", "vec", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum / 8.0).toMap
+    val got = fitted.values.toSeq.sorted
+    Seq(0.0, 10.0, 20.0).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1.0, s"centroid means $got")
+    }
+  }
+
   test("PQ train/encode/decode reconstruction error bounded (py/test_pq.py:226-249)") {
     // patterned vectors [ (i%10)*0.1 ] * D
     val d = 16
