@@ -320,6 +320,74 @@ object RpTree {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Recall-vs-spill OPERATING CURVE — the forest family's measured
+    * tuning knob, symmetric to ivf_recall_curve (nprobe) and
+    * hnsw_ef_curve (efSearch): for each spill margin, spill-descend the
+    * queries, union leaf candidates, exact-rerank top-k, and score
+    * Recall@k against the exact brute-force truth. One shared truth,
+    * one descent per margin (the ≤|Q|·visited-leaves frontier — the
+    * corpus never re-shuffles per margin: the leaf table is probed by
+    * an equi-join on (spill, tree, leaf)).
+    *
+    * @return (spill, n_queries, mean_recall), one row per margin
+    */
+  def spillRecallCurve(
+      forest: Forest,
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      numTrees: Int,
+      depth: Int,
+      dim: Int,
+      spills: Seq[Double]
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    import graft.functions.TopKAgg.topK
+    import graft.queries.Q.davg
+    require(spills.nonEmpty, "need at least one spill margin")
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+    val v = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // one descent per margin, tagged and unioned — each is depth
+    // broadcast-joins over the |Q| frontier, never the corpus
+    val visited = spills
+      .map { s =>
+        assignPointsSpill(
+          queries, forest.medians, qidCol, qvecCol, numTrees, depth, dim, s)
+          .select(lit(s).as("spill"), col("tree"),
+            col("id").as("qid"), col("leaf"))
+      }
+      .reduce(_ unionAll _)
+    val approx = visited
+      .join(forest.leaves, Seq("tree", "leaf"))
+      .select(col("spill"), col("qid"), col("id"))
+      .distinct()
+      .join(v, "id")
+      .join(broadcast(q), "qid")
+      .select(col("spill"), col("qid"), col("id"),
+        l2SqFast(col("qvec"), col("vec")).as("dist"))
+      .groupBy(col("spill"), col("qid"))
+      .agg(topK(col("dist"), col("id"), k).as("tk"))
+      .select(col("spill"), col("qid"), explode(col("tk.id")).as("id"))
+    val truth = BruteForceKNN
+      .knn(q, v.select(col("id").as("neighbor_id"), col("vec").as("bv")),
+        k, qidCol = "qid", qvecCol = "qvec")
+      .select(col("qid"), col("neighbor_id").as("id"))
+    approx
+      .join(truth.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+      .groupBy(col("spill"), col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
+      .groupBy(col("spill"))
+      .agg(count(lit(1)).as("n_queries"), davg(col("recall")).as("mean_recall"))
+  }
+
   /** Forest kNN: descend every tree with the query, union the leaf
     * buckets, exact-rerank. Returns (query_id, neighbor_id, dist, rnk).
     */

@@ -288,6 +288,49 @@ object VectorQueries {
                                         ORDER BY dist, id) AS rnk
               FROM sd)"""
 
+  // rpt_recall_curve operating points (spill margins)
+  private val RPT_SPILLS = Seq(0.0, 0.1, 0.2, 0.4)
+
+  /** Per-margin spill-descent replays for the recall curve: for margin
+    * index x, CTEs qs{x}_0..qs{x}_D walk the forest with that margin and
+    * ar{x} is the exact-reranked top-K per query tagged with the spill
+    * value. Mirrors [[graft.operators.RpTree.assignPointsSpill]] level
+    * by level (same |proj − med| < spill both-children rule).
+    */
+  private def rptSpillCurveCtes(spills: Seq[Double]): String =
+    spills.zipWithIndex.map { case (s, x) =>
+      s"""
+        qs${x}_0 AS (SELECT tr.tree, q.qid, q.qv, 0::BIGINT AS node
+               FROM q CROSS JOIN tr),
+        ${(0 until RPT_D).map(r => s"""
+        qsp${x}_$r AS (SELECT xx.tree, xx.qid, xx.qv, xx.node,
+                 list_sum(list_transform(generate_series(1, 64),
+                   j -> xx.qv[j] * pll.hv[j])) AS proj, m$r.med AS med
+                 FROM qs${x}_$r xx
+                 JOIN pll ON pll.tree = xx.tree AND pll.level = $r
+                 JOIN m$r ON m$r.tree = xx.tree AND m$r.node = xx.node),
+        qs${x}_${r + 1} AS (SELECT tree, qid, qv, node * 2 + c AS node FROM (
+                 SELECT tree, qid, qv, node,
+                        unnest(CASE WHEN abs(proj - med) < ${s}::DOUBLE
+                               THEN [0::BIGINT, 1::BIGINT]
+                               ELSE [CASE WHEN proj <= med
+                                     THEN 0::BIGINT ELSE 1::BIGINT END]
+                               END) AS c
+                 FROM qsp${x}_$r))""").mkString(",")},
+        ar$x AS (SELECT ${s}::DOUBLE AS spill, t.qid, t.id FROM (
+               SELECT cd.qid, cd.id,
+                      row_number() OVER (PARTITION BY cd.qid
+                                         ORDER BY cd.dist, cd.id) AS rnk
+               FROM (SELECT sc.qid, sc.id, ${sqlL2Sq("q.qv", "e.v")} AS dist
+                     FROM (SELECT DISTINCT qf.qid, af.id
+                           FROM qs${x}_$RPT_D qf
+                           JOIN a$RPT_D af ON af.tree = qf.tree
+                                          AND af.node = qf.node) sc
+                     JOIN e ON e.id = sc.id
+                     JOIN q ON q.qid = sc.qid) cd) t
+               WHERE t.rnk <= $K)"""
+    }.mkString(",")
+
   /** One unrolled label-propagation round in DuckDB — count labeled
     * neighbors per node and label, majority pick (count DESC, label
     * ASC), unlabeled nodes adopt, labeled stay clamped. Mirrors
@@ -1302,6 +1345,47 @@ object VectorQueries {
         SELECT qid AS query_id, id AS neighbor_id,
                round(dist, 4) AS dist, rnk
         FROM fr WHERE rnk <= $K
+      """)
+    ),
+    // Recall-vs-spill OPERATING CURVE for the forest family — the
+    // measured tuning knob every index family now exposes (IVF: nprobe
+    // curve, HNSW: ef curve, forest: spill margin): four margins, one
+    // shared exact truth, mean Recall@10 per margin. Deterministic end
+    // to end, so the whole curve (4 spill descents + reranks + the
+    // recall arithmetic) hash-checks under one oracle; RpTreeSpec
+    // separately gates monotonicity.
+    GQuery(
+      "rpt_recall_curve",
+      (spark, dir) => {
+        val emb = embOf(spark, dir)
+        graft.operators.RpTree.spillRecallCurve(
+          sharedForest(spark, dir), emb, "id", "vec",
+          emb.filter(col("id") % 10 === 0)
+            .select(col("id").as("query_id"), col("vec").as("qv")),
+          "query_id", "qv", k = K,
+          numTrees = RPT_T, depth = RPT_D, dim = 64, spills = RPT_SPILLS)
+      },
+      Some(s"""
+        WITH $rptCtes,
+        q AS (SELECT id AS qid, v AS qv FROM e WHERE id % 10 = 0),
+        ${rptSpillCurveCtes(RPT_SPILLS)},
+        ar AS (${RPT_SPILLS.indices
+          .map(x => s"SELECT spill, qid, id FROM ar$x")
+          .mkString(" UNION ALL ")}),
+        ex AS (SELECT qid, id FROM (
+                 SELECT q.qid, e.id,
+                        row_number() OVER (PARTITION BY q.qid
+                          ORDER BY ${sqlL2Sq("q.qv", "e.v")}, e.id) AS rn
+                 FROM q CROSS JOIN e) WHERE rn <= $K),
+        hits AS (SELECT spill, qid, count(*)::BIGINT AS c
+                 FROM ar JOIN ex USING (qid, id)
+                 GROUP BY spill, qid),
+        per AS (SELECT d.spill, (coalesce(c, 0) / $K.0) AS recall
+                FROM (SELECT DISTINCT spill, qid FROM ar) d
+                LEFT JOIN hits ON hits.spill = d.spill AND hits.qid = d.qid)
+        SELECT spill, count(*)::BIGINT AS n_queries,
+               ${sqlAvg("recall")} AS mean_recall
+        FROM per GROUP BY spill
       """)
     ),
     // Ranked-retrieval evaluation metrics — MRR (reciprocal rank of the

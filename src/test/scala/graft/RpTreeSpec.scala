@@ -80,6 +80,24 @@ class RpTreeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RpTree.load(spark, dir2) }
   }
 
+  test("spillRecallCurve: recall non-decreasing in the margin, bounded by 1") {
+    val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
+    val curve = RpTree
+      .spillRecallCurve(f, emb, "id", "vec", q, "query_id", "qv",
+        10, 2, 4, 64, Seq(0.0, 0.1, 0.3, 1.0))
+      .orderBy(col("spill"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.length == 4)
+    val nq = curve.head._2
+    curve.foreach { case (_, n, rec) =>
+      assert(n == nq, "query universe changed across margins")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    curve.map(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 1e-12, s"recall fell with a larger margin: $a -> $b")
+    }
+  }
+
   test("degenerate corpus (n < 2^depth): sentinel medians complete every level, no query drops") {
     import spark.implicits._
     // 5 points, depth 4 -> branches shrink to 1 point and leave empty
