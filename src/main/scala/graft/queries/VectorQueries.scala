@@ -1590,6 +1590,97 @@ object VectorQueries {
         SELECT id AS vec_id, round(pr, 6) AS pr FROM pr3
       """)
     ),
+    // HITS hubs/authorities over the DIRECTED kNN graph (Kleinberg
+    // 1999) — the asymmetric complement of pipeline_pagerank: authority
+    // = chosen-as-neighbor mass (density representative), hub = points-
+    // at-authorities mass. Two synchronous a-then-h rounds with L2
+    // normalization; every sum (including the norm's sum of squares)
+    // routes through DECIMAL(38,20), sqrt/divisions then act on
+    // identical doubles — the whole schedule unrolls as SQL rounds.
+    GQuery(
+      "pipeline_hits",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.Hits
+          .hits(
+            sharedGraph(spark, dir),
+            emb.select(col("vec_id").as("id")),
+            rounds = 2)
+          .select(
+            col("id").as("vec_id"),
+            round(col("authority"), 6).as("authority"),
+            round(col("hub"), 6).as("hub"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        en AS MATERIALIZED (SELECT id FROM e),
+        ge AS MATERIALIZED (SELECT DISTINCT src, dst FROM g2),
+        hh0 AS (SELECT id, 1.0::DOUBLE AS s FROM en),
+        ${(1 to 2).map(i => s"""
+        har$i AS (SELECT g.dst AS id,
+                         sum((h.s)::DECIMAL(38,20))::DOUBLE AS s
+                  FROM ge g JOIN hh${i - 1} h ON h.id = g.src
+                  GROUP BY g.dst),
+        haa$i AS (SELECT n.id, coalesce(x.s, 0.0::DOUBLE) AS s
+                  FROM en n LEFT JOIN har$i x ON x.id = n.id),
+        han$i AS (SELECT sqrt(sum((s * s)::DECIMAL(38,20))::DOUBLE) AS nrm
+                  FROM haa$i),
+        ha$i AS MATERIALIZED (SELECT id,
+                  CASE WHEN an.nrm > 0 THEN s / an.nrm
+                       ELSE 0.0::DOUBLE END AS s
+                  FROM haa$i CROSS JOIN han$i an),
+        hhr$i AS (SELECT g.src AS id,
+                         sum((a.s)::DECIMAL(38,20))::DOUBLE AS s
+                  FROM ge g JOIN ha$i a ON a.id = g.dst
+                  GROUP BY g.src),
+        hha$i AS (SELECT n.id, coalesce(x.s, 0.0::DOUBLE) AS s
+                  FROM en n LEFT JOIN hhr$i x ON x.id = n.id),
+        hhn$i AS (SELECT sqrt(sum((s * s)::DECIMAL(38,20))::DOUBLE) AS nrm
+                  FROM hha$i),
+        hh$i AS MATERIALIZED (SELECT id,
+                  CASE WHEN hn.nrm > 0 THEN s / hn.nrm
+                       ELSE 0.0::DOUBLE END AS s
+                  FROM hha$i CROSS JOIN hhn$i hn)""").mkString(",")}
+        SELECT a.id AS vec_id, round(a.s, 6) AS authority,
+               round(h.s, 6) AS hub
+        FROM ha2 a JOIN hh2 h ON h.id = a.id
+      """)
+    ),
+    // kNN-graph HUBNESS audit (Radovanović et al. 2010): in-degree of
+    // every vector in the directed kNN graph — high-dimensional spaces
+    // concentrate in-links on hub vectors (skewing retrieval and any
+    // graph-walk selection built on the graph), while antihubs (indeg
+    // 0) are unreachable. One count aggregate over the edge list + a
+    // left join back to the universe; the standard 2k hub cutoff and
+    // the antihub flag emitted per node.
+    GQuery(
+      "knn_graph_hubness",
+      (spark, dir) => {
+        val g = sharedGraph(spark, dir)
+          .select(col("src"), col("dst")).distinct()
+        val ind = coalesce(col("indeg"), lit(0L))
+        t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+          .join(
+            g.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg")),
+            Seq("id"), "left")
+          .select(
+            col("id").as("vec_id"),
+            ind.as("indeg"),
+            (ind >= 2 * K).cast("long").as("is_hub"),
+            (ind === 0).cast("long").as("is_antihub"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        dd AS (SELECT dst AS id, count(*)::BIGINT AS indeg
+               FROM (SELECT DISTINCT src, dst FROM g2) GROUP BY dst)
+        SELECT e.id AS vec_id,
+               coalesce(dd.indeg, 0)::BIGINT AS indeg,
+               (coalesce(dd.indeg, 0) >= ${2 * K})::BIGINT AS is_hub,
+               (coalesce(dd.indeg, 0) = 0)::BIGINT AS is_antihub
+        FROM e LEFT JOIN dd ON dd.id = e.id
+      """)
+    ),
     // Synchronous label propagation over the shared kNN graph (Zhu &
     // Ghahramani 2002): the weak-supervision pass that extends a
     // hand-labeled slice (every 4th vector keeps its label) to the whole
