@@ -679,7 +679,11 @@ object Dedup {
     * sub-quadratic blocking stage shared by [[embeddingPairsLsh]] and
     * the DBSCAN corpus-scale path ([[Dbscan.epsNeighborPairsLsh]]).
     */
-  private[graft] def srpCandidates(
+  /** Per-vector SRP band signatures: (id, band, sig) where sig is the
+    * band's bit string from the md5-seeded hyperplane signs — the shared
+    * table behind exact-band and multi-probe candidate generation.
+    */
+  private[graft] def srpBandSigs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -706,18 +710,93 @@ object Dedup {
         .as(s"sig$b")
     }
     val stackArgs = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
-    val sigs = e
-      .select(col("id") +: sigCols: _*)
+    e.select(col("id") +: sigCols: _*)
       .select(
         col("id"),
         expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
       )
+  }
+
+  private[graft] def srpCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      bands: Int,
+      dim: Int
+  ): DataFrame = {
+    val sigs = srpBandSigs(df, idCol, vecCol, numPlanes, bands, dim)
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** MULTI-PROBE SRP candidates (Lv et al. 2007 applied to hyperplane
+    * LSH): a pair qualifies when SOME band's signatures are within
+    * Hamming distance 1 — probing each band's 1-bit neighborhood
+    * recovers most of the recall extra hash tables would buy WITHOUT
+    * replicating the index. One side of the self-join explodes to its
+    * exact signature plus the rowsPerBand flipped probes (a bounded
+    * ×(r+1) explode of the SIGNATURE table, never the corpus); the
+    * other side stays exact, so every qualifying pair meets at least
+    * once and `distinct` dedupes. Candidate volume stays bucket-
+    * collision-bounded: (r+1)× the exact-band join's probe rows.
+    */
+  private[graft] def srpCandidatesMultiprobe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      bands: Int,
+      dim: Int
+  ): DataFrame = {
+    val r = numPlanes / bands
+    val sigs = srpBandSigs(df, idCol, vecCol, numPlanes, bands, dim)
+      .localCheckpoint() // both join sides + the probe explode
+    val flips = expr(
+      s"transform(sequence(1, $r), p -> concat(substring(sig, 1, p-1), " +
+        "case when substring(sig, p, 1) = '1' then '0' else '1' end, " +
+        s"substring(sig, p+1, $r - p)))")
+    val probes = sigs.select(
+      col("id"), col("band"),
+      explode(concat(array(col("sig")), flips)).as("psig"))
+    probes.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.psig") === col("b.sig")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[embeddingPairsLsh]] with multi-probe candidates: Hamming-≤1 band
+    * matches feed the same exact-cosine verify — higher recall at the
+    * same table count, the standard operating point when index
+    * replication (more bands/tables) is the scarcer resource.
+    */
+  def embeddingPairsLshMultiprobe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = -1
+  ): DataFrame = {
+    import graft.functions.VectorExpressions._
+    val e = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+    srpCandidatesMultiprobe(df, idCol, vecCol, numPlanes, bands, dim)
+      .join(e.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      .join(e.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (dotFast(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine")
+      )
+      .filter(col("cosine") >= tau)
   }
 
   def embeddingPairsLsh(

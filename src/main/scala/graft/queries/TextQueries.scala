@@ -1013,6 +1013,68 @@ object TextQueries {
       """
       }
     ),
+    // MULTI-PROBE hyperplane-LSH embedding dedup (Lv et al. 2007): each
+    // band also probes its 1-bit-flip neighborhood — the recall extra
+    // hash tables would buy, without replicating the index (the scarcer
+    // resource at 100 TB). Probe explode is bounded ×(r+1) on the
+    // SIGNATURE table, never the corpus; same exact-cosine verify. The
+    // oracle rebuilds signatures AND the flip probes in SQL, so the
+    // widened candidate set is hash-checked end to end.
+    GQuery(
+      "dedup_embedding_lsh_mp",
+      (spark, dir) =>
+        Dedup
+          .embeddingPairsLshMultiprobe(
+            t(spark, dir, "embeddings").select(
+              col("vec_id"),
+              graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+            ),
+            "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4
+          )
+          .select(
+            col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine")
+          ),
+      Some {
+        def bit(k: Int): String =
+          s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+             |  i -> v[i] * ((('0x'||substr(md5('${k}_'||(i-1)::VARCHAR),1,14))::BIGINT
+             |                % 1000003) / 1000003.0 - 0.5))) >= 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        val sigDefs = (0 until 4).map { b =>
+          (4 * b until 4 * b + 4).map(bit).mkString("(", " || ", s") AS sig$b")
+        }.mkString(",\n")
+        val bandUnion = (0 until 4)
+          .map(b => s"SELECT $b AS band, sig$b AS sig, vec_id FROM s")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, $sigDefs FROM e),
+        bs AS MATERIALIZED ($bandUnion),
+        pr AS (SELECT vec_id, band,
+                      unnest(list_append(
+                        list_transform(generate_series(1, 4),
+                          p -> substr(sig, 1, p-1)
+                               || (CASE WHEN substr(sig, p, 1) = '1'
+                                   THEN '0' ELSE '1' END)
+                               || substr(sig, p+1, 4 - p)),
+                        sig)) AS psig
+               FROM bs),
+        cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                 FROM pr a JOIN bs b
+                   ON a.band = b.band AND a.psig = b.sig
+                      AND a.vec_id < b.vec_id),
+        p AS (SELECT doc_a, doc_b,
+                     ${sqlDot("ea.v", "eb.v")}
+                     / (sqrt(${sqlDot("ea.v", "ea.v")})
+                        * sqrt(${sqlDot("eb.v", "eb.v")})) AS cosine
+              FROM cand
+              JOIN e ea ON ea.vec_id = doc_a
+              JOIN e eb ON eb.vec_id = doc_b)
+        SELECT doc_a, doc_b, round(cosine, 6) AS cosine
+        FROM p WHERE cosine >= 0.45
+      """
+      }
+    ),
     // Per-document token statistics.
     GQuery(
       "text_token_stats",

@@ -341,6 +341,28 @@ class DedupTextSpec extends SparkSpec {
       s"LSH missed planted near-dups: ${expected -- found}")
   }
 
+  test("multi-probe LSH: superset of exact-band recall, still a subset of exact pairs") {
+    val e = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")
+    )
+    def pairs(d: org.apache.spark.sql.DataFrame) = d
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingPairs(e, "vec_id", "v", 0.4))
+    val plain = pairs(Dedup.embeddingPairsLsh(e, "vec_id", "v", 0.4))
+    val mp = pairs(Dedup.embeddingPairsLshMultiprobe(e, "vec_id", "v", 0.4))
+    // probing each band's 1-bit neighborhood only ADDS candidates; the
+    // cosine verify keeps every reported pair a true pair
+    assert(plain.subsetOf(mp), s"multi-probe lost pairs: ${plain -- mp}")
+    assert(mp.subsetOf(exact), s"multi-probe invented pairs: ${mp -- exact}")
+    // candidate algebra: mp candidates == pairs whose signatures match
+    // exactly OR differ by one bit in some band
+    val cPlain = pairs(Dedup.srpCandidates(e, "vec_id", "v", 16, 4, -1))
+    val cMp = pairs(Dedup.srpCandidatesMultiprobe(e, "vec_id", "v", 16, 4, -1))
+    assert(cPlain.subsetOf(cMp))
+  }
+
   test("hot-shingle cap: capped candidates are a subset with exact scores") {
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
