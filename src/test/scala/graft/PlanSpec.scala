@@ -233,6 +233,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_embedding_lsh_mp: probe-exploded band join stays equi-keyed") {
+    val p = planOf("dedup_embedding_lsh_mp")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm video/audio dedup: the df cap is a LeftSemi prune on the candidate index") {
+    for (q <- Seq("mm_video_dedup", "mm_audio_dedup")) {
+      val p = planOf(q)
+      assert(p.contains("LeftSemi"), s"$q lost the df-cap semi join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("rpt_recall_curve: per-margin descents are broadcast/equi joins, no cartesian") {
+    val p = planOf("rpt_recall_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop is the exact-truth brute force (broadcast
+    // query batch × corpus under the partial heap — the blessed knn
+    // shape); the descent/candidate/rerank side must stay equi-keyed,
+    // so the BNLJ count is exactly the one truth subtree
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+  }
+
+  test("pipeline_hits / pagerank_dangling: rounds are equi-joins; scalars broadcast") {
+    for (q <- Seq("pipeline_hits", "pipeline_pagerank_dangling")) {
+      val p = planOf(q)
+      // the 1-row norm/dangling scalars ride a broadcast nested-loop
+      // cross join by design; a corpus-sized cartesian never appears
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("mm_video_dedup / mm_audio_dedup: inverted-index equi-joins, no cartesian") {
     for (name <- Seq("mm_video_dedup", "mm_audio_dedup")) {
       val p = planOf(name)
