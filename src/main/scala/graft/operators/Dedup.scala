@@ -689,9 +689,13 @@ object Dedup {
       vecCol: String,
       numPlanes: Int,
       bands: Int,
-      dim: Int
+      dim: Int,
+      carryVec: Boolean = false // keep `v` in the output (streaming
+  // consumers can't re-join their own unbounded side to recover it)
   ): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
+    require(dim > 0 || !df.isStreaming,
+      "streaming input needs an explicit dim (no head() on a stream)")
     import graft.functions.VectorExpressions._
     val rowsPerBand = numPlanes / bands
     val d =
@@ -710,11 +714,24 @@ object Dedup {
         .as(s"sig$b")
     }
     val stackArgs = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
-    e.select(col("id") +: sigCols: _*)
+    val carried = if (carryVec) Seq(col("id"), col("v")) else Seq(col("id"))
+    e.select(carried ++ sigCols: _*)
       .select(
-        col("id"),
-        expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig"))
+        carried :+ expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig")): _*
       )
+  }
+
+  /** The ×(r+1) probe explode shared by the multi-probe candidate join
+    * and its streaming admission twin: each (band, sig) row emits its
+    * exact signature plus every 1-bit flip as `psig`.
+    */
+  private[graft] def withSigProbes(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val r = rowsPerBand
+    val flips = expr(
+      s"transform(sequence(1, $r), p -> concat(substring(sig, 1, p-1), " +
+        "case when substring(sig, p, 1) = '1' then '0' else '1' end, " +
+        s"substring(sig, p+1, $r - p)))")
+    sigs.withColumn("psig", explode(concat(array(col("sig")), flips)))
   }
 
   private[graft] def srpCandidates(
@@ -753,16 +770,10 @@ object Dedup {
       bands: Int,
       dim: Int
   ): DataFrame = {
-    val r = numPlanes / bands
     val sigs = srpBandSigs(df, idCol, vecCol, numPlanes, bands, dim)
       .localCheckpoint() // both join sides + the probe explode
-    val flips = expr(
-      s"transform(sequence(1, $r), p -> concat(substring(sig, 1, p-1), " +
-        "case when substring(sig, p, 1) = '1' then '0' else '1' end, " +
-        s"substring(sig, p+1, $r - p)))")
-    val probes = sigs.select(
-      col("id"), col("band"),
-      explode(concat(array(col("sig")), flips)).as("psig"))
+    val probes = withSigProbes(sigs, numPlanes / bands)
+      .select(col("id"), col("band"), col("psig"))
     probes.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.psig") === col("b.sig")

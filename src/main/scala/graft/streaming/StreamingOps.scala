@@ -1020,6 +1020,58 @@ object StreamingOps {
     graft.multimodal.Multimodal
       .audioEnergy(media.sparkSession, media, windowFrames).toDF()
 
+  /** Online near-dup ADMISSION against the standing corpus — the #1
+    * streaming-dedup shape (is this arriving document a near-duplicate
+    * of anything already ingested?), as a stateless stream-STATIC
+    * multi-probe SRP join: arriving vectors compute their band
+    * signatures per row (plan-literal hyperplanes), probe each band's
+    * exact bucket plus its 1-bit flips, equi-join the corpus's static
+    * signature index (stays partitioned executor-side — the corpus is
+    * never broadcast or collected), re-join corpus vectors for the
+    * exact cosine verify. Zero streaming state; a pair matching in
+    * several bands emits once per matching probe (at-least-once within
+    * the result — downstream `distinct` or any idempotent sink
+    * collapses it), and re-delivery reproduces identical rows.
+    *
+    * @param vecs   streaming (idCol, vecCol)
+    * @param corpus static (idCol, vecCol) — the standing index side
+    * @return (id, corpus_id, cosine) for matches with cosine >= tau
+    */
+  def embeddingAdmitStream(
+      vecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      dim: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    import graft.functions.VectorExpressions._
+    import graft.operators.Dedup
+    val corpusSigs = Dedup
+      .srpBandSigs(corpus, idCol, vecCol, numPlanes, bands, dim)
+      .select(col("band"), col("sig"), col("id").as("corpus_id"))
+    val corpusVecs = corpus.select(
+      col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dotFast(col("cv"), col("cv"))))
+    val probed = Dedup
+      .withSigProbes(
+        Dedup.srpBandSigs(vecs, idCol, vecCol, numPlanes, bands, dim,
+          carryVec = true),
+        numPlanes / bands)
+      .select(col("id"), col("v"), col("band"), col("psig").as("sig"))
+    probed
+      .join(corpusSigs, Seq("band", "sig"))
+      .join(corpusVecs, "corpus_id")
+      .select(
+        col("id"), col("corpus_id"),
+        (dotFast(col("v"), col("cv"))
+          / (sqrt(dotFast(col("v"), col("v"))) * col("cn"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Streaming DSIR scoring — the online quality gate of the
     * pipeline_dsir stage: the B-bucket log-ratio LM is trained ONCE in
     * batch ([[graft.operators.Dsir.logRatioTable]]) and rides the plan

@@ -955,4 +955,44 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("streaming embedding admission: stream-static multiprobe == batch; planted dup admitted") {
+    import graft.functions.VectorFunctions.toDouble
+    val emb = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"),
+      toDouble(col("embedding")).as("vec"))
+    val corpus = emb.filter(col("vec_id") < 300)
+    // arrivals: the rest of the table plus 5 PLANTED near-copies of
+    // corpus vectors (+1e-6 on one dim -> cosine ~ 1) that MUST admit
+    val planted = corpus.orderBy("vec_id").limit(5).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("vec"), (x, i) =>
+        when(i === 0, x + lit(1e-6)).otherwise(x)).as("vec"))
+    val arrivals = emb.filter(col("vec_id") >= 300).unionAll(planted)
+    val dir = Files.createTempDirectory("admitstream").toString
+    arrivals.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/w1")
+    arrivals.filter(col("vec_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.embeddingAdmitStream(
+      spark.readStream
+        .schema("vec_id LONG, vec ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      corpus, "vec_id", "vec", tau = 0.9, dim = 64)
+    val q = stream.writeStream
+      .format("memory").queryName("admit").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    // per-band duplicates collapse under the set compare (documented
+    // at-least-once within the result)
+    val got = spark.table("admit").collect().map(key).toSet
+    val want = StreamingOps
+      .embeddingAdmitStream(arrivals, corpus, "vec_id", "vec", tau = 0.9, dim = 64)
+      .collect().map(key).toSet
+    assert(got == want, "streamed admission diverged from the batch twin")
+    val plantedIds = (100000L until 100005L).toSet
+    assert(plantedIds.subsetOf(got.map(_._1)),
+      s"planted near-dups not admitted: ${plantedIds -- got.map(_._1)}")
+  }
 }
