@@ -145,4 +145,103 @@ object Coreset {
       .select(col("rnd"), col("center_id"),
         col("radius").cast("double").as("radius"))
   }
+
+  /** Exact sequential farthest-first over an in-memory point set —
+    * seed = min id, ties (distance DESC, id ASC); the shared kernel of
+    * the composable path's local and merge stages. Returns
+    * (rnd 1.., id, radius) with radius = the max-min distance that
+    * selected the center (NaN encodes the seed's null).
+    */
+  private def greedyLocal(
+      pts: Array[(Long, Array[Double])],
+      k: Int
+  ): Array[(Int, Long, Double)] = {
+    if (pts.isEmpty) return Array.empty
+    val sorted = pts.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (1, sorted(0)._1, Double.NaN))
+    val md = Array.fill(sorted.length)(Double.PositiveInfinity)
+    var last = 0
+    var r = 2
+    while (r <= k && out.length < sorted.length) {
+      var bi = -1
+      var i = 0
+      while (i < sorted.length) {
+        val d = {
+          var s = 0.0; var j = 0
+          val a = sorted(i)._2; val b = sorted(last)._2
+          while (j < a.length) { val t = a(j) - b(j); s += t * t; j += 1 }
+          s
+        }
+        if (d < md(i)) md(i) = d
+        if (md(i) > 0 &&
+          (bi < 0 || md(i) > md(bi) ||
+            (md(i) == md(bi) && sorted(i)._1 < sorted(bi)._1))) bi = i
+        i += 1
+      }
+      if (bi < 0) return out.toArray // all points coincide with centers
+      out += ((r, sorted(bi)._1, md(bi)))
+      last = bi
+      r += 1
+    }
+    out.toArray
+  }
+
+  /** COMPOSABLE (sharded) k-center — the corpus-scale path: points
+    * shard deterministically by md5(id) (partition contents depend on
+    * nothing but the data, so the whole computation is engine-portable
+    * and hash-checkable), each shard runs the exact local greedy in one
+    * `flatMapGroups` pass (O(n/P·k·D) per shard, no driver rounds at
+    * all), and the P·k local centers — a tiny candidate set — are
+    * merge-greedied into the final k. The classic composable-coreset
+    * two-level scheme: constant-factor approximation of the optimal
+    * k-center cover with exactly ONE distributed pass over the corpus,
+    * vs the sequential greedy's k rounds. `radius` in the output is the
+    * merge stage's max-min distance over the CANDIDATE set (an index of
+    * the selection order, not the corpus coverage radius — CoresetSpec
+    * gates the true corpus radius against the sequential greedy's).
+    *
+    * @param parts shard count; each shard's points must fit one task's
+    *              memory (choose parts ≈ n·D·8 / task-heap at scale)
+    */
+  def kCenterComposable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      parts: Int
+  ): DataFrame = {
+    require(k >= 1 && parts >= 1, s"need k >= 1 and parts >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("pid",
+        pmod(Dedup.md5Long(concat(col("id").cast("string"), lit(":kcshard"))),
+          lit(parts.toLong)).cast("int"))
+    val localCenters = v
+      .select(col("pid"), col("id"), col("vec"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        val pts = it.map(t => (t._2, t._3.toArray)).toArray
+        greedyLocal(pts, k).iterator.map { case (_, id, _) => (pid, id) }
+      }
+      .toDF("pid", "id")
+    // merge stage: P·k candidates — bounded, collected once
+    val cands = localCenters
+      .join(v.select(col("id"), col("vec")), "id")
+      .select(col("id"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    greedyLocal(cands, k).toSeq
+      .map { case (r, id, rad) =>
+        (r.toLong, id, if (rad.isNaN) None else Some(rad))
+      }
+      .toDF("rnd", "center_id", "radius")
+      .select(col("rnd"), col("center_id"),
+        col("radius").cast("double").as("radius"))
+  }
 }

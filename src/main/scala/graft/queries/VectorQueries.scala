@@ -1767,6 +1767,82 @@ object VectorQueries {
         FROM sel
       """)
     ),
+    // COMPOSABLE (sharded) k-center — the corpus-scale coreset path:
+    // points shard by md5(id) % 4 (deterministic contents — the whole
+    // two-level scheme is hash-checkable), each shard runs the exact
+    // local greedy in ONE flatMapGroups pass (no driver rounds), and
+    // the 4·k local centers merge-greedy into the final k. One
+    // distributed pass over the corpus vs the sequential greedy's k
+    // rounds; constant-factor cover (CoresetSpec gates the true corpus
+    // radius against sequential greedy's). Oracle: the per-shard greedy
+    // is ONE recursive CTE whose state is keyed by pid (all shards
+    // advance together), then the merge greedy replays over the
+    // candidate union — every pick, tie, and radius float-for-float.
+    GQuery(
+      "pipeline_coreset_dist",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        graft.operators.Coreset
+          .kCenterComposable(emb, "vec_id", "vec", k = 8, parts = 4)
+          .select(col("rnd"), col("center_id"),
+            round(col("radius"), 6).as("radius"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+               (('0x' || substr(md5(vec_id::VARCHAR || ':kcshard'), 1, 14))
+                 ::BIGINT % 4)::INT AS pid
+             FROM embeddings),
+        lseed AS (SELECT pid, min(id) AS sid FROM e GROUP BY pid),
+        lsel AS (
+          SELECT pid, 1 AS rnd, [sid] AS ids, sid AS cid
+          FROM lseed
+          UNION ALL
+          SELECT pid, rnd + 1, list_append(ids, id), id
+          FROM (
+            SELECT pid, rnd, ids, id, md,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY md DESC, id) AS rn
+            FROM (
+              SELECT s.pid, s.rnd, s.ids, p.id,
+                     min(${sqlL2Sq("p.v", "c.v")}) AS md
+              FROM lsel s
+              JOIN e p ON p.pid = s.pid AND NOT list_contains(s.ids, p.id)
+              JOIN e c ON c.pid = s.pid AND list_contains(s.ids, c.id)
+              WHERE s.rnd < 8
+              GROUP BY s.pid, s.rnd, s.ids, p.id)
+            WHERE md > 0)
+          WHERE rn = 1
+        ),
+        cv AS MATERIALIZED (
+          SELECT e.id, e.v
+          FROM (SELECT DISTINCT cid AS id FROM lsel) c
+          JOIN e ON e.id = c.id),
+        fseed AS (SELECT min(id) AS sid FROM cv),
+        fsel AS (
+          SELECT 1 AS rnd, [sid] AS ids, sid AS cid, NULL::DOUBLE AS radius
+          FROM fseed
+          UNION ALL
+          SELECT rnd + 1, list_append(ids, id), id, md
+          FROM (
+            SELECT rnd, ids, id, md,
+                   row_number() OVER (ORDER BY md DESC, id) AS rn
+            FROM (
+              SELECT s.rnd, s.ids, p.id, min(${sqlL2Sq("p.v", "c.v")}) AS md
+              FROM fsel s
+              CROSS JOIN cv p
+              JOIN cv c ON list_contains(s.ids, c.id)
+              WHERE NOT list_contains(s.ids, p.id) AND s.rnd < 8
+              GROUP BY s.rnd, s.ids, p.id)
+            WHERE md > 0)
+          WHERE rn = 1
+        )
+        SELECT rnd::BIGINT AS rnd, cid AS center_id,
+               round(radius, 6) AS radius
+        FROM fsel
+      """)
+    ),
     // Canonical DBSCAN over the embedding table — density clustering as
     // the curation counterpart to k-means (SemDeDup) blocking: cores by
     // the eps-degree rule, clusters = connected components over CORE-core

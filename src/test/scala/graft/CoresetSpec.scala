@@ -70,6 +70,37 @@ class CoresetSpec extends SparkSpec {
     assert(run(40) == seq1)
   }
 
+  test("kCenterComposable: deterministic one-pass shards, constant-factor corpus cover") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val pts = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // true corpus coverage radius (max over points of min dist² to centers)
+    def radius(centers: Seq[Long]): Double = {
+      val cs = centers.map(pts)
+      pts.values.map(v => cs.map(c => l2(v, c)).min).max
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rnd").collect().map(_.getLong(1)).toSeq
+    val seqIds = ids(Coreset.kCenterGreedy(emb, "vec_id", "vec", k = 8))
+    val comp = Coreset.kCenterComposable(emb, "vec_id", "vec", k = 8, parts = 4)
+    val compIds = ids(comp)
+    assert(compIds.size == 8 && compIds.distinct.size == 8)
+    // two-level composable selection stays within a small constant of
+    // the sequential greedy's (itself 2-approx) cover
+    val rs = radius(seqIds); val rc = radius(compIds)
+    assert(rc <= 4.0 * rs, s"composable radius² $rc vs sequential $rs")
+    // md5 shard => identical output under any input partitioning
+    val rep = ids(Coreset.kCenterComposable(
+      emb.repartition(13), "vec_id", "vec", k = 8, parts = 4))
+    assert(rep == compIds, "composable selection depends on partitioning")
+  }
+
   test("kCenterGreedy: k larger than n stops at n centers") {
     val df = Seq((7L, Seq(0.0)), (9L, Seq(3.0))).toDF("id", "vec")
     val got = Coreset.kCenterGreedy(df, "id", "vec", k = 10).collect()
