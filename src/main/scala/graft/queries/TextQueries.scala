@@ -1136,6 +1136,134 @@ object TextQueries {
         FROM f
       """)
     ),
+    // CURRICULUM ordering — the data-ordering stage of curriculum
+    // training (easy/clean first): docs rank globally by quality (via
+    // distributedRank — no single-partition window over the corpus),
+    // quartile stages cut by integer rank arithmetic, and each stage is
+    // internally md5-shuffled (determinism + no intra-stage quality
+    // ordering artifacts). Two rank passes + two broadcast base joins;
+    // everything integer until the output.
+    GQuery(
+      "pipeline_curriculum",
+      (spark, dir) => {
+        val q = TextAnalysis
+          .qualityScore(t(spark, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val ranked = graft.operators.Packing
+          .distributedRank(q, Seq(col("quality").desc, col("doc_id")), "r")
+        val base = broadcast(
+          ranked.agg(min(col("r")).as("r0"), count(lit(1)).as("n")))
+        val staged = ranked
+          .crossJoin(base)
+          .withColumn("qrank", col("r") - col("r0") + 1)
+          .withColumn("stage", expr("((qrank - 1) * 4) div n + 1"))
+          .withColumn("u",
+            Dedup.md5Long(
+              concat(col("doc_id").cast("string"), lit(":curriculum")))
+              % 1000003)
+          .select(col("doc_id"), col("qrank"), col("stage"), col("u"))
+        val pos = graft.operators.Packing
+          .distributedRank(staged, Seq(col("stage"), col("u"), col("doc_id")), "p")
+        val stageBase = pos.groupBy(col("stage"))
+          .agg(min(col("p")).as("p0"))
+        pos
+          .join(broadcast(stageBase), "stage")
+          .select(
+            col("doc_id"), col("stage").cast("long").as("stage"),
+            col("qrank").cast("long").as("qrank"),
+            (col("p") - col("p0") + 1).cast("long").as("pos"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                     + 0.3::DOUBLE * stop_ratio
+                     + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        r AS (SELECT doc_id, quality,
+                     row_number() OVER (ORDER BY quality DESC, doc_id)
+                       AS qrank
+              FROM q),
+        nn AS (SELECT count(*) AS n FROM r),
+        s AS (SELECT doc_id, qrank,
+                     ((qrank - 1) * 4) // n + 1 AS stage
+              FROM r CROSS JOIN nn),
+        u AS (SELECT doc_id, qrank, stage,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':curriculum'),
+                       1, 14))::BIGINT % 1000003 AS u
+              FROM s)
+        SELECT doc_id, stage::BIGINT AS stage, qrank::BIGINT AS qrank,
+               row_number() OVER (PARTITION BY stage
+                                  ORDER BY u, doc_id)::BIGINT AS pos
+        FROM u
+      """)
+    ),
+    // Per-language quality CALIBRATION — percent-rank normalization
+    // within each language before any global quality threshold (raw
+    // quality scores aren't comparable across languages: stopword lists
+    // and length norms are language-biased). percent_rank spelled as
+    // (rank − min_rank)/(n_lang − 1) off ONE distributedRank — a skewed
+    // giant language never lands in a single-partition window. Division
+    // of identical integers → engine-identical doubles.
+    GQuery(
+      "pipeline_quality_calibration",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val q = TextAnalysis
+          .qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val ranked = graft.operators.Packing
+          .distributedRank(q, Seq(col("lang"), col("quality"), col("doc_id")), "r")
+        val base = ranked.groupBy(col("lang"))
+          .agg(min(col("r")).as("r0"), count(lit(1)).as("nl"))
+        ranked
+          .join(broadcast(base), "lang")
+          .select(
+            col("doc_id"), col("lang"),
+            round(col("quality"), 6).as("quality"),
+            round(
+              when(col("nl") > 1,
+                (col("r") - col("r0")).cast("double") / (col("nl") - 1))
+                .otherwise(lit(0.0)), 6).as("q_pct"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                     + 0.3::DOUBLE * stop_ratio
+                     + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        ql AS (SELECT q.doc_id, d.lang, q.quality
+               FROM q JOIN documents d ON d.doc_id = q.doc_id),
+        r AS (SELECT doc_id, lang, quality,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY quality, doc_id) AS r,
+                     count(*) OVER (PARTITION BY lang) AS nl
+              FROM ql)
+        SELECT doc_id, lang, round(quality, 6) AS quality,
+               round(CASE WHEN nl > 1
+                     THEN (r - 1)::DOUBLE / (nl - 1)
+                     ELSE 0.0::DOUBLE END, 6) AS q_pct
+        FROM r
+      """)
+    ),
     // C4 heuristic page filters (Raffel et al. 2020 §2.2) — the cleaning
     // pass behind C4 and every successor pipeline (FineWeb): line-keep
     // rule (≥3 words + terminal punctuation) + page-level placeholder
