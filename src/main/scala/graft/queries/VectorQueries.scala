@@ -1970,6 +1970,192 @@ object VectorQueries {
         SELECT query_id, neighbor_id, round(dist, 4) AS dist, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // Corpus-scale PCA projection + whitening (Pca.scala): decimal-exact
+    // moments over the WHOLE corpus (one pass, map-side-combined shuffle of
+    // only partitions × d(d+1)/2 partial cells), top-2 components by a
+    // FIXED 6-round power iteration with deterministic one-hot init and
+    // greedy deflation, then a zero-shuffle broadcast projection. Every
+    // float is either an order-free DECIMAL(38,30) sum or an
+    // ascending-index left fold, so the whole trajectory — covariance,
+    // both eigenvectors, both Rayleigh quotients, per-row scores —
+    // replays bit-for-bit in the unrolled SQL below.
+    GQuery(
+      "embed_pca",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val m = graft.operators.Pca.fit(emb, "v", d = 64, p = 2, rounds = PCAR)
+        emb.select(
+          col("vec_id"),
+          round(graft.operators.Pca.projectCol(m, col("v"), 0), 6).as("pc1"),
+          round(graft.operators.Pca.projectCol(m, col("v"), 1), 6).as("pc2"),
+          round(graft.operators.Pca.whitenCol(m, col("v"), 0), 6).as("w1"),
+          round(graft.operators.Pca.whitenCol(m, col("v"), 1), 6).as("w2")
+        )
+      },
+      Some(pcaOracleSql(PCAR))
+    ),
+    // Facility-location greedy exemplar selection (FacilityLocation.scala):
+    // submodular coverage maximization — k rounds, each ONE whole-corpus
+    // decimal-exact marginal-gain aggregate over a broadcast candidate
+    // pool (no per-round shuffle; sims precomputed once into a width-m
+    // array column). The full greedy trajectory — sims, per-round gains,
+    // argmax picks, running-max updates — replays in the unrolled oracle.
+    GQuery(
+      "pipeline_facility",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.FacilityLocation
+          .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L)
+          .select(col("rnd"), col("center_id"), round(col("gain"), 6).as("gain"))
+      },
+      Some(facilityOracleSql(FLK))
     )
   )
+
+  /** Power-iteration round count for embed_pca — small and FIXED: the
+    * output is defined as the R-round iterate, not a convergence limit.
+    */
+  private def PCAR = 48
+
+  /** Facility-location greedy: k exemplar rounds, pool = vec_id % 10. */
+  private def FLK = 6
+
+  /** Full SQL replay of FacilityLocation.greedy(k, poolMod=10): sims
+    * computed once into a materialized N×m table, then k unrolled rounds
+    * of (decimal marginal-gain aggregate → argmax pick → running-max
+    * update), picked candidates excluded from later rounds.
+    */
+  private def facilityOracleSql(k: Int): String = {
+    def simExpr =
+      s"(1.0 + ${sqlDot("e.ev", "p.cv")} / (sqrt(${sqlDot("e.ev", "e.ev")}) * sqrt(${sqlDot("p.cv", "p.cv")}))) / 2.0"
+    val rounds = (1 to k).map { r =>
+      val notPicked =
+        if (r == 1) ""
+        else s"WHERE s.cid NOT IN (SELECT cid FROM picks${r - 1})"
+      val curUpd =
+        if (r == k) ""
+        else s""",
+        cur$r AS MATERIALIZED (
+          SELECT c.xid, greatest(c.cur, s.sim) AS cur
+          FROM cur${r - 1} c JOIN s ON s.xid = c.xid
+                             AND s.cid = (SELECT cid FROM pick$r))"""
+      val picksUpd =
+        if (r == 1) s"picks1 AS (SELECT cid FROM pick1)"
+        else s"""picks$r AS (SELECT cid FROM picks${r - 1}
+                             UNION ALL SELECT cid FROM pick$r)"""
+      s"""
+        g$r AS MATERIALIZED (
+          SELECT s.cid,
+                 sum((greatest(s.sim, c.cur) - c.cur)::DECIMAL(38,30))::DOUBLE
+                   AS gain
+          FROM s JOIN cur${r - 1} c USING (xid)
+          $notPicked
+          GROUP BY s.cid),
+        pick$r AS MATERIALIZED (
+          SELECT $r::BIGINT AS rnd, cid, gain FROM g$r
+          ORDER BY gain DESC, cid LIMIT 1),
+        $picksUpd$curUpd"""
+    }.mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ev FROM embeddings),
+      p AS (SELECT id AS cid, ev AS cv FROM e WHERE id % 10 = 0),
+      s AS MATERIALIZED (
+        SELECT e.id AS xid, p.cid, $simExpr AS sim
+        FROM e CROSS JOIN p),
+      cur0 AS (SELECT id AS xid, 0.0::DOUBLE AS cur FROM e),
+      $rounds
+      SELECT rnd, cid AS center_id, round(gain, 6) AS gain
+      FROM (${(1 to k).map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")})
+    """
+  }
+
+  /** Full SQL replay of Pca.fit(d=64, p=2, rounds=r) + projection. */
+  private def pcaOracleSql(r: Int): String = {
+    val d = 64
+    // one power-iteration round: w = C·v (left fold per row), v = w/|w|
+    def rounds(comp: Int, cmat: String): String =
+      (1 to r).map { s =>
+        s"""
+        w${comp}_$s AS MATERIALIZED (
+          SELECT c.i,
+                 list_sum(list_transform(generate_series(1, $d),
+                          j -> c.cl[j] * v.vl[j])) AS wv
+          FROM $cmat c CROSS JOIN v${comp}_${s - 1} v),
+        v${comp}_$s AS MATERIALIZED (
+          SELECT list_transform(wl, x ->
+                   x / sqrt(list_sum(list_transform(wl, y -> y*y)))) AS vl
+          FROM (SELECT list(wv ORDER BY i) AS wl FROM w${comp}_$s))"""
+      }.mkString(",")
+    // Rayleigh quotient λ = vᵀ(C·v), both left folds
+    def lam(comp: Int, cmat: String): String =
+      s"""
+        cv$comp AS MATERIALIZED (
+          SELECT c.i,
+                 list_sum(list_transform(generate_series(1, $d),
+                          j -> c.cl[j] * v.vl[j])) AS wv
+          FROM $cmat c CROSS JOIN v${comp}_$r v),
+        lam$comp AS MATERIALIZED (
+          SELECT list_sum(list_transform(generate_series(1, $d),
+                   i -> v.vl[i] * w.cvl[i])) AS lam
+          FROM v${comp}_$r v
+          CROSS JOIN (SELECT list(wv ORDER BY i) AS cvl FROM cv$comp) w)"""
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      gs AS (SELECT unnest(generate_series(1, $d)) AS i),
+      nn AS (SELECT count(*) AS n FROM e),
+      mu AS MATERIALIZED (
+        SELECT gs.i,
+               sum((e.ev[gs.i])::DECIMAL(38,30))::DOUBLE / (SELECT n FROM nn) AS m
+        FROM e CROSS JOIN gs GROUP BY gs.i),
+      mul AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+      xx AS MATERIALIZED (
+        SELECT p.i, p.j,
+               sum((e.ev[p.i] * e.ev[p.j])::DECIMAL(38,30))::DOUBLE
+                 / (SELECT n FROM nn) AS ex
+        FROM e CROSS JOIN (SELECT a.i, b.i AS j FROM gs a, gs b
+                           WHERE b.i >= a.i) p
+        GROUP BY p.i, p.j),
+      cov AS MATERIALIZED (
+        SELECT x.i, x.j, x.ex - mi.m * mj.m AS cv
+        FROM (SELECT i, j, ex FROM xx
+              UNION ALL
+              SELECT j AS i, i AS j, ex FROM xx WHERE j > i) x
+        JOIN mu mi ON mi.i = x.i JOIN mu mj ON mj.i = x.j),
+      cmat AS MATERIALIZED (SELECT i, list(cv ORDER BY j) AS cl FROM cov GROUP BY i),
+      i01 AS (SELECT i FROM cov WHERE i = j ORDER BY cv DESC, i LIMIT 1),
+      v1_0 AS (SELECT list_transform(generate_series(1, $d),
+                 k -> CASE WHEN k = z.i
+                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS vl
+               FROM i01 z),
+      ${rounds(1, "cmat")},
+      ${lam(1, "cmat")},
+      cov2 AS MATERIALIZED (
+        SELECT c.i, c.j,
+               c.cv - (SELECT lam FROM lam1) * v.vl[c.i] * v.vl[c.j] AS cv
+        FROM cov c CROSS JOIN v1_$r v),
+      cmat2 AS MATERIALIZED (SELECT i, list(cv ORDER BY j) AS cl FROM cov2 GROUP BY i),
+      i02 AS (SELECT i FROM cov2 WHERE i = j ORDER BY cv DESC, i LIMIT 1),
+      v2_0 AS (SELECT list_transform(generate_series(1, $d),
+                 k -> CASE WHEN k = z.i
+                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS vl
+               FROM i02 z),
+      ${rounds(2, "cmat2")},
+      ${lam(2, "cmat2")}
+      SELECT e.vec_id,
+        round(list_sum(list_transform(generate_series(1, $d),
+                i -> (e.ev[i] - m.ml[i]) * a.vl[i])), 6) AS pc1,
+        round(list_sum(list_transform(generate_series(1, $d),
+                i -> (e.ev[i] - m.ml[i]) * b.vl[i])), 6) AS pc2,
+        round(list_sum(list_transform(generate_series(1, $d),
+                i -> (e.ev[i] - m.ml[i]) * a.vl[i]))
+              / sqrt((SELECT lam FROM lam1)), 6) AS w1,
+        round(list_sum(list_transform(generate_series(1, $d),
+                i -> (e.ev[i] - m.ml[i]) * b.vl[i]))
+              / sqrt((SELECT lam FROM lam2)), 6) AS w2
+      FROM e CROSS JOIN mul m CROSS JOIN v1_$r a CROSS JOIN v2_$r b
+    """
+  }
 }

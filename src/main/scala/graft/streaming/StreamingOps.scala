@@ -1009,6 +1009,29 @@ object StreamingOps {
     graft.multimodal.Multimodal
       .videoFrameHashes(media.sparkSession, media).toDF()
 
+  /** Streaming PCA projection/whitening — embed_pca's scoring half
+    * online: arriving vectors project onto the pre-fit broadcast
+    * [[graft.operators.Pca.PcaModel]] components (train once in batch —
+    * the moments need the standing corpus — score forever on the
+    * stream). Pure per-row map against d·p broadcast doubles: zero
+    * state, zero shuffle, re-delivery idempotent, bit-equal to the
+    * batch [[graft.operators.Pca.projectCol]]/`whitenCol` kernels.
+    */
+  def pcaProjectStream(
+      vecs: DataFrame, // streaming (idCol, vecCol array<double>)
+      model: graft.operators.Pca.PcaModel,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val p = model.components.length
+    val cols = (0 until p).flatMap { k =>
+      Seq(
+        graft.operators.Pca.projectCol(model, col(vecCol), k).as(s"pc${k + 1}"),
+        graft.operators.Pca.whitenCol(model, col(vecCol), k).as(s"w${k + 1}"))
+    }
+    vecs.select(col(idCol) +: cols: _*)
+  }
+
   /** Streaming audio window fingerprints — mm_audio_dedup's extraction
     * stage online; same stateless per-row argument as
     * [[videoHashStream]], integer-exact energies.

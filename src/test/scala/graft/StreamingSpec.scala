@@ -782,6 +782,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed assignment diverged from the build's leaf table")
   }
 
+  test("streaming PCA projection: two waves bit-equal the batch scores") {
+    import graft.operators.Pca
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Pca.fit(emb, "vec", d = 64, p = 2, rounds = 6)
+    val dir = Files.createTempDirectory("pcastream").toString
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.pcaProjectStream(
+      spark.readStream
+        .schema("vec_id LONG, vec ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      model, "vec_id", "vec")
+    val q = stream.writeStream
+      .format("memory").queryName("pcaproj").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("pcaproj").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val want = emb.select(
+      col("vec_id"),
+      Pca.projectCol(model, col("vec"), 0).as("pc1"),
+      Pca.whitenCol(model, col("vec"), 0).as("w1"),
+      Pca.projectCol(model, col("vec"), 1).as("pc2"),
+      Pca.whitenCol(model, col("vec"), 1).as("w2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want, "streamed PCA scores diverged from batch")
+  }
+
   test("streaming video/audio signatures: two waves bit-equal the batch extraction") {
     import graft.multimodal.Multimodal
     import spark.implicits._
