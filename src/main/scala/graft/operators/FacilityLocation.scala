@@ -38,7 +38,10 @@ import graft.functions.VectorFunctions
   */
 object FacilityLocation {
 
-  /** Greedy-select `k` exemplars from the pool `idCol % poolMod == 0`.
+  /** Greedy-select `k` exemplars from the pool `idCol % poolMod == 0 AND
+    * idCol < poolCap` — the cap keeps the pool size CONSTANT as the
+    * corpus grows (m bounded by design, not by luck; at 100 TB the pool
+    * comes from a cluster-representative table, same contract).
     * Returns one row per round: (rnd, center_id, gain) where gain is the
     * decimal-exact marginal objective increase of that pick.
     */
@@ -47,7 +50,8 @@ object FacilityLocation {
       idCol: String,
       vecCol: String,
       k: Int,
-      poolMod: Long
+      poolMod: Long,
+      poolCap: Long = Long.MaxValue
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -59,21 +63,33 @@ object FacilityLocation {
 
     // bounded candidate pool, broadcast via literals (m·d doubles)
     val pool: Array[(Long, Seq[Double])] = corpus
-      .filter(col("id") % poolMod === 0)
+      .filter(col("id") % poolMod === 0 && col("id") < poolCap)
       .orderBy("id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(pool.nonEmpty, "empty candidate pool")
     require(k <= pool.length, s"k=$k > pool size ${pool.length}")
 
-    def unitSim(c: Seq[Double]): Column = {
-      val cl = typedLit(c)
-      (lit(1.0) + VectorFunctions.dot(col("v"), cl) /
-        (VectorFunctions.l2Norm(col("v")) * VectorFunctions.l2Norm(cl))) / 2.0
+    // candidate norms on the driver with the same ascending fold +
+    // math.sqrt the SQL replay uses (bit-identical), so the per-row work
+    // is m dots + ONE corpus-vector norm — not m norm recomputations
+    def l2NormLocal(c: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
     }
+    // native codegen'd dot kernel (DotExpr == the aggregate/zip_with
+    // fold, same ascending accumulation — the RewriteVectorKernels
+    // contract), so the m-wide sims build never routes through
+    // interpreted higher-order functions
+    import graft.functions.VectorExpressions.dotFast
+    def unitSim(c: Seq[Double]): Column =
+      (lit(1.0) + dotFast(col("v"), typedLit(c)) /
+        (col("nrm") * lit(l2NormLocal(c)))) / 2.0
 
     // one scan: width-m similarity array + cur = 0; checkpoint once
     var state = corpus
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
       .select(
         col("id"),
         array(pool.map { case (_, c) => unitSim(c) }: _*).as("sims"),
@@ -82,32 +98,35 @@ object FacilityLocation {
 
     val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
     val taken = scala.collection.mutable.HashSet[Int]()
+    // the gain aggregate keeps an IDENTICAL plan shape every round (all m
+    // candidates, fixed literal indexes — taken ones are masked on the
+    // driver, their gain is 0 anyway): one whole-stage codegen compile
+    // serves all k rounds instead of one Janino compile per round
+    val gainCols = pool.indices.map(i =>
+      sum((greatest(col("sims")(i), col("cur")) - col("cur")).cast(dec)))
     var rnd = 1
     while (rnd <= k) {
-      val open = pool.indices.filterNot(taken)
-      val gains = state
-        .agg(
-          sum((greatest(col("sims")(open.head), col("cur")) - col("cur")).cast(dec)),
-          open.tail.map(i =>
-            sum((greatest(col("sims")(i), col("cur")) - col("cur")).cast(dec))): _*)
-        .head()
-      // argmax by (gain DESC, candidate id ASC) — double compare, same
-      // as the oracle's ORDER BY
-      var bestPos = 0
-      var bestGain = gains.getDecimal(0).doubleValue()
-      var p = 1
-      while (p < open.length) {
-        val g = gains.getDecimal(p).doubleValue()
-        if (g > bestGain) { bestGain = g; bestPos = p }
+      val gains = state.agg(gainCols.head, gainCols.tail: _*).head()
+      // argmax over unpicked candidates by (gain DESC, candidate id ASC)
+      // — double compare, same as the oracle's ORDER BY
+      var bi = -1
+      var bestGain = Double.NegativeInfinity
+      var p = 0
+      while (p < pool.length) {
+        if (!taken(p)) {
+          val g = gains.getDecimal(p).doubleValue()
+          if (g > bestGain) { bestGain = g; bi = p }
+        }
         p += 1
       }
-      val bi = open(bestPos)
       taken += bi
       picked += ((rnd.toLong, pool(bi)._1, bestGain))
       if (rnd < k) {
+        // lazy checkpoint: materialized by the next round's aggregate —
+        // lineage still truncated, one job per round instead of two
         state = state
           .withColumn("cur", greatest(col("sims")(bi), col("cur")))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       rnd += 1
     }

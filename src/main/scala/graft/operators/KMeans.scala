@@ -487,14 +487,27 @@ object KMeans {
       k: Int,
       rounds: Int
   ): DataFrame = {
+    val init = ppInitDet(df, idCol, vecCol, k)
+      .orderBy(col("rnd"))
+      .collect()
+      .map(_.getSeq[Double](2).toArray)
+    fitDeterministicFrom(df, vecCol, init, rounds)
+  }
+
+  /** The fixed-Lloyd-rounds half of [[fitDeterministic]], reusable with
+    * any deterministic init (ppInitDet, parallelInitDet, a saved model).
+    */
+  def fitDeterministicFrom(
+      df: DataFrame,
+      vecCol: String,
+      init: Array[Array[Double]],
+      rounds: Int
+  ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
-    var centroids = ppInitDet(df, idCol, vecCol, k)
-      .orderBy(col("rnd"))
-      .collect()
-      .map(_.getSeq[Double](2).toArray)
+    var centroids = init
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
     var r = 0
     while (r < rounds) {
@@ -520,5 +533,142 @@ object KMeans {
       }
       .toSeq
       .toDF("cluster", "pos", "mval")
+  }
+
+  /** Driver-side md5 uniform coin, bit-identical to [[Dedup.md5Long]]'s
+    * column spelling (and DuckDB's `md5(s)` replay): first 14 hex chars
+    * of md5(s) as a base-16 long, mod 10^6 + 1, over 10^6 + 1.
+    */
+  private[graft] def md5Coin(s: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => "%02x".format(b & 0xff)).mkString.substring(0, 14)
+    (java.lang.Long.parseLong(hex, 16) % 1000000L + 1L).toDouble / 1000001.0
+  }
+
+  /** Deterministic k-means|| init (Bahmani et al., VLDB 2012) — the
+    * md5-coin spelling of [[parallelInit]] with NO JVM RNG anywhere, so
+    * the whole init (sampling rounds AND the local weighted reduction)
+    * replays as unrolled SQL and the full parallel fit can be
+    * hash-checked:
+    *  - the per-round potential φ is a DECIMAL(38,30)-exact sum (the
+    *    double sum in [[parallelInit]] is partition-order-dependent — a
+    *    last-ulp difference could flip a sampling coin);
+    *  - every corpus point draws its round-r coin from
+    *    md5(id ":kmllD:" r); sampling keeps points with
+    *    u < l·d²/φ (the paper's expected-l oversampling);
+    *  - candidates keep (round, id) append order; assignment argmin
+    *    ties break to the lowest candidate position;
+    *  - the driver-side weighted k-means++ reduction replaces RNG draws
+    *    with Efraimidis–Spirakis md5 keys: pick 0 maximizes
+    *    ln(u)/w (P ∝ w), pick j maximizes ln(u)/(D²·w) over unchosen
+    *    candidates (P ∝ D²·w), ties to the lowest id; if every
+    *    remaining candidate has D²·w = 0 the lowest unchosen id is
+    *    taken.
+    * Fixed `rounds` (no data-dependent early exit — a round with φ = 0
+    * simply samples nothing). Requires the sampled candidate set to
+    * reach k (true for any non-degenerate corpus at l ≥ k).
+    *
+    * @return (rnd 0-based pick order, id, vec) of the k reduced centers
+    */
+  def parallelInitDet(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 2,
+      oversampleFactor: Int = 2
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val l = math.max(oversampleFactor * k, k)
+    val vecs = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val first = vecs.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v")).head()
+    // candidates in (round, id) append order; positions = array index
+    val cand = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])](
+      (first.getLong(0), first.getSeq[Double](1).toArray))
+    var r = 0
+    while (r < rounds) {
+      val cArr = cand.map(_._2).toArray
+      val withD = vecs
+        .withColumn("c", assignCol(spark, cArr, col("v")))
+        .withColumn("d2", l2SqFast(col("v"),
+          element_at(typedLit(cArr.toSeq.map(_.toSeq)), col("c") + 1)))
+      val phi = withD
+        .agg(sum(col("d2").cast(DecimalType(38, 30))).cast("double"))
+        .head.getDouble(0)
+      if (phi > 0) {
+        val u = (Dedup.md5Long(concat(col("id").cast("string"),
+          lit(s":kmllD:$r"))) % 1000000 + 1).cast("double") / lit(1000001.0)
+        cand ++= withD
+          .filter(u < lit(l.toDouble) * col("d2") / lit(phi))
+          .select(col("id"), col("v"))
+          .collect()
+          .map(row => (row.getLong(0), row.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+      }
+      r += 1
+    }
+    require(cand.length >= k,
+      s"parallelInitDet: only ${cand.length} candidates for k=$k — " +
+        "raise rounds/oversampleFactor (degenerate corpus)")
+    // attraction weights over the FINAL candidate set (+1 keeps empty
+    // cells selectable)
+    val cArr = cand.map(_._2).toArray
+    val wMap = vecs
+      .withColumn("c", assignCol(spark, cArr, col("v")))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(row => row.getInt(0) -> row.getLong(1))
+      .toMap
+    val weights = cArr.indices.map(i => wMap.getOrElse(i, 0L) + 1L).toArray
+    // Efraimidis–Spirakis weighted k-means++ over the candidate set
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    val minD2 = Array.fill(cand.length)(Double.PositiveInfinity)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestKey = Double.NegativeInfinity
+      var i = 0
+      while (i < cand.length) {
+        if (!chosen.contains(i)) {
+          val w = if (j == 0) weights(i).toDouble else minD2(i) * weights(i)
+          if (w > 0) {
+            val key = math.log(md5Coin(s"${cand(i)._1}:kmllw:$j")) / w
+            if (key > bestKey ||
+              (key == bestKey && best >= 0 && cand(i)._1 < cand(best)._1)) {
+              bestKey = key
+              best = i
+            }
+          }
+        }
+        i += 1
+      }
+      if (best < 0) { // all remaining D²·w = 0: lowest unchosen id
+        best = cand.indices.filterNot(chosen.contains)
+          .minBy(i => cand(i)._1)
+      }
+      chosen += best
+      var i2 = 0
+      while (i2 < cand.length) {
+        val d2 = KMeansLocal.l2Sq(cArr(i2), cArr(best))
+        if (d2 < minD2(i2)) minD2(i2) = d2
+        i2 += 1
+      }
+      j += 1
+    }
+    chosen.zipWithIndex
+      .map { case (ci, rnd) =>
+        (rnd.toLong, cand(ci)._1, cand(ci)._2.toSeq)
+      }
+      .toSeq
+      .toDF("rnd", "id", "vec")
   }
 }

@@ -59,20 +59,30 @@ object Pca {
       mean(r.getInt(0)) = (r.getDecimal(1).doubleValue()) / n
     }
 
-    // Upper triangle only (j >= i): halves the exploded volume; the
-    // groupBy's map-side combine keeps the shuffle at partitions × d(d+1)/2.
+    // Second moments through the one-pass constant-state kernel
+    // ([[graft.functions.CovMomentsAgg]]): per-partition state is
+    // d(d+1)/2 exact DECIMAL(18,14)-unit sums (~16 KiB), the shuffle
+    // carries one buffer per partition — never N·d(d+1)/2 exploded pair
+    // rows — and the result is bit-identical to the explode + decimal-sum
+    // spelling the DuckDB oracle replays.
+    val cellsRow = v
+      .agg(graft.functions.CovMomentsAgg.covMoments(col("v"), d).as("m"))
+      .head()
+    val cells = cellsRow.getSeq[java.math.BigDecimal](0)
     val exx = Array.ofDim[Double](d, d)
-    v.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast(dec)).as("sxx"))
-      .collect()
-      .foreach { r =>
-        val e = r.getDecimal(2).doubleValue() / n
-        exx(r.getInt(0))(r.getInt(1)) = e
-        exx(r.getInt(1))(r.getInt(0)) = e
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val e = cells(idx).doubleValue() / n
+        exx(i)(j) = e
+        exx(j)(i) = e
+        idx += 1
+        j += 1
       }
+      i += 1
+    }
     (n, mean, exx)
   }
 
@@ -165,7 +175,8 @@ object Pca {
   def projectCol(model: PcaModel, vec: Column, k: Int): Column = {
     val mu = typedLit(model.mean.toSeq)
     val vk = typedLit(model.components(k).toSeq)
-    VectorFunctions.dot(zip_with(vec, mu, (x, m) => x - m), vk)
+    graft.functions.VectorExpressions
+      .dotFast(zip_with(vec, mu, (x, m) => x - m), vk)
   }
 
   /** Whitened score: projection / sqrt(λ_k). */

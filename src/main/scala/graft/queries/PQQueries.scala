@@ -68,6 +68,92 @@ object PQQueries {
     sb.toString
   }
 
+  /** SQL replay of KMeans.parallelInitDet(k, rounds, l): Bahmani
+    * sampling rounds with md5 coins + decimal-exact φ, positional-argmin
+    * assignment, attraction weights, and the Efraimidis–Spirakis
+    * weighted k-means++ reduction to k picks (pk0..pk{k-1}). Leaves `e`
+    * and the pick CTEs in scope for the Lloyd rounds that follow.
+    */
+  private def kmllCtes(k: Int, rounds: Int, l: Int): String = {
+    def coinD(r: Int) =
+      s"((('0x' || substr(md5(e.id::VARCHAR || ':kmllD:$r'), 1, 14))::BIGINT" +
+        s" % 1000000 + 1))::DOUBLE / 1000001.0"
+    def coinW(j: Int) =
+      s"((('0x' || substr(md5(s.id::VARCHAR || ':kmllw:$j'), 1, 14))::BIGINT" +
+        s" % 1000000 + 1))::DOUBLE / 1000001.0"
+    val sb = new StringBuilder
+    sb ++= s"""
+        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        cd0 AS MATERIALIZED (SELECT 0::BIGINT AS rnd, id, v FROM e
+               ORDER BY id LIMIT 1)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+        ct$r AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY rnd, id) - 1 AS pos, id, v
+          FROM cd$r),
+        asg$r AS MATERIALIZED (
+          SELECT eid, d2 FROM (
+            SELECT eid, pos, d2,
+                   row_number() OVER (PARTITION BY eid
+                                      ORDER BY d2, pos) AS rn
+            FROM (SELECT e.id AS eid, c.pos,
+                         ${sqlL2Sq("e.v", "c.v")} AS d2
+                  FROM e CROSS JOIN ct$r c)) WHERE rn = 1),
+        phi$r AS (SELECT sum(d2::DECIMAL(38,30))::DOUBLE AS phi
+                  FROM asg$r),
+        sm$r AS MATERIALIZED (
+          SELECT ${r + 1}::BIGINT AS rnd, e.id, e.v
+          FROM asg$r a JOIN e ON e.id = a.eid
+          WHERE (SELECT phi FROM phi$r) > 0
+            AND ${coinD(r)} < $l.0 * a.d2 / (SELECT phi FROM phi$r)),
+        cd${r + 1} AS MATERIALIZED (
+          SELECT * FROM cd$r UNION ALL SELECT * FROM sm$r)"""
+    }
+    sb ++= s""",
+        ctF AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY rnd, id) - 1 AS pos, id, v
+          FROM cd$rounds),
+        aw AS MATERIALIZED (
+          SELECT eid, pos FROM (
+            SELECT eid, pos,
+                   row_number() OVER (PARTITION BY eid
+                                      ORDER BY d2, pos) AS rn
+            FROM (SELECT e.id AS eid, c.pos,
+                         ${sqlL2Sq("e.v", "c.v")} AS d2
+                  FROM e CROSS JOIN ctF c)) WHERE rn = 1),
+        st0 AS MATERIALIZED (
+          SELECT c.pos, c.id, c.v, (coalesce(n.n, 0) + 1)::BIGINT AS w,
+                 'infinity'::DOUBLE AS md
+          FROM ctF c LEFT JOIN (SELECT pos, count(*) AS n
+                                FROM aw GROUP BY pos) n
+            ON n.pos = c.pos)"""
+    for (j <- 0 until k) {
+      val weff = if (j == 0) "s.w::DOUBLE" else "s.md * s.w"
+      val notPicked =
+        if (j == 0) ""
+        else s"""WHERE s.pos NOT IN (${(0 until j)
+          .map(x => s"SELECT pos FROM pk$x")
+          .mkString(" UNION ALL ")})"""
+      sb ++= s""",
+        pk$j AS MATERIALIZED (
+          SELECT pos, id, v FROM (
+            SELECT s.pos, s.id, s.v,
+                   CASE WHEN $weff > 0 THEN 1 ELSE 0 END AS elig,
+                   CASE WHEN $weff > 0
+                        THEN ln(${coinW(j)}) / ($weff) END AS key
+            FROM st$j s
+            $notPicked)
+          ORDER BY elig DESC, key DESC NULLS LAST, id, pos LIMIT 1)"""
+      if (j < k - 1) sb ++= s""",
+        st${j + 1} AS MATERIALIZED (
+          SELECT s.pos, s.id, s.v, s.w,
+                 least(s.md, ${sqlL2Sq("s.v", "p.v")}) AS md
+          FROM st$j s CROSS JOIN pk$j p)"""
+    }
+    sb.toString
+  }
+
   /** First-k embedding vectors as doubles, ordered by vec_id. */
   private def headVecs(
       spark: SparkSession,
@@ -477,6 +563,59 @@ object PQQueries {
         SELECT ck::BIGINT AS cluster, gs.i::BIGINT AS pos,
                round(v[gs.i], 6) AS mval
         FROM cent2
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+      """)
+    ),
+    // Fully deterministic k-means|| fit: md5-coin Bahmani sampling rounds
+    // (decimal-exact potential — parallelInit's double φ sum is
+    // partition-order-dependent, the one float that kept the parallel
+    // path rows-only), Efraimidis–Spirakis md5 weighted reduction, then
+    // the same 2 FIXED Lloyd rounds as kmeans_fit_det — the entire
+    // distributed-init trajectory (candidate sampling, attraction
+    // weights, all k reduction picks, both Lloyd rounds) unrolls into
+    // SQL and hash-checks.
+    GQuery(
+      "kmeans_parallel_fit_det",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val init = KMeans
+          .parallelInitDet(emb, "vec_id", "v", k = KDET, rounds = 2,
+            oversampleFactor = 2)
+          .orderBy(col("rnd"))
+          .collect()
+          .map(_.getSeq[Double](2).toArray)
+        KMeans.fitDeterministicFrom(emb, "v", init, rounds = 2)
+          .select(col("cluster"), col("pos"), round(col("mval"), 6).as("mval"))
+      },
+      Some(s"""
+        WITH ${kmllCtes(KDET, 2, 2 * KDET)},
+        lcent0 AS MATERIALIZED (
+          ${(0 until KDET)
+            .map(j => s"SELECT $j AS ck, v FROM pk$j")
+            .mkString(" UNION ALL ")}),
+        ${(1 to 2).map(r => s"""
+        ld$r AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist
+                 FROM e CROSS JOIN lcent${r - 1} c),
+        la$r AS MATERIALIZED (SELECT id, ck FROM (
+                 SELECT id, ck, row_number() OVER (PARTITION BY id
+                                                   ORDER BY dist, ck) AS rn
+                 FROM ld$r) WHERE rn = 1),
+        lm$r AS (SELECT a.ck, gs.i AS pos,
+                        sum((e.v[gs.i])::DECIMAL(38,30))::DOUBLE
+                          / count(*) AS m
+                 FROM la$r a JOIN e ON e.id = a.id
+                 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+                 GROUP BY a.ck, gs.i),
+        lcent$r AS MATERIALIZED (
+          SELECT c.ck, coalesce(ml.vv, c.v) AS v
+          FROM lcent${r - 1} c
+          LEFT JOIN (SELECT ck, list(m ORDER BY pos) AS vv
+                     FROM lm$r GROUP BY ck) ml ON ml.ck = c.ck)""")
+          .mkString(",")}
+        SELECT ck::BIGINT AS cluster, gs.i::BIGINT AS pos,
+               round(v[gs.i], 6) AS mval
+        FROM lcent2
         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
       """)
     ),

@@ -2008,7 +2008,7 @@ object VectorQueries {
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         graft.operators.FacilityLocation
-          .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L)
+          .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L, poolCap = 640L)
           .select(col("rnd"), col("center_id"), round(col("gain"), 6).as("gain"))
       },
       Some(facilityOracleSql(FLK))
@@ -2061,7 +2061,7 @@ object VectorQueries {
     }.mkString(",")
     s"""
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ev FROM embeddings),
-      p AS (SELECT id AS cid, ev AS cv FROM e WHERE id % 10 = 0),
+      p AS (SELECT id AS cid, ev AS cv FROM e WHERE id % 10 = 0 AND id < 640),
       s AS MATERIALIZED (
         SELECT e.id AS xid, p.cid, $simExpr AS sim
         FROM e CROSS JOIN p),
@@ -2113,7 +2113,7 @@ object VectorQueries {
       mul AS (SELECT list(m ORDER BY i) AS ml FROM mu),
       xx AS MATERIALIZED (
         SELECT p.i, p.j,
-               sum((e.ev[p.i] * e.ev[p.j])::DECIMAL(38,30))::DOUBLE
+               sum((e.ev[p.i] * e.ev[p.j])::DECIMAL(18,14))::DOUBLE
                  / (SELECT n FROM nn) AS ex
         FROM e CROSS JOIN (SELECT a.i, b.i AS j FROM gs a, gs b
                            WHERE b.i >= a.i) p

@@ -145,6 +145,49 @@ class KMeansPQSpec extends SparkSpec {
     }
   }
 
+  test("parallelInitDet: partition-invariant, k distinct picks, covers separated clusters") {
+    import org.apache.spark.sql.functions._
+    val data = clustered(8, seed = 11).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+    val df = data.toDF("id", "vec")
+    def picks(parts: Int) = KMeans
+      .parallelInitDet(df.repartition(parts), "id", "vec", k = 3,
+        rounds = 2, oversampleFactor = 2)
+      .orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val p2 = picks(2)
+    assert(p2 == picks(7), "parallel init depends on partitioning")
+    assert(p2.map(_._2).distinct.size == 3, s"duplicate picks: $p2")
+    // D²·w-weighted reduction over 3 separated blobs covers all 3
+    val blobs = p2.map { case (_, id) => id / 10 }.toSet
+    assert(blobs.size == 3, s"picks missed a cluster: $p2")
+    // the reduced init feeds the fixed-Lloyd half: 2 rounds land one
+    // centroid per true cluster center
+    val init = KMeans
+      .parallelInitDet(df, "id", "vec", k = 3, rounds = 2,
+        oversampleFactor = 2)
+      .orderBy("rnd").collect().map(_.getSeq[Double](2).toArray)
+    val fitted = KMeans.fitDeterministicFrom(df, "vec", init, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum / 8.0).toMap
+    val got = fitted.values.toSeq.sorted
+    Seq(0.0, 10.0, 20.0).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1.0, s"centroid means $got")
+    }
+  }
+
+  test("md5Coin matches the column md5 coin spelling bit for bit") {
+    import org.apache.spark.sql.functions._
+    val ids = Seq(0L, 1L, 17L, 499L, 123456789L)
+    val want = ids.map(id => KMeans.md5Coin(s"$id:kmllD:1"))
+    val got = ids.toDF("id")
+      .select(((graft.operators.Dedup.md5Long(
+        concat(col("id").cast("string"), lit(":kmllD:1")))
+        % 1000000 + 1).cast("double") / lit(1000001.0)).as("u"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == want, s"driver coin != column coin: $got vs $want")
+  }
+
   test("PQ train/encode/decode reconstruction error bounded (py/test_pq.py:226-249)") {
     // patterned vectors [ (i%10)*0.1 ] * D
     val d = 16
