@@ -132,4 +132,49 @@ object FacilityLocation {
     }
     picked.toSeq.toDF("rnd", "center_id", "gain")
   }
+
+  /** Coverage audit of a selected exemplar set: every corpus point is
+    * attributed to its best pick (max sim, ties to the lowest pick id),
+    * then per pick: attracted count, decimal-exact mean similarity, and
+    * the weakest covered point's similarity — the report that makes
+    * selection quality measurable (is any exemplar carrying dead
+    * weight? how thin is the worst coverage?). Zero-shuffle scoring
+    * against the broadcast picks + one k-group aggregate.
+    */
+  def coverage(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      picks: Array[(Long, Seq[Double])]
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.VectorExpressions.dotFast
+    require(picks.nonEmpty, "empty pick set")
+    val corpus = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def l2NormLocal(c: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    // struct (sim, -pickId): lexicographic max = highest sim, ties to
+    // the LOWEST pick id
+    val cands = picks.map { case (pid, c) =>
+      struct(
+        ((lit(1.0) + dotFast(col("v"), typedLit(c)) /
+          (col("nrm") * lit(l2NormLocal(c)))) / 2.0).as("sim"),
+        lit(-pid).as("negpid"))
+    }
+    corpus
+      .withColumn("nrm", sqrt(dotFast(col("v"), col("v"))))
+      .select(element_at(sort_array(array(cands: _*), asc = false), 1).as("b"))
+      .select((-col("b.negpid")).as("center_id"), col("b.sim").as("sim"))
+      .groupBy("center_id")
+      .agg(
+        count(lit(1)).as("attracted"),
+        (sum(col("sim").cast(DecimalType(38, 30))).cast("double")
+          / count(lit(1))).as("mean_sim"),
+        min(col("sim")).as("min_sim"))
+  }
 }

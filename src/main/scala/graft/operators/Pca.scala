@@ -182,4 +182,20 @@ object Pca {
   /** Whitened score: projection / sqrt(λ_k). */
   def whitenCol(model: PcaModel, vec: Column, k: Int): Column =
     projectCol(model, vec, k) / math.sqrt(model.lambdas(k))
+
+  /** PCA-residual anomaly score: ‖x − μ‖² − Σ_k score_k² — the squared
+    * reconstruction error off the top-p subspace (for orthonormal
+    * components), the standard embedding-space outlier signal: points
+    * the principal subspace cannot explain (corrupt embeddings,
+    * off-manifold content) score high. Map-only against the broadcast
+    * model, left-assoc subtraction chain (replays exactly in SQL).
+    */
+  def residualCol(model: PcaModel, vec: Column): Column = {
+    val l2 = graft.functions.VectorExpressions
+      .l2SqFast(vec, typedLit(model.mean.toSeq))
+    model.components.indices.foldLeft(l2) { (acc, k) =>
+      val p = projectCol(model, vec, k)
+      acc - p * p
+    }
+  }
 }

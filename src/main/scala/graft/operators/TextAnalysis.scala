@@ -743,4 +743,42 @@ object TextAnalysis {
         ).as("lift")
       )
   }
+
+  /** Tokenizer fertility audit per language: chars-per-token (how much
+    * text one BPE-ish token carries) and tokens-per-word (fertility —
+    * how many subword tokens a whitespace word splits into). The
+    * standard multilingual-tokenizer health check: a language whose
+    * fertility is 2-3× the corpus norm pays that multiple in sequence
+    * length for the same content (Rust et al., ACL 2021). One scan,
+    * integer sums (exact, order-free), one small groupBy(lang).
+    */
+  def tokenizerFertility(
+      df: DataFrame,
+      textCol: String,
+      langCol: String
+  ): DataFrame =
+    df.select(
+        col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("chars"),
+        size(regexp_extract_all(
+          col(textCol), lit(s"($BpeTokenPattern)"), lit(1)))
+          .cast("long").as("toks"),
+        expr(s"size(filter(split($textCol, ' '), w -> w != ''))")
+          .cast("long").as("words")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("words")).as("n_words"))
+      .select(
+        col("lang"),
+        col("docs"),
+        col("n_tokens"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_tokens"), lit(0L)), 6).as("chars_per_token"),
+        round(col("n_tokens").cast("double") /
+          nullif(col("n_words"), lit(0L)), 6).as("fertility")
+      )
 }

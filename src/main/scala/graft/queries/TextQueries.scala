@@ -295,6 +295,31 @@ object TextQueries {
   """
 
   val all: Seq[GQuery] = Seq(
+    // Tokenizer fertility audit per language (Rust et al. 2021):
+    // chars-per-token and tokens-per-word off the BPE-ish pretokenizer —
+    // the multilingual sequence-length-cost health check. Integer sums
+    // (exact, order-free) + one small groupBy(lang).
+    GQuery(
+      "text_fertility",
+      (spark, dir) =>
+        TextAnalysis.tokenizerFertility(
+          t(spark, dir, "documents"), "text", "lang"),
+      Some(s"""
+        WITH pt AS (SELECT lang, length(text)::BIGINT AS chars,
+                           len(regexp_extract_all(text,
+                             '${TextAnalysis.BpeTokenPattern}'))::BIGINT
+                             AS toks,
+                           len(list_filter(string_split(text, ' '),
+                             w -> w != ''))::BIGINT AS words
+                    FROM documents)
+        SELECT lang, count(*) AS docs, sum(toks)::BIGINT AS n_tokens,
+               round(sum(chars)::DOUBLE / nullif(sum(toks), 0), 6)
+                 AS chars_per_token,
+               round(sum(toks)::DOUBLE / nullif(sum(words), 0), 6)
+                 AS fertility
+        FROM pt GROUP BY lang
+      """)
+    ),
     // Exact dedup: full-content hash groups with canonical (min) id.
     GQuery(
       "dedup_exact",
@@ -1072,6 +1097,92 @@ object TextQueries {
               JOIN e eb ON eb.vec_id = doc_b)
         SELECT doc_a, doc_b, round(cosine, 6) AS cosine
         FROM p WHERE cosine >= 0.45
+      """
+      }
+    ),
+    // Blocking-recall audit of the LSH dedup paths: verified-pair counts
+    // of single-probe and multi-probe SRP-LSH against the exact all-pairs
+    // ground truth at the same τ — the measurement that turns "LSH recall
+    // is blocking-dependent (documented trade)" into a number you can
+    // regression-watch. Exact ground truth is the O(N²) oracle run on a
+    // bounded audit slice by design (here the whole sf table); the LSH
+    // paths are the corpus-scale route being audited.
+    GQuery(
+      "eval_dedup_blocking",
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings").select(
+          col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        val exactN = Dedup.embeddingPairs(emb, "vec_id", "v", tau = 0.45).count()
+        val lshN = Dedup.embeddingPairsLsh(
+          emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count()
+        val mpN = Dedup.embeddingPairsLshMultiprobe(
+          emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count()
+        Seq(
+          ("lsh", lshN, exactN, lshN.toDouble / exactN),
+          ("lsh_mp", mpN, exactN, mpN.toDouble / exactN)
+        ).toDF("method", "pairs", "exact_pairs", "recall")
+          .select(col("method"), col("pairs"), col("exact_pairs"),
+            round(col("recall"), 6).as("recall"))
+      },
+      Some {
+        def bit(k: Int): String =
+          s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+             |  i -> v[i] * ((('0x'||substr(md5('${k}_'||(i-1)::VARCHAR),1,14))::BIGINT
+             |                % 1000003) / 1000003.0 - 0.5))) >= 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        val sigDefs = (0 until 4).map { b =>
+          (4 * b until 4 * b + 4).map(bit).mkString("(", " || ", s") AS sig$b")
+        }.mkString(",\n")
+        val bandUnion = (0 until 4)
+          .map(b => s"SELECT $b AS band, sig$b AS sig, vec_id FROM s")
+          .mkString(" UNION ALL ")
+        def verified(cand: String) =
+          s"""SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b,
+                    ${sqlDot("ea.v", "eb.v")}
+                    / (sqrt(${sqlDot("ea.v", "ea.v")})
+                       * sqrt(${sqlDot("eb.v", "eb.v")})) AS cosine
+             FROM $cand
+             JOIN e ea ON ea.vec_id = doc_a
+             JOIN e eb ON eb.vec_id = doc_b)
+             WHERE cosine >= 0.45"""
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        xp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE ${sqlDot("a.v", "b.v")}
+                     / (sqrt(${sqlDot("a.v", "a.v")})
+                        * sqrt(${sqlDot("b.v", "b.v")})) >= 0.45),
+        s AS (SELECT vec_id, $sigDefs FROM e),
+        bs AS MATERIALIZED ($bandUnion),
+        cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                 FROM bs a JOIN bs b
+                   ON a.band = b.band AND a.sig = b.sig
+                      AND a.vec_id < b.vec_id),
+        pf AS (${verified("cand")}),
+        pr AS (SELECT vec_id, band,
+                      unnest(list_append(
+                        list_transform(generate_series(1, 4),
+                          p -> substr(sig, 1, p-1)
+                               || (CASE WHEN substr(sig, p, 1) = '1'
+                                   THEN '0' ELSE '1' END)
+                               || substr(sig, p+1, 4 - p)),
+                        sig)) AS psig
+               FROM bs),
+        cand2 AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM pr a JOIN bs b
+                    ON a.band = b.band AND a.psig = b.sig
+                       AND a.vec_id < b.vec_id),
+        pf2 AS (${verified("cand2")}),
+        cnts AS (SELECT (SELECT count(*) FROM pf) AS lshn,
+                        (SELECT count(*) FROM pf2) AS mpn,
+                        (SELECT count(*) FROM xp) AS xn)
+        SELECT 'lsh' AS method, lshn AS pairs, xn AS exact_pairs,
+               round(lshn::DOUBLE / xn, 6) AS recall FROM cnts
+        UNION ALL
+        SELECT 'lsh_mp', mpn, xn, round(mpn::DOUBLE / xn, 6) FROM cnts
       """
       }
     ),

@@ -2012,6 +2012,95 @@ object VectorQueries {
           .select(col("rnd"), col("center_id"), round(col("gain"), 6).as("gain"))
       },
       Some(facilityOracleSql(FLK))
+    ),
+    // PCA-residual outlier scoring (Pca.residualCol): squared
+    // reconstruction error off the top-2 principal subspace — the
+    // embedding-space anomaly filter (corrupt/off-manifold vectors score
+    // high). Zero-shuffle map against the broadcast model + ONE
+    // decimal-exact mean for the threshold scalar; flag = resid >
+    // 2·mean(resid). The residual chain, the mean, and the flag all
+    // replay in SQL off the shared PCA CTEs.
+    GQuery(
+      "embed_pca_outlier",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val m = graft.operators.Pca.fit(emb, "v", d = 64, p = 2, rounds = PCAR)
+        val scored = emb.select(
+          col("vec_id"),
+          graft.operators.Pca.residualCol(m, col("v")).as("resid"))
+        val avg = scored
+          .agg(davgHi(col("resid")))
+          .head.getDouble(0)
+        scored.select(
+          col("vec_id"),
+          round(col("resid"), 6).as("resid"),
+          (col("resid") > lit(2.0) * lit(avg)).as("is_outlier"))
+      },
+      Some {
+        val proj = (c: Char) =>
+          s"""list_sum(list_transform(generate_series(1, 64),
+                i -> (e.ev[i] - m.ml[i]) * $c.vl[i]))"""
+        s"""
+        WITH ${pcaCtes(PCAR)},
+        rs AS MATERIALIZED (
+          SELECT e.vec_id,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (e.ev[i] - m.ml[i]) * (e.ev[i] - m.ml[i])))
+                   - (${proj('a')}) * (${proj('a')})
+                   - (${proj('b')}) * (${proj('b')}) AS resid
+          FROM e CROSS JOIN mul m CROSS JOIN v1_$PCAR a CROSS JOIN v2_$PCAR b),
+        av AS (SELECT sum(resid::DECIMAL(38,30))::DOUBLE / count(*) AS avg
+               FROM rs)
+        SELECT vec_id, round(resid, 6) AS resid,
+               resid > 2.0 * (SELECT avg FROM av) AS is_outlier
+        FROM rs
+      """
+      }
+    ),
+    // Selection coverage audit (FacilityLocation.coverage): re-run the
+    // facility greedy, then attribute every corpus point to its best
+    // pick (max sim, ties to the lowest pick id) and report per-pick
+    // attracted count, decimal-exact mean similarity, and weakest
+    // coverage — the eval that makes the selection family measurable.
+    // Scoring is a zero-shuffle map against the broadcast picks; the
+    // oracle replays the greedy CTEs and the attribution window.
+    GQuery(
+      "eval_selection_coverage",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val ids = graft.operators.FacilityLocation
+          .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L, poolCap = 640L)
+          .orderBy(col("rnd"))
+          .collect().map(_.getLong(1))
+        val byId = emb.filter(col("vec_id").isin(ids: _*))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1))
+          .toMap
+        val picks = ids.map(id => (id, byId(id)))
+        graft.operators.FacilityLocation
+          .coverage(emb, "vec_id", "v", picks)
+          .select(
+            col("center_id"),
+            col("attracted"),
+            round(col("mean_sim"), 6).as("mean_sim"),
+            round(col("min_sim"), 6).as("min_sim"))
+      },
+      Some(s"""
+        WITH ${facilityCtes(FLK)},
+        cv AS MATERIALIZED (
+          SELECT xid, cid, sim,
+                 row_number() OVER (PARTITION BY xid
+                                    ORDER BY sim DESC, cid ASC) AS rn
+          FROM s WHERE cid IN (SELECT cid FROM picks$FLK))
+        SELECT cid AS center_id, count(*) AS attracted,
+               round(sum(sim::DECIMAL(38,30))::DOUBLE / count(*), 6)
+                 AS mean_sim,
+               round(min(sim), 6) AS min_sim
+        FROM cv WHERE rn = 1
+        GROUP BY cid
+      """)
     )
   )
 
@@ -2028,7 +2117,17 @@ object VectorQueries {
     * of (decimal marginal-gain aggregate → argmax pick → running-max
     * update), picked candidates excluded from later rounds.
     */
-  private def facilityOracleSql(k: Int): String = {
+  private def facilityOracleSql(k: Int): String =
+    s"""
+      WITH ${facilityCtes(k)}
+      SELECT rnd, cid AS center_id, round(gain, 6) AS gain
+      FROM (${(1 to k).map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")})
+    """
+
+  /** The shared WITH-body of the facility greedy replay: sims table `s`,
+    * round CTEs, picks1..k. Leaves e/s/picks$k in scope.
+    */
+  private def facilityCtes(k: Int): String = {
     def simExpr =
       s"(1.0 + ${sqlDot("e.ev", "p.cv")} / (sqrt(${sqlDot("e.ev", "e.ev")}) * sqrt(${sqlDot("p.cv", "p.cv")}))) / 2.0"
     val rounds = (1 to k).map { r =>
@@ -2060,20 +2159,39 @@ object VectorQueries {
         $picksUpd$curUpd"""
     }.mkString(",")
     s"""
-      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ev FROM embeddings),
+      e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ev FROM embeddings),
       p AS (SELECT id AS cid, ev AS cv FROM e WHERE id % 10 = 0 AND id < 640),
       s AS MATERIALIZED (
         SELECT e.id AS xid, p.cid, $simExpr AS sim
         FROM e CROSS JOIN p),
       cur0 AS (SELECT id AS xid, 0.0::DOUBLE AS cur FROM e),
       $rounds
-      SELECT rnd, cid AS center_id, round(gain, 6) AS gain
-      FROM (${(1 to k).map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")})
     """
   }
 
   /** Full SQL replay of Pca.fit(d=64, p=2, rounds=r) + projection. */
-  private def pcaOracleSql(r: Int): String = {
+  private def pcaOracleSql(r: Int): String =
+    s"""
+      WITH ${pcaCtes(r)}
+      SELECT e.vec_id,
+        round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.ev[i] - m.ml[i]) * a.vl[i])), 6) AS pc1,
+        round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.ev[i] - m.ml[i]) * b.vl[i])), 6) AS pc2,
+        round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.ev[i] - m.ml[i]) * a.vl[i]))
+              / sqrt((SELECT lam FROM lam1)), 6) AS w1,
+        round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.ev[i] - m.ml[i]) * b.vl[i]))
+              / sqrt((SELECT lam FROM lam2)), 6) AS w2
+      FROM e CROSS JOIN mul m CROSS JOIN v1_$r a CROSS JOIN v2_$r b
+    """
+
+  /** The shared WITH-body: moments, covariance, both power-iterated
+    * components and Rayleigh quotients. Leaves e/mul/v1_r/v2_r/lam1/lam2
+    * in scope for the query-specific final SELECT.
+    */
+  private def pcaCtes(r: Int): String = {
     val d = 64
     // one power-iteration round: w = C·v (left fold per row), v = w/|w|
     def rounds(comp: Int, cmat: String): String =
@@ -2103,7 +2221,7 @@ object VectorQueries {
           FROM v${comp}_$r v
           CROSS JOIN (SELECT list(wv ORDER BY i) AS cvl FROM cv$comp) w)"""
     s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
       gs AS (SELECT unnest(generate_series(1, $d)) AS i),
       nn AS (SELECT count(*) AS n FROM e),
       mu AS MATERIALIZED (
@@ -2144,18 +2262,6 @@ object VectorQueries {
                FROM i02 z),
       ${rounds(2, "cmat2")},
       ${lam(2, "cmat2")}
-      SELECT e.vec_id,
-        round(list_sum(list_transform(generate_series(1, $d),
-                i -> (e.ev[i] - m.ml[i]) * a.vl[i])), 6) AS pc1,
-        round(list_sum(list_transform(generate_series(1, $d),
-                i -> (e.ev[i] - m.ml[i]) * b.vl[i])), 6) AS pc2,
-        round(list_sum(list_transform(generate_series(1, $d),
-                i -> (e.ev[i] - m.ml[i]) * a.vl[i]))
-              / sqrt((SELECT lam FROM lam1)), 6) AS w1,
-        round(list_sum(list_transform(generate_series(1, $d),
-                i -> (e.ev[i] - m.ml[i]) * b.vl[i]))
-              / sqrt((SELECT lam FROM lam2)), 6) AS w2
-      FROM e CROSS JOIN mul m CROSS JOIN v1_$r a CROSS JOIN v2_$r b
     """
   }
 }

@@ -36,6 +36,26 @@ class FacilityLocationSpec extends SparkSpec {
     assert(gains.forall(_ >= 0.0))
   }
 
+  test("coverage: partitions the corpus, sims in [0,1], min <= mean") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = emb.count()
+    val ids = FacilityLocation.greedy(emb, "vec_id", "v", k = 4, poolMod = 10L)
+      .collect().map(_.getLong(1))
+    val byId = emb.filter(col("vec_id").isin(ids: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cov = FacilityLocation
+      .coverage(emb, "vec_id", "v", ids.map(id => (id, byId(id))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cov.map(_._2).sum == n, "attribution does not partition the corpus")
+    cov.foreach { case (cid, att, mean, mn) =>
+      assert(att >= 1, s"pick $cid attracts nothing")
+      assert(mn >= 0.0 && mean <= 1.0 + 1e-9 && mn <= mean + 1e-9,
+        s"coverage stats out of range for $cid: mean=$mean min=$mn")
+    }
+  }
+
   test("greedy prefixes agree; result is partition-invariant") {
     val emb = Q.t(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

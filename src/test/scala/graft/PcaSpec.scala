@@ -82,6 +82,22 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-6, "whitened variance != 1")
   }
 
+  test("residual: non-negative, zero on in-subspace points, explains variance") {
+    val m = Pca.fit(planted, "v", d = 64, p = 2, rounds = 12)
+    val r = planted.select(
+      Pca.residualCol(m, col("v")).as("res"),
+      graft.functions.VectorExpressions
+        .l2SqFast(col("v"), typedLit(m.mean.toSeq)).as("tot"))
+      .agg(sum(col("res")), sum(col("tot")), min(col("res"))).head()
+    val (sres, stot, mn) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(mn > -1e-9, s"negative residual: $mn")
+    // planted: variance 9 + 2.25 on two axes vs 0.01 noise per other dim
+    // -> top-2 subspace explains the bulk; residual is the noise floor
+    val ratio = sres / stot
+    assert(ratio > 0.0 && ratio < 0.15,
+      s"residual ratio $ratio outside the planted noise band")
+  }
+
   test("fit is deterministic across runs and partitionings") {
     val a = Pca.fit(emb, "v", d = 64, p = 2, rounds = 6)
     val b = Pca.fit(emb.repartition(7), "v", d = 64, p = 2, rounds = 6)
