@@ -579,4 +579,37 @@ class PlanSpec extends SparkSpec {
     // corpus-sized pair set — banding shows as equi self-joins on bands
     assert(p.contains("levenshtein"), p)
   }
+
+  test("embed_pca: final scores are a shuffle-free projection scan") {
+    // the fit's jobs have executed by build time; what remains — the
+    // per-row projection against the broadcast components — must be a
+    // map-only scan: any Exchange here breaks the one-pass score story
+    val p = planOf("embed_pca")
+    assert(!p.contains("Exchange"), s"projection grew a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pca moments: constant-state aggregate, no exploded pair rows") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.Q.t(spark, sf0001, "embeddings")
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val p = emb
+      .agg(graft.functions.CovMomentsAgg.covMoments(col("v"), 64))
+      .queryExecution.executedPlan.toString
+    // the O(N·d²) multiplies stay INSIDE the aggregate kernel: the plan
+    // must carry no Generate (posexplode) and partial-aggregate before
+    // its single gather exchange
+    assert(!p.contains("Generate"), s"moments re-grew an explode:\n$p")
+    val firstAgg = p.indexOf("Aggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("Aggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange,
+      s"moments aggregate does not partial-aggregate:\n$p")
+  }
+
+  test("eval_selection_coverage: attribution report joins nothing corpus-sized twice") {
+    val p = planOf("eval_selection_coverage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
