@@ -1032,6 +1032,61 @@ object StreamingOps {
     vecs.select(col(idCol) +: cols: _*)
   }
 
+  /** Streaming PCA-residual outlier gate — embed_pca_outlier online:
+    * arriving vectors score their reconstruction error off the
+    * pre-fit broadcast subspace and flag against a FIXED threshold
+    * (calibrated in batch, e.g. 2·mean(resid) of the standing corpus —
+    * the threshold must be frozen: a per-batch mean would make
+    * admission depend on batch composition). Stateless map,
+    * re-delivery idempotent, bit-equal to the batch residual kernel.
+    */
+  def pcaOutlierStream(
+      vecs: DataFrame, // streaming (idCol, vecCol array<double>)
+      model: graft.operators.Pca.PcaModel,
+      threshold: Double,
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    vecs.select(
+      col(idCol),
+      graft.operators.Pca.residualCol(model, col(vecCol)).as("resid"),
+      (graft.operators.Pca.residualCol(model, col(vecCol)) > threshold)
+        .as("is_outlier"))
+
+  /** Streaming exemplar attribution — the serving half of the selection
+    * tier: arriving vectors are attributed to their best exemplar from
+    * the broadcast pick set (max sim, ties to the lowest pick id), the
+    * same struct-max kernel as [[graft.operators.FacilityLocation
+    * .coverage]]'s batch attribution. Stateless; the per-pick coverage
+    * REPORT stays batch (it needs the corpus aggregate).
+    */
+  def exemplarAssignStream(
+      vecs: DataFrame, // streaming (idCol, vecCol array<double>)
+      picks: Array[(Long, Seq[Double])],
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.dotFast
+    require(picks.nonEmpty, "empty pick set")
+    def l2NormLocal(c: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val cands = picks.map { case (pid, c) =>
+      struct(
+        ((lit(1.0) + dotFast(col(vecCol), typedLit(c)) /
+          (col("nrm") * lit(l2NormLocal(c)))) / 2.0).as("sim"),
+        lit(-pid).as("negpid"))
+    }
+    vecs
+      .withColumn("nrm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        element_at(sort_array(array(cands: _*), asc = false), 1).as("b"))
+      .select(col(idCol), (-col("b.negpid")).as("center_id"),
+        col("b.sim").as("sim"))
+  }
+
   /** Streaming audio window fingerprints — mm_audio_dedup's extraction
     * stage online; same stateless per-row argument as
     * [[videoHashStream]], integer-exact energies.

@@ -815,6 +815,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed PCA scores diverged from batch")
   }
 
+  test("streaming PCA outlier gate + exemplar attribution bit-equal their batch halves") {
+    import graft.operators.{FacilityLocation, Pca}
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val model = Pca.fit(emb, "vec", d = 64, p = 2, rounds = 6)
+    val thr = 2.0 * emb
+      .agg(avg(Pca.residualCol(model, col("vec")))).head.getDouble(0)
+    val ids = FacilityLocation.greedy(emb, "vec_id", "vec", k = 3, poolMod = 10L)
+      .collect().map(_.getLong(1))
+    val byId = emb.filter(col("vec_id").isin(ids: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val picks = ids.map(id => (id, byId(id)))
+    val dir = Files.createTempDirectory("pcaoutstream").toString
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(s"$dir/w2")
+    def streamed = spark.readStream
+      .schema("vec_id LONG, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val q1 = StreamingOps.pcaOutlierStream(streamed, model, thr, "vec_id", "vec")
+      .writeStream.format("memory").queryName("pcaout").outputMode("append").start()
+    val q2 = StreamingOps.exemplarAssignStream(streamed, picks, "vec_id", "vec")
+      .writeStream.format("memory").queryName("exassign").outputMode("append").start()
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    val gotOut = spark.table("pcaout").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val wantOut = emb.select(col("vec_id"),
+      Pca.residualCol(model, col("vec")).as("r"),
+      (Pca.residualCol(model, col("vec")) > thr).as("f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(gotOut == wantOut, "streamed outlier gate diverged from batch")
+    assert(wantOut.exists(_._3) || thr > 0, "threshold sanity")
+    val gotAs = spark.table("exassign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val wantAs = StreamingOps
+      .exemplarAssignStream(emb, picks, "vec_id", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotAs == wantAs, "streamed attribution diverged from batch")
+    // attribution agrees with the batch coverage report's partition
+    val covN = FacilityLocation.coverage(emb, "vec_id", "vec", picks)
+      .agg(sum(col("attracted"))).head.getLong(0)
+    assert(covN == wantAs.size.toLong)
+  }
+
   test("streaming video/audio signatures: two waves bit-equal the batch extraction") {
     import graft.multimodal.Multimodal
     import spark.implicits._
