@@ -744,6 +744,76 @@ object TextAnalysis {
       )
   }
 
+  /** Gopher quality rules (Rae et al. 2021, §A1.1.2) — the
+    * document-level heuristic stack MassiveText shipped and later
+    * corpora (RefinedWeb, Dolma) kept: word-count bounds, mean word
+    * length band, symbol-to-word ratios (# and ellipsis), bullet-line
+    * and ellipsis-line fractions, alphabetic-word fraction, and the
+    * ≥2-distinct-stopwords requirement. Pure per-row column arithmetic
+    * — integer counts and double ratios, zero shuffle, streams at scan
+    * speed like the C4/FineWeb stacks.
+    */
+  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.select(
+        col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), w -> w != '')").as("ws"),
+        split(col(textCol), "\n").as("ls"),
+        (length(col(textCol))
+          - length(regexp_replace(col(textCol), "#", ""))).as("hashes"),
+        ((length(col(textCol))
+          - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+          .as("ellipses")
+      )
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("wchars"),
+        col("hashes").cast("long").as("hashes"),
+        col("ellipses").cast("long").as("ellipses"),
+        size(col("ls")).cast("long").as("n_lines"),
+        expr("size(filter(ls, l -> l rlike '^[-*•]'))")
+          .cast("long").as("bullet_lines"),
+        expr("size(filter(ls, l -> l rlike '\\\\.{3}$'))")
+          .cast("long").as("ellipsis_lines"),
+        expr("size(filter(ws, w -> w rlike '[A-Za-z]'))")
+          .cast("long").as("alpha_words"),
+        expr(s"size(filter(array(${stops.map("'" + _ + "'").mkString(",")}), " +
+          s"s -> array_contains(transform(ws, w -> lower(w)), s)))")
+          .cast("long").as("n_stop")
+      )
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("wchars").cast("double") / nullif(col("n_words"), lit(0L)), 6)
+          .as("mean_word_len"),
+        round(greatest(
+          col("hashes").cast("double") / nullif(col("n_words"), lit(0L)),
+          col("ellipses").cast("double") / nullif(col("n_words"), lit(0L))), 6)
+          .as("symbol_ratio"),
+        round(col("bullet_lines").cast("double")
+          / nullif(col("n_lines"), lit(0L)), 6).as("bullet_frac"),
+        round(col("ellipsis_lines").cast("double")
+          / nullif(col("n_lines"), lit(0L)), 6).as("ellipsis_frac"),
+        round(col("alpha_words").cast("double")
+          / nullif(col("n_words"), lit(0L)), 6).as("alpha_frac"),
+        col("n_stop"),
+        (col("n_words").between(50L, 100000L) &&
+          (col("wchars").cast("double") / nullif(col("n_words"), lit(0L)))
+            .between(3.0, 10.0) &&
+          (col("hashes").cast("double") / nullif(col("n_words"), lit(0L)))
+            <= 0.1 &&
+          (col("ellipses").cast("double") / nullif(col("n_words"), lit(0L)))
+            <= 0.1 &&
+          (col("bullet_lines").cast("double") / nullif(col("n_lines"), lit(0L)))
+            <= 0.9 &&
+          (col("ellipsis_lines").cast("double") / nullif(col("n_lines"), lit(0L)))
+            <= 0.3 &&
+          (col("alpha_words").cast("double") / nullif(col("n_words"), lit(0L)))
+            >= 0.8 &&
+          col("n_stop") >= 2L).as("keep")
+      )
+  }
+
   /** Tokenizer fertility audit per language: chars-per-token (how much
     * text one BPE-ish token carries) and tokens-per-word (fertility —
     * how many subword tokens a whitespace word splits into). The

@@ -320,6 +320,63 @@ object TextQueries {
         FROM pt GROUP BY lang
       """)
     ),
+    // Gopher quality rules (Rae et al. 2021 §A1.1.2): the MassiveText
+    // document-level heuristic stack — word-count bounds, mean-word-length
+    // band, symbol ratios, bullet/ellipsis line fractions, alphabetic-word
+    // fraction, >=2 distinct stopwords. Pure per-row arithmetic, streams
+    // at scan speed (the third published filter stack next to C4 and
+    // FineWeb).
+    GQuery(
+      "text_gopher_filters",
+      (spark, dir) =>
+        TextAnalysis.gopherStats(t(spark, dir, "documents"), "doc_id", "text"),
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w != '') AS ws,
+                 string_split(text, chr(10)) AS ls,
+                 (length(text) - length(replace(text, '#', '')))::BIGINT
+                   AS hashes,
+                 ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+                   AS ellipses
+          FROM documents),
+        cen AS (
+          SELECT doc_id, len(ws)::BIGINT AS n_words,
+                 list_sum(list_transform(ws, w -> length(w)))::BIGINT AS wchars,
+                 hashes, ellipses, len(ls)::BIGINT AS n_lines,
+                 len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))::BIGINT
+                   AS bullet_lines,
+                 len(list_filter(ls, l -> regexp_matches(l, '\\.{3}$$')))::BIGINT
+                   AS ellipsis_lines,
+                 len(list_filter(ws, l -> regexp_matches(l, '[A-Za-z]')))::BIGINT
+                   AS alpha_words,
+                 len(list_filter(['the','be','to','of','and','that','have','with'],
+                   s -> list_contains(list_transform(ws, w -> lower(w)), s)))::BIGINT
+                   AS n_stop
+          FROM base)
+        SELECT doc_id, n_words,
+               round(wchars::DOUBLE / nullif(n_words, 0), 6) AS mean_word_len,
+               round(greatest(hashes::DOUBLE / nullif(n_words, 0),
+                              ellipses::DOUBLE / nullif(n_words, 0)), 6)
+                 AS symbol_ratio,
+               round(bullet_lines::DOUBLE / nullif(n_lines, 0), 6)
+                 AS bullet_frac,
+               round(ellipsis_lines::DOUBLE / nullif(n_lines, 0), 6)
+                 AS ellipsis_frac,
+               round(alpha_words::DOUBLE / nullif(n_words, 0), 6)
+                 AS alpha_frac,
+               n_stop,
+               (n_words BETWEEN 50 AND 100000
+                AND (wchars::DOUBLE / nullif(n_words, 0)) BETWEEN 3.0 AND 10.0
+                AND (hashes::DOUBLE / nullif(n_words, 0)) <= 0.1
+                AND (ellipses::DOUBLE / nullif(n_words, 0)) <= 0.1
+                AND (bullet_lines::DOUBLE / nullif(n_lines, 0)) <= 0.9
+                AND (ellipsis_lines::DOUBLE / nullif(n_lines, 0)) <= 0.3
+                AND (alpha_words::DOUBLE / nullif(n_words, 0)) >= 0.8
+                AND n_stop >= 2) AS keep
+        FROM cen
+      """)
+    ),
     // Exact dedup: full-content hash groups with canonical (min) id.
     GQuery(
       "dedup_exact",

@@ -1032,6 +1032,19 @@ object StreamingOps {
     vecs.select(col(idCol) +: cols: _*)
   }
 
+  /** Streaming Gopher-rules gate — text_gopher_filters online: the
+    * MassiveText heuristic stack is pure per-row column arithmetic
+    * (word/line censuses + fixed thresholds, no corpus state), so the
+    * stream twin is the batch operator applied per micro-batch:
+    * stateless, re-delivery idempotent, bit-equal.
+    */
+  def gopherFilterStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String
+  ): DataFrame =
+    graft.operators.TextAnalysis.gopherStats(docs, idCol, textCol)
+
   /** Streaming PCA-residual outlier gate — embed_pca_outlier online:
     * arriving vectors score their reconstruction error off the
     * pre-fit broadcast subspace and flag against a FIXED threshold

@@ -978,6 +978,30 @@ class StreamingSpec extends SparkSpec {
       id % 10 != 3 && id % 10 != 7 && dropped == 3 })
   }
 
+  test("streaming Gopher gate: two waves equal the batch census bit for bit") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("gopherstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.gopherFilterStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text")
+    val q = stream.writeStream
+      .format("memory").queryName("gopher").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(Option(_).map(_.toString))).toSet
+    val got = canon(spark.table("gopher"))
+    val want = canon(
+      graft.operators.TextAnalysis.gopherStats(docs, "doc_id", "text"))
+    assert(got == want, "streamed Gopher census diverged from batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming CMS: drained stream equals the batch sketch cell for cell") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("cmsstream").toString
