@@ -377,6 +377,113 @@ object TextQueries {
         FROM cen
       """)
     ),
+    // Dataset card (the per-slice release report every corpus publishes):
+    // one row per (lang, source) with docs, BPE-ish token mass, summed
+    // quality (in millionths — the card is ALL-INTEGER: exact numerators
+    // + the docs denominator, so no double-rounding boundary can ever
+    // flake the hash; consumers divide), exact-dup doc count, and Gopher
+    // keep count — four of the engine's census stages composed in ONE
+    // declarative plan (quality, gopher, tokenizer, exact-dup hash
+    // counts all equi-join on doc_id; the group table is tiny). The
+    // whole card replays in SQL.
+    GQuery(
+      "pipeline_dataset_card",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val g = TextAnalysis.gopherStats(docs, "doc_id", "text")
+          .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("gkeep"))
+        val tok = docs.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit(s"(${TextAnalysis.BpeTokenPattern})"), lit(1)))
+            .cast("long").as("toks"))
+        val hc = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("hn"))
+        val dup = docs.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(hc, "h")
+          .select(col("doc_id"), (col("hn") > 1).cast("int").as("isdup"))
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(q, "doc_id").join(g, "doc_id")
+          .join(tok, "doc_id").join(dup, "doc_id")
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("toks")).as("n_tokens"),
+            sum((col("quality").cast(DecimalType(18, 6)) * lit(1000000))
+              .cast("long")).as("quality_sum_e6"),
+            sum(col("isdup").cast("long")).as("dup_docs"),
+            sum(col("gkeep").cast("int").cast("long")).as("gopher_kept"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id,
+                     len(t)::DOUBLE AS n,
+                     len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','is','for')))::DOUBLE
+                       / len(t) AS stop_ratio,
+                     len(list_distinct(t))::DOUBLE / len(t) AS diversity
+              FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM f),
+        gbase AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w != '') AS ws,
+                 string_split(text, chr(10)) AS ls,
+                 (length(text) - length(replace(text, '#', '')))::BIGINT
+                   AS hashes,
+                 ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+                   AS ellipses
+          FROM documents),
+        gk AS (
+          SELECT doc_id,
+                 coalesce(
+                   len(ws) BETWEEN 50 AND 100000
+                   AND (list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                        / nullif(len(ws), 0)) BETWEEN 3.0 AND 10.0
+                   AND (hashes::DOUBLE / nullif(len(ws), 0)) <= 0.1
+                   AND (ellipses::DOUBLE / nullif(len(ws), 0)) <= 0.1
+                   AND (len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))::DOUBLE
+                        / nullif(len(ls), 0)) <= 0.9
+                   AND (len(list_filter(ls, l -> regexp_matches(l, '\\.{3}$$')))::DOUBLE
+                        / nullif(len(ls), 0)) <= 0.3
+                   AND (len(list_filter(ws, l -> regexp_matches(l, '[A-Za-z]')))::DOUBLE
+                        / nullif(len(ws), 0)) >= 0.8
+                   AND len(list_filter(
+                         ['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(list_transform(ws, w -> lower(w)), s)
+                       )) >= 2,
+                   false) AS gkeep
+          FROM gbase),
+        tk AS (SELECT doc_id,
+                      len(regexp_extract_all(text,
+                        '${TextAnalysis.BpeTokenPattern}'))::BIGINT AS toks
+               FROM documents),
+        hc AS (SELECT md5(text) AS h, count(*) AS hn
+               FROM documents GROUP BY md5(text)),
+        dup AS (SELECT d.doc_id, CASE WHEN hc.hn > 1 THEN 1 ELSE 0 END AS isdup
+                FROM documents d JOIN hc ON hc.h = md5(d.text))
+        SELECT d.lang, d.source, count(*) AS docs,
+               sum(tk.toks)::BIGINT AS n_tokens,
+               sum(((q.quality::DECIMAL(18,6)) * 1000000)::BIGINT)::BIGINT
+                 AS quality_sum_e6,
+               sum(dup.isdup)::BIGINT AS dup_docs,
+               sum(CASE WHEN gk.gkeep THEN 1 ELSE 0 END)::BIGINT
+                 AS gopher_kept
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN gk ON gk.doc_id = d.doc_id
+        JOIN tk ON tk.doc_id = d.doc_id
+        JOIN dup ON dup.doc_id = d.doc_id
+        GROUP BY d.lang, d.source
+      """)
+    ),
     // Exact dedup: full-content hash groups with canonical (min) id.
     GQuery(
       "dedup_exact",
