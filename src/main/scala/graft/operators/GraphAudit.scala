@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structural audits of the (kNN) neighbor graph — the measurements a
+  * graph-based curation stack publishes next to hubness
+  * ([[graft.queries.VectorQueries]] knn_graph_hubness): triangle /
+  * clustering-coefficient density (Watts–Strogatz 1998), coreness
+  * (Seidman 1983, computed by the h-index fixpoint of Lü et al. 2016),
+  * community modularity (Newman–Girvan 2004) and degree assortativity
+  * (Newman 2002). All four read the same undirected view of a directed
+  * neighbor graph and are aggregation/join-only — no pairwise blowup
+  * beyond the degree-bounded wedge join, every accumulation either pure
+  * integer or DECIMAL(38,20)-routed, so each replays exactly in the
+  * DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - triangles use the DEGREE-ORDERED orientation (Suri &
+  *    Vassilvitskii, WWW 2011): each undirected edge points from the
+  *    lexicographically smaller (deg, id) endpoint to the larger, so
+  *    every triangle is enumerated exactly once at its lowest-rank
+  *    corner and the wedge join fans out Σ outdeg(u)² with
+  *    outdeg = O(√m) worst-case — the hub that breaks the naive
+  *    neighbor-pair join never materializes its C(deg, 2) wedges;
+  *  - coreness is R rounds of one edge⋈state join + one per-node
+  *    windowed h-index — linear in edges per round, integer state,
+  *    localCheckpoint-truncated lineage;
+  *  - modularity/assortativity are single grouping aggregates over the
+  *    edge list.
+  */
+object GraphAudit {
+
+  /** Distinct undirected edges as (a, b), a < b, self-loops dropped. */
+  private def und(edges: DataFrame): DataFrame =
+    edges
+      .select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Both-direction spelling of [[und]]: one row per (node, neighbor). */
+  private def undBoth(edges: DataFrame): DataFrame = {
+    val u = und(edges)
+    u.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(u.select(col("b").as("id"), col("a").as("nb")))
+  }
+
+  /** Undirected degree per node (0 for isolated universe members). */
+  private def degrees(edges: DataFrame, ids: DataFrame): DataFrame =
+    ids
+      .select(col("id").cast("long").as("id"))
+      .join(
+        undBoth(edges).groupBy(col("id")).agg(count(lit(1)).as("deg")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * undirected view of `edges`.
+    *
+    * @param edges directed (src, dst) — symmetrized + deduped here
+    * @param ids   one row per node id in the universe
+    * @return (id, deg, tri, cc) — cc = 2·tri / (deg·(deg−1)), 0 when
+    *         deg < 2; both engines divide identical small integers
+    */
+  def triangleStats(edges: DataFrame, ids: DataFrame): DataFrame = {
+    val u = und(edges).localCheckpoint()
+    val dg = degrees(edges, ids).localCheckpoint()
+    // orient each edge from the smaller (deg, id) endpoint to the larger
+    val withDeg = u
+      .join(dg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(dg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val dir = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .join(dg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("dv"))
+      .localCheckpoint()
+    // wedges at the lowest-rank corner u: out-neighbor pairs (v, w) with
+    // rank(v) < rank(w); a closing oriented edge v→w completes a triangle
+    val e1 = dir.select(col("u"), col("v"), col("dv"))
+    val e2 = dir.select(
+      col("u"), col("v").as("w"), col("dv").as("dw"))
+    val tris = e1
+      .join(e2, Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .join(
+        dir.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "leftsemi")
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("tri"))
+    dg
+      .join(perNode, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
+  /** Coreness by the h-index fixpoint (Lü et al., Nature Comms 2016):
+    * c₀(v) = deg(v); c_{t+1}(v) = H{c_t(u) : u ∈ N(v)} where H is the
+    * h-index (largest h with ≥ h neighbor values ≥ h). The sequence is
+    * non-increasing and converges to the k-core number; `rounds` is a
+    * FIXED schedule so the result is deterministic integers whether or
+    * not the fixpoint has been reached (GraphAuditSpec pins convergence
+    * on the test graphs against an independent peeling loop).
+    *
+    * @return (id, deg, coreness) — all integer
+    */
+  def coreness(edges: DataFrame, ids: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"coreness needs >= 1 round, got $rounds")
+    val ub = undBoth(edges).localCheckpoint()
+    val dg = degrees(edges, ids).localCheckpoint()
+    var state = dg.select(col("id"), col("deg").as("c")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val nbVals = ub
+        .join(state.select(col("id").as("nb"), col("c").as("cv")), "nb")
+        .select(col("id"), col("cv"))
+      // h-index per node: sort neighbor values descending, h = max over
+      // positions p of min(p, value_p); ties in cv need no tiebreak (the
+      // h value depends only on the sorted multiset) but order by cv
+      // desc keeps the window deterministic anyway
+      val w = Window.partitionBy(col("id")).orderBy(col("cv").desc)
+      val h = nbVals
+        .withColumn("p", row_number().over(w))
+        .groupBy(col("id"))
+        .agg(max(least(col("p").cast("long"), col("cv"))).as("h"))
+      state = state
+        .select(col("id"))
+        .join(h, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
+        .localCheckpoint()
+      r += 1
+    }
+    dg.join(state, "id")
+      .select(col("id"), col("deg"), col("c").as("coreness"))
+  }
+
+  /** Newman–Girvan modularity of a node→community assignment over the
+    * undirected view of `edges`: per community c,
+    * q_c = e_c/m − (d_c/(2m))² with e_c the intra-community edge count,
+    * d_c the community degree sum, m the total undirected edge count;
+    * Q = Σ_c q_c. All inputs to the divisions are exact integers, so
+    * both engines compute identical doubles.
+    *
+    * @param communities (id, community) — every graph node must appear;
+    *                    universe members absent from `communities` are
+    *                    treated as singleton communities of themselves
+    * @return one row per community: (community, n_nodes, e_in, deg_sum, q)
+    */
+  def modularity(
+      edges: DataFrame,
+      ids: DataFrame,
+      communities: DataFrame
+  ): DataFrame = {
+    val u = und(edges).localCheckpoint()
+    val comm = ids
+      .select(col("id").cast("long").as("id"))
+      .join(
+        communities.select(
+          col("id").cast("long").as("id"),
+          col("community").cast("long").as("community")),
+        Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("community"), col("id")).as("community"))
+      .localCheckpoint()
+    val m = u.count()
+    require(m > 0, "modularity needs at least one edge")
+    val dg = degrees(edges, comm.select(col("id")))
+      .join(comm, "id")
+    val dsum = dg
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val ein = u
+      .join(comm.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(comm.select(col("id").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    dsum
+      .join(ein, Seq("community"), "left")
+      .select(
+        col("community"),
+        col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("deg_sum"),
+        (coalesce(col("e_in"), lit(0L)).cast("double") / lit(m.toDouble) -
+          (col("deg_sum").cast("double") / lit(2.0 * m)) *
+            (col("deg_sum").cast("double") / lit(2.0 * m))).as("q"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the both-direction undirected edge list (each
+    * edge contributes (deg_u, deg_v) and (deg_v, deg_u), the standard
+    * undirected convention). Sums of integer products route through
+    * DECIMAL(38,0) (exact, order-free); the final covariance/variance
+    * arithmetic then acts on identical doubles in both engines.
+    *
+    * @return one row: (m_ends, assortativity) with m_ends = 2·|E|
+    */
+  def assortativity(edges: DataFrame, ids: DataFrame): DataFrame = {
+    val dg = degrees(edges, ids).localCheckpoint()
+    val pairs = undBoth(edges)
+      .join(dg.select(col("id"), col("deg").as("dx")), "id")
+      .join(dg.select(col("id").as("nb"), col("deg").as("dy")), "nb")
+      .select(col("dx"), col("dy"))
+    val dec = DecimalType(38, 0)
+    val mo = pairs.agg(
+      count(lit(1)).as("m_ends"),
+      sum(col("dx").cast(dec)).cast("double").as("sx"),
+      sum(col("dy").cast(dec)).cast("double").as("sy"),
+      sum((col("dx") * col("dy")).cast(dec)).cast("double").as("sxy"),
+      sum((col("dx") * col("dx")).cast(dec)).cast("double").as("sxx"),
+      sum((col("dy") * col("dy")).cast(dec)).cast("double").as("syy"))
+    mo.select(
+      col("m_ends"),
+      ((col("sxy") / col("m_ends") -
+        (col("sx") / col("m_ends")) * (col("sy") / col("m_ends"))) /
+        (sqrt(col("sxx") / col("m_ends") -
+          (col("sx") / col("m_ends")) * (col("sx") / col("m_ends"))) *
+          sqrt(col("syy") / col("m_ends") -
+            (col("sy") / col("m_ends")) * (col("sy") / col("m_ends")))))
+        .as("assortativity"))
+  }
+}

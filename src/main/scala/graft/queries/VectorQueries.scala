@@ -67,6 +67,21 @@ object VectorQueries {
         ${nndIter(1, "g0")},
         ${nndIter(2, "g1")}"""
 
+  /** Undirected view of `g2` + universe degree table — shared by the
+    * graph-audit oracles (triangles / kcore / modularity /
+    * assortativity): `uu` (a < b distinct), `ub` (both directions),
+    * `dq` (per-universe-node degree, 0 for isolated).
+    */
+  private def auditCtes: String = s"""
+        uu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                   greatest(src, dst) AS b
+               FROM g2 WHERE src != dst),
+        ub AS MATERIALIZED (SELECT a AS id, b AS nb FROM uu
+               UNION ALL SELECT b, a FROM uu),
+        dq AS MATERIALIZED (SELECT e.id, coalesce(d.deg, 0)::BIGINT AS deg
+               FROM e LEFT JOIN (SELECT id, count(*) AS deg
+                                 FROM ub GROUP BY id) d ON d.id = e.id)"""
+
   /** Vamana robust-prune replay over `g2` (alpha = 1.2, maxDegree = 8 —
     * the knn_graph_vamana config). The per-node sequential greedy is a
     * recursive CTE in the knn_mmr mold: state = (src, kept-ids list);
@@ -2100,6 +2115,159 @@ object VectorQueries {
                round(min(sim), 6) AS min_sim
         FROM cv WHERE rn = 1
         GROUP BY cid
+      """)
+    ),
+    // ───────────────────────── graph-audit tier ─────────────────────────
+    // Structural measurements of the shared kNN graph next to hubness:
+    // the numbers a graph-curation run publishes before trusting
+    // graph-walk selection (PageRank/PPR/label-prop) built on it.
+    //
+    // Per-node triangle count + local clustering coefficient
+    // (Watts–Strogatz 1998). The operator enumerates each triangle once
+    // at its lowest-(deg, id) corner via the degree-ordered orientation
+    // (Suri & Vassilvitskii, WWW 2011 — wedge fan-out Σ outdeg², with
+    // outdeg O(√m) worst-case, so the hub never materializes C(deg, 2)
+    // wedges); the oracle re-counts naively per node (u1.nb < u2.nb
+    // closed by an undirected edge), which must agree exactly. cc is an
+    // exact small-integer division, identical doubles in both engines.
+    GQuery(
+      "knn_graph_triangles",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        graft.operators.GraphAudit
+          .triangleStats(sharedGraph(spark, dir), ids)
+          .select(
+            col("id").as("vec_id"), col("deg"), col("tri"),
+            round(col("cc"), 6).as("cc"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        tc AS (SELECT u1.id, count(*)::BIGINT AS tri
+               FROM ub u1 JOIN ub u2 ON u2.id = u1.id AND u1.nb < u2.nb
+               JOIN uu t ON t.a = u1.nb AND t.b = u2.nb
+               GROUP BY u1.id)
+        SELECT d.id AS vec_id, d.deg,
+               coalesce(tc.tri, 0)::BIGINT AS tri,
+               round(CASE WHEN d.deg >= 2
+                          THEN (2 * coalesce(tc.tri, 0))::DOUBLE
+                               / (d.deg * (d.deg - 1))::DOUBLE
+                          ELSE 0.0::DOUBLE END, 6) AS cc
+        FROM dq d LEFT JOIN tc ON tc.id = d.id
+      """)
+    ),
+    // Coreness (Seidman 1983) by the h-index fixpoint of Lü et al. 2016:
+    // c₀ = deg, c_{t+1}(v) = H{c_t(u) : u ∈ N(v)} — 4 FIXED rounds, all
+    // integer, so the whole schedule (converged or not) hash-replays as
+    // unrolled SQL; GraphAuditSpec pins convergence-to-peel-coreness on
+    // reference graphs. Per round: one edge⋈state join + one per-node
+    // h-index window — linear in edges, the 100-TB-safe shape.
+    GQuery(
+      "knn_graph_kcore",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        graft.operators.GraphAudit
+          .coreness(sharedGraph(spark, dir), ids, rounds = 4)
+          .select(col("id").as("vec_id"), col("deg"), col("coreness"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        kc0 AS MATERIALIZED (SELECT id, deg AS c FROM dq),
+        ${(1 to 4).map(i => s"""
+        kh$i AS (SELECT id, max(least(p, cv)) AS h FROM (
+                  SELECT ub.id, s.c AS cv,
+                         row_number() OVER (PARTITION BY ub.id
+                                            ORDER BY s.c DESC) AS p
+                  FROM ub JOIN kc${i - 1} s ON s.id = ub.nb)
+                 GROUP BY id),
+        kc$i AS MATERIALIZED (SELECT d.id, coalesce(h.h, 0)::BIGINT AS c
+                FROM dq d LEFT JOIN kh$i h ON h.id = d.id)""").mkString(",")}
+        SELECT d.id AS vec_id, d.deg, k.c AS coreness
+        FROM dq d JOIN kc4 k ON k.id = d.id
+      """)
+    ),
+    // Newman–Girvan modularity of the ground-truth LABEL partition over
+    // the undirected kNN graph — the audit that says whether the graph
+    // respects the labels before any label-prop / graph-walk selection
+    // trusts it: q_c = e_c/m − (d_c/2m)² per label community, Q = Σ q_c
+    // (high Q → neighbors share labels; Q ≈ 0 → the graph is label-
+    // blind and propagation will smear). Every division takes exact
+    // integers, so doubles agree exactly.
+    GQuery(
+      "knn_graph_modularity",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val ids = emb.select(col("vec_id").cast("long").as("id"))
+        val comm = emb.select(
+          col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("community"))
+        graft.operators.GraphAudit
+          .modularity(sharedGraph(spark, dir), ids, comm)
+          .select(
+            col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+            round(col("q"), 6).as("q"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        cm AS MATERIALIZED (SELECT vec_id AS id, label::BIGINT AS community
+              FROM embeddings),
+        mt AS (SELECT count(*) AS m FROM uu),
+        ds AS (SELECT cm.community, count(*) AS n_nodes,
+                      sum(dq.deg)::BIGINT AS deg_sum
+               FROM dq JOIN cm ON cm.id = dq.id GROUP BY cm.community),
+        ei AS (SELECT ca.community, count(*) AS e_in
+               FROM uu JOIN cm ca ON ca.id = uu.a
+                       JOIN cm cb ON cb.id = uu.b
+                                 AND cb.community = ca.community
+               GROUP BY ca.community)
+        SELECT ds.community, ds.n_nodes,
+               coalesce(ei.e_in, 0)::BIGINT AS e_in, ds.deg_sum,
+               round(coalesce(ei.e_in, 0)::DOUBLE / mt.m::DOUBLE
+                     - (ds.deg_sum::DOUBLE / (2 * mt.m)::DOUBLE)
+                       * (ds.deg_sum::DOUBLE / (2 * mt.m)::DOUBLE), 6) AS q
+        FROM ds CROSS JOIN mt LEFT JOIN ei ON ei.community = ds.community
+      """)
+    ),
+    // Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    // degrees over the both-direction edge list — does the graph wire
+    // hubs to hubs (r > 0, retrieval walks trapped in a hub core) or
+    // hubs to leaves (r < 0)? Integer moment sums route through
+    // DECIMAL(38,0); the covariance arithmetic then acts on identical
+    // doubles. One aggregate over the edge list — no pairwise anything.
+    GQuery(
+      "knn_graph_assortativity",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        graft.operators.GraphAudit
+          .assortativity(sharedGraph(spark, dir), ids)
+          .select(
+            col("m_ends"),
+            round(col("assortativity"), 6).as("assortativity"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        pr AS (SELECT dx.deg AS dx, dy.deg AS dy
+               FROM ub JOIN dq dx ON dx.id = ub.id
+                       JOIN dq dy ON dy.id = ub.nb),
+        mo AS (SELECT count(*) AS m,
+                      sum(dx::DECIMAL(38,0))::DOUBLE AS sx,
+                      sum(dy::DECIMAL(38,0))::DOUBLE AS sy,
+                      sum((dx * dy)::DECIMAL(38,0))::DOUBLE AS sxy,
+                      sum((dx * dx)::DECIMAL(38,0))::DOUBLE AS sxx,
+                      sum((dy * dy)::DECIMAL(38,0))::DOUBLE AS syy
+               FROM pr)
+        SELECT m AS m_ends,
+               round((sxy / m - (sx / m) * (sy / m))
+                     / (sqrt(sxx / m - (sx / m) * (sx / m))
+                        * sqrt(syy / m - (sy / m) * (sy / m))), 6)
+                 AS assortativity
+        FROM mo
       """)
     )
   )

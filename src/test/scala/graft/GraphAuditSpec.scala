@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphAudit
+
+/** Invariants for the graph-audit tier: triangles / clustering
+  * coefficient, h-index coreness, modularity, assortativity.
+  */
+class GraphAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  // K4 on {0..3} plus a pendant 4—0 and an isolated 5
+  private def k4Edges =
+    Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 0L))
+      .toDF("src", "dst")
+  private def k4Ids = (0L to 5L).toDF("id")
+
+  test("triangles: K4 + pendant — counts, cc, isolated zero") {
+    val got = GraphAudit.triangleStats(k4Edges, k4Ids)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // node 0: deg 4 (K4 + pendant), in all 3 triangles through it
+    assert(got(0L) == ((4L, 3L, 2.0 * 3 / (4 * 3))))
+    // nodes 1..3: deg 3, 3 triangles each, cc = 1
+    (1L to 3L).foreach(i => assert(got(i) == ((3L, 3L, 1.0)), s"node $i ${got(i)}"))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0.0)))
+    // total triangle mass: K4 has 4 triangles, each counted at 3 corners
+    assert(got.values.map(_._2).sum == 12L)
+  }
+
+  test("triangles: direction/duplication of the input edge list is irrelevant") {
+    val doubled = k4Edges.unionAll(
+      k4Edges.select(col("dst").as("src"), col("src").as("dst")))
+    val a = GraphAudit.triangleStats(k4Edges, k4Ids).orderBy("id").collect().toSeq
+    val b = GraphAudit.triangleStats(doubled.repartition(7), k4Ids)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  /** Independent ground truth: classic iterative peeling. */
+  private def peelCoreness(edges: Seq[(Long, Long)], ids: Seq[Long]): Map[Long, Int] = {
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    ids.foreach(i => adj(i) = scala.collection.mutable.Set.empty)
+    edges.foreach { case (a, b) =>
+      if (a != b) { adj(a) += b; adj(b) += a }
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Int]
+    val alive = scala.collection.mutable.Set(ids: _*)
+    var k = 0
+    while (alive.nonEmpty) {
+      var changed = true
+      while (changed) {
+        changed = false
+        alive.toSeq.foreach { v =>
+          if (adj(v).count(alive) <= k && alive(v)) {
+            core(v) = k; alive -= v; changed = true
+          }
+        }
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("coreness: h-index iteration converges to peel coreness") {
+    // K4 (core 3) + pendant (core 1) + isolated (core 0) + a 4-cycle (core 2)
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val ids = (0L to 5L) ++ (10L to 13L)
+    val truth = peelCoreness(edges, ids)
+    val got = GraphAudit
+      .coreness(edges.toDF("src", "dst"), ids.toDF("id"), rounds = 6)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2).toInt)
+      .toMap
+    ids.foreach(i => assert(got(i) == truth(i), s"node $i got ${got(i)} want ${truth(i)}"))
+  }
+
+  test("coreness: fixed schedule is monotone non-increasing across rounds") {
+    val edges = k4Edges
+    val r1 = GraphAudit.coreness(edges, k4Ids, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r3 = GraphAudit.coreness(edges, k4Ids, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    r1.keys.foreach(i => assert(r3(i) <= r1(i), s"node $i $r1 $r3"))
+  }
+
+  test("modularity: two cliques with one bridge — strong positive Q; sums check") {
+    // two K3s {0,1,2} {10,11,12} bridged 2—10
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("src", "dst")
+    val ids = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    val comm = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("id", "community")
+    val rows = GraphAudit.modularity(edges, ids, comm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val m = 7.0
+    // community 0: e_in 3, deg_sum 7 (node 2 has deg 3)
+    assert(rows(0L)._1 == 3L && rows(0L)._2 == 3L && rows(0L)._3 == 7L)
+    assert(math.abs(rows(0L)._4 - (3 / m - math.pow(7 / (2 * m), 2))) < 1e-15)
+    val q = rows.values.map(_._4).sum
+    assert(q > 0.3, s"bridged-cliques Q should be strongly positive, got $q")
+    // degenerate one-community partition has Q = 0
+    val one = Seq(0L, 1L, 2L, 10L, 11L, 12L).map(i => (i, 0L)).toDF("id", "community")
+    val q1 = GraphAudit.modularity(edges, ids, one).agg(sum("q")).head.getDouble(0)
+    assert(math.abs(q1) < 1e-15, s"single community Q must be 0, got $q1")
+  }
+
+  test("modularity: universe members absent from the assignment become singletons") {
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val ids = Seq(0L, 1L, 7L).toDF("id")
+    val comm = Seq((0L, 0L), (1L, 0L)).toDF("id", "community")
+    val rows = GraphAudit.modularity(edges, ids, comm).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 7L))
+    val sing = rows.find(_.getLong(0) == 7L).get
+    assert(sing.getLong(1) == 1L && sing.getLong(2) == 0L && sing.getDouble(4) == 0.0)
+  }
+
+  test("assortativity: star is -1, cycle-of-equal-degrees is degenerate-free +") {
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val ids = (0L to 6L).toDF("id")
+    val r = GraphAudit.assortativity(star, ids).head
+    assert(r.getLong(0) == 12L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-12, s"star r ${r.getDouble(1)}")
+  }
+
+  test("assortativity: partition invariance") {
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L), (5L, 4L))
+      .toDF("src", "dst")
+    val ids = (0L to 5L).toDF("id")
+    val a = GraphAudit.assortativity(edges, ids).head.getDouble(1)
+    val b = GraphAudit.assortativity(edges.repartition(13), ids).head.getDouble(1)
+    assert(a == b)
+  }
+}

@@ -612,4 +612,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("graph-audit tier: wedge/h-index/modularity joins stay equi-keyed") {
+    // the triangle wedge join and every audit aggregate must remain
+    // hash-keyed — a cartesian or nested loop here is corpus² at scale
+    for (name <- Seq(
+        "knn_graph_triangles", "knn_graph_kcore",
+        "knn_graph_modularity", "knn_graph_assortativity")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
 }
