@@ -1764,4 +1764,163 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated")
       )
   }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS scheme): hash every character k-gram, slide a window
+    * of `w` consecutive k-gram hashes, and select each window's MINIMUM
+    * (rightmost on ties — "robust winnowing"). The selected set has
+    * expected density 2/(w+1) and carries the paper's GUARANTEE: any
+    * substring match of length ≥ w+k−1 shares at least one fingerprint
+    * (WinnowSpec property-tests it), while nothing shorter than k is ever
+    * matched — the local, position-robust alternative to MinHash's
+    * whole-document sampling.
+    *
+    * Engine-portable by construction: the k-gram hash is the first 8 hex
+    * chars of md5 (identical text in both engines), and the
+    * rightmost-min tie rule is folded into a single `min()` window over
+    * the string key  hash8 ∥ zeroPad(10⁹ − pos)  — lexicographic min =
+    * (smallest hash, then LARGEST position), so one plain aggregate
+    * replays bit-identically in SQL. Windows start only at positions
+    * 1..max(1, m−w+1) (m = #k-grams); a document with m < w degenerates
+    * to its single global minimum, and documents shorter than k emit
+    * nothing.
+    *
+    * Scale: per-doc window sort + linear explode — O(chars) rows keyed by
+    * doc, no cross-doc anything; the md5-of-k-gram hash is O(k) per
+    * position with k a small constant (the oracle-replayable trade
+    * against the order-dependent Rabin–Karp kernel, whose values cannot
+    * be reproduced by a non-wrapping engine).
+    *
+    * @return (doc_id, pos, fp) — 1-based k-gram position and 8-hex-char
+    *         fingerprint of each selected k-gram, deduped
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 1, s"winnow: k-gram size must be >= 1, got $k")
+    require(w >= 1, s"winnow: window must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
+      .withColumn("m", length(col("txt")) - (k - 1))
+      .filter(col("m") >= 1)
+    val keys = base
+      .select(
+        col("doc_id"), col("m"),
+        explode(expr("sequence(1, m)")).as("p"), col("txt"))
+      .select(
+        col("doc_id"), col("m"), col("p"),
+        concat(
+          substring(md5(expr(s"substring(txt, p, $k)")), 1, 8),
+          lpad((lit(1000000000) - col("p")).cast("string"), 10, "0")
+        ).as("kk"))
+    val win = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    keys
+      .withColumn("sel", min(col("kk")).over(win))
+      .filter(col("p") <= greatest(lit(1), col("m") - (w - 1)))
+      .select(col("doc_id"), col("sel"))
+      .distinct()
+      .select(
+        col("doc_id"),
+        (lit(1000000000) - substring(col("sel"), 9, 10).cast("long"))
+          .as("pos"),
+        substring(col("sel"), 1, 8).as("fp"))
+  }
+
+  /** Row-local spelling of [[winnowFingerprints]] — the whole selection
+    * (k-gram keys, per-window rightmost-min, dedupe) as higher-order
+    * functions over ONE row's text (`transform`/`slice`/`array_min` on
+    * the same hash8 ∥ zeroPad(10⁹−pos) keys), so it runs on an append
+    * STREAM (no per-doc window partition, which Structured Streaming
+    * rejects) and is bit-equal to the batch operator by construction
+    * (StreamingSpec pins it). Same output schema: (doc_id, pos, fp).
+    */
+  def winnowFingerprintsRow(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 1, s"winnow: k-gram size must be >= 1, got $k")
+    require(w >= 1, s"winnow: window must be >= 1, got $w")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
+      .withColumn("m", length(col("txt")) - (k - 1))
+      .filter(col("m") >= 1)
+      .withColumn(
+        "kks",
+        expr(s"""transform(sequence(1, m), p ->
+                 concat(substring(md5(substring(txt, p, $k)), 1, 8),
+                        lpad(cast(1000000000 - p AS string), 10, '0')))"""))
+      .withColumn(
+        "sel",
+        explode(expr(
+          s"""array_distinct(transform(
+                sequence(1, greatest(1, m - ${w - 1})),
+                i -> array_min(slice(kks, i, $w))))""")))
+      .select(
+        col("doc_id"),
+        (lit(1000000000) - substring(col("sel"), 9, 10).cast("long"))
+          .as("pos"),
+        substring(col("sel"), 1, 8).as("fp"))
+  }
+
+  /** Near-dup pairs over winnowing fingerprint SETS: candidates from the
+    * df-capped inverted fingerprint index (a fingerprint shared by df
+    * documents fans out C(df, 2) pairs, so boilerplate fingerprints with
+    * df > `maxDfAbs` are dropped from candidate generation — the
+    * [[tfidfPairs]] maxDfAbs discipline; per-fingerprint fan-out is then
+    * ≤ maxDfAbs², N-independent), verified EXACTLY against the uncapped
+    * sets (set Jaccard over all fingerprints, cap-independent for every
+    * surviving pair).
+    *
+    * @return (doc_a, doc_b, shared, jaccard) with jaccard ≥ `tau`
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      tau: Double = 0.3,
+      maxDfAbs: Int = 1000
+  ): DataFrame = {
+    require(maxDfAbs >= 2, s"winnow: maxDfAbs must be >= 2, got $maxDfAbs")
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val rare = fp
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDfAbs)
+      .select(col("fp"))
+    val idx = fp.join(rare, "fp")
+    val cand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
 }

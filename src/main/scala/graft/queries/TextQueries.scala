@@ -3533,6 +3533,96 @@ object TextQueries {
               FROM fused)
         SELECT * FROM r WHERE rnk <= 10
       """)
+    ),
+    // Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    // scheme): every char 5-gram hashed (md5 hex prefix — identical text
+    // in both engines), windows of 4 consecutive hashes, each window's
+    // MINIMUM selected with the rightmost-tie rule — folded into ONE
+    // plain min() window over the key hash8 ∥ zeroPad(10⁹−pos), so the
+    // whole selection replays as a single SQL window aggregate. Expected
+    // density 2/(w+1); guarantee: any substring match of length ≥ w+k−1
+    // shares a fingerprint (WinnowSpec property-tests it). The full
+    // per-doc fingerprint table IS the output — every selected position
+    // and hash hash-checked.
+    GQuery(
+      "text_winnow",
+      (spark, dir) => {
+        Dedup
+          .winnowFingerprints(t(spark, dir, "documents"), "doc_id", "text",
+            k = 5, w = 4)
+          .select(col("doc_id"), col("pos"), col("fp"))
+      },
+      Some(winnowSql(5, 4) + """
+        SELECT doc_id,
+               1000000000 - substr(sel, 9, 10)::BIGINT AS pos,
+               substr(sel, 1, 8) AS fp
+        FROM wsel
+      """)
+    ),
+    // Near-dup pairs over winnowing fingerprint SETS — the local,
+    // position-robust complement of whole-document MinHash: candidates
+    // from the df-capped inverted fingerprint index (boilerplate
+    // fingerprints with df > cap never fan out C(df, 2) pairs — the
+    // tfidfPairs maxDfAbs discipline), verified EXACTLY against the
+    // uncapped sets, so every surviving jaccard is cap-independent.
+    GQuery(
+      "dedup_winnow",
+      (spark, dir) => {
+        Dedup
+          .winnowPairs(t(spark, dir, "documents"), "doc_id", "text",
+            k = 5, w = 4, tau = 0.3, maxDfAbs = 100)
+          .select(
+            col("doc_a"), col("doc_b"), col("shared"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(winnowSql(5, 4) + """
+        ,
+        fps AS MATERIALIZED (SELECT DISTINCT doc_id, substr(sel, 1, 8) AS fp
+               FROM wsel),
+        fsz AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
+        rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
+                                 FROM fps GROUP BY fp)
+                 WHERE df >= 2 AND df <= 100),
+        idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM idx a JOIN idx b
+                   ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        cshare AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS shared
+                   FROM cand c
+                   JOIN fps fa ON fa.doc_id = c.doc_a
+                   JOIN fps fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+                   GROUP BY c.doc_a, c.doc_b)
+        SELECT s.doc_a, s.doc_b, s.shared,
+               round(s.shared::DOUBLE / (za.nf + zb.nf - s.shared), 6)
+                 AS jaccard
+        FROM cshare s
+        JOIN fsz za ON za.doc_id = s.doc_a
+        JOIN fsz zb ON zb.doc_id = s.doc_b
+        WHERE s.shared::DOUBLE / (za.nf + zb.nf - s.shared) >= 0.3
+      """)
     )
   )
+
+  /** Shared winnowing-selection CTE block (→ `wsel`: doc_id, sel key
+    * rows): k-gram md5-prefix hashes, the rightmost-min-in-window key
+    * trick, full-window starts only — mirrors
+    * [[graft.operators.Dedup.winnowFingerprints]] exactly.
+    */
+  private def winnowSql(k: Int, w: Int): String = s"""
+        WITH wg AS (SELECT doc_id, text, length(text) - ${k - 1} AS m
+              FROM documents WHERE length(text) >= $k),
+        wpos AS (SELECT doc_id, m, unnest(generate_series(1, m)) AS p, text
+                 FROM wg),
+        wkey AS (SELECT doc_id, m, p,
+                        substr(md5(substr(text, p::INT, $k)), 1, 8) ||
+                        lpad((1000000000 - p)::VARCHAR, 10, '0') AS kk
+                 FROM wpos),
+        wwin AS (SELECT doc_id, m, p,
+                        min(kk) OVER (PARTITION BY doc_id ORDER BY p
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND ${w - 1} FOLLOWING) AS sel
+                 FROM wkey),
+        wsel AS (SELECT DISTINCT doc_id, sel FROM wwin
+                 WHERE p <= greatest(1, m - ${w - 1}))
+  """
 }

@@ -1203,6 +1203,25 @@ object StreamingOps {
     graft.operators.TextAnalysis
       .c4Scrub(docs, idCol, textCol, minWords, minKeptLines)
 
+  /** Streaming winnowing-fingerprint extraction — the online half of
+    * text_winnow / dedup_winnow: each arriving document emits its
+    * selected (pos, fp) rows via the ROW-LOCAL spelling
+    * ([[graft.operators.Dedup.winnowFingerprintsRow]] — the per-doc
+    * window rewritten as `transform`/`slice`/`array_min` HOFs, since a
+    * per-doc window partition is not streamable), bit-equal to the batch
+    * operator (StreamingSpec pins it). Stateless and append-only;
+    * signatures flow into the same capped inverted-index pair join
+    * downstream.
+    */
+  def winnowSignatureStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4
+  ): DataFrame =
+    graft.operators.Dedup.winnowFingerprintsRow(docs, idCol, textCol, k, w)
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

@@ -613,6 +613,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_winnow: capped inverted-index equi-joins, no cartesian") {
+    val p = planOf("dedup_winnow")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("graph-audit tier: wedge/h-index/modularity joins stay equi-keyed") {
     // the triangle wedge join and every audit aggregate must remain
     // hash-keyed — a cartesian or nested loop here is corpus² at scale

@@ -1097,4 +1097,30 @@ class StreamingSpec extends SparkSpec {
     assert(plantedIds.subsetOf(got.map(_._1)),
       s"planted near-dups not admitted: ${plantedIds -- got.map(_._1)}")
   }
+
+  test("streaming winnow signatures: two waves bit-equal the batch fingerprints") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("winnowstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.winnowSignatureStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text")
+    val q = stream.writeStream
+      .format("memory").queryName("winnowsig").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("winnowsig").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // the batch half uses the per-doc WINDOW spelling; the stream twin
+    // must reproduce it bit for bit through the row-local HOF spelling
+    val want = graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, "streamed winnow fingerprints diverged from batch")
+    assert(got.nonEmpty)
+  }
 }
