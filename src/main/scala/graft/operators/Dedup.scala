@@ -1873,16 +1873,27 @@ object Dedup {
         substring(col("sel"), 1, 8).as("fp"))
   }
 
-  /** Near-dup pairs over winnowing fingerprint SETS: candidates from the
-    * df-capped inverted fingerprint index (a fingerprint shared by df
-    * documents fans out C(df, 2) pairs, so boilerplate fingerprints with
-    * df > `maxDfAbs` are dropped from candidate generation — the
-    * [[tfidfPairs]] maxDfAbs discipline; per-fingerprint fan-out is then
-    * ≤ maxDfAbs², N-independent), verified EXACTLY against the uncapped
-    * sets (set Jaccard over all fingerprints, cap-independent for every
-    * surviving pair).
+  /** Near-dup pairs by DISCRIMINATIVE-fingerprint Jaccard over the
+    * winnowing signature sets: fingerprints with df > `maxDfAbs` are
+    * boilerplate (shared headers, template 5-grams — on a near-dup
+    * question they carry no signal, exactly the mass idf would discount
+    * to ~0 in [[tfidfPairs]]) and are excluded from BOTH the numerator
+    * and the denominator; the score is the exact set Jaccard over the
+    * remaining ≤-cap fingerprints. Two deliberate consequences, both
+    * spec-pinned: identical documents still score exactly 1.0 (their
+    * capped sets are identical too), and a pair that shares ONLY
+    * boilerplate produces no pair at all — template overlap is not
+    * duplication.
     *
-    * @return (doc_a, doc_b, shared, jaccard) with jaccard ≥ `tau`
+    * Scale: the self-join runs on the capped inverted index only —
+    * per-fingerprint fan-out ≤ C(maxDfAbs, 2), N-independent (the
+    * [[tfidfPairs]] maxDfAbs discipline) — and the shared counts fall
+    * straight out of that join's group-by: no candidate materialization,
+    * no second verify pass (the uncapped-verify spelling re-joined the
+    * corpus fingerprint table twice; this one touches it once).
+    *
+    * @return (doc_a, doc_b, shared, jaccard) with jaccard ≥ `tau`,
+    *         counted over the ≤-maxDfAbs fingerprint universe
     */
   def winnowPairs(
       docs: DataFrame,
@@ -1894,27 +1905,29 @@ object Dedup {
       maxDfAbs: Int = 1000
   ): DataFrame = {
     require(maxDfAbs >= 2, s"winnow: maxDfAbs must be >= 2, got $maxDfAbs")
+    // the fingerprint table feeds the df census, the sizes aggregate and
+    // both self-join sides — materialize it once or the extraction
+    // (explode + window + distinct) re-runs per consumer
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp"))
       .distinct()
-    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val rare = fp
+      .localCheckpoint()
+    // scoring universe: discriminative fingerprints only (df ≤ cap);
+    // df = 1 fingerprints stay — they never pair but they DO count in
+    // the denominator (a doc full of unique content is dissimilar)
+    val keep = fp
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDfAbs)
+      .filter(col("df") <= maxDfAbs)
       .select(col("fp"))
-    val idx = fp.join(rare, "fp")
-    val cand = idx.as("a")
+    val idx = fp.join(keep, "fp")
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val shared = idx.as("a")
       .join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val common = cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    common
+    shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
       .withColumn(

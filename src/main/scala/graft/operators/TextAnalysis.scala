@@ -851,4 +851,196 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") /
           nullif(col("n_words"), lit(0L)), 6).as("fertility")
       )
+
+  /** The trained unigram-LM tokenizer artifact: the fixed candidate piece
+    * set with its latest hard-EM counts and smoothed log-probabilities.
+    */
+  final case class UnigramModel(
+      pieces: Array[String],
+      counts: Array[Long],
+      alpha: Double
+  ) {
+    val total: Long = counts.sum
+
+    /** ln((c + α) / (C + α·V)) — the one division-then-ln spelling both
+      * engines compute on identical integers.
+      */
+    def logp(i: Int): Double =
+      math.log((counts(i) + alpha) / (total + alpha * pieces.length))
+
+    def logpMap: Map[String, Double] =
+      pieces.indices.map(i => pieces(i) -> logp(i)).toMap
+  }
+
+  /** Viterbi segmentation of one word under a piece→logp map: maximize
+    * Σ log p over segmentations with pieces of length ≤ `maxPieceLen`;
+    * unknown pieces score the -1e18 floor (so even unseen characters
+    * segment deterministically). Tie rule: at equal score take the
+    * SMALLEST split point j (= the longest final piece) — iterating j
+    * ascending with a strict `>` keeps the first maximum, exactly the
+    * first-match `list_position` the SQL replay uses.
+    */
+  private[graft] def viterbiSegment(
+      w: String,
+      lp: String => Double,
+      maxPieceLen: Int
+  ): Array[String] = {
+    val n = w.length
+    val dp = new Array[Double](n + 1)
+    val bp = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var bj = -1
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val s = dp(j) + lp(w.substring(j, i))
+        if (s > best) { best = s; bj = j }
+        j += 1
+      }
+      dp(i) = best
+      bp(i) = bj
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      out.prepend(w.substring(bp(pos), pos))
+      pos = bp(pos)
+    }
+    out.toArray
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    * unigram model) by hard (Viterbi) EM over the weighted word
+    * vocabulary — the second published tokenizer family next to
+    * [[bpeMerges]], and the same 100-TB split: the CORPUS-sized work is
+    * ONE distributed word→count hash aggregation (map-side combined on
+    * vocabulary keys — the only stage that touches the data), and the EM
+    * loop then runs on the driver over the bounded weighted vocab,
+    * exactly where sentencepiece runs it.
+    *
+    * Deterministic spelling (everything replays in SQL):
+    *  - candidate pieces = every substring of length ≤ `maxPieceLen`
+    *    with weighted occurrence count ≥ `minCount`, plus ALL single
+    *    characters (guaranteed segmentability); the piece SET is fixed
+    *    across rounds (no pruning — the production extension would drop
+    *    the lowest-loss pieces per round);
+    *  - p(piece) = (c + α) / (C + α·V) additive smoothing, ln applied to
+    *    one exact-integer division;
+    *  - E-step = [[viterbiSegment]] hard assignments weighted by word
+    *    frequency (ties → longest final piece, the first-max rule);
+    *  - M-step = integer piece counts; `rounds` is a FIXED schedule.
+    *
+    * @return (piece, count, logp): the fixed vocabulary with its
+    *         final-round counts and smoothed log-probs (rounded 1e-6)
+    */
+  def unigramTrain(
+      df: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      minCount: Long = 5,
+      rounds: Int = 2,
+      alpha: Double = 0.5
+  ): UnigramModel = {
+    require(rounds >= 1, s"unigram: rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .collect()
+    // candidate pieces: weighted substring occurrence counts
+    val candCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      val n = w.length
+      var p = 0
+      while (p < n) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, n - p)) {
+          val piece = w.substring(p, p + l)
+          candCounts(piece) = candCounts.getOrElse(piece, 0L) + c
+          l += 1
+        }
+        p += 1
+      }
+    }
+    val pieces = candCounts
+      .filter { case (piece, c) => piece.length == 1 || c >= minCount }
+      .keys.toArray.sorted
+    val index = pieces.zipWithIndex.toMap
+    var model = UnigramModel(
+      pieces, pieces.map(candCounts(_)), alpha)
+    var r = 0
+    while (r < rounds) {
+      val lpm = model.logpMap
+      val lp: String => Double = s => lpm.getOrElse(s, -1e18)
+      val newCounts = new Array[Long](pieces.length)
+      wordCounts.foreach { case (w, c) =>
+        viterbiSegment(w, lp, maxPieceLen).foreach { piece =>
+          // every selected piece is in the fixed vocab (all single chars
+          // of the training corpus are), so the lookup cannot miss
+          newCounts(index(piece)) += c
+        }
+      }
+      model = UnigramModel(pieces, newCounts, alpha)
+      r += 1
+    }
+    model
+  }
+
+  /** The [[unigramTrain]] artifact as the declared query table. */
+  def unigramVocab(spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel): DataFrame = {
+    import spark.implicits._
+    model.pieces.indices
+      .map(i => (model.pieces(i), model.counts(i), model.logp(i)))
+      .toDF("piece", "count", "logp")
+  }
+
+  /** Viterbi-encode the corpus under a trained unigram model — the
+    * serving twin of [[unigramTrain]], split like [[bpeEncode]]: the
+    * driver-small model ships in the task closure and the DP kernel runs
+    * embarrassingly parallel per partition. Per doc: word count, token
+    * count, and an md5-folded fingerprint of the token stream
+    * (h = (h·31 + int(md5(piece)[0:8])) mod 1e9+7 in word order) that
+    * keeps the full segmentation checkable without shipping it — and
+    * engine-neutral, unlike a JVM hashCode.
+    */
+  def unigramEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: UnigramModel,
+      maxPieceLen: Int = 4
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lpm = model.logpMap
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val lp: String => Double = s => lpm.getOrElse(s, -1e18)
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nTok = 0L
+          var h = 0L
+          words.foreach { w =>
+            viterbiSegment(w, lp, maxPieceLen).foreach { piece =>
+              md.reset()
+              val hex = md.digest(piece.getBytes("UTF-8"))
+                .take(4).map("%02x".format(_)).mkString
+              h = (h * 31 + java.lang.Long.parseLong(hex, 16)) % P
+              nTok += 1
+            }
+          }
+          (id, words.length.toLong, nTok, h)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "tokens_hash")
+  }
 }

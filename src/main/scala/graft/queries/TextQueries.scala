@@ -3559,12 +3559,15 @@ object TextQueries {
         FROM wsel
       """)
     ),
-    // Near-dup pairs over winnowing fingerprint SETS — the local,
-    // position-robust complement of whole-document MinHash: candidates
-    // from the df-capped inverted fingerprint index (boilerplate
-    // fingerprints with df > cap never fan out C(df, 2) pairs — the
-    // tfidfPairs maxDfAbs discipline), verified EXACTLY against the
-    // uncapped sets, so every surviving jaccard is cap-independent.
+    // Near-dup pairs by DISCRIMINATIVE-fingerprint Jaccard — the local,
+    // position-robust complement of whole-document MinHash: fingerprints
+    // with df > cap are boilerplate (template 5-grams — the mass idf
+    // would discount to ~0) and leave BOTH the numerator and the
+    // denominator; the score is the exact set Jaccard over the ≤-cap
+    // universe. Identical docs still score exactly 1.0; boilerplate-only
+    // overlap produces no pair at all. Shared counts fall straight out
+    // of the capped self-join's group-by — fan-out ≤ C(cap, 2) per
+    // fingerprint, N-independent, no second verify pass.
     GQuery(
       "dedup_winnow",
       (spark, dir) => {
@@ -3579,19 +3582,17 @@ object TextQueries {
         ,
         fps AS MATERIALIZED (SELECT DISTINCT doc_id, substr(sel, 1, 8) AS fp
                FROM wsel),
-        fsz AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
-        rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
-                                 FROM fps GROUP BY fp)
-                 WHERE df >= 2 AND df <= 100),
-        idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM idx a JOIN idx b
-                   ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        cshare AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS shared
-                   FROM cand c
-                   JOIN fps fa ON fa.doc_id = c.doc_a
-                   JOIN fps fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
-                   GROUP BY c.doc_a, c.doc_b)
+        keepf AS (SELECT fp FROM (SELECT fp, count(*) AS df
+                                  FROM fps GROUP BY fp)
+                  WHERE df <= 100),
+        idx AS MATERIALIZED (SELECT f.doc_id, f.fp
+               FROM fps f JOIN keepf r ON r.fp = f.fp),
+        fsz AS (SELECT doc_id, count(*) AS nf FROM idx GROUP BY doc_id),
+        cshare AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*)::BIGINT AS shared
+                   FROM idx a JOIN idx b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
         SELECT s.doc_a, s.doc_b, s.shared,
                round(s.shared::DOUBLE / (za.nf + zb.nf - s.shared), 6)
                  AS jaccard
