@@ -3601,8 +3601,185 @@ object TextQueries {
         JOIN fsz zb ON zb.doc_id = s.doc_b
         WHERE s.shared::DOUBLE / (za.nf + zb.nf - s.shared) >= 0.3
       """)
+    ),
+    // Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    // unigram model, the second tokenizer family next to BPE) by hard
+    // (Viterbi) EM: candidate pieces = substrings ≤ 4 chars with
+    // weighted count ≥ 5 plus all single chars; p = (c+α)/(C+αV)
+    // additive smoothing; 2 FIXED EM rounds of Viterbi segmentation
+    // (ties → longest final piece, the ascending-j first-max rule that
+    // both engines spell as first-match position lookup) + integer
+    // count re-estimation. Same 100-TB split as BPE: the corpus-sized
+    // work is ONE word→count hash aggregation; the EM loop runs on the
+    // driver over the bounded weighted vocab, exactly where
+    // sentencepiece runs it. The oracle replays the WHOLE trajectory —
+    // candidate census, both Viterbi DPs (one recursion step per
+    // character), backpointer walks, count updates — in recursive CTEs.
+    GQuery(
+      "text_unigram_train",
+      (spark, dir) => {
+        TextAnalysis
+          .unigramVocab(spark, sharedUnigram(spark, dir))
+          .select(col("piece"), col("count"), round(col("logp"), 6).as("logp"))
+      },
+      Some(unigramSql + s"""
+        SELECT piece, c AS count,
+               round(ln((c + $UniAlpha) / (t.ct + $UniAlpha * t.v)), 6)
+                 AS logp
+        FROM vocab2 CROSS JOIN tot2 t
+      """)
+    ),
+    // Viterbi-encode the corpus under the trained unigram model — the
+    // serving half, split like text_bpe_encode: the driver-small model
+    // ships in the task closure, the DP kernel runs embarrassingly
+    // parallel per partition (a pure mapPartitions scan — zero
+    // Exchange, PlanSpec-guarded). Per doc: word count, token count,
+    // and an md5-folded fingerprint of the token stream in word order
+    // (engine-neutral, unlike a JVM hashCode) that keeps the full
+    // segmentation checkable without shipping it. The oracle runs a
+    // THIRD Viterbi pass under the final model and folds the same hash.
+    GQuery(
+      "text_unigram_encode",
+      (spark, dir) => {
+        TextAnalysis.unigramEncode(
+          t(spark, dir, "documents"), "doc_id", "text",
+          sharedUnigram(spark, dir), maxPieceLen = UniL)
+      },
+      Some(unigramSql + s""",
+        ${uniVmCte(2)},
+        ${uniRoundCte(3, "vm2", "", withCounts = false)},
+        dwu AS MATERIALIZED (SELECT doc_id, i, tl[i] AS w
+               FROM (SELECT doc_id, string_split(text, ' ') AS tl
+                     FROM documents),
+                    unnest(generate_series(1, len(tl))) AS g(i)
+               WHERE tl[i] <> ''),
+        encu AS MATERIALIZED (SELECT dwu.doc_id, dwu.i, s.pieces
+                FROM dwu JOIN seg3 s USING (w)),
+        aggu AS MATERIALIZED (SELECT doc_id,
+                       count(*)::BIGINT AS n_words,
+                       sum(len(pieces))::BIGINT AS n_tokens,
+                       list_reduce(
+                         list_prepend(0::BIGINT,
+                           list_transform(flatten(list(pieces ORDER BY i)),
+                             p -> ('0x' || substr(md5(p), 1, 8))::BIGINT)),
+                         (acc, x) -> (acc * 31 + x) % 1000000007)
+                         AS tokens_hash
+                FROM encu GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.tokens_hash, 0)::BIGINT AS tokens_hash
+        FROM documents d LEFT JOIN aggu a USING (doc_id)
+      """)
     )
   )
+
+  // unigram tokenizer shape shared by train/encode: max piece length 4,
+  // weighted minCount 5, additive alpha 0.5, 2 hard-EM rounds.
+  // `final val` literals: compile-time constants, immune to the
+  // object-initialization order (`all` is declared above and would
+  // otherwise read plain vals as 0 while it initializes)
+  private final val UniL = 4
+  private final val UniMinC = 5
+  private final val UniAlpha = 0.5
+  private final val UniRounds = 2
+
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[String, TextAnalysis.UnigramModel]
+
+  private def sharedUnigram(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): TextAnalysis.UnigramModel =
+    unigramCache.getOrElseUpdate(
+      dir,
+      TextAnalysis.unigramTrain(Q.t(spark, dir, "documents"), "text",
+        maxPieceLen = UniL, minCount = UniMinC, rounds = UniRounds,
+        alpha = UniAlpha))
+
+  /** One smoothed-logp map CTE over a vocab/tot pair: vm$tag holds
+    * map(piece → ln((c+α)/(C+αV))) for the round's Viterbi.
+    */
+  private def uniVmCte(tag: Int): String = s"""
+        vm$tag AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
+                        list(ln((c + $UniAlpha) / (t.ct + $UniAlpha * t.v))
+                             ORDER BY piece)) AS m
+                    FROM vocab$tag CROSS JOIN tot$tag t)"""
+
+  /** One Viterbi pass over the word vocabulary under the map `vmPrev`:
+    * d$r = the forward DP (state = per-word dp/bp lists, one recursion
+    * step per character; candidate scores as a list, argmax = list_min
+    * of the NEGATED scores with first-match list_position — exactly the
+    * ascending-j strict-max tie rule of
+    * [[graft.operators.TextAnalysis.viterbiSegment]]), b$r = the
+    * backpointer walk, seg$r = the final segmentations. When
+    * `withCounts`, cnt/vocab/tot re-estimate the model (the M-step) for
+    * the next round.
+    */
+  private def uniRoundCte(r: Int, vmPrev: String, vocabPrev: String,
+      withCounts: Boolean): String = s"""
+        d$r(w, c, n, i, dp, bp) AS (
+          SELECT w, c, length(w), 0, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wc
+          UNION ALL
+          SELECT x.w, x.c, x.n, x.i + 1,
+                 list_append(x.dp, -list_min(x.sl)),
+                 list_append(x.bp,
+                   x.lo + list_position(x.sl, list_min(x.sl)) - 1)
+          FROM (SELECT dd.w, dd.c, dd.n, dd.i, dd.dp, dd.bp,
+                       greatest(0, dd.i + 1 - $UniL)::BIGINT AS lo,
+                       list_transform(
+                         generate_series(greatest(0, dd.i + 1 - $UniL), dd.i),
+                         j -> -(dd.dp[j + 1] + coalesce(
+                                 list_extract(map_extract($vmPrev.m,
+                                   substr(dd.w, (j + 1)::INT,
+                                          (dd.i + 1 - j)::INT)), 1),
+                                 -1e18))) AS sl
+                FROM d$r dd CROSS JOIN $vmPrev
+                WHERE dd.i < dd.n) x),
+        f$r AS MATERIALIZED (SELECT w, c, n, dp, bp FROM d$r WHERE i = n),
+        b$r(w, c, pos, pieces) AS (
+          SELECT w, c, n, []::VARCHAR[] FROM f$r
+          UNION ALL
+          SELECT b.w, b.c, f.bp[b.pos + 1],
+                 list_prepend(substr(b.w, (f.bp[b.pos + 1] + 1)::INT,
+                                     (b.pos - f.bp[b.pos + 1])::INT),
+                              b.pieces)
+          FROM b$r b JOIN f$r f ON f.w = b.w WHERE b.pos > 0),
+        seg$r AS MATERIALIZED (SELECT w, c, pieces FROM b$r WHERE pos = 0)""" +
+    (if (!withCounts) "" else s""",
+        cnt$r AS MATERIALIZED (SELECT piece, sum(c)::BIGINT AS c FROM (
+                     SELECT unnest(pieces) AS piece, c FROM seg$r)
+                   GROUP BY piece),
+        vocab$r AS MATERIALIZED (SELECT v.piece, coalesce(t.c, 0)::BIGINT AS c
+                     FROM $vocabPrev v
+                     LEFT JOIN cnt$r t ON t.piece = v.piece),
+        tot$r AS MATERIALIZED (SELECT sum(c)::BIGINT AS ct,
+                          count(*)::BIGINT AS v FROM vocab$r)""")
+
+  /** The full 2-round unigram hard-EM replay: weighted word counts →
+    * candidate substring census → fixed vocab (singles always kept) →
+    * alternating Viterbi / count rounds. Ends with vocab2/tot2 (the
+    * trained model) ready for a final scoring select or a third
+    * encode-side Viterbi pass.
+    */
+  private def unigramSql: String = s"""
+        WITH RECURSIVE
+        wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (
+                 SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+               WHERE w <> '' GROUP BY w),
+        cand AS MATERIALIZED (SELECT piece, sum(c)::BIGINT AS c FROM (
+                   SELECT substr(w, p::INT, l::INT) AS piece, c
+                   FROM wc,
+                        unnest(generate_series(1, length(w))) AS gp(p),
+                        unnest(generate_series(1, $UniL)) AS gl(l)
+                   WHERE p + l - 1 <= length(w)) GROUP BY piece),
+        vocab0 AS MATERIALIZED (SELECT piece, c FROM cand
+                   WHERE length(piece) = 1 OR c >= $UniMinC),
+        tot0 AS MATERIALIZED (SELECT sum(c)::BIGINT AS ct,
+                         count(*)::BIGINT AS v FROM vocab0),
+        ${uniVmCte(0)},
+        ${uniRoundCte(1, "vm0", "vocab0", withCounts = true)},
+        ${uniVmCte(1)},
+        ${uniRoundCte(2, "vm1", "vocab1", withCounts = true)}
+  """
 
   /** Shared winnowing-selection CTE block (→ `wsel`: doc_id, sel key
     * rows): k-gram md5-prefix hashes, the rightmost-min-in-window key

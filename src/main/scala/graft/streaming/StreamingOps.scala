@@ -1222,6 +1222,26 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.Dedup.winnowFingerprintsRow(docs, idCol, textCol, k, w)
 
+  /** Streaming unigram-LM encoding — the online tokenizer pass: each
+    * arriving document is Viterbi-segmented under a batch-trained
+    * [[graft.operators.TextAnalysis.UnigramModel]] (driver-small, ships
+    * in the task closure) with the SAME per-partition DP kernel as the
+    * batch half ([[graft.operators.TextAnalysis.unigramEncode]]
+    * delegates unchanged — per-row, zero state), so batch and stream
+    * are bit-equal by construction (StreamingSpec pins it). The
+    * batch-frozen-model discipline matches pcaOutlierStream /
+    * exemplarAssignStream: training stays offline, serving is online.
+    */
+  def unigramEncodeStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      model: graft.operators.TextAnalysis.UnigramModel,
+      maxPieceLen: Int = 4
+  ): DataFrame =
+    graft.operators.TextAnalysis
+      .unigramEncode(docs, idCol, textCol, model, maxPieceLen)
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

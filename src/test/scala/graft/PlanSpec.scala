@@ -613,6 +613,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_unigram_encode: pure mapPartitions scan — zero Exchange") {
+    // the serving pass's whole scale argument: model in the closure,
+    // DP per partition, nothing shuffles
+    val p = planOf("text_unigram_encode")
+    assert(!p.contains("Exchange"), s"unigram encode grew a shuffle:\n$p")
+  }
+
   test("dedup_winnow: capped inverted-index equi-joins, no cartesian") {
     val p = planOf("dedup_winnow")
     assert(!p.contains("CartesianProduct"), p)

@@ -1123,4 +1123,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed winnow fingerprints diverged from batch")
     assert(got.nonEmpty)
   }
+
+  test("streaming unigram encode: two waves bit-equal the batch token stream") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val model = graft.operators.TextAnalysis.unigramTrain(
+      docs, "text", maxPieceLen = 4, minCount = 5, rounds = 2, alpha = 0.5)
+    val dir = Files.createTempDirectory("unistream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.unigramEncodeStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text", model)
+    val q = stream.writeStream
+      .format("memory").queryName("uniencode").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("uniencode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.TextAnalysis
+      .unigramEncode(docs, "doc_id", "text", model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, "streamed unigram encode diverged from batch")
+    assert(got.nonEmpty && got.forall(_._3 > 0))
+  }
 }
