@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Clustering evaluation — the measurements a selection/curation stack
+  * publishes before trusting a clustering (SemDeDup blocking, topic
+  * balance, curriculum buckets): external agreement against a ground
+  * truth (Adjusted Rand Index, Hubert–Arabie 1985; Normalized Mutual
+  * Information, Strehl–Ghosh 2002) and internal geometry
+  * (Calinski–Harabasz 1974 variance ratio; Davies–Bouldin 1979
+  * separation). Engine-portable by the house discipline: agreement is
+  * pure integer combinatorics divided once; every order-dependent float
+  * accumulation (entropy terms, distance sums, the k DB terms) routes
+  * through DECIMAL(38,20) so both engines add exact decimals and divide
+  * identical doubles.
+  *
+  * Scale: one (cluster, label) contingency aggregation (≤ k·L rows),
+  * one per-point distance scan against broadcast centroids, k-row
+  * centroid geometry — nothing pairwise in the corpus.
+  */
+object ClusterEval {
+
+  private val dec = DecimalType(38, 20)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** External agreement of an assignment against ground-truth labels:
+    * one row (n, ari, nmi).
+    *
+    * ARI = (Σij C(nij,2) − E) / ((Σi C(ai,2) + Σj C(bj,2))/2 − E) with
+    * E = Σi C(ai,2)·Σj C(bj,2) / C(n,2) — all exact longs until the two
+    * final divisions. NMI = MI / sqrt(H(U)·H(V)) with each entropy/MI
+    * term ln-computed on exact integer ratios and decimal-routed.
+    */
+  def agreement(
+      assign: DataFrame, // (id, cluster)
+      truth: DataFrame // (id, label)
+  ): DataFrame = {
+    val j = assign
+      .select(col("id"), col("cluster").cast("long").as("u"))
+      .join(truth.select(col("id"), col("label").cast("long").as("v")), "id")
+      .localCheckpoint()
+    val cont = j.groupBy(col("u"), col("v")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val au = cont.groupBy(col("u")).agg(sum(col("nij")).as("ai"))
+    val bv = cont.groupBy(col("v")).agg(sum(col("nij")).as("bj"))
+    val nDf = j.agg(count(lit(1)).as("n"))
+    def c2(x: Column): Column = (x * (x - 1) / 2).cast("long")
+    val sums = cont.agg(sum(c2(col("nij"))).as("sij"))
+      .crossJoin(au.agg(sum(c2(col("ai"))).as("sa")))
+      .crossJoin(bv.agg(sum(c2(col("bj"))).as("sb")))
+      .crossJoin(nDf)
+    // MI/entropy terms: exact integers into ln, decimal-routed sums
+    val mi = cont
+      .join(au, "u").join(bv, "v")
+      .crossJoin(broadcast(nDf))
+      .agg(dsum(
+        (col("nij").cast("double") / col("n")) *
+          log(col("n").cast("double") * col("nij") /
+            (col("ai").cast("double") * col("bj")))).as("mi"))
+    val hu = au.crossJoin(broadcast(nDf))
+      .agg(dsum(-(col("ai").cast("double") / col("n")) *
+        log(col("ai").cast("double") / col("n"))).as("hu"))
+    val hv = bv.crossJoin(broadcast(nDf))
+      .agg(dsum(-(col("bj").cast("double") / col("n")) *
+        log(col("bj").cast("double") / col("n"))).as("hv"))
+    sums
+      .crossJoin(mi).crossJoin(hu).crossJoin(hv)
+      .select(
+        col("n"),
+        ((col("sij").cast("double")
+          - col("sa").cast("double") * col("sb") / c2(col("n")))
+          / ((col("sa") + col("sb")).cast("double") / 2.0
+            - col("sa").cast("double") * col("sb") / c2(col("n"))))
+          .as("ari"),
+        when(col("hu") > 0 && col("hv") > 0,
+          col("mi") / sqrt(col("hu") * col("hv")))
+          .otherwise(lit(0.0)).as("nmi"))
+  }
+
+  /** Centroids as a broadcastable (ck, cvec) frame. */
+  private def centDf(
+      spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("ck", "cvec")
+  }
+
+  /** Per-cluster census under an assignment: (cluster, n_pts, wss,
+    * mean_dist) — within-cluster squared error and mean Euclidean
+    * distance to the centroid, both decimal-routed.
+    */
+  def perCluster(
+      points: DataFrame, // (id, v)
+      assign: DataFrame, // (id, cluster)
+      centroids: Array[Array[Double]]
+  ): DataFrame = {
+    val spark = points.sparkSession
+    val withD = points
+      .join(assign.select(col("id"), col("cluster").cast("long").as("ck")), "id")
+      .join(broadcast(centDf(spark, centroids)), "ck")
+      .withColumn("d2",
+        graft.functions.VectorExpressions.l2SqFast(col("v"), col("cvec")))
+    withD
+      .groupBy(col("ck").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        dsum(col("d2")).as("wss"),
+        (dsum(sqrt(col("d2"))) / count(lit(1))).as("mean_dist"))
+  }
+
+  /** Internal indexes for the same assignment: one row
+    * (n, wss, bss, ch, db).
+    *
+    * CH = (B/(k−1)) / (W/(n−k)) with W = Σ‖x−c(x)‖², B = Σ_j n_j‖c_j−μ‖²
+    * (μ = the decimal-exact corpus mean); DB = (Σ_i max_{j≠i}
+    * (s_i+s_j)/d_ij) / k with s_i the mean distance to centroid i and
+    * d_ij the centroid distance — the k max-terms decimal-routed before
+    * their sum.
+    */
+  def indexes(
+      points: DataFrame, // (id, v)
+      assign: DataFrame, // (id, cluster)
+      centroids: Array[Array[Double]],
+      dim: Int
+  ): DataFrame = {
+    val spark = points.sparkSession
+    val k = centroids.length
+    val per = perCluster(points, assign, centroids).localCheckpoint()
+    // decimal-exact corpus mean, one map-side-combined pass
+    val mu = points
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double")
+        / count(lit(1))).as("m"))
+      .orderBy(col("pos"))
+      .collect().map(_.getDouble(1))
+    require(mu.length == dim, s"corpus mean has ${mu.length} dims, want $dim")
+    val cents = centDf(spark, centroids)
+      .withColumn("bs",
+        graft.functions.VectorExpressions
+          .l2SqFast(col("cvec"), typedLit(mu.toSeq)))
+    val totals = per.agg(
+      sum(col("n_pts")).as("n"),
+      dsum(col("wss")).as("w"))
+    val b = per
+      .join(cents.select(col("ck").as("cluster"), col("bs")), "cluster")
+      .agg(dsum(col("n_pts") * col("bs")).as("b"))
+    // DB: k×k centroid geometry (tiny), max per row exact, k terms routed
+    val sI = per.select(col("cluster").as("i"), col("mean_dist").as("si"))
+    val sJ = per.select(col("cluster").as("j"), col("mean_dist").as("sj"))
+    val dij = cents.select(col("ck").as("i"), col("cvec").as("ci"))
+      .crossJoin(cents.select(col("ck").as("j"), col("cvec").as("cj")))
+      .filter(col("i") =!= col("j"))
+      .withColumn("dij",
+        sqrt(graft.functions.VectorExpressions.l2SqFast(col("ci"), col("cj"))))
+    val db = dij
+      .join(sI, "i").join(sJ, "j")
+      .groupBy(col("i"))
+      .agg(max((col("si") + col("sj")) / col("dij")).as("r"))
+      .agg((dsum(col("r")) / k).as("db"))
+    totals.crossJoin(b).crossJoin(db)
+      .select(
+        col("n"),
+        col("w").as("wss"),
+        col("b").as("bss"),
+        ((col("b") / (k - 1)) / (col("w") / (col("n") - k))).as("ch"),
+        col("db"))
+  }
+}

@@ -68,6 +68,76 @@ object PQQueries {
     sb.toString
   }
 
+  /** The full deterministic-fit replay: [[kmppCtes]] init → cent0 → two
+    * Lloyd rounds (argmin assignment a1/a2, decimal-exact means m1/m2,
+    * empty clusters keep their centroid) → cent2. Shared by
+    * kmeans_fit_det and the clustering-eval queries that score the same
+    * fit.
+    */
+  private def kmFitCtes(k: Int): String = s"""
+        ${kmppCtes(k)},
+        cent0 AS MATERIALIZED (
+          ${(0 until k)
+            .map(j => s"SELECT $j AS ck, v FROM p$j")
+            .mkString(" UNION ALL ")}),
+        ${(1 to 2).map(r => s"""
+        d$r AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist
+                FROM e CROSS JOIN cent${r - 1} c),
+        a$r AS MATERIALIZED (SELECT id, ck FROM (
+                 SELECT id, ck, row_number() OVER (PARTITION BY id
+                                                   ORDER BY dist, ck) AS rn
+                 FROM d$r) WHERE rn = 1),
+        m$r AS (SELECT a.ck, gs.i AS pos,
+                       sum((e.v[gs.i])::DECIMAL(38,30))::DOUBLE
+                         / count(*) AS m
+                FROM a$r a JOIN e ON e.id = a.id
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+                GROUP BY a.ck, gs.i),
+        cent$r AS MATERIALIZED (
+          SELECT c.ck, coalesce(ml.vv, c.v) AS v
+          FROM cent${r - 1} c
+          LEFT JOIN (SELECT ck, list(m ORDER BY pos) AS vv
+                     FROM m$r GROUP BY ck) ml ON ml.ck = c.ck)""")
+          .mkString(",")}"""
+
+  /** Final assignment under cent2 (the serving E-step the eval queries
+    * score) + the (cluster, label) join: a3 = argmin (dist, ck), j3 =
+    * per-point (u = cluster, v = ground-truth label).
+    */
+  private def kmAssign3Ctes: String = s"""
+        d3 AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist
+               FROM e CROSS JOIN cent2 c),
+        a3 AS MATERIALIZED (SELECT id, ck FROM (
+                 SELECT id, ck, row_number() OVER (PARTITION BY id
+                                                   ORDER BY dist, ck) AS rn
+                 FROM d3) WHERE rn = 1),
+        j3 AS MATERIALIZED (SELECT a.id, a.ck::BIGINT AS u,
+                      em.label::BIGINT AS v
+              FROM a3 a JOIN embeddings em ON em.vec_id = a.id)"""
+
+  private val kmFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** The deterministic fit's final centroids, collected once per sf dir
+    * and shared by the eval queries (the fit itself is the distributed
+    * [[graft.operators.KMeans.fitDeterministic]] pass).
+    */
+  private def sharedKmFit(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): Array[Array[Double]] =
+    kmFitCache.getOrElseUpdate(dir, {
+      val emb = Q.t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val rows = graft.operators.KMeans
+        .fitDeterministic(emb, "vec_id", "v", k = KDET, rounds = 2)
+        .collect()
+      val cents = Array.ofDim[Double](KDET, 64)
+      rows.foreach { r =>
+        cents(r.getLong(0).toInt)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      }
+      cents
+    })
+
   /** SQL replay of KMeans.parallelInitDet(k, rounds, l): Bahmani
     * sampling rounds with md5 coins + decimal-exact φ, positional-argmin
     * assignment, attraction weights, and the Efraimidis–Spirakis
@@ -536,34 +606,130 @@ object PQQueries {
           .select(col("cluster"), col("pos"), round(col("mval"), 6).as("mval"))
       },
       Some(s"""
-        WITH ${kmppCtes(KDET)},
-        cent0 AS MATERIALIZED (
-          ${(0 until KDET)
-            .map(j => s"SELECT $j AS ck, v FROM p$j")
-            .mkString(" UNION ALL ")}),
-        ${(1 to 2).map(r => s"""
-        d$r AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist
-                FROM e CROSS JOIN cent${r - 1} c),
-        a$r AS MATERIALIZED (SELECT id, ck FROM (
-                 SELECT id, ck, row_number() OVER (PARTITION BY id
-                                                   ORDER BY dist, ck) AS rn
-                 FROM d$r) WHERE rn = 1),
-        m$r AS (SELECT a.ck, gs.i AS pos,
-                       sum((e.v[gs.i])::DECIMAL(38,30))::DOUBLE
-                         / count(*) AS m
-                FROM a$r a JOIN e ON e.id = a.id
-                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
-                GROUP BY a.ck, gs.i),
-        cent$r AS MATERIALIZED (
-          SELECT c.ck, coalesce(ml.vv, c.v) AS v
-          FROM cent${r - 1} c
-          LEFT JOIN (SELECT ck, list(m ORDER BY pos) AS vv
-                     FROM m$r GROUP BY ck) ml ON ml.ck = c.ck)""")
-          .mkString(",")}
+        WITH ${kmFitCtes(KDET)}
         SELECT ck::BIGINT AS cluster, gs.i::BIGINT AS pos,
                round(v[gs.i], 6) AS mval
         FROM cent2
         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+      """)
+    ),
+    // External clustering agreement — ARI (Hubert–Arabie) + NMI
+    // (Strehl–Ghosh) of the deterministic k-means fit against the
+    // ground-truth label column: the eval every blocking/topic-balance
+    // stage should publish before trusting its clusters. Pure integer
+    // combinatorics divided once (ARI) + decimal-routed ln terms on
+    // exact integer ratios (NMI); the oracle replays the whole fit and
+    // re-derives both scores.
+    GQuery(
+      "eval_clustering_agreement",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+            col("label"))
+        val cents = sharedKmFit(spark, dir)
+        val assign = emb.select(
+          col("vec_id").as("id"),
+          KMeans.assignCol(spark, cents, col("v")).cast("long").as("cluster"))
+        graft.operators.ClusterEval
+          .agreement(assign, emb.select(col("vec_id").as("id"), col("label")))
+          .select(col("n"), round(col("ari"), 6).as("ari"),
+            round(col("nmi"), 6).as("nmi"))
+      },
+      Some(s"""
+        WITH ${kmFitCtes(KDET)},
+        ${kmAssign3Ctes},
+        contg AS MATERIALIZED (SELECT j3.u, j3.v, count(*)::BIGINT AS nij
+                FROM j3 GROUP BY j3.u, j3.v),
+        cau AS MATERIALIZED (SELECT u, sum(nij)::BIGINT AS ai
+               FROM contg GROUP BY u),
+        cbv AS MATERIALIZED (SELECT v, sum(nij)::BIGINT AS bj
+               FROM contg GROUP BY v),
+        cnn AS (SELECT count(*)::BIGINT AS n FROM j3),
+        csum AS (SELECT
+                  (SELECT sum(nij * (nij - 1) // 2)::BIGINT FROM contg) AS sij,
+                  (SELECT sum(ai * (ai - 1) // 2)::BIGINT FROM cau) AS sa,
+                  (SELECT sum(bj * (bj - 1) // 2)::BIGINT FROM cbv) AS sb,
+                  n, (n * (n - 1) // 2)::BIGINT AS cn2
+                 FROM cnn),
+        cmi AS (SELECT sum(((nij::DOUBLE / n) *
+                  ln((n::DOUBLE * nij) / (ai::DOUBLE * bj)))
+                  ::DECIMAL(38,20))::DOUBLE AS mi
+                FROM contg JOIN cau USING (u) JOIN cbv USING (v)
+                CROSS JOIN cnn),
+        chu AS (SELECT sum((-(ai::DOUBLE / n) * ln(ai::DOUBLE / n))
+                  ::DECIMAL(38,20))::DOUBLE AS hu
+                FROM cau CROSS JOIN cnn),
+        chv AS (SELECT sum((-(bj::DOUBLE / n) * ln(bj::DOUBLE / n))
+                  ::DECIMAL(38,20))::DOUBLE AS hv
+                FROM cbv CROSS JOIN cnn)
+        SELECT s.n,
+               round((s.sij::DOUBLE - s.sa::DOUBLE * s.sb / s.cn2)
+                     / ((s.sa + s.sb)::DOUBLE / 2.0
+                        - s.sa::DOUBLE * s.sb / s.cn2), 6) AS ari,
+               round(CASE WHEN chu.hu > 0 AND chv.hv > 0
+                          THEN cmi.mi / sqrt(chu.hu * chv.hv)
+                          ELSE 0.0::DOUBLE END, 6) AS nmi
+        FROM csum s CROSS JOIN cmi CROSS JOIN chu CROSS JOIN chv
+      """)
+    ),
+    // Internal clustering indexes for the same fit — Calinski–Harabasz
+    // variance ratio and Davies–Bouldin separation off the per-cluster
+    // census (n, wss, bss + both indexes in one scorecard row). Every
+    // order-dependent accumulation (distance sums, the k DB max-terms)
+    // routes through DECIMAL(38,20); the corpus mean, the centroid
+    // geometry and both final ratios divide identical doubles.
+    GQuery(
+      "eval_clustering_internal",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val cents = sharedKmFit(spark, dir)
+        val assign = emb.select(
+          col("vec_id").as("id"),
+          KMeans.assignCol(spark, cents, col("v")).cast("long").as("cluster"))
+        graft.operators.ClusterEval
+          .indexes(emb.select(col("vec_id").as("id"), col("v")),
+            assign, cents, dim = 64)
+          .select(col("n"), round(col("wss"), 6).as("wss"),
+            round(col("bss"), 6).as("bss"), round(col("ch"), 6).as("ch"),
+            round(col("db"), 6).as("db"))
+      },
+      Some(s"""
+        WITH ${kmFitCtes(KDET)},
+        ${kmAssign3Ctes},
+        perd AS MATERIALIZED (SELECT a.ck, ${sqlL2Sq("e.v", "c.v")} AS d2
+                FROM a3 a JOIN e ON e.id = a.id
+                JOIN cent2 c ON c.ck = a.ck),
+        per AS MATERIALIZED (SELECT ck AS cluster, count(*)::BIGINT AS n_pts,
+                      sum((d2)::DECIMAL(38,20))::DOUBLE AS wss,
+                      sum((sqrt(d2))::DECIMAL(38,20))::DOUBLE / count(*)
+                        AS mean_dist
+               FROM perd GROUP BY ck),
+        kmu AS MATERIALIZED (SELECT gs.i,
+                      sum((e.v[gs.i])::DECIMAL(38,30))::DOUBLE / count(*) AS m
+               FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+               GROUP BY gs.i),
+        kmul AS (SELECT list(m ORDER BY i) AS ml FROM kmu),
+        cbs AS (SELECT c.ck, ${sqlL2Sq("c.v", "kmul.ml")} AS bs
+                FROM cent2 c CROSS JOIN kmul),
+        ktot AS (SELECT sum(n_pts)::BIGINT AS n,
+                        sum((wss)::DECIMAL(38,20))::DOUBLE AS w
+                 FROM per),
+        kb AS (SELECT sum((per.n_pts * cbs.bs)::DECIMAL(38,20))::DOUBLE AS b
+               FROM per JOIN cbs ON cbs.ck = per.cluster),
+        kdij AS (SELECT a.ck AS i, b.ck AS j,
+                        sqrt(${sqlL2Sq("a.v", "b.v")}) AS dij
+                 FROM cent2 a CROSS JOIN cent2 b WHERE a.ck != b.ck),
+        kdb AS (SELECT sum((r)::DECIMAL(38,20))::DOUBLE / $KDET AS db FROM (
+                  SELECT d.i, max((si.mean_dist + sj.mean_dist) / d.dij) AS r
+                  FROM kdij d
+                  JOIN per si ON si.cluster = d.i
+                  JOIN per sj ON sj.cluster = d.j
+                  GROUP BY d.i))
+        SELECT t.n, round(t.w, 6) AS wss, round(kb.b, 6) AS bss,
+               round((kb.b / ${KDET - 1}) / (t.w / (t.n - $KDET)), 6) AS ch,
+               round(kdb.db, 6) AS db
+        FROM ktot t CROSS JOIN kb CROSS JOIN kdb
       """)
     ),
     // Fully deterministic k-means|| fit: md5-coin Bahmani sampling rounds

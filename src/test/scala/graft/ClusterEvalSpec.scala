@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ClusterEval
+
+/** Closed-form gates for the clustering-eval tier (ARI/NMI, per-cluster
+  * census, CH/DB indexes).
+  */
+class ClusterEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ARI/NMI: perfect agreement is exactly 1/1; independence is -0.5/0") {
+    val ids = (0L to 3L)
+    val perfectA = ids.map(i => (i, i / 2)).toDF("id", "cluster")
+    val perfectB = ids.map(i => (i, i / 2)).toDF("id", "label")
+    val r1 = ClusterEval.agreement(perfectA, perfectB).head
+    assert(r1.getLong(0) == 4L)
+    assert(r1.getDouble(1) == 1.0, s"perfect ARI ${r1.getDouble(1)}")
+    assert(math.abs(r1.getDouble(2) - 1.0) < 1e-12, s"perfect NMI ${r1.getDouble(2)}")
+    // u = [0,0,1,1] vs v = [0,1,0,1]: all nij = 1 → ARI = -1/2, MI = 0
+    val vB = ids.map(i => (i, i % 2)).toDF("id", "label")
+    val r2 = ClusterEval.agreement(perfectA, vB).head
+    assert(math.abs(r2.getDouble(1) - (-0.5)) < 1e-12, s"ARI ${r2.getDouble(1)}")
+    assert(math.abs(r2.getDouble(2)) < 1e-12, s"NMI ${r2.getDouble(2)}")
+  }
+
+  test("NMI guard: a single-cluster assignment scores 0, not NaN") {
+    val ids = (0L to 5L)
+    val one = ids.map(i => (i, 0L)).toDF("id", "cluster")
+    val truth = ids.map(i => (i, i % 3)).toDF("id", "label")
+    val r = ClusterEval.agreement(one, truth).head
+    assert(!r.getDouble(1).isNaN)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  private def geom = {
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(2.0, 0.0)),
+      (2L, Seq(10.0, 0.0)), (3L, Seq(12.0, 0.0))).toDF("id", "v")
+    val asg = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val cents = Array(Array(1.0, 0.0), Array(11.0, 0.0))
+    (pts, asg, cents)
+  }
+
+  test("perCluster: closed-form wss and mean distance on two 1-d blobs") {
+    val (pts, asg, cents) = geom
+    val rows = ClusterEval.perCluster(pts, asg, cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows(0L) == ((2L, 2.0, 1.0)), s"${rows(0L)}")
+    assert(rows(1L) == ((2L, 2.0, 1.0)), s"${rows(1L)}")
+  }
+
+  test("indexes: CH = 50, DB = 0.2 on the hand geometry") {
+    val (pts, asg, cents) = geom
+    val r = ClusterEval.indexes(pts, asg, cents, dim = 2).head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 4.0, s"wss ${r.getDouble(1)}") // W = 1+1+1+1
+    assert(r.getDouble(2) == 100.0, s"bss ${r.getDouble(2)}") // 2·25 + 2·25
+    assert(r.getDouble(3) == 50.0, s"ch ${r.getDouble(3)}") // (100/1)/(4/2)
+    assert(math.abs(r.getDouble(4) - 0.2) < 1e-12, s"db ${r.getDouble(4)}")
+  }
+
+  test("partition invariance") {
+    val (pts, asg, cents) = geom
+    val a = ClusterEval.indexes(pts, asg, cents, 2).head.toSeq
+    val b = ClusterEval.indexes(pts.repartition(5), asg.repartition(3), cents, 2)
+      .head.toSeq
+    assert(a == b)
+  }
+}
