@@ -204,6 +204,56 @@ object GraphAudit {
             (col("deg_sum").cast("double") / lit(2.0 * m))).as("q"))
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    * non-adjacent pair (a, b) sharing ≥ 1 neighbor,
+    * score = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg v) — the "missing edge" audit of
+    * the kNN graph (pairs the graph builder should have connected:
+    * candidates for graph repair, or near-dup pairs the kNN recall
+    * missed). Common neighbors of degree > `maxHubDeg` are excluded from
+    * the wedge: they contribute ~1/ln(huge) ≈ 0 signal yet C(deg, 2)
+    * quadratic wedges — the same hot-key discipline as the dedup df
+    * caps, declared as part of the operator (a common neighbor has
+    * deg ≥ 2, so ln never hits 0). Per-term 1/ln routes through
+    * DECIMAL(38,20) before the sum; ranking compares unrounded doubles
+    * with the (score DESC, a, b) total order.
+    *
+    * Scale: wedge fan-out Σ_{v, deg≤cap} deg(v)² — bounded per node by
+    * the cap, linear in edges otherwise; the existing-edge anti-join and
+    * the top-N TakeOrdered never materialize more than the wedge table.
+    *
+    * @return top `topN` rows (a, b, n_common, score), a < b
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      ids: DataFrame,
+      topN: Int,
+      maxHubDeg: Long = 10000L
+  ): DataFrame = {
+    require(topN >= 1, s"adamicAdar: topN must be >= 1, got $topN")
+    val dec = DecimalType(38, 20)
+    val u = und(edges).localCheckpoint()
+    val dg = degrees(edges, ids).localCheckpoint()
+    val ub = u.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(u.select(col("b").as("id"), col("a").as("nb")))
+    val mid = ub
+      .join(dg.filter(col("deg") <= maxHubDeg)
+        .select(col("id"), col("deg")), "id")
+      .select(col("id").as("v"), col("nb"), col("deg"))
+    val wedge = mid.select(col("v"), col("nb").as("a"), col("deg"))
+      .join(mid.select(col("v"), col("nb").as("b")), "v")
+      .filter(col("a") < col("b"))
+    val scored = wedge
+      .join(u, Seq("a", "b"), "left_anti") // non-adjacent pairs only
+      .groupBy(col("a"), col("b"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum((lit(1.0) / log(col("deg").cast("double"))).cast(dec))
+          .cast("double").as("score"))
+    scored
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the both-direction undirected edge list (each
     * edge contributes (deg_u, deg_v) and (deg_v, deg_u), the standard

@@ -2232,6 +2232,47 @@ object VectorQueries {
         FROM ds CROSS JOIN mt LEFT JOIN ei ON ei.community = ds.community
       """)
     ),
+    // Adamic–Adar link prediction over the kNN graph — the missing-edge
+    // audit (pairs the graph builder should arguably have connected:
+    // graph-repair candidates, near-dup pairs kNN recall missed):
+    // score(a,b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg v) over non-adjacent
+    // pairs, common neighbors above the hub cap excluded (≈0 signal,
+    // C(deg,2) wedges — the dedup df-cap discipline). Per-term 1/ln
+    // routes through DECIMAL(38,20); ranking compares unrounded doubles
+    // under the total (score DESC, a, b) order; top-50 emitted.
+    GQuery(
+      "knn_graph_link_pred",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        graft.operators.GraphAudit
+          .adamicAdar(sharedGraph(spark, dir), ids, topN = 50)
+          .select(
+            col("a").as("vec_a"), col("b").as("vec_b"), col("n_common"),
+            round(col("score"), 6).as("score"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        lpm AS MATERIALIZED (SELECT ub.id AS v, ub.nb, d.deg
+               FROM ub JOIN dq d ON d.id = ub.id AND d.deg <= 10000),
+        lpw AS (SELECT m1.v, m1.nb AS a, m2.nb AS b, m1.deg
+                FROM lpm m1 JOIN lpm m2
+                  ON m2.v = m1.v AND m1.nb < m2.nb),
+        lpn AS (SELECT w.a, w.b, w.deg FROM lpw w
+                LEFT JOIN uu ON uu.a = w.a AND uu.b = w.b
+                WHERE uu.a IS NULL),
+        lps AS (SELECT a, b, count(*)::BIGINT AS n_common,
+                       sum((1.0 / ln(deg::DOUBLE))::DECIMAL(38,20))::DOUBLE
+                         AS score
+                FROM lpn GROUP BY a, b)
+        SELECT a AS vec_a, b AS vec_b, n_common,
+               round(score, 6) AS score
+        FROM (SELECT *, row_number() OVER (ORDER BY score DESC, a, b) AS rn
+              FROM lps)
+        WHERE rn <= 50
+      """)
+    ),
     // Degree assortativity (Newman 2002): Pearson correlation of endpoint
     // degrees over the both-direction edge list — does the graph wire
     // hubs to hubs (r > 0, retrieval walks trapped in a hub core) or

@@ -131,6 +131,60 @@ class GraphAuditSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-12, s"star r ${r.getDouble(1)}")
   }
 
+  test("adamic-adar: closed form on a wedge graph; adjacent pairs excluded") {
+    // path 1—0—2 plus edge 3—0: all pairs among {1,2,3} share only
+    // neighbor 0 (deg 3) → score 1/ln(3); pair (0, x) are edges → absent
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val ids = (0L to 3L).toDF("id")
+    val got = GraphAudit.adamicAdar(edges, ids, topN = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"${got.keySet}")
+    val want = 1.0 / math.log(3.0)
+    got.values.foreach { case (nc, s) =>
+      assert(nc == 1L)
+      assert(math.abs(s - want) < 1e-12, s"$s vs $want")
+    }
+  }
+
+  test("adamic-adar: hub cap removes hub-only wedges; scores stack per neighbor") {
+    // hub 9 — {0,1,2,3}, plus 0—1 and a private common neighbor 5 of
+    // (0, 2). Uncapped: (0,2) scores 1/ln(4) + 1/ln(2) (hub + private),
+    // other hub pairs score 1/ln(4); capped below the hub degree, only
+    // (0,2) survives via the private neighbor
+    val edges = ((0L to 3L).map(i => (9L, i)) ++ Seq((0L, 1L), (5L, 0L), (5L, 2L)))
+      .toDF("src", "dst")
+    val ids = (Seq(5L, 9L) ++ (0L to 3L)).toDF("id")
+    val full = GraphAudit.adamicAdar(edges, ids, topN = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ln2 = 1.0 / math.log(2.0) // private neighbors 5 (deg 2) and 2 (deg 2)
+    val ln3 = 1.0 / math.log(3.0) // node 0 (deg 3: 9, 1, 5)
+    val ln4 = 1.0 / math.log(4.0) // hub 9 (deg 4)
+    assert(full.keySet == Set(
+      (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), // via the hub
+      (5L, 9L), (1L, 5L))) // via 0 (and 2 for (5,9))
+    // scores route through DECIMAL(38,20) per term — compare to 1e-12
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(full((0L, 2L))._1 == 2L &&
+      close(full((0L, 2L))._2, ln4 + ln2), s"${full((0L, 2L))}") // hub + 5
+    assert(full((5L, 9L))._1 == 2L &&
+      close(full((5L, 9L))._2, ln3 + ln2), s"${full((5L, 9L))}") // 0 + 2
+    assert(full((1L, 5L))._1 == 1L && close(full((1L, 5L))._2, ln3))
+    assert(full((2L, 3L))._1 == 1L && close(full((2L, 3L))._2, ln4))
+    // the richest pair ranks first: (5,9) = 1/ln3 + 1/ln2 beats
+    // (0,2) = 1/ln4 + 1/ln2
+    val top = GraphAudit.adamicAdar(edges, ids, topN = 1).head
+    assert((top.getLong(0), top.getLong(1)) == ((5L, 9L)), s"$top")
+    // cap below the hub degree: only wedges through 0, 2, 5 remain
+    val capped = GraphAudit.adamicAdar(edges, ids, topN = 100, maxHubDeg = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(capped.keySet == Set((0L, 2L), (5L, 9L), (1L, 5L)), s"${capped.keySet}")
+    assert(close(capped((0L, 2L)), ln2)) // the hub term is gone
+    assert(close(capped((5L, 9L)), ln3 + ln2))
+    assert(close(capped((1L, 5L)), ln3))
+  }
+
   test("assortativity: partition invariance") {
     val edges = Seq(
       (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L), (5L, 4L))

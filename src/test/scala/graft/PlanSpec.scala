@@ -631,7 +631,8 @@ class PlanSpec extends SparkSpec {
     // hash-keyed — a cartesian or nested loop here is corpus² at scale
     for (name <- Seq(
         "knn_graph_triangles", "knn_graph_kcore",
-        "knn_graph_modularity", "knn_graph_assortativity")) {
+        "knn_graph_modularity", "knn_graph_assortativity",
+        "knn_graph_link_pred")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
