@@ -309,6 +309,86 @@ object Dedup {
     }
   }
 
+  /** [[jaccardPairs]] with PPJoin-style PREFIX FILTERING (Xiao, Wang,
+    * Lin & Yu, WWW 2008) — the published candidate-pruning upgrade of
+    * the plain inverted-index self-join: order each document's shingles
+    * by global rarity (df ASC, shingle ASC — one total order for the
+    * whole corpus), index only the first |d| − ⌈τ·|d|⌉ + 1 of them (the
+    * PREFIX), and generate candidates from prefix collisions plus the
+    * length filter τ·|larger| ≤ |smaller|. Completeness is the paper's
+    * theorem: Jaccard ≥ τ forces overlap ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉ >
+    * max(|a|,|b|) − prefix span, so any qualifying pair shares a prefix
+    * token under a consistent global order. Verification is the same
+    * exact-Jaccard pass over the FULL shingle sets — the output is
+    * bit-identical to [[jaccardPairs]] (same oracle, spec-pinned), only
+    * the candidate volume shrinks: each shingle indexes ~(1−τ) of its
+    * postings, and the rarest-first order concentrates prefixes on
+    * low-df shingles, collapsing the C(df, 2) fan-out exactly where it
+    * is biggest. The candidate-side cost drops from Σ df² to
+    * Σ df_prefix² with df_prefix ≪ df for common shingles — the scale
+    * lever for corpus-wide exact Jaccard at 100 TB.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val ranked = sh
+      .join(dfreq, "sh")
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+    val prefix = ranked
+      .filter(col("rnk") <=
+        col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+      .select(col("doc_id"), col("sh"), col("nsh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(tau) * greatest(col("a.nsh"), col("b.nsh")) <=
+            least(col("a.nsh"), col("b.nsh")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, tau)
+  }
+
+  /** Candidate-pair count of the prefix-filtered generator vs the plain
+    * inverted index at the same (n, tau) — the measurable pruning ratio
+    * (spec gate: prefix ≤ full, equality only on degenerate corpora).
+    */
+  private[graft] def prefixCandidateCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val full = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+    val pruned = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(tau) * greatest(col("a.nsh"), col("b.nsh")) <=
+            least(col("a.nsh"), col("b.nsh")))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    (full, pruned)
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full
     * (doc_id, sh) table.
     */

@@ -852,6 +852,80 @@ object TextAnalysis {
           nullif(col("n_words"), lit(0L)), 6).as("fertility")
       )
 
+  /** Hashing-trick TF-IDF features (Weinberger et al. 2009 — the
+    * fixed-width featurizer that needs NO vocabulary pass): token →
+    * bucket = md5-long mod `numBuckets`, per-(doc, bucket) term counts,
+    * idf = ln(N / df_bucket) over bucket document frequencies. The
+    * vocabulary-free property is the 100-TB point: ONE hash aggregation
+    * keyed on (doc, bucket) + one B-row idf table, no dictionary
+    * broadcast, stable schema whatever the corpus. Feeds the spectral
+    * tier (PCA/LSA over the fixed-width vectors) and any linear
+    * classifier.
+    *
+    * @return (doc_id, bucket, tf, tfidf) — only occupied buckets emit
+    */
+  def hashedTfidf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 16
+  ): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val n = df.select(count(lit(1)).as("n"))
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        (graft.operators.Dedup.md5Long(col("w")) % numBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val dfb = tf.groupBy(col("bucket")).agg(count(lit(1)).as("dfb"))
+    tf
+      .join(broadcast(dfb), "bucket")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("bucket"), col("tf"),
+        (col("tf") * log(col("n").cast("double") / col("dfb"))).as("tfidf"))
+  }
+
+  /** Row-local spelling of the TF half of [[hashedTfidf]] under a
+    * batch-frozen idf vector — the streaming featurizer (idf is corpus
+    * state, so the stream serves a training-time snapshot, the
+    * pcaOutlierStream discipline). Bit-equal tf/tfidf per row for the
+    * same idf table.
+    */
+  def hashedTfidfRow(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      idf: Map[Long, Double],
+      numBuckets: Int = 16
+  ): DataFrame = {
+    val idfMap = typedLit(idf)
+    df
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("txt"))
+      .withColumn("bks",
+        expr(s"""filter(transform(split(txt, ' '), w ->
+                   CASE WHEN w = '' THEN NULL
+                        ELSE cast(conv(substring(md5(w), 1, 14), 16, 10)
+                                  AS long) % $numBuckets END),
+                 x -> x IS NOT NULL)"""))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(array_distinct(bks),
+                b -> struct(b AS bucket,
+                            size(filter(bks, x -> x = b)) AS tf))"""))
+          .as("e"))
+      .select(
+        col("doc_id"),
+        col("e.bucket").as("bucket"),
+        col("e.tf").cast("long").as("tf"),
+        (col("e.tf").cast("long") *
+          coalesce(idfMap(col("e.bucket")), lit(0.0))).as("tfidf"))
+  }
+
   /** The trained unigram-LM tokenizer artifact: the fixed candidate piece
     * set with its latest hard-EM counts and smoothed log-probabilities.
     */

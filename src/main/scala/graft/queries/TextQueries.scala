@@ -513,6 +513,34 @@ object TextQueries {
         $jaccardTail
       """)
     ),
+    // The SAME pairs through PPJoin prefix filtering (Xiao et al., WWW
+    // 2008): shingles ordered by global rarity, only the first
+    // |d| − ⌈τ·|d|⌉ + 1 indexed, plus the τ·|larger| ≤ |smaller| length
+    // filter — candidates shrink by the paper's completeness theorem
+    // while the full-set verify keeps every score exact, so the ORACLE
+    // IS dedup_jaccard's: one ground truth, two candidate generators
+    // (the spec additionally gates >4× candidate pruning on a
+    // boilerplate corpus). The 100-TB lever for exact corpus Jaccard:
+    // prefix postings concentrate on low-df shingles, collapsing the
+    // C(df, 2) fan-out exactly where it is biggest.
+    GQuery(
+      "dedup_jaccard_prefix",
+      (spark, dir) =>
+        Dedup
+          .jaccardPairsPrefix(t(spark, dir, "documents"), "doc_id", "text",
+            3, 0.5)
+          .select(
+            col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")
+          ),
+      Some(s"""
+        WITH $shingleCtes,
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        $jaccardTail
+      """)
+    ),
     // Sorted-neighborhood (SNM) near-dup pairs — the third blocking
     // family next to the inverted index (dedup_jaccard) and LSH
     // (dedup_minhash_lsh): ONE global sort by a cheap canonical key
@@ -3600,6 +3628,34 @@ object TextQueries {
         JOIN fsz za ON za.doc_id = s.doc_a
         JOIN fsz zb ON zb.doc_id = s.doc_b
         WHERE s.shared::DOUBLE / (za.nf + zb.nf - s.shared) >= 0.3
+      """)
+    ),
+    // Hashing-trick TF-IDF features (Weinberger et al. 2009) — the
+    // vocabulary-free fixed-width featurizer: token → md5-long mod 16
+    // bucket, per-(doc, bucket) counts, idf = ln(N/df_bucket). ONE hash
+    // aggregation keyed on (doc, bucket) + a broadcast B-row idf table —
+    // no dictionary pass, stable schema at any corpus size; feeds the
+    // spectral tier and linear classifiers.
+    GQuery(
+      "text_feature_hash",
+      (spark, dir) =>
+        TextAnalysis
+          .hashedTfidf(t(spark, dir, "documents"), "doc_id", "text", 16)
+          .select(col("doc_id"), col("bucket"), col("tf"),
+            round(col("tfidf"), 6).as("tfidf")),
+      Some("""
+        WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+        bk AS (SELECT doc_id,
+                      ('0x' || substr(md5(w), 1, 14))::BIGINT % 16 AS bucket
+               FROM tk WHERE w <> ''),
+        tf AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf
+               FROM bk GROUP BY 1, 2),
+        dfb AS (SELECT bucket, count(*)::BIGINT AS dfb FROM tf GROUP BY bucket),
+        nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+        SELECT t.doc_id, t.bucket, t.tf,
+               round(t.tf * ln(nn.n::DOUBLE / d.dfb), 6) AS tfidf
+        FROM tf t JOIN dfb d USING (bucket) CROSS JOIN nn
       """)
     ),
     // Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece

@@ -2232,6 +2232,72 @@ object VectorQueries {
         FROM ds CROSS JOIN mt LEFT JOIN ei ON ei.community = ds.community
       """)
     ),
+    // Single-linkage hierarchical clustering at FIXED thresholds —
+    // the dendrogram cut three ways: clusters at level t = connected
+    // components of the kNN graph restricted to edges with dist ≤ t
+    // (exactly single linkage on the available neighbor graph; no MST
+    // materialization needed for fixed cuts). Thresholds 1.25 / 1.40 /
+    // 1.50 straddle the observed L2² kNN-distance band (~1.0–1.53), so
+    // the levels genuinely coarsen; reps = min reachable id (the
+    // dedup_clusters convention), singletons are their own cluster, and
+    // nesting (same fine rep ⇒ same coarse rep) is spec-gated. Per
+    // level: one distributed pointer-jumping CC over a filtered edge
+    // list — linear, the 100-TB clustering path already proven by
+    // dedup_clusters_distributed.
+    GQuery(
+      "cluster_hierarchy",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        val ud = sharedGraph(spark, dir)
+          .select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"),
+            col("dist"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(min(col("dist")).as("d"))
+          .localCheckpoint()
+        val levels = Seq(1.25, 1.40, 1.50).map { th =>
+          graft.operators.Dedup
+            .connectedComponents(ud.filter(col("d") <= th), "a", "b")
+            .select(col("doc_id").as("id"), col("rep_id"))
+        }
+        val names = Seq("c_fine", "c_mid", "c_coarse")
+        levels.zip(names).foldLeft(ids) { case (acc, (lv, nm)) =>
+          acc.join(lv.select(col("id"), col("rep_id").as(nm)), Seq("id"), "left")
+        }
+          .select(
+            col("id").as("vec_id"),
+            coalesce(col("c_fine"), col("id")).as("c_fine"),
+            coalesce(col("c_mid"), col("id")).as("c_mid"),
+            coalesce(col("c_coarse"), col("id")).as("c_coarse"))
+      },
+      Some(s"""
+        WITH RECURSIVE $graphCtes,
+        hud AS MATERIALIZED (SELECT least(src, dst) AS a,
+                                    greatest(src, dst) AS b,
+                                    min(dist) AS d
+               FROM g2 WHERE src != dst GROUP BY 1, 2),
+        ${Seq(1 -> "1.25", 2 -> "1.40", 3 -> "1.50").map { case (i, th) => s"""
+        hed$i AS MATERIALIZED (SELECT a, b FROM hud WHERE d <= $th
+                 UNION ALL SELECT b, a FROM hud WHERE d <= $th),
+        hrc$i(id, r) AS (
+          SELECT a, a FROM hed$i
+          UNION
+          SELECT hed$i.a, hrc$i.r
+          FROM hed$i JOIN hrc$i ON hrc$i.id = hed$i.b),
+        hcp$i AS (SELECT id, min(r) AS rep FROM hrc$i GROUP BY id)"""}
+          .mkString(",")}
+        SELECT e.id AS vec_id,
+               coalesce(h1.rep, e.id)::BIGINT AS c_fine,
+               coalesce(h2.rep, e.id)::BIGINT AS c_mid,
+               coalesce(h3.rep, e.id)::BIGINT AS c_coarse
+        FROM e LEFT JOIN hcp1 h1 ON h1.id = e.id
+               LEFT JOIN hcp2 h2 ON h2.id = e.id
+               LEFT JOIN hcp3 h3 ON h3.id = e.id
+      """)
+    ),
     // Adamic–Adar link prediction over the kNN graph — the missing-edge
     // audit (pairs the graph builder should arguably have connected:
     // graph-repair candidates, near-dup pairs kNN recall missed):

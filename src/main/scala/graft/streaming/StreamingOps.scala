@@ -1242,6 +1242,23 @@ object StreamingOps {
     graft.operators.TextAnalysis
       .unigramEncode(docs, idCol, textCol, model, maxPieceLen)
 
+  /** Streaming hashing-trick featurizer — the online half of
+    * text_feature_hash: per-doc bucket term counts are row-local
+    * (vocabulary-free, the hashing trick's point), idf is corpus state
+    * and therefore BATCH-FROZEN (the pcaOutlierStream discipline: train
+    * offline, serve the snapshot online). Bit-equal to the batch
+    * featurizer under the same idf table (StreamingSpec pins it).
+    */
+  def featureHashStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      idf: Map[Long, Double],
+      numBuckets: Int = 16
+  ): DataFrame =
+    graft.operators.TextAnalysis
+      .hashedTfidfRow(docs, idCol, textCol, idf, numBuckets)
+
   final case class FunnelState(stage: Int, tsUs: Long)
 
   /** Streaming conversion funnel — the stateful twin of `q28_funnel`'s

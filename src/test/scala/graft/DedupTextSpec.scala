@@ -806,4 +806,33 @@ class DedupTextSpec extends SparkSpec {
     assert(got(3L) == (("", 1L, 10L)), got(3L))
     assert(got(4L) == (("0123456789", 0L, 0L)), got(4L))
   }
+
+  test("ppjoin prefix filter: identical pairs to the plain inverted index, fewer candidates") {
+    import org.apache.spark.sql.functions._
+    // real corpus: the prefix-filtered generator must be lossless
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full, s"prefix filter lost/added pairs: ${
+      (full -- pref).take(3)} / ${(pref -- full).take(3)}")
+    // and it must actually prune: on a corpus where every doc shares a
+    // boilerplate phrase, prefix candidates collapse the C(df,2) fan-out
+    val rnd = new scala.util.Random(5)
+    def w() = (1 to 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = "common header phrase every page repeats verbatim today"
+    val spark2 = spark; import spark2.implicits._
+    val fix = (1L to 60L)
+      .map(i => (i, boiler + " " + (1 to 20).map(_ => w()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (nFull, nPruned) = Dedup.prefixCandidateCounts(fix, "doc_id", "text", 3, 0.5)
+    assert(nPruned < nFull / 4,
+      s"expected >4x candidate pruning, got full=$nFull pruned=$nPruned")
+    // and the pair sets still agree on the fixture
+    val f2 = Dedup.jaccardPairs(fix, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.jaccardPairsPrefix(fix, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f2 == p2)
+  }
 }

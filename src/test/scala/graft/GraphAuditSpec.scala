@@ -185,6 +185,23 @@ class GraphAuditSpec extends SparkSpec {
     assert(close(capped((1L, 5L)), ln3))
   }
 
+  test("cluster_hierarchy: levels nest, coarsen, and actually merge") {
+    val rows = SparkEntry.queries("cluster_hierarchy")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // single-linkage nesting: same fine component ⇒ same mid component,
+    // same mid ⇒ same coarse
+    rows.groupBy(_._2).values.foreach(g =>
+      assert(g.map(_._3).distinct.length == 1, s"fine cluster split at mid: $g"))
+    rows.groupBy(_._3).values.foreach(g =>
+      assert(g.map(_._4).distinct.length == 1, s"mid cluster split at coarse: $g"))
+    val (nf, nm, nc) = (rows.map(_._2).distinct.length,
+      rows.map(_._3).distinct.length, rows.map(_._4).distinct.length)
+    assert(nf >= nm && nm >= nc, s"level sizes $nf/$nm/$nc not monotone")
+    assert(nc < rows.length, "coarse level never merged anything")
+  }
+
   test("assortativity: partition invariance") {
     val edges = Seq(
       (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L), (5L, 4L))

@@ -632,7 +632,8 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq(
         "knn_graph_triangles", "knn_graph_kcore",
         "knn_graph_modularity", "knn_graph_assortativity",
-        "knn_graph_link_pred")) {
+        "knn_graph_link_pred", "cluster_hierarchy",
+        "dedup_jaccard_prefix")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")

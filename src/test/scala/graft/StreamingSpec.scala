@@ -1150,4 +1150,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed unigram encode diverged from batch")
     assert(got.nonEmpty && got.forall(_._3 > 0))
   }
+
+  test("streaming feature hash: two waves bit-equal the batch featurizer") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val batch = graft.operators.TextAnalysis
+      .hashedTfidf(docs, "doc_id", "text", 16).localCheckpoint()
+    // batch-frozen idf, computed through Spark's own ln (StrictMath)
+    val nDocs = docs.count().toDouble
+    val idf = batch.groupBy(col("bucket")).agg(count(lit(1)).as("dfb"))
+      .select(col("bucket"), log(lit(nDocs) / col("dfb")).as("idf"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dir = Files.createTempDirectory("fhashstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.featureHashStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text", idf)
+    val q = stream.writeStream
+      .format("memory").queryName("fhash").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("fhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, "streamed feature hash diverged from batch")
+  }
 }
