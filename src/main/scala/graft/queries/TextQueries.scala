@@ -3658,6 +3658,36 @@ object TextQueries {
         FROM tf t JOIN dfb d USING (bucket) CROSS JOIN nn
       """)
     ),
+    // LSA topic scores (Deerwester et al. 1990 latent semantic analysis,
+    // spelled corpus-scale): documents → l2-NORMALIZED hashed COUNT
+    // vectors (the tf half of text_feature_hash — integer-derived, no ln
+    // anywhere in the feature path, so nothing feeds the 48-round power
+    // iteration that could differ in the last ulp between engines) →
+    // the spectral tier's corpus PCA (decimal-exact moments, greedy
+    // deflation) → per-doc projections on the top-2 latent directions.
+    // The WHOLE trajectory (feature build, moments, both eigenvectors,
+    // every projection) replays in the shared pcaReplayCtes and
+    // hash-matches.
+    GQuery(
+      "text_lsa",
+      (spark, dir) => {
+        val feats = lsaFeatures(spark, dir)
+        val m = graft.operators.Pca.fit(feats, "fv", d = 16, p = 2, rounds = 48)
+        feats.select(
+          col("doc_id"),
+          round(graft.operators.Pca.projectCol(m, col("fv"), 0), 6).as("t1"),
+          round(graft.operators.Pca.projectCol(m, col("fv"), 1), 6).as("t2"))
+      },
+      Some(s"""
+        WITH ${VectorQueries.pcaReplayCtes(48, 16, lsaFeatureSql)}
+        SELECT e.vec_id AS doc_id,
+          round(list_sum(list_transform(generate_series(1, 16),
+                  i -> (e.ev[i] - m.ml[i]) * a.vl[i])), 6) AS t1,
+          round(list_sum(list_transform(generate_series(1, 16),
+                  i -> (e.ev[i] - m.ml[i]) * b.vl[i])), 6) AS t2
+        FROM e CROSS JOIN mul m CROSS JOIN v1_48 a CROSS JOIN v2_48 b
+      """)
+    ),
     // Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
     // unigram model, the second tokenizer family next to BPE) by hard
     // (Viterbi) EM: candidate pieces = substrings ≤ 4 chars with
@@ -3750,6 +3780,69 @@ object TextQueries {
       TextAnalysis.unigramTrain(Q.t(spark, dir, "documents"), "text",
         maxPieceLen = UniL, minCount = UniMinC, rounds = UniRounds,
         alpha = UniAlpha))
+
+  /** l2-normalized 16-bucket hashed COUNT vectors per document — the
+    * text_lsa feature table (doc_id as vec_id, ev DOUBLE[16]); zeros for
+    * unoccupied buckets, the all-zero guard mirrors the Spark side.
+    */
+  private def lsaFeatureSql: String = """
+        SELECT doc_id AS vec_id,
+               CASE WHEN nrm > 0 THEN list_transform(l, x -> x / nrm)
+                    ELSE l END AS ev
+        FROM (SELECT doc_id, l,
+                     sqrt(list_sum(list_transform(l, x -> x * x))) AS nrm
+              FROM (SELECT doc_id, list(tfv ORDER BY b) AS l
+                    FROM (SELECT d.doc_id, gb.b,
+                                 coalesce(tf.tf, 0)::DOUBLE AS tfv
+                          FROM (SELECT DISTINCT doc_id FROM documents) d
+                          CROSS JOIN (SELECT unnest(generate_series(0, 15))
+                                      AS b) gb
+                          LEFT JOIN (SELECT doc_id,
+                                       ('0x' || substr(md5(w), 1, 14))::BIGINT
+                                         % 16 AS b,
+                                       count(*)::BIGINT AS tf
+                                     FROM (SELECT doc_id,
+                                             unnest(string_split(text, ' '))
+                                               AS w
+                                           FROM documents)
+                                     WHERE w <> '' GROUP BY 1, 2) tf
+                            USING (doc_id, b))
+                    GROUP BY doc_id))"""
+
+  /** Spark half of [[lsaFeatureSql]]: (doc_id, fv) with fv the
+    * l2-normalized dense 16-bucket count vector. Counts are exact longs
+    * into exact doubles; the norm is the same ascending left fold both
+    * engines spell.
+    */
+  private def lsaFeatures(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        (Dedup.md5Long(col("w")) % 16).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val dense = tf
+      .groupBy(col("doc_id"))
+      .agg(array((0 until 16).map(b =>
+        coalesce(sum(when(col("b") === b, col("tf"))), lit(0L))
+          .cast("double")): _*).as("raw"))
+    docs.select(col("doc_id"))
+      .join(dense, Seq("doc_id"), "left")
+      .withColumn("raw",
+        coalesce(col("raw"), expr("array_repeat(0.0d, 16)")))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorExpressions.dotFast(col("raw"), col("raw"))))
+      .select(
+        col("doc_id"),
+        when(col("nrm") > 0,
+          expr("transform(raw, x -> x / nrm)"))
+          .otherwise(col("raw")).as("fv"))
+  }
 
   /** One smoothed-logp map CTE over a vocab/tot pair: vm$tag holds
     * map(piece → ln((c+α)/(C+αV))) for the round's Viterbi.

@@ -2466,8 +2466,18 @@ object VectorQueries {
     * components and Rayleigh quotients. Leaves e/mul/v1_r/v2_r/lam1/lam2
     * in scope for the query-specific final SELECT.
     */
-  private def pcaCtes(r: Int): String = {
-    val d = 64
+  private def pcaCtes(r: Int): String =
+    pcaReplayCtes(r, 64,
+      "SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings")
+
+  /** The [[pcaCtes]] body over an arbitrary (vec_id, ev DOUBLE[]) source
+    * CTE and dimension — shared with text_lsa's count-feature replay
+    * (TextQueries). Same arithmetic throughout: DECIMAL(38,30) means,
+    * DECIMAL(18,14) second-moment cells (inputs must be ≲ 1-scaled, as
+    * both the embeddings and any l2-normalized feature vector are),
+    * `r` power rounds per component with greedy deflation.
+    */
+  private[queries] def pcaReplayCtes(r: Int, d: Int, eSql: String): String = {
     // one power-iteration round: w = C·v (left fold per row), v = w/|w|
     def rounds(comp: Int, cmat: String): String =
       (1 to r).map { s =>
@@ -2496,7 +2506,7 @@ object VectorQueries {
           FROM v${comp}_$r v
           CROSS JOIN (SELECT list(wv ORDER BY i) AS cvl FROM cv$comp) w)"""
     s"""
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      e AS ($eSql),
       gs AS (SELECT unnest(generate_series(1, $d)) AS i),
       nn AS (SELECT count(*) AS n FROM e),
       mu AS MATERIALIZED (

@@ -66,4 +66,23 @@ class FeatureHashSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(a == b, s"row-local featurizer diverged: ${(a -- b).take(3)} / ${(b -- a).take(3)}")
   }
+
+  test("lsa: deterministic across runs, scores carry real spread") {
+    val a = SparkEntry.queries("text_lsa")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("text_lsa")(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "LSA trajectory not deterministic")
+    val t1 = a.map(_(1).asInstanceOf[Double])
+    val t2 = a.map(_(2).asInstanceOf[Double])
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    // the first latent direction must explain at least as much score
+    // variance as the second (greedy deflation order), and both must be
+    // non-degenerate on a real corpus
+    assert(variance(t1) >= variance(t2), s"${variance(t1)} < ${variance(t2)}")
+    assert(variance(t2) > 0.0)
+  }
 }
