@@ -1242,6 +1242,79 @@ object StreamingOps {
     graft.operators.TextAnalysis
       .unigramEncode(docs, idCol, textCol, model, maxPieceLen)
 
+  /** Streaming winnow-fingerprint admission gate — the TEXT analog of
+    * [[embeddingAdmitStream]]: every arriving document is checked
+    * against a STATIC corpus for fingerprint containment. The corpus
+    * side is batch state (winnow fingerprints, df-capped to the
+    * discriminative universe — the dedup_winnow discipline — plus each
+    * corpus doc's capped fingerprint set); the stream side extracts its
+    * fingerprint array ROW-LOCALLY (the winnowFingerprintsRow HOF
+    * spelling, no per-doc window), joins the capped inverted index
+    * stream-static for candidates, dedupes the (new, corpus) pair, and
+    * scores containment = |new ∩ corpus_capped| / |corpus_capped|
+    * exactly, row-local via array_intersect. Emits one row per flagged
+    * pair: (id, corpus_id, shared, containment ≥ tau) — a near-verbatim
+    * carrier of a known document. Every op is stream-safe (the pair
+    * dedup is the only state), and the SAME function run on a batch
+    * frame is the gate's batch twin (StreamingSpec pins equality).
+    */
+  def winnowAdmitStream(
+      docs: DataFrame, // streaming OR batch (idCol, textCol)
+      corpus: DataFrame, // static (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      tau: Double = 0.8,
+      maxDfAbs: Int = 1000
+  ): DataFrame = {
+    import graft.operators.Dedup
+    val corpFp = Dedup
+      .winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("doc_id").as("corpus_id"), col("fp"))
+      .distinct()
+      .localCheckpoint()
+    val keep = corpFp
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDfAbs)
+      .select(col("fp"))
+    val corpIdx = corpFp.join(keep, "fp").localCheckpoint()
+    val corpSets = corpIdx
+      .groupBy(col("corpus_id"))
+      .agg(sort_array(collect_set(col("fp"))).as("cfps"),
+        count(lit(1)).as("nc"))
+    val fps = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .withColumn("m", length(col("txt")) - (k - 1))
+      .filter(col("m") >= 1)
+      .withColumn(
+        "kks",
+        expr(s"""transform(sequence(1, m), p ->
+                 concat(substring(md5(substring(txt, p, $k)), 1, 8),
+                        lpad(cast(1000000000 - p AS string), 10, '0')))"""))
+      .withColumn(
+        "sfps",
+        expr(s"""array_distinct(transform(
+                   transform(sequence(1, greatest(1, m - ${w - 1})),
+                     i -> array_min(slice(kks, i, $w))),
+                   s -> substring(s, 1, 8)))"""))
+      .select(col("id"), col("sfps"), explode(col("sfps")).as("fp"))
+    fps
+      .join(corpIdx, "fp")
+      .select(col("id"), col("corpus_id"), col("sfps"))
+      .dropDuplicates("id", "corpus_id")
+      .join(corpSets, "corpus_id")
+      .select(
+        col("id"), col("corpus_id"),
+        size(array_intersect(col("sfps"), col("cfps")))
+          .cast("long").as("shared"),
+        col("nc"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("nc"))
+      .filter(col("containment") >= tau)
+      .select(col("id"), col("corpus_id"), col("shared"), col("containment"))
+  }
+
   /** Streaming hashing-trick featurizer — the online half of
     * text_feature_hash: per-doc bucket term counts are row-local
     * (vocabulary-free, the hashing trick's point), idf is corpus state

@@ -1179,4 +1179,43 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want, "streamed feature hash diverged from batch")
   }
+
+  test("streaming winnow admission gate: planted carriers flagged, batch twin equal") {
+    val all = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") < 30).localCheckpoint()
+    // arrivals: fresh docs + planted near-verbatim carriers of corpus
+    // docs 3 and 7 (full text embedded in extra prose → containment 1.0)
+    val carriers = corpus
+      .filter(col("doc_id").isin(3L, 7L))
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("prefix chatter "), col("text"), lit(" suffix chatter"))
+          .as("text"))
+    val arrivals = all.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+      .unionAll(carriers).localCheckpoint()
+    val dir = Files.createTempDirectory("wadmit").toString
+    arrivals.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    arrivals.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.winnowAdmitStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      corpus, "doc_id", "text", tau = 0.8)
+    val q = stream.writeStream
+      .format("memory").queryName("wadmit").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val got = spark.table("wadmit").collect().map(key).toSet
+    val want = StreamingOps
+      .winnowAdmitStream(arrivals, corpus, "doc_id", "text", tau = 0.8)
+      .collect().map(key).toSet
+    assert(got == want, "streamed admission gate diverged from the batch twin")
+    val flagged = got.map(t => (t._1, t._2))
+    assert(flagged.contains((100003L, 3L)) && flagged.contains((100007L, 7L)),
+      s"planted carriers not flagged: $flagged")
+    got.filter(t => t._1 >= 100000L).foreach(t =>
+      assert(t._4 == 1.0, s"full-containment carrier scored ${t._4}"))
+  }
 }
