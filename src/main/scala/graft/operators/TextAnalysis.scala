@@ -1066,6 +1066,51 @@ object TextAnalysis {
     model
   }
 
+  /** Vocabulary PRUNING round on a trained unigram model — the
+    * production step the base trainer's scaladoc declares: multi-char
+    * pieces whose hard-EM count fell below `pruneMinCount` are dropped
+    * (single chars always stay — segmentability), probabilities are
+    * re-normalized over the surviving vocabulary, and ONE more Viterbi
+    * E+M round re-estimates counts under the pruned model (usage
+    * concentrates on the survivors — the count-threshold proxy for
+    * Kudo's likelihood-loss criterion, deterministic and
+    * SQL-replayable). Same corpus split as training: one distributed
+    * word→count aggregation, driver EM over the bounded vocab.
+    */
+  def unigramPrune(
+      df: DataFrame,
+      textCol: String,
+      model: UnigramModel,
+      maxPieceLen: Int = 4,
+      pruneMinCount: Long = 30
+  ): UnigramModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .collect()
+    val keptIdx = model.pieces.indices.filter(i =>
+      model.pieces(i).length == 1 || model.counts(i) >= pruneMinCount)
+    val pruned = UnigramModel(
+      keptIdx.map(model.pieces).toArray,
+      keptIdx.map(model.counts).toArray,
+      model.alpha)
+    val lpm = pruned.logpMap
+    val lp: String => Double = s => lpm.getOrElse(s, -1e18)
+    val index = pruned.pieces.zipWithIndex.toMap
+    val newCounts = new Array[Long](pruned.pieces.length)
+    wordCounts.foreach { case (w, c) =>
+      viterbiSegment(w, lp, maxPieceLen).foreach { piece =>
+        newCounts(index(piece)) += c
+      }
+    }
+    UnigramModel(pruned.pieces, newCounts, model.alpha)
+  }
+
   /** The [[unigramTrain]] artifact as the declared query table. */
   def unigramVocab(spark: org.apache.spark.sql.SparkSession,
       model: UnigramModel): DataFrame = {

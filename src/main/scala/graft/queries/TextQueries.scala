@@ -3715,6 +3715,36 @@ object TextQueries {
         FROM vocab2 CROSS JOIN tot2 t
       """)
     ),
+    // Vocabulary pruning on the trained unigram model — multi-char
+    // pieces below the count threshold leave the vocab (singles stay:
+    // segmentability), probabilities renormalize over the survivors,
+    // one more Viterbi E+M round re-estimates counts (usage concentrates
+    // on kept pieces — the deterministic count-threshold proxy for
+    // Kudo's likelihood-loss pruning). The oracle chains one prune CTE
+    // + a fourth DP round onto the training replay.
+    GQuery(
+      "text_unigram_prune",
+      (spark, dir) => {
+        val m = TextAnalysis.unigramPrune(
+          t(spark, dir, "documents"), "text",
+          sharedUnigram(spark, dir), maxPieceLen = UniL, pruneMinCount = 30)
+        TextAnalysis
+          .unigramVocab(spark, m)
+          .select(col("piece"), col("count"), round(col("logp"), 6).as("logp"))
+      },
+      Some(unigramSql + s""",
+        vocab3 AS MATERIALIZED (SELECT piece, c FROM vocab2
+                   WHERE length(piece) = 1 OR c >= 30),
+        tot3 AS MATERIALIZED (SELECT sum(c)::BIGINT AS ct,
+                         count(*)::BIGINT AS v FROM vocab3),
+        ${uniVmCte(3)},
+        ${uniRoundCte(4, "vm3", "vocab3", withCounts = true)}
+        SELECT piece, c AS count,
+               round(ln((c + $UniAlpha) / (t.ct + $UniAlpha * t.v)), 6)
+                 AS logp
+        FROM vocab4 CROSS JOIN tot4 t
+      """)
+    ),
     // Viterbi-encode the corpus under the trained unigram model — the
     // serving half, split like text_bpe_encode: the driver-small model
     // ships in the task closure, the DP kernel runs embarrassingly

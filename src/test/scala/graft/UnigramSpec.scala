@@ -117,6 +117,33 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("prune: singles survive, weak multi-char pieces leave, mass re-concentrates") {
+    val docs = corpus.toDF("doc_id", "text")
+    val base = TextAnalysis.unigramTrain(docs, "text",
+      maxPieceLen = L, minCount = MinC, rounds = 2, alpha = Alpha)
+    val pruneAt = 3L
+    val pruned = TextAnalysis.unigramPrune(docs, "text", base,
+      maxPieceLen = L, pruneMinCount = pruneAt)
+    // vocabulary rule: subset of the base vocab; every single char kept;
+    // every dropped piece was multi-char below the threshold
+    val baseMap = base.pieces.zip(base.counts).toMap
+    assert(pruned.pieces.toSet.subsetOf(base.pieces.toSet))
+    base.pieces.filter(_.length == 1)
+      .foreach(c => assert(pruned.pieces.contains(c), s"single '$c' dropped"))
+    (base.pieces.toSet -- pruned.pieces.toSet).foreach { p =>
+      assert(p.length > 1 && baseMap(p) < pruneAt, s"wrongly pruned '$p'")
+    }
+    // re-estimation invariants: every word still segments fully, so the
+    // CHARACTER mass Σ count·|piece| is conserved exactly, while the
+    // token count can only grow (fewer multi-char pieces available)
+    def charMass(m: TextAnalysis.UnigramModel) =
+      m.pieces.indices.map(i => m.counts(i) * m.pieces(i).length).sum
+    assert(charMass(pruned) == charMass(base),
+      s"${charMass(pruned)} vs ${charMass(base)}")
+    assert(pruned.counts.sum >= base.counts.sum)
+    assert(pruned.pieces.length < base.pieces.length, "nothing was pruned")
+  }
+
   test("encode: counts and fingerprint are deterministic and partition-invariant") {
     val docs = corpus.toDF("doc_id", "text")
     val model = TextAnalysis.unigramTrain(docs, "text",
