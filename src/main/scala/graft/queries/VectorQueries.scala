@@ -67,6 +67,112 @@ object VectorQueries {
         ${nndIter(1, "g0")},
         ${nndIter(2, "g1")}"""
 
+  /** Single-linkage levels (dist ≤ 1.25 / 1.40 / 1.50) over `g2` as
+    * recursive min-label closures — hud (undirected min-dist edges),
+    * hed$i / hrc$i / hcp$i per level. Shared by cluster_hierarchy and
+    * eval_hierarchy_agreement.
+    */
+  private def hierarchyCtes: String = s"""
+        hud AS MATERIALIZED (SELECT least(src, dst) AS a,
+                                    greatest(src, dst) AS b,
+                                    min(dist) AS d
+               FROM g2 WHERE src != dst GROUP BY 1, 2),
+        ${Seq(1 -> "1.25", 2 -> "1.40", 3 -> "1.50").map { case (i, th) => s"""
+        hed$i AS MATERIALIZED (SELECT a, b FROM hud WHERE d <= $th
+                 UNION ALL SELECT b, a FROM hud WHERE d <= $th),
+        hrc$i(id, r) AS (
+          SELECT a, a FROM hed$i
+          UNION
+          SELECT hed$i.a, hrc$i.r
+          FROM hed$i JOIN hrc$i ON hrc$i.id = hed$i.b),
+        hcp$i AS (SELECT id, min(r) AS rep FROM hrc$i GROUP BY id)"""}
+          .mkString(",")}"""
+
+  /** One per-level ARI/NMI block (→ ha$i: level, n, ari, nmi) over the
+    * hierarchy cut hcp$i vs the embeddings label column — the
+    * [[graft.operators.ClusterEval.agreement]] arithmetic namespaced
+    * per level (integer pair combinatorics divided once; decimal-routed
+    * ln terms).
+    */
+  private def hierarchyAriSql(i: Int, nm: String): String = s"""
+        hj$i AS MATERIALIZED (SELECT e.id,
+                       coalesce(h.rep, e.id)::BIGINT AS u,
+                       em.label::BIGINT AS v
+              FROM e LEFT JOIN hcp$i h ON h.id = e.id
+                     JOIN embeddings em ON em.vec_id = e.id),
+        hc$i AS MATERIALIZED (SELECT u, v, count(*)::BIGINT AS nij
+               FROM hj$i GROUP BY u, v),
+        hau$i AS MATERIALIZED (SELECT u, sum(nij)::BIGINT AS ai
+                FROM hc$i GROUP BY u),
+        hbv$i AS MATERIALIZED (SELECT v, sum(nij)::BIGINT AS bj
+                FROM hc$i GROUP BY v),
+        hnn$i AS (SELECT count(*)::BIGINT AS n FROM hj$i),
+        hsum$i AS (SELECT
+                    (SELECT sum(nij * (nij - 1) // 2)::BIGINT FROM hc$i) AS sij,
+                    (SELECT sum(ai * (ai - 1) // 2)::BIGINT FROM hau$i) AS sa,
+                    (SELECT sum(bj * (bj - 1) // 2)::BIGINT FROM hbv$i) AS sb,
+                    n, (n * (n - 1) // 2)::BIGINT AS cn2
+                   FROM hnn$i),
+        hmi$i AS (SELECT sum(((nij::DOUBLE / n) *
+                    ln((n::DOUBLE * nij) / (ai::DOUBLE * bj)))
+                    ::DECIMAL(38,20))::DOUBLE AS mi
+                  FROM hc$i JOIN hau$i USING (u) JOIN hbv$i USING (v)
+                  CROSS JOIN hnn$i),
+        hhu$i AS (SELECT sum((-(ai::DOUBLE / n) * ln(ai::DOUBLE / n))
+                    ::DECIMAL(38,20))::DOUBLE AS hu
+                  FROM hau$i CROSS JOIN hnn$i),
+        hhv$i AS (SELECT sum((-(bj::DOUBLE / n) * ln(bj::DOUBLE / n))
+                    ::DECIMAL(38,20))::DOUBLE AS hv
+                  FROM hbv$i CROSS JOIN hnn$i),
+        ha$i AS (SELECT '$nm' AS level, s.n,
+                   round((s.sij::DOUBLE - s.sa::DOUBLE * s.sb / s.cn2)
+                         / ((s.sa + s.sb)::DOUBLE / 2.0
+                            - s.sa::DOUBLE * s.sb / s.cn2), 6) AS ari,
+                   round(CASE WHEN u.hu > 0 AND v.hv > 0
+                              THEN m.mi / sqrt(u.hu * v.hv)
+                              ELSE 0.0::DOUBLE END, 6) AS nmi
+                 FROM hsum$i s CROSS JOIN hmi$i m
+                 CROSS JOIN hhu$i u CROSS JOIN hhv$i v)"""
+
+  private val hierCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** (vec_id, c_fine, c_mid, c_coarse) single-linkage cuts, one
+    * distributed CC per level off the shared graph, materialized once
+    * per sf dir.
+    */
+  private def sharedHierarchy(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): org.apache.spark.sql.DataFrame =
+    hierCache.getOrElseUpdate(dir, {
+      val ids = t(spark, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"))
+      val ud = sharedGraph(spark, dir)
+        .select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"),
+          col("dist"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(min(col("dist")).as("d"))
+        .localCheckpoint()
+      val levels = Seq(1.25, 1.40, 1.50).map { th =>
+        graft.operators.Dedup
+          .connectedComponents(ud.filter(col("d") <= th), "a", "b")
+          .select(col("doc_id").as("id"), col("rep_id"))
+      }
+      val names = Seq("c_fine", "c_mid", "c_coarse")
+      levels.zip(names).foldLeft(ids) { case (acc, (lv, nm)) =>
+        acc.join(lv.select(col("id"), col("rep_id").as(nm)), Seq("id"), "left")
+      }
+        .select(
+          col("id").as("vec_id"),
+          coalesce(col("c_fine"), col("id")).as("c_fine"),
+          coalesce(col("c_mid"), col("id")).as("c_mid"),
+          coalesce(col("c_coarse"), col("id")).as("c_coarse"))
+        .localCheckpoint()
+    })
+
   /** Undirected view of `g2` + universe degree table — shared by the
     * graph-audit oracles (triangles / kcore / modularity /
     * assortativity): `uu` (a < b distinct), `ub` (both directions),
@@ -2246,49 +2352,10 @@ object VectorQueries {
     // dedup_clusters_distributed.
     GQuery(
       "cluster_hierarchy",
-      (spark, dir) => {
-        val ids = t(spark, dir, "embeddings")
-          .select(col("vec_id").cast("long").as("id"))
-        val ud = sharedGraph(spark, dir)
-          .select(
-            least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"),
-            col("dist"))
-          .filter(col("a") =!= col("b"))
-          .groupBy(col("a"), col("b"))
-          .agg(min(col("dist")).as("d"))
-          .localCheckpoint()
-        val levels = Seq(1.25, 1.40, 1.50).map { th =>
-          graft.operators.Dedup
-            .connectedComponents(ud.filter(col("d") <= th), "a", "b")
-            .select(col("doc_id").as("id"), col("rep_id"))
-        }
-        val names = Seq("c_fine", "c_mid", "c_coarse")
-        levels.zip(names).foldLeft(ids) { case (acc, (lv, nm)) =>
-          acc.join(lv.select(col("id"), col("rep_id").as(nm)), Seq("id"), "left")
-        }
-          .select(
-            col("id").as("vec_id"),
-            coalesce(col("c_fine"), col("id")).as("c_fine"),
-            coalesce(col("c_mid"), col("id")).as("c_mid"),
-            coalesce(col("c_coarse"), col("id")).as("c_coarse"))
-      },
+      (spark, dir) => sharedHierarchy(spark, dir),
       Some(s"""
         WITH RECURSIVE $graphCtes,
-        hud AS MATERIALIZED (SELECT least(src, dst) AS a,
-                                    greatest(src, dst) AS b,
-                                    min(dist) AS d
-               FROM g2 WHERE src != dst GROUP BY 1, 2),
-        ${Seq(1 -> "1.25", 2 -> "1.40", 3 -> "1.50").map { case (i, th) => s"""
-        hed$i AS MATERIALIZED (SELECT a, b FROM hud WHERE d <= $th
-                 UNION ALL SELECT b, a FROM hud WHERE d <= $th),
-        hrc$i(id, r) AS (
-          SELECT a, a FROM hed$i
-          UNION
-          SELECT hed$i.a, hrc$i.r
-          FROM hed$i JOIN hrc$i ON hrc$i.id = hed$i.b),
-        hcp$i AS (SELECT id, min(r) AS rep FROM hrc$i GROUP BY id)"""}
-          .mkString(",")}
+        $hierarchyCtes
         SELECT e.id AS vec_id,
                coalesce(h1.rep, e.id)::BIGINT AS c_fine,
                coalesce(h2.rep, e.id)::BIGINT AS c_mid,
@@ -2296,6 +2363,39 @@ object VectorQueries {
         FROM e LEFT JOIN hcp1 h1 ON h1.id = e.id
                LEFT JOIN hcp2 h2 ON h2.id = e.id
                LEFT JOIN hcp3 h3 ON h3.id = e.id
+      """)
+    ),
+    // ARI + NMI of every dendrogram level against the ground-truth
+    // labels — the external-agreement scorecard walked UP the hierarchy
+    // (how much label structure does each linkage threshold recover?):
+    // one row per level, the ClusterEval combinatorics re-derived per
+    // cut. On the near-random synthetic table all three levels read
+    // ≈ 0 — graph proximity is label-blind here, consistent with
+    // knn_graph_modularity, and exactly what the audit should say.
+    GQuery(
+      "eval_hierarchy_agreement",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val truth = emb.select(col("vec_id").cast("long").as("id"), col("label"))
+        val h = sharedHierarchy(spark, dir)
+        Seq("c_fine" -> "fine", "c_mid" -> "mid", "c_coarse" -> "coarse")
+          .map { case (c, nm) =>
+            graft.operators.ClusterEval
+              .agreement(
+                h.select(col("vec_id").as("id"), col(c).as("cluster")), truth)
+              .select(lit(nm).as("level"), col("n"),
+                round(col("ari"), 6).as("ari"), round(col("nmi"), 6).as("nmi"))
+          }
+          .reduce(_ unionAll _)
+      },
+      Some(s"""
+        WITH RECURSIVE $graphCtes,
+        $hierarchyCtes,
+        ${Seq(1 -> "fine", 2 -> "mid", 3 -> "coarse").map { case (i, nm) =>
+          hierarchyAriSql(i, nm)
+        }.mkString(",")}
+        SELECT * FROM ha1 UNION ALL SELECT * FROM ha2
+        UNION ALL SELECT * FROM ha3
       """)
     ),
     // Adamic–Adar link prediction over the kNN graph — the missing-edge
