@@ -1120,6 +1120,50 @@ object TextAnalysis {
       .toDF("piece", "count", "logp")
   }
 
+  /** Persist the tokenizer artifact as a parquet table
+    * (piece, count, alpha) — the A3 codebook-save discipline applied to
+    * the unigram model: driver-small, schema-stable, reloadable by any
+    * engine. [[loadUnigramModel]] validates shape on load (non-empty,
+    * unique pieces, every referenced character segmentable) and
+    * reconstructs the identical [[UnigramModel]] (counts and alpha are
+    * the full state — log-probs are derived).
+    */
+  def saveUnigramModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel,
+      path: String
+  ): Unit = {
+    import spark.implicits._
+    model.pieces.indices
+      .map(i => (model.pieces(i), model.counts(i), model.alpha))
+      .toDF("piece", "count", "alpha")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadUnigramModel(
+      spark: org.apache.spark.sql.SparkSession, path: String
+  ): UnigramModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("piece"), col("count").cast("long"), col("alpha"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"unigram model at $path is empty")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"unigram model at $path has duplicate pieces")
+    val alphas = rows.map(_._3).distinct
+    require(alphas.length == 1,
+      s"unigram model at $path carries ${alphas.length} distinct alphas")
+    val chars = rows.map(_._1).filter(_.length == 1).toSet
+    rows.map(_._1).filter(_.length > 1).foreach { p =>
+      p.foreach(c => require(chars.contains(c.toString),
+        s"unigram model at $path cannot segment piece '$p': " +
+          s"missing single char '$c'"))
+    }
+    UnigramModel(rows.map(_._1), rows.map(_._2), alphas.head)
+  }
+
   /** Viterbi-encode the corpus under a trained unigram model — the
     * serving twin of [[unigramTrain]], split like [[bpeEncode]]: the
     * driver-small model ships in the task closure and the DP kernel runs

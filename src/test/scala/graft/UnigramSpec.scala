@@ -144,6 +144,31 @@ class UnigramSpec extends SparkSpec {
     assert(pruned.pieces.length < base.pieces.length, "nothing was pruned")
   }
 
+  test("model save/load: identical round trip, validated artifact") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = TextAnalysis.unigramTrain(docs, "text",
+      maxPieceLen = L, minCount = MinC, rounds = 2, alpha = Alpha)
+    val dir = java.nio.file.Files.createTempDirectory("unimodel").toString
+    TextAnalysis.saveUnigramModel(spark, model, s"$dir/m")
+    val back = TextAnalysis.loadUnigramModel(spark, s"$dir/m")
+    assert(back.pieces.toSeq == model.pieces.toSeq)
+    assert(back.counts.toSeq == model.counts.toSeq)
+    assert(back.alpha == model.alpha)
+    // encode under the reloaded model is bit-identical
+    val a = TextAnalysis.unigramEncode(docs, "doc_id", "text", model, L)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.unigramEncode(docs, "doc_id", "text", back, L)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // a broken artifact (multi-char piece with no single-char support)
+    // is rejected on load
+    import spark.implicits._
+    Seq(("xy", 5L, Alpha)).toDF("piece", "count", "alpha")
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    intercept[IllegalArgumentException](
+      TextAnalysis.loadUnigramModel(spark, s"$dir/bad"))
+  }
+
   test("encode: counts and fingerprint are deterministic and partition-invariant") {
     val docs = corpus.toDF("doc_id", "text")
     val model = TextAnalysis.unigramTrain(docs, "text",
