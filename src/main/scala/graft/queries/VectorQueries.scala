@@ -2398,6 +2398,47 @@ object VectorQueries {
         UNION ALL SELECT * FROM ha3
       """)
     ),
+    // Percolation audit — component count and giant-component fraction
+    // at each linkage threshold (the connectivity curve every
+    // graph-based dedup/selection stage should glance at before
+    // trusting component structure: a giant_frac jump between
+    // thresholds marks the percolation transition where "clusters"
+    // become one blob). Three aggregate rows off the shared hierarchy
+    // cuts — no new graph work.
+    GQuery(
+      "knn_graph_percolation",
+      (spark, dir) => {
+        val h = sharedHierarchy(spark, dir)
+        Seq("c_fine" -> "fine", "c_mid" -> "mid", "c_coarse" -> "coarse")
+          .map { case (c, nm) =>
+            h.groupBy(col(c)).agg(count(lit(1)).as("sz"))
+              .agg(
+                count(lit(1)).as("n_components"),
+                max(col("sz")).as("giant_n"),
+                sum(col("sz")).as("tot"))
+              .select(
+                lit(nm).as("level"), col("n_components"), col("giant_n"),
+                round(col("giant_n").cast("double") / col("tot"), 6)
+                  .as("giant_frac"))
+          }
+          .reduce(_ unionAll _)
+      },
+      Some(s"""
+        WITH RECURSIVE $graphCtes,
+        $hierarchyCtes,
+        ${Seq(1 -> "fine", 2 -> "mid", 3 -> "coarse").map { case (i, nm) => s"""
+        pc$i AS (SELECT '$nm' AS level,
+                        count(*)::BIGINT AS n_components,
+                        max(sz)::BIGINT AS giant_n,
+                        round(max(sz)::DOUBLE / sum(sz), 6) AS giant_frac
+                 FROM (SELECT coalesce(h.rep, e.id) AS rep,
+                              count(*)::BIGINT AS sz
+                       FROM e LEFT JOIN hcp$i h ON h.id = e.id
+                       GROUP BY 1))"""}.mkString(",")}
+        SELECT * FROM pc1 UNION ALL SELECT * FROM pc2
+        UNION ALL SELECT * FROM pc3
+      """)
+    ),
     // Adamic–Adar link prediction over the kNN graph — the missing-edge
     // audit (pairs the graph builder should arguably have connected:
     // graph-repair candidates, near-dup pairs kNN recall missed):

@@ -202,6 +202,22 @@ class GraphAuditSpec extends SparkSpec {
     assert(nc < rows.length, "coarse level never merged anything")
   }
 
+  test("percolation: components shrink and the giant component grows up the cuts") {
+    val rows = SparkEntry.queries("knn_graph_percolation")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("fine", "mid", "coarse"))
+    val byLevel = rows.map(t => t._1 -> t).toMap
+    val Seq(f, m, c) = Seq("fine", "mid", "coarse").map(byLevel)
+    // coarser cut = superset of edges: fewer components, larger giant
+    assert(f._2 >= m._2 && m._2 >= c._2, s"component counts not monotone: $rows")
+    assert(f._4 <= m._4 && m._4 <= c._4, s"giant fraction not monotone: $rows")
+    rows.foreach { t =>
+      assert(t._4 > 0.0 && t._4 <= 1.0, s"giant_frac out of range: $t")
+      assert(t._3 >= 1L && t._2 >= 1L)
+    }
+  }
+
   test("assortativity: partition invariance") {
     val edges = Seq(
       (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 0L), (5L, 4L))
