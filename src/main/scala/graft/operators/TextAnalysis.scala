@@ -1206,4 +1206,185 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_words", "n_tokens", "tokens_hash")
   }
+
+  /** WordPiece merge-rule training (Schuster & Nakajima 2012; the BERT
+    * tokenizer — the THIRD published tokenizer family next to
+    * [[bpeMerges]] and [[unigramTrain]]). Identical 100-TB split: the
+    * corpus-sized pass is ONE distributed word→count hash aggregation
+    * (map-side combined on vocabulary keys — the only stage that touches
+    * the data), and the merge loop runs on the driver over the bounded
+    * weighted vocabulary, exactly where HF tokenizers runs it.
+    *
+    * The ONLY semantic delta vs BPE is the selection rule: each round
+    * merges the adjacent pair maximizing the likelihood gain
+    * `score = count(l,r) / (count(l) · count(r))` (symbol counts over
+    * the CURRENT segmentation) instead of the raw pair count — rare
+    * informative pairs beat frequent-but-independent ones. Continuation
+    * symbols carry the `##` prefix (word split = first char bare,
+    * remaining chars `##`-prefixed; merged symbol = l + strip##(r), so
+    * the prefix rides the word-initial side). Fully deterministic:
+    * score is ONE division of exact integer counts (both engines divide
+    * identical doubles), ties break (l, r) lexicographically; the
+    * greedy left-to-right non-overlap rewrite is [[bpeMerges]]'s.
+    *
+    * @return (merge_rank, left, right, merged, pair_count, score):
+    *         the learned merge table; score is the raw double (one
+    *         exact-integer division — engine-portable as-is)
+    */
+  def wordPieceTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .collect()
+    var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.zipWithIndex.map { case (ch, i) =>
+        if (i == 0) ch.toString else "##" + ch
+      }.toArray, c)
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Double)]()
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      val symCounts = scala.collection.mutable.HashMap[String, Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length) {
+          symCounts(syms(i)) = symCounts.getOrElse(syms(i), 0L) + c
+          if (i < syms.length - 1) {
+            val p = (syms(i), syms(i + 1))
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          }
+          i += 1
+        }
+      }
+      val best = pairCounts.toSeq
+        .filter(_._2 >= minPairCount)
+        .map { case ((l, r), pc) =>
+          (l, r, pc, pc.toDouble / (symCounts(l).toDouble * symCounts(r).toDouble))
+        }
+        .sortBy { case (l, r, _, score) => (-score, l, r) }
+        .headOption
+      best match {
+        case None => done = true
+        case Some((l, r, pc, score)) =>
+          val merged = l + r.substring(2) // continuation symbol sheds its ##
+          merges += ((rank, l, r, merged, pc, score))
+          vocab = vocab.map { case (syms, wc) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += merged; i += 2 // greedy left-to-right, no overlap
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, wc)
+          }
+          rank += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left", "right", "merged", "pair_count", "score")
+  }
+
+  /** Greedy longest-match-first WordPiece encoding (the BERT serving
+    * rule): per word, repeatedly take the LONGEST vocab piece matching
+    * at the cursor (`##`-prefixed after the first), whole word → `[UNK]`
+    * the moment no piece matches. The vocabulary is the training
+    * alphabet (word-initial chars bare + continuation chars `##`-
+    * prefixed) plus the merged pieces — driver-small, ships in the task
+    * closure; the matcher runs embarrassingly parallel per partition.
+    * Per doc: word/token/UNK counts + the engine-neutral md5-folded
+    * token-stream fingerprint ([[unigramEncode]]'s spelling, `[UNK]`
+    * hashing as its literal piece string).
+    */
+  def wordPieceEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Set[String]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(vocab.nonEmpty, "wordPieceEncode: empty vocabulary")
+    val maxConsume = vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def pieceHash(piece: String): Long = {
+          md.reset()
+          java.lang.Long.parseLong(
+            md.digest(piece.getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString, 16)
+        }
+        val unkHash = pieceHash("[UNK]")
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nTok = 0L
+          var nUnk = 0L
+          var h = 0L
+          words.foreach { w =>
+            val n = w.length
+            var pos = 0
+            val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+            var failed = false
+            while (pos < n && !failed) {
+              var len = math.min(maxConsume, n - pos)
+              var hit: String = null
+              while (len >= 1 && hit == null) {
+                val cand =
+                  (if (pos == 0) "" else "##") + w.substring(pos, pos + len)
+                if (vocab.contains(cand)) hit = cand
+                len -= 1
+              }
+              if (hit == null) failed = true
+              else { picked += hit; pos += (if (pos == 0) hit.length else hit.length - 2) }
+            }
+            val out = if (failed) Seq("[UNK]") else picked.toSeq
+            if (failed) nUnk += 1
+            out.foreach { piece =>
+              h = (h * 31 + (if (piece == "[UNK]") unkHash else pieceHash(piece))) % P
+              nTok += 1
+            }
+          }
+          (id, words.length.toLong, nTok, nUnk, h)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_unk", "tokens_hash")
+  }
+
+  /** The WordPiece serving vocabulary derived from a training corpus +
+    * merge table: training alphabet ∪ merged pieces ([[wordPieceEncode]]'s
+    * contract). The alphabet is a distributed distinct over (position,
+    * char) pairs — corpus-sized input, alphabet-sized output.
+    */
+  def wordPieceVocab(df: DataFrame, textCol: String, merges: DataFrame): Set[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val alpha = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(posexplode(split(col("w"), "")).as(Seq("i", "ch")))
+      .select(
+        when(col("i") === 0, col("ch"))
+          .otherwise(concat(lit("##"), col("ch"))).as("p"))
+      .distinct()
+      .as[String]
+      .collect()
+    val merged = merges.select(col("merged")).as[String].collect()
+    (alpha ++ merged).toSet
+  }
 }

@@ -222,6 +222,138 @@ object TextQueries {
     )
   """
 
+  /** DuckDB recursion replaying [[TextAnalysis.wordPieceTrain]]'s merge
+    * loop (numMerges = 24, minPairCount = 2, corpus = src0 docs).
+    * Structure is [[bpeRecursiveCte]]'s — working vocabulary rewritten
+    * per rank by the kept-position calculus — with TWO deltas: the
+    * word's char split carries the `##` continuation prefix (first char
+    * bare), and the best-pair subquery joins the pair-count aggregate
+    * against two symbol-count aggregates to score
+    * `pc / (count(l)·count(r))`, ranked (score DESC, l, r).
+    */
+  private val wordPieceRecursiveCte = """
+    WITH RECURSIVE
+    wc AS (SELECT w, count(*)::BIGINT AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE source = 'src0')
+           WHERE w <> '' GROUP BY w),
+    t(rank, w, syms, c, ml, mr, mc, msc) AS (
+      SELECT 0, w,
+             list_transform(generate_series(1, length(w)),
+               i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END),
+             c, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT, NULL::DOUBLE
+      FROM wc
+      UNION ALL
+      SELECT t.rank + 1, t.w,
+             (SELECT list_filter(
+                       list_transform(generate_series(1, len(t.syms)),
+                         p -> CASE WHEN list_contains(k.kept, p)
+                                   THEN t.syms[p] || substr(t.syms[p+1], 3)
+                                   WHEN list_contains(k.kept, p - 1)
+                                   THEN NULL
+                                   ELSE t.syms[p] END),
+                       x -> x IS NOT NULL)
+              FROM (SELECT list_filter(m.marked,
+                             p -> ((p - 1 - list_max(
+                                     list_filter(n.nm, q -> q <= p - 1)))
+                                   % 2) = 0)
+                             AS kept
+                    FROM (SELECT list_filter(
+                             list_transform(
+                               generate_series(1, len(t.syms) - 1),
+                               p -> CASE WHEN t.syms[p] = best.l
+                                          AND t.syms[p+1] = best.r
+                                    THEN p ELSE NULL END),
+                             x -> x IS NOT NULL) AS marked) m,
+                         (SELECT [0] || list_filter(
+                             generate_series(1, len(t.syms) - 1),
+                             q -> NOT (t.syms[q] = best.l
+                                       AND t.syms[q+1] = best.r)) AS nm) n
+                   ) k),
+             t.c, best.l, best.r, best.pc, best.sc
+      FROM t CROSS JOIN (
+        SELECT p.l, p.r, p.pc,
+               p.pc::DOUBLE / (sl.c::DOUBLE * sr.c::DOUBLE) AS sc
+        FROM (SELECT pl AS l, pr AS r, sum(cc)::BIGINT AS pc
+              FROM (SELECT u.syms[g.i] AS pl, u.syms[g.i + 1] AS pr,
+                           u.c AS cc
+                    FROM t u,
+                         unnest(generate_series(1, len(u.syms) - 1)) AS g(i))
+              GROUP BY pl, pr HAVING sum(cc) >= 2) p
+        JOIN (SELECT s, sum(cc)::BIGINT AS c
+              FROM (SELECT unnest(u2.syms) AS s, u2.c AS cc FROM t u2)
+              GROUP BY s) sl ON sl.s = p.l
+        JOIN (SELECT s, sum(cc)::BIGINT AS c
+              FROM (SELECT unnest(u3.syms) AS s, u3.c AS cc FROM t u3)
+              GROUP BY s) sr ON sr.s = p.r
+        ORDER BY sc DESC, p.l, p.r LIMIT 1
+      ) best
+      WHERE t.rank < 24
+    )
+  """
+
+  /** CTE chain replaying [[graft.operators.TextRank.keywords]] (window
+    * 2, minCount 5, minLen 3, 3 PageRank rounds, top 100): candidate
+    * tokens → kept vocabulary → lead()-window co-occurrence edges →
+    * three unrolled dangling-aware PageRank rounds (the
+    * pipeline_pagerank_dangling arithmetic verbatim — decimal-routed
+    * per-node sums, the dangling scalar re-entering along 1/N, the
+    * (1.0 − 0.85) literal spelling) → top-100 ranking on UNROUNDED pr.
+    * Word ids are the engine's 56-bit md5-prefix spelling.
+    */
+  private val textRankCtes = {
+    val rounds = (1 to 3).map(i => s"""
+    tpc$i AS (SELECT u.dst AS id,
+                     sum((p.pr / d.deg)::DECIMAL(38,20))::DOUBLE AS s
+              FROM tund u
+              JOIN tpr${i - 1} p ON p.id = u.src
+              JOIN tdg d ON d.id = u.src
+              GROUP BY u.dst),
+    tdm$i AS (SELECT coalesce(sum(p.pr::DECIMAL(38,20))::DOUBLE,
+                              0.0::DOUBLE) AS dm
+              FROM tpr${i - 1} p
+              WHERE p.id NOT IN (SELECT src FROM tund)),
+    tpr$i AS MATERIALIZED (SELECT tn.id,
+                     ((1.0 - 0.85) / nn.n
+                       + 0.85 * (coalesce(c.s, 0.0::DOUBLE)
+                                 + dm.dm * (1.0 / nn.n))) AS pr
+              FROM tn CROSS JOIN nn CROSS JOIN tdm$i dm
+              LEFT JOIN tpc$i c ON c.id = tn.id)""").mkString(",")
+    s"""
+    ttk AS (SELECT doc_id, g.i AS pos, tl[g.i] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS tl
+                  FROM documents),
+                 unnest(generate_series(1, len(tl))) AS g(i)
+            WHERE tl[g.i] <> '' AND length(tl[g.i]) >= 3),
+    tv AS MATERIALIZED (SELECT w FROM ttk GROUP BY w HAVING count(*) >= 5),
+    tk AS MATERIALIZED (SELECT t.doc_id, t.pos, t.w
+                        FROM ttk t JOIN tv USING (w)),
+    te AS (SELECT DISTINCT ('0x' || substr(md5(a), 1, 14))::BIGINT AS src,
+                           ('0x' || substr(md5(b), 1, 14))::BIGINT AS dst
+           FROM (SELECT w AS a, lead(w, 1) OVER
+                          (PARTITION BY doc_id ORDER BY pos) AS b FROM tk
+                 UNION ALL
+                 SELECT w AS a, lead(w, 2) OVER
+                          (PARTITION BY doc_id ORDER BY pos) AS b FROM tk)
+           WHERE b IS NOT NULL AND a <> b),
+    tn AS MATERIALIZED (
+      SELECT ('0x' || substr(md5(w), 1, 14))::BIGINT AS id, w FROM tv),
+    nn AS (SELECT count(*) AS n FROM tn),
+    tund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te)),
+    tdg AS MATERIALIZED (SELECT src AS id, count(*) AS deg
+                         FROM tund GROUP BY src),
+    tpr0 AS (SELECT id, 1.0 / nn.n AS pr FROM tn CROSS JOIN nn),
+    $rounds,
+    tkw AS MATERIALIZED (
+      SELECT rank, word, pr FROM (
+        SELECT row_number() OVER (ORDER BY p.pr DESC, tn.w) AS rank,
+               tn.w AS word, round(p.pr, 6) AS pr
+        FROM tpr3 p JOIN tn ON tn.id = p.id)
+      WHERE rank <= 100)
+  """
+  }
+
   /** The dedup_clusters oracle: 64-bit simhash pairs (4×16-bit bands,
     * hamming ≤ 3) + a recursive transitive closure mapping every doc to
     * its min reachable id. Shared verbatim by dedup_clusters (local
@@ -3786,8 +3918,184 @@ object TextQueries {
                coalesce(a.tokens_hash, 0)::BIGINT AS tokens_hash
         FROM documents d LEFT JOIN aggu a USING (doc_id)
       """)
+    ),
+    // WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the BERT
+    // tokenizer, the THIRD tokenizer family next to BPE and unigram).
+    // Same 100-TB split as text_bpe_train: one distributed word-count
+    // hash agg, then the driver merge loop over the bounded vocabulary.
+    // The ONLY delta vs BPE is the selection rule — likelihood gain
+    // score = pair_count / (count(l)·count(r)) over the CURRENT
+    // segmentation instead of raw pair count — so the oracle recursion
+    // adds two symbol-count aggregate joins to the best-pair subquery;
+    // the score is ONE division of exact integers (both engines divide
+    // identical doubles — emitted raw, no rounding needed). Trained on
+    // the src0 slice so the serving query below is a genuine
+    // cross-corpus application.
+    GQuery(
+      "text_wordpiece_train",
+      (spark, dir) => sharedWordPiece(spark, dir).merges,
+      Some(wordPieceRecursiveCte + """
+        SELECT DISTINCT (rank - 1)::INTEGER AS merge_rank, ml AS "left",
+               mr AS "right", ml || substr(mr, 3) AS merged,
+               mc AS pair_count, msc AS score
+        FROM t WHERE rank >= 1
+      """)
+    ),
+    // WordPiece ENCODING: greedy longest-match-first (the BERT serving
+    // rule) of ALL documents under the src0-trained vocabulary
+    // (alphabet ∪ merged pieces) — whole word → [UNK] the moment no
+    // piece matches. The model ships in the task closure; the matcher is
+    // a pure mapPartitions scan. The oracle's greedy walk is a second
+    // recursion over (word, cursor) — the vocab list rides the
+    // recursion ANCHOR as a carried column because a DuckDB recursive
+    // member that references a CTE derived from ANOTHER recursive CTE
+    // sees it empty (hard-won; the anchor evaluates after the training
+    // recursion completes and sees it correctly).
+    GQuery(
+      "text_wordpiece_encode",
+      (spark, dir) => {
+        val wp = sharedWordPiece(spark, dir)
+        TextAnalysis.wordPieceEncode(
+          t(spark, dir, "documents"), "doc_id", "text", wp.vocab)
+      },
+      Some(wordPieceRecursiveCte + """,
+        vocabp AS (
+          SELECT DISTINCT CASE WHEN g.i = 1 THEN w[g.i]
+                               ELSE '##' || w[g.i] END AS p
+          FROM wc, unnest(generate_series(1, length(w))) AS g(i)
+          UNION
+          SELECT DISTINCT ml || substr(mr, 3) AS p FROM t WHERE rank >= 1
+        ),
+        aw AS MATERIALIZED (
+          SELECT DISTINCT w
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''),
+        wseg(w, pos, pieces, failed, ps) AS (
+          SELECT w, 1, []::VARCHAR[], false,
+                 (SELECT list(p ORDER BY length(p) DESC, p) FROM vocabp)
+          FROM aw
+          UNION ALL
+          SELECT s.w,
+                 CASE WHEN s.mp IS NULL THEN length(s.w) + 1
+                      ELSE s.pos + CASE WHEN s.pos = 1 THEN length(s.mp)
+                                        ELSE length(s.mp) - 2 END END,
+                 CASE WHEN s.mp IS NULL THEN ['[UNK]']
+                      ELSE list_append(s.pieces, s.mp) END,
+                 s.mp IS NULL,
+                 s.ps
+          FROM (SELECT w, pos, pieces, failed, ps,
+                       list_filter(ps, p -> CASE WHEN pos = 1
+                         THEN p NOT LIKE '##%'
+                              AND p = substr(w, pos, length(p))
+                         ELSE p LIKE '##%' AND length(p) > 2
+                              AND substr(p, 3) =
+                                  substr(w, pos, length(p) - 2) END)[1]
+                         AS mp
+                FROM wseg
+                WHERE pos <= length(w) AND NOT failed) s
+        ),
+        seg AS MATERIALIZED (
+          SELECT w, pieces, failed FROM wseg WHERE pos > length(w)),
+        dww AS (SELECT doc_id, i, tl[i] AS w
+                FROM (SELECT doc_id, string_split(text, ' ') AS tl
+                      FROM documents),
+                     unnest(generate_series(1, len(tl))) AS g(i)
+                WHERE tl[i] <> ''),
+        encw AS (SELECT dww.doc_id, dww.i, s.pieces, s.failed
+                 FROM dww JOIN seg s USING (w)),
+        aggw AS (SELECT doc_id,
+                        count(*)::BIGINT AS n_words,
+                        sum(len(pieces))::BIGINT AS n_tokens,
+                        sum(CASE WHEN failed THEN 1 ELSE 0 END)::BIGINT
+                          AS n_unk,
+                        list_reduce(
+                          list_prepend(0::BIGINT,
+                            list_transform(flatten(list(pieces ORDER BY i)),
+                              p -> ('0x' || substr(md5(p), 1, 8))::BIGINT)),
+                          (acc, x) -> (acc * 31 + x) % 1000000007)
+                          AS tokens_hash
+                 FROM encw GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.n_unk, 0)::BIGINT AS n_unk,
+               coalesce(a.tokens_hash, 0)::BIGINT AS tokens_hash
+        FROM documents d LEFT JOIN aggw a USING (doc_id)
+      """)
+    ),
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // centrality over the word co-occurrence graph — unsupervised
+    // keyword salience, the graph-walk complement of tf-idf. Composes
+    // TextRank.cooccurrenceEdges (candidate filter + window-2 lead()
+    // adjacency, linear in tokens, no self-join) with the SAME PageRank
+    // operator pipeline_pagerank exercises — same decimal-exact rounds,
+    // same dangling redistribution (single-candidate docs leave isolated
+    // vocabulary nodes, so the dangling path is live here) — and the
+    // whole schedule replays as three unrolled SQL rounds, hash-checked.
+    GQuery(
+      "text_textrank",
+      (spark, dir) => sharedTextRank(spark, dir).keywords,
+      Some(s"""
+        WITH $textRankCtes
+        SELECT rank::BIGINT AS rank, word, pr FROM tkw
+      """)
+    ),
+    // The serving half: per-document keyword salience under the FROZEN
+    // top-100 TextRank table — Σ pr over the document's keyword token
+    // INSTANCES (multiplicity counts), the all-integer discipline: each
+    // 6-dp weight becomes its exact micro-unit LONG (round(pr·10⁶)),
+    // the per-doc sum is exact integer arithmetic in any order on any
+    // engine, ONE final /10⁶ produces the double. Row-local scan + a
+    // 100-entry broadcast map, zero shuffle;
+    // StreamingOps.textRankSalienceStream serves the identical
+    // expression over a stream.
+    GQuery(
+      "text_textrank_salience",
+      (spark, dir) => {
+        val kw = sharedTextRank(spark, dir).model
+        graft.operators.TextRank
+          .salience(t(spark, dir, "documents"), "doc_id", "text", kw)
+      },
+      Some(s"""
+        WITH $textRankCtes,
+        kwm AS (SELECT word, round(pr * 1000000.0)::BIGINT AS microw
+                FROM tkw),
+        dtok AS (SELECT doc_id, tl[g.i] AS w
+                 FROM (SELECT doc_id, string_split(text, ' ') AS tl
+                       FROM documents),
+                      unnest(generate_series(1, len(tl))) AS g(i)),
+        thits AS (SELECT d.doc_id, count(*)::BIGINT AS n_key_hits,
+                         sum(k.microw)::BIGINT AS micro
+                  FROM dtok d JOIN kwm k ON k.word = d.w
+                  GROUP BY d.doc_id)
+        SELECT doc.doc_id,
+               coalesce(h.n_key_hits, 0)::BIGINT AS n_key_hits,
+               (coalesce(h.micro, 0)::DOUBLE / 1000000.0) AS salience
+        FROM documents doc LEFT JOIN thits h USING (doc_id)
+      """)
     )
   )
+
+  // TextRank shape shared by keywords/salience (mirrored literally in
+  // textRankCtes above): window 2 (the paper's), corpus frequency ≥ 5,
+  // token length ≥ 3, 3 PageRank rounds, top 100 keywords.
+  private case class TextRankShared(
+      keywords: org.apache.spark.sql.DataFrame, model: Map[String, Double])
+
+  private val textRankCache =
+    scala.collection.concurrent.TrieMap.empty[String, TextRankShared]
+
+  private def sharedTextRank(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): TextRankShared =
+    textRankCache.getOrElseUpdate(dir, {
+      val kws = graft.operators.TextRank
+        .keywords(Q.t(spark, dir, "documents"), "doc_id", "text",
+          window = 2, minCount = 5, minLen = 3, rounds = 3, topK = 100)
+        .localCheckpoint()
+      TextRankShared(
+        kws,
+        kws.collect().map(r => r.getString(1) -> r.getDouble(2)).toMap)
+    })
 
   // unigram tokenizer shape shared by train/encode: max piece length 4,
   // weighted minCount 5, additive alpha 0.5, 2 hard-EM rounds.
@@ -3810,6 +4118,32 @@ object TextQueries {
       TextAnalysis.unigramTrain(Q.t(spark, dir, "documents"), "text",
         maxPieceLen = UniL, minCount = UniMinC, rounds = UniRounds,
         alpha = UniAlpha))
+
+  // WordPiece shape shared by train/encode: 24 merges, weighted min pair
+  // count 2, trained on the src0 slice (so the serving half is a genuine
+  // cross-corpus application). `final val` literals for the same
+  // object-init-order reason as the unigram constants above.
+  private final val WpMerges = 24
+  private final val WpMinPair = 2
+
+  private case class WordPieceShared(
+      merges: org.apache.spark.sql.DataFrame, vocab: Set[String])
+
+  private val wordPieceCache =
+    scala.collection.concurrent.TrieMap.empty[String, WordPieceShared]
+
+  private def sharedWordPiece(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): WordPieceShared =
+    wordPieceCache.getOrElseUpdate(dir, {
+      val train = Q.t(spark, dir, "documents").filter(col("source") === "src0")
+      val merges = TextAnalysis
+        .wordPieceTrain(train, "text", numMerges = WpMerges,
+          minPairCount = WpMinPair)
+        .localCheckpoint()
+      WordPieceShared(
+        merges, TextAnalysis.wordPieceVocab(train, "text", merges))
+    })
 
   /** l2-normalized 16-bucket hashed COUNT vectors per document — the
     * text_lsa feature table (doc_id as vec_id, ev DOUBLE[16]); zeros for

@@ -1242,6 +1242,40 @@ object StreamingOps {
     graft.operators.TextAnalysis
       .unigramEncode(docs, idCol, textCol, model, maxPieceLen)
 
+  /** Streaming WordPiece encoding under a batch-trained vocabulary —
+    * the third tokenizer serving stream next to the BPE and unigram
+    * twins, and the same argument: the greedy longest-match kernel is a
+    * pure per-row mapPartitions over a frozen driver-small model (a
+    * plain string set — nothing ulp-sensitive, so batch-frozen state
+    * cannot drift), zero shuffle, zero state. StreamingSpec pins
+    * bit-equality to [[graft.operators.TextAnalysis.wordPieceEncode]]
+    * on the same rows.
+    */
+  def wordPieceEncodeStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      vocab: Set[String]
+  ): DataFrame =
+    graft.operators.TextAnalysis.wordPieceEncode(docs, idCol, textCol, vocab)
+
+  /** Streaming TextRank keyword-salience scoring under a batch-computed
+    * top-K keyword table (word → pr, driver-small, ships as a map
+    * literal) — the curriculum/selection signal served online: each
+    * arriving document gets its keyword-hit count and decimal-routed
+    * salience sum. Delegates to the row-local
+    * [[graft.operators.TextRank.salience]] expression verbatim — per
+    * row, zero shuffle, zero state — so batch and stream are bit-equal
+    * by construction (StreamingSpec pins it).
+    */
+  def textRankSalienceStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      keywords: Map[String, Double]
+  ): DataFrame =
+    graft.operators.TextRank.salience(docs, idCol, textCol, keywords)
+
   /** Streaming winnow-fingerprint admission gate — the TEXT analog of
     * [[embeddingAdmitStream]]: every arriving document is checked
     * against a STATIC corpus for fingerprint containment. The corpus

@@ -1151,6 +1151,66 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._3 > 0))
   }
 
+  test("streaming wordpiece encode: two waves bit-equal the batch token stream") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val merges = graft.operators.TextAnalysis.wordPieceTrain(
+      docs, "text", numMerges = 12, minPairCount = 2)
+    val vocab = graft.operators.TextAnalysis.wordPieceVocab(docs, "text", merges)
+    val dir = Files.createTempDirectory("wpstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.wordPieceEncodeStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text", vocab)
+    val q = stream.writeStream
+      .format("memory").queryName("wpencode").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("wpencode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val want = graft.operators.TextAnalysis
+      .wordPieceEncode(docs, "doc_id", "text", vocab)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want, "streamed wordpiece encode diverged from batch")
+    assert(got.nonEmpty && got.forall(_._3 > 0))
+  }
+
+  test("streaming textrank salience: two waves bit-equal the batch scorer") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val kw = graft.operators.TextRank
+      .keywords(docs, "doc_id", "text", minCount = 2, topK = 50)
+      .collect()
+      .map(r => r.getString(1) -> r.getDouble(2))
+      .toMap
+    val dir = Files.createTempDirectory("trstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.textRankSalienceStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text", kw)
+    val q = stream.writeStream
+      .format("memory").queryName("trsal").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("trsal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.TextRank
+      .salience(docs, "doc_id", "text", kw)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "streamed textrank salience diverged from batch")
+    assert(got.nonEmpty && got.exists(_._2 > 0))
+  }
+
   test("streaming feature hash: two waves bit-equal the batch featurizer") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val batch = graft.operators.TextAnalysis
