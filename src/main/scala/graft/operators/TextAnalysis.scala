@@ -1188,16 +1188,28 @@ object TextAnalysis {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val lp: String => Double = s => lpm.getOrElse(s, -1e18)
+        // memoized per partition: emitted pieces are model pieces (plus
+        // rare unseen single chars), so each md5 is computed once
+        val hashCache = new java.util.HashMap[String, java.lang.Long]()
+        def pieceHash(piece: String): Long = {
+          val cached = hashCache.get(piece)
+          if (cached ne null) cached.longValue()
+          else {
+            md.reset()
+            val h = java.lang.Long.parseLong(
+              md.digest(piece.getBytes("UTF-8"))
+                .take(4).map("%02x".format(_)).mkString, 16)
+            hashCache.put(piece, h)
+            h
+          }
+        }
         it.map { case (id, text) =>
           val words = text.split(" ").filter(_.nonEmpty)
           var nTok = 0L
           var h = 0L
           words.foreach { w =>
             viterbiSegment(w, lp, maxPieceLen).foreach { piece =>
-              md.reset()
-              val hex = md.digest(piece.getBytes("UTF-8"))
-                .take(4).map("%02x".format(_)).mkString
-              h = (h * 31 + java.lang.Long.parseLong(hex, 16)) % P
+              h = (h * 31 + pieceHash(piece)) % P
               nTok += 1
             }
           }
@@ -1324,11 +1336,20 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // memoized per partition: pieces come from the bounded vocab, so
+        // each md5 is computed once, not once per token instance
+        val hashCache = new java.util.HashMap[String, java.lang.Long]()
         def pieceHash(piece: String): Long = {
-          md.reset()
-          java.lang.Long.parseLong(
-            md.digest(piece.getBytes("UTF-8"))
-              .take(4).map("%02x".format(_)).mkString, 16)
+          val cached = hashCache.get(piece)
+          if (cached ne null) cached.longValue()
+          else {
+            md.reset()
+            val h = java.lang.Long.parseLong(
+              md.digest(piece.getBytes("UTF-8"))
+                .take(4).map("%02x".format(_)).mkString, 16)
+            hashCache.put(piece, h)
+            h
+          }
         }
         val unkHash = pieceHash("[UNK]")
         it.map { case (id, text) =>
