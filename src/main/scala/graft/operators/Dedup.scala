@@ -1985,10 +1985,28 @@ object Dedup {
       maxDfAbs: Int = 1000
   ): DataFrame = {
     require(maxDfAbs >= 2, s"winnow: maxDfAbs must be >= 2, got $maxDfAbs")
+    // the row-local kernel (bit-equal to the windowed spelling,
+    // StreamingSpec-pinned) extracts with ZERO shuffle — no per-doc
+    // sort of the exploded position table
+    winnowPairsFrom(
+      winnowFingerprintsRow(docs, idCol, textCol, k, w), tau, maxDfAbs)
+  }
+
+  /** [[winnowPairs]] over an ALREADY-EXTRACTED fingerprint table
+    * (doc_id, …, fp) — the serving split when the signature index is
+    * materialized once and shared across consumers (the extraction is
+    * the corpus-sized pass; pairing runs on the bounded index).
+    */
+  def winnowPairsFrom(
+      fingerprints: DataFrame,
+      tau: Double,
+      maxDfAbs: Int
+  ): DataFrame = {
+    require(maxDfAbs >= 2, s"winnow: maxDfAbs must be >= 2, got $maxDfAbs")
     // the fingerprint table feeds the df census, the sizes aggregate and
     // both self-join sides — materialize it once or the extraction
-    // (explode + window + distinct) re-runs per consumer
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+    // re-runs per consumer
+    val fp = fingerprints
       .select(col("doc_id"), col("fp"))
       .distinct()
       .localCheckpoint()

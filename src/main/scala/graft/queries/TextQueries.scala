@@ -3706,12 +3706,8 @@ object TextQueries {
     // and hash hash-checked.
     GQuery(
       "text_winnow",
-      (spark, dir) => {
-        Dedup
-          .winnowFingerprints(t(spark, dir, "documents"), "doc_id", "text",
-            k = 5, w = 4)
-          .select(col("doc_id"), col("pos"), col("fp"))
-      },
+      (spark, dir) =>
+        sharedWinnow(spark, dir).select(col("doc_id"), col("pos"), col("fp")),
       Some(winnowSql(5, 4) + """
         SELECT doc_id,
                1000000000 - substr(sel, 9, 10)::BIGINT AS pos,
@@ -3732,8 +3728,7 @@ object TextQueries {
       "dedup_winnow",
       (spark, dir) => {
         Dedup
-          .winnowPairs(t(spark, dir, "documents"), "doc_id", "text",
-            k = 5, w = 4, tau = 0.3, maxDfAbs = 100)
+          .winnowPairsFrom(sharedWinnow(spark, dir), tau = 0.3, maxDfAbs = 100)
           .select(
             col("doc_a"), col("doc_b"), col("shared"),
             round(col("jaccard"), 6).as("jaccard"))
@@ -4074,6 +4069,23 @@ object TextQueries {
       """)
     )
   )
+
+  // Winnow fingerprint table (k=5, w=4) shared by text_winnow and
+  // dedup_winnow — the signature index is the corpus-sized pass; an
+  // engine materializes it once and both consumers read it (the
+  // sharedGraph/sharedForest discipline). Row-local extraction kernel:
+  // zero shuffle.
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def sharedWinnow(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): org.apache.spark.sql.DataFrame =
+    winnowCache.getOrElseUpdate(dir,
+      Dedup
+        .winnowFingerprintsRow(Q.t(spark, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4)
+        .localCheckpoint())
 
   // TextRank shape shared by keywords/salience (mirrored literally in
   // textRankCtes above): window 2 (the paper's), corpus frequency ≥ 5,
