@@ -920,6 +920,80 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // SRP-LSH approximate top-k cosine search (Charikar 2002 + Lv 2007
+    // multi-probe) — the FIFTH ANN index family next to IVF / sharded
+    // HNSW / kNN-graph / RP-tree forest, and the only one whose build is
+    // a single map-only scan (no training, no graph): banded hyperplane
+    // sign signatures, query probes = exact sig + every 1-bit flip,
+    // bucket-collision candidates, exact-cosine bounded-heap rerank.
+    // Shares the dedup family's signature kernel verbatim (same md5-
+    // derived hyperplanes the dedup_embedding_lsh_mp oracle replays), so
+    // bucketing is identical by construction; queries colliding with
+    // nothing return < k rows — the recall trade is the contract,
+    // audited by eval_dedup_blocking on the shared kernel.
+    GQuery(
+      "knn_lsh",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.LshKnn
+          .knnLsh(
+            emb.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+            "vec_id", "v",
+            emb.filter(col("vec_id") % 10 === 0)
+              .select(col("vec_id").as("query_id"),
+                toDouble(col("embedding")).as("qv")),
+            "query_id", "qv",
+            k = K, numPlanes = 16, bands = 4)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some {
+        def bit(p: Int): String =
+          s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+             |  i -> v[i] * ((('0x'||substr(md5('${p}_'||(i-1)::VARCHAR),1,14))::BIGINT
+             |                % 1000003) / 1000003.0 - 0.5))) >= 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        val sigDefs = (0 until 4).map { b =>
+          (4 * b until 4 * b + 4).map(bit).mkString("(", " || ", s") AS sig$b")
+        }.mkString(",\n")
+        val bandUnion = (0 until 4)
+          .map(b => s"SELECT $b AS band, sig$b AS sig, vec_id FROM s")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, $sigDefs FROM e),
+        bs AS MATERIALIZED ($bandUnion),
+        qpr AS (SELECT vec_id, band,
+                       unnest(list_append(
+                         list_transform(generate_series(1, 4),
+                           p -> substr(sig, 1, p-1)
+                                || (CASE WHEN substr(sig, p, 1) = '1'
+                                    THEN '0' ELSE '1' END)
+                                || substr(sig, p+1, 4 - p)),
+                         sig)) AS psig
+                FROM bs WHERE vec_id % 10 = 0),
+        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS bid
+                 FROM qpr a JOIN bs b
+                   ON a.band = b.band AND a.psig = b.sig),
+        sc AS (SELECT c.qid, c.bid,
+                      ${sqlDot("eq.v", "eb.v")}
+                      / (sqrt(${sqlDot("eq.v", "eq.v")})
+                         * sqrt(${sqlDot("eb.v", "eb.v")})) AS sim
+               FROM cand c
+               JOIN e eq ON eq.vec_id = c.qid
+               JOIN e eb ON eb.vec_id = c.bid),
+        r AS (SELECT qid, bid, sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, bid) AS rnk
+              FROM sc)
+        SELECT qid AS query_id, bid AS neighbor_id,
+               round(sim, 6) AS sim, rnk
+        FROM r WHERE rnk <= $K
+      """
+      }
+    ),
     // Max-inner-product search (MIPS) — the retrieval similarity for
     // unnormalized learned embeddings; same broadcast-join + bounded-heap
     // shape, ordered by dot descending.
