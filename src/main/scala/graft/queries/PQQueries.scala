@@ -41,14 +41,21 @@ object PQQueries {
     * md0..md{k−2}. Coin/key spellings mirror the Spark side exactly
     * (md5-uniform in (0,1], A-ES key ln(u)/D², ties by id).
     */
-  private def kmppCtes(k: Int): String = {
+  private def kmppCtes(k: Int): String = s"""
+        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        ${kmppPickCtes(k)}"""
+
+  /** The pick chain of [[kmppCtes]] alone — assumes a CTE `e(id, v)` is
+    * already defined (the spherical fit runs it over the NORMALIZED
+    * table; the flat fit over raw embeddings).
+    */
+  private def kmppPickCtes(k: Int): String = {
     def coin(j: Int) =
       s"((('0x' || substr(md5(id::VARCHAR || ':kmpp:$j'), 1, 14))::BIGINT" +
         s" % 1000000 + 1))::DOUBLE / 1000001.0"
     val sb = new StringBuilder
     sb ++= s"""
-        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-               FROM embeddings),
         p0 AS MATERIALIZED (SELECT id, v FROM (
                SELECT id, v, row_number() OVER (ORDER BY ${coin(0)}, id) AS rn
                FROM e) WHERE rn = 1),
@@ -115,6 +122,52 @@ object PQQueries {
                       em.label::BIGINT AS v
               FROM a3 a JOIN embeddings em ON em.vec_id = a.id)"""
 
+  /** The spherical-fit replay ([[graft.operators.SphericalKMeans]]):
+    * e = the l2-NORMALIZED table, the same md5-coin k-means++ picks over
+    * it, then two rounds of argmin-L2²-on-the-sphere assignment (= argmax
+    * cosine, identical tie semantics to the flat kernel), decimal-exact
+    * means, and a RENORMALIZE back onto the sphere (list_sum fold in
+    * dimension order — the driver's spelling); empty clusters and
+    * zero-norm means keep their centroid.
+    */
+  private def skmFitCtes(k: Int): String = s"""
+        e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        e AS MATERIALIZED (
+          SELECT id, list_transform(v, x -> x / nrm) AS v
+          FROM (SELECT id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e0)
+          WHERE nrm > 0),
+        ${kmppPickCtes(k)},
+        cent0 AS MATERIALIZED (
+          ${(0 until k)
+            .map(j => s"SELECT $j AS ck, v FROM p$j")
+            .mkString(" UNION ALL ")}),
+        ${(1 to 2).map(r => s"""
+        d$r AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist
+                FROM e CROSS JOIN cent${r - 1} c),
+        a$r AS MATERIALIZED (SELECT id, ck FROM (
+                 SELECT id, ck, row_number() OVER (PARTITION BY id
+                                                   ORDER BY dist, ck) AS rn
+                 FROM d$r) WHERE rn = 1),
+        m$r AS (SELECT a.ck, gs.i AS pos,
+                       sum((e.v[gs.i])::DECIMAL(38,30))::DOUBLE
+                         / count(*) AS m
+                FROM a$r a JOIN e ON e.id = a.id
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+                GROUP BY a.ck, gs.i),
+        mm$r AS (SELECT ck, vv,
+                        sqrt(list_sum(list_transform(vv, x -> x * x)))
+                          AS nrm
+                 FROM (SELECT ck, list(m ORDER BY pos) AS vv
+                       FROM m$r GROUP BY ck)),
+        cent$r AS MATERIALIZED (
+          SELECT c.ck,
+                 CASE WHEN ml.nrm > 0
+                      THEN list_transform(ml.vv, x -> x / ml.nrm)
+                      ELSE c.v END AS v
+          FROM cent${r - 1} c
+          LEFT JOIN mm$r ml ON ml.ck = c.ck)""").mkString(",")}"""
+
   private val kmFitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
@@ -129,6 +182,28 @@ object PQQueries {
       val emb = Q.t(spark, dir, "embeddings")
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val rows = graft.operators.KMeans
+        .fitDeterministic(emb, "vec_id", "v", k = KDET, rounds = 2)
+        .collect()
+      val cents = Array.ofDim[Double](KDET, 64)
+      rows.foreach { r =>
+        cents(r.getLong(0).toInt)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      }
+      cents
+    })
+
+  private val skmFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** The spherical fit's final unit centroids, collected once per sf dir
+    * and shared with the assignment query.
+    */
+  private def sharedSkmFit(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): Array[Array[Double]] =
+    skmFitCache.getOrElseUpdate(dir, {
+      val emb = Q.t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val rows = graft.operators.SphericalKMeans
         .fitDeterministic(emb, "vec_id", "v", k = KDET, rounds = 2)
         .collect()
       val cents = Array.ofDim[Double](KDET, 64)
@@ -611,6 +686,61 @@ object PQQueries {
                round(v[gs.i], 6) AS mval
         FROM cent2
         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+      """)
+    ),
+    // SPHERICAL k-means (Dhillon & Modha 2001) — the clustering
+    // convention embedding pipelines standardize on (SemDeDup blocking,
+    // cosine-serving IVF coarse quantizers): l2-normalize once, assign
+    // by argmin L2² ON THE SPHERE (‖v−c‖² = 2−2·cos, so it IS argmax
+    // cosine with the flat kernel's tie semantics), decimal-exact means
+    // RENORMALIZED back onto the sphere each round. Same md5-coin
+    // k-means++ init discipline; the whole fixed schedule unrolls into
+    // SQL rounds, hash-checked.
+    GQuery(
+      "kmeans_spherical_fit",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SphericalKMeans
+          .fitDeterministic(emb, "vec_id", "v", k = KDET, rounds = 2)
+          .select(col("cluster"), col("pos"), round(col("mval"), 6).as("mval"))
+      },
+      Some(s"""
+        WITH ${skmFitCtes(KDET)}
+        SELECT ck::BIGINT AS cluster, gs.i::BIGINT AS pos,
+               round(v[gs.i], 6) AS mval
+        FROM cent2
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+      """)
+    ),
+    // The spherical serving E-step: every vector's cluster under the
+    // frozen unit centroids plus its cosine to that centroid — the
+    // SemDeDup blocking signal (within-cluster cosine is exactly what
+    // its near-dup threshold reads). One broadcast argmin scan, no
+    // shuffle; the oracle re-derives the fit and re-assigns.
+    GQuery(
+      "kmeans_spherical_assign",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        graft.operators.SphericalKMeans
+          .assign(emb, "vec_id", "v", sharedSkmFit(spark, dir))
+          .select(
+            col("id").as("vec_id"), col("cluster"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some(s"""
+        WITH ${skmFitCtes(KDET)},
+        d3 AS (SELECT e.id, c.ck, ${sqlL2Sq("e.v", "c.v")} AS dist,
+                      ${sqlDot("e.v", "c.v")} AS sim
+               FROM e CROSS JOIN cent2 c),
+        a3 AS (SELECT id, ck, sim FROM (
+                 SELECT id, ck, sim,
+                        row_number() OVER (PARTITION BY id
+                                           ORDER BY dist, ck) AS rn
+                 FROM d3) WHERE rn = 1)
+        SELECT id AS vec_id, ck::BIGINT AS cluster, round(sim, 6) AS sim
+        FROM a3
       """)
     ),
     // External clustering agreement — ARI (Hubert–Arabie) + NMI

@@ -1259,6 +1259,22 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.TextAnalysis.wordPieceEncode(docs, idCol, textCol, vocab)
 
+  /** Streaming spherical assignment under batch-fit frozen unit
+    * centroids — the online half of kmeans_spherical_assign (the
+    * SemDeDup blocking signal for arriving embeddings): normalize +
+    * broadcast argmin scan + cosine, all row-local map expressions,
+    * zero shuffle, zero state. Delegates to
+    * [[graft.operators.SphericalKMeans.assign]] verbatim, so batch and
+    * stream are bit-equal by construction (StreamingSpec pins it).
+    */
+  def sphericalAssignStream(
+      vecs: DataFrame, // streaming (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]
+  ): DataFrame =
+    graft.operators.SphericalKMeans.assign(vecs, idCol, vecCol, centroids)
+
   /** Streaming TextRank keyword-salience scoring under a batch-computed
     * top-K keyword table (word → pr, driver-small, ships as a map
     * literal) — the curriculum/selection signal served online: each

@@ -1181,6 +1181,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._3 > 0))
   }
 
+  test("streaming spherical assign: two waves bit-equal the batch E-step") {
+    val emb = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val cents = graft.operators.SphericalKMeans
+      .fitDeterministic(emb, "vec_id", "v", k = 3, rounds = 2)
+      .collect()
+      .foldLeft(Array.ofDim[Double](3, 64)) { (acc, r) =>
+        acc(r.getLong(0).toInt)(r.getLong(1).toInt - 1) = r.getDouble(2); acc
+      }
+    val dir = Files.createTempDirectory("skmstream").toString
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/w1")
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.sphericalAssignStream(
+      spark.readStream
+        .schema("vec_id LONG, v ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "vec_id", "v", cents)
+    val q = stream.writeStream
+      .format("memory").queryName("skmassign").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("skmassign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.SphericalKMeans
+      .assign(emb, "vec_id", "v", cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "streamed spherical assign diverged from batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming textrank salience: two waves bit-equal the batch scorer") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val kw = graft.operators.TextRank
