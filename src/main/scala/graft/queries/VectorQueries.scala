@@ -2412,6 +2412,59 @@ object VectorQueries {
         FROM ds CROSS JOIN mt LEFT JOIN ei ON ei.community = ds.community
       """)
     ),
+    // Synchronous Louvain phase-1 (Blondel et al. 2008 local moves, all
+    // nodes at once — the modularity counterpart of pipeline_label_prop)
+    // over the shared kNN graph: 3 fixed rounds, every node moving to
+    // the neighbor community with max gain. The gain is scaled by 2m
+    // into an ALL-INTEGER score 2m·k_vC − k(v)·(Σtot(C) − [C=own]·k(v)),
+    // so no float enters the trajectory and the whole schedule unrolls
+    // into SQL rounds, hash-checked. Ties toward the smallest community
+    // id; isolated nodes keep their singleton.
+    GQuery(
+      "knn_graph_louvain",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.Louvain
+          .louvainSync(
+            sharedGraph(spark, dir),
+            emb.select(col("vec_id").cast("long").as("id")),
+            rounds = 3)
+          .select(col("id").as("vec_id"), col("community"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        lmt AS (SELECT count(*) AS m FROM uu),
+        lv0 AS MATERIALIZED (SELECT id, id AS community FROM e),
+        ${(1 to 3).map(r => s"""
+        lst$r AS (SELECT s.community, sum(d.deg)::BIGINT AS tot
+                  FROM lv${r - 1} s JOIN dq d ON d.id = s.id
+                  GROUP BY s.community),
+        lkv$r AS (SELECT ub.id, s.community AS cc, count(*)::BIGINT AS kvc
+                  FROM ub JOIN lv${r - 1} s ON s.id = ub.nb
+                  GROUP BY ub.id, s.community),
+        lcd$r AS (SELECT id, cc, max(kvc)::BIGINT AS kvc FROM (
+                    SELECT id, cc, kvc FROM lkv$r
+                    UNION ALL
+                    SELECT id, community AS cc, 0 FROM lv${r - 1})
+                  GROUP BY id, cc),
+        lsc$r AS (SELECT c.id, c.cc,
+                         2 * lmt.m * c.kvc
+                           - d.deg * (st.tot
+                                      - CASE WHEN c.cc = o.community
+                                             THEN d.deg ELSE 0 END) AS score
+                  FROM lcd$r c
+                  JOIN dq d ON d.id = c.id
+                  JOIN lst$r st ON st.community = c.cc
+                  JOIN lv${r - 1} o ON o.id = c.id
+                  CROSS JOIN lmt),
+        lv$r AS MATERIALIZED (SELECT id, cc AS community FROM (
+                  SELECT id, cc, row_number() OVER (PARTITION BY id
+                           ORDER BY score DESC, cc) AS rn
+                  FROM lsc$r) WHERE rn = 1)""").mkString(",")}
+        SELECT id AS vec_id, community FROM lv3
+      """)
+    ),
     // Single-linkage hierarchical clustering at FIXED thresholds —
     // the dendrogram cut three ways: clusters at level t = connected
     // components of the kNN graph restricted to edges with dist ≤ t

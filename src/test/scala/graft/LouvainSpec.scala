@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Louvain
+
+/** Invariants for synchronous Louvain phase-1: a hand-computed sync
+  * round, clean convergence on disjoint cliques, isolated-node and
+  * singleton behavior, and partition determinism.
+  */
+class LouvainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(
+      edges: Seq[(Long, Long)],
+      ids: Seq[Long],
+      rounds: Int): Map[Long, Long] =
+    Louvain
+      .louvainSync(edges.toDF("src", "dst"), ids.toDF("id"), rounds)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("one synchronous round on a path matches the hand calculation") {
+    // P3: 1-2-3, m=2, 2m=4; node 1 -> c2 (score 2), node 2 -> c1
+    // (tie 2/2 with c3, min id), node 3 -> c2
+    val got = run(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L), rounds = 1)
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("a symmetric pair oscillates — the documented synchronous trade") {
+    // K2 swaps communities every round (both nodes move simultaneously);
+    // real kNN graphs are asymmetric and settle (see the K4 test), but
+    // the sync schedule makes NO convergence promise on symmetric
+    // structures — pin the exact oscillation so the contract is visible
+    val r1 = run(Seq((1L, 2L)), Seq(1L, 2L), rounds = 1)
+    val r2 = run(Seq((1L, 2L)), Seq(1L, 2L), rounds = 2)
+    val r3 = run(Seq((1L, 2L)), Seq(1L, 2L), rounds = 3)
+    assert(r1 == Map(1L -> 2L, 2L -> 1L))
+    assert(r2 == Map(1L -> 1L, 2L -> 2L))
+    assert(r3 == r1)
+  }
+
+  test("disjoint cliques converge to one community per clique") {
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val got = run(k4a ++ k4b, (1L to 8L).toSeq, rounds = 3)
+    assert(got.filterKeys(_ <= 4).values.toSet.size == 1)
+    assert(got.filterKeys(_ >= 5).values.toSet.size == 1)
+    assert(got(1L) != got(5L))
+  }
+
+  test("isolated nodes keep their singleton community") {
+    val got = run(Seq((1L, 2L)), Seq(1L, 2L, 9L), rounds = 3)
+    assert(got(9L) == 9L)
+  }
+
+  test("the 3-round partition of a clustered graph beats singletons on modularity") {
+    // two K5s joined by one bridge — asymmetric enough for sync moves
+    // to settle into the two cliques
+    val k5a = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val k5b = for (i <- 6L to 10L; j <- (i + 1) to 10L) yield (i, j)
+    val edges = k5a ++ k5b :+ ((5L, 6L))
+    val got = run(edges, (1L to 10L).toSeq, rounds = 3)
+    assert(got.filterKeys(_ <= 5).values.toSet.size == 1)
+    assert(got.filterKeys(_ >= 6).values.toSet.size == 1)
+    assert(got(1L) != got(10L))
+  }
+
+  test("result is partition-invariant and repeatable") {
+    val edges = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i + 4) % 30 + 1)))
+    val a = run(edges, (1L to 30L).toSeq, rounds = 3)
+    val b = Louvain
+      .louvainSync(
+        edges.toDF("src", "dst").repartition(7),
+        (1L to 30L).toDF("id").repartition(3),
+        rounds = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(a == b)
+  }
+}
