@@ -276,6 +276,43 @@ object VectorQueries {
           alpha = 1.2, maxDegree = 8)
         .localCheckpoint())
 
+  private val pcaModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pca.PcaModel]
+
+  /** The corpus PCA model, fit once per sf dir (the expensive passes are
+    * the covariance moments + 2×48 power-iteration rounds) and shared by
+    * embed_pca and embed_pca_outlier — the sharedGraph discipline.
+    */
+  private def sharedPcaModel(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): graft.operators.Pca.PcaModel =
+    pcaModelCache.getOrElseUpdate(dir, {
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.Pca.fit(emb, "v", d = 64, p = 2, rounds = PCAR)
+    })
+
+  private val facilityCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Double)]]
+
+  /** The facility-location greedy trajectory (rnd, center_id, unrounded
+    * gain), run once per sf dir and shared by pipeline_facility and
+    * eval_selection_coverage (which re-ran the identical k corpus-sized
+    * gain aggregates).
+    */
+  private def sharedFacility(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): Array[(Long, Long, Double)] =
+    facilityCache.getOrElseUpdate(dir, {
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.FacilityLocation
+        .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L, poolCap = 640L)
+        .orderBy(col("rnd"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    })
+
   // RP-tree forest shape (rpt_*): 2 trees × depth 4 over the 64-d table
   private val RPT_T = 2
   private val RPT_D = 4
@@ -2166,6 +2203,11 @@ object VectorQueries {
         FROM r WHERE rnk <= $K
       """)
     ),
+    // (shared-model discipline: the PCA fit and the facility greedy are
+    // the expensive corpus passes; embed_pca/embed_pca_outlier and
+    // pipeline_facility/eval_selection_coverage each re-derive the SAME
+    // model, so it is computed once per sf dir and both consumers read
+    // it — the sharedGraph/sharedWinnow pattern)
     // Corpus-scale PCA projection + whitening (Pca.scala): decimal-exact
     // moments over the WHOLE corpus (one pass, map-side-combined shuffle of
     // only partitions × d(d+1)/2 partial cells), top-2 components by a
@@ -2180,7 +2222,7 @@ object VectorQueries {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val m = graft.operators.Pca.fit(emb, "v", d = 64, p = 2, rounds = PCAR)
+        val m = sharedPcaModel(spark, dir)
         emb.select(
           col("vec_id"),
           round(graft.operators.Pca.projectCol(m, col("v"), 0), 6).as("pc1"),
@@ -2200,10 +2242,9 @@ object VectorQueries {
     GQuery(
       "pipeline_facility",
       (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
-          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        graft.operators.FacilityLocation
-          .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L, poolCap = 640L)
+        import spark.implicits._
+        sharedFacility(spark, dir).toSeq
+          .toDF("rnd", "center_id", "gain")
           .select(col("rnd"), col("center_id"), round(col("gain"), 6).as("gain"))
       },
       Some(facilityOracleSql(FLK))
@@ -2220,7 +2261,7 @@ object VectorQueries {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val m = graft.operators.Pca.fit(emb, "v", d = 64, p = 2, rounds = PCAR)
+        val m = sharedPcaModel(spark, dir)
         val scored = emb.select(
           col("vec_id"),
           graft.operators.Pca.residualCol(m, col("v")).as("resid"))
@@ -2265,10 +2306,7 @@ object VectorQueries {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val ids = graft.operators.FacilityLocation
-          .greedy(emb, "vec_id", "v", k = FLK, poolMod = 10L, poolCap = 640L)
-          .orderBy(col("rnd"))
-          .collect().map(_.getLong(1))
+        val ids = sharedFacility(spark, dir).map(_._2)
         val byId = emb.filter(col("vec_id").isin(ids: _*))
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1))
