@@ -639,4 +639,35 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
   }
+
+  test("serving halves stay zero-Exchange: wordpiece encode, salience, spherical assign") {
+    // each ships a driver-small frozen model in the closure / as a map
+    // literal and scans once — a shuffle in any of them is a design
+    // break (they are also the streaming twins' exact plans)
+    for (name <- Seq(
+        "text_wordpiece_encode", "text_textrank_salience",
+        "kmeans_spherical_assign")) {
+      val p = planOf(name)
+      assert(!p.contains("Exchange"), s"$name grew a shuffle:\n$p")
+    }
+  }
+
+  test("knn_lsh: bucket equi-joins + partial heap before the final exchange") {
+    val p = planOf("knn_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the rerank's bounded heap partially aggregates before its shuffle
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val finalAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && finalAgg > exchange, p)
+  }
+
+  test("louvain + textrank: every round join stays equi-keyed") {
+    for (name <- Seq("knn_graph_louvain", "text_textrank")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
 }
