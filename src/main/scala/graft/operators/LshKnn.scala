@@ -32,6 +32,103 @@ import graft.functions.VectorExpressions._
   */
 object LshKnn {
 
+  private def flipAt(s: org.apache.spark.sql.Column, p: Int, r: Int) =
+    concat(
+      substring(s, 1, p - 1),
+      when(substring(s, p, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(s, p + 1, r - p))
+
+  /** All probe signatures within Hamming distance `radius` (0, 1 or 2)
+    * of a band signature — the probe-radius knob (more flips = more
+    * buckets examined = higher recall, candidate volume bounded by
+    * (1 + r + C(r,2)) × the exact-band collisions).
+    */
+  private def probesFor(
+      sig: org.apache.spark.sql.Column,
+      rowsPerBand: Int,
+      radius: Int): Seq[org.apache.spark.sql.Column] = {
+    require(radius >= 0 && radius <= 2, s"probe radius 0..2, got $radius")
+    val r = rowsPerBand
+    Seq(sig) ++
+      (if (radius >= 1) (1 to r).map(p => flipAt(sig, p, r)) else Nil) ++
+      (if (radius >= 2)
+         for { p <- 1 to r; q <- (p + 1) to r }
+           yield flipAt(flipAt(sig, p, r), q, r)
+       else Nil)
+  }
+
+  /** The measured recall-vs-probe-radius operating curve — completing
+    * the tuning-knob symmetry with IVF's nprobe curve, HNSW's ef curve
+    * and the RP-tree spill curve: one shared exact-cosine truth, one
+    * bucket-collision candidate set per radius over the SAME signature
+    * tables, exact rerank, decimal-exact mean Recall@k per radius.
+    * Radius work is probe-table-sized (|Q|·bands·probes), never corpus-
+    * sized; the signature tables are built once.
+    */
+  def probeRecallCurve(
+      base: DataFrame,
+      bidCol: String,
+      bvecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      radii: Seq[Int],
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = -1
+  ): DataFrame = {
+    import graft.queries.Q.davg
+    require(radii.nonEmpty, "need at least one probe radius")
+    val rpb = numPlanes / bands
+    val bsigs = Dedup
+      .srpBandSigs(base, bidCol, bvecCol, numPlanes, bands, dim)
+      .select(col("id").as("bid"), col("band"), col("sig"))
+      .localCheckpoint() // probed once per radius
+    val qsigs = Dedup
+      .srpBandSigs(queries, qidCol, qvecCol, numPlanes, bands, dim)
+      .select(col("id").as("qid"), col("band"), col("sig"))
+      .localCheckpoint()
+    val probes = radii
+      .map(rad => qsigs.select(
+        lit(rad.toLong).as("radius"), col("qid"), col("band"),
+        explode(array(probesFor(col("sig"), rpb, rad): _*)).as("sig")))
+      .reduce(_ unionAll _)
+      .distinct()
+    val cand = probes
+      .join(bsigs, Seq("band", "sig"))
+      .select(col("radius"), col("qid"), col("bid"))
+      .distinct()
+    val bv = base.select(
+      col(bidCol).as("bid"),
+      col(bvecCol).cast("array<double>").as("bv"))
+      .withColumn("bnorm", sqrt(dotFast(col("bv"), col("bv"))))
+    val qv = queries.select(
+      col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("qnorm", sqrt(dotFast(col("qv"), col("qv"))))
+    val approx = cand
+      .join(bv, "bid")
+      .join(broadcast(qv), "qid")
+      .groupBy(col("radius"), col("qid"))
+      .agg(topK(
+        -(dotFast(col("qv"), col("bv")) / (col("qnorm") * col("bnorm"))),
+        col("bid"), k).as("tk"))
+      .select(col("radius"), col("qid"), explode(col("tk.id")).as("id"))
+    val truth = BruteForceKNN
+      .knnCosine(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv")),
+        base.select(col(bidCol).as("neighbor_id"), col(bvecCol).as("bv")),
+        k, qidCol = "qid", qvecCol = "qv")
+      .select(col("qid"), col("neighbor_id").as("id"))
+    approx
+      .join(truth.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+      .groupBy(col("radius"), col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / k.toDouble).as("recall"))
+      .groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_queries"), davg(col("recall")).as("mean_recall"))
+  }
+
   def knnLsh(
       base: DataFrame,
       bidCol: String,

@@ -1031,6 +1031,100 @@ object VectorQueries {
       """
       }
     ),
+    // The LSH probe-radius operating curve — completing the tuning-knob
+    // symmetry (IVF nprobe curve, HNSW ef curve, RP-tree spill curve):
+    // Recall@10 vs exact cosine truth at Hamming probe radius 0 / 1 / 2
+    // (exact buckets, +4 single flips, +6 double flips per band), one
+    // shared truth, signature tables built once, per-radius work
+    // probe-table-sized. Decimal-exact mean recall per radius,
+    // hash-checked.
+    GQuery(
+      "knn_lsh_probe_curve",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.LshKnn
+          .probeRecallCurve(
+            emb.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+            "vec_id", "v",
+            emb.filter(col("vec_id") % 10 === 0)
+              .select(col("vec_id").as("query_id"),
+                toDouble(col("embedding")).as("qv")),
+            "query_id", "qv",
+            k = K, radii = Seq(0, 1, 2), numPlanes = 16, bands = 4)
+      },
+      Some {
+        def bit(p: Int): String =
+          s"""CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+             |  i -> v[i] * ((('0x'||substr(md5('${p}_'||(i-1)::VARCHAR),1,14))::BIGINT
+             |                % 1000003) / 1000003.0 - 0.5))) >= 0
+             |THEN '1' ELSE '0' END""".stripMargin
+        val sigDefs = (0 until 4).map { b =>
+          (4 * b until 4 * b + 4).map(bit).mkString("(", " || ", s") AS sig$b")
+        }.mkString(",\n")
+        val bandUnion = (0 until 4)
+          .map(b => s"SELECT $b AS band, sig$b AS sig, vec_id FROM s")
+          .mkString(" UNION ALL ")
+        def f(s: String, p: Int): String =
+          s"(substr($s, 1, ${p - 1}) || (CASE WHEN substr($s, $p, 1) = '1'" +
+            s" THEN '0' ELSE '1' END) || substr($s, ${p + 1}, ${4 - p}))"
+        def probesSql(rad: Int): String =
+          (Seq("sig") ++
+            (if (rad >= 1) (1 to 4).map(p => f("sig", p)) else Nil) ++
+            (if (rad >= 2)
+               for { p <- 1 to 4; q <- (p + 1) to 4 } yield f(f("sig", p), q)
+             else Nil)).mkString("[", ", ", "]")
+        val perRad = Seq(0, 1, 2).map(rad => s"""
+        lpr$rad AS (SELECT DISTINCT vec_id, band, psig FROM (
+                      SELECT vec_id, band, unnest(${probesSql(rad)}) AS psig
+                      FROM bs WHERE vec_id % 10 = 0)),
+        lcd$rad AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS bid
+                    FROM lpr$rad a JOIN bs b
+                      ON a.band = b.band AND a.psig = b.sig),
+        lap$rad AS (SELECT $rad AS radius, qid, bid FROM (
+                      SELECT c.qid, c.bid,
+                             row_number() OVER (PARTITION BY c.qid
+                               ORDER BY ${sqlDot("eq.v", "eb.v")}
+                                        / (sqrt(${sqlDot("eq.v", "eq.v")})
+                                           * sqrt(${sqlDot("eb.v", "eb.v")}))
+                                          DESC, c.bid) AS rn
+                      FROM lcd$rad c
+                      JOIN e eq ON eq.vec_id = c.qid
+                      JOIN e eb ON eb.vec_id = c.bid)
+                    WHERE rn <= $K)""").mkString(",")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, $sigDefs FROM e),
+        bs AS MATERIALIZED ($bandUnion),
+        $perRad,
+        lar AS MATERIALIZED (
+          SELECT * FROM lap0 UNION ALL
+          SELECT * FROM lap1 UNION ALL
+          SELECT * FROM lap2),
+        ltr AS (SELECT qid, id FROM (
+                  SELECT q.vec_id AS qid, b.vec_id AS id,
+                         row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY ${sqlDot("q.v", "b.v")}
+                                    / (sqrt(${sqlDot("q.v", "q.v")})
+                                       * sqrt(${sqlDot("b.v", "b.v")}))
+                                      DESC, b.vec_id) AS rn
+                  FROM (SELECT * FROM e WHERE vec_id % 10 = 0) q
+                  CROSS JOIN e b)
+                WHERE rn <= $K),
+        lhit AS (SELECT lar.radius, lar.qid, count(*)::BIGINT AS c
+                 FROM lar JOIN ltr
+                   ON ltr.qid = lar.qid AND ltr.id = lar.bid
+                 GROUP BY lar.radius, lar.qid),
+        lper AS (SELECT d.radius, d.qid,
+                        (coalesce(h.c, 0) / $K.0) AS recall
+                 FROM (SELECT DISTINCT radius, qid FROM lar) d
+                 LEFT JOIN lhit h
+                   ON h.radius = d.radius AND h.qid = d.qid)
+        SELECT radius::BIGINT AS radius, count(*)::BIGINT AS n_queries,
+               ${sqlAvg("recall")} AS mean_recall
+        FROM lper GROUP BY radius
+      """
+      }
+    ),
     // Max-inner-product search (MIPS) — the retrieval similarity for
     // unnormalized learned embeddings; same broadcast-join + bounded-heap
     // shape, ordered by dot descending.

@@ -74,6 +74,23 @@ class LshKnnSpec extends SparkSpec {
     assert(mp.size > sp.size, "1-bit probes added no candidates")
   }
 
+  test("probe curve: recall is monotone in the probe radius") {
+    val curve = LshKnn
+      .probeRecallCurve(emb, "vec_id", "v", queries, "query_id", "qv",
+        k = 10, radii = Seq(0, 1, 2))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    curve.sliding(2).foreach {
+      case Array((_, lo), (_, hi)) =>
+        assert(hi >= lo, s"recall not monotone: $lo -> $hi")
+      case _ =>
+    }
+    // radius-2 probes 11 of the 16 band buckets — near-exhaustive
+    assert(curve.last._2 >= 0.9, s"radius-2 recall ${curve.last._2}")
+  }
+
   test("recall@10 against exact cosine kNN clears the floor") {
     val k = 10
     val approx = LshKnn
