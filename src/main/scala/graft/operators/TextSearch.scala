@@ -86,6 +86,71 @@ object TextSearch {
       )
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2004) —
+    * the language-modeling retrieval scorer next to [[bm25]]'s
+    * probabilistic one (the two classical lexical families):
+    *
+    *   score(q, d) = Σ_{t∈q} ln( (tf(t,d) + μ·p(t|C)) / (dl + μ) ),
+    *   p(t|C) = cf(t) / |C|
+    *
+    * Every document scores (absent terms contribute the smoothed
+    * background mass — that is the point of Dirichlet smoothing), so the
+    * contribution table is |corpus| × |terms| rows: the dl table cross
+    * joins the BROADCAST ≤|terms|-row term-stats table and left-joins
+    * the query-filtered postings — one streaming pass, nothing
+    * proportional to corpus × vocabulary. ln acts on identical doubles
+    * on both engines (exact-integer ratios + the μ literal), the
+    * per-doc sum routes through DECIMAL(38,20), the score rounds to 6
+    * places BEFORE ranking (the [[bm25]] convention), ties on doc_id.
+    * Query terms absent from the whole collection are dropped (their
+    * p(t|C) = 0 would send every document to −∞ equally).
+    */
+  def queryLikelihood(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      mu: Double = 100.0,
+      k: Int = 20
+  ): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(mu > 0, s"Dirichlet mu must be > 0, got $mu")
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t")
+    )
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val ctot = dl.agg(sum(col("dl")).as("ctot"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val contrib = dl
+      .crossJoin(broadcast(cf.crossJoin(ctot)))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn(
+        "c",
+        log(
+          (coalesce(col("tf"), lit(0L)) +
+            lit(mu) * (col("cf").cast("double") / col("ctot"))) /
+            (col("dl") + lit(mu))))
+    val scores = contrib
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast(DecimalType(38, 20))).cast("double").as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    scores
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long")
+      )
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
     * BM25 lexical ranking with an exact-vector ranking of the SAME corpus
     * (doc ids align with embedding ids). RRF needs only the two rank

@@ -3455,6 +3455,49 @@ object TextQueries {
         SELECT doc_id, score, rnk FROM r WHERE rnk <= 20
       """)
     ),
+    // Dirichlet query-likelihood ranking (Zhai & Lafferty 2004) — the
+    // language-modeling retrieval scorer next to BM25's probabilistic
+    // one, same query set: EVERY document scores (absent terms
+    // contribute the smoothed background mass — the point of Dirichlet
+    // smoothing), so the contribution table is |corpus| × |terms| rows:
+    // the dl table cross joins the broadcast ≤|terms|-row stats table,
+    // left-joins the query-filtered postings, one streaming pass. ln on
+    // identical exact-ratio doubles, decimal-routed per-doc sums, score
+    // rounded before ranking (the bm25 convention).
+    GQuery(
+      "text_qld",
+      (spark, dir) =>
+        graft.operators.TextSearch.queryLikelihood(
+          t(spark, dir, "documents"),
+          "doc_id", "text",
+          Seq("vector", "hash", "stream", "query")
+        ),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        ct AS (SELECT sum(dl)::BIGINT AS ctot FROM dl),
+        tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+               WHERE w IN ('vector','hash','stream','query')
+               GROUP BY doc_id, w),
+        cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+        contrib AS (
+          SELECT dl.doc_id,
+                 ln((coalesce(tf.tf, 0) + 100.0::DOUBLE
+                       * (cf.cf::DOUBLE / ct.ctot))
+                    / (dl.dl + 100.0::DOUBLE)) AS c
+          FROM dl CROSS JOIN ct CROSS JOIN cf
+          LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term),
+        scores AS (SELECT doc_id,
+                          round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                   FROM contrib GROUP BY doc_id),
+        r AS (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM scores)
+        SELECT doc_id, score, rnk FROM r WHERE rnk <= 20
+      """)
+    ),
     // Interpolated Kneser-Ney bigram perplexity (Chen & Goodman 1999 —
     // the smoothing CCNet's KenLM filter models actually use): the
     // discounted bigram estimate backs off to the CONTINUATION unigram

@@ -41,6 +41,34 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("qld: every document scores; term-rich docs rank first") {
+    val r = TextSearch
+      .queryLikelihood(corpus, "doc_id", "text", Seq("vector"), mu = 100.0, k = 10)
+      .collect()
+      .map(row => (row.getLong(0), row.getDouble(1), row.getLong(2)))
+    // Dirichlet smoothing scores EVERY doc (absent terms get background mass)
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(r.head._1 == 2L, r.mkString(",")) // 3 occurrences of 'vector'
+    assert(r(1)._1 == 5L) // 1 occurrence beats 0 occurrences
+    val scores = r.map(_._2).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(r.map(_._3).toSeq == (1L to 5L).toSeq)
+  }
+
+  test("qld: matches the closed-form Dirichlet score on a hand corpus") {
+    val mini = Seq((1L, "a b a"), (2L, "b b c")).toDF("doc_id", "text")
+    val got = TextSearch
+      .queryLikelihood(mini, "doc_id", "text", Seq("a"), mu = 2.0, k = 10)
+      .collect()
+      .map(row => row.getLong(0) -> row.getDouble(1))
+      .toMap
+    // cf(a)=2, |C|=6, p=1/3; doc1: ln((2 + 2·(1/3))/(3+2)); doc2: ln((0 + 2/3)/5)
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == rnd6(math.log((2.0 + 2.0 * (2.0 / 6.0)) / 5.0)))
+    assert(got(2L) == rnd6(math.log((0.0 + 2.0 * (2.0 / 6.0)) / 5.0)))
+  }
+
   test("perplexity: a doc of repeated common bigrams scores lower NLL than a rare-transition doc") {
     val docs = Seq(
       (1L, "x y x y x y x y x y x y"),
