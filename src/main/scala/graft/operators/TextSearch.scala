@@ -151,6 +151,46 @@ object TextSearch {
       )
   }
 
+  /** Row-local spelling of [[queryLikelihood]]'s per-document score
+    * under FROZEN collection statistics (cf per term + |C|) — the
+    * standing-query scorer: route arriving documents by relevance to a
+    * fixed query without touching the corpus. Per row: tf per term from
+    * the token array, the same ln((tf + μ·cf/|C|)/(dl + μ)) contribution,
+    * decimal-routed fold in term-list order — exact, so batch and stream
+    * agree bit-for-bit on every document's score (StreamingSpec pins
+    * it). Zero shuffle, zero state.
+    */
+  def queryLikelihoodRow(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      cf: Map[String, Long],
+      ctot: Long,
+      mu: Double = 100.0
+  ): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(ctot > 0, "empty collection stats")
+    val toks = split(col(textCol), " ")
+    val dl = size(toks).cast("long")
+    // contribs cast to scale-20 decimals at precision 30, NOT 38: decimal
+    // addition then GROWS precision ((30,20)+(30,20) → (31,20)) instead
+    // of rounding the last scale digit — the fold is exact at scale 20,
+    // bit-equal to the batch sum(DECIMAL(38,20)) of the same values
+    val contribs: Seq[org.apache.spark.sql.Column] = terms
+      .filter(t => cf.getOrElse(t, 0L) > 0L)
+      .map { t =>
+        val tf = size(filter(toks, x => x === t)).cast("long")
+        log(
+          (tf + lit(mu) * (lit(cf(t)).cast("double") / lit(ctot))) /
+            (dl + lit(mu)))
+          .cast(DecimalType(30, 20))
+      }
+    docs.select(
+      col(idCol).as("doc_id"),
+      round(contribs.reduce(_ + _).cast("double"), 6).as("score"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
     * BM25 lexical ranking with an exact-vector ranking of the SAME corpus
     * (doc ids align with embedding ids). RRF needs only the two rank

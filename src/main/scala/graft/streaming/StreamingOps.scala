@@ -1275,6 +1275,28 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.SphericalKMeans.assign(vecs, idCol, vecCol, centroids)
 
+  /** Streaming standing-query relevance scoring — Dirichlet
+    * query-likelihood of every ARRIVING document against a fixed query
+    * under batch-frozen collection statistics (per-term cf + |C|): the
+    * online router ("send docs relevant to THIS topic to THIS sink").
+    * Delegates to the row-local
+    * [[graft.operators.TextSearch.queryLikelihoodRow]] — per-row token
+    * counts, a scale-preserving decimal fold, zero shuffle, zero state —
+    * and is bit-equal to the batch ranking's scores on the same rows
+    * (StreamingSpec pins it).
+    */
+  def qldScoreStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      cf: Map[String, Long],
+      ctot: Long,
+      mu: Double = 100.0
+  ): DataFrame =
+    graft.operators.TextSearch
+      .queryLikelihoodRow(docs, idCol, textCol, terms, cf, ctot, mu)
+
   /** Streaming TextRank keyword-salience scoring under a batch-computed
     * top-K keyword table (word → pr, driver-small, ships as a map
     * literal) — the curriculum/selection signal served online: each

@@ -1214,6 +1214,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming qld scorer: two waves bit-equal the batch ranking's scores") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val terms = Seq("vector", "hash", "stream", "query")
+    // frozen collection stats from the batch corpus
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val ctot = toks.count()
+    val cf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = Files.createTempDirectory("qldstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.qldScoreStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text", terms, cf, ctot)
+    val q = stream.writeStream
+      .format("memory").queryName("qldscore").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("qldscore").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // batch ranking over the whole corpus (k = all docs) — the stream
+    // must reproduce every document's score bit-for-bit
+    val n = docs.count().toInt
+    val want = graft.operators.TextSearch
+      .queryLikelihood(docs, "doc_id", "text", terms, mu = 100.0, k = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, s) =>
+      assert(got(id) == s, s"doc $id: stream ${got(id)} vs batch $s")
+    }
+  }
+
   test("streaming textrank salience: two waves bit-equal the batch scorer") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val kw = graft.operators.TextRank
