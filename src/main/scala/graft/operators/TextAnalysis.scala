@@ -1387,6 +1387,56 @@ object TextAnalysis {
       .toDF("doc_id", "n_words", "n_tokens", "n_unk", "tokens_hash")
   }
 
+  /** Persist a WordPiece serving model — the A3 codebook-persistence
+    * discipline ([[saveUnigramModel]]'s analog for the third tokenizer
+    * family): one parquet of (piece, is_continuation), trivially
+    * re-shardable; [[loadWordPieceModel]] validates and reconstructs the
+    * identical vocabulary set.
+    */
+  def saveWordPieceModel(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Set[String],
+      path: String
+  ): Unit = {
+    import spark.implicits._
+    require(vocab.nonEmpty, "saveWordPieceModel: empty vocabulary")
+    vocab.toSeq.sorted
+      .map(p => (p, p.startsWith("##")))
+      .toDF("piece", "is_continuation")
+      .write.parquet(path)
+  }
+
+  /** Load a persisted WordPiece vocabulary, shape-validated: pieces
+    * unique, the `is_continuation` flag consistent with the `##` prefix
+    * (a corrupted artifact fails loudly, not at serving time), and every
+    * multi-char piece's first character present as a word-initial piece
+    * (else the greedy matcher could never reach it).
+    */
+  def loadWordPieceModel(
+      spark: org.apache.spark.sql.SparkSession, path: String
+  ): Set[String] = {
+    val rows = spark.read.parquet(path)
+      .select(col("piece"), col("is_continuation").cast("boolean"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    require(rows.nonEmpty, s"wordpiece model at $path is empty")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"wordpiece model at $path has duplicate pieces")
+    rows.foreach { case (p, cont) =>
+      require(p.startsWith("##") == cont,
+        s"wordpiece model at $path: piece '$p' flag mismatch")
+      require(if (cont) p.length > 2 else p.nonEmpty,
+        s"wordpiece model at $path: degenerate piece '$p'")
+    }
+    val vocab = rows.map(_._1).toSet
+    vocab.filter(p => !p.startsWith("##") && p.length > 1).foreach { p =>
+      require(vocab.contains(p.substring(0, 1)),
+        s"wordpiece model at $path: '$p' lacks word-initial char " +
+          s"'${p.substring(0, 1)}' — greedy fallback would [UNK] its words")
+    }
+    vocab
+  }
+
   /** The WordPiece serving vocabulary derived from a training corpus +
     * merge table: training alphabet ∪ merged pieces ([[wordPieceEncode]]'s
     * contract). The alphabet is a distributed distinct over (position,

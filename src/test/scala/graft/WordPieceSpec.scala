@@ -146,6 +146,28 @@ class WordPieceSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, 1L)))
   }
 
+  test("model save/load: identical round trip, validated artifact") {
+    val merges = TextAnalysis.wordPieceTrain(corpus, "text", numMerges = 8)
+    val vocab = TextAnalysis.wordPieceVocab(corpus, "text", merges)
+    val dir = java.nio.file.Files.createTempDirectory("wpmodel").toString
+    TextAnalysis.saveWordPieceModel(spark, vocab, s"$dir/m")
+    val back = TextAnalysis.loadWordPieceModel(spark, s"$dir/m")
+    assert(back == vocab)
+    // serving under the reloaded model is bit-identical
+    val a = TextAnalysis.wordPieceEncode(corpus, "doc_id", "text", vocab)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.wordPieceEncode(corpus, "doc_id", "text", back)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // a corrupted artifact (continuation piece whose word-initial char
+    // is missing) fails at LOAD, not at serving time
+    Seq(("xy", false), ("##z", true)).toDF("piece", "is_continuation")
+      .write.parquet(s"$dir/bad")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadWordPieceModel(spark, s"$dir/bad")
+    }
+  }
+
   test("encode determinism: partitioning does not change fingerprints") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val merges = TextAnalysis.wordPieceTrain(docs, "text", numMerges = 12)
