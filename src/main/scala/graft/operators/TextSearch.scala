@@ -204,6 +204,71 @@ object TextSearch {
     * independent of corpus size. Fused score is a sum of exact small-int
     * rationals evaluated identically in any engine — no float hazard.
     */
+  /** General N-list reciprocal-rank fusion: each input is a NAMED
+    * bounded ranking (doc_id, rnk); fused(d) = Σ_lists 1/(rrfK + rank).
+    * Score-scale-free (only ranks enter), so any mix of scorers fuses —
+    * the engine's retrieval stack feeds it BM25, query-likelihood and
+    * the dense ranking at once. The fold adds the per-list rationals in
+    * list order (both engines spell the same chain); the join is a
+    * full-outer chain of ≤kEach-row tables — driver-trivial, corpus-
+    * independent. Output carries each list's rank column as
+    * `<name>_rnk`.
+    */
+  def rrfFuse(
+      lists: Seq[(String, DataFrame)], // (name, (doc_id, rnk))
+      k: Int = 10,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(lists.size >= 2, "rrfFuse needs at least two rankings")
+    val tagged = lists.map { case (nm, df) =>
+      df.select(col("doc_id"), col("rnk").cast("long").as(s"${nm}_rnk"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val fused = lists
+      .map { case (nm, _) =>
+        coalesce(lit(1.0) / (lit(rrfK) + col(s"${nm}_rnk")), lit(0.0))
+      }
+      .reduce(_ + _)
+    val rankCols = lists.map { case (nm, _) => col(s"${nm}_rnk") }
+    joined
+      .withColumn("fused", fused)
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        Seq(col("doc_id"), round(col("fused"), 6).as("rrf_score")) ++
+          rankCols :+
+          row_number()
+            .over(Window.orderBy(col("fused").desc, col("doc_id")))
+            .cast("long")
+            .as("rnk"): _*)
+  }
+
+  /** The dense top-kEach ranking against one literal query vector — the
+    * vector side [[hybridRrf]] and the 3-way fusion share: a scan +
+    * bounded TakeOrdered head against a plan-embedded literal, no join.
+    */
+  def vectorRanking(
+      emb: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryVec: Array[Double],
+      kEach: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    emb
+      .select(
+        col(vecIdCol).cast("long").as("doc_id"),
+        l2SqFast(col(vecCol), typedLit(queryVec.toSeq)).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(kEach)
+      .select(
+        col("doc_id"),
+        row_number()
+          .over(Window.orderBy(col("dist"), col("doc_id")))
+          .cast("long")
+          .as("rnk"))
+  }
+
   def hybridRrf(
       docs: DataFrame,
       idCol: String,

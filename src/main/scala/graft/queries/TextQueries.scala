@@ -3737,6 +3737,103 @@ object TextQueries {
         SELECT * FROM r WHERE rnk <= 10
       """)
     ),
+    // THREE-way reciprocal-rank fusion — the full retrieval stack fused:
+    // BM25 (probabilistic lexical), Dirichlet query-likelihood (LM
+    // lexical) and the exact dense ranking, all top-20, through the
+    // generalized N-list rrfFuse. Only ranks enter (score-scale-free),
+    // the fused value is a fixed-order sum of exact small-int rationals,
+    // and the join chains three ≤20-row tables — corpus-independent.
+    GQuery(
+      "text_hybrid_rrf3",
+      (spark, dir) => {
+        import graft.functions.VectorFunctions.toDouble
+        val terms = Seq("vector", "hash", "stream", "query")
+        val docs = t(spark, dir, "documents")
+        val qv = t(spark, dir, "embeddings")
+          .filter(col("vec_id") === 7)
+          .select(toDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        graft.operators.TextSearch.rrfFuse(Seq(
+          "lex" -> graft.operators.TextSearch
+            .bm25(docs, "doc_id", "text", terms, k = 20)
+            .select(col("doc_id"), col("rnk")),
+          "qld" -> graft.operators.TextSearch
+            .queryLikelihood(docs, "doc_id", "text", terms, k = 20)
+            .select(col("doc_id"), col("rnk")),
+          "vec" -> graft.operators.TextSearch.vectorRanking(
+            t(spark, dir, "embeddings")
+              .select(col("vec_id"), toDouble(col("embedding")).as("vec")),
+            "vec_id", "vec", qv, kEach = 20)))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (sum(dl::DECIMAL(30,6))::DOUBLE / count(*)) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+               WHERE w IN ('vector','hash','stream','query')
+               GROUP BY doc_id, w),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        scores AS (SELECT doc_id,
+                          round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                   FROM contrib GROUP BY doc_id),
+        lex AS (SELECT doc_id, rnk AS lex_rnk FROM (
+                  SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                  FROM scores) WHERE rnk <= 20),
+        qct AS (SELECT sum(dl)::BIGINT AS ctot FROM dl),
+        qcf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+        qcontrib AS (
+          SELECT dl.doc_id,
+                 ln((coalesce(tf.tf, 0) + 100.0::DOUBLE
+                       * (qcf.cf::DOUBLE / qct.ctot))
+                    / (dl.dl + 100.0::DOUBLE)) AS c
+          FROM dl CROSS JOIN qct CROSS JOIN qcf
+          LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = qcf.term),
+        qscores AS (SELECT doc_id,
+                           round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                    FROM qcontrib GROUP BY doc_id),
+        qld AS (SELECT doc_id, rnk AS qld_rnk FROM (
+                  SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                  FROM qscores) WHERE rnk <= 20),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 7),
+        vd AS (SELECT e.vec_id AS doc_id,
+                      ${sqlL2Sq("(e.embedding::DOUBLE[])", "qv.qv")} AS dist
+               FROM embeddings e CROSS JOIN qv),
+        vec AS (SELECT doc_id, rnk AS vec_rnk FROM (
+                  SELECT doc_id,
+                         row_number() OVER (ORDER BY dist, doc_id) AS rnk
+                  FROM vd) WHERE rnk <= 20),
+        fused AS (SELECT doc_id,
+                         coalesce(1.0::DOUBLE / (60 + lex_rnk), 0)
+                           + coalesce(1.0::DOUBLE / (60 + qld_rnk), 0)
+                           + coalesce(1.0::DOUBLE / (60 + vec_rnk), 0) AS f,
+                         lex_rnk, qld_rnk, vec_rnk
+                  FROM lex
+                  FULL JOIN qld USING (doc_id)
+                  FULL JOIN vec USING (doc_id)),
+        r3 AS (SELECT doc_id, round(f, 6) AS rrf_score,
+                      lex_rnk, qld_rnk, vec_rnk,
+                      row_number() OVER (ORDER BY f DESC, doc_id) AS rnk
+               FROM fused)
+        SELECT * FROM r3 WHERE rnk <= 10
+      """)
+    ),
     // Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
     // scheme): every char 5-gram hashed (md5 hex prefix — identical text
     // in both engines), windows of 4 consecutive hashes, each window's

@@ -69,6 +69,27 @@ class TextSearchSpec extends SparkSpec {
     assert(got(2L) == rnd6(math.log((0.0 + 2.0 * (2.0 / 6.0)) / 5.0)))
   }
 
+  test("rrfFuse: three-list fusion matches the closed form; absent ranks are null") {
+    import graft.operators.TextSearch
+    def list(rows: (Long, Long)*) = rows.toSeq.toDF("doc_id", "rnk")
+    val fused = TextSearch.rrfFuse(Seq(
+      "a" -> list(1L -> 1L, 2L -> 2L),
+      "b" -> list(1L -> 1L, 3L -> 2L),
+      "c" -> list(2L -> 1L, 3L -> 2L)), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getLong(5)))
+      .sortBy(_._6)
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(fused(0)._2 == rnd6(1.0 / 61 + 1.0 / 61)) // in a#1 and b#1
+    assert(fused(1)._2 == rnd6(1.0 / 62 + 1.0 / 61)) // a#2, c#1
+    assert(fused(2)._2 == rnd6(1.0 / 62 + 1.0 / 62)) // b#2, c#2
+    assert(fused(0)._5.isEmpty, "doc 1 is absent from list c")
+    assert(fused(2)._3.isEmpty, "doc 3 is absent from list a")
+  }
+
   test("perplexity: a doc of repeated common bigrams scores lower NLL than a rare-transition doc") {
     val docs = Seq(
       (1L, "x y x y x y x y x y x y"),
