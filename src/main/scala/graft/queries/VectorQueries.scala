@@ -188,6 +188,42 @@ object VectorQueries {
                FROM e LEFT JOIN (SELECT id, count(*) AS deg
                                  FROM ub GROUP BY id) d ON d.id = e.id)"""
 
+  /** The 3 unrolled synchronous Louvain local-move rounds over the
+    * audit-CTE graph (lmt = edge mass, lv0 = singletons, lv3 = the
+    * phase-1 partition) — shared by knn_graph_louvain and the two-level
+    * knn_graph_louvain2 (whose contraction + weighted rounds chain onto
+    * lv3). Assumes `e`, `uu`, `ub`, `dq` are in scope.
+    */
+  private def louvainP1Ctes: String = s"""
+        lmt AS (SELECT count(*) AS m FROM uu),
+        lv0 AS MATERIALIZED (SELECT id, id AS community FROM e),
+        ${(1 to 3).map(r => s"""
+        lst$r AS (SELECT s.community, sum(d.deg)::BIGINT AS tot
+                  FROM lv${r - 1} s JOIN dq d ON d.id = s.id
+                  GROUP BY s.community),
+        lkv$r AS (SELECT ub.id, s.community AS cc, count(*)::BIGINT AS kvc
+                  FROM ub JOIN lv${r - 1} s ON s.id = ub.nb
+                  GROUP BY ub.id, s.community),
+        lcd$r AS (SELECT id, cc, max(kvc)::BIGINT AS kvc FROM (
+                    SELECT id, cc, kvc FROM lkv$r
+                    UNION ALL
+                    SELECT id, community AS cc, 0 FROM lv${r - 1})
+                  GROUP BY id, cc),
+        lsc$r AS (SELECT c.id, c.cc,
+                         2 * lmt.m * c.kvc
+                           - d.deg * (st.tot
+                                      - CASE WHEN c.cc = o.community
+                                             THEN d.deg ELSE 0 END) AS score
+                  FROM lcd$r c
+                  JOIN dq d ON d.id = c.id
+                  JOIN lst$r st ON st.community = c.cc
+                  JOIN lv${r - 1} o ON o.id = c.id
+                  CROSS JOIN lmt),
+        lv$r AS MATERIALIZED (SELECT id, cc AS community FROM (
+                  SELECT id, cc, row_number() OVER (PARTITION BY id
+                           ORDER BY score DESC, cc) AS rn
+                  FROM lsc$r) WHERE rn = 1)""").mkString(",")}"""
+
   /** Vamana robust-prune replay over `g2` (alpha = 1.2, maxDegree = 8 —
     * the knn_graph_vamana config). The per-node sequential greedy is a
     * recursive CTE in the knn_mmr mold: state = (src, kept-ids list);
@@ -2566,35 +2602,89 @@ object VectorQueries {
       Some(s"""
         WITH $graphCtes,
         $auditCtes,
-        lmt AS (SELECT count(*) AS m FROM uu),
-        lv0 AS MATERIALIZED (SELECT id, id AS community FROM e),
-        ${(1 to 3).map(r => s"""
-        lst$r AS (SELECT s.community, sum(d.deg)::BIGINT AS tot
-                  FROM lv${r - 1} s JOIN dq d ON d.id = s.id
+        $louvainP1Ctes
+        SELECT id AS vec_id, community FROM lv3
+      """)
+    ),
+    // The FULL two-level Louvain (Blondel et al. 2008, both phases):
+    // after the 3 sync local-move rounds, communities CONTRACT into
+    // super-nodes — cross-community edge multiplicities become integer
+    // weights, internal edges become self-weights (they ride in the
+    // super-node's degree k = Σw + 2s but never enter k_vC) — and 2
+    // WEIGHTED rounds run on the coarse graph with the ORIGINAL total
+    // edge mass m (contraction conserves it: Σw′ + Σs = m). Still
+    // all-integer end to end, so both levels, the contraction and the
+    // projection replay in SQL and hash-check.
+    GQuery(
+      "knn_graph_louvain2",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        graft.operators.Louvain
+          .louvainTwoLevel(
+            sharedGraph(spark, dir),
+            emb.select(col("vec_id").cast("long").as("id")),
+            rounds1 = 3, rounds2 = 2)
+          .select(col("id").as("vec_id"), col("community"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        $louvainP1Ctes,
+        lct AS MATERIALIZED (
+          SELECT u.a, u.b, pa.community AS ca, pb.community AS cb
+          FROM uu u
+          JOIN lv3 pa ON pa.id = u.a
+          JOIN lv3 pb ON pb.id = u.b),
+        wcr AS MATERIALIZED (
+          SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
+                 count(*)::BIGINT AS w
+          FROM lct WHERE ca <> cb GROUP BY 1, 2),
+        wsf AS (SELECT ca AS id, count(*)::BIGINT AS s
+                FROM lct WHERE ca = cb GROUP BY ca),
+        wno AS MATERIALIZED (SELECT DISTINCT community AS id FROM lv3),
+        wadj AS MATERIALIZED (
+          SELECT a AS id, b AS nb, w FROM wcr
+          UNION ALL SELECT b, a, w FROM wcr),
+        wdq AS MATERIALIZED (
+          SELECT n.id,
+                 (coalesce(x.wsum, 0) + 2 * coalesce(sf.s, 0))::BIGINT AS deg
+          FROM wno n
+          LEFT JOIN (SELECT id, sum(w) AS wsum FROM wadj GROUP BY id) x
+            ON x.id = n.id
+          LEFT JOIN wsf sf ON sf.id = n.id),
+        wlv0 AS MATERIALIZED (SELECT id, id AS community FROM wno),
+        ${(1 to 2).map(r => s"""
+        wst$r AS (SELECT s.community, sum(d.deg)::BIGINT AS tot
+                  FROM wlv${r - 1} s JOIN wdq d ON d.id = s.id
                   GROUP BY s.community),
-        lkv$r AS (SELECT ub.id, s.community AS cc, count(*)::BIGINT AS kvc
-                  FROM ub JOIN lv${r - 1} s ON s.id = ub.nb
-                  GROUP BY ub.id, s.community),
-        lcd$r AS (SELECT id, cc, max(kvc)::BIGINT AS kvc FROM (
-                    SELECT id, cc, kvc FROM lkv$r
+        wkv$r AS (SELECT wadj.id, s.community AS cc, sum(w)::BIGINT AS kvc
+                  FROM wadj JOIN wlv${r - 1} s ON s.id = wadj.nb
+                  GROUP BY wadj.id, s.community),
+        wcd$r AS (SELECT id, cc, max(kvc)::BIGINT AS kvc FROM (
+                    SELECT id, cc, kvc FROM wkv$r
                     UNION ALL
-                    SELECT id, community AS cc, 0 FROM lv${r - 1})
+                    SELECT id, community AS cc, 0 FROM wlv${r - 1})
                   GROUP BY id, cc),
-        lsc$r AS (SELECT c.id, c.cc,
+        wsc$r AS (SELECT c.id, c.cc,
                          2 * lmt.m * c.kvc
                            - d.deg * (st.tot
                                       - CASE WHEN c.cc = o.community
                                              THEN d.deg ELSE 0 END) AS score
-                  FROM lcd$r c
-                  JOIN dq d ON d.id = c.id
-                  JOIN lst$r st ON st.community = c.cc
-                  JOIN lv${r - 1} o ON o.id = c.id
+                  FROM wcd$r c
+                  JOIN wdq d ON d.id = c.id
+                  JOIN wst$r st ON st.community = c.cc
+                  JOIN wlv${r - 1} o ON o.id = c.id
                   CROSS JOIN lmt),
-        lv$r AS MATERIALIZED (SELECT id, cc AS community FROM (
-                  SELECT id, cc, row_number() OVER (PARTITION BY id
-                           ORDER BY score DESC, cc) AS rn
-                  FROM lsc$r) WHERE rn = 1)""").mkString(",")}
-        SELECT id AS vec_id, community FROM lv3
+        wlv$r AS MATERIALIZED (
+          SELECT id, cc AS community FROM (
+            SELECT id, cc, row_number() OVER (PARTITION BY id
+                     ORDER BY score DESC, cc) AS rn
+            FROM wsc$r) WHERE rn = 1 AND (id + $r) % 2 = 0
+          UNION ALL
+          SELECT id, community FROM wlv${r - 1}
+          WHERE (id + $r) % 2 <> 0)""").mkString(",")}
+        SELECT p.id AS vec_id, w.community
+        FROM lv3 p JOIN wlv2 w ON w.id = p.community
       """)
     ),
     // Single-linkage hierarchical clustering at FIXED thresholds —

@@ -67,6 +67,43 @@ class LouvainSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("two-level: phase 2 merges a split clique back together") {
+    // rounds1 = 1 leaves K4 split as {1}|{2,3,4} (the hand-traced sync
+    // round); contraction gives super-nodes with self-weight 3 / 0 and
+    // bridge weight 3, and the weighted phase-2 gain of merging is
+    // 2·6·3 − 3·9 = +9 > 0 — the coarse round must reunite the clique
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = Louvain
+      .louvainTwoLevel(k4.toDF("src", "dst"), (1L to 4L).toDF("id"),
+        rounds1 = 1, rounds2 = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.values.toSet.size == 1, s"clique not reunited: $got")
+  }
+
+  test("two-level: separated cliques stay separated through the coarse rounds") {
+    // two K5s + one bridge: phase 1 finds the cliques; the coarse gain
+    // of merging across the bridge is 2·21·1 − 21·21 < 0 — modularity
+    // says keep them apart, and phase 2 must agree
+    val k5a = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val k5b = for (i <- 6L to 10L; j <- (i + 1) to 10L) yield (i, j)
+    val edges = k5a ++ k5b :+ ((5L, 6L))
+    val one = Louvain
+      .louvainSync(edges.toDF("src", "dst"), (1L to 10L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Louvain
+      .louvainTwoLevel(edges.toDF("src", "dst"), (1L to 10L).toDF("id"),
+        rounds1 = 3, rounds2 = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.filterKeys(_ <= 5).values.toSet.size == 1)
+    assert(two.filterKeys(_ >= 6).values.toSet.size == 1)
+    assert(two(1L) != two(10L))
+    // and the two-level partition refines phase 1's structure exactly
+    assert(one.groupBy(_._2).values.map(_.keySet).toSet ==
+      two.groupBy(_._2).values.map(_.keySet).toSet)
+  }
+
   test("result is partition-invariant and repeatable") {
     val edges = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i + 4) % 30 + 1)))
     val a = run(edges, (1L to 30L).toSeq, rounds = 3)
