@@ -664,7 +664,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("louvain + textrank: every round join stays equi-keyed") {
-    for (name <- Seq("knn_graph_louvain", "text_textrank")) {
+    for (name <- Seq("knn_graph_louvain", "knn_graph_louvain2", "text_textrank")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
