@@ -118,6 +118,19 @@ object Louvain {
       ids: DataFrame,
       rounds1: Int = 3,
       rounds2: Int = 2
+  ): DataFrame =
+    louvainTwoLevelFrom(
+      edges, louvainSync(edges, ids, rounds1).localCheckpoint(), rounds2)
+
+  /** [[louvainTwoLevel]] over an ALREADY-COMPUTED phase-1 partition —
+    * the materialize-once split when several consumers share the
+    * phase-1 result (knn_graph_louvain serves it directly; the
+    * two-level query contracts the same table).
+    */
+  def louvainTwoLevelFrom(
+      edges: DataFrame,
+      p1: DataFrame, // (id, community) — the phase-1 partition
+      rounds2: Int
   ): DataFrame = {
     require(rounds2 >= 1, s"louvainTwoLevel needs >= 1 coarse round, got $rounds2")
     val und = edges
@@ -128,7 +141,6 @@ object Louvain {
       .distinct()
       .localCheckpoint()
     val m = und.count()
-    val p1 = louvainSync(edges, ids, rounds1).localCheckpoint()
     val ca = p1.select(col("id").as("a"), col("community").as("cA"))
     val cb = p1.select(col("id").as("b"), col("community").as("cB"))
     val tagged = und.join(ca, "a").join(cb, "b").localCheckpoint()

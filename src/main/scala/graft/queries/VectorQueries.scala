@@ -349,6 +349,26 @@ object VectorQueries {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     })
 
+  private val louvainP1Cache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** The phase-1 Louvain partition (3 sync rounds over the shared kNN
+    * graph), computed once per sf dir and shared by knn_graph_louvain
+    * (serves it directly) and knn_graph_louvain2 (contracts it).
+    */
+  private def sharedLouvainP1(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): org.apache.spark.sql.DataFrame =
+    louvainP1Cache.getOrElseUpdate(dir, {
+      val emb = t(spark, dir, "embeddings")
+      graft.operators.Louvain
+        .louvainSync(
+          sharedGraph(spark, dir),
+          emb.select(col("vec_id").cast("long").as("id")),
+          rounds = 3)
+        .localCheckpoint()
+    })
+
   // RP-tree forest shape (rpt_*): 2 trees × depth 4 over the 64-d table
   private val RPT_T = 2
   private val RPT_D = 4
@@ -2590,15 +2610,9 @@ object VectorQueries {
     // id; isolated nodes keep their singleton.
     GQuery(
       "knn_graph_louvain",
-      (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
-        graft.operators.Louvain
-          .louvainSync(
-            sharedGraph(spark, dir),
-            emb.select(col("vec_id").cast("long").as("id")),
-            rounds = 3)
-          .select(col("id").as("vec_id"), col("community"))
-      },
+      (spark, dir) =>
+        sharedLouvainP1(spark, dir)
+          .select(col("id").as("vec_id"), col("community")),
       Some(s"""
         WITH $graphCtes,
         $auditCtes,
@@ -2617,15 +2631,11 @@ object VectorQueries {
     // projection replay in SQL and hash-check.
     GQuery(
       "knn_graph_louvain2",
-      (spark, dir) => {
-        val emb = t(spark, dir, "embeddings")
+      (spark, dir) =>
         graft.operators.Louvain
-          .louvainTwoLevel(
-            sharedGraph(spark, dir),
-            emb.select(col("vec_id").cast("long").as("id")),
-            rounds1 = 3, rounds2 = 2)
-          .select(col("id").as("vec_id"), col("community"))
-      },
+          .louvainTwoLevelFrom(
+            sharedGraph(spark, dir), sharedLouvainP1(spark, dir), rounds2 = 2)
+          .select(col("id").as("vec_id"), col("community")),
       Some(s"""
         WITH $graphCtes,
         $auditCtes,
