@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Hot-path state is a flat Array[Long] of unscaled 10^-14 units — one
   * long add per cell per row, no BigDecimal allocation, no per-pair
-  * rows. Pending longs fold into BigInteger cells every FLUSH_ROWS rows,
-  * so the exact sum never overflows regardless of partition size
-  * (FLUSH_ROWS · maxUnscaledPerRow ≤ 2^63 requires only
-  * |x_i·x_j| < 2.8e3 — embedding-scale values are ~1).
+  * rows. Pending longs fold into BigInteger cells every FLUSH_ROWS rows;
+  * each add is overflow-checked, and a cell whose pending long would
+  * wrap spills to its BigInteger total immediately, so the exact sum is
+  * safe for ANY |x_i·x_j| that fits DECIMAL(18,14) — the periodic flush
+  * is an amortization, not the correctness guard.
   */
 final class CovMomentsBuffer(val cells: Int) {
   val pending = new Array[Long](cells)
@@ -87,7 +88,16 @@ case class CovMomentsAgg(
             throw new ArithmeticException(
               s"graft_cov_moments: |x_i*x_j| overflows DECIMAL(18,14)")
           }
-          buf.pending(idx) += dec.toUnscaledLong
+          val u = dec.toUnscaledLong
+          val p = buf.pending(idx)
+          val s = p + u
+          if (((p ^ s) & (u ^ s)) < 0L) {
+            // pending long would wrap: spill this cell to its exact total
+            buf.total(idx) = buf.total(idx).add(BigInteger.valueOf(p))
+            buf.pending(idx) = u
+          } else {
+            buf.pending(idx) = s
+          }
           idx += 1
           j += 1
         }

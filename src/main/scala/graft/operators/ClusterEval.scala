@@ -69,11 +69,19 @@ object ClusterEval {
       .crossJoin(mi).crossJoin(hu).crossJoin(hv)
       .select(
         col("n"),
-        ((col("sij").cast("double")
-          - col("sa").cast("double") * col("sb") / c2(col("n")))
-          / ((col("sa") + col("sb")).cast("double") / 2.0
-            - col("sa").cast("double") * col("sb") / c2(col("n"))))
-          .as("ari"),
+        {
+          // ARI = (sij - E) / ((sa+sb)/2 - E) with E = sa*sb/C(n,2).
+          // Degenerate partitions (all-singletons or one-cluster on both
+          // sides) make the denominator 0; convention (matching sklearn):
+          // 1.0 when the index equals its expectation (identical trivial
+          // partitions), else 0.0.
+          val e = col("sa").cast("double") * col("sb") / c2(col("n"))
+          val num = col("sij").cast("double") - e
+          val den = (col("sa") + col("sb")).cast("double") / 2.0 - e
+          when(den === 0.0, when(num === 0.0, lit(1.0)).otherwise(lit(0.0)))
+            .otherwise(num / den)
+            .as("ari")
+        },
         when(col("hu") > 0 && col("hv") > 0,
           col("mi") / sqrt(col("hu") * col("hv")))
           .otherwise(lit(0.0)).as("nmi"))

@@ -132,8 +132,11 @@ object Pca {
     while (r < rounds) {
       val w = matvec(c, v)
       val nrm = math.sqrt(normSq(w))
-      v = w.map(_ / nrm)
-      r += 1
+      // A zero matrix (constant vectors) or a deflated residual of rank
+      // < p maps the iterate to 0 — keep the current unit iterate rather
+      // than dividing by 0 and poisoning everything downstream with NaN.
+      if (nrm == 0.0) r = rounds
+      else { v = w.map(_ / nrm); r += 1 }
     }
     val cv = matvec(c, v)
     var lam = 0.0

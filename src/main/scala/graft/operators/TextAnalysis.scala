@@ -573,6 +573,54 @@ object TextAnalysis {
         ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
   }
 
+  /** Default frequency floor for the tokenizer-train word collects: words
+    * seen fewer times are dropped BEFORE the driver collect. 1 = no floor
+    * (keeps the published oracle trajectories byte-identical at test SFs).
+    */
+  final val DefaultMinWordCount: Long = 1L
+
+  /** Default cap on the number of distinct words collected to the driver
+    * by the tokenizer trainers (most-frequent-first). 2^22 ≈ 4.2M words ·
+    * ~40 B ≈ 170 MB — comfortably driver-sized, far above any test-SF
+    * vocabulary (no-op there), and the guard a 100-TB web corpus needs:
+    * its 10^8–10^9 distinct "words" (typos, URLs, numbers) would
+    * otherwise put tens of GB on the driver.
+    */
+  final val DefaultMaxVocabWords: Int = 1 << 22
+
+  /** The ONE corpus-sized stage shared by all tokenizer trainers
+    * ([[bpeMerges]], [[unigramTrain]], [[unigramPrune]],
+    * [[wordPieceTrain]]): a distributed word→count hash aggregation,
+    * map-side combined on vocabulary keys — followed by the BOUNDED
+    * driver collect. Production trainers (sentencepiece, HF tokenizers)
+    * apply exactly this discipline: a frequency floor plus a
+    * most-frequent-first cap before any driver-side loop, so the
+    * collected array is ≤ `maxVocabWords` entries regardless of corpus
+    * size. Ties at the cap break lexicographically (deterministic).
+    * Array order is (count desc, word) but every caller folds it into
+    * order-independent sums, so results are insensitive to it.
+    */
+  def weightedWordCounts(
+      df: DataFrame,
+      textCol: String,
+      minWordCount: Long = DefaultMinWordCount,
+      maxVocabWords: Int = DefaultMaxVocabWords
+  ): Array[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(minWordCount >= 1, s"minWordCount must be >= 1, got $minWordCount")
+    require(maxVocabWords >= 1, s"maxVocabWords must be >= 1, got $maxVocabWords")
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minWordCount)
+      .orderBy(col("c").desc, col("w")) // + limit => TakeOrdered, bounded per partition
+      .limit(maxVocabWords)
+      .as[(String, Long)]
+      .collect()
+  }
+
   /** BPE merge-rule training (Sennrich et al. 2016) over the corpus.
     *
     * The split follows how production tokenizer training actually scales:
@@ -592,17 +640,14 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minPairCount: Long = 2
+      minPairCount: Long = 2,
+      minWordCount: Long = DefaultMinWordCount,
+      maxVocabWords: Int = DefaultMaxVocabWords
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-      .as[(String, Long)]
-      .collect()
+    val wordCounts: Array[(String, Long)] =
+      weightedWordCounts(df, textCol, minWordCount, maxVocabWords)
     // vocab as mutable symbol sequences, weighted by word frequency
     var vocab: Array[(Array[String], Long)] =
       wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
@@ -1015,19 +1060,16 @@ object TextAnalysis {
       maxPieceLen: Int = 4,
       minCount: Long = 5,
       rounds: Int = 2,
-      alpha: Double = 0.5
+      alpha: Double = 0.5,
+      minWordCount: Long = DefaultMinWordCount,
+      maxVocabWords: Int = DefaultMaxVocabWords
   ): UnigramModel = {
     require(rounds >= 1, s"unigram: rounds must be >= 1, got $rounds")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-      .as[(String, Long)]
-      .collect()
+    val wordCounts: Array[(String, Long)] =
+      weightedWordCounts(df, textCol, minWordCount, maxVocabWords)
     // candidate pieces: weighted substring occurrence counts
+    // (bounded by the capped word table: ≤ maxVocabWords · maxLen ·
+    // maxPieceLen candidate instances)
     val candCounts = scala.collection.mutable.HashMap.empty[String, Long]
     wordCounts.foreach { case (w, c) =>
       val n = w.length
@@ -1082,17 +1124,12 @@ object TextAnalysis {
       textCol: String,
       model: UnigramModel,
       maxPieceLen: Int = 4,
-      pruneMinCount: Long = 30
+      pruneMinCount: Long = 30,
+      minWordCount: Long = DefaultMinWordCount,
+      maxVocabWords: Int = DefaultMaxVocabWords
   ): UnigramModel = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-      .as[(String, Long)]
-      .collect()
+    val wordCounts: Array[(String, Long)] =
+      weightedWordCounts(df, textCol, minWordCount, maxVocabWords)
     val keptIdx = model.pieces.indices.filter(i =>
       model.pieces(i).length == 1 || model.counts(i) >= pruneMinCount)
     val pruned = UnigramModel(
@@ -1247,17 +1284,14 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minPairCount: Long = 2
+      minPairCount: Long = 2,
+      minWordCount: Long = DefaultMinWordCount,
+      maxVocabWords: Int = DefaultMaxVocabWords
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-      .as[(String, Long)]
-      .collect()
+    val wordCounts: Array[(String, Long)] =
+      weightedWordCounts(df, textCol, minWordCount, maxVocabWords)
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
       (w.zipWithIndex.map { case (ch, i) =>
         if (i == 0) ch.toString else "##" + ch

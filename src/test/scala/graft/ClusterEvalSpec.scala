@@ -34,6 +34,27 @@ class ClusterEvalSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("ARI guard: degenerate partitions hit the 0/0 convention, not NaN") {
+    val ids = (0L to 5L)
+    val truth3 = ids.map(i => (i, i % 3)).toDF("id", "label")
+    // identical trivial partitions (one cluster both sides): ARI = 1
+    val one = ids.map(i => (i, 0L)).toDF("id", "cluster")
+    val oneT = ids.map(i => (i, 0L)).toDF("id", "label")
+    val r1 = ClusterEval.agreement(one, oneT).head
+    assert(r1.getDouble(1) == 1.0, s"one-vs-one ARI ${r1.getDouble(1)}")
+    // all singletons both sides: also identical-trivial → 1
+    val singles = ids.map(i => (i, i)).toDF("id", "cluster")
+    val singlesT = ids.map(i => (i, i)).toDF("id", "label")
+    val r2 = ClusterEval.agreement(singles, singlesT).head
+    assert(r2.getDouble(1) == 1.0, s"singletons ARI ${r2.getDouble(1)}")
+    // singletons vs one cluster: denominator nonzero, plain 0 — and the
+    // non-degenerate path must be untouched by the guard
+    val r3 = ClusterEval.agreement(singles, oneT).head
+    assert(r3.getDouble(1) == 0.0, s"singletons-vs-one ARI ${r3.getDouble(1)}")
+    val r4 = ClusterEval.agreement(one, truth3).head
+    assert(!r4.getDouble(1).isNaN)
+  }
+
   private def geom = {
     val pts = Seq(
       (0L, Seq(0.0, 0.0)), (1L, Seq(2.0, 0.0)),

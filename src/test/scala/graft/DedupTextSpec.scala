@@ -462,6 +462,37 @@ class DedupTextSpec extends SparkSpec {
     assert(mt == Seq(("a", "b")))
   }
 
+  test("weightedWordCounts: frequency floor + top-N cap bound the driver collect") {
+    // heavy-tail fixture: 3 head words + a long tail of singletons (the
+    // typo/URL/number tail that makes an uncapped collect driver-fatal
+    // at corpus scale)
+    val tail = (1 to 200).map(i => s"tail$i").mkString(" ")
+    val fix = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta gamma " + tail)
+    ).toDF("doc_id", "text")
+    // floor drops the singleton tail entirely
+    val floored = TextAnalysis.weightedWordCounts(fix, "text", minWordCount = 2L)
+    assert(floored.map(_._1).toSet == Set("alpha", "beta", "gamma"))
+    assert(floored.forall(_._2 >= 2L))
+    // cap keeps the most frequent words only, array bounded at the cap
+    val capped = TextAnalysis.weightedWordCounts(fix, "text", maxVocabWords = 2)
+    assert(capped.length == 2)
+    assert(capped.map(_._1).toSet == Set("alpha", "beta")) // counts 4, 3
+    // defaults are a no-op: identical multiset to the raw aggregation
+    val raw = fix.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(TextAnalysis.weightedWordCounts(fix, "text").toSet == raw)
+    // training under a non-binding floor == training without one
+    val m0 = TextAnalysis.bpeMerges(fix, "text", numMerges = 5)
+      .collect().map(_.toSeq).toSeq
+    val m1 = TextAnalysis.bpeMerges(fix, "text", numMerges = 5,
+      minWordCount = 1L, maxVocabWords = 1 << 20)
+      .collect().map(_.toSeq).toSeq
+    assert(m0 == m1)
+  }
+
   test("bpeEncode: round-trip counts and monotone compression in merges") {
     val m1 = Seq(("a", "a"))
     val enc = TextAnalysis.bpeEncode(

@@ -98,6 +98,41 @@ class PcaSpec extends SparkSpec {
       s"residual ratio $ratio outside the planted noise band")
   }
 
+  test("covMoments: large per-row products spill exactly, no long wrap") {
+    // |x_i*x_j| = 8100 → 8.1e17 unscaled 1e-14 units per row: a blind
+    // Array[Long] accumulator wraps after ~11 rows. 100 identical rows in
+    // ONE partition must still sum exactly (per-cell overflow spill).
+    val rows = (0L until 100L).map(i => (i, Seq(90.0, 90.0)))
+      .toDF("vec_id", "v").repartition(1)
+    val out = rows
+      .agg(graft.functions.CovMomentsAgg.covMoments(col("v"), 2).as("m"))
+      .head.getSeq[java.math.BigDecimal](0)
+    val expect = new java.math.BigDecimal(8100L * 100L).setScale(14)
+    assert(out.size == 3)
+    out.foreach(c => assert(c.compareTo(expect) == 0, s"got $c want $expect"))
+  }
+
+  test("degenerate inputs: zero covariance / rank-deficient residuals stay finite") {
+    // constant vectors → zero covariance matrix: components must stay
+    // finite unit one-hots (the pre-division iterate), lambdas 0
+    val const = (0L until 50L).map(i => (i, Seq.fill(8)(2.5))).toDF("vec_id", "v")
+    val m = Pca.fit(const, "v", d = 8, p = 3, rounds = 16)
+    m.components.foreach { c =>
+      assert(c.forall(x => !x.isNaN && !x.isInfinite))
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+    assert(m.lambdas.forall(l => math.abs(l) < 1e-9))
+    // rank-1 data, p=3: deflation past the rank must not go NaN either
+    val rnd = new scala.util.Random(11)
+    val rank1 = (0L until 80L).map { i =>
+      val t = rnd.nextGaussian()
+      (i, Seq.tabulate(8)(j => if (j == 2) 3.0 * t else 0.0))
+    }.toDF("vec_id", "v")
+    val m1 = Pca.fit(rank1, "v", d = 8, p = 3, rounds = 16)
+    m1.components.foreach(c => assert(c.forall(x => !x.isNaN && !x.isInfinite)))
+    assert(m1.lambdas.forall(l => !l.isNaN))
+  }
+
   test("fit is deterministic across runs and partitionings") {
     val a = Pca.fit(emb, "v", d = 64, p = 2, rounds = 6)
     val b = Pca.fit(emb.repartition(7), "v", d = 64, p = 2, rounds = 6)
