@@ -28,6 +28,30 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
+  /** Deterministic md5-coin row sample for O(N²) AUDIT slices (the exact
+    * ground-truth side of blocking-recall evals like eval_dedup_blocking):
+    * keeps rows whose salted 56-bit id coin falls below `sample`·2^56.
+    * `sample = 1.0` keeps everything — the default, so oracle rows are
+    * unchanged at test SFs; at corpus scale the all-pairs audit runs on
+    * this subset (an unbiased recall estimator over C(sample·N, 2)
+    * pairs) while the blocked paths under audit stay corpus-sized.
+    * Engine-portable (the same md5 arithmetic DuckDB computes), so a
+    * sampled audit remains oracle-checkable.
+    */
+  def auditSample(
+      df: DataFrame,
+      idCol: String,
+      sample: Double,
+      salt: String = "audit"
+  ): DataFrame = {
+    require(sample > 0.0 && sample <= 1.0,
+      s"auditSample: sample must be in (0, 1], got $sample")
+    if (sample >= 1.0) df
+    else df.filter(
+      md5Long(concat_ws(":", lit(salt), col(idCol).cast("string")))
+        < lit((sample * (1L << 56).toDouble).toLong))
+  }
+
   /** Thresholded (banded) Levenshtein: the builtin DP restricted to the
     * ±threshold diagonal band — O(len·threshold) work and an early exit,
     * returning −1 when the true distance exceeds the per-row threshold

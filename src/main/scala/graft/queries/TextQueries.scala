@@ -1429,15 +1429,19 @@ object TextQueries {
     // ground truth at the same τ — the measurement that turns "LSH recall
     // is blocking-dependent (documented trade)" into a number you can
     // regression-watch. Exact ground truth is the O(N²) oracle run on a
-    // bounded audit slice by design (here the whole sf table); the LSH
-    // paths are the corpus-scale route being audited.
+    // bounded audit slice by design: Dedup.auditSample (deterministic
+    // md5 coin) bounds that slice at corpus scale; 1.0 here = the whole
+    // sf table, keeping this row oracle-checked. The LSH paths are the
+    // corpus-scale route being audited.
     GQuery(
       "eval_dedup_blocking",
       (spark, dir) => {
         import spark.implicits._
-        val emb = t(spark, dir, "embeddings").select(
-          col("vec_id"),
-          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        val emb = Dedup.auditSample(
+          t(spark, dir, "embeddings").select(
+            col("vec_id"),
+            graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")),
+          "vec_id", sample = 1.0)
         val exactN = Dedup.embeddingPairs(emb, "vec_id", "v", tau = 0.45).count()
         val lshN = Dedup.embeddingPairsLsh(
           emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count()

@@ -224,6 +224,66 @@ object VectorQueries {
                            ORDER BY score DESC, cc) AS rn
                   FROM lsc$r) WHERE rn = 1)""").mkString(",")}"""
 
+  /** The phase-2 (contraction + 2 weighted rounds) Louvain CTE chain —
+    * chains onto [[louvainP1Ctes]] (needs lv3, uu, lmt in scope); ends
+    * at wlv2, the coarse-graph partition. Shared by knn_graph_louvain2
+    * (projects it) and knn_graph_louvain_q (measures its modularity).
+    */
+  private def louvain2Ctes: String = s"""
+        lct AS MATERIALIZED (
+          SELECT u.a, u.b, pa.community AS ca, pb.community AS cb
+          FROM uu u
+          JOIN lv3 pa ON pa.id = u.a
+          JOIN lv3 pb ON pb.id = u.b),
+        wcr AS MATERIALIZED (
+          SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
+                 count(*)::BIGINT AS w
+          FROM lct WHERE ca <> cb GROUP BY 1, 2),
+        wsf AS (SELECT ca AS id, count(*)::BIGINT AS s
+                FROM lct WHERE ca = cb GROUP BY ca),
+        wno AS MATERIALIZED (SELECT DISTINCT community AS id FROM lv3),
+        wadj AS MATERIALIZED (
+          SELECT a AS id, b AS nb, w FROM wcr
+          UNION ALL SELECT b, a, w FROM wcr),
+        wdq AS MATERIALIZED (
+          SELECT n.id,
+                 (coalesce(x.wsum, 0) + 2 * coalesce(sf.s, 0))::BIGINT AS deg
+          FROM wno n
+          LEFT JOIN (SELECT id, sum(w) AS wsum FROM wadj GROUP BY id) x
+            ON x.id = n.id
+          LEFT JOIN wsf sf ON sf.id = n.id),
+        wlv0 AS MATERIALIZED (SELECT id, id AS community FROM wno),
+        ${(1 to 2).map(r => s"""
+        wst$r AS (SELECT s.community, sum(d.deg)::BIGINT AS tot
+                  FROM wlv${r - 1} s JOIN wdq d ON d.id = s.id
+                  GROUP BY s.community),
+        wkv$r AS (SELECT wadj.id, s.community AS cc, sum(w)::BIGINT AS kvc
+                  FROM wadj JOIN wlv${r - 1} s ON s.id = wadj.nb
+                  GROUP BY wadj.id, s.community),
+        wcd$r AS (SELECT id, cc, max(kvc)::BIGINT AS kvc FROM (
+                    SELECT id, cc, kvc FROM wkv$r
+                    UNION ALL
+                    SELECT id, community AS cc, 0 FROM wlv${r - 1})
+                  GROUP BY id, cc),
+        wsc$r AS (SELECT c.id, c.cc,
+                         2 * lmt.m * c.kvc
+                           - d.deg * (st.tot
+                                      - CASE WHEN c.cc = o.community
+                                             THEN d.deg ELSE 0 END) AS score
+                  FROM wcd$r c
+                  JOIN wdq d ON d.id = c.id
+                  JOIN wst$r st ON st.community = c.cc
+                  JOIN wlv${r - 1} o ON o.id = c.id
+                  CROSS JOIN lmt),
+        wlv$r AS MATERIALIZED (
+          SELECT id, cc AS community FROM (
+            SELECT id, cc, row_number() OVER (PARTITION BY id
+                     ORDER BY score DESC, cc) AS rn
+            FROM wsc$r) WHERE rn = 1 AND (id + $r) % 2 = 0
+          UNION ALL
+          SELECT id, community FROM wlv${r - 1}
+          WHERE (id + $r) % 2 <> 0)""").mkString(",")}"""
+
   /** Vamana robust-prune replay over `g2` (alpha = 1.2, maxDegree = 8 —
     * the knn_graph_vamana config). The per-node sequential greedy is a
     * recursive CTE in the knn_mmr mold: state = (src, kept-ids list);
@@ -2640,61 +2700,69 @@ object VectorQueries {
         WITH $graphCtes,
         $auditCtes,
         $louvainP1Ctes,
-        lct AS MATERIALIZED (
-          SELECT u.a, u.b, pa.community AS ca, pb.community AS cb
-          FROM uu u
-          JOIN lv3 pa ON pa.id = u.a
-          JOIN lv3 pb ON pb.id = u.b),
-        wcr AS MATERIALIZED (
-          SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
-                 count(*)::BIGINT AS w
-          FROM lct WHERE ca <> cb GROUP BY 1, 2),
-        wsf AS (SELECT ca AS id, count(*)::BIGINT AS s
-                FROM lct WHERE ca = cb GROUP BY ca),
-        wno AS MATERIALIZED (SELECT DISTINCT community AS id FROM lv3),
-        wadj AS MATERIALIZED (
-          SELECT a AS id, b AS nb, w FROM wcr
-          UNION ALL SELECT b, a, w FROM wcr),
-        wdq AS MATERIALIZED (
-          SELECT n.id,
-                 (coalesce(x.wsum, 0) + 2 * coalesce(sf.s, 0))::BIGINT AS deg
-          FROM wno n
-          LEFT JOIN (SELECT id, sum(w) AS wsum FROM wadj GROUP BY id) x
-            ON x.id = n.id
-          LEFT JOIN wsf sf ON sf.id = n.id),
-        wlv0 AS MATERIALIZED (SELECT id, id AS community FROM wno),
-        ${(1 to 2).map(r => s"""
-        wst$r AS (SELECT s.community, sum(d.deg)::BIGINT AS tot
-                  FROM wlv${r - 1} s JOIN wdq d ON d.id = s.id
-                  GROUP BY s.community),
-        wkv$r AS (SELECT wadj.id, s.community AS cc, sum(w)::BIGINT AS kvc
-                  FROM wadj JOIN wlv${r - 1} s ON s.id = wadj.nb
-                  GROUP BY wadj.id, s.community),
-        wcd$r AS (SELECT id, cc, max(kvc)::BIGINT AS kvc FROM (
-                    SELECT id, cc, kvc FROM wkv$r
-                    UNION ALL
-                    SELECT id, community AS cc, 0 FROM wlv${r - 1})
-                  GROUP BY id, cc),
-        wsc$r AS (SELECT c.id, c.cc,
-                         2 * lmt.m * c.kvc
-                           - d.deg * (st.tot
-                                      - CASE WHEN c.cc = o.community
-                                             THEN d.deg ELSE 0 END) AS score
-                  FROM wcd$r c
-                  JOIN wdq d ON d.id = c.id
-                  JOIN wst$r st ON st.community = c.cc
-                  JOIN wlv${r - 1} o ON o.id = c.id
-                  CROSS JOIN lmt),
-        wlv$r AS MATERIALIZED (
-          SELECT id, cc AS community FROM (
-            SELECT id, cc, row_number() OVER (PARTITION BY id
-                     ORDER BY score DESC, cc) AS rn
-            FROM wsc$r) WHERE rn = 1 AND (id + $r) % 2 = 0
-          UNION ALL
-          SELECT id, community FROM wlv${r - 1}
-          WHERE (id + $r) % 2 <> 0)""").mkString(",")}
+        $louvain2Ctes
         SELECT p.id AS vec_id, w.community
         FROM lv3 p JOIN wlv2 w ON w.id = p.community
+      """)
+    ),
+    // The measured modularity of BOTH Louvain partitions — the number
+    // the local moves optimize, reported instead of assumed: per-level
+    // community count and Newman–Girvan Q = Σ_c (e_c/m − (d_c/2m)²)
+    // over the shared kNN graph, for the phase-1 partition and the full
+    // two-level one. Q's divisions take exact integers (e_c, d_c, m),
+    // the Σ routes through DECIMAL(38,20) — hash-checked end to end.
+    // LouvainSpec gates Q(two_level) ≥ Q(phase1) on fixture graphs; this
+    // row pins both trajectories' quality on the real table.
+    GQuery(
+      "knn_graph_louvain_q",
+      (spark, dir) => {
+        val g = sharedGraph(spark, dir)
+        val emb = t(spark, dir, "embeddings")
+        val ids = emb.select(col("vec_id").cast("long").as("id"))
+        val p1 = sharedLouvainP1(spark, dir)
+        val two = graft.operators.Louvain
+          .louvainTwoLevelFrom(g, p1, rounds2 = 2)
+        def level(name: String, comm: org.apache.spark.sql.DataFrame) =
+          graft.operators.GraphAudit.modularity(g, ids, comm)
+            .agg(
+              count(lit(1)).as("n_communities"),
+              sum(col("e_in")).as("e_in_total"),
+              sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 20)))
+                .cast("double").as("qq"))
+            .select(
+              lit(name).as("level"), col("n_communities"),
+              col("e_in_total"), round(col("qq"), 6).as("q"))
+        level("phase1", p1).unionByName(level("two_level", two))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        $louvainP1Ctes,
+        $louvain2Ctes,
+        mt AS (SELECT count(*) AS m FROM uu),
+        cm1 AS MATERIALIZED (SELECT id, community FROM lv3),
+        cm2 AS MATERIALIZED (
+          SELECT p.id, w.community
+          FROM lv3 p JOIN wlv2 w ON w.id = p.community),
+        ${Seq("1" -> "phase1", "2" -> "two_level").map { case (k, name) => s"""
+        ds$k AS (SELECT cm$k.community, sum(dq.deg)::BIGINT AS deg_sum
+               FROM dq JOIN cm$k ON cm$k.id = dq.id GROUP BY cm$k.community),
+        ei$k AS (SELECT ca.community, count(*)::BIGINT AS e_in
+               FROM uu JOIN cm$k ca ON ca.id = uu.a
+                       JOIN cm$k cb ON cb.id = uu.b
+                                 AND cb.community = ca.community
+               GROUP BY ca.community),
+        qs$k AS (SELECT '$name' AS level,
+                      count(*) AS n_communities,
+                      sum(coalesce(ei$k.e_in, 0))::BIGINT AS e_in_total,
+                      round(sum((coalesce(ei$k.e_in, 0)::DOUBLE / mt.m::DOUBLE
+                        - (ds$k.deg_sum::DOUBLE / (2 * mt.m)::DOUBLE)
+                          * (ds$k.deg_sum::DOUBLE / (2 * mt.m)::DOUBLE)
+                        )::DECIMAL(38,20)), 6)::DOUBLE AS q
+               FROM ds$k CROSS JOIN mt
+               LEFT JOIN ei$k ON ei$k.community = ds$k.community)"""
+        }.mkString(",")}
+        SELECT * FROM qs1 UNION ALL SELECT * FROM qs2
       """)
     ),
     // Single-linkage hierarchical clustering at FIXED thresholds —

@@ -104,6 +104,38 @@ class LouvainSpec extends SparkSpec {
       two.groupBy(_._2).values.map(_.keySet).toSet)
   }
 
+  test("measured modularity: Q(two-level) >= Q(phase-1) on fixture graphs") {
+    def totalQ(edges: Seq[(Long, Long)], ids: Seq[Long],
+        comm: Map[Long, Long]): Double =
+      graft.operators.GraphAudit
+        .modularity(
+          edges.toDF("src", "dst"), ids.toDF("id"),
+          comm.toSeq.toDF("id", "community"))
+        .agg(sum(col("q"))).head.getDouble(0)
+    val k5a = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val k5b = for (i <- 6L to 10L; j <- (i + 1) to 10L) yield (i, j)
+    val fixtures: Seq[(Seq[(Long, Long)], Seq[Long], Int)] = Seq(
+      // split-K4: phase 2 reunites the clique, so Q strictly improves
+      ((for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)), 1L to 4L, 1),
+      // two bridged K5s: phase 2 keeps the partition, Q equal
+      (k5a ++ k5b :+ ((5L, 6L)), 1L to 10L, 3),
+      // ring + chords: a messier graph, ordering must still hold
+      ((1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i + 4) % 30 + 1))),
+        1L to 30L, 2))
+    fixtures.foreach { case (edges, idr, r1) =>
+      val ids = idr.toSeq
+      val e = edges.toDF("src", "dst")
+      val p1 = Louvain.louvainSync(e, ids.toDF("id"), rounds = r1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val two = Louvain.louvainTwoLevel(e, ids.toDF("id"), rounds1 = r1, rounds2 = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val q1 = totalQ(edges, ids, p1)
+      val q2 = totalQ(edges, ids, two)
+      assert(q2 >= q1 - 1e-12,
+        s"two-level worsened modularity: Q1=$q1 Q2=$q2 (rounds1=$r1)")
+    }
+  }
+
   test("result is partition-invariant and repeatable") {
     val edges = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i + 4) % 30 + 1)))
     val a = run(edges, (1L to 30L).toSeq, rounds = 3)
