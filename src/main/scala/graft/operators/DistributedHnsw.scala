@@ -34,6 +34,13 @@ object DistributedHnsw {
       edges: DataFrame,   // shard int, layer int, src long, dst long
       entries: DataFrame, // shard int, ep long, height int
       codes: Option[DataFrame] = None, // shard int, id long, code array<short>
+      /** Per-node drawn level (shard int, id long, level int) — build
+        * metadata emitted by [[buildAssigned]]; None for parquet-loaded
+        * artifacts (not persisted). Under
+        * [[HnswParams.deterministicLevels]] this table is exactly the md5
+        * coin formula over global ids, i.e. SQL-replayable.
+        */
+      levels: Option[DataFrame] = None,
       private[DistributedHnsw] val caches: Seq[DataFrame] = Nil
   ) {
     /** Release the build-time caches (the shard-partitioned vectors and the
@@ -127,13 +134,25 @@ object DistributedHnsw {
           val sorted = rows.sortInPlace()(Ordering.by(_._1))
           val ids = sorted.map(_._1).toArray
           val index = new HnswIndex(params, seed + shard, compression)
-          sorted.foreach { case (_, v) => index.insert(v.toArray) }
+          sorted.foreach { case (gid, v) =>
+            // det mode: level coin keyed on the GLOBAL id + base seed, so
+            // the level assignment is shard-layout-independent and replays
+            // as one md5 expression in SQL (the kmeans_*_det discipline)
+            val coin =
+              if (params.deterministicLevels)
+                KMeans.md5Coin(s"$gid:hnswlvl:$seed")
+              else Double.NaN
+            index.insert(v.toArray, coin)
+          }
           val edges = index.graph.edgeIterator.map { case (l, src, dst) =>
             (shard, l, ids(src), ids(dst), -1L, -1)
           }
           val entry =
             Iterator((shard, -1, -1L, -1L, ids(index.entryPoint), index.height))
-          edges ++ entry
+          val lvls = ids.indices.iterator.map { i =>
+            (shard, -2, ids(i), index.levelOf(i).toLong, -1L, -1)
+          }
+          edges ++ entry ++ lvls
         }
       }
       .toDF("shard", "layer", "src", "dst", "ep", "height")
@@ -143,8 +162,12 @@ object DistributedHnsw {
       .filter(col("layer") >= 0)
       .select(col("shard"), col("layer"), col("src"), col("dst"))
     val entries = built
-      .filter(col("layer") < 0)
+      .filter(col("layer") === -1)
       .select(col("shard"), col("ep"), col("height"))
+    val levels = built
+      .filter(col("layer") === -2)
+      .select(col("shard"), col("src").as("id"),
+        col("dst").cast("int").as("level"))
     // compressed builds persist the CODES as a first-class index table —
     // the reference's own layout (py/hnsw.py:345-348 stores the encoded
     // vector in the index). Encoding happens here, exactly once per
@@ -155,6 +178,7 @@ object DistributedHnsw {
       df
     }
     Shards(numShards, params, data, edges, entries, codes,
+      levels = Some(levels),
       caches = Seq(data, built) ++ codes.toSeq)
   }
 
@@ -529,6 +553,11 @@ object DistributedHnsw {
       edges = keep(shards.edges).unionByName(rebuilt.edges),
       entries = keep(shards.entries).unionByName(rebuilt.entries),
       codes = (shards.codes, rebuilt.codes) match {
+        case (Some(o), Some(n)) => Some(keep(o).unionByName(n))
+        case (None, n)          => n
+        case (o, None)          => o.map(keep)
+      },
+      levels = (shards.levels, rebuilt.levels) match {
         case (Some(o), Some(n)) => Some(keep(o).unionByName(n))
         case (None, n)          => n
         case (o, None)          => o.map(keep)

@@ -27,7 +27,16 @@ final case class HnswParams(
     efSearch: Int = 200,
     keepPrunedConnections: Boolean = true,
     referenceLevelFormula: Boolean = false,
-    referenceMMax0: Boolean = false
+    referenceMMax0: Boolean = false,
+    /** Draw insert levels from the engine's md5 coin over the GLOBAL id
+      * (supplied by the caller via `insert(v, levelCoin)`) instead of the
+      * JVM `Random(seed)` stream. Makes the level assignment
+      * engine-portable and SQL-replayable (the kmeans_*_det discipline);
+      * the sequential heap walk that picks edges stays seeded-stochastic
+      * either way. Default false = reference behavior (py/hnsw.py:353's
+      * global-RNG draw, made reproducible by the explicit seed).
+      */
+    deterministicLevels: Boolean = false
 ) {
   def mMaxEff: Int = if (mMax > 0) mMax else m
   def mMax0: Int = 2 * mMaxEff
@@ -149,6 +158,11 @@ final class HnswIndex(
   private val rng = new Random(seed)
   private val raw = mutable.ArrayBuffer[Array[Double]]()
   private val codes = mutable.ArrayBuffer[Array[Short]]()
+  /** Per-node drawn level, in insertion order — the build metadata that
+    * [[DistributedHnsw]] surfaces as the index's levels table (and, under
+    * `deterministicLevels`, the hash-checkable half of the build).
+    */
+  private val nodeLevels = mutable.ArrayBuffer[Int]()
   /** Layered adjacency state (ref: py/hnsw.py:9-117). */
   val graph = new LayeredGraph
   var entryPoint: Int = 0
@@ -157,6 +171,7 @@ final class HnswIndex(
   def height: Int = graph.height
 
   // E7 graph introspection delegates (ref: py/hnsw.py:15-106)
+  def levelOf(i: Int): Int = nodeLevels(i)
   def layerNodeCount(l: Int): Int = graph.layerNodeCount(l)
   def layerAdjCount(l: Int, node: Int): Int = graph.layerAdjCount(l, node)
   def isLayerEmpty(l: Int): Boolean = graph.isLayerEmpty(l)
@@ -220,15 +235,21 @@ final class HnswIndex(
   }
 
   /** Insert one vector (ref: py/hnsw.py:337-392). Returns the assigned
-    * dense id (= insertion position, py/hnsw.py:344).
+    * dense id (= insertion position, py/hnsw.py:344). `levelCoin`, when
+    * non-NaN, replaces the RNG draw for this insert's level — the
+    * [[HnswParams.deterministicLevels]] path, where the caller supplies
+    * the md5-uniform over the node's global id.
     */
-  def insert(v: Array[Double]): Int = {
+  def insert(v: Array[Double], levelCoin: Double = Double.NaN): Int = {
     val idx = size
     compression match {
       case Some(c) => codes += c.encode(v)
       case None    => raw += v
     }
-    val l = levelFor(rng.nextDouble())
+    val u =
+      if (java.lang.Double.isNaN(levelCoin)) rng.nextDouble() else levelCoin
+    val l = levelFor(u)
+    nodeLevels += l
     val prevTop = graph.height - 1 // height before this insert
     graph.ensureLayers(l)
     graph.addNode(0, idx)

@@ -338,7 +338,7 @@ object IvfIndex {
           bcId,
           _ => {
             val index = new HnswIndex(p, seed)
-            bc.value.foreach(index.insert)
+            bc.value.foreach(v => index.insert(v))
             index
           }
         )

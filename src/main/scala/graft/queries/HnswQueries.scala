@@ -100,6 +100,27 @@ object HnswQueries {
   private val DefaultShards = 4
   private val HighShards = 16
 
+  /** Deterministic-level build (md5-coin level draws, paper formula): the
+    * hash-checkable half of the HNSW build. Memoized alongside the other
+    * builds; released by [[clearBuildCache]].
+    */
+  private def sharedDetBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DistributedHnsw.Shards =
+    buildCache.getOrElseUpdate(
+      s"$dir#det", {
+        val (emb, _) = embAndQueries(spark, dir)
+        val s = DistributedHnsw.build(
+          emb, "vec_id", "vec",
+          HnswParams(m = 16, efConstruction = 100, deterministicLevels = true),
+          DefaultShards, seed = 42
+        )
+        s.edges.cache().count()
+        s
+      }
+    )
+
   private def sharedBuild(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -357,6 +378,33 @@ object HnswQueries {
         }.toDF("ef", "recall")
       },
       None
+    ),
+    // The hash-checkable half of the HNSW build: under deterministicLevels
+    // the per-node level is the engine's md5 coin over the global id fed
+    // through the paper formula floor(-ln(u)·mL), so the (shard, level)
+    // census of the BUILT index — read from the index's own levels table,
+    // not recomputed — replays exactly in SQL. The edge set still depends
+    // on the sequential heap walk (rows-only by design); levels are the
+    // structural invariant that moves to hash-checked. HnswSpec gates that
+    // det-build recall matches the JVM-RNG build's gate.
+    GQuery(
+      "hnsw_level_stats",
+      (spark, dir) => {
+        val shards = sharedDetBuild(spark, dir)
+        shards.levels.get
+          .groupBy(
+            col("shard").cast("long").as("shard"),
+            col("level").cast("long").as("level"))
+          .agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""
+        SELECT vec_id % 4 AS shard,
+               CAST(floor(-ln((('0x' || substr(md5(vec_id::VARCHAR || ':hnswlvl:42'), 1, 14))::BIGINT % 1000000 + 1) / 1000001.0)
+                          * (1.0 / ln(16.0))) AS BIGINT) AS level,
+               count(*) AS n_nodes
+        FROM embeddings
+        GROUP BY 1, 2
+      """)
     ),
     // E7: graph introspection over the edge table — per-layer node and
     // edge counts (trivial aggregates over the build artifact).

@@ -48,7 +48,7 @@ class HnswSpec extends SparkSpec {
     val index = new HnswIndex(HnswParams(m = 4, efConstruction = 10), seed = 42)
     Seq(
       Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0)
-    ).foreach(index.insert)
+    ).foreach(v => index.insert(v))
     val r = index.search(Array(0.1, 0.1), topK = 4)
     assert(r.head._2 == 0)
     assert(math.abs(r.head._1 - 0.02) < 1e-12)
@@ -68,7 +68,7 @@ class HnswSpec extends SparkSpec {
     val data = Array.fill(200)(Array.fill(16)(rng.nextDouble()))
     val index =
       new HnswIndex(HnswParams(m = 16, efConstruction = 100), seed = 42)
-    data.foreach(index.insert)
+    data.foreach(v => index.insert(v))
     var hits = 0
     val queries = data.take(50)
     queries.foreach { q =>
@@ -103,7 +103,7 @@ class HnswSpec extends SparkSpec {
     val index = new HnswIndex(
       HnswParams(m = 8, efConstruction = 50), seed = 42, Some(comp)
     )
-    data.foreach(index.insert)
+    data.foreach(v => index.insert(v))
     val r = index.search(data(0), topK = 10)
     assert(r.length == 10)
     assert(r.map(_._1) == r.map(_._1).sorted)
@@ -132,6 +132,44 @@ class HnswSpec extends SparkSpec {
       .intersect(exact.select(col("query_id"), col("neighbor_id")))
       .count()
     val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("deterministicLevels: levels table == md5 formula; recall gate holds") {
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val params =
+      HnswParams(m = 16, efConstruction = 100, deterministicLevels = true)
+    val shards = DistributedHnsw.build(
+      emb, "vec_id", "vec", params, numShards = 4, seed = 42)
+    // the built index's recorded levels are exactly the md5 coin formula
+    // over the GLOBAL id — shard-layout-independent and SQL-replayable
+    val got = shards.levels.get
+      .select(col("id"), col("level"))
+      .as[(Long, Int)].collect().toMap
+    val ids = emb.select(col("vec_id").cast("long")).as[Long].collect()
+    assert(got.size == ids.length)
+    val mL = 1.0 / math.log(16.0)
+    ids.foreach { id =>
+      val u = KMeans.md5Coin(s"$id:hnswlvl:42")
+      val want = math.max(0, math.floor(-math.log(u) * mL).toInt)
+      assert(got(id) == want, s"id $id: level ${got(id)} != $want")
+    }
+    assert(got.values.max >= 1, "degenerate level draw: all nodes at 0")
+    // same recall gate as the JVM-RNG build: det levels change nothing
+    // about search quality
+    val queries = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val approx =
+      DistributedHnsw.search(shards, queries, "query_id", "qv", k = 10)
+    val base = emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv"))
+    val exact = BruteForceKNN.knn(queries, base, 10)
+    val hits = approx
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id")))
+      .count()
+    val recall = hits.toDouble / (queries.count() * 10)
     assert(recall >= 0.95, s"recall $recall")
   }
 
@@ -415,7 +453,7 @@ class HnswSpec extends SparkSpec {
     val data = Array.fill(60)(Array.fill(8)(rng.nextDouble()))
     for (m <- Seq(2, 4, 16); efc <- Seq(5, 50, 200)) {
       val idx = new HnswIndex(HnswParams(m = m, efConstruction = efc), seed = 21)
-      data.foreach(idx.insert)
+      data.foreach(v => idx.insert(v))
       val r = idx.search(data(0), topK = 5)
       assert(r.length == 5, s"m=$m efc=$efc")
       assert(r.map(_._1) == r.map(_._1).sorted)
@@ -427,7 +465,7 @@ class HnswSpec extends SparkSpec {
     val data = Array.fill(80)(Array.fill(4)(rng.nextDouble()))
     val refIdx = new HnswIndex(
       HnswParams(m = 8, efConstruction = 50, referenceLevelFormula = true), seed = 33)
-    data.foreach(refIdx.insert)
+    data.foreach(v => refIdx.insert(v))
     val r = refIdx.search(data(3), topK = 5)
     assert(r.length == 5 && r.head._2 == 3)
   }
@@ -472,7 +510,7 @@ class HnswSpec extends SparkSpec {
     def buildWith(flag: Boolean): HnswIndex = {
       val idx = new HnswIndex(
         HnswParams(m = 4, efConstruction = 30, referenceMMax0 = flag), seed = 55)
-      data.foreach(idx.insert)
+      data.foreach(v => idx.insert(v))
       idx
     }
     val paper = buildWith(false)
