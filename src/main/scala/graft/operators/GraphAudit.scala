@@ -58,6 +58,137 @@ object GraphAudit {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
 
+  /** Exact multi-source BFS over the undirected view: one row per
+    * (source, reached node) with the minimal hop ≤ `rounds` — the
+    * distance-distribution audit of the graph tier (hop histogram =
+    * effective-radius census; Palmer et al. 2002 measure the same curve
+    * approximately, here it is exact over a declared source slice, the
+    * audit-sampling discipline of eval_dedup_blocking). FRONTIER-based:
+    * round t joins only the nodes first reached at t−1 against the
+    * adjacency, then anti-joins the visited set, so per-round work is
+    * |frontier|·avg-degree, never |visited|·degree; localCheckpoint
+    * truncates lineage per round (the [[PageRank]] pattern). Integer
+    * state end to end — replays exactly as unrolled SQL.
+    *
+    * @param sources one column: the BFS source ids
+    * @return (s, id, hop) — hop 0 is the source itself
+    */
+  def multiSourceBfs(
+      edges: DataFrame,
+      sources: DataFrame,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, s"multiSourceBfs needs >= 1 round, got $rounds")
+    val adj = undBoth(edges).localCheckpoint()
+    var visited = sources
+      .select(col(sources.columns.head).cast("long").as("s"))
+      .withColumn("id", col("s"))
+      .withColumn("hop", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select(col("s"), col("id"))
+    for (t <- 1 to rounds) {
+      frontier = frontier
+        .join(adj, Seq("id"))
+        .select(col("s"), col("nb").as("id"))
+        .distinct()
+        .join(visited, Seq("s", "id"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(frontier.withColumn("hop", lit(t)))
+        .localCheckpoint()
+    }
+    visited
+  }
+
+  /** Pivot-source betweenness centrality (Brandes 2001, with the pivot
+    * sampling of Brandes–Pich 2007 / Bader et al. 2007): exact Brandes
+    * forward/backward passes from each source in `sources`, horizon
+    * `rounds`, so bw(v) = Σ_s δ_s(v) over the pivot slice — the standard
+    * corpus-scale estimator (full Brandes is O(nm); pivots make it
+    * O(\|S\|·m) with every pass a keyed join).
+    *
+    * Forward: BFS levels carrying the shortest-path COUNT σ (integer —
+    * σ(w) = Σ σ(v) over hop-(t−1) predecessors). Backward: the
+    * dependency recurrence δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) accumulated
+    * level by level; each term is a double divided/multiplied
+    * identically on every engine and cast to DECIMAL(38,20) inside the
+    * sum (the [[PageRank]] decimal-routing discipline), so the whole
+    * trajectory is partition-order-exact and replays as unrolled SQL.
+    *
+    * @return (id, bw) for every node in `ids` (0.0 when never interior);
+    *         bw excludes δ_s(s) per Brandes.
+    */
+  def betweennessBrandes(
+      edges: DataFrame,
+      sources: DataFrame,
+      ids: DataFrame,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, s"betweennessBrandes needs >= 1 round, got $rounds")
+    val dec = DecimalType(38, 20)
+    val adj = undBoth(edges).localCheckpoint()
+    val l0 = sources
+      .select(col(sources.columns.head).cast("long").as("s"))
+      .withColumn("id", col("s"))
+      .withColumn("sig", lit(1L))
+      .localCheckpoint()
+    // forward: levels(t) = (s, id, sig), visited = union of levels
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var visited = l0.select(col("s"), col("id"))
+    for (t <- 1 to rounds) {
+      val lt = levels(t - 1)
+        .join(adj, Seq("id"))
+        .select(col("s"), col("nb").as("id"), col("sig"))
+        .join(visited, Seq("s", "id"), "left_anti")
+        .groupBy(col("s"), col("id"))
+        .agg(sum(col("sig")).as("sig"))
+        .localCheckpoint()
+      levels += lt
+      visited = visited
+        .unionByName(lt.select(col("s"), col("id")))
+        .localCheckpoint()
+    }
+    // predecessor DAG edges between consecutive levels:
+    // (s, v@t−1, σv, w@t, σw)
+    def predEdges(t: Int): DataFrame =
+      levels(t - 1)
+        .select(col("s"), col("id").as("v"), col("sig").as("sv"))
+        .join(adj.select(col("id").as("v"), col("nb").as("w")), Seq("v"))
+        .join(
+          levels(t).select(
+            col("s"), col("id").as("w"), col("sig").as("sw")),
+          Seq("s", "w"))
+    // backward: δ at the deepest level is 0; each level's δ is the
+    // decimal-exact sum of (σv/σw)(1+δw) over its successors
+    var delta = levels(rounds)
+      .select(col("s"), col("id"), lit(0.0).as("dl"))
+    val acc = scala.collection.mutable.ArrayBuffer(delta)
+    for (t <- rounds to 1 by -1) {
+      val contrib = predEdges(t)
+        .join(
+          delta.select(col("s"), col("id").as("w"), col("dl")),
+          Seq("s", "w"))
+        .groupBy(col("s"), col("v").as("id"))
+        .agg(
+          sum(((col("sv").cast("double") / col("sw")) * (lit(1.0) + col("dl")))
+            .cast(dec)).cast("double").as("acc"))
+      delta = levels(t - 1)
+        .select(col("s"), col("id"))
+        .join(contrib, Seq("s", "id"), "left")
+        .select(col("s"), col("id"), coalesce(col("acc"), lit(0.0)).as("dl"))
+        .localCheckpoint()
+      acc += delta
+    }
+    val all = acc.map(_.filter(col("id") =!= col("s"))).reduce(_.unionByName(_))
+    ids
+      .select(col(ids.columns.head).cast("long").as("id"))
+      .join(
+        all.groupBy(col("id"))
+          .agg(sum(col("dl").cast(dec)).cast("double").as("bw")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("bw"), lit(0.0)).as("bw"))
+  }
+
   /** Per-node triangle count and local clustering coefficient over the
     * undirected view of `edges`.
     *

@@ -789,6 +789,53 @@ object TextAnalysis {
       )
   }
 
+  /** Term-blocklist filter stage (the "bad words" / UT1-blocklist pass
+    * of C4 §2.2 and FineWeb): per doc, occurrences of blocklisted terms
+    * and the keep decision at `maxHitFrac`. Dictionary-JOIN shape, not
+    * a per-doc dictionary scan: docs explode to per-(doc, token) counts
+    * and hits arrive by an equi-join against the term table — at corpus
+    * scale the blocklist is ~10⁴ rows, so Spark broadcasts it and the
+    * stage is one scan + one per-doc aggregate; a 10⁶-term dictionary
+    * would shuffle on token and still never scan terms per doc.
+    * Case-insensitive on both sides.
+    *
+    * @param terms one column: the blocklisted terms
+    * @return (doc_id, n_tokens, n_hits, n_terms, hit_frac, keep)
+    */
+  def blocklistStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: DataFrame,
+      maxHitFrac: Double
+  ): DataFrame = {
+    val tok = df
+      .select(
+        col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("tok", lower(col("tok")))
+    val tot = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val dict = broadcast(
+      terms.select(lower(col(terms.columns.head)).as("tok")).distinct())
+    val hits = tok
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .join(dict, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_hits"), count(lit(1)).as("n_terms"))
+    tot
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        round(
+          coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_tokens"),
+          6).as("hit_frac"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_tokens")
+          <= maxHitFrac).as("keep"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021, §A1.1.2) — the
     * document-level heuristic stack MassiveText shipped and later
     * corpora (RefinedWeb, Dolma) kept: word-count bounds, mean word

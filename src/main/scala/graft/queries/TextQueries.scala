@@ -452,6 +452,50 @@ object TextQueries {
         FROM pt GROUP BY lang
       """)
     ),
+    // Term-blocklist filter (the C4 §2.2 "bad words" / UT1-blocklist
+    // pass): per doc, blocklisted-term occurrences + the keep decision.
+    // The blocklist fixture is derived deterministically from the corpus
+    // vocabulary (every term whose md5 coin % 23 == 0, ~4% of types —
+    // the pagedDocs fixture-derivation precedent), mirrored term for
+    // term in the oracle; the operator takes ANY external term table.
+    // Dictionary-JOIN shape: per-(doc, token) counts equi-join the
+    // broadcast term table — one scan + one per-doc aggregate, terms
+    // never scanned per doc.
+    GQuery(
+      "text_blocklist",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val blk = docs
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .select(lower(col("tok")).as("term")).distinct()
+          .filter(Dedup.md5Long(concat(col("term"), lit(":blk"))) % 23 === 0)
+        TextAnalysis
+          .blocklistStats(docs, "doc_id", "text", blk, maxHitFrac = 0.05)
+      },
+      Some("""
+        WITH tk AS MATERIALIZED (
+          SELECT doc_id, lower(w) AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                     AS w
+            FROM documents)),
+        blk AS MATERIALIZED (
+          SELECT DISTINCT tok FROM tk
+          WHERE ('0x' || substr(md5(tok || ':blk'), 1, 14))::BIGINT % 23 = 0),
+        tot AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1),
+        h AS (SELECT t.doc_id, count(*) AS n_hits,
+                     count(DISTINCT t.tok) AS n_terms
+              FROM tk t JOIN blk b ON b.tok = t.tok GROUP BY 1)
+        SELECT tot.doc_id, tot.n_tokens,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_terms, 0) AS n_terms,
+               round(coalesce(h.n_hits, 0)::DOUBLE / tot.n_tokens, 6)
+                 AS hit_frac,
+               coalesce(h.n_hits, 0)::DOUBLE / tot.n_tokens <= 0.05 AS keep
+        FROM tot LEFT JOIN h ON h.doc_id = tot.doc_id
+      """)
+    ),
     // Gopher quality rules (Rae et al. 2021 §A1.1.2): the MassiveText
     // document-level heuristic stack — word-count bounds, mean-word-length
     // band, symbol ratios, bullet/ellipsis line fractions, alphabetic-word

@@ -409,6 +409,83 @@ object VectorQueries {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     })
 
+  private val walkCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** The DeepWalk walk table over the shared kNN graph (every 5th node
+    * starts one 5-step walk, salt "v1"), computed once per sf dir and
+    * shared by knn_graph_walks (serves it) and pipeline_skipgram (pairs
+    * it). All coins are md5 over (walk, step) — fully hash-checkable.
+    */
+  private def sharedWalks(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): org.apache.spark.sql.DataFrame =
+    walkCache.getOrElseUpdate(dir, {
+      val starts = t(spark, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      graft.operators.RandomWalk
+        .uniformWalks(sharedGraph(spark, dir), starts, steps = 5, salt = "v1")
+        .localCheckpoint()
+    })
+
+  /** Unrolled SQL replay of the shared DeepWalk table: undirected ranked
+    * adjacency over g2, then one CTE per step picking neighbor rank
+    * coin("wk:v1:walk:t") % deg + 1 — integer arithmetic end to end, the
+    * same md5 coin the Spark operator draws. Leaves wund/wadj/w0..w5/wt
+    * in scope (w1..w5 are lazy: oracles that only need wund/w0 don't pay
+    * for the walk replay).
+    */
+  private def walkCtes: String = s"""
+        wund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM g2 UNION ALL SELECT dst, src FROM g2)),
+        wadj AS MATERIALIZED (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+                 count(*) OVER (PARTITION BY src) AS deg FROM wund),
+        w0 AS (SELECT vec_id AS walk_id, vec_id AS cur FROM embeddings
+               WHERE vec_id % 5 = 0),
+        ${(1 to 5).map(t => s"""
+        w$t AS (SELECT f.walk_id, a.dst AS cur
+               FROM w${t - 1} f JOIN wadj a ON a.src = f.cur
+                AND a.rn = ('0x' || substr(md5('wk:v1:' || f.walk_id::VARCHAR || ':$t'), 1, 14))::BIGINT % a.deg + 1)""").mkString(",")},
+        wt AS (${(0 to 5).map(t =>
+          s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS id FROM w$t")
+          .mkString(" UNION ALL ")})"""
+
+  private val bfsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** The multi-source BFS hop table (every 100th node a source, 4
+    * rounds) over the shared kNN graph, computed once per sf dir and
+    * shared by knn_graph_distances (hop histogram) and
+    * knn_graph_closeness (harmonic sums).
+    */
+  private def sharedBfs(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): org.apache.spark.sql.DataFrame =
+    bfsCache.getOrElseUpdate(dir, {
+      val sources = t(spark, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 0).select(col("vec_id"))
+      graft.operators.GraphAudit
+        .multiSourceBfs(sharedGraph(spark, dir), sources, rounds = 4)
+        .localCheckpoint()
+    })
+
+  /** Unrolled SQL replay of [[sharedBfs]]: frontier-BFS rounds over
+    * `wund` (needs [[walkCtes]] in scope); leaves b4 = the cumulative
+    * (s, id, hop) visited table.
+    */
+  private def bfsCtes: String = s"""
+        b0 AS MATERIALIZED (SELECT vec_id AS s, vec_id AS id, 0 AS hop
+              FROM embeddings WHERE vec_id % 100 = 0),
+        f0 AS MATERIALIZED (SELECT s, id FROM b0),
+        ${(1 to 4).map(t => s"""
+        f$t AS MATERIALIZED (SELECT DISTINCT f.s, u.dst AS id
+              FROM f${t - 1} f JOIN wund u ON u.src = f.id
+              WHERE NOT EXISTS (SELECT 1 FROM b${t - 1} b
+                                WHERE b.s = f.s AND b.id = u.dst)),
+        b$t AS MATERIALIZED (SELECT * FROM b${t - 1}
+              UNION ALL SELECT s, id, $t AS hop FROM f$t)""").mkString(",")}"""
+
   private val louvainP1Cache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
@@ -2943,6 +3020,249 @@ object VectorQueries {
                         * sqrt(syy / m - (sy / m) * (sy / m))), 6)
                  AS assortativity
         FROM mo
+      """)
+    ),
+    // Exact multi-source BFS distance distribution over the kNN graph
+    // (every 100th node is a source — the declared audit slice): per
+    // source, how many nodes sit at hop 0..4 — the effective-radius
+    // census that tells a graph-serving stack how many hops a greedy
+    // walk needs. Frontier-based (round t expands only nodes first
+    // reached at t-1, anti-joined against visited), integer state end to
+    // end, unrolled-SQL hash-checked.
+    GQuery(
+      "knn_graph_distances",
+      (spark, dir) =>
+        sharedBfs(spark, dir)
+          .groupBy(
+            col("s").as("src_id"), col("hop").cast("long").as("hop"))
+          .agg(count(lit(1)).as("n_nodes")),
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        $bfsCtes
+        SELECT s AS src_id, CAST(hop AS BIGINT) AS hop,
+               count(*) AS n_nodes
+        FROM b4 GROUP BY 1, 2
+      """)
+    ),
+    // Harmonic centrality (Boldi-Vigna 2014's recommended closeness
+    // variant — defined even on disconnected graphs) of the BFS source
+    // slice: Σ 1/hop over nodes reached within the horizon, off the
+    // SHARED hop table (one extra aggregate, no second BFS). The 1/hop
+    // terms are decimal-routed so the sum is partition-order-exact.
+    GQuery(
+      "knn_graph_closeness",
+      (spark, dir) =>
+        sharedBfs(spark, dir)
+          .filter(col("hop") > 0)
+          .groupBy(col("s").as("src_id"))
+          .agg(
+            count(lit(1)).as("n_reached"),
+            round(
+              sum((lit(1.0) / col("hop"))
+                .cast(org.apache.spark.sql.types.DataTypes
+                  .createDecimalType(38, 20)))
+                .cast("double"),
+              6).as("harmonic")),
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        $bfsCtes
+        SELECT s AS src_id, count(*) AS n_reached,
+               round(sum((1.0 / hop)::DECIMAL(38, 20))::DOUBLE, 6)
+                 AS harmonic
+        FROM b4 WHERE hop > 0 GROUP BY 1
+      """)
+    ),
+    // Pivot-source betweenness (Brandes 2001 exact passes from the same
+    // %100 source slice — the Brandes-Pich 2007 estimator): forward BFS
+    // carries integer shortest-path counts σ, the backward dependency
+    // recurrence δ(v) = Σ (σv/σw)(1+δw) is decimal-routed per term, so
+    // the whole forward+backward trajectory hash-checks against an
+    // unrolled SQL replay. Every pass is a keyed join — O(|S|·m) total,
+    // the corpus-scale shape (full Brandes' O(nm) never materializes).
+    GQuery(
+      "knn_graph_betweenness",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val sources = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"))
+        graft.operators.GraphAudit
+          .betweennessBrandes(
+            sharedGraph(spark, dir), sources,
+            emb.select(col("vec_id").as("id")), rounds = 4)
+          .select(col("id"), round(col("bw"), 6).as("bw"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        s0 AS MATERIALIZED (SELECT vec_id AS s, vec_id AS id,
+                                   1::BIGINT AS sig
+              FROM embeddings WHERE vec_id % 100 = 0),
+        sv0 AS MATERIALIZED (SELECT s, id FROM s0),
+        sl0 AS MATERIALIZED (SELECT s, id, sig FROM s0),
+        ${(1 to 4).map(t => s"""
+        sl$t AS MATERIALIZED (
+          SELECT e.s, e.id, sum(e.sig) AS sig FROM (
+            SELECT f.s, u.dst AS id, f.sig
+            FROM sl${t - 1} f JOIN wund u ON u.src = f.id) e
+          WHERE NOT EXISTS (SELECT 1 FROM sv${t - 1} b
+                            WHERE b.s = e.s AND b.id = e.id)
+          GROUP BY e.s, e.id),
+        sv$t AS MATERIALIZED (SELECT * FROM sv${t - 1}
+              UNION ALL SELECT s, id FROM sl$t),
+        sp$t AS MATERIALIZED (
+          SELECT a.s, a.id AS v, a.sig AS sv, b.id AS w, b.sig AS sw
+          FROM sl${t - 1} a JOIN wund u ON u.src = a.id
+          JOIN sl$t b ON b.s = a.s AND b.id = u.dst)""").mkString(",")},
+        sd4 AS MATERIALIZED (SELECT s, id, 0.0::DOUBLE AS dl FROM sl4),
+        ${(4 to 1 by -1).map(t => s"""
+        sd${t - 1} AS MATERIALIZED (
+          SELECT l.s, l.id, coalesce(c.acc, 0.0::DOUBLE) AS dl
+          FROM sl${t - 1} l LEFT JOIN (
+            SELECT p.s, p.v AS id,
+                   sum(((p.sv::DOUBLE / p.sw) * (1.0 + d.dl))
+                       ::DECIMAL(38, 20))::DOUBLE AS acc
+            FROM sp$t p JOIN sd$t d ON d.s = p.s AND d.id = p.w
+            GROUP BY p.s, p.v) c ON c.s = l.s AND c.id = l.id)""")
+          .mkString(",")}
+        SELECT e.vec_id AS id, round(coalesce(b.bw, 0.0::DOUBLE), 6) AS bw
+        FROM embeddings e LEFT JOIN (
+          SELECT id, sum(dl::DECIMAL(38, 20))::DOUBLE AS bw FROM (
+            ${(0 to 4).map(t => s"SELECT s, id, dl FROM sd$t")
+              .mkString(" UNION ALL ")})
+          WHERE id <> s GROUP BY id) b ON b.id = e.vec_id
+      """)
+    ),
+    // DeepWalk (Perozzi et al. 2014) walk-corpus generation over the kNN
+    // graph: every 5th node starts one 5-step first-order uniform walk;
+    // each step's neighbor pick is the md5 coin % degree — INTEGER
+    // arithmetic, no RNG — so the full trajectory is hash-checked against
+    // an unrolled per-step SQL replay. Scale shape: one ranked-adjacency
+    // window, then one frontier⋈adjacency equi-join per step (the
+    // PageRank round pattern); frontier stays |walks| rows throughout.
+    GQuery(
+      "knn_graph_walks",
+      (spark, dir) =>
+        sharedWalks(spark, dir)
+          .select(
+            col("walk_id"), col("step").cast("long").as("step"), col("id")),
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes
+        SELECT walk_id, step, id FROM wt
+      """)
+    ),
+    // node2vec (Grover & Leskovec 2016) second-order biased walks over
+    // the same graph: transition weight 1 for returning to prev, 2 for a
+    // neighbor-of-prev (BFS-ish), 4 otherwise (DFS-ish) — the integer
+    // spelling of p=2, q=1/2 — picked by coin % Σw landing in a
+    // neighbor's cumulative-weight slot. Step 1 is the uniform
+    // first-order step. Exact integer arithmetic end to end; each step
+    // is one adjacency join + one (prev,dst) membership probe + one
+    // per-walk window — all keyed joins, nothing driver-side.
+    GQuery(
+      "knn_graph_node2vec",
+      (spark, dir) => {
+        val starts = t(spark, dir, "embeddings")
+          .filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+        graft.operators.RandomWalk
+          .node2vecWalks(
+            sharedGraph(spark, dir), starts, steps = 4,
+            wBack = 1, wAdj = 2, wFar = 4, salt = "v1")
+          .select(
+            col("walk_id"), col("step").cast("long").as("step"), col("id"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        n1 AS (SELECT f.walk_id, f.cur AS prev, a.dst AS cur
+               FROM w0 f JOIN wadj a ON a.src = f.cur
+                AND a.rn = ('0x' || substr(md5('n2v:v1:' || f.walk_id::VARCHAR || ':1'), 1, 14))::BIGINT % a.deg + 1),
+        ${(2 to 4).map(t => s"""
+        nc$t AS (SELECT f.walk_id, f.prev, f.cur, a.dst,
+                       CASE WHEN a.dst = f.prev THEN 1
+                            WHEN pe.src IS NOT NULL THEN 2
+                            ELSE 4 END AS w
+                FROM n${t - 1} f
+                JOIN wadj a ON a.src = f.cur
+                LEFT JOIN wund pe ON pe.src = f.prev AND pe.dst = a.dst),
+        nw$t AS (SELECT *,
+                       sum(w) OVER (PARTITION BY walk_id ORDER BY dst) AS cum,
+                       sum(w) OVER (PARTITION BY walk_id) AS tot,
+                       ('0x' || substr(md5('n2v:v1:' || walk_id::VARCHAR || ':$t'), 1, 14))::BIGINT AS cn
+                FROM nc$t),
+        n$t AS (SELECT walk_id, cur AS prev, dst AS cur FROM nw$t
+                WHERE cum - w <= cn % tot AND cn % tot < cum)""").mkString(",")}
+        SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS id FROM w0
+        ${(1 to 4).map(t =>
+          s"UNION ALL SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS id FROM n$t")
+          .mkString(" ")}
+      """)
+    ),
+    // Skip-gram training rows (Mikolov et al. 2013) from the shared
+    // DeepWalk table: positives = (center, context) within ±2 on the
+    // same walk; 2 uniform md5-drawn corpus negatives per position
+    // (context = rank→id lookup of coin % N, label 0). The self-join is
+    // keyed on walk_id (≤ 36 pairs per walk); negatives are map-side
+    // draws joined to the rank table — the embedding-training row
+    // stream, fully hash-checked.
+    GQuery(
+      "pipeline_skipgram",
+      (spark, dir) =>
+        graft.operators.RandomWalk
+          .skipGramPairs(
+            sharedWalks(spark, dir), window = 2, negatives = 2,
+            t(spark, dir, "embeddings").select(col("vec_id")), salt = "v1")
+          .select(
+            col("center"), col("context"),
+            col("label").cast("long").as("label"),
+            col("src_walk"), col("src_step"), col("off")),
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        uni AS (SELECT vec_id AS nid,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS r
+                FROM embeddings),
+        un AS (SELECT count(*) AS n FROM embeddings)
+        SELECT a.id AS center, b.id AS context, CAST(1 AS BIGINT) AS label,
+               a.walk_id AS src_walk, a.step AS src_step,
+               b.step - a.step AS off
+        FROM wt a JOIN wt b ON b.walk_id = a.walk_id
+         AND abs(b.step - a.step) <= 2 AND b.step <> a.step
+        UNION ALL
+        SELECT a.id AS center, u.nid AS context, CAST(0 AS BIGINT) AS label,
+               a.walk_id AS src_walk, a.step AS src_step, -j.j AS off
+        FROM wt a CROSS JOIN un
+        CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j) j
+        JOIN uni u ON u.r =
+          ('0x' || substr(md5('neg:v1:' || a.walk_id::VARCHAR || ':' || a.step::VARCHAR || ':' || j.j::VARCHAR), 1, 14))::BIGINT % un.n
+      """)
+    ),
+    // Walk-corpus coverage audit (the eval-tier discipline from
+    // eval_selection_coverage): visit-count histogram over the node
+    // universe — how much of the graph the DeepWalk corpus actually
+    // touches (visits = 0 rows are the uncovered mass a skip-gram
+    // training run would never see). One count aggregate over the
+    // shared walk table + a left join against the universe.
+    GQuery(
+      "eval_walk_coverage",
+      (spark, dir) => {
+        val visits = sharedWalks(spark, dir)
+          .groupBy(col("id")).agg(count(lit(1)).as("visits"))
+        t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+          .join(visits, Seq("id"), "left")
+          .select(coalesce(col("visits"), lit(0L)).as("visits"))
+          .groupBy(col("visits")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        vis AS (SELECT id, count(*) AS visits FROM wt GROUP BY 1)
+        SELECT coalesce(v.visits, 0) AS visits, count(*) AS n_nodes
+        FROM embeddings e LEFT JOIN vis v ON v.id = e.vec_id
+        GROUP BY 1
       """)
     )
   )

@@ -1045,6 +1045,36 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.TextAnalysis.gopherStats(docs, idCol, textCol)
 
+  /** Streaming term-blocklist gate — text_blocklist online: the
+    * dictionary rides the plan as a broadcast literal (blocklists are
+    * maintenance-sized by contract, ~10⁴ terms; a corpus-scale
+    * million-term dictionary stays on the batch dictionary-JOIN path)
+    * and each arriving doc censuses its own tokens against it with
+    * per-row HOF arithmetic — stateless, re-delivery idempotent, and
+    * column-for-column bit-equal to
+    * [[graft.operators.TextAnalysis.blocklistStats]] (same token split,
+    * case fold, hit counts, and division).
+    */
+  def blocklistAdmitStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      maxHitFrac: Double
+  ): DataFrame = {
+    val dict = typedLit(terms.map(_.toLowerCase).distinct.sorted)
+    val toks = transform(
+      filter(split(col(textCol), " "), w => w =!= ""), w => lower(w))
+    val matched = filter(toks, w => array_contains(dict, w))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(matched).cast("long").as("n_hits"),
+      size(array_distinct(matched)).cast("long").as("n_terms"),
+      round(size(matched).cast("double") / size(toks), 6).as("hit_frac"),
+      (size(matched).cast("double") / size(toks) <= maxHitFrac).as("keep"))
+  }
+
   /** Streaming PCA-residual outlier gate — embed_pca_outlier online:
     * arriving vectors score their reconstruction error off the
     * pre-fit broadcast subspace and flag against a FIXED threshold

@@ -228,6 +228,25 @@ class DedupTextSpec extends SparkSpec {
     assert(c(1L).getLong(2) == 0)
   }
 
+  test("blocklist filter: hand census, case folding, clean-doc row, keep rule") {
+    val docs = Seq(
+      (1L, "the cat sat BAD on the mat bad"),   // 8 tokens, 2 hits, 1 term
+      (2L, "clean words only here"),            // 4 tokens, 0 hits
+      (3L, "bad Worse bad worse bad pad")       // 6 tokens, 5 hits, 2 terms
+    ).toDF("doc_id", "text")
+    val terms = Seq("Bad", "worse").toDF("term")
+    val got = TextAnalysis
+      .blocklistStats(docs, "doc_id", "text", terms, maxHitFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "clean docs must still get a row")
+    assert(got(1L).getLong(1) == 8 && got(1L).getLong(2) == 2
+      && got(1L).getLong(3) == 1 && got(1L).getBoolean(5))
+    assert(got(2L).getLong(2) == 0 && got(2L).getLong(3) == 0
+      && got(2L).getDouble(4) == 0.0 && got(2L).getBoolean(5))
+    assert(got(3L).getLong(2) == 5 && got(3L).getLong(3) == 2
+      && !got(3L).getBoolean(5), "5/6 hits must fail a 0.3 threshold")
+  }
+
   test("BPE-ish tokenizer: lossless cover, class counts, known example") {
     val df = Seq(
       (1L, "hello world 42 times!"),

@@ -227,4 +227,62 @@ class GraphAuditSpec extends SparkSpec {
     val b = GraphAudit.assortativity(edges.repartition(13), ids).head.getDouble(1)
     assert(a == b)
   }
+
+  test("betweennessBrandes: path and star closed forms, pivot subset, non-interior zeros") {
+    val ids5 = (0L to 4L).toDF("id")
+    // path 0-1-2-3-4, all-source exact Brandes: bw counts ORDERED
+    // (s, t) pairs routed through v -> (1,6,8,6,1)... wait: bw(1) =
+    // pairs through 1: (0,2),(0,3),(0,4) + reverses = 6; bw(0) = 0.
+    val path = (0L to 3L).map(i => (i, i + 1)).toDF("src", "dst")
+    val bwPath = GraphAudit
+      .betweennessBrandes(path, ids5.select(col("id").as("vec_id")), ids5, rounds = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(bwPath == Map(0L -> 0.0, 1L -> 6.0, 2L -> 8.0, 3L -> 6.0, 4L -> 0.0))
+    // star: center 0, leaves 1..4 -> bw(center) = k(k-1) = 12, leaves 0
+    val star = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val bwStar = GraphAudit
+      .betweennessBrandes(star, ids5.select(col("id").as("vec_id")), ids5, rounds = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(bwStar == Map(0L -> 12.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+    // single pivot 0 on the path: delta_0 = (#targets beyond v) per v
+    val bw0 = GraphAudit
+      .betweennessBrandes(path, Seq(0L).toDF("vec_id"), ids5, rounds = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(bw0 == Map(0L -> 0.0, 1L -> 3.0, 2L -> 2.0, 3L -> 1.0, 4L -> 0.0))
+    // diamond 0-1-3, 0-2-3: two shortest 0->3 paths split sigma; from
+    // pivot 0, delta(1) = delta(2) = 1/2 (+ nothing else at horizon 2)
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val ids4 = (0L to 3L).toDF("id")
+    val bwD = GraphAudit
+      .betweennessBrandes(diamond, Seq(0L).toDF("vec_id"), ids4, rounds = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(bwD(1L) == 0.5 && bwD(2L) == 0.5 && bwD(0L) == 0.0 && bwD(3L) == 0.0)
+  }
+
+  test("multiSourceBfs: exact hops on a path, min-hop uniqueness, direction invariance") {
+    // path 0-1-2-...-7 plus a shortcut 0-5
+    val edges = ((0L to 6L).map(i => (i, i + 1)) :+ (0L, 5L)).toDF("src", "dst")
+    val got = GraphAudit
+      .multiSourceBfs(edges, Seq(0L).toDF("vec_id"), rounds = 3)
+      .as[(Long, Long, Int)].collect()
+    // hop(5) = 1 via the shortcut, hop(4) = 2 via 5, hop(3) = 3 (both sides)
+    val hops = got.map { case (_, id, h) => id -> h }.toMap
+    assert(hops == Map(
+      0L -> 0, 1L -> 1, 5L -> 1, 2L -> 2, 4L -> 2, 6L -> 2, 3L -> 3, 7L -> 3))
+    // each (source, node) appears exactly once - at its MINIMAL hop
+    assert(got.length == got.map(r => (r._1, r._2)).distinct.length)
+    // reversed edge directions give the identical table (undirected view)
+    val rev = GraphAudit
+      .multiSourceBfs(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq(0L).toDF("vec_id"), rounds = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(rev.sorted.toSeq == got.sorted.toSeq)
+    // two sources: rows are per-source independent censuses
+    val two = GraphAudit
+      .multiSourceBfs(edges, Seq(0L, 7L).toDF("vec_id"), rounds = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(two.filter(_._1 == 7L).map(r => r._2 -> r._3).toMap ==
+      Map(7L -> 0, 6L -> 1, 5L -> 2))
+  }
 }

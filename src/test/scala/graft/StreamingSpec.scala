@@ -1002,6 +1002,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming blocklist gate: two waves equal the batch census bit for bit") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    // the same md5-derived fixture blocklist text_blocklist uses
+    val terms = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(lower(col("tok")).as("term")).distinct()
+      .filter(graft.operators.Dedup.md5Long(
+        concat(col("term"), lit(":blk"))) % 23 === 0)
+      .as[String].collect().toSeq
+    val dir = Files.createTempDirectory("blkstream").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.blocklistAdmitStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      "doc_id", "text", terms, maxHitFrac = 0.05)
+    val q = stream.writeStream
+      .format("memory").queryName("blk").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(Option(_).map(_.toString))).toSet
+    val got = canon(spark.table("blk"))
+    val want = canon(graft.operators.TextAnalysis.blocklistStats(
+      docs, "doc_id", "text", terms.toDF("term"), maxHitFrac = 0.05))
+    assert(got == want, "streamed blocklist census diverged from batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming CMS: drained stream equals the batch sketch cell for cell") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("cmsstream").toString
