@@ -81,6 +81,55 @@ object RandomWalk {
     out.result().reduce(_.unionByName(_))
   }
 
+  /** Distance-weighted first-order walks: transition probability ∝ an
+    * INTEGER weight w = round(10⁶ / (1 + dist)) per undirected edge, so
+    * closer neighbors are proportionally likelier — the
+    * similarity-biased corpus (node2vec's α = dist-aware edge weights,
+    * Grover & Leskovec §3.2.1) — while the cumulative-weight pick stays
+    * exact integer arithmetic (coin % Σw lands in a neighbor's
+    * [cum−w, cum) slot). `edges` must carry (src, dst, dist); dist is
+    * symmetric so the undirected union is weight-consistent.
+    */
+  def weightedWalks(
+      edges: DataFrame, // (src, dst, dist)
+      starts: DataFrame,
+      steps: Int,
+      salt: String
+  ): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val adj = edges
+      .select(col("src"), col("dst"), col("dist"))
+      .unionAll(edges.select(
+        col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .distinct()
+      .withColumn("w",
+        round(lit(1000000.0) / (lit(1.0) + col("dist")), 0).cast("long"))
+      .select(col("src").as("cur"), col("dst"), col("w"))
+      .localCheckpoint()
+    var frontier = starts
+      .select(col(starts.columns.head).cast("long").as("walk_id"))
+      .withColumn("cur", col("walk_id"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    out += frontier.select(
+      col("walk_id"), lit(0).as("step"), col("cur").as("id"))
+    for (t <- 1 to steps) {
+      val win = Window.partitionBy("walk_id")
+      frontier = frontier
+        .join(adj, Seq("cur"))
+        .withColumn("cum", sum(col("w")).over(win.orderBy("dst")))
+        .withColumn("tot", sum(col("w")).over(win))
+        .withColumn("r",
+          coin(lit("wwk"), lit(salt), col("walk_id"), lit(t)) % col("tot"))
+        .filter(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
+        .select(col("walk_id"), col("dst").as("cur"))
+        .localCheckpoint()
+      out += frontier.select(
+        col("walk_id"), lit(t).as("step"), col("cur").as("id"))
+    }
+    out.result().reduce(_.unionByName(_))
+  }
+
   /** Second-order p/q-biased walks (node2vec). Transition weights from
     * (prev → cur): w = wBack if dst == prev (return), wAdj if dst is a
     * neighbor of prev (BFS-ish), wFar otherwise (DFS-ish) — INTEGER

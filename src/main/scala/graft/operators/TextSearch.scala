@@ -86,6 +86,129 @@ object TextSearch {
       )
   }
 
+  /** RM3 pseudo-relevance feedback (Lavrenko–Croft 2001 relevance models
+    * with the Abdul-Jaleel 2004 RM3 interpolation — the classic query
+    * expansion every Indri/Galago/Anserini stack ships): round 1 runs
+    * [[bm25]], the top `kFb` documents vote expansion terms by
+    * p(t) = Σ_d tf(t,d)/dl(d) (each feedback doc's unigram LM mass),
+    * the top `mExp` non-query terms (p desc, term asc — p rounded to 6
+    * BEFORE ranking, the engine's convention) re-enter the query with
+    * weight (1−α)·p̂(t), original terms keep α/|Q|, and round 2 scores
+    * weighted BM25. Every accumulation decimal-routed: p sums, the
+    * expansion-mass normalizer Σp̂ (summed as exact 6-scale decimals, so
+    * the driver-side literal equals the SQL replay bit for bit), and
+    * both rounds' per-doc score sums.
+    *
+    * Driver state: the `mExp` (term, weight) rows — the k-row selection
+    * budget. Both retrieval rounds are the [[bm25]] postings shape:
+    * query-filtered before any shuffle, broadcast df/stats, TakeOrdered
+    * head.
+    */
+  def rm3(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      kFb: Int = 10,
+      mExp: Int = 5,
+      alpha: Double = 0.6,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 20
+  ): DataFrame = {
+    require(terms.nonEmpty && kFb >= 1 && mExp >= 1)
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    val fbIds = bm25(docs, idCol, textCol, terms, k1, b, kFb)
+      .select(col("doc_id"))
+    val fbToks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .join(fbIds, Seq("doc_id"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+    val expansion = fbToks
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(!col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(
+        sum((col("tf").cast("double") / col("dl"))
+          .cast(DecimalType(38, 20))).cast("double").as("p"))
+      .select(col("term"), round(col("p"), 6).as("p"))
+      .orderBy(col("p").desc, col("term"))
+      .limit(mExp)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // exact 6-scale decimal normalizer — matches the SQL replay's
+    // sum(p::DECIMAL(18,6)) regardless of accumulation order (p is
+    // 6-rounded, so the scale-6 decimal recovers the clean value)
+    val pSum = expansion
+      .map { case (_, p) =>
+        BigDecimal(p).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      }
+      .sum.toDouble
+    val wq = alpha / terms.length
+    val weighted: Seq[(String, Double)] =
+      terms.distinct.map(t => t -> wq) ++
+        expansion.map { case (t, p) => t -> (1.0 - alpha) * (p / pSum) }
+    bm25Weighted(docs, idCol, textCol, weighted, k1, b, k)
+  }
+
+  /** Weighted-term BM25: each term's contribution scales by its query
+    * weight — the round-2 scorer of [[rm3]] (and any weighted-query
+    * retrieval). Identical postings shape to [[bm25]].
+    */
+  def bm25Weighted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weighted: Seq[(String, Double)],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 20
+  ): DataFrame = {
+    require(weighted.nonEmpty, "empty weighted query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = weighted.map(_._1)
+    val toks = docs.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl").cast(DecimalType(30, 6))).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val wt = weighted.toDF("term", "wt")
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(wt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "c",
+        col("wt") *
+          log(lit(1) +
+            (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + lit(1))) /
+          (col("tf") +
+            lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast(DecimalType(38, 20))).cast("double").as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+  }
+
   /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2004) —
     * the language-modeling retrieval scorer next to [[bm25]]'s
     * probabilistic one (the two classical lexical families):

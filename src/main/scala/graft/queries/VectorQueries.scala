@@ -3200,6 +3200,46 @@ object VectorQueries {
           .mkString(" ")}
       """)
     ),
+    // Distance-weighted walks: transition probability ∝ round(10⁶ /
+    // (1 + dist)) per edge — the similarity-biased corpus (closer kNN
+    // neighbors proportionally likelier), completing the walk family
+    // (uniform / 2nd-order-biased / weighted). The weight table rides
+    // the same exact dist the g2 oracle replays, so the integer
+    // cumulative-weight trajectory hash-checks end to end.
+    GQuery(
+      "knn_graph_walks_weighted",
+      (spark, dir) => {
+        val starts = t(spark, dir, "embeddings")
+          .filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+        graft.operators.RandomWalk
+          .weightedWalks(sharedGraph(spark, dir), starts, steps = 5,
+            salt = "v1")
+          .select(
+            col("walk_id"), col("step").cast("long").as("step"), col("id"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        wadjw AS MATERIALIZED (
+          SELECT src, dst, round(1000000.0 / (1.0 + dist))::BIGINT AS w
+          FROM (SELECT DISTINCT src, dst, dist FROM (
+                  SELECT src, dst, dist FROM g2
+                  UNION ALL SELECT dst, src, dist FROM g2))),
+        x0 AS (SELECT walk_id, cur FROM w0),
+        ${(1 to 5).map(t => s"""
+        x$t AS (SELECT walk_id, dst AS cur FROM (
+               SELECT f.walk_id, a.dst, a.w,
+                      sum(a.w) OVER (PARTITION BY f.walk_id
+                                     ORDER BY a.dst) AS cum,
+                      sum(a.w) OVER (PARTITION BY f.walk_id) AS tot,
+                      ('0x' || substr(md5('wwk:v1:' || f.walk_id::VARCHAR || ':$t'), 1, 14))::BIGINT AS cn
+               FROM x${t - 1} f JOIN wadjw a ON a.src = f.cur)
+             WHERE cum - w <= cn % tot AND cn % tot < cum)""").mkString(",")}
+        ${(0 to 5).map(t =>
+          s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS id FROM x$t")
+          .mkString(" UNION ALL ")}
+      """)
+    ),
     // Skip-gram training rows (Mikolov et al. 2013) from the shared
     // DeepWalk table: positives = (center, context) within ±2 on the
     // same walk; 2 uniform md5-drawn corpus negatives per position

@@ -670,4 +670,22 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
   }
+
+  test("walk/BFS/betweenness tier: every step join stays equi-keyed") {
+    for (name <- Seq("knn_graph_walks", "knn_graph_node2vec",
+        "knn_graph_walks_weighted",
+        "knn_graph_distances", "knn_graph_closeness",
+        "knn_graph_betweenness", "eval_walk_coverage")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("text_blocklist: dictionary arrives by BROADCAST hash join, never a per-doc scan") {
+    val p = planOf("text_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

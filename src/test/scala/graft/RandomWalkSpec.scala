@@ -74,6 +74,47 @@ class RandomWalkSpec extends SparkSpec {
     }
   }
 
+  test("weightedWalks: structural validity + near-zero-distance neighbor dominates") {
+    // star around 0: node 1 at dist ~0 (w ~ 10^6), nodes 2..9 at dist 9
+    // (w = 10^5) -> from 0, node 1 wins with prob ~ 0.56; to make the
+    // bias a hard gate, use dist 999999 for the far nodes (w = 1): the
+    // coin lands outside node 1's slot with prob ~ 8/10^6
+    val edges = ((2L to 9L).map(l => (0L, l, 999999.0)) :+ (0L, 1L, 0.0))
+      .toDF("src", "dst", "dist")
+    // every walk starts at 0... but starts must be distinct walk ids;
+    // use many salts instead: 64 single-step walks from node 0
+    val starts = Seq(0L).toDF("vec_id")
+    val picks = (1 to 64).map { i =>
+      graft.operators.RandomWalk
+        .weightedWalks(edges, starts, steps = 1, salt = s"t$i")
+        .filter(col("step") === 1).select(col("id")).as[Long].head()
+    }
+    assert(picks.forall(_ == 1L),
+      s"heavy-weight neighbor must dominate: ${picks.distinct.toList}")
+    // validity on the cycle fixture: full length, hops are edges
+    val cyc = cycleEdges.withColumn("dist", lit(1.0))
+    val walks = graft.operators.RandomWalk
+      .weightedWalks(cyc, (0 until n by 3).map(_.toLong).toDF("vec_id"),
+        steps = 4, salt = "t")
+      .as[(Long, Int, Long)].collect()
+    val und = cyc.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    walks.groupBy(_._1).foreach { case (wid, steps) =>
+      assert(steps.map(_._2).sorted.toSeq == (0 to 4), s"walk $wid steps")
+      steps.sortBy(_._2).map(_._3).sliding(2).foreach { case Array(a, b) =>
+        assert(und.contains((a, b)), s"walk $wid hop $a->$b is not an edge")
+      }
+    }
+    // equal weights == uniform-walk distribution shape: same adjacency,
+    // same coin salt, but a DIFFERENT coin stream ("wwk" vs "wk") -- so
+    // just gate determinism here
+    val again = graft.operators.RandomWalk
+      .weightedWalks(cyc, (0 until n by 3).map(_.toLong).toDF("vec_id"),
+        steps = 4, salt = "t")
+      .as[(Long, Int, Long)].collect()
+    assert(again.sorted.toSeq == walks.sorted.toSeq)
+  }
+
   test("skipGramPairs: exact positives on a handcrafted walk; negative count/label/universe") {
     // one walk 10→11→12→13 (steps 0..3)
     val wt = Seq(

@@ -147,4 +147,45 @@ class TextSearchSpec extends SparkSpec {
     // ordering = ascending vector rank; fused = 1/(60 + vec_rnk)
     assert(r.map(row => row.getLong(4) == row.getLong(3)).forall(identity))
   }
+
+  test("rm3: expansion retrieves a doc sharing NO original term; originals still dominate") {
+    // "alpha" docs all carry heavy "beta"; d4 has beta but never alpha
+    val docs = Seq(
+      (1L, "alpha beta beta beta x"),
+      (2L, "alpha beta beta y y"),
+      (3L, "alpha beta z z z"),
+      (4L, "beta beta beta w w"),
+      (5L, "gamma delta gamma delta")
+    ).toDF("doc_id", "text")
+    val r1 = TextSearch.bm25(docs, "doc_id", "text", Seq("alpha"), k = 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(r1 == Set(1L, 2L, 3L), "round 1 must not see the alpha-free doc")
+    val r3 = TextSearch.rm3(docs, "doc_id", "text", Seq("alpha"),
+      kFb = 3, mExp = 2, alpha = 0.6, k = 5)
+      .select(col("doc_id"), col("score"), col("rnk"))
+      .as[(Long, Double, Long)].collect()
+    val ids = r3.map(_._1).toSet
+    assert(ids.contains(4L), s"expansion must surface doc 4: $ids")
+    assert(!ids.contains(5L), "unrelated doc must stay out")
+    // alpha keeps weight 0.6: an original-term doc still ranks first
+    assert(Set(1L, 2L, 3L).contains(r3.minBy(_._3)._1), r3.mkString(","))
+    // deterministic
+    val again = TextSearch.rm3(docs, "doc_id", "text", Seq("alpha"),
+      kFb = 3, mExp = 2, alpha = 0.6, k = 5)
+      .select(col("doc_id"), col("score"), col("rnk"))
+      .as[(Long, Double, Long)].collect()
+    assert(again.sortBy(_._3).toSeq == r3.sortBy(_._3).toSeq)
+  }
+
+  test("bm25Weighted: unit weights reproduce plain bm25 exactly") {
+    val docs = Seq(
+      (1L, "alpha beta beta"), (2L, "alpha alpha x"), (3L, "y z alpha")
+    ).toDF("doc_id", "text")
+    val plain = TextSearch.bm25(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val unit = TextSearch.bm25Weighted(
+      docs, "doc_id", "text", Seq("alpha" -> 1.0, "beta" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(unit == plain)
+  }
 }
