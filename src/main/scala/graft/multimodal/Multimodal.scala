@@ -280,6 +280,101 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic piecewise-constant WAV (fixture utility): one span of
+    * `n` frames at amplitude `v` per (n, v) pair — the silence/speech
+    * alternation fixture for [[audioSegments]]. PCM is lossless, so every
+    * decoded sample is predictable in plain SQL from the span table.
+    */
+  def pulseWav(spans: Seq[(Int, Short)]): Array[Byte] = {
+    val nFrames = spans.map(_._1).sum
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    spans.foreach { case (n, v) =>
+      var j = 0
+      while (j < n) {
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+        j += 1
+      }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class AudioSegment(
+      id: Long, seg: Int, active: Boolean,
+      startWin: Int, nWins: Int, energy: Long)
+
+  /** Energy-gate audio segmentation (VAD-lite — the silence-trim /
+    * speech-span pass an audio-curation pipeline runs before feature
+    * extraction): fixed windows of `windowFrames` samples classify
+    * active = RMS > `rmsThresh`, and consecutive same-state windows
+    * merge into segments by run-length encoding INSIDE the decode
+    * kernel (a clip's windows stream through one iterator — zero
+    * Exchange, zero window function; the same shape runs unchanged on
+    * a streaming media table). Returns one row per segment:
+    * (id, seg, active, startWin, nWins, energy).
+    */
+  def audioSegments(
+      spark: SparkSession,
+      media: DataFrame,
+      windowFrames: Int,
+      rmsThresh: Double
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      it.flatMap { m =>
+        val (frames, channels, samples) = wavSamples(m.content)
+        require(channels == 1, s"audioSegments expects mono, got $channels")
+        val n = samples.length
+        require(frames < 0 || frames == n,
+          s"audioSegments: WAV declares $frames frames but decodes $n samples (id ${m.id})")
+        val nWin = (n + windowFrames - 1) / windowFrames
+        val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+        var segStart = 0
+        var segEnergy = 0L
+        var segActive = false
+        var w = 0
+        while (w < nWin) {
+          val lo = w * windowFrames
+          val hi = math.min(n, lo + windowFrames)
+          var e = 0L
+          var i = lo
+          while (i < hi) {
+            val s = samples(i).toLong
+            e += s * s
+            i += 1
+          }
+          val active = math.sqrt(e.toDouble / (hi - lo)) > rmsThresh
+          if (w == 0) { segActive = active; segEnergy = e }
+          else if (active == segActive) segEnergy += e
+          else {
+            segs += AudioSegment(
+              m.id, segs.length, segActive, segStart, w - segStart, segEnergy)
+            segStart = w
+            segEnergy = e
+            segActive = active
+          }
+          w += 1
+        }
+        if (nWin > 0)
+          segs += AudioSegment(
+            m.id, segs.length, segActive, segStart, nWin - segStart, segEnergy)
+        segs.iterator
+      }
+    }.toDF()
+      .select(
+        col("id"), col("seg").cast("long").as("seg"), col("active"),
+        col("startWin").cast("long").as("start_win"),
+        col("nWins").cast("long").as("n_wins"), col("energy"))
+  }
+
   /** Deterministic constant-sample WAV (fixture utility): `nFrames` frames
     * of `channels` 16-bit signed PCM samples, every sample = `value`. PCM
     * in a WAV container is lossless, so decode(constWav(n,c,v)) is exactly
@@ -670,6 +765,91 @@ object Multimodal {
     writer.dispose()
     ios.close()
     bos.toByteArray
+  }
+
+  /** Deterministic multi-SCENE animated GIF — the shot-boundary fixture:
+    * frame i renders pixel (aᵢ·x + bᵢ·y + cᵢ) % 256 from its own
+    * (a, b, c) triple, so consecutive frames of one scene share (a, b)
+    * (small dHash drift from the shifting c) while a scene change flips
+    * the gradient direction (large dHash jump) — and every frame hash
+    * is predictable in plain SQL from the triples ([[gifVideoGradient]]
+    * discipline).
+    */
+  def gifVideoScenes(
+      w: Int, h: Int, frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (a, b, c) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (a * x + b * y + c) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Shot-boundary (scene-cut) detection — the segmentation pass a
+    * video-curation pipeline runs before per-shot sampling/dedup
+    * (frame-difference cut detection, the classical pre-neural shot
+    * detector): consecutive frames' dHash Hamming distance, cut where
+    * it exceeds `tau`. The lag is carried IN the decode kernel (a
+    * video's frames stream through one iterator), so the plan is a
+    * single map partition — zero Exchange, zero window; the same shape
+    * runs unchanged on a streaming media table (each arriving video row
+    * is self-contained). Returns (id, frame, hamming, is_cut) for every
+    * frame ≥ 1.
+    */
+  def sceneCuts(
+      spark: SparkSession,
+      media: DataFrame, // (id long, content binary)
+      tau: Int
+  ): DataFrame = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          require(bytes.length >= 4, s"truncated video container (id=$id)")
+          val frames =
+            if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+              gifFrameIterator(id, bytes)
+            else gmpvFrameIterator(id, bytes)
+          var prevHi = 0L
+          var prevLo = 0L
+          frames.zipWithIndex.flatMap { case (img, i) =>
+            val (hi, lo) = dhashBits(img)
+            val out =
+              if (i == 0) Iterator.empty
+              else {
+                val ham = (java.lang.Long.bitCount(hi ^ prevHi) +
+                  java.lang.Long.bitCount(lo ^ prevLo)).toLong
+                Iterator((id, i.toLong, ham))
+              }
+            prevHi = hi
+            prevLo = lo
+            out
+          }
+        }
+      }
+      .toDF("id", "frame", "hamming")
+      .withColumn("is_cut", col("hamming") > tau)
   }
 
   private def grayPixels(img: java.awt.image.BufferedImage): Array[Int] = {

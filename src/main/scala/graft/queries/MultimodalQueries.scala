@@ -50,6 +50,34 @@ object MultimodalQueries {
       .toDF("id", "modality", "content", "metaLen")
   }
 
+  /** Two-scene GIF fixture shared by the scene-cut queries: static
+    * shots (c = 0) with scene 2 inverting the gradient direction, so
+    * the only inter-frame dHash jump is the planted boundary at n1.
+    */
+  private def sceneVids(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 8
+          val w = (g % 24 + 9).toInt
+          val h = (g * 7 % 24 + 8).toInt
+          val a1 = (30 + (id % 4) * 7).toInt
+          val b1 = (25 + ((id / 4) % 4) * 9).toInt
+          val n1 = (id % 3 + 2).toInt
+          val n2 = (id % 2 + 2).toInt
+          val frames = Seq.fill(n1)((a1, b1, 0)) ++
+            Seq.fill(n2)((256 - a1, b1, 0))
+          (id, Multimodal.gifVideoScenes(w, h, frames))
+        }
+      }
+      .toDF("id", "content")
+  }
+
   /** `d` + `hx` CTEs: the arithmetic replay of decode → 9×8 nearest
     * resample → dHash for [[gradientClassMedia]]'s fixture, emitting
     * (doc_id, hash_lo, hash_hi).
@@ -765,6 +793,170 @@ object MultimodalQueries {
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
         WHERE c::DOUBLE / (sa.nh + sb.nh - c) >= 0.5
+      """)
+    ),
+    // Shot-boundary (scene-cut) detection — the segmentation pass a
+    // video pipeline runs before per-shot sampling/dedup: consecutive
+    // frames' dHash Hamming distance over the REAL GIF decode, cut
+    // where it exceeds tau. Fixture: two-scene gradient GIFs — static
+    // shots (within-scene hamming exactly 0) with scene 2 flipping the
+    // gradient direction a -> 256-a (boundary hamming >= 8 on this
+    // corpus), so tau = 4 separates perfectly; drift robustness is
+    // spec-gated separately. The oracle replays generation -> decode ->
+    // per-frame dHash -> lag Hamming arithmetically, tau and all.
+    GQuery(
+      "mm_scene_cuts",
+      (spark, dir) => Multimodal.sceneCuts(spark, sceneVids(spark, dir), tau = 4),
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          ((doc_id // 8) % 24 + 9) AS w,
+                          (((doc_id // 8) * 7) % 24 + 8) AS h,
+                          (30 + (doc_id % 4) * 7) AS a1,
+                          (25 + ((doc_id // 4) % 4) * 9) AS b1,
+                          (doc_id % 3 + 2) AS n1,
+                          (doc_id % 2 + 2) AS n2
+                   FROM documents),
+        fr AS (SELECT doc_id, w, h,
+                      CASE WHEN f < n1 THEN a1 ELSE 256 - a1 END AS a,
+                      b1 AS b,
+                      0 AS c,
+                      f
+               FROM (SELECT *, unnest(generate_series(0, n1 + n2 - 1)) AS f
+                     FROM p)),
+        hx AS (SELECT doc_id, f,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS hash_lo,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hash_hi
+               FROM fr)
+        SELECT a.doc_id AS id, a.f AS frame,
+               (bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS hamming,
+               (bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo))) > 4 AS is_cut
+        FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+      """)
+    ),
+    // Per-video shot census off the same cut detector: frame count,
+    // scene count (1 + boundary count), and the strongest boundary -
+    // the summary row a curation dashboard keys on before per-shot
+    // sampling. One aggregate over the sceneCuts table.
+    GQuery(
+      "mm_scene_stats",
+      (spark, dir) =>
+        Multimodal.sceneCuts(spark, sceneVids(spark, dir), tau = 4)
+          .groupBy(col("id"))
+          .agg(
+            (count(lit(1)) + 1).as("n_frames"),
+            (sum(col("is_cut").cast("long")) + 1).as("n_scenes"),
+            max(col("hamming")).as("max_hamming")),
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          ((doc_id // 8) % 24 + 9) AS w,
+                          (((doc_id // 8) * 7) % 24 + 8) AS h,
+                          (30 + (doc_id % 4) * 7) AS a1,
+                          (25 + ((doc_id // 4) % 4) * 9) AS b1,
+                          (doc_id % 3 + 2) AS n1,
+                          (doc_id % 2 + 2) AS n2
+                   FROM documents),
+        fr AS (SELECT doc_id, w, h,
+                      CASE WHEN f < n1 THEN a1 ELSE 256 - a1 END AS a,
+                      b1 AS b,
+                      0 AS c,
+                      f
+               FROM (SELECT *, unnest(generate_series(0, n1 + n2 - 1)) AS f
+                     FROM p)),
+        hx AS (SELECT doc_id, f,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS hash_lo,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hash_hi
+               FROM fr),
+        cm AS (SELECT a.doc_id, a.f,
+                      (bit_count(xor(a.hash_hi, b.hash_hi))
+                       + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT
+                        AS hamming
+               FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f - 1)
+        SELECT doc_id AS id, count(*) + 1 AS n_frames,
+               (sum(CASE WHEN hamming > 4 THEN 1 ELSE 0 END) + 1)::BIGINT
+                 AS n_scenes,
+               max(hamming) AS max_hamming
+        FROM cm GROUP BY doc_id
+      """)
+    ),
+    // Energy-gate audio segmentation (VAD-lite) — the silence-trim /
+    // speech-span pass before audio feature extraction: 64-frame
+    // windows classify active = RMS > 50, consecutive same-state
+    // windows merge by run-length encoding INSIDE the decode kernel
+    // (zero Exchange, the sceneCuts discipline). Fixture:
+    // window-aligned alternating silence/tone spans, so every segment
+    // row (state, bounds, exact integer energy) is pure span
+    // arithmetic in the oracle.
+    GQuery(
+      "mm_audio_segments",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val mediaWav = docs.as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val s1 = (id % 2 + 1).toInt; val l1 = (id % 3 + 1).toInt
+              val s2 = (id % 5 + 1).toInt; val l2 = (id % 4 + 1).toInt
+              val a = (100 + id % 50).toShort
+              (id, "audio",
+                Multimodal.pulseWav(Seq(
+                  (64 * s1, 0.toShort), (64 * l1, a),
+                  (64 * s2, 0.toShort), (64 * l2, a))),
+                0L)
+            }
+          }
+          .toDF("id", "modality", "content", "metaLen")
+        Multimodal.audioSegments(
+          spark, mediaWav, windowFrames = 64, rmsThresh = 50.0)
+      },
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          (doc_id % 2 + 1) AS s1, (doc_id % 3 + 1) AS l1,
+                          (doc_id % 5 + 1) AS s2, (doc_id % 4 + 1) AS l2,
+                          (100 + doc_id % 50) AS a
+                   FROM documents),
+        g AS (SELECT p.*, unnest(generate_series(0, 3)) AS seg FROM p)
+        SELECT doc_id AS id, seg,
+               (seg % 2 = 1) AS active,
+               CASE seg WHEN 0 THEN 0 WHEN 1 THEN s1
+                        WHEN 2 THEN s1 + l1
+                        ELSE s1 + l1 + s2 END AS start_win,
+               CASE seg WHEN 0 THEN s1 WHEN 1 THEN l1
+                        WHEN 2 THEN s2 ELSE l2 END AS n_wins,
+               CASE WHEN seg % 2 = 0 THEN 0
+                    ELSE (CASE seg WHEN 1 THEN l1 ELSE l2 END)
+                          * 64 * a * a END AS energy
+        FROM g
       """)
     ),
     // Feature extraction: 16-bin byte histogram, long-form feature table.

@@ -1045,6 +1045,18 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.TextAnalysis.gopherStats(docs, idCol, textCol)
 
+  /** Streaming scene-cut gate — mm_scene_cuts online: each arriving
+    * video row is self-contained (its frames stream through the decode
+    * kernel, the lag carried in-iterator), so the stream twin IS the
+    * batch operator applied per micro-batch: stateless, re-delivery
+    * idempotent, bit-equal.
+    */
+  def sceneCutStream(
+      media: DataFrame, // streaming (id long, content binary)
+      tau: Int
+  ): DataFrame =
+    graft.multimodal.Multimodal.sceneCuts(media.sparkSession, media, tau)
+
   /** Streaming term-blocklist gate — text_blocklist online: the
     * dictionary rides the plan as a broadcast literal (blocklists are
     * maintenance-sized by contract, ~10⁴ terms; a corpus-scale

@@ -296,4 +296,67 @@ class MultimodalSpec extends SparkSpec {
       .count()
     assert(uncapped == 45L, s"uncapped pair count: $uncapped")
   }
+
+  test("sceneCuts: planted boundaries flagged exactly; drift below tau tolerated") {
+    import spark.implicits._
+    // video 1: two static shots (gradient inverted at frame 3) ->
+    // exactly one cut; video 2: one shot with small c-drift -> no cuts
+    val v1 = Multimodal.gifVideoScenes(32, 16,
+      Seq.fill(3)((35, 25, 0)) ++ Seq.fill(2)((221, 25, 0)))
+    val v2 = Multimodal.gifVideoScenes(32, 16,
+      (0 until 4).map(j => (35, 25, 2 * j)))
+    val media = Seq((1L, v1), (2L, v2)).toDF("id", "content")
+    val got = Multimodal.sceneCuts(spark, media, tau = 8)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val cuts = got.filter(_._4)
+    assert(cuts.map(r => (r._1, r._2)).toSeq == Seq((1L, 3L)),
+      got.mkString(","))
+    // within-shot static frames are hash-identical
+    assert(got.filter(r => r._1 == 1L && r._2 != 3L).forall(_._3 == 0L))
+    // the drifting shot stays under tau but may move a little
+    assert(got.filter(_._1 == 2L).forall(_._3 <= 8L))
+    // three-scene video: both boundaries surface
+    val v3 = Multimodal.gifVideoScenes(32, 16,
+      Seq.fill(2)((35, 25, 0)) ++ Seq.fill(2)((221, 25, 0))
+        ++ Seq.fill(2)((35, 150, 0)))
+    val got3 = Multimodal.sceneCuts(
+        spark, Seq((3L, v3)).toDF("id", "content"), tau = 8)
+      .filter(org.apache.spark.sql.functions.col("is_cut"))
+      .select(org.apache.spark.sql.functions.col("frame"))
+      .as[Long].collect().sorted
+    assert(got3.toSeq == Seq(2L, 4L), got3.mkString(","))
+  }
+
+  test("audioSegments: RLE spans, states, exact energies; single-state and partial-window clips") {
+    import spark.implicits._
+    // silence(2w) -> tone 120 (3w) -> silence(1w) at 64-frame windows
+    val wav = Multimodal.pulseWav(Seq(
+      (128, 0.toShort), (192, 120.toShort), (64, 0.toShort)))
+    val media = Seq((1L, "audio", wav, 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    val segs = Multimodal
+      .audioSegments(spark, media, windowFrames = 64, rmsThresh = 50.0)
+      .as[(Long, Long, Boolean, Long, Long, Long)].collect().sortBy(_._2)
+    assert(segs.map(r => (r._2, r._3, r._4, r._5)).toSeq ==
+      Seq((0L, false, 0L, 2L), (1L, true, 2L, 3L), (2L, false, 5L, 1L)))
+    assert(segs(1)._6 == 3L * 64 * 120 * 120 && segs(0)._6 == 0L)
+    // all-silent clip -> one inactive segment
+    val quiet = Seq((2L, "audio",
+      Multimodal.pulseWav(Seq((256, 3.toShort))), 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    val q = Multimodal
+      .audioSegments(spark, quiet, windowFrames = 64, rmsThresh = 50.0)
+      .as[(Long, Long, Boolean, Long, Long, Long)].collect()
+    assert(q.length == 1 && !q(0)._3 && q(0)._5 == 4L)
+    assert(q(0)._6 == 256L * 9, "energy must sum even below the gate")
+    // partial final window: 96 loud frames = 1 full + 1 half window
+    val part = Seq((3L, "audio",
+      Multimodal.pulseWav(Seq((96, 200.toShort))), 0L))
+      .toDF("id", "modality", "content", "metaLen")
+    val pr = Multimodal
+      .audioSegments(spark, part, windowFrames = 64, rmsThresh = 50.0)
+      .as[(Long, Long, Boolean, Long, Long, Long)].collect()
+    assert(pr.length == 1 && pr(0)._3 && pr(0)._5 == 2L)
+    assert(pr(0)._6 == 96L * 200 * 200)
+  }
 }

@@ -682,6 +682,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mm_scene_cuts: in-kernel lag - ZERO Exchange in the plan") {
+    val p = planOf("mm_scene_cuts")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("text_blocklist: dictionary arrives by BROADCAST hash join, never a per-doc scan") {
     val p = planOf("text_blocklist")
     assert(p.contains("BroadcastHashJoin"), p)

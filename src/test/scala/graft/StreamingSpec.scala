@@ -1002,6 +1002,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming scene-cut gate: two waves equal the batch cut table bit for bit") {
+    import graft.multimodal.Multimodal
+    val vids = (1L to 20L).map { id =>
+      val n1 = (id % 3 + 2).toInt
+      val a1 = (30 + (id % 4) * 7).toInt
+      (id, Multimodal.gifVideoScenes(16, 12,
+        Seq.fill(n1)((a1, 25, 0)) ++ Seq.fill(2)((256 - a1, 25, 0))))
+    }.toDF("id", "content")
+    val dir = Files.createTempDirectory("scenestream").toString
+    vids.filter(col("id") % 2 === 0).write.parquet(s"$dir/w1")
+    vids.filter(col("id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.sceneCutStream(
+      spark.readStream
+        .schema("id LONG, content BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      tau = 4)
+    val q = stream.writeStream
+      .format("memory").queryName("scenecut").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(Option(_).map(_.toString))).toSet
+    val got = canon(spark.table("scenecut"))
+    val want = canon(Multimodal.sceneCuts(spark, vids, tau = 4))
+    assert(got == want, "streamed scene cuts diverged from batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming blocklist gate: two waves equal the batch census bit for bit") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     // the same md5-derived fixture blocklist text_blocklist uses
