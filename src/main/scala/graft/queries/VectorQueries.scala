@@ -3045,6 +3045,65 @@ object VectorQueries {
         FROM b4 GROUP BY 1, 2
       """)
     ),
+    // Diameter lower bound by DOUBLE SWEEP (Magnien-Latapy-Habib 2009 —
+    // the standard cheap diameter estimator): BFS from a deterministic
+    // seed (the smallest node id), take the farthest node u (ties to
+    // the smallest id), BFS again from u; ecc(u) within the horizon is
+    // the classic lower bound that is near-exact in practice. Two
+    // frontier-BFS chains + two 1-row argmax collects — the k-row
+    // driver budget.
+    GQuery(
+      "knn_graph_diameter",
+      (spark, dir) => {
+        import spark.implicits._
+        val g = sharedGraph(spark, dir)
+        val s0 = t(spark, dir, "embeddings")
+          .agg(min(col("vec_id"))).as[Long].head()
+        val b1 = graft.operators.GraphAudit
+          .multiSourceBfs(g, Seq(s0).toDF("vec_id"), rounds = 6)
+        val org.apache.spark.sql.Row(u: Long, ecc0: Int) = b1
+          .orderBy(col("hop").desc, col("id"))
+          .select(col("id"), col("hop")).head()
+        val b2 = graft.operators.GraphAudit
+          .multiSourceBfs(g, Seq(u).toDF("vec_id"), rounds = 6)
+        b2.agg(
+          lit(s0).as("seed"),
+          lit(ecc0.toLong).as("ecc_seed"),
+          lit(u).as("far_node"),
+          max(col("hop")).cast("long").as("diameter_lb"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        st AS (SELECT min(vec_id) AS s0 FROM embeddings),
+        dw0 AS MATERIALIZED (SELECT s0 AS id, 0 AS hop FROM st),
+        ${(1 to 6).map(t => s"""
+        dw$t AS MATERIALIZED (SELECT * FROM dw${t - 1}
+              UNION ALL
+              SELECT nf.dst AS id, $t AS hop FROM (
+                SELECT DISTINCT w.dst FROM dw${t - 1} f
+                JOIN wund w ON w.src = f.id
+                WHERE f.hop = ${t - 1}
+                  AND NOT EXISTS (SELECT 1 FROM dw${t - 1} b
+                                  WHERE b.id = w.dst)) nf)""").mkString(",")},
+        fu AS (SELECT id AS u, hop AS ecdw0 FROM dw6
+               ORDER BY hop DESC, id LIMIT 1),
+        dx0 AS MATERIALIZED (SELECT u AS id, 0 AS hop FROM fu),
+        ${(1 to 6).map(t => s"""
+        dx$t AS MATERIALIZED (SELECT * FROM dx${t - 1}
+              UNION ALL
+              SELECT nf.dst AS id, $t AS hop FROM (
+                SELECT DISTINCT w.dst FROM dx${t - 1} f
+                JOIN wund w ON w.src = f.id
+                WHERE f.hop = ${t - 1}
+                  AND NOT EXISTS (SELECT 1 FROM dx${t - 1} b
+                                  WHERE b.id = w.dst)) nf)""").mkString(",")}
+        SELECT st.s0 AS seed, CAST(fu.ecdw0 AS BIGINT) AS ecc_seed,
+               fu.u AS far_node,
+               (SELECT CAST(max(hop) AS BIGINT) FROM dx6) AS diameter_lb
+        FROM st CROSS JOIN fu
+      """)
+    ),
     // Harmonic centrality (Boldi-Vigna 2014's recommended closeness
     // variant — defined even on disconnected graphs) of the BFS source
     // slice: Σ 1/hop over nodes reached within the horizon, off the

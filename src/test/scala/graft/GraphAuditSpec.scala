@@ -228,6 +228,30 @@ class GraphAuditSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("double-sweep BFS reaches the true diameter endpoint on path fixtures") {
+    // path 0-..-7: BFS from 0 -> farthest is 7 (ecc 7); BFS from 7 ->
+    // max hop 7 = the exact diameter (double sweep is exact on trees)
+    val path = (0L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val b1 = GraphAudit.multiSourceBfs(path, Seq(0L).toDF("v"), rounds = 7)
+      .as[(Long, Long, Int)].collect()
+    val far = b1.maxBy(r => (r._3, -r._2))
+    assert(far._2 == 7L && far._3 == 7)
+    val b2 = GraphAudit
+      .multiSourceBfs(path, Seq(far._2).toDF("v"), rounds = 7)
+      .as[(Long, Long, Int)].collect()
+    assert(b2.map(_._3).max == 7, "second sweep must recover the diameter")
+    // asymmetric tree: seed inside, sweep must still find the long arm
+    val tree = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)) ++
+      Seq((0L, 10L))).toDF("src", "dst")
+    val t1 = GraphAudit.multiSourceBfs(tree, Seq(1L).toDF("v"), rounds = 6)
+      .as[(Long, Long, Int)].collect()
+    val u = t1.sortBy(r => (-r._3, r._2)).head
+    assert(u._2 == 4L && u._3 == 3)
+    val t2 = GraphAudit.multiSourceBfs(tree, Seq(u._2).toDF("v"), rounds = 6)
+      .as[(Long, Long, Int)].collect()
+    assert(t2.map(_._3).max == 5, "4 -> 10 is the true diameter path")
+  }
+
   test("betweennessBrandes: path and star closed forms, pivot subset, non-interior zeros") {
     val ids5 = (0L to 4L).toDF("id")
     // path 0-1-2-3-4, all-source exact Brandes: bw counts ORDERED
