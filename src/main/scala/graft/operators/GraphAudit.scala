@@ -100,6 +100,53 @@ object GraphAudit {
     visited
   }
 
+  /** k-truss peeling trajectory (Cohen 2008) — the EDGE-cohesion audit
+    * next to [[coreness]]'s node view: round t recomputes every
+    * surviving edge's triangle SUPPORT (common-neighbor count) and
+    * drops edges with support < k−2; the fixed-round schedule (the
+    * [[coreness]] discipline — declared semantics whether or not the
+    * peel has converged) emits the (round, n_edges, n_nodes) census.
+    * All integer, so the whole trajectory replays as unrolled SQL.
+    * Per round: one wedge join (Σ deg² bounded on a kNN graph, where
+    * degree is ~2k) + one per-edge count — no global state, no driver
+    * collects (censuses are 1-row aggregates unioned into the plan).
+    */
+  def trussTrajectory(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"trussTrajectory needs >= 1 round, got $rounds")
+    var e = und(edges).localCheckpoint()
+    def census(r: Int, cur: DataFrame): DataFrame = {
+      val nodes = cur.select(col("a").as("id"))
+        .unionAll(cur.select(col("b").as("id")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+      cur.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(nodes)
+        .select(lit(r.toLong).as("rnd"), col("n_edges"), col("n_nodes"))
+    }
+    val out = Seq.newBuilder[DataFrame]
+    out += census(0, e)
+    for (r <- 1 to rounds) {
+      val sym = e.select(col("a").as("id"), col("b").as("nb"))
+        .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+      val sup = e
+        .join(sym.select(col("id").as("a"), col("nb").as("c1")), Seq("a"))
+        .join(sym.select(col("id").as("b"), col("nb").as("c2")), Seq("b"))
+        .filter(col("c1") === col("c2"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+      e = e.join(sup, Seq("a", "b"))
+        .filter(col("sup") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      out += census(r, e)
+    }
+    out.result().reduce(_.unionByName(_))
+  }
+
   /** Pivot-source betweenness centrality (Brandes 2001, with the pivot
     * sampling of Brandes–Pich 2007 / Bader et al. 2007): exact Brandes
     * forward/backward passes from each source in `sources`, horizon

@@ -116,8 +116,71 @@ object TextSearch {
       b: Double = 0.75,
       k: Int = 20
   ): DataFrame = {
-    require(terms.nonEmpty && kFb >= 1 && mExp >= 1)
+    val (expansion, pSum) =
+      rm3Expansion(docs, idCol, textCol, terms, kFb, mExp, k1, b)
+    bm25Weighted(docs, idCol, textCol,
+      rm3Weights(terms, expansion, pSum, alpha), k1, b, k)
+  }
+
+  /** The RM3 α-operating curve — retrieval's tuning knob measured the
+    * way the ANN families measure theirs (IVF nprobe, HNSW ef, RP-tree
+    * spill, LSH radius): the feedback round and the expansion-term
+    * selection run ONCE (they are α-independent), then one weighted
+    * round 2 per α. Returns (alpha, doc_id, score, rnk).
+    */
+  def rm3Curve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      alphas: Seq[Double],
+      kFb: Int = 10,
+      mExp: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 20
+  ): DataFrame = {
+    require(alphas.nonEmpty)
+    val (expansion, pSum) =
+      rm3Expansion(docs, idCol, textCol, terms, kFb, mExp, k1, b)
+    alphas
+      .map { a =>
+        bm25Weighted(docs, idCol, textCol,
+          rm3Weights(terms, expansion, pSum, a), k1, b, k)
+          .select(lit(a).as("alpha"), col("doc_id"), col("score"),
+            col("rnk"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  private def rm3Weights(
+      terms: Seq[String],
+      expansion: Array[(String, Double)],
+      pSum: Double,
+      alpha: Double
+  ): Seq[(String, Double)] = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    val wq = alpha / terms.length
+    terms.distinct.map(t => t -> wq) ++
+      expansion.map { case (t, p) => t -> (1.0 - alpha) * (p / pSum) }
+  }
+
+  /** The α-independent half of RM3: round-1 feedback docs, the top-mExp
+    * expansion terms (p desc, term asc; p 6-rounded BEFORE ranking),
+    * and the exact scale-6 decimal normalizer (matches the SQL replay's
+    * sum(p::DECIMAL(18,6)) regardless of accumulation order).
+    */
+  private def rm3Expansion(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      kFb: Int,
+      mExp: Int,
+      k1: Double,
+      b: Double
+  ): (Array[(String, Double)], Double) = {
+    require(terms.nonEmpty && kFb >= 1 && mExp >= 1)
     val fbIds = bm25(docs, idCol, textCol, terms, k1, b, kFb)
       .select(col("doc_id"))
     val fbToks = docs
@@ -138,19 +201,12 @@ object TextSearch {
       .limit(mExp)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1)))
-    // exact 6-scale decimal normalizer — matches the SQL replay's
-    // sum(p::DECIMAL(18,6)) regardless of accumulation order (p is
-    // 6-rounded, so the scale-6 decimal recovers the clean value)
     val pSum = expansion
       .map { case (_, p) =>
         BigDecimal(p).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
       }
       .sum.toDouble
-    val wq = alpha / terms.length
-    val weighted: Seq[(String, Double)] =
-      terms.distinct.map(t => t -> wq) ++
-        expansion.map { case (t, p) => t -> (1.0 - alpha) * (p / pSum) }
-    bm25Weighted(docs, idCol, textCol, weighted, k1, b, k)
+    (expansion, pSum)
   }
 
   /** Weighted-term BM25: each term's contribution scales by its query

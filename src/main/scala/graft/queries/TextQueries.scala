@@ -3594,6 +3594,102 @@ object TextQueries {
           FROM s2) WHERE rnk <= 20
       """)
     ),
+    // The RM3 alpha-operating curve — retrieval's knob measured the way
+    // the ANN families measure theirs (IVF nprobe / HNSW ef / RP-tree
+    // spill / LSH radius): feedback + expansion-term selection run ONCE
+    // (alpha-independent), one weighted round 2 per alpha in
+    // {0.2, 0.6, 0.9} — expansion-dominant to near-pure-BM25.
+    GQuery(
+      "text_rm3_curve",
+      (spark, dir) =>
+        graft.operators.TextSearch.rm3Curve(
+          t(spark, dir, "documents"), "doc_id", "text",
+          Seq("vector", "hash", "stream", "query"),
+          alphas = Seq(0.2, 0.6, 0.9), kFb = 10, mExp = 5),
+      Some(s"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        dl AS MATERIALIZED (
+          SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (sum(dl::DECIMAL(30,6))::DOUBLE / count(*)) AS avgdl
+                  FROM dl),
+        tf1 AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+                WHERE w IN ('vector','hash','stream','query')
+                GROUP BY doc_id, w),
+        df1 AS (SELECT term, count(*)::BIGINT AS df FROM tf1 GROUP BY term),
+        c1 AS (
+          SELECT tf1.doc_id,
+                 ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
+          FROM tf1 JOIN df1 USING (term)
+          JOIN dl ON tf1.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        s1 AS (SELECT doc_id,
+                      round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+               FROM c1 GROUP BY doc_id),
+        fb AS MATERIALIZED (SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                FROM s1) WHERE rnk <= 10),
+        exp AS (
+          SELECT term,
+                 round(sum((tf::DOUBLE / dl)::DECIMAL(38,20))::DOUBLE, 6) AS p
+          FROM (SELECT u.doc_id, d.dl, u.w AS term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(t) AS w FROM tok) u
+                JOIN fb ON fb.doc_id = u.doc_id
+                JOIN dl d ON d.doc_id = u.doc_id
+                WHERE u.w NOT IN ('vector','hash','stream','query')
+                GROUP BY u.doc_id, d.dl, u.w)
+          GROUP BY term),
+        sel5 AS MATERIALIZED (SELECT term, p FROM (
+                 SELECT term, p,
+                        row_number() OVER (ORDER BY p DESC, term) AS r
+                 FROM exp) WHERE r <= 5),
+        norm AS (SELECT sum(p::DECIMAL(18,6))::DOUBLE AS psum FROM sel5),
+        wall AS MATERIALIZED (
+          SELECT term, 0.6 / 4 AS wt0 FROM (VALUES ('vector'),('hash'),
+            ('stream'),('query')) q(term)
+          UNION ALL SELECT term, 0.0 FROM sel5),
+        tf2 AS MATERIALIZED (
+          SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+          WHERE w IN (SELECT term FROM wall)
+          GROUP BY doc_id, w),
+        df2 AS MATERIALIZED (
+          SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY term),
+        ${Seq("0.2","0.6","0.9").zipWithIndex.map { case (a, i) => s"""
+        wq$i AS (
+          SELECT term, $a / 4 AS wt
+          FROM (VALUES ('vector'),('hash'),('stream'),('query')) q(term)
+          UNION ALL
+          SELECT term, (1.0 - $a) * (p / norm.psum) AS wt
+          FROM sel5 CROSS JOIN norm),
+        s2$i AS (SELECT doc_id,
+                      round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+               FROM (
+          SELECT tf2.doc_id,
+                 wq$i.wt
+                   * ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
+          FROM tf2 JOIN df2 USING (term)
+          JOIN wq$i ON wq$i.term = tf2.term
+          JOIN dl ON tf2.doc_id = dl.doc_id
+          CROSS JOIN stats) GROUP BY doc_id),
+        r$i AS (SELECT CAST($a AS DOUBLE) AS alpha, doc_id, score, rnk FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM s2$i) WHERE rnk <= 20)""" }.mkString(",")}
+        SELECT alpha, doc_id, score, rnk FROM r0
+        UNION ALL SELECT alpha, doc_id, score, rnk FROM r1
+        UNION ALL SELECT alpha, doc_id, score, rnk FROM r2
+      """)
+    ),
     // Dirichlet query-likelihood ranking (Zhai & Lafferty 2004) — the
     // language-modeling retrieval scorer next to BM25's probabilistic
     // one, same query set: EVERY document scores (absent terms

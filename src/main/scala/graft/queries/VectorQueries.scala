@@ -3045,6 +3045,42 @@ object VectorQueries {
         FROM b4 GROUP BY 1, 2
       """)
     ),
+    // k-truss peeling trajectory (Cohen 2008) — edge cohesion next to
+    // kcore's node view: each round drops edges with triangle support
+    // < k-2 and the fixed 3-round schedule emits the (round, edges,
+    // nodes) census — all integer, unrolled-SQL hash-checked. Support
+    // is one wedge join per round (degree ~2k on a kNN graph).
+    GQuery(
+      "knn_graph_truss",
+      (spark, dir) =>
+        graft.operators.GraphAudit
+          .trussTrajectory(sharedGraph(spark, dir), k = 4, rounds = 3),
+      Some(s"""
+        WITH $graphCtes,
+        ts0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+               FROM g2 WHERE src != dst),
+        ${(1 to 3).map(r => s"""
+        tsym$r AS MATERIALIZED (SELECT a AS id, b AS nb FROM ts${r - 1}
+               UNION ALL SELECT b, a FROM ts${r - 1}),
+        tsup$r AS MATERIALIZED (
+          SELECT t.a, t.b, count(*) AS sup
+          FROM ts${r - 1} t
+          JOIN tsym$r u1 ON u1.id = t.a
+          JOIN tsym$r u2 ON u2.id = t.b AND u2.nb = u1.nb
+          GROUP BY t.a, t.b),
+        ts$r AS MATERIALIZED (
+          SELECT t.a, t.b FROM ts${r - 1} t
+          JOIN tsup$r s ON s.a = t.a AND s.b = t.b
+          WHERE s.sup >= 2)""").mkString(",")}
+        ${(0 to 3).map(r => s"""
+        SELECT CAST($r AS BIGINT) AS rnd,
+               (SELECT count(*) FROM ts$r) AS n_edges,
+               (SELECT count(*) FROM (SELECT a AS id FROM ts$r
+                                      UNION SELECT b FROM ts$r)) AS n_nodes""")
+          .mkString(" UNION ALL ")}
+      """)
+    ),
     // Diameter lower bound by DOUBLE SWEEP (Magnien-Latapy-Habib 2009 —
     // the standard cheap diameter estimator): BFS from a deterministic
     // seed (the smallest node id), take the farthest node u (ties to

@@ -228,6 +228,27 @@ class GraphAuditSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("trussTrajectory: K4 survives 4-truss, pendant and triangle peel away") {
+    // K4 + pendant edge + disjoint triangle, k = 4 (support >= 2)
+    val k4 = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L))
+    val extra = Seq((3L, 9L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val e = (k4 ++ extra).toDF("src", "dst")
+    val got = GraphAudit.trussTrajectory(e, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // round 0: all 10 edges, 8 nodes; round 1: pendant (support 0) and
+    // the triangle (support 1) peel, K4 survives (support 2 each)
+    assert(got(0) == (0L, 10L, 8L))
+    assert(got(1) == (1L, 6L, 4L))
+    // fixpoint: K4 is a 4-truss, censuses stay flat
+    assert(got(2) == (2L, 6L, 4L) && got(3) == (3L, 6L, 4L))
+    // monotone non-increasing always
+    assert(got.sliding(2).forall { case Array(p, n) => n._2 <= p._2 })
+    // k = 5 (support >= 3): even K4 dies
+    val g5 = GraphAudit.trussTrajectory(e, k = 5, rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(g5.last._2 == 0L)
+  }
+
   test("double-sweep BFS reaches the true diameter endpoint on path fixtures") {
     // path 0-..-7: BFS from 0 -> farthest is 7 (ecc 7); BFS from 7 ->
     // max hop 7 = the exact diameter (double sweep is exact on trees)

@@ -177,6 +177,37 @@ class TextSearchSpec extends SparkSpec {
     assert(again.sortBy(_._3).toSeq == r3.sortBy(_._3).toSeq)
   }
 
+  test("rm3Curve: shared expansion, per-alpha rows; expansion mass falls with alpha") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta x"),
+      (2L, "alpha beta beta y y"),
+      (3L, "alpha beta z z z"),
+      (4L, "beta beta beta w w"),
+      (5L, "gamma delta gamma delta")
+    ).toDF("doc_id", "text")
+    val curve = TextSearch.rm3Curve(docs, "doc_id", "text", Seq("alpha"),
+      alphas = Seq(0.2, 0.9), kFb = 3, mExp = 2, k = 5)
+      .select(col("alpha"), col("doc_id"), col("rnk"), col("score"))
+      .as[(Double, Long, Long, Double)].collect()
+    assert(curve.map(_._1).distinct.sorted.toSeq == Seq(0.2, 0.9))
+    // the knob's direction: the alpha-free doc 4 lives off expansion
+    // mass alone, so its score is linear in (1 - alpha) and must fall
+    // strictly as alpha rises
+    def score4(a: Double) = curve.filter(_._1 == a).find(_._2 == 4L).get._4
+    assert(score4(0.9) < score4(0.2),
+      s"doc 4 score must fall with alpha: ${score4(0.2)} -> ${score4(0.9)}")
+    // and every alpha-doc keeps a row at both settings (original terms
+    // never lose all their mass: alpha > 0)
+    assert(Seq(0.2, 0.9).forall(a =>
+      Set(1L, 2L, 3L).subsetOf(curve.filter(_._1 == a).map(_._2).toSet)))
+    // the alpha-free doc stays retrievable at every alpha (expansion
+    // mass never vanishes: alpha < 1), and the unrelated doc never
+    // enters
+    assert(Seq(0.2, 0.9).forall(a =>
+      curve.filter(_._1 == a).exists(_._2 == 4L)))
+    assert(!curve.exists(_._2 == 5L))
+  }
+
   test("bm25Weighted: unit weights reproduce plain bm25 exactly") {
     val docs = Seq(
       (1L, "alpha beta beta"), (2L, "alpha alpha x"), (3L, "y z alpha")
