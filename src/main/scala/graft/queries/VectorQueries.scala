@@ -3374,6 +3374,57 @@ object VectorQueries {
           ('0x' || substr(md5('neg:v1:' || a.walk_id::VARCHAR || ':' || a.step::VARCHAR || ':' || j.j::VARCHAR), 1, 14))::BIGINT % un.n
       """)
     ),
+    // The walk-LENGTH operating curve (the knob-curve discipline, a
+    // seventh time): coverage of the node universe vs walk length
+    // L ∈ {2, 5, 8}. The md5 coin keys on (walk, step) only, so an
+    // 8-step walk table NESTS every shorter one — ONE walk computation,
+    // three prefix censuses (no per-L re-walk); the oracle extends the
+    // shared 5-step replay chain by three more steps and reads the
+    // same prefixes.
+    GQuery(
+      "eval_walk_length_curve",
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings")
+        val n = emb.count()
+        val starts = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+        val walks8 = graft.operators.RandomWalk
+          .uniformWalks(sharedGraph(spark, dir), starts, steps = 8,
+            salt = "v1")
+          .localCheckpoint()
+        Seq(2, 5, 8)
+          .map { l =>
+            walks8.filter(col("step") <= l)
+              .select(col("id")).distinct()
+              .agg(count(lit(1)).as("n_visited"))
+              .select(
+                lit(l.toLong).as("l"), col("n_visited"),
+                round(col("n_visited").cast("double") / lit(n), 6)
+                  .as("coverage"))
+          }
+          .reduce(_.unionByName(_))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $walkCtes,
+        ${(6 to 8).map(t => s"""
+        y$t AS (SELECT f.walk_id, a.dst AS cur
+               FROM ${if (t == 6) "w5" else s"y${t - 1}"} f
+               JOIN wadj a ON a.src = f.cur
+                AND a.rn = ('0x' || substr(md5('wk:v1:' || f.walk_id::VARCHAR || ':$t'), 1, 14))::BIGINT % a.deg + 1)""").mkString(",")},
+        un AS (SELECT count(*) AS n FROM embeddings),
+        v8 AS (SELECT id FROM wt
+               ${(6 to 8).map(t => s"UNION ALL SELECT cur AS id FROM y$t")
+                 .mkString(" ")})
+        ${Seq(2, 5, 8).map { l =>
+          val src = if (l == 8) "v8" else s"(SELECT id FROM wt WHERE step <= $l)"
+          s"""SELECT CAST($l AS BIGINT) AS l,
+               count(DISTINCT id) AS n_visited,
+               round(count(DISTINCT id)::DOUBLE / un.n, 6) AS coverage
+             FROM $src CROSS JOIN un GROUP BY un.n"""
+        }.mkString(" UNION ALL ")}
+      """)
+    ),
     // Walk-corpus coverage audit (the eval-tier discipline from
     // eval_selection_coverage): visit-count histogram over the node
     // universe — how much of the graph the DeepWalk corpus actually

@@ -115,6 +115,15 @@ class RandomWalkSpec extends SparkSpec {
     assert(again.sorted.toSeq == walks.sorted.toSeq)
   }
 
+  test("walk prefixes nest: an 8-step walk table restricted to step<=5 IS the 5-step table") {
+    val w5 = RandomWalk.uniformWalks(cycleEdges, starts, steps = 5, salt = "t")
+      .as[(Long, Int, Long)].collect().sorted
+    val w8 = RandomWalk.uniformWalks(cycleEdges, starts, steps = 8, salt = "t")
+      .as[(Long, Int, Long)].collect().filter(_._2 <= 5).sorted
+    assert(w8.toSeq == w5.toSeq,
+      "the coin keys on (walk, step) only - prefixes must nest exactly")
+  }
+
   test("skipGramPairs: exact positives on a handcrafted walk; negative count/label/universe") {
     // one walk 10→11→12→13 (steps 0..3)
     val wt = Seq(
