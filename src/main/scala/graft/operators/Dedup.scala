@@ -359,29 +359,111 @@ object Dedup {
       n: Int = 3,
       tau: Double = 0.5
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val ranked = sh
-      .join(dfreq, "sh")
-      .withColumn("rnk",
-        row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
-    val prefix = ranked
-      .filter(col("rnk") <=
-        col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
-      .select(col("doc_id"), col("sh"), col("nsh"))
-    val cand = prefix.as("a")
+    val docsArr = prefixDocs(df, idCol, textCol, n)
+    val cand = prefixCandidates(docsArr, tau)
+    // fused verify: the candidate aggregation already carries (na, nb);
+    // the exact overlap comes from ONE sorted-array intersection against
+    // the SAME per-doc arrays the prefix was sliced from — no re-join of
+    // exploded shingle rows, no per-pair row fan-out
+    cand
+      .join(docsArr.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        "doc_b")
+      .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Per-doc shingle sets as ONE array each, sorted by the PPJoin global
+    * rarity order — the structure that replaces the per-doc `row_number`
+    * window (a groupBy does the ordering) AND carries the full set to
+    * the fused verify.
+    *
+    * Shingles are DICTIONARY-ENCODED to longs on the df aggregation
+    * (the groupBy the rarity order needs anyway, so encoding costs zero
+    * extra shuffles): ids are distinct by construction
+    * (monotonically_increasing_id over the distinct-shingle table), so
+    * intersection counts stay EXACT — this is not hashing. The global
+    * order becomes (df ASC, id ASC); the paper needs only SOME
+    * consistent total order, and rarity-first with an arbitrary
+    * tie-break keeps the pruning heuristic while every downstream stage
+    * (sort, prefix join keys, array intersect) runs on 8-byte longs
+    * instead of n-gram strings. The localCheckpoint is REQUIRED for
+    * correctness, not just reuse: it freezes the ids so the prefix
+    * explode and both verify joins read one consistent dictionary
+    * (mono-id re-evaluation per consumer could renumber).
+    */
+  private def prefixDocs(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // per-doc distinct shingles computed ROW-WISE (array_distinct over the
+    // in-row n-gram array) — the (doc_id, sh) rows exploded from this are
+    // already doc-distinct, so the full-table distinct() shuffle that
+    // shingles() pays disappears; same (split, concat_ws) shingle
+    // semantics as spanPositions
+    val ngrams = expr(
+      s"transform(sequence(0, size(toks)-$n), i -> " +
+        (0 until n).map(j => s"toks[i+$j]")
+          .mkString("concat_ws(' ', ", ", ", ")") + ")")
+    val sh = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("toks")) >= n, array_distinct(ngrams))
+            .otherwise(array())).as("sh"))
+    val dict = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("shid", monotonically_increasing_id())
+    sh.join(dict, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("df"), col("shid")))),
+          x => x.getField("shid")).as("toks"))
+      .withColumn("nsh", size(col("toks")))
+      .localCheckpoint()
+  }
+
+  /** Candidate pairs from prefix collisions, pruned by BOTH PPJoin
+    * filters (Xiao et al. WWW 2008): the length filter
+    * τ·|larger| ≤ |smaller| at the join, and the positional/suffix
+    * filter after the per-pair aggregation — with P shared prefix
+    * tokens whose LAST match sits at 0-based positions (pamax, pbmax),
+    * every further shared token sorts after it in BOTH docs (one global
+    * order), so overlap ≤ P + min(na−pamax−1, nb−pbmax−1); J ≥ τ needs
+    * overlap ≥ τ·(na+nb)/(1+τ), and pairs whose bound can't reach it die
+    * BEFORE the verify join. Returns (doc_a, doc_b, na, nb).
+    */
+  private def prefixCandidates(docsArr: DataFrame, tau: Double): DataFrame = {
+    val prefix = docsArr.select(
+      col("doc_id"), col("nsh"),
+      posexplode(slice(col("toks"), lit(1),
+        (col("nsh") - ceil(lit(tau) * col("nsh")) + 1).cast("int"))))
+      .toDF("doc_id", "nsh", "pos", "sh")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           lit(tau) * greatest(col("a.nsh"), col("b.nsh")) <=
             least(col("a.nsh"), col("b.nsh")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sh, tau)
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(
+        count(lit(1)).as("p"),
+        max(col("a.pos")).as("pamax"), max(col("b.pos")).as("pbmax"))
+      // 1e-9 slack: the threshold is exact in rationals; the double form
+      // may round a hair high and the bound is integer — admitting a few
+      // borderline candidates is harmless (verify is exact), dropping a
+      // qualifying pair is not
+      .filter(
+        (col("p") + least(col("na") - col("pamax") - 1,
+          col("nb") - col("pbmax") - 1)).cast("double")
+          >= lit(tau) / (1.0 + tau) * (col("na") + col("nb")) - 1e-9)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
   }
 
   /** Candidate-pair count of the prefix-filtered generator vs the plain
@@ -391,25 +473,15 @@ object Dedup {
   private[graft] def prefixCandidateCounts(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val full = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
-      .filter(col("rnk") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
-    val pruned = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          lit(tau) * greatest(col("a.nsh"), col("b.nsh")) <=
-            least(col("a.nsh"), col("b.nsh")))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    // measure what jaccardPairsPrefix actually verifies: the prefix
+    // collisions AFTER both the length and positional/suffix filters
+    val pruned =
+      prefixCandidates(prefixDocs(df, idCol, textCol, n), tau).count()
     (full, pruned)
   }
 

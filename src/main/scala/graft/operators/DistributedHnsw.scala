@@ -559,7 +559,10 @@ object DistributedHnsw {
       },
       levels = (shards.levels, rebuilt.levels) match {
         case (Some(o), Some(n)) => Some(keep(o).unionByName(n))
-        case (None, n)          => n
+        // A parquet-loaded index has no levels table; emitting only the
+        // rebuilt shards' levels would let a downstream census silently
+        // read a partial table as complete — absent beats partial.
+        case (None, _)          => None
         case (o, None)          => o.map(keep)
       },
       caches = rebuilt.caches

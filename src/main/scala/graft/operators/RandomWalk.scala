@@ -103,7 +103,13 @@ object RandomWalk {
         col("dst").as("src"), col("src").as("dst"), col("dist")))
       .distinct()
       .withColumn("w",
-        round(lit(1000000.0) / (lit(1.0) + col("dist")), 0).cast("long"))
+        // clamp to >= 1: a dist >= ~2e6 would round to 0, and a node whose
+        // every edge rounds to 0 gives tot = 0 -> coin % 0 = NULL -> the
+        // walk silently truncates, breaking the "ends only at a sink"
+        // contract
+        greatest(
+          round(lit(1000000.0) / (lit(1.0) + col("dist")), 0).cast("long"),
+          lit(1L)))
       .select(col("src").as("cur"), col("dst"), col("w"))
       .localCheckpoint()
     var frontier = starts

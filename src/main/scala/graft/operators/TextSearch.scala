@@ -160,8 +160,12 @@ object TextSearch {
       alpha: Double
   ): Seq[(String, Double)] = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
-    val wq = alpha / terms.length
-    terms.distinct.map(t => t -> wq) ++
+    // dedup BEFORE dividing: dividing by terms.length but emitting
+    // terms.distinct would shrink total original-term mass below alpha
+    // whenever the query repeats a term
+    val qs = terms.distinct
+    val wq = alpha / qs.length
+    qs.map(t => t -> wq) ++
       expansion.map { case (t, p) => t -> (1.0 - alpha) * (p / pSum) }
   }
 

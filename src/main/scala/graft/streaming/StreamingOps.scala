@@ -1078,7 +1078,12 @@ object StreamingOps {
     val toks = transform(
       filter(split(col(textCol), " "), w => w =!= ""), w => lower(w))
     val matched = filter(toks, w => array_contains(dict, w))
-    docs.select(
+    docs
+      // batch blocklistStats never emits a row for a zero-token doc (it
+      // vanishes at the explode); match that contract instead of emitting
+      // n_tokens=0 with NULL hit_frac/keep
+      .filter(size(toks) > 0)
+      .select(
       col(idCol).as("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(matched).cast("long").as("n_hits"),
