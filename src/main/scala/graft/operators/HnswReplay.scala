@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HNSW SEARCH semantics, hash-checked (round-12 verdict item 2): the
+  * production sharded build (ref: py/hnsw.py:300-390) is rows-only
+  * because its edge set depends on a sequential heap walk — but the
+  * SEARCH algorithm (greedy upper-layer descent + ef-bounded beam at
+  * layer 0, py/hnsw.py:240-277) is independently auditable by running
+  * it over a DETERMINISTIC layered graph both engines can reconstruct:
+  *
+  *   - levels: the engine's md5 coin over the global id fed through the
+  *     paper formula floor(−ln(u)·mL) — the exact draw
+  *     [[HnswParams.deterministicLevels]] uses, already SQL-proven by
+  *     hnsw_level_stats. The coin's 10⁶ granularity bounds u ≥ 1/1000001,
+  *     so level ≤ floor(ln(1000001)·mL) = 4 at m=16 — a STATIC unroll
+  *     bound, independent of corpus size.
+  *   - edges at layer l: each layer-l node's exact top-m (top-m0 at
+  *     layer 0) neighbors among layer-l nodes, (dist, id)-ascending —
+  *     the idealized HNSW graph (what the heap walk approximates).
+  *   - search: from the max-level node (tie → smallest id), G greedy
+  *     argmin rounds per layer from the top layer down to 1, then an
+  *     R-round synchronized beam of width ef at layer 0 (the bounded
+  *     replay contract knn_graph_search established), final exact top-k.
+  *
+  * Every stage is (dist, id)-deterministic and replays as unrolled SQL,
+  * so the full search trajectory is oracle-checkable — "hash-checked
+  * given index". Scale shape: the per-layer exact-kNN edge build is the
+  * AUDIT-scale half (the same bounded-heap TypedImperativeAggregate as
+  * knn_bruteforce — quadratic by nature, run at audit slices); the
+  * search replay itself is |Q|-bounded joins against the edge tables
+  * and would serve fine over a corpus-scale index. The production build
+  * and search stay [[DistributedHnsw]].
+  */
+object HnswReplay {
+
+  /** Static max level: u ≥ 1/1000001 ⇒ −ln(u)·(1/ln 16) ≤ 4.983. */
+  val MaxLevel = 4
+
+  /** The md5-coin level draw — bit-identical to
+    * [[HnswParams.deterministicLevels]]'s KMeans.md5Coin path and to the
+    * hnsw_level_stats oracle SQL.
+    */
+  def levelCol(id: Column, seed: Long, m: Int): Column = {
+    val u =
+      (Dedup.md5Long(concat(id.cast("string"), lit(s":hnswlvl:$seed")))
+        % 1000000L + 1L).cast("double") / lit(1000001.0)
+    floor(-log(u) * lit(1.0 / math.log(m.toDouble))).cast("int")
+  }
+
+  /** Node cap for the idealized edge build: it broadcasts the layer-node
+    * matrix (an exact all-kNN is quadratic by nature), so it is an
+    * AUDIT-scale component by contract — the same bounded-audit
+    * discipline as [[Dedup.auditSample]] / eval_dedup_blocking's exact
+    * side. 200k nodes ≈ 100 MB at d=64. Production ANN is
+    * [[DistributedHnsw]] / [[IvfIndex]].
+    */
+  val MaxAuditNodes = 200000
+
+  /** Idealized per-layer edges in ONE pass: broadcast the (id, level,
+    * vec) matrix, then each node computes its distance row once and
+    * selects top-m (top-m0 at layer 0) per layer it occupies, ties
+    * (dist, id)-ascending. Distance is the same ascending-index
+    * sequential sum as L2SqExpr / the oracle's list_sum, so ranks are
+    * bit-reproducible across engines. Returns (layer, src, dst).
+    */
+  private def idealEdges(base: DataFrame, m: Int, m0: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val rows = base.select(col("id"), col("vec"), col("level"))
+      .as[(Long, Seq[Double], Int)]
+      .collect()
+      .sortBy(_._1)
+    require(rows.length <= MaxAuditNodes,
+      s"idealEdges is the audit-scale path: ${rows.length} nodes > cap $MaxAuditNodes")
+    require(rows.nonEmpty, "idealEdges on empty input")
+    val n = rows.length
+    val d = rows(0)._2.length
+    val ids = rows.map(_._1)
+    val lvls = rows.map(_._3)
+    val flat = new Array[Double](n * d)
+    var i = 0
+    while (i < n) {
+      val v = rows(i)._2
+      var t = 0
+      while (t < d) { flat(i * d + t) = v(t); t += 1 }
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, lvls, flat, d))
+    base.select(col("id"), col("vec"), col("level"))
+      .as[(Long, Seq[Double], Int)]
+      .mapPartitions { it =>
+        val (ids, lvls, flat, d) = bc.value
+        val n = ids.length
+        it.flatMap { case (sid, svecSeq, slvl) =>
+          val sv = svecSeq.toArray
+          val dist = new Array[Double](n)
+          var j = 0
+          while (j < n) {
+            var s = 0.0
+            var t = 0
+            val off = j * d
+            while (t < d) { val df = sv(t) - flat(off + t); s += df * df; t += 1 }
+            dist(j) = s
+            j += 1
+          }
+          (0 to math.min(slvl, MaxLevel)).iterator.flatMap { l =>
+            val deg = if (l == 0) m0 else m
+            // candidate indices at this layer, id-ascending, excl. self
+            val cand = Array.newBuilder[Int]
+            var j2 = 0
+            while (j2 < n) {
+              if (lvls(j2) >= l && ids(j2) != sid) cand += j2
+              j2 += 1
+            }
+            val cs = cand.result()
+            // top-deg by (dist, id): ids ascending within equal dist is
+            // preserved by a stable sort over the id-ascending candidates
+            val sorted = cs.sortBy(dist(_)) // scala sortBy is stable
+            sorted.iterator.take(deg).map(j3 => (l, sid, ids(j3)))
+          }
+        }
+      }
+      .toDF("layer", "src", "dst")
+  }
+
+  /** Deterministic layered search replay. Returns
+    * (query_id, neighbor_id, dist, rnk) with rnk ≤ k per query.
+    */
+  def searchReplay(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      m: Int = 8,
+      m0: Int = 16,
+      ef: Int = 16,
+      greedyRounds: Int = 2,
+      beamRounds: Int = 4,
+      seed: Long = 42,
+      mLevels: Int = 16
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("level", levelCol(col("id"), seed, mLevels))
+      .localCheckpoint()
+    val allEdges = idealEdges(base, m, m0).localCheckpoint()
+    val edges = (0 to MaxLevel)
+      .map(l => l -> allEdges.filter(col("layer") === l)
+        .select(col("src"), col("dst")))
+      .toMap
+
+    val entry = base
+      .orderBy(col("level").desc, col("id"))
+      .limit(1)
+      .select(col("id").as("cur"))
+    val qs = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    val vecsOf = base.select(col("id").as("cid"), col("vec"))
+
+    // greedy descent, MaxLevel..1: per round the next position is the
+    // (dist, id)-argmin over {cur} ∪ neighbors(cur) at that layer
+    var cur = qs.select(col("qid")).crossJoin(broadcast(entry))
+    for (l <- MaxLevel to 1 by -1; _ <- 1 to greedyRounds) {
+      // no dedup shuffle: the (d, cid)-argmin is duplicate-insensitive
+      val cand = cur
+        .join(edges(l), col("cur") === col("src"), "left")
+        .select(col("qid"),
+          explode(array(col("cur"), col("dst"))).as("cid"))
+        .filter(col("cid").isNotNull)
+      cur = cand
+        .join(qs, "qid")
+        .join(vecsOf, "cid")
+        .withColumn("d", l2SqFast(col("qv"), col("vec")))
+        .groupBy(col("qid"))
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .select(col("qid"), col("best").getField("cid").as("cur"))
+    }
+
+    // layer-0 synchronized beam of width ef for beamRounds rounds; the
+    // final top-k is the LAST round's own (d, cid) ranking cut at k —
+    // re-ranking the ef survivors would reproduce rn exactly, so the
+    // last round is fused instead of re-joined
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    var beam = cur.select(col("qid"), col("cur").as("cid"))
+    var lastScored: DataFrame = null
+    for (_ <- 1 to beamRounds) {
+      val expanded = beam
+        .join(edges(0), col("cid") === col("src"), "left")
+        .select(col("qid"),
+          explode(array(col("cid"), col("dst"))).as("cid2"))
+        .filter(col("cid2").isNotNull)
+        .select(col("qid"), col("cid2").as("cid"))
+        .dropDuplicates("qid", "cid")
+      lastScored = expanded
+        .join(qs, "qid")
+        .join(vecsOf, "cid")
+        .withColumn("d", l2SqFast(col("qv"), col("vec")))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+        .filter(col("rn") <= ef)
+      beam = lastScored.select(col("qid"), col("cid"))
+    }
+
+    lastScored
+      .filter(col("rn") <= k)
+      .select(
+        col("qid").as("query_id"),
+        col("cid").as("neighbor_id"),
+        col("d").as("dist"),
+        col("rn").cast("long").as("rnk"))
+  }
+}

@@ -420,6 +420,91 @@ object HnswQueries {
           )
       },
       None
+    ),
+    // HNSW SEARCH hash-checked (the round-12 "hash-checked given index"
+    // row): the greedy-descent + layer-0 beam algorithm runs over a
+    // DETERMINISTIC layered graph both engines reconstruct — md5-coin
+    // levels (the hnsw_level_stats formula; coin granularity statically
+    // caps the unroll at level 4) and idealized exact top-m per-layer
+    // edges — so the full search trajectory replays as unrolled SQL.
+    // The production heap-walk build stays rows-only by declared design;
+    // THIS row pins the search semantics (entry argmax, per-layer
+    // argmin ties, beam dedup + (dist,id) cut, final top-k) against an
+    // independent engine.
+    GQuery(
+      "hnsw_knn_replay",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        HnswReplay
+          .searchReplay(emb, "vec_id", "vec", q, "query_id", "qv", k = K)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      Some {
+        def edgeCte(l: Int, deg: Int) = s"""
+        ed$l AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a.id AS src, b.id AS dst,
+                   row_number() OVER (PARTITION BY a.id
+                                      ORDER BY ${sqlL2Sq("a.v", "b.v")}, b.id) AS rn
+            FROM lv a JOIN lv b ON b.id != a.id
+            WHERE a.level >= $l AND b.level >= $l)
+          WHERE rn <= $deg)"""
+        def stepCte(name: String, prev: String, l: Int, keep: String) = s"""
+        $name AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT cand.qid, cand.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+              FROM (SELECT s.qid, s.cid FROM $prev s
+                    UNION
+                    SELECT s.qid, ed.dst AS cid
+                    FROM $prev s JOIN ed$l ed ON ed.src = s.cid) cand
+              JOIN e ee ON ee.id = cand.cid
+              JOIN q qq ON qq.qid = cand.qid))
+          WHERE rn <= $keep)"""
+        val greedy = (for {
+          (l, i) <- (4 to 1 by -1).flatMap(l => Seq(l, l)).zipWithIndex
+        } yield stepCte(s"c${i + 1}", if (i == 0) "c0" else s"c$i", l, "1"))
+          .mkString(",")
+        val beam = (1 to 4)
+          .map(i => stepCte(s"b$i", if (i == 1) "c8" else s"b${i - 1}", 0, "16"))
+          .mkString(",")
+        s"""
+        WITH
+        e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                           FROM embeddings),
+        lv AS MATERIALIZED (
+          SELECT id, v,
+                 CAST(floor(-ln((('0x' || substr(md5(id::VARCHAR || ':hnswlvl:42'), 1, 14))::BIGINT % 1000000 + 1) / 1000001.0)
+                            * (1.0 / ln(16.0))) AS INT) AS level
+          FROM e),
+        ${edgeCte(0, 16)},
+        ${(1 to 4).map(edgeCte(_, 8)).mkString(",")},
+        ep AS MATERIALIZED (SELECT id AS cid FROM lv
+                            ORDER BY level DESC, id LIMIT 1),
+        q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM e
+                           WHERE id % 10 = 0),
+        c0 AS (SELECT qid, cid FROM q CROSS JOIN ep),
+        $greedy,
+        $beam,
+        fin AS (
+          SELECT qid, cid, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
+          FROM (SELECT b.qid, b.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+                FROM b4 b JOIN e ee ON ee.id = b.cid
+                JOIN q qq ON qq.qid = b.qid))
+        SELECT qid AS query_id, cid AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM fin WHERE rnk <= $K
+        """
+      }
     )
   )
 }
