@@ -453,7 +453,7 @@ object IvfIndex {
     * directories, the attribute filter pushes to parquet row groups —
     * both reductions happen at the scan.
     */
-  private def probesAndPrunedBase(
+  private[graft] def probesAndPrunedBase(
       spark: SparkSession,
       indexPath: String,
       probeTable: DataFrame,

@@ -84,6 +84,46 @@ object IvfQueries {
       }
     )
 
+  /** ann_full's maintained SQ-coded artifact per sf dir: TRAIN the codec
+    * on the standing 4/5 corpus (frozen before the wave — the production
+    * ordering) → ENCODE → BUILD cell-partitioned with (code, label)
+    * riding the index → UPSERT the 1/5 wave under the frozen codec
+    * (gen-1 append) → DELETE vec_id % 7 == 0 (gen-2 tombstones; live =
+    * % 7 != 0 exactly). Memoized like maintainedIndex/buildCache, so the
+    * benched query measures SERVING over the materialized stages — the
+    * declared hnsw/ivf family split.
+    */
+  private val annFullCache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.SQModel, String)]
+
+  private def annFullArtifact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      emb: org.apache.spark.sql.DataFrame,
+      cents: Array[Array[Double]]
+  ): (graft.operators.SQModel, String) =
+    annFullCache.getOrElseUpdate(
+      dir, {
+        val base = emb.filter(col("vec_id") % 5 =!= 0)
+        val wave = emb.filter(col("vec_id") % 5 === 0)
+        val model = graft.operators.ScalarQuantizer.train(base, "vec")
+        def coded(df: org.apache.spark.sql.DataFrame) =
+          df.join(
+            graft.operators.ScalarQuantizer
+              .encodePartitioned(df, "vec_id", "vec", model),
+            "vec_id")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ann-full").toString + "/index"
+        IvfIndex.build(spark, coded(base), "vec_id", "vec", cents, path,
+          extraCols = Seq("code", "label"))
+        IvfIndex.upsert(spark, path, coded(wave), "vec_id", "vec", cents,
+          extraCols = Seq("code", "label"))
+        IvfIndex.delete(spark, path,
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+        (model, path)
+      }
+    )
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "ivf_knn",
@@ -685,6 +725,151 @@ object IvfQueries {
               FROM cd)
         SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
         FROM r WHERE rnk <= $K
+      """)
+    ),
+    // THE ANN SERVING CAPSTONE (round-12 verdict item 6) — the
+    // pipeline_full analog for the vector side, every stage a
+    // GREEN-proven piece, composed once: TRAIN the SQ codec on the
+    // standing 4/5 corpus (frozen before the wave, the production
+    // ordering) → ENCODE → BUILD the cell-partitioned index with codes
+    // AND the filter attribute riding as extra columns → UPSERT the 1/5
+    // wave under the frozen codec (gen-1 append) → DELETE a batch
+    // (gen-2 tombstones; live corpus = vec_id % 7 != 0 exactly) →
+    // PROBED search (partition-pruned scan + label pushdown + tombstone
+    // mask on pruned candidates only) over the compressed codes to a
+    // 3K short-list → EXACT rerank of survivors from raw vectors →
+    // Recall@K audit vs exact kNN over the live∩filter corpus.
+    // One oracle covers the entire composition, training included.
+    // PlanSpec guards that the probe scan stays partition-pruned and
+    // the label predicate still reaches it THROUGH the composition.
+    GQuery(
+      "ann_full",
+      (spark, dir) => {
+        val fast = graft.functions.VectorExpressions
+        val emb = t(spark, dir, "embeddings")
+          .select(
+            col("vec_id"), toDouble(col("embedding")).as("vec"), col("label"))
+        val cents = fixedCentroids(spark, dir)
+        val (model, path) = annFullArtifact(spark, dir, emb, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        val (probes, live) = IvfIndex.probesAndPrunedBase(
+          spark, path,
+          IvfIndex.probeCells(spark, q, "query_id", "qv", cents, NPROBE),
+          Some(col("label") <= 4))
+        val short = probes
+          .join(live, "cell")
+          .withColumn("sdist", fast.l2SqFast(col("qv"),
+            graft.operators.ScalarQuantizer.decodeCol(model, col("code"))))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("sdist"), col("id"), KSHORT).as("tk"))
+          .select(col("query_id"), explode(col("tk")).as("e"))
+          .select(col("query_id"), col("e.id").as("neighbor_id"))
+        val rer = short
+          .join(q, "query_id")
+          .join(
+            emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")),
+            "neighbor_id")
+          .withColumn("rdist", fast.l2SqFast(col("qv"), col("bv")))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAgg
+            .topK(col("rdist"), col("neighbor_id"), K).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(
+            col("query_id"), col("e.id").as("neighbor_id"),
+            col("e.dist").as("dist"),
+            (col("pos") + 1).cast("long").as("rnk"))
+        val truth = BruteForceKNN
+          .knn(q,
+            emb.filter(col("vec_id") % 7 =!= 0 && col("label") <= 4)
+              .select(col("vec_id").as("neighbor_id"), col("vec").as("bv")),
+            K)
+          .select(col("query_id"), col("neighbor_id"))
+        val rec = RecallEval.recallAtK(rer, truth, K)
+        rer
+          .join(rec, "query_id")
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"), col("rnk"), col("recall"))
+      },
+      Some(s"""
+        WITH
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label
+              FROM embeddings),
+        js AS (SELECT unnest(generate_series(1, 64)) AS j),
+        stats AS (SELECT j, min(ev[j]) AS lo, max(ev[j]) AS hi
+                  FROM e CROSS JOIN js WHERE vec_id % 5 <> 0 GROUP BY j),
+        st AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi
+               FROM stats),
+        live AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+        enc AS (
+          SELECT live.vec_id,
+                 list_transform(generate_series(1, 64), j ->
+                   CASE WHEN st.hi[j] <= st.lo[j] THEN 0.0
+                        ELSE least(255.0, greatest(0.0,
+                          floor((live.ev[j] - st.lo[j])
+                                / (st.hi[j] - st.lo[j]) * 255 + 0.5)))
+                   END) AS code
+          FROM live CROSS JOIN st),
+        dec AS (
+          SELECT enc.vec_id,
+                 list_transform(generate_series(1, 64), j ->
+                   st.lo[j] + enc.code[j] / 255.0 * (st.hi[j] - st.lo[j])) AS dv
+          FROM enc CROSS JOIN st),
+        cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id < $NCELLS),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, l.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "dec.dv")} AS sdist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN live l ON l.vec_id = a.vec_id
+               JOIN dec ON dec.vec_id = a.vec_id
+               WHERE l.label <= 4),
+        short AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY sdist, neighbor_id) AS rn
+                    FROM cd) WHERE rn <= $KSHORT),
+        x AS (SELECT s.query_id, s.neighbor_id,
+                     ${sqlL2Sq("q.qv", "e.ev")} AS dist
+              FROM short s
+              JOIN q ON q.query_id = s.query_id
+              JOIN e ON e.vec_id = s.neighbor_id),
+        rr AS (SELECT query_id, neighbor_id, dist,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, neighbor_id) AS rnk
+               FROM x),
+        topk AS (SELECT * FROM rr WHERE rnk <= $K),
+        ex AS (SELECT query_id, neighbor_id FROM (
+                 SELECT q.query_id, l.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY ${sqlL2Sq("q.qv", "l.ev")}, l.vec_id) AS rn
+                 FROM q CROSS JOIN live l WHERE l.label <= 4)
+               WHERE rn <= $K),
+        hits AS (SELECT query_id, count(*)::BIGINT AS c
+                 FROM topk JOIN ex USING (query_id, neighbor_id)
+                 GROUP BY query_id)
+        SELECT t.query_id, t.neighbor_id, round(t.dist, 6) AS dist, t.rnk,
+               (coalesce(h.c, 0) / $K.0) AS recall
+        FROM topk t LEFT JOIN hits h USING (query_id)
       """)
     )
   )

@@ -316,6 +316,21 @@ class PlanSpec extends SparkSpec {
       s"label predicate not pushed to the index scan:\n$ep")
   }
 
+  test("ann_full: probe scan stays partition-pruned with label pushdown THROUGH the composition") {
+    val q = SparkEntry.queries("ann_full")(spark, sf0001)
+    val ep = q.queryExecution.executedPlan.toString
+    // the serving capstone composes train→encode→build→upsert→delete→
+    // probe→rerank→audit; the probed index scan must still be
+    // partition-pruned by the probe cell set AND carry the label
+    // predicate — the composition must not launder the pruning away
+    val scanLine = ep.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
+      .getOrElse("")
+    assert(scanLine.contains("IN ("), s"no cell partition filter:\n$ep")
+    assert(scanLine.contains("LessThanOrEqual(label"),
+      s"label predicate not pushed to the index scan:\n$ep")
+  }
+
   test("dedup_tfidf_pairs: postings self-join on the shingle — equi-join, no cartesian") {
     val p = planOf("dedup_tfidf_pairs")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
