@@ -460,6 +460,43 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming walk extension — knn_graph_walks ONLINE, completing the
+    * walk tier's streaming symmetry: each arriving node starts one
+    * DeepWalk trajectory over the maintained kNN graph (the artifact
+    * [[incrementalKnnGraphSink]] keeps at `graphPath`). Every transition
+    * coin is md5 over (salt, walk_id, step) — NO state beyond the graph
+    * files, so a walk's trajectory is a pure function of (graph, id):
+    * re-delivery is idempotent and streaming the starts in ANY wave
+    * split over a fixed graph is bit-equal to one batch
+    * [[graft.operators.RandomWalk.uniformWalks]] run over the union
+    * (StreamingSpec pins the two-wave equality). Walks for nodes that
+    * arrive AFTER a graph update walk the newer graph — the declared
+    * online semantics (same as every serving sink here).
+    */
+  def walkExtendSink(
+      stream: DataFrame, // one column: the arriving start-node id
+      graphPath: String,
+      steps: Int,
+      salt: String,
+      outPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .select(col(batch.columns.head).cast("long").as("id"))
+          .localCheckpoint()
+        if (!b.isEmpty) {
+          val graph = spark.read.parquet(graphPath)
+          graft.operators.RandomWalk
+            .uniformWalks(graph, b, steps, salt)
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   def vectorAppendSink(
       stream: DataFrame,
       idCol: String,

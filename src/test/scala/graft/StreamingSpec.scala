@@ -156,6 +156,42 @@ class StreamingSpec extends SparkSpec {
       s"cached-RDD count grew $before -> $after across 3 micro-batches")
   }
 
+  test("walk-extension sink: two-wave stream == one batch walk run, bit-equal") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{NNDescent, RandomWalk}
+    val srcDir = Files.createTempDirectory("wsrc").toString
+    val graphDir = Files.createTempDirectory("wgraph").toString + "/graph"
+    val outDir = Files.createTempDirectory("wout").toString + "/walks"
+    val ckpt = Files.createTempDirectory("wckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    // FIXED graph artifact (the incremental sink's output discipline)
+    NNDescent.knnGraph(emb, "id", "vec", k = 10, iterations = 2)
+      .select(col("src"), col("dst"))
+      .write.parquet(graphDir)
+    // starts arrive in two waves
+    val starts = emb.filter(col("id") % 5 === 0).select(col("id"))
+    starts.filter(col("id") < 250).write.parquet(s"$srcDir/w1")
+    starts.filter(col("id") >= 250).write.parquet(s"$srcDir/w2")
+    val stream = spark.readStream
+      .schema("id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.walkExtendSink(
+      stream, graphDir, steps = 5, salt = "v1", outDir, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = RandomWalk
+      .uniformWalks(spark.read.parquet(graphDir), starts, 5, "v1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"stream/batch walk divergence: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+    // and the trajectories are complete: every start walked all 5 steps
+    assert(got.size == starts.count() * 6, s"expected full trajectories, got ${got.size}")
+  }
+
   test("incremental kNN-graph sink: two-wave recall within delta of the batch build") {
     import graft.functions.VectorFunctions._
     import graft.operators.{BruteForceKNN, NNDescent}
