@@ -129,6 +129,30 @@ object HnswReplay {
   /** Deterministic layered search replay. Returns
     * (query_id, neighbor_id, dist, rnk) with rnk ≤ k per query.
     */
+  /** The deterministic layered index as an immutable artifact:
+    * (id, vec, level) plus the idealized per-layer edge table, both
+    * localCheckpoint-materialized — rebuildable bit-identically from
+    * the corpus (levels are md5 coins, edges exact top-m), so it can be
+    * memoized per sf dir like the hnsw family's shared builds.
+    */
+  final case class LayeredIndex(base: DataFrame, edges: DataFrame)
+
+  def buildLayered(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      m0: Int = 16,
+      seed: Long = 42,
+      mLevels: Int = 16
+  ): LayeredIndex = {
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("level", levelCol(col("id"), seed, mLevels))
+      .localCheckpoint()
+    LayeredIndex(base, idealEdges(base, m, m0).localCheckpoint())
+  }
+
   def searchReplay(
       emb: DataFrame,
       idCol: String,
@@ -144,15 +168,26 @@ object HnswReplay {
       beamRounds: Int = 4,
       seed: Long = 42,
       mLevels: Int = 16
+  ): DataFrame =
+    searchReplay(
+      buildLayered(emb, idCol, vecCol, m, m0, seed, mLevels),
+      queries, qidCol, qvecCol, k, ef, greedyRounds, beamRounds)
+
+  /** Search over a prebuilt [[LayeredIndex]]. */
+  def searchReplay(
+      idx: LayeredIndex,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
   ): DataFrame = {
     import graft.functions.VectorExpressions.l2SqFast
-    val base = emb
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("level", levelCol(col("id"), seed, mLevels))
-      .localCheckpoint()
-    val allEdges = idealEdges(base, m, m0).localCheckpoint()
+    val base = idx.base
     val edges = (0 to MaxLevel)
-      .map(l => l -> allEdges.filter(col("layer") === l)
+      .map(l => l -> idx.edges.filter(col("layer") === l)
         .select(col("src"), col("dst")))
       .toMap
 
@@ -191,13 +226,19 @@ object HnswReplay {
     var beam = cur.select(col("qid"), col("cur").as("cid"))
     var lastScored: DataFrame = null
     for (_ <- 1 to beamRounds) {
+      // dedup via collect_set on the SAME qid key every stage uses: the
+      // frontier is hash-partitioned by qid once at the top of the
+      // search, and broadcast edge/query/vector joins preserve it, so
+      // neither this agg nor the ranking window below inserts an
+      // exchange — the whole multi-round search runs off ONE shuffle
       val expanded = beam
         .join(edges(0), col("cid") === col("src"), "left")
         .select(col("qid"),
           explode(array(col("cid"), col("dst"))).as("cid2"))
         .filter(col("cid2").isNotNull)
-        .select(col("qid"), col("cid2").as("cid"))
-        .dropDuplicates("qid", "cid")
+        .groupBy(col("qid"))
+        .agg(collect_set(col("cid2")).as("cs"))
+        .select(col("qid"), explode(col("cs")).as("cid"))
       lastScored = expanded
         .join(qs, "qid")
         .join(vecsOf, "cid")
