@@ -3424,13 +3424,19 @@ object TextQueries {
         val toks = t(spark, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
-        val sketch = toks
-          .select(explode(js).as("j"), col("tok"))
-          .select(col("j"), bucket(col("j"), col("tok")).as("b"))
-          .groupBy(col("j"), col("b"))
-          .agg(count(lit(1)).as("c"))
-        val top = toks
+        // the bucket is a function of (j, tok) alone, so hash the
+        // VOCAB-SIZED count table instead of the token stream: one
+        // corpus aggregation, then d·|vocab| md5s (not d·|stream|) —
+        // bucket counts sum identically, output bit-unchanged
+        val tokCounts = toks
           .groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        val sketch = tokCounts
+          .select(explode(js).as("j"), col("tok"), col("exact_n"))
+          .select(col("j"), bucket(col("j"), col("tok")).as("b"),
+            col("exact_n"))
+          .groupBy(col("j"), col("b"))
+          .agg(sum(col("exact_n")).as("c"))
+        val top = tokCounts
           .orderBy(col("exact_n").desc, col("tok")).limit(20)
         top
           .select(col("tok"), col("exact_n"), explode(js).as("j"))
