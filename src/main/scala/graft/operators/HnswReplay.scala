@@ -184,28 +184,61 @@ object HnswReplay {
       greedyRounds: Int,
       beamRounds: Int
   ): DataFrame = {
-    import graft.functions.VectorExpressions.l2SqFast
-    val base = idx.base
-    val edges = (0 to MaxLevel)
-      .map(l => l -> idx.edges.filter(col("layer") === l)
-        .select(col("src"), col("dst")))
-      .toMap
+    val qs = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    val cur = greedyDescent(idx, qs, greedyRounds)
+    layer0Beam(idx, qs, cur, k, ef, beamRounds)
+  }
 
-    val entry = base
+  /** Recall-vs-ef operating curve over the SAME artifact: the greedy
+    * descent is ef-independent, so it runs ONCE and each ef setting
+    * re-runs only the layer-0 beam. Returns one (ef, query_id,
+    * neighbor_id, dist, rnk) block per setting — the first ef curve in
+    * the suite whose index AND searches are fully hash-checkable.
+    */
+  def replayEfCurve(
+      idx: LayeredIndex,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      efs: Seq[Int],
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    val qs = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    val cur = greedyDescent(idx, qs, greedyRounds).localCheckpoint()
+    efs
+      .map(ef =>
+        layer0Beam(idx, qs, cur, k, ef, beamRounds)
+          .withColumn("ef", lit(ef.toLong)))
+      .reduce(_.unionByName(_))
+  }
+
+  private def layerEdges(idx: LayeredIndex, l: Int): DataFrame =
+    idx.edges.filter(col("layer") === l).select(col("src"), col("dst"))
+
+  /** Greedy descent, MaxLevel..1: per round the next position is the
+    * (dist, id)-argmin over {cur} ∪ neighbors(cur) at that layer.
+    * Returns (qid, cur).
+    */
+  private def greedyDescent(
+      idx: LayeredIndex,
+      qs: DataFrame, // (qid, qv)
+      greedyRounds: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    val entry = idx.base
       .orderBy(col("level").desc, col("id"))
       .limit(1)
       .select(col("id").as("cur"))
-    val qs = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
-    val vecsOf = base.select(col("id").as("cid"), col("vec"))
-
-    // greedy descent, MaxLevel..1: per round the next position is the
-    // (dist, id)-argmin over {cur} ∪ neighbors(cur) at that layer
+    val vecsOf = idx.base.select(col("id").as("cid"), col("vec"))
     var cur = qs.select(col("qid")).crossJoin(broadcast(entry))
     for (l <- MaxLevel to 1 by -1; _ <- 1 to greedyRounds) {
       // no dedup shuffle: the (d, cid)-argmin is duplicate-insensitive
       val cand = cur
-        .join(edges(l), col("cur") === col("src"), "left")
+        .join(layerEdges(idx, l), col("cur") === col("src"), "left")
         .select(col("qid"),
           explode(array(col("cur"), col("dst"))).as("cid"))
         .filter(col("cid").isNotNull)
@@ -217,12 +250,27 @@ object HnswReplay {
         .agg(min(struct(col("d"), col("cid"))).as("best"))
         .select(col("qid"), col("best").getField("cid").as("cur"))
     }
+    cur
+  }
 
-    // layer-0 synchronized beam of width ef for beamRounds rounds; the
-    // final top-k is the LAST round's own (d, cid) ranking cut at k —
-    // re-ranking the ef survivors would reproduce rn exactly, so the
-    // last round is fused instead of re-joined
+  /** Layer-0 synchronized beam of width ef for beamRounds rounds; the
+    * final top-k is the LAST round's own (d, cid) ranking cut at k —
+    * re-ranking the ef survivors would reproduce rn exactly, so the
+    * last round is fused instead of re-joined. Returns
+    * (query_id, neighbor_id, dist, rnk).
+    */
+  private def layer0Beam(
+      idx: LayeredIndex,
+      qs: DataFrame, // (qid, qv)
+      cur: DataFrame, // (qid, cur) from greedyDescent
+      k: Int,
+      ef: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    val edges0 = layerEdges(idx, 0)
+    val vecsOf = idx.base.select(col("id").as("cid"), col("vec"))
     var beam = cur.select(col("qid"), col("cur").as("cid"))
     var lastScored: DataFrame = null
     for (_ <- 1 to beamRounds) {
@@ -232,7 +280,7 @@ object HnswReplay {
       // neither this agg nor the ranking window below inserts an
       // exchange — the whole multi-round search runs off ONE shuffle
       val expanded = beam
-        .join(edges(0), col("cid") === col("src"), "left")
+        .join(edges0, col("cid") === col("src"), "left")
         .select(col("qid"),
           explode(array(col("cid"), col("dst"))).as("cid2"))
         .filter(col("cid2").isNotNull)

@@ -457,8 +457,103 @@ object HnswQueries {
             col("query_id"), col("neighbor_id"),
             round(col("dist"), 4).as("dist"), col("rnk"))
       },
+      Some(s"""
+        WITH
+        ${replayGraphCtes("id % 10 = 0")},
+        ${replayBeamCtes("b", 16)},
+        fin AS (
+          SELECT qid, cid, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
+          FROM (SELECT b.qid, b.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+                FROM b4 b JOIN e ee ON ee.id = b.cid
+                JOIN q qq ON qq.qid = b.qid))
+        SELECT qid AS query_id, cid AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM fin WHERE rnk <= $K
+        """)
+    ),
+    // RECALL-vs-ef OPERATING CURVE over the replay index — the suite's
+    // first ef curve whose index AND every search are hash-checked
+    // (hnsw_ef_curve measures the heap-walk index, rows-only by
+    // design). The greedy descent is ef-independent and runs once;
+    // each ef re-runs only the layer-0 beam. Mean Recall@10 vs the
+    // exact kNN over the same queries, decimal-routed like
+    // ivf_recall_curve.
+    GQuery(
+      "hnsw_replay_ef_curve",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val q20 = emb
+          .filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        val idx = replayCache.getOrElseUpdate(
+          dir, HnswReplay.buildLayered(emb, "vec_id", "vec"))
+        val curve = HnswReplay.replayEfCurve(
+          idx, q20, "query_id", "qv", K, Seq(10, 16, 32),
+          greedyRounds = 2, beamRounds = 4)
+        val truth = sharedExact(spark, dir) // %10 superset of %20
+        val hits = curve
+          .select(col("ef"), col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy(col("ef"), col("query_id"))
+          .agg(count(lit(1)).as("c"))
+        curve
+          .select(col("ef"), col("query_id")).distinct()
+          .join(hits, Seq("ef", "query_id"), "left")
+          .withColumn("recall",
+            coalesce(col("c"), lit(0L)) / lit(K.toDouble))
+          .groupBy(col("ef"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            davg(col("recall")).as("mean_recall"))
+      },
       Some {
-        def edgeCte(l: Int, deg: Int) = s"""
+        val perEf = Seq(10, 16, 32).map { ef =>
+          s"""
+        ${replayBeamCtes(s"b$ef", ef)},
+        fin$ef AS (
+          SELECT $ef::BIGINT AS ef, qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
+            FROM (SELECT b.qid, b.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+                  FROM b${ef}4 b JOIN e ee ON ee.id = b.cid
+                  JOIN q qq ON qq.qid = b.qid))
+          WHERE rnk <= $K)"""
+        }.mkString(",")
+        s"""
+        WITH
+        ${replayGraphCtes("id % 20 = 0")},
+        $perEf,
+        allr AS (SELECT * FROM fin10 UNION ALL
+                 SELECT * FROM fin16 UNION ALL
+                 SELECT * FROM fin32),
+        ex AS (SELECT qid, cid FROM (
+                 SELECT q.qid, e.id AS cid,
+                        row_number() OVER (PARTITION BY q.qid
+                          ORDER BY ${sqlL2Sq("q.qv", "e.v")}, e.id) AS rn
+                 FROM q CROSS JOIN e) WHERE rn <= $K),
+        hits AS (SELECT ef, qid, count(*)::BIGINT AS c
+                 FROM allr JOIN ex USING (qid, cid)
+                 GROUP BY ef, qid),
+        per AS (SELECT d.ef, (coalesce(c, 0) / $K.0) AS recall
+                FROM (SELECT DISTINCT ef, qid FROM allr) d
+                LEFT JOIN hits ON hits.ef = d.ef AND hits.qid = d.qid)
+        SELECT ef, count(*)::BIGINT AS n_queries,
+               ${sqlAvg("recall")} AS mean_recall
+        FROM per GROUP BY ef
+        """
+      }
+    )
+  )
+
+  /** Shared DuckDB CTE block for the replay oracles: embeddings as
+    * doubles, md5-coin levels (the hnsw_level_stats draw), idealized
+    * exact top-m per-layer edges, entry point, the query set, and the
+    * unrolled ef-independent greedy descent c0..c8.
+    */
+  private def replayGraphCtes(queryPred: String): String = {
+    def edgeCte(l: Int, deg: Int) = s"""
         ed$l AS MATERIALIZED (
           SELECT src, dst FROM (
             SELECT a.id AS src, b.id AS dst,
@@ -467,29 +562,11 @@ object HnswQueries {
             FROM lv a JOIN lv b ON b.id != a.id
             WHERE a.level >= $l AND b.level >= $l)
           WHERE rn <= $deg)"""
-        def stepCte(name: String, prev: String, l: Int, keep: String) = s"""
-        $name AS (
-          SELECT qid, cid FROM (
-            SELECT qid, cid,
-                   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
-            FROM (
-              SELECT cand.qid, cand.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
-              FROM (SELECT s.qid, s.cid FROM $prev s
-                    UNION
-                    SELECT s.qid, ed.dst AS cid
-                    FROM $prev s JOIN ed$l ed ON ed.src = s.cid) cand
-              JOIN e ee ON ee.id = cand.cid
-              JOIN q qq ON qq.qid = cand.qid))
-          WHERE rn <= $keep)"""
-        val greedy = (for {
-          (l, i) <- (4 to 1 by -1).flatMap(l => Seq(l, l)).zipWithIndex
-        } yield stepCte(s"c${i + 1}", if (i == 0) "c0" else s"c$i", l, "1"))
-          .mkString(",")
-        val beam = (1 to 4)
-          .map(i => stepCte(s"b$i", if (i == 1) "c8" else s"b${i - 1}", 0, "16"))
-          .mkString(",")
-        s"""
-        WITH
+    val greedy = (for {
+      (l, i) <- (4 to 1 by -1).flatMap(l => Seq(l, l)).zipWithIndex
+    } yield replayStepCte(s"c${i + 1}", if (i == 0) "c0" else s"c$i", l, "1"))
+      .mkString(",")
+    s"""
         e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                            FROM embeddings),
         lv AS MATERIALIZED (
@@ -502,21 +579,36 @@ object HnswQueries {
         ep AS MATERIALIZED (SELECT id AS cid FROM lv
                             ORDER BY level DESC, id LIMIT 1),
         q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM e
-                           WHERE id % 10 = 0),
-        c0 AS (SELECT qid, cid FROM q CROSS JOIN ep),
-        $greedy,
-        $beam,
-        fin AS (
-          SELECT qid, cid, dist,
-                 row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
-          FROM (SELECT b.qid, b.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
-                FROM b4 b JOIN e ee ON ee.id = b.cid
-                JOIN q qq ON qq.qid = b.qid))
-        SELECT qid AS query_id, cid AS neighbor_id,
-               round(dist, 4) AS dist, rnk
-        FROM fin WHERE rnk <= $K
-        """
-      }
-    )
-  )
+                           WHERE $queryPred),
+        c0 AS MATERIALIZED (SELECT qid, cid FROM q CROSS JOIN ep),
+        $greedy"""
+  }
+
+  /** One greedy/beam step: candidates = prev ∪ their layer-`l`
+    * neighbors, (dist, cid)-ranked, keep the top `keep`.
+    */
+  private def replayStepCte(
+      name: String, prev: String, l: Int, keep: String): String = s"""
+        $name AS MATERIALIZED (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT cand.qid, cand.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+              FROM (SELECT s.qid, s.cid FROM $prev s
+                    UNION
+                    SELECT s.qid, ed.dst AS cid
+                    FROM $prev s JOIN ed$l ed ON ed.src = s.cid) cand
+              JOIN e ee ON ee.id = cand.cid
+              JOIN q qq ON qq.qid = cand.qid))
+          WHERE rn <= $keep)"""
+
+  /** The 4-round layer-0 beam chain `<prefix>1..<prefix>4` at width
+    * `ef`, seeded from the greedy descent's c8.
+    */
+  private def replayBeamCtes(prefix: String, ef: Int): String =
+    (1 to 4)
+      .map(i => replayStepCte(
+        s"$prefix$i", if (i == 1) "c8" else s"$prefix${i - 1}", 0, ef.toString))
+      .mkString(",")
 }

@@ -48,6 +48,26 @@ class HnswReplaySpec extends SparkSpec {
     }
   }
 
+  test("replayEfCurve: recall non-decreasing in ef, top setting near-exact") {
+    val idx = graft.operators.HnswReplay.buildLayered(emb, "vec_id", "vec")
+    val exact = BruteForceKNN
+      .knn(q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val curve = graft.operators.HnswReplay
+      .replayEfCurve(idx, q, "query_id", "qv", k = 10, efs = Seq(10, 16, 32),
+        greedyRounds = 2, beamRounds = 4)
+    val denom = exact.count().toDouble
+    val byEf = curve
+      .select(col("ef"), col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("ef")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / denom).toMap
+    info(s"recall by ef: ${byEf.toSeq.sortBy(_._1)}")
+    assert(byEf(10L) <= byEf(16L) + 1e-9 && byEf(16L) <= byEf(32L) + 1e-9,
+      s"recall not monotone in ef: $byEf")
+    assert(byEf(32L) >= 0.97, s"ef=32 recall too low: ${byEf(32L)}")
+  }
+
   test("idealized edges: per-(layer,src) degree bound, members only, no self") {
     // reconstruct via the public replay inputs: levels from the md5 coin
     val lv = emb
