@@ -426,6 +426,57 @@ object TextSearch {
             .as("rnk"): _*)
   }
 
+  /** CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994) — the
+    * score-based complement of rank-only [[rrfFuse]]: each list's
+    * top-kEach scores are min-max normalized WITHIN the list (the
+    * standard Comb preprocessing; a degenerate constant list normalizes
+    * to 0), CombSUM = Σ normalized scores over the lists containing the
+    * doc, CombMNZ = CombSUM · (number of containing lists) — MNZ's
+    * multiply-by-nonzero boost for multi-list agreement. Inputs must
+    * carry pre-rounded scores (every producer here rounds to 6dp), so
+    * the normalization is identical double arithmetic in both engines;
+    * the cross-list sum is DECIMAL(38,20)-routed (order-free) and MNZ
+    * is one exact integer multiply on top. Scale shape identical to
+    * rrfFuse: a union of ≤kEach-row score slices, one tiny aggregate.
+    */
+  def combFuse(
+      lists: Seq[(String, DataFrame)], // (name, (doc_id, score)) slices
+      k: Int = 10
+  ): DataFrame = {
+    require(lists.size >= 2, "combFuse needs at least two score lists")
+    val normed = lists.map { case (_, df) =>
+      val mm = df.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      df.crossJoin(broadcast(mm))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          when(col("hi") > col("lo"),
+            (col("score") - col("lo")) / (col("hi") - col("lo")))
+            .otherwise(lit(0.0)).as("norm"))
+    }
+    normed
+      .reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("norm").cast(DecimalType(38, 20))).cast("double")
+          .as("comb_sum"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("comb_mnz", col("comb_sum") * col("n_lists"))
+      // rank on the UNROUNDED fused value (the window runs before the
+      // rounding projection — same layering as the SQL oracle), then
+      // round the reported scores
+      .withColumn("rnk",
+        row_number()
+          .over(Window.orderBy(col("comb_mnz").desc, col("doc_id")))
+          .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("doc_id"),
+        round(col("comb_sum"), 6).as("comb_sum"),
+        round(col("comb_mnz"), 6).as("comb_mnz"),
+        col("n_lists"),
+        col("rnk"))
+  }
+
   /** The dense top-kEach ranking against one literal query vector — the
     * vector side [[hybridRrf]] and the 3-way fusion share: a scan +
     * bounded TakeOrdered head against a plan-embedded literal, no join.

@@ -4075,6 +4075,133 @@ object TextQueries {
         SELECT * FROM r3 WHERE rnk <= 10
       """)
     ),
+    // CombSUM / CombMNZ SCORE fusion (Fox & Shaw, TREC-2 1994) — the
+    // score-based complement of the rank-only RRF pair above, fusing
+    // the same three lists (BM25, Dirichlet QLD, dense): each list's
+    // top-20 scores min-max normalize WITHIN the list, CombSUM sums the
+    // normalized scores (DECIMAL-routed, order-free), CombMNZ multiplies
+    // by the number of containing lists — the multi-list-agreement
+    // boost production hybrid stacks actually ship. Every input score
+    // is pre-rounded to 6dp on both engines, so the normalization is
+    // identical double arithmetic; ranking runs on the unrounded fused
+    // value in the same layering on both sides.
+    GQuery(
+      "text_combmnz",
+      (spark, dir) => {
+        import graft.functions.VectorFunctions.toDouble
+        import graft.functions.VectorExpressions.l2SqFast
+        val terms = Seq("vector", "hash", "stream", "query")
+        val docs = t(spark, dir, "documents")
+        val qv = t(spark, dir, "embeddings")
+          .filter(col("vec_id") === 7)
+          .select(toDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        val vec = t(spark, dir, "embeddings")
+          .select(
+            col("vec_id").cast("long").as("doc_id"),
+            l2SqFast(toDouble(col("embedding")), typedLit(qv.toSeq))
+              .as("dist"))
+          .orderBy(col("dist"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"),
+            round(lit(1.0) / (lit(1.0) + col("dist")), 6).as("score"))
+        graft.operators.TextSearch.combFuse(Seq(
+          "lex" -> graft.operators.TextSearch
+            .bm25(docs, "doc_id", "text", terms, k = 20)
+            .select(col("doc_id"), col("score")),
+          "qld" -> graft.operators.TextSearch
+            .queryLikelihood(docs, "doc_id", "text", terms, k = 20)
+            .select(col("doc_id"), col("score")),
+          "vec" -> vec))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tok),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (sum(dl::DECIMAL(30,6))::DOUBLE / count(*)) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+               WHERE w IN ('vector','hash','stream','query')
+               GROUP BY doc_id, w),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+        scores AS (SELECT doc_id,
+                          round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                   FROM contrib GROUP BY doc_id),
+        lexs AS (SELECT doc_id, score FROM (
+                   SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                   FROM scores) WHERE rnk <= 20),
+        qct AS (SELECT sum(dl)::BIGINT AS ctot FROM dl),
+        qcf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+        qcontrib AS (
+          SELECT dl.doc_id,
+                 ln((coalesce(tf.tf, 0) + 100.0::DOUBLE
+                       * (qcf.cf::DOUBLE / qct.ctot))
+                    / (dl.dl + 100.0::DOUBLE)) AS c
+          FROM dl CROSS JOIN qct CROSS JOIN qcf
+          LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = qcf.term),
+        qscores AS (SELECT doc_id,
+                           round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
+                    FROM qcontrib GROUP BY doc_id),
+        qlds AS (SELECT doc_id, score FROM (
+                   SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                   FROM qscores) WHERE rnk <= 20),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 7),
+        vd AS (SELECT e.vec_id AS doc_id,
+                      ${sqlL2Sq("(e.embedding::DOUBLE[])", "qv.qv")} AS dist
+               FROM embeddings e CROSS JOIN qv),
+        vecs AS (SELECT doc_id,
+                        round(1.0::DOUBLE / (1.0::DOUBLE + dist), 6) AS score
+                 FROM (SELECT doc_id, dist,
+                              row_number() OVER (ORDER BY dist, doc_id) AS rnk
+                       FROM vd) WHERE rnk <= 20),
+        norms AS (
+          SELECT doc_id,
+                 CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                      ELSE 0.0::DOUBLE END AS norm
+          FROM lexs CROSS JOIN (SELECT min(score) AS lo, max(score) AS hi
+                                FROM lexs)
+          UNION ALL
+          SELECT doc_id,
+                 CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                      ELSE 0.0::DOUBLE END
+          FROM qlds CROSS JOIN (SELECT min(score) AS lo, max(score) AS hi
+                                FROM qlds)
+          UNION ALL
+          SELECT doc_id,
+                 CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                      ELSE 0.0::DOUBLE END
+          FROM vecs CROSS JOIN (SELECT min(score) AS lo, max(score) AS hi
+                                FROM vecs)),
+        agg AS (SELECT doc_id,
+                       sum(norm::DECIMAL(38,20))::DOUBLE AS comb_sum,
+                       count(*)::BIGINT AS n_lists
+                FROM norms GROUP BY doc_id),
+        f AS (SELECT doc_id, comb_sum, comb_sum * n_lists AS comb_mnz,
+                     n_lists
+              FROM agg),
+        r AS (SELECT doc_id, comb_sum, comb_mnz, n_lists,
+                     row_number() OVER (ORDER BY comb_mnz DESC, doc_id) AS rnk
+              FROM f)
+        SELECT doc_id, round(comb_sum, 6) AS comb_sum,
+               round(comb_mnz, 6) AS comb_mnz, n_lists, rnk
+        FROM r WHERE rnk <= 10
+      """)
+    ),
     // Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
     // scheme): every char 5-gram hashed (md5 hex prefix — identical text
     // in both engines), windows of 4 consecutive hashes, each window's

@@ -892,6 +892,35 @@ object VectorQueries {
         FROM g2
       """)
     ),
+    // RECIPROCAL (mutual) kNN pairs over the shared graph — the
+    // high-precision near-dup/cluster signal agglomerative RNN
+    // clustering and hubness-correction literature build on: a pair
+    // survives only if EACH endpoint ranks the other in its own top-k
+    // (directed kNN edges in both directions), which kills the
+    // asymmetric hub edges that inflate plain kNN neighborhoods.
+    // One equi-keyed self-join of the directed edge table on the
+    // swapped (src, dst) pair — no new distance work, corpus cost is
+    // |E| on the graph artifact.
+    GQuery(
+      "knn_graph_mutual",
+      (spark, dir) => {
+        val g = sharedGraph(spark, dir)
+        g.as("a")
+          .join(g.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+              col("a.src") < col("a.dst"))
+          .select(
+            col("a.src").as("a"), col("a.dst").as("b"),
+            round(col("a.dist"), 4).as("dist"))
+      },
+      Some(s"""
+        WITH $graphCtes,
+        mu AS (SELECT x.src AS a, x.dst AS b, x.dist
+               FROM g2 x JOIN g2 y
+                 ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst)
+        SELECT a, b, round(dist, 4) AS dist FROM mu
+      """)
+    ),
     // Vamana robust prune (DiskANN) over the NN-Descent graph: the
     // α-dominance greedy keeps the closest candidate and drops everything
     // it dominates, per node over out ∪ reversed-in candidates — the

@@ -191,4 +191,37 @@ class NNDescentSpec extends SparkSpec {
       assert(math.abs(d - r.getDouble(2)) < 1e-9, s"row $r: $d")
     }
   }
+
+  test("mutual pairs: reciprocity required, symmetric fixture exact") {
+    // directed edges: 1->2 and 2->1 reciprocate; 1->3 does not (3's list
+    // holds only 4); 3->4 and 4->3 reciprocate
+    val g = Seq(
+      (1L, 2L, 1.0), (2L, 1L, 1.0),
+      (1L, 3L, 2.0),
+      (3L, 4L, 1.5), (4L, 3L, 1.5)
+    ).toDF("src", "dst", "dist")
+    val mu = g.as("a")
+      .join(g.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src"), col("a.dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mu == Set((1L, 2L), (3L, 4L)), mu)
+    // on the real sf0.001 graph: every mutual pair's BOTH directions
+    // exist in the directed edge set, and the pair set is a subset of
+    // the undirected edge set
+    val real = NNDescent.knnGraph(emb, "id", "vec", K, iterations = 2)
+      .select(col("src"), col("dst"))
+    val dir = real.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mu2 = real.as("a")
+      .join(real.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src"), col("a.dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mu2.nonEmpty)
+    mu2.foreach { case (a, b) =>
+      assert(dir((a, b)) && dir((b, a)), s"non-reciprocal pair ($a,$b)")
+    }
+  }
 }

@@ -208,6 +208,29 @@ class TextSearchSpec extends SparkSpec {
     assert(!curve.exists(_._2 == 5L))
   }
 
+  test("combFuse: hand-computed min-max norms, SUM and MNZ, constant list -> 0") {
+    // list A: scores 10/5/0 over docs 1/2/3 -> norms 1.0/0.5/0.0
+    // list B: scores 2/2 over docs 2/4 -> constant -> norm 0 for both
+    // list C: scores 4/1 over docs 1/4 -> norms 1.0/0.0
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 2.0), (4L, 2.0)).toDF("doc_id", "score")
+    val c = Seq((1L, 4.0), (4L, 1.0)).toDF("doc_id", "score")
+    val got = TextSearch
+      .combFuse(Seq("a" -> a, "b" -> b, "c" -> c), k = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc 1: 1.0 (A) + 1.0 (C), 2 lists -> sum 2.0, mnz 4.0, rnk 1
+    assert(got(1L) == ((2.0, 4.0, 2L, 1L)), got(1L))
+    // doc 2: 0.5 (A) + 0.0 (B), 2 lists -> sum 0.5, mnz 1.0, rnk 2
+    assert(got(2L) == ((0.5, 1.0, 2L, 2L)), got(2L))
+    // doc 3: 0.0 in A only -> sum 0, mnz 0; doc 4: 0 (B) + 0 (C) -> 0
+    // ties at 0 break by doc_id: 3 before 4
+    assert(got(3L) == ((0.0, 0.0, 1L, 3L)), got(3L))
+    assert(got(4L) == ((0.0, 0.0, 2L, 4L)), got(4L))
+  }
+
   test("bm25Weighted: unit weights reproduce plain bm25 exactly") {
     val docs = Seq(
       (1L, "alpha beta beta"), (2L, "alpha alpha x"), (3L, "y z alpha")
