@@ -124,6 +124,49 @@ object IvfQueries {
       }
     )
 
+  /** ivf_split_search's rebalanced artifact per sf dir: build under the
+    * fixed centroids, find the HOTTEST cell (max members, tie → smallest
+    * cell id), split it into two sub-cells whose centroids are the
+    * cell's two smallest-id members (deterministic and data-derived,
+    * like fixedCentroids), retire the old directory. Returns the KEYED
+    * centroid table [[IvfIndex.splitCell]] hands back (old cells minus
+    * the split one, plus cells NCELLS+i) and the index path. Memoized —
+    * the benched query measures probe+search over the rebalanced index.
+    */
+  private val splitCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame, String)]
+
+  private def splitIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cents: Array[Array[Double]]
+  ): (org.apache.spark.sql.DataFrame, String) =
+    splitCache.getOrElseUpdate(
+      dir, {
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-split").toString + "/index"
+        IvfIndex.build(spark, emb, "vec_id", "vec", cents, path)
+        val hot = IvfIndex.load(spark, path)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("cell"))
+          .limit(1).head().getInt(0)
+        val subs = IvfIndex.load(spark, path)
+          .filter(col("cell") === hot)
+          .orderBy(col("id")).limit(2)
+          .select(col("vec")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        val centsDf = cents.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+        val newCents = IvfIndex
+          .splitCell(spark, path, centsDf, hot, subs, startCell = NCELLS)
+          .localCheckpoint()
+        (newCents, path)
+      }
+    )
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "ivf_knn",
@@ -719,6 +762,94 @@ object IvfQueries {
                JOIN probes p ON p.query_id = q.query_id
                JOIN assigned a ON a.cell = p.cell
                JOIN dec ON dec.vec_id = a.vec_id),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM cd)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """)
+    ),
+    // CELL-SPLIT REBALANCING end to end (the splitCell maintenance move,
+    // previously spec-only): the HOTTEST cell caps probe pruning — every
+    // query probing it scans its whole bag — so the operator splits it
+    // into two sub-cells (centroids = the cell's two smallest-id
+    // members, deterministic) under FRESH cell ids and retires the old
+    // directory; search then runs off the KEYED centroid table
+    // (probeCellsTable) over the rebalanced partition layout. The whole
+    // move — hot-cell argmax, sub-centroid choice, O(|hot cell|)
+    // re-assignment, keyed probes, pruned search — replays in SQL, so
+    // the maintenance path is oracle-checked, not just spec-gated.
+    GQuery(
+      "ivf_split_search",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val (newCents, path) = splitIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .searchPartitionedWith(
+            spark, path,
+            IvfIndex.probeCellsTable(q, "query_id", "qv", newCents, NPROBE),
+            "query_id", "qv", K)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        hot AS (SELECT cell AS hc FROM (
+                  SELECT cell, count(*) AS n FROM assigned GROUP BY cell
+                  ORDER BY n DESC, cell LIMIT 1)),
+        subs AS (SELECT row_number() OVER (ORDER BY m.vec_id) - 1 AS i,
+                        e.ev AS cv
+                 FROM (SELECT a.vec_id FROM assigned a CROSS JOIN hot
+                       WHERE a.cell = hot.hc
+                       ORDER BY a.vec_id LIMIT 2) m
+                 JOIN e ON e.vec_id = m.vec_id),
+        cents2 AS (SELECT cent.ck AS cell, cent.cv
+                   FROM cent CROSS JOIN hot WHERE cent.ck <> hot.hc
+                   UNION ALL
+                   SELECT $NCELLS + i AS cell, cv FROM subs),
+        subassign AS (SELECT vec_id, cell FROM (
+                        SELECT a.vec_id, $NCELLS + s.i AS cell,
+                               row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY ${sqlL2Sq("e.ev", "s.cv")}, s.i) AS rn
+                        FROM assigned a CROSS JOIN hot
+                        JOIN e ON e.vec_id = a.vec_id
+                        CROSS JOIN subs s
+                        WHERE a.cell = hot.hc) WHERE rn = 1),
+        re AS (SELECT a.vec_id, a.cell
+               FROM assigned a CROSS JOIN hot WHERE a.cell <> hot.hc
+               UNION ALL
+               SELECT vec_id, cell FROM subassign),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, c2.cell, ${sqlL2Sq("q.qv", "c2.cv")} AS dist
+               FROM q CROSS JOIN cents2 c2),
+        probes AS (SELECT query_id, cell FROM (
+                     SELECT query_id, cell,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, cell) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN re r ON r.cell = p.cell
+               JOIN e ON e.vec_id = r.vec_id),
         r AS (SELECT query_id, neighbor_id, dist,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY dist, neighbor_id) AS rnk
