@@ -167,6 +167,76 @@ object IvfQueries {
       }
     )
 
+  /** ivf_knn_compact's artifact per sf dir: the SAME maintenance
+    * sequence as [[maintainedIndex]] (build 4/5 → upsert 1/5 → delete
+    * % 7 == 0) followed by a MAJOR COMPACTION — live view rewritten at
+    * gen 0, log dropped. Its query shares ivf_knn_upsert's oracle
+    * verbatim: compaction is result-invariant by contract, and the
+    * oracle (not just a spec) now proves it.
+    */
+  private val compactedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def compactedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cents: Array[Array[Double]]
+  ): String =
+    compactedCache.getOrElseUpdate(
+      dir, {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-compact").toString + "/index"
+        IvfIndex.build(
+          spark, emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "vec", cents, path)
+        IvfIndex.upsert(
+          spark, path, emb.filter(col("vec_id") % 5 === 0), "vec_id", "vec", cents)
+        IvfIndex.delete(
+          spark, path, emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+        IvfIndex.compact(spark, path)
+        path
+      }
+    )
+
+  /** The probed-search oracle body shared by the round-12 maintenance
+    * rows (`liveFilter` = the live-corpus predicate on the candidate
+    * side; "TRUE" for a never-deleted index).
+    */
+  private def probedSearchSql(liveFilter: String): String = s"""
+        WITH cent AS (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                      FROM embeddings WHERE vec_id < $NCELLS),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        ad AS (SELECT e.vec_id, cent.ck, ${sqlL2Sq("e.ev", "cent.cv")} AS dist
+               FROM e CROSS JOIN cent),
+        assigned AS (SELECT vec_id, ck AS cell FROM (
+                       SELECT vec_id, ck,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, ck) AS rn
+                       FROM ad) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 10 = 0),
+        pd AS (SELECT q.query_id, cent.ck, ${sqlL2Sq("q.qv", "cent.cv")} AS dist
+               FROM q CROSS JOIN cent),
+        probes AS (SELECT query_id, ck AS cell FROM (
+                     SELECT query_id, ck,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dist, ck) AS rn
+                     FROM pd) WHERE rn <= $NPROBE),
+        cd AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                      ${sqlL2Sq("q.qv", "e.ev")} AS dist
+               FROM q
+               JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+               WHERE $liveFilter),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) AS rnk
+              FROM cd)
+        SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
+        FROM r WHERE rnk <= $K
+      """
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "ivf_knn",
@@ -769,6 +839,64 @@ object IvfQueries {
         SELECT query_id, neighbor_id, round(dist, 6) AS dist, rnk
         FROM r WHERE rnk <= $K
       """)
+    ),
+    // MAJOR COMPACTION result-invariance under the ORACLE: the same
+    // maintenance sequence as ivf_knn_upsert (build 4/5 → gen-1 upsert →
+    // gen-2 delete) followed by IvfIndex.compact — live view rewritten
+    // at gen 0, tombstone log dropped, masking join gone from the plan.
+    // The oracle is ivf_knn_upsert's verbatim (live = vec_id % 7 != 0):
+    // a compaction that moved, dropped or resurrected one row would
+    // hash-mismatch. The LSM lifecycle (append → mask → rewrite) is now
+    // oracle-covered at every stage.
+    GQuery(
+      "ivf_knn_compact",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = compactedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .searchPartitioned(spark, index, q, "query_id", "qv", cents, K, NPROBE)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some(probedSearchSql("a.vec_id % 7 <> 0"))
+    ),
+    // ANN PROBE SELECTION forced down the 100-TB path with its own green
+    // row (the dedup_clusters_distributed discipline): probeCellsAnn
+    // replaces the exact |Q|·nCells·D probe scoring with an O(log nCells)
+    // walk over a per-executor deterministic centroid HNSW — the route a
+    // billion-vector IVF (64k-1M cells) must take. At efSearch >= nCells
+    // the traversal is exhaustive, so the probe set — and therefore the
+    // whole search — matches the exact path bit-for-bit, and ivf_knn's
+    // oracle checks THIS plan end to end.
+    GQuery(
+      "ivf_knn_annprobe",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val cents = fixedCentroids(spark, dir)
+        val index = sharedIndex(spark, dir, cents)
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        IvfIndex
+          .searchPartitionedWith(
+            spark, index,
+            IvfIndex.probeCellsAnn(
+              spark, q, "query_id", "qv", cents, NPROBE),
+            "query_id", "qv", K)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 6).as("dist"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some(probedSearchSql("TRUE"))
     ),
     // CELL-SPLIT REBALANCING end to end (the splitCell maintenance move,
     // previously spec-only): the HOTTEST cell caps probe pruning — every
