@@ -177,4 +177,51 @@ object ClusterEval {
         ((col("b") / (k - 1)) / (col("w") / (col("n") - k))).as("ch"),
         col("db"))
   }
+
+  /** Exact ROC-AUC of a ranking score against a binary label — the
+    * Mann–Whitney rank statistic with AVERAGE ranks for tied scores
+    * (the standard tie treatment, Hanley–McNeil 1982):
+    * AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻). The whole statistic
+    * stays in integers: per tie group the doubled average 1-based rank
+    * is (rmin + rmax + 2) off a 0-based global rank, so the positives'
+    * doubled rank sum S2 = Σ_g p_g·(rmin_g + rmax_g + 2) is an exact
+    * long, and AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE division of
+    * exact integers — order-free, engine-portable, no float ranking
+    * hazard. Degenerate label sides (n⁺ = 0 or n⁻ = 0) report the
+    * uninformative 0.5.
+    *
+    * Scale: the global rank comes from [[Packing.distributedRank]]
+    * (range partitions + driver prefix sum — never a one-partition
+    * window over the corpus); the tie-group table is ≤ one row per
+    * distinct score.
+    *
+    * Returns one row: (npos, nneg, n_groups, auc).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val j = df.select(
+      col(scoreCol).as("sr"),
+      col(posCol).cast("boolean").as("posb"),
+      monotonically_increasing_id().as("tie"))
+    // the within-group order is irrelevant (only rmin/rmax per score
+    // group survive), so any total order works as the rank tie-break
+    val ranked = Packing.distributedRank(j, Seq(col("sr"), col("tie")), "r")
+    ranked
+      .groupBy(col("sr"))
+      .agg(
+        min(col("r")).as("rmin"), max(col("r")).as("rmax"),
+        sum(when(col("posb"), 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("n"))
+      .agg(
+        sum(col("p")).as("npos"),
+        sum(col("n") - col("p")).as("nneg"),
+        count(lit(1)).as("n_groups"),
+        sum(col("p") * (col("rmin") + col("rmax") + 2)).as("s2"))
+      .select(
+        col("npos"), col("nneg"), col("n_groups"),
+        round(
+          when(col("npos") > 0 && col("nneg") > 0,
+            (col("s2") - col("npos") * (col("npos") + 1)).cast("double")
+              / (lit(2.0) * col("npos") * col("nneg")))
+            .otherwise(lit(0.5)), 6).as("auc"))
+  }
 }

@@ -659,6 +659,112 @@ object Dedup {
     verifyJaccard(cand, sh, tau)
   }
 
+  /** Empirical MinHash-LSH band-plan audit — the b×r tuning table a
+    * corpus-scale LSH deployment needs BEFORE committing a signature
+    * layout. For each band count b in `bandGrid` over ONE shared
+    * `numPerms`-permutation signature (r = numPerms/b rows per band),
+    * generate the banded candidate pairs exactly as [[minhashLsh]]
+    * would, then score the config against the EXACT ground truth
+    * ([[jaccardPairs]] at `tau`): measured recall (truth pairs the
+    * banding catches) and candidate precision (truth pairs per
+    * candidate — the verify-cost denominator a planner trades against
+    * recall). This is the measured S-curve, not the analytic
+    * 1−(1−s^r)^b: the numbers include every real-corpus effect the
+    * formula ignores (shingle-set sizes, skewed min-hash collisions),
+    * and every count is integer-exact so the whole table hash-checks.
+    *
+    * Scale (100 TB): the signature is ONE groupBy over the raw span
+    * stream (numPerms min-aggregates, one row per doc; the per-config
+    * band slices are projections of that one row, reusing the exchange);
+    * each config's candidate join is banded — only same-(band, sig)
+    * buckets ever meet; the ground-truth side is the same blocked
+    * inverted-index join [[jaccardPairs]] runs (at audit scale it rides
+    * [[auditSample]] like eval_dedup_blocking). Configs with
+    * rows-per-band = 1 are rejected: they bucket docs by a SINGLE
+    * min-hash value, whose bucket sizes grow with the doc frequency of
+    * common shingles — the O(f²) blow-up banding exists to prevent.
+    *
+    * Returns one row per config: (bands, rows_per_band, n_candidates,
+    * n_detected, n_true, recall, precision).
+    */
+  def lshBandPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerms: Int = 16,
+      bandGrid: Seq[Int] = Seq(1, 2, 4, 8),
+      tau: Double = 0.5
+  ): DataFrame = {
+    require(bandGrid.nonEmpty, "lshBandPlan: empty band grid")
+    bandGrid.foreach { b =>
+      require(b >= 1 && numPerms % b == 0,
+        s"lshBandPlan: bands $b must divide numPerms $numPerms")
+      require(numPerms / b >= 2,
+        s"lshBandPlan: rows-per-band must be >= 2 (bands=$b, perms=$numPerms)")
+    }
+    val wide = minhashWide(spanPositions(df, idCol, textCol, n), numPerms)
+    val sigs = bandGrid.map { b =>
+      val r = numPerms / b
+      val bandCols = (0 until b).map { bd =>
+        concat_ws(
+          ",",
+          (bd * r until (bd + 1) * r).map(i => col(s"v$i").cast("string")): _*
+        ).as(s"sig$bd")
+      }
+      val stackArgs = (0 until b).map(bd => s"$bd, sig$bd").mkString(", ")
+      wide
+        .select(col("doc_id") +: bandCols: _*)
+        .select(
+          lit(b.toLong).as("bands"),
+          col("doc_id"),
+          expr(s"stack($b, $stackArgs)").as(Seq("band", "sig")))
+    }.reduce(_ unionAll _)
+    val cand = sigs.as("a")
+      .join(
+        sigs.as("b"),
+        col("a.bands") === col("b.bands") && col("a.band") === col("b.band")
+          && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.bands").as("bands"),
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = jaccardPairs(df, idCol, textCol, n, tau)
+      .select(col("doc_a"), col("doc_b"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val perCfg = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))
+    val det = cand
+      .join(truth, Seq("doc_a", "doc_b"))
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_detected"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = bandGrid
+      .map(b => (b.toLong, (numPerms / b).toLong))
+      .toDF("bands", "rows_per_band")
+    grid
+      .join(perCfg, Seq("bands"), "left")
+      .join(det, Seq("bands"), "left")
+      .crossJoin(nTrue)
+      .select(
+        col("bands"),
+        col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+        col("n_true"),
+        round(
+          when(col("n_true") > 0,
+            coalesce(col("n_detected"), lit(0L)).cast("double") / col("n_true"))
+            .otherwise(lit(0.0)), 6).as("recall"),
+        round(
+          when(coalesce(col("n_candidates"), lit(0L)) > 0,
+            coalesce(col("n_detected"), lit(0L)).cast("double")
+              / coalesce(col("n_candidates"), lit(0L)))
+            .otherwise(lit(0.0)), 6).as("precision"))
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the signature is set when
     * the sum over tokens of ±1 (sign of bit b of the token hash = first
     * 8 md5 bytes) is >= 0. Computed by the one-pass

@@ -510,6 +510,56 @@ object TextAnalysis {
       )
   }
 
+  /** Corpus drift census between two slices of one token stream:
+    * add-one-smoothed unigram LMs over the SHARED vocabulary (union of
+    * both slices), KL(A→B), KL(B→A), and the bounded symmetric
+    * Jensen–Shannon divergence (Lin 1991; 0 ≤ JSD ≤ ln 2) — the
+    * distribution-shift monitor run between crawl snapshots or
+    * source mixes. `sliceA` is any deterministic boolean column over
+    * the input rows (e.g. doc_id parity, a date cut, a source flag).
+    *
+    * Exactness: token counts are integers; pa/pb are single divisions
+    * of exact integers (identical doubles on any engine); each
+    * p·ln(p/q) term routes through DECIMAL(38,20) so the corpus sums
+    * are order-free. Scale: ONE vocabulary-keyed aggregation with
+    * map-side combine + a 1-row totals broadcast — no corpus-sized
+    * state, no window.
+    *
+    * Returns one row: (n_a, n_b, vocab, kl_ab, kl_ba, jsd).
+    */
+  def klDrift(df: DataFrame, sliceA: Column, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df
+      .select(sliceA.as("ina"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val cnt = toks
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("ina"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ina"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    def d38(c: Column) = sum(c.cast(DecimalType(38, 20))).cast("double")
+    cnt
+      .crossJoin(tot)
+      .withColumn("pa", (col("ca") + 1).cast("double") / (col("na") + col("v")))
+      .withColumn("pb", (col("cb") + 1).cast("double") / (col("nb") + col("v")))
+      .withColumn("pm", (col("pa") + col("pb")) / 2.0)
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("v")).as("vocab"),
+        d38(col("pa") * log(col("pa") / col("pb"))).as("kl_ab"),
+        d38(col("pb") * log(col("pb") / col("pa"))).as("kl_ba"),
+        ((d38(col("pa") * log(col("pa") / col("pm")))
+          + d38(col("pb") * log(col("pb") / col("pm")))) / 2.0).as("jsd"))
+      .select(
+        col("n_a"), col("n_b"), col("vocab"),
+        round(col("kl_ab"), 6).as("kl_ab"),
+        round(col("kl_ba"), 6).as("kl_ba"),
+        round(col("jsd"), 6).as("jsd"))
+  }
+
   /** Polynomial rolling fingerprint over the token stream:
     * `h = fold(tokens, 0, (acc, t) -> (31·acc + md5_56(t) mod P) mod P)` —
     * deterministic, order-sensitive, engine-portable (md5-derived token

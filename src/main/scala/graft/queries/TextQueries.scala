@@ -4575,6 +4575,255 @@ object TextQueries {
                (coalesce(h.micro, 0)::DOUBLE / 1000000.0) AS salience
         FROM documents doc LEFT JOIN thits h USING (doc_id)
       """)
+    ),
+    // MinHash-LSH band planning: the measured b×r operating table over
+    // ONE shared 16-permutation signature — per config (1×16, 2×8, 4×4,
+    // 8×2): banded candidate count, truth pairs caught (recall) and
+    // truth-per-candidate (precision, the verify-cost denominator).
+    // Ground truth = the exact dedup_jaccard pair set at τ=0.5. The
+    // planning query a deployment runs BEFORE freezing a signature
+    // layout; every count integer-exact, so the whole curve
+    // hash-checks. r=1 configs are rejected by the operator (single
+    // min-hash buckets scale with boilerplate doc frequency).
+    GQuery(
+      "dedup_lsh_plan",
+      (spark, dir) =>
+        Dedup.lshBandPlan(
+          t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, numPerms = 16, bandGrid = Seq(1, 2, 4, 8), tau = 0.5),
+      Some(s"""
+        WITH $shingleCtes,
+        mh AS (SELECT doc_id, i,
+                      min(((2*i+1) * x + 12289*i) % 1000000007) AS v
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5(sh), 1, 14))::BIGINT
+                              % 1000000007 AS x
+                     FROM sh)
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+               GROUP BY doc_id, i),
+        cfg AS (SELECT unnest([1, 2, 4, 8]) AS bands),
+        bnd AS (SELECT cfg.bands, mh.doc_id,
+                       mh.i // (16 // cfg.bands) AS band,
+                       string_agg(mh.v::VARCHAR, ',' ORDER BY mh.i) AS sig
+                FROM mh CROSS JOIN cfg
+                GROUP BY cfg.bands, mh.doc_id, mh.i // (16 // cfg.bands)),
+        cand AS (SELECT DISTINCT a.bands, a.doc_id AS doc_a,
+                        b.doc_id AS doc_b
+                 FROM bnd a JOIN bnd b
+                   ON a.bands = b.bands AND a.band = b.band
+                      AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS c
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        truth AS (SELECT doc_a, doc_b
+                  FROM (SELECT doc_a, doc_b, c, sa.nsh AS na, sb.nsh AS nb
+                        FROM common
+                        JOIN sizes sa ON sa.doc_id = doc_a
+                        JOIN sizes sb ON sb.doc_id = doc_b)
+                  WHERE c::DOUBLE / (na + nb - c) >= 0.5),
+        nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+        pc AS (SELECT bands, count(*)::BIGINT AS n_candidates
+               FROM cand GROUP BY bands),
+        dt AS (SELECT c.bands, count(*)::BIGINT AS n_detected
+               FROM cand c
+               JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+               GROUP BY c.bands)
+        SELECT cfg.bands::BIGINT AS bands,
+               (16 // cfg.bands)::BIGINT AS rows_per_band,
+               coalesce(pc.n_candidates, 0)::BIGINT AS n_candidates,
+               coalesce(dt.n_detected, 0)::BIGINT AS n_detected,
+               nt.n_true,
+               round(CASE WHEN nt.n_true > 0
+                     THEN coalesce(dt.n_detected, 0)::DOUBLE / nt.n_true
+                     ELSE 0.0 END, 6) AS recall,
+               round(CASE WHEN coalesce(pc.n_candidates, 0) > 0
+                     THEN coalesce(dt.n_detected, 0)::DOUBLE
+                          / pc.n_candidates
+                     ELSE 0.0 END, 6) AS precision
+        FROM cfg CROSS JOIN nt
+        LEFT JOIN pc ON pc.bands = cfg.bands
+        LEFT JOIN dt ON dt.bands = cfg.bands
+      """)
+    ),
+    // Duplication-rate threshold curve: the τ operating table for the
+    // exact Jaccard near-dup family — pair volume, docs touched, and
+    // mean similarity at each τ ∈ {0.2..0.9} over ONE verified pair
+    // set (scored once at the 0.2 floor; each τ row is a filter, not a
+    // re-verify). The knob-setting audit run before choosing the dedup
+    // threshold: too low merges distinct docs, too high leaks
+    // near-dups — this measures both margins. Counts integer-exact;
+    // the mean routes each 6-dp score through DECIMAL so the sum is
+    // order-free on both engines.
+    GQuery(
+      "dedup_threshold_curve",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val pr = Dedup.jaccardPairs(
+          t(spark, dir, "documents"), "doc_id", "text", 3, 0.2)
+        val sel = pr
+          .select(
+            col("doc_a"), col("doc_b"), col("jaccard"),
+            explode(expr("sequence(2, 9)")).as("g"))
+          .filter(col("jaccard") >= col("g").cast("double") / lit(10.0))
+        val docs = sel
+          .select(col("g"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .groupBy(col("g"))
+          .agg(countDistinct(col("d")).as("n_docs"))
+        sel
+          .groupBy(col("g"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(round(col("jaccard"), 6).cast(DecimalType(30, 6))).as("sj"))
+          .join(docs, Seq("g"))
+          .select(
+            col("g").cast("long").as("tau_x10"),
+            col("n_pairs"),
+            col("n_docs"),
+            round(col("sj").cast("double") / col("n_pairs"), 6)
+              .as("avg_jaccard"))
+      },
+      Some(s"""
+        WITH $shingleCtes,
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS c
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        pr AS (SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c) AS j
+               FROM (SELECT doc_a, doc_b, c, sa.nsh AS na, sb.nsh AS nb
+                     FROM common
+                     JOIN sizes sa ON sa.doc_id = doc_a
+                     JOIN sizes sb ON sb.doc_id = doc_b)
+               WHERE c::DOUBLE / (na + nb - c) >= 0.2),
+        g AS (SELECT unnest(generate_series(2, 9)) AS g),
+        sel AS (SELECT g.g, pr.doc_a, pr.doc_b, pr.j
+                FROM pr CROSS JOIN g
+                WHERE pr.j >= g.g::DOUBLE / 10.0),
+        docs AS (SELECT g, count(DISTINCT d)::BIGINT AS n_docs
+                 FROM (SELECT g, unnest([doc_a, doc_b]) AS d FROM sel)
+                 GROUP BY g)
+        SELECT sel.g::BIGINT AS tau_x10, count(*)::BIGINT AS n_pairs,
+               docs.n_docs,
+               round(sum(round(sel.j, 6)::DECIMAL(30,6))::DOUBLE
+                     / count(*), 6) AS avg_jaccard
+        FROM sel JOIN docs ON docs.g = sel.g
+        GROUP BY sel.g, docs.n_docs
+      """)
+    ),
+    // ROC-AUC of the fastText-style quality classifier against the
+    // heuristic quality-score keep label (quality ≥ 0.52, the corpus
+    // median band) — the classifier-vs-heuristic agreement audit a
+    // DCLM-style filtering stage runs before trusting a distilled
+    // classifier at crawl scale. Exact Mann–Whitney with AVERAGE ranks
+    // for ties: ranking key = the classifier's exact integer surrogate
+    // wsum/nfeat (σ is monotone in it, so the AUC is identical and no
+    // cross-engine exp() enters the order), doubled rank sums keep the
+    // whole statistic in integers until ONE final division. Rank from
+    // distributedRank — no single-partition corpus window.
+    GQuery(
+      "eval_classifier_auc",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val cls = TextAnalysis.linearClassifier(docs, "doc_id", "text")
+        val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        val j = cls
+          .join(qual, "doc_id")
+          .select(
+            (col("wsum").cast("double") / col("nfeat")).as("sr"),
+            (col("quality") >= 0.52).as("pos"))
+        graft.operators.ClusterEval.rocAuc(j, "sr", "pos")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id, unnest(list_concat(
+                list_transform(t, x -> 'u:' || x),
+                CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1),
+                       i -> 'b:' || t[i] || ' ' || t[i+1])
+                ELSE []::VARCHAR[] END)) AS feat
+              FROM tok),
+        wm AS (SELECT doc_id,
+                      (('0x' || substr(md5(feat), 1, 14))::BIGINT % 2001)
+                        - 1000 AS wm
+               FROM f),
+        s AS (SELECT doc_id, sum(wm)::BIGINT AS wsum,
+                     count(*)::BIGINT AS nfeat
+              FROM wm GROUP BY 1),
+        qf AS (SELECT doc_id,
+                      len(t)::DOUBLE AS n,
+                      len(list_filter(t, x -> x IN
+                        ('the','a','of','to','and','in','is','for')))::DOUBLE
+                        / len(t) AS stop_ratio,
+                      len(list_distinct(t))::DOUBLE / len(t) AS diversity
+               FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM qf),
+        j AS (SELECT s.doc_id, s.wsum::DOUBLE / s.nfeat AS sr,
+                     CASE WHEN q.quality >= 0.52 THEN 1 ELSE 0 END AS pos
+              FROM s JOIN q USING (doc_id)),
+        r AS (SELECT doc_id, sr, pos,
+                     row_number() OVER (ORDER BY sr, doc_id) - 1 AS r
+              FROM j),
+        g AS (SELECT sr, min(r) AS rmin, max(r) AS rmax,
+                     sum(pos)::BIGINT AS p, count(*)::BIGINT AS n
+              FROM r GROUP BY sr),
+        a AS (SELECT sum(p)::BIGINT AS npos, sum(n - p)::BIGINT AS nneg,
+                     count(*)::BIGINT AS n_groups,
+                     sum(p * (rmin + rmax + 2))::BIGINT AS s2
+              FROM g)
+        SELECT npos, nneg, n_groups,
+               round(CASE WHEN npos > 0 AND nneg > 0
+                     THEN (s2 - npos * (npos + 1))::DOUBLE
+                          / (2.0 * npos * nneg)
+                     ELSE 0.5 END, 6) AS auc
+        FROM a
+      """)
+    ),
+    // Corpus drift census between two deterministic halves (doc_id
+    // parity): add-one-smoothed unigram LMs over the shared vocabulary,
+    // KL(A→B), KL(B→A) and the bounded symmetric JSD — the
+    // distribution-shift monitor a crawl pipeline runs between snapshots
+    // (a drifting KL flags topic/boilerplate composition change before
+    // any downstream metric moves). Counts integer-exact; each ln term
+    // routes through DECIMAL(38,20) so the sums are order-free.
+    GQuery(
+      "text_kl_drift",
+      (spark, dir) =>
+        TextAnalysis.klDrift(
+          t(spark, dir, "documents"), col("doc_id") % 2 === 0, "text"),
+      Some("""
+        WITH w AS (SELECT doc_id % 2 = 0 AS ina,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        cnt AS (SELECT w,
+                       sum(CASE WHEN ina THEN 1 ELSE 0 END)::BIGINT AS ca,
+                       sum(CASE WHEN ina THEN 0 ELSE 1 END)::BIGINT AS cb
+                FROM w WHERE w <> '' GROUP BY w),
+        tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                       count(*)::BIGINT AS v
+                FROM cnt),
+        p AS (SELECT (ca + 1)::DOUBLE / (na + v) AS pa,
+                     (cb + 1)::DOUBLE / (nb + v) AS pb,
+                     na, nb, v
+              FROM cnt CROSS JOIN tot)
+        SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+               max(v)::BIGINT AS vocab,
+               round(sum((pa * ln(pa / pb))::DECIMAL(38,20))::DOUBLE, 6)
+                 AS kl_ab,
+               round(sum((pb * ln(pb / pa))::DECIMAL(38,20))::DOUBLE, 6)
+                 AS kl_ba,
+               round((sum((pa * ln(pa / ((pa + pb) / 2.0)))
+                        ::DECIMAL(38,20))::DOUBLE
+                      + sum((pb * ln(pb / ((pa + pb) / 2.0)))
+                        ::DECIMAL(38,20))::DOUBLE) / 2.0, 6) AS jsd
+        FROM p
+      """)
     )
   )
 

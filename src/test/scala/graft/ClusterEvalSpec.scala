@@ -25,6 +25,39 @@ class ClusterEvalSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(2)) < 1e-12, s"NMI ${r2.getDouble(2)}")
   }
 
+  test("rocAuc: closed-form separable/reversed/tied/degenerate cases") {
+    // perfectly separable: every positive outranks every negative → 1.0
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "pos")
+    val r1 = ClusterEval.rocAuc(sep, "s", "pos").head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((2L, 2L, 4L)))
+    assert(r1.getDouble(3) == 1.0)
+    // reversed → 0.0
+    val rev = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("s", "pos")
+    assert(ClusterEval.rocAuc(rev, "s", "pos").head.getDouble(3) == 0.0)
+    // all scores tied → average ranks give exactly 0.5 regardless of labels
+    val tied = Seq((7.0, true), (7.0, false), (7.0, true), (7.0, false))
+      .toDF("s", "pos")
+    val r3 = ClusterEval.rocAuc(tied, "s", "pos").head
+    assert(r3.getLong(2) == 1L && r3.getDouble(3) == 0.5)
+    // hand-computed mixed case with a tie straddling the labels:
+    // scores (1-,2+,2-,3+): ranks 1, (2.5,2.5), 4 → U = (2.5+4) - 3 = 3.5
+    // → AUC = 3.5/4 = 0.875
+    val mix = Seq((1.0, false), (2.0, true), (2.0, false), (3.0, true))
+      .toDF("s", "pos")
+    assert(ClusterEval.rocAuc(mix, "s", "pos").head.getDouble(3) == 0.875)
+    // degenerate one-sided labels → 0.5, never NaN
+    val onesided = Seq((1.0, true), (2.0, true)).toDF("s", "pos")
+    assert(ClusterEval.rocAuc(onesided, "s", "pos").head.getDouble(3) == 0.5)
+    // partition-invariance: the rank path must not depend on layout
+    val big = (0 until 200)
+      .map(i => ((i % 7).toDouble, i % 3 == 0)).toDF("s", "pos")
+    val a = ClusterEval.rocAuc(big.repartition(7), "s", "pos").head.toSeq
+    val b = ClusterEval.rocAuc(big.coalesce(1), "s", "pos").head.toSeq
+    assert(a == b)
+  }
+
   test("NMI guard: a single-cluster assignment scores 0, not NaN") {
     val ids = (0L to 5L)
     val one = ids.map(i => (i, 0L)).toDF("id", "cluster")

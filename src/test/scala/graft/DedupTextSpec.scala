@@ -37,6 +37,88 @@ class DedupTextSpec extends SparkSpec {
       s"LSH recall ${lsh.size}/${exact.size}")
   }
 
+  test("lshBandPlan: nested candidate sets, monotone columns, exact truth count, r=1 rejected") {
+    val plan = Dedup
+      .lshBandPlan(docs, "doc_id", "text", n = 3, numPerms = 16,
+        bandGrid = Seq(1, 2, 4, 8), tau = 0.5)
+      .orderBy(col("bands"))
+      .collect()
+    assert(plan.length == 4)
+    // agreement on a 2r-run implies agreement on both its r-runs, so the
+    // per-config candidate sets are NESTED (1 ⊆ 2 ⊆ 4 ⊆ 8 bands) and every
+    // count/recall column must be monotone non-decreasing in bands
+    val cands = plan.map(_.getLong(2))
+    val dets = plan.map(_.getLong(3))
+    val recalls = plan.map(_.getDouble(5))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidates not monotone: ${cands.mkString(",")}")
+    assert(dets.zip(dets.tail).forall { case (a, b) => a <= b },
+      s"detected not monotone: ${dets.mkString(",")}")
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.mkString(",")}")
+    // n_true is the exact dedup_jaccard pair count, same on every row
+    val nTrue = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    assert(plan.forall(_.getLong(4) == nTrue))
+    // detected never exceeds either denominator
+    assert(plan.forall(r => r.getLong(3) <= r.getLong(2)
+      && r.getLong(3) <= r.getLong(4)))
+    // the production 4×4 config keeps the 0.8 recall gate the LSH spec pins
+    val r44 = plan.find(_.getLong(0) == 4L).get
+    assert(nTrue == 0 || r44.getDouble(5) >= 0.8, s"4x4 recall ${r44.getDouble(5)}")
+    // rows-per-band = 1 is the O(f²) single-min-hash bucket — rejected
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandPlan(docs, "doc_id", "text", bandGrid = Seq(16))
+    }
+  }
+
+  test("dedup_threshold_curve: counts monotone non-increasing in tau; 0.5 row == dedup_jaccard") {
+    val rows = SparkEntry.queries("dedup_threshold_curve")(spark, sf0001)
+      .orderBy(col("tau_x10")).collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).sameElements(
+      rows.map(_.getLong(0)).sorted))
+    val pairs = rows.map(_.getLong(1))
+    val ndocs = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      s"n_pairs not monotone: ${pairs.mkString(",")}")
+    assert(ndocs.zip(ndocs.tail).forall { case (a, b) => a >= b },
+      s"n_docs not monotone: ${ndocs.mkString(",")}")
+    // each tau row's pair count equals an independent jaccardPairs run
+    val at5 = rows.find(_.getLong(0) == 5L).get.getLong(1)
+    assert(at5 == Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    // avg_jaccard is a mean of values >= tau, so it must sit above tau/10
+    rows.foreach { r =>
+      if (r.getLong(1) > 0)
+        assert(r.getDouble(3) >= r.getLong(0) / 10.0 - 1e-9)
+    }
+  }
+
+  test("klDrift: identical slices → 0; disjoint vocab → JSD near ln 2; bounds hold") {
+    // identical halves: same text in both slices → pa == pb for every term
+    val same = Seq((0L, "a b c a"), (1L, "a b c a")).toDF("doc_id", "text")
+    val r0 = TextAnalysis.klDrift(same, col("doc_id") % 2 === 0, "text").head
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0
+      && r0.getDouble(5) == 0.0)
+    // disjoint vocabularies: maximal drift — JSD must approach its ln 2
+    // bound (add-one smoothing keeps it strictly below) and stay positive
+    val disj = Seq((0L, ("x " * 50).trim), (1L, ("y " * 50).trim))
+      .toDF("doc_id", "text")
+    val r1 = TextAnalysis.klDrift(disj, col("doc_id") % 2 === 0, "text").head
+    val ln2 = math.log(2.0)
+    assert(r1.getDouble(5) > 0.8 * ln2 && r1.getDouble(5) < ln2,
+      s"disjoint JSD ${r1.getDouble(5)} vs ln2 $ln2")
+    assert(r1.getDouble(3) > 0 && r1.getDouble(4) > 0)
+    // real corpus: non-negative KL both directions, JSD within [0, ln 2],
+    // and the census counts add up
+    val r2 = TextAnalysis
+      .klDrift(docs, col("doc_id") % 2 === 0, "text").head
+    assert(r2.getDouble(3) >= 0 && r2.getDouble(4) >= 0)
+    assert(r2.getDouble(5) >= 0 && r2.getDouble(5) <= ln2)
+    val totalToks = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(r2.getLong(0) + r2.getLong(1) == totalToks)
+  }
+
   test("zipfFit: exact power-law corpus recovers slope -1 and intercept ln(24)") {
     // freqs 24/r for ranks 1..4 — integer counts exactly on freq = 24·r⁻¹
     val text = (Seq.fill(24)("alpha") ++ Seq.fill(12)("beta") ++
