@@ -465,4 +465,104 @@ object GraphAudit {
             (col("sy") / col("m_ends")) * (col("sy") / col("m_ends")))))
         .as("assortativity"))
   }
+
+  /** SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD 2007)
+    * over the undirected view: the role census separating community
+    * mass from bridges from noise BEFORE a curation run trusts
+    * graph-derived selections. Structural similarity of an edge (u,v)
+    * is σ = |Γ(u)∩Γ(v)| / √(|Γ(u)|·|Γ(v)|) with CLOSED neighborhoods
+    * (for an edge, |Γ(u)∩Γ(v)| = shared open neighbors + 2); an edge
+    * with σ ≥ ε is an ε-edge; a node whose closed ε-neighborhood
+    * (itself + its ε-edge neighbors) reaches μ is a CORE; clusters are
+    * the connected components of the core–core ε-edge graph; a
+    * non-core ε-neighbor of a core joins as BORDER (deterministic
+    * variant: the MIN cluster rep among its adjacent ε-cores — the
+    * paper leaves this to traversal order); every remaining node is a
+    * HUB when its plain neighbors hold members of ≥ 2 distinct
+    * clusters, else an OUTLIER.
+    *
+    * Exactness: σ ≥ ε compares as integers — with ε² = epsSqNum/epsSqDen,
+    * epsSqDen·(c+2)² ≥ epsSqNum·(da+1)·(db+1) — so every decision is
+    * exact and the whole census hash-checks. Scale: the shared-neighbor
+    * count is ONE equi-keyed wedge join (fan-out Σ_edge min-deg, bounded
+    * by the kNN graph's bounded degree); components ride the
+    * size-adaptive [[Dedup.connectedComponents]] (pointer-jumping above
+    * the local cutover); everything else is linear joins over edges.
+    *
+    * Returns one row per universe id: (id, deg, role, cluster) with
+    * cluster NULL for hubs/outliers.
+    */
+  def scan(
+      edges: DataFrame,
+      ids: DataFrame,
+      epsSqNum: Long = 49L,
+      epsSqDen: Long = 100L,
+      mu: Int = 3
+  ): DataFrame = {
+    require(epsSqNum > 0 && epsSqDen >= epsSqNum, "scan: need 0 < eps^2 <= 1")
+    require(mu >= 2, s"scan: mu must be >= 2, got $mu")
+    val u = und(edges).localCheckpoint()
+    val ub = u.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(u.select(col("b").as("id"), col("a").as("nb")))
+    val dg = ids
+      .select(col("id").cast("long").as("id"))
+      .join(ub.groupBy(col("id")).agg(count(lit(1)).as("deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint()
+    // shared open neighbors per undirected edge: one equi-keyed wedge join
+    val cn = u
+      .join(ub.select(col("id").as("a"), col("nb").as("w")), Seq("a"))
+      .join(ub.select(col("id").as("b"), col("nb").as("w")), Seq("b", "w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val eps = u
+      .join(dg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(dg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .join(cn, Seq("a", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .filter(
+        lit(epsSqDen) * (col("c") + 2) * (col("c") + 2)
+          >= lit(epsSqNum) * (col("da") + 1) * (col("db") + 1))
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val epsb = eps.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(eps.select(col("b").as("id"), col("a").as("nb")))
+    val core = dg
+      .join(epsb.groupBy(col("id")).agg(count(lit(1)).as("ne")), Seq("id"), "left")
+      .filter(coalesce(col("ne"), lit(0L)) + 1 >= mu)
+      .select(col("id"))
+      .localCheckpoint()
+    val epsc = eps
+      .join(core.select(col("id").as("a")), "a")
+      .join(core.select(col("id").as("b")), "b")
+    val comps = Dedup.connectedComponents(epsc.select(col("a"), col("b")), "a", "b")
+    val coreRep = core
+      .join(
+        comps.select(col("doc_id").as("id"), col("rep_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep"))
+      .localCheckpoint()
+    val bord = epsb
+      .join(coreRep.select(col("id").as("nb"), col("rep")), "nb")
+      .join(core, Seq("id"), "left_anti")
+      .groupBy(col("id"))
+      .agg(min(col("rep")).as("rep"))
+    val memb = coreRep.unionAll(bord).localCheckpoint()
+    val hubq = ub
+      .join(memb.select(col("id").as("nb"), col("rep")), "nb")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("rep")).as("ncl"))
+    dg
+      .join(coreRep.select(col("id"), col("rep").as("crep")), Seq("id"), "left")
+      .join(bord.select(col("id"), col("rep").as("brep")), Seq("id"), "left")
+      .join(hubq, Seq("id"), "left")
+      .select(
+        col("id"), col("deg"),
+        when(col("crep").isNotNull, lit("core"))
+          .when(col("brep").isNotNull, lit("border"))
+          .when(coalesce(col("ncl"), lit(0L)) >= 2, lit("hub"))
+          .otherwise(lit("outlier")).as("role"),
+        when(col("crep").isNotNull, col("crep"))
+          .when(col("brep").isNotNull, col("brep"))
+          .otherwise(lit(null).cast("long")).as("cluster"))
+  }
 }

@@ -2723,6 +2723,81 @@ object VectorQueries {
         FROM dq d JOIN kc4 k ON k.id = d.id
       """)
     ),
+    // SCAN structural clustering (Xu et al., KDD 2007) over the shared
+    // kNN graph: ε-edges by closed-neighborhood structural similarity
+    // (σ ≥ 0.7 decided in exact integers — 100·(c+2)² ≥ 49·(da+1)(db+1)),
+    // cores at μ=3, clusters = CC of the core-core ε-graph, borders
+    // attach to their MIN adjacent core cluster (deterministic variant
+    // of the paper's traversal-order choice), leftovers split hub vs
+    // outlier by whether their neighbors span ≥2 clusters — the role
+    // census separating community mass from bridges from noise. The
+    // oracle replays σ, cores and borders relationally and the cluster
+    // labels as a recursive min-label closure.
+    GQuery(
+      "knn_graph_scan",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        graft.operators.GraphAudit
+          .scan(sharedGraph(spark, dir), ids,
+            epsSqNum = 9L, epsSqDen = 100L, mu = 3)
+          .select(col("id").as("vec_id"), col("deg"), col("role"),
+            col("cluster"))
+      },
+      Some(s"""
+        WITH RECURSIVE $graphCtes,
+        $auditCtes,
+        scn AS MATERIALIZED (
+          SELECT uu.a, uu.b, count(*) AS c
+          FROM uu JOIN ub x ON x.id = uu.a
+                  JOIN ub y ON y.id = uu.b AND y.nb = x.nb
+          GROUP BY uu.a, uu.b),
+        sde AS MATERIALIZED (
+          SELECT uu.a, uu.b
+          FROM uu JOIN dq da ON da.id = uu.a JOIN dq db ON db.id = uu.b
+          LEFT JOIN scn ON scn.a = uu.a AND scn.b = uu.b
+          WHERE 100 * (coalesce(scn.c, 0) + 2) * (coalesce(scn.c, 0) + 2)
+                >= 9 * (da.deg + 1) * (db.deg + 1)),
+        sdb AS MATERIALIZED (SELECT a AS id, b AS nb FROM sde
+                UNION ALL SELECT b, a FROM sde),
+        score AS MATERIALIZED (
+          SELECT dq.id FROM dq
+          LEFT JOIN (SELECT id, count(*) AS ne FROM sdb GROUP BY id) n
+            ON n.id = dq.id
+          WHERE coalesce(n.ne, 0) + 1 >= 3),
+        sccb AS MATERIALIZED (
+          SELECT sde.a, sde.b FROM sde
+          JOIN score ca ON ca.id = sde.a JOIN score cb ON cb.id = sde.b
+          UNION
+          SELECT sde.b, sde.a FROM sde
+          JOIN score ca ON ca.id = sde.a JOIN score cb ON cb.id = sde.b),
+        srch(id, r) AS (
+          SELECT id, id FROM score
+          UNION
+          SELECT sccb.a, srch.r FROM sccb JOIN srch ON srch.id = sccb.b),
+        srep AS MATERIALIZED (SELECT id, min(r) AS rep FROM srch GROUP BY id),
+        sbord AS MATERIALIZED (
+          SELECT sdb.id, min(srep.rep) AS rep
+          FROM sdb JOIN srep ON srep.id = sdb.nb
+          WHERE sdb.id NOT IN (SELECT id FROM score)
+          GROUP BY sdb.id),
+        smemb AS MATERIALIZED (SELECT id, rep FROM srep
+                UNION ALL SELECT id, rep FROM sbord),
+        shub AS (SELECT ub.id, count(DISTINCT m.rep) AS ncl
+                 FROM ub JOIN smemb m ON m.id = ub.nb GROUP BY ub.id)
+        SELECT dq.id AS vec_id, dq.deg,
+               CASE WHEN sr.rep IS NOT NULL THEN 'core'
+                    WHEN sb.rep IS NOT NULL THEN 'border'
+                    WHEN coalesce(sh.ncl, 0) >= 2 THEN 'hub'
+                    ELSE 'outlier' END AS role,
+               (CASE WHEN sr.rep IS NOT NULL THEN sr.rep
+                     WHEN sb.rep IS NOT NULL THEN sb.rep
+                     ELSE NULL END)::BIGINT AS cluster
+        FROM dq LEFT JOIN srep sr ON sr.id = dq.id
+                LEFT JOIN sbord sb ON sb.id = dq.id
+                LEFT JOIN shub sh ON sh.id = dq.id
+      """)
+    ),
     // Newman–Girvan modularity of the ground-truth LABEL partition over
     // the undirected kNN graph — the audit that says whether the graph
     // respects the labels before any label-prop / graph-walk selection

@@ -31,6 +31,58 @@ class GraphAuditSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("scan: two bridged cliques — cores, border, hub, outlier, cluster reps closed-form") {
+    // clique A = {1,2,3,4}, clique B = {5,6,7,8}, bridge 9—(1,5),
+    // tassel 10—(2,3), isolated 11. With ε=0.7, μ=4 (hand-checked σ):
+    //   in-clique edges all σ ≥ 0.775 → every clique node is a core;
+    //   (9,1)/(9,5) score σ=2/√15≈0.516 → 9 has no ε-edge, but its
+    //   neighbors sit in both clusters → HUB;
+    //   10's edges score 3/√15≈0.775 → ε-similar to cores 2,3 but
+    //   n_eps(10)=3 < μ → BORDER of cluster A;
+    //   11 has no edges → OUTLIER.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (9L, 1L), (9L, 5L), (10L, 2L), (10L, 3L)
+    ).toDF("src", "dst")
+    val ids = (1L to 11L).toDF("id")
+    val got = GraphAudit
+      .scan(edges, ids, epsSqNum = 49L, epsSqDen = 100L, mu = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    (1L to 4L).foreach(i => assert(got(i) == (("core", 1L)), s"$i ${got(i)}"))
+    (5L to 8L).foreach(i => assert(got(i) == (("core", 5L)), s"$i ${got(i)}"))
+    assert(got(9L) == (("hub", -1L)), s"9 ${got(9L)}")
+    assert(got(10L) == (("border", 1L)), s"10 ${got(10L)}")
+    assert(got(11L) == (("outlier", -1L)), s"11 ${got(11L)}")
+  }
+
+  test("scan: partition/direction invariance; stricter eps only demotes") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (9L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val ids = (1L to 10L).toDF("id")
+    val a = GraphAudit.scan(edges, ids, 49L, 100L, 4)
+      .orderBy("id").collect().toSeq
+    val b = GraphAudit
+      .scan(
+        edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(5),
+        ids.repartition(3), 49L, 100L, 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // raising eps to 1.0 (only σ=1 edges survive) can only shrink the
+    // member set — no node may gain a cluster
+    val strict = GraphAudit.scan(edges, ids, 100L, 100L, 4)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    val loose = GraphAudit.scan(edges, ids, 49L, 100L, 4)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(strict.forall { case (k, sNull) => sNull || !loose(k) },
+      "a node gained a cluster when eps tightened")
+  }
+
   test("triangles: direction/duplication of the input edge list is irrelevant") {
     val doubled = k4Edges.unionAll(
       k4Edges.select(col("dst").as("src"), col("src").as("dst")))
