@@ -219,6 +219,96 @@ object HnswReplay {
   private def layerEdges(idx: LayeredIndex, l: Int): DataFrame =
     idx.edges.filter(col("layer") === l).select(col("src"), col("dst"))
 
+  /** ADC-compressed search replay over the SAME layered artifact — the
+    * reference's headline HNSW+PQ combination (PQCompression wired into
+    * the search, ref: py/vector_compression.py:97-135, py/hnsw.py:191-203
+    * dispatching distances through the compressor) hash-checked given
+    * the reconstructible index: BOTH the greedy descent and the layer-0
+    * beam score candidates by asymmetric PQ distance off a per-query LUT
+    * — the walk reads only the code table (~M bytes/node), never a raw
+    * vector — and the final top-k is an exact-L2² rerank of the last
+    * beam's ef survivors (the ADC+R recall-recovery discipline, Jégou
+    * et al. 2011 §V, the same contract as
+    * [[NNDescent.beamSearchCompressed]]). Under the engine's
+    * fixed-codebook convention every stage is (dist, id)-deterministic,
+    * so the full compressed trajectory replays as unrolled SQL.
+    * Returns (query_id, neighbor_id, dist, rnk) with exact reranked
+    * distances.
+    */
+  def searchReplayAdc(
+      idx: LayeredIndex,
+      codes: DataFrame, // (cid, code) — PQ codes of every indexed node
+      model: PQModel,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    val qs = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .withColumn("lut", ProductQuantizer.lutCol(model, col("qv")))
+      .localCheckpoint() // |Q| rows × M·K doubles, scored every round
+    val cds = codes.select(col("cid").cast("long").as("cid"), col("code"))
+    def adcScore(cand: DataFrame): DataFrame = // (qid, cid) -> + d
+      cand
+        .join(qs.select(col("qid"), col("lut")), "qid")
+        .join(cds, "cid")
+        .withColumn("d",
+          ProductQuantizer.adcFromLutCol(model, col("lut"), col("code")))
+        .select(col("qid"), col("cid"), col("d"))
+    val entry = idx.base
+      .orderBy(col("level").desc, col("id"))
+      .limit(1)
+      .select(col("id").as("cur"))
+    var cur = qs.select(col("qid")).crossJoin(broadcast(entry))
+    for (l <- MaxLevel to 1 by -1; _ <- 1 to greedyRounds) {
+      val cand = cur
+        .join(layerEdges(idx, l), col("cur") === col("src"), "left")
+        .select(col("qid"), explode(array(col("cur"), col("dst"))).as("cid"))
+        .filter(col("cid").isNotNull)
+      cur = adcScore(cand)
+        .groupBy(col("qid"))
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .select(col("qid"), col("best").getField("cid").as("cur"))
+    }
+    val edges0 = layerEdges(idx, 0)
+    var beam = cur.select(col("qid"), col("cur").as("cid"))
+    for (_ <- 1 to beamRounds) {
+      val expanded = beam
+        .join(edges0, col("cid") === col("src"), "left")
+        .select(col("qid"), explode(array(col("cid"), col("dst"))).as("cid2"))
+        .filter(col("cid2").isNotNull)
+        .groupBy(col("qid"))
+        .agg(collect_set(col("cid2")).as("cs"))
+        .select(col("qid"), explode(col("cs")).as("cid"))
+      beam = adcScore(expanded)
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+        .filter(col("rn") <= ef)
+        .select(col("qid"), col("cid"))
+    }
+    // exact rerank: the only raw-vector read, |Q|·ef rows
+    beam
+      .join(qs.select(col("qid"), col("qv")), "qid")
+      .join(idx.base.select(col("id").as("cid"), col("vec")), "cid")
+      .withColumn("d", l2SqFast(col("qv"), col("vec")))
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(
+        col("qid").as("query_id"),
+        col("cid").as("neighbor_id"),
+        col("d").as("dist"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Greedy descent, MaxLevel..1: per round the next position is the
     * (dist, id)-argmin over {cur} ∪ neighbors(cur) at that layer.
     * Returns (qid, cur).

@@ -544,6 +544,64 @@ object HnswQueries {
         FROM per GROUP BY ef
         """
       }
+    ),
+    // The reference's HEADLINE combination — HNSW searched with PQ
+    // distances (py/vector_compression.py PQCompression wired into the
+    // hnsw walk) — hash-checked given the reconstructible index:
+    // greedy descent AND layer-0 beam score by asymmetric PQ distance
+    // off the fixed 8×8×16 codebook (the walk reads only the code
+    // table, never a raw vector), final top-k = exact rerank of the ef
+    // survivors (ADC+R). hnsw_knn_pq benches the production compressed
+    // path rows-only; THIS row pins the compressed-search semantics
+    // against an independent engine with the same m-ordered LUT-sum
+    // arithmetic the pq_adc_topk oracle established.
+    GQuery(
+      "hnsw_replay_pq",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val q = emb
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        val idx = replayCache.getOrElseUpdate(
+          dir, HnswReplay.buildLayered(emb, "vec_id", "vec"))
+        val model = replayFixedModel(spark, dir)
+        val codes = emb.select(
+          col("vec_id").as("cid"),
+          ProductQuantizer.encodeCol(model, col("vec")).as("code"))
+        HnswReplay
+          .searchReplayAdc(idx, codes, model, q, "query_id", "qv",
+            k = K, ef = 16, greedyRounds = 2, beamRounds = 4)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("dist"), 4).as("dist"), col("rnk"))
+      },
+      Some {
+        val adcGreedy = (for {
+          (l, i) <- (4 to 1 by -1).flatMap(l => Seq(l, l)).zipWithIndex
+        } yield adcStepCte(s"a${i + 1}", if (i == 0) "c0" else s"a$i", l, "1"))
+          .mkString(",")
+        val adcBeam = (1 to 4)
+          .map(i => adcStepCte(
+            s"p$i", if (i == 1) "a8" else s"p${i - 1}", 0, "16"))
+          .mkString(",")
+        s"""
+        WITH
+        ${replayBaseCtes("id % 10 = 0")},
+        $replayAdcCtes,
+        $adcGreedy,
+        $adcBeam,
+        fin AS (
+          SELECT qid, cid, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rnk
+          FROM (SELECT b.qid, b.cid, ${sqlL2Sq("qq.qv", "ee.v")} AS dist
+                FROM p4 b JOIN e ee ON ee.id = b.cid
+                JOIN q qq ON qq.qid = b.qid))
+        SELECT qid AS query_id, cid AS neighbor_id,
+               round(dist, 4) AS dist, rnk
+        FROM fin WHERE rnk <= $K
+        """
+      }
     )
   )
 
@@ -552,7 +610,10 @@ object HnswQueries {
     * exact top-m per-layer edges, entry point, the query set, and the
     * unrolled ef-independent greedy descent c0..c8.
     */
-  private def replayGraphCtes(queryPred: String): String = {
+  /** Layered artifact + query set + entry seed (no greedy chain): e, lv,
+    * ed0..ed4, ep, q, c0.
+    */
+  private def replayBaseCtes(queryPred: String): String = {
     def edgeCte(l: Int, deg: Int) = s"""
         ed$l AS MATERIALIZED (
           SELECT src, dst FROM (
@@ -562,10 +623,6 @@ object HnswQueries {
             FROM lv a JOIN lv b ON b.id != a.id
             WHERE a.level >= $l AND b.level >= $l)
           WHERE rn <= $deg)"""
-    val greedy = (for {
-      (l, i) <- (4 to 1 by -1).flatMap(l => Seq(l, l)).zipWithIndex
-    } yield replayStepCte(s"c${i + 1}", if (i == 0) "c0" else s"c$i", l, "1"))
-      .mkString(",")
     s"""
         e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                            FROM embeddings),
@@ -580,7 +637,16 @@ object HnswQueries {
                             ORDER BY level DESC, id LIMIT 1),
         q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM e
                            WHERE $queryPred),
-        c0 AS MATERIALIZED (SELECT qid, cid FROM q CROSS JOIN ep),
+        c0 AS MATERIALIZED (SELECT qid, cid FROM q CROSS JOIN ep)"""
+  }
+
+  private def replayGraphCtes(queryPred: String): String = {
+    val greedy = (for {
+      (l, i) <- (4 to 1 by -1).flatMap(l => Seq(l, l)).zipWithIndex
+    } yield replayStepCte(s"c${i + 1}", if (i == 0) "c0" else s"c$i", l, "1"))
+      .mkString(",")
+    s"""
+        ${replayBaseCtes(queryPred)},
         $greedy"""
   }
 
@@ -611,4 +677,83 @@ object HnswQueries {
       .map(i => replayStepCte(
         s"$prefix$i", if (i == 1) "c8" else s"$prefix${i - 1}", 0, ef.toString))
       .mkString(",")
+
+  // ── hnsw_replay_pq: the compressed replay's fixed-codebook ADC ──
+  // Same shape as the PQQueries/knn_graph_search_pq convention: M=8
+  // subspaces of 8 dims, K=16 codewords = slices of the first 16
+  // embedding rows — data-derived and deterministic on both engines.
+  // defs, not vals: `val all` above initializes eagerly at object
+  // construction, before later vals would be assigned
+  private def RPQM = 8
+  private def RPQDP = 8
+  private def RPQK = 16
+
+  private def replayFixedModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): PQModel = {
+    val rows = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < RPQK)
+      .orderBy(col("vec_id"))
+      .select(toDouble(col("embedding")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    PQModel(
+      RPQM, RPQK, rows(0).length,
+      Array.tabulate(RPQM)(mi =>
+        rows.map(v =>
+          java.util.Arrays.copyOfRange(v, mi * RPQDP, (mi + 1) * RPQDP))))
+  }
+
+  /** PQ code + query-LUT CTEs over the replay base (`e`, `q` in scope):
+    * renc = per-(node, subspace) nearest codeword (the pq_encode argmin),
+    * rqd = per-(query, subspace, codeword) partial distance — the LUT the
+    * ADC steps sum in m order, the same arithmetic as the pq_adc_topk
+    * oracle.
+    */
+  private def replayAdcCtes: String = s"""
+        rcent AS MATERIALIZED (SELECT vec_id AS ck, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id < $RPQK),
+        rms AS (SELECT unnest(generate_series(0, ${RPQM - 1})) AS m),
+        rdists AS MATERIALIZED (
+          SELECT e.id AS vid, rms.m, rcent.ck,
+                 list_sum(list_transform(generate_series(1, $RPQDP),
+                   j -> (e.v[rms.m*$RPQDP+j] - rcent.cv[rms.m*$RPQDP+j])
+                        * (e.v[rms.m*$RPQDP+j] - rcent.cv[rms.m*$RPQDP+j]))) AS dist
+          FROM e CROSS JOIN rms CROSS JOIN rcent),
+        renc AS MATERIALIZED (
+          SELECT vid, m, ck AS code FROM (
+            SELECT vid, m, ck,
+                   row_number() OVER (PARTITION BY vid, m
+                                      ORDER BY dist, ck) AS rn
+            FROM rdists) WHERE rn = 1),
+        rqd AS MATERIALIZED (
+          SELECT q.qid, rms.m, rcent.ck,
+                 list_sum(list_transform(generate_series(1, $RPQDP),
+                   j -> (q.qv[rms.m*$RPQDP+j] - rcent.cv[rms.m*$RPQDP+j])
+                        * (q.qv[rms.m*$RPQDP+j] - rcent.cv[rms.m*$RPQDP+j]))) AS sdist
+          FROM q CROSS JOIN rms CROSS JOIN rcent)"""
+
+  /** One ADC-scored greedy/beam step: candidates = prev ∪ their layer-`l`
+    * neighbors, (ADC dist, cid)-ranked via the renc⋈rqd LUT sum, keep the
+    * top `keep`.
+    */
+  private def adcStepCte(
+      name: String, prev: String, l: Int, keep: String): String = s"""
+        $name AS MATERIALIZED (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT cand.qid, cand.cid,
+                     list_sum(list(rqd.sdist ORDER BY rqd.m)) AS dist
+              FROM (SELECT s.qid, s.cid FROM $prev s
+                    UNION
+                    SELECT s.qid, ed.dst AS cid
+                    FROM $prev s JOIN ed$l ed ON ed.src = s.cid) cand
+              JOIN renc ON renc.vid = cand.cid
+              JOIN rqd ON rqd.qid = cand.qid AND rqd.m = renc.m
+                      AND rqd.ck = renc.code
+              GROUP BY cand.qid, cand.cid))
+          WHERE rn <= $keep)"""
 }

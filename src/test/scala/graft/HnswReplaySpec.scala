@@ -93,4 +93,71 @@ class HnswReplaySpec extends SparkSpec {
         s"query ${r.getLong(0)} top-1 is not itself: ${r.getLong(1)} d=${r.getDouble(2)}")
     }
   }
+
+  test("searchReplayAdc: lossless codebook (K=N, codewords=the corpus) reduces to the exact replay") {
+    import graft.operators.{PQModel, ProductQuantizer}
+    // 60-vector slice; codebook = every vector itself, so encode(v) picks
+    // v's own codeword (dist 0) and ADC(q, code(v)) IS the exact L2² —
+    // the compressed walk must reproduce the exact walk bit-for-bit
+    val small = emb.filter(col("vec_id") < 60).localCheckpoint()
+    val qs = small.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val rows = small.orderBy(col("vec_id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val dp = rows(0).length / m
+    val model = PQModel(m, rows.length, rows(0).length,
+      Array.tabulate(m)(mi =>
+        rows.map(v => java.util.Arrays.copyOfRange(v, mi * dp, (mi + 1) * dp))))
+    val idx = HnswReplay.buildLayered(small, "vec_id", "vec")
+    val codes = small.select(
+      col("vec_id").as("cid"),
+      ProductQuantizer.encodeCol(model, col("vec")).as("code"))
+    val adc = HnswReplay
+      .searchReplayAdc(idx, codes, model, qs, "query_id", "qv",
+        k = 5, ef = 16, greedyRounds = 2, beamRounds = 4)
+      .orderBy(col("query_id"), col("rnk")).collect().toSeq
+    val exact = HnswReplay
+      .searchReplay(idx, qs, "query_id", "qv", k = 5,
+        ef = 16, greedyRounds = 2, beamRounds = 4)
+      .orderBy(col("query_id"), col("rnk")).collect().toSeq
+    assert(adc == exact, "lossless-codebook ADC replay diverged from exact replay")
+  }
+
+  test("searchReplayAdc: lossy fixed codebook — valid top-k shape, self found, recall floor") {
+    import graft.operators.{PQModel, ProductQuantizer}
+    val rows = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val dp = rows(0).length / m
+    val model = PQModel(m, rows.length, rows(0).length,
+      Array.tabulate(m)(mi =>
+        rows.map(v => java.util.Arrays.copyOfRange(v, mi * dp, (mi + 1) * dp))))
+    val idx = HnswReplay.buildLayered(emb, "vec_id", "vec")
+    val codes = emb.select(
+      col("vec_id").as("cid"),
+      ProductQuantizer.encodeCol(model, col("vec")).as("code"))
+    val got = HnswReplay
+      .searchReplayAdc(idx, codes, model, q, "query_id", "qv",
+        k = 10, ef = 16, greedyRounds = 2, beamRounds = 4)
+    val rowsG = got.collect().groupBy(_.getLong(0))
+    rowsG.foreach { case (qid, rs) =>
+      assert(rs.length == 10, s"query $qid has ${rs.length} rows")
+      val ds = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(ds == ds.sorted, s"rerank dist not ascending for $qid")
+    }
+    val exact = BruteForceKNN
+      .knn(q, emb.select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = exact.count().toDouble
+    val matched = got.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = matched / denom
+    info(f"ADC replay recall@10 = $recall%.4f")
+    // the crude 16-codeword stand-in quantizer misroutes some walks (its
+    // own row exists for determinism, not quality — NNDescentSpec gates
+    // the FITTED-codebook compressed walk's recall); this floor only
+    // catches collapse
+    assert(recall >= 0.3, f"ADC replay recall collapsed: $recall%.4f")
+  }
 }
