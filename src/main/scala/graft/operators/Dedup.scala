@@ -765,6 +765,65 @@ object Dedup {
             .otherwise(lit(0.0)), 6).as("precision"))
   }
 
+  /** The dedup CASCADE with per-stage kill attribution — production
+    * dedup's actual shape (cheapest blocking first, each stage only on
+    * the survivors of the last): exact content hash → MinHash-LSH
+    * verified Jaccard clusters (τ) → SimHash hamming ≤ maxHamming
+    * clusters. Returns one row per input doc:
+    * (doc_id, killed_by ∈ {exact, minhash, simhash, kept},
+    * canonical_id) where canonical_id is the doc it lost to AT ITS KILL
+    * STAGE (attribution is stage-local by design: a later stage may
+    * re-cluster that canonical; every canonical is provably a survivor
+    * of all stages up to and including its own). Cluster reps are the
+    * component min id, so canonical_id < doc_id for every killed doc.
+    *
+    * Scale: each stage is its standalone operator (hash-groupBy /
+    * banded LSH / 16-bit-band SimHash), components ride the
+    * size-adaptive [[connectedComponents]]; survivor filtering is one
+    * anti-join per stage.
+    */
+  def cascade(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val m1 = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exact(docs, "doc_id", "text"), "h")
+      .select(col("doc_id"), col("canonical_id").as("c1"))
+    val s1kill = m1.filter(col("doc_id") =!= col("c1"))
+    val d1 = docs.join(
+      m1.filter(col("doc_id") === col("c1")).select(col("doc_id")), "doc_id")
+    val pairs2 = minhashLsh(d1, "doc_id", "text", n, numPerms, bands, tau)
+    val comp2 = connectedComponents(pairs2, "doc_a", "doc_b")
+    val s2kill = comp2.filter(col("doc_id") =!= col("rep_id"))
+    val d2 = d1.join(s2kill.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val pairs3 = simhashPairs(d2, "doc_id", "text", maxHamming)
+    val comp3 = connectedComponents(pairs3, "doc_a", "doc_b")
+    val s3kill = comp3.filter(col("doc_id") =!= col("rep_id"))
+    docs
+      .select(col("doc_id"))
+      .join(s1kill.select(col("doc_id"), col("c1")), Seq("doc_id"), "left")
+      .join(s2kill.select(col("doc_id"), col("rep_id").as("c2")),
+        Seq("doc_id"), "left")
+      .join(s3kill.select(col("doc_id"), col("rep_id").as("c3")),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("c1").isNotNull, lit("exact"))
+          .when(col("c2").isNotNull, lit("minhash"))
+          .when(col("c3").isNotNull, lit("simhash"))
+          .otherwise(lit("kept")).as("killed_by"),
+        coalesce(col("c1"), col("c2"), col("c3"), col("doc_id"))
+          .as("canonical_id"))
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the signature is set when
     * the sum over tokens of ±1 (sign of bit b of the token hash = first
     * 8 md5 bytes) is >= 0. Computed by the one-pass

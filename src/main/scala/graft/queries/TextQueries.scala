@@ -4824,6 +4824,138 @@ object TextQueries {
                         ::DECIMAL(38,20))::DOUBLE) / 2.0, 6) AS jsd
         FROM p
       """)
+    ),
+    // The dedup CASCADE with per-stage kill attribution — how production
+    // dedup actually runs (cheapest blocking first, each stage only on
+    // the survivors of the last): exact content hash → MinHash-LSH
+    // verified Jaccard clusters (τ=0.5) → SimHash hamming≤3 clusters.
+    // Every doc gets (killed_by, canonical_id): the stage that removed
+    // it and the canonical it lost to AT THAT STAGE (attribution is
+    // local by design — a later stage may re-cluster the canonical).
+    // The attribution table is what a curation run audits before
+    // committing a dedup config: which family removes how much, and
+    // what each stage adds over the previous. Stages reuse the exact
+    // operators their standalone rows hash-check; clusters ride the
+    // size-adaptive CC.
+    GQuery(
+      "pipeline_dedup_cascade",
+      (spark, dir) =>
+        Dedup.cascade(t(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH RECURSIVE
+        x1 AS (SELECT doc_id,
+                      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+               FROM documents),
+        s1k AS (SELECT doc_id, canon FROM x1 WHERE doc_id != canon),
+        d1 AS (SELECT d.doc_id, d.text FROM documents d
+               JOIN x1 ON x1.doc_id = d.doc_id AND x1.doc_id = x1.canon),
+        tok2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
+        sh2 AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(t) >= 3
+                              THEN list_transform(generate_series(1, len(t)-2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                              ELSE []::VARCHAR[] END) AS sh
+                FROM tok2),
+        sizes2 AS (SELECT doc_id, count(*) AS nsh FROM sh2 GROUP BY doc_id),
+        mh2 AS (SELECT doc_id, i,
+                       min(((2*i+1) * x + 12289*i) % 1000000007) AS v
+                FROM (SELECT doc_id,
+                             ('0x' || substr(md5(sh), 1, 14))::BIGINT
+                               % 1000000007 AS x
+                      FROM sh2)
+                CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+                GROUP BY doc_id, i),
+        bands2 AS (SELECT doc_id, i // 4 AS band,
+                          string_agg(v::VARCHAR, ',' ORDER BY i) AS sig
+                   FROM mh2 GROUP BY doc_id, i // 4),
+        cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands2 a JOIN bands2 b
+                    ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id),
+        common2 AS (SELECT doc_a, doc_b, count(*) AS c
+                    FROM cand2
+                    JOIN sh2 sa ON sa.doc_id = doc_a
+                    JOIN sh2 sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+        pr2 AS (SELECT doc_a, doc_b
+                FROM (SELECT doc_a, doc_b, c, sa.nsh AS na, sb.nsh AS nb
+                      FROM common2
+                      JOIN sizes2 sa ON sa.doc_id = doc_a
+                      JOIN sizes2 sb ON sb.doc_id = doc_b)
+                WHERE c::DOUBLE / (na + nb - c) >= 0.5),
+        ed2 AS (SELECT doc_a AS a, doc_b AS b FROM pr2
+                UNION SELECT doc_b, doc_a FROM pr2),
+        reach2(id, r) AS (
+          SELECT a, a FROM ed2
+          UNION
+          SELECT ed2.a, reach2.r FROM ed2 JOIN reach2 ON reach2.id = ed2.b),
+        comp2 AS (SELECT id, min(r) AS rep FROM reach2 GROUP BY id),
+        s2k AS (SELECT id AS doc_id, rep AS canon FROM comp2 WHERE id != rep),
+        d2 AS (SELECT d1.doc_id, d1.text FROM d1
+               LEFT JOIN s2k ON s2k.doc_id = d1.doc_id
+               WHERE s2k.doc_id IS NULL),
+        w3 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d2),
+        h3 AS (SELECT doc_id,
+                      ((CASE WHEN xh >= 2147483648 THEN xh - 4294967296
+                             ELSE xh END) * 4294967296 + xl)::BIGINT AS x
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5(w), 1, 8))::BIGINT AS xh,
+                            ('0x' || substr(md5(w), 9, 8))::BIGINT AS xl
+                     FROM w3)),
+        s3 AS (SELECT doc_id, b,
+                      sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h3 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+               GROUP BY doc_id, b),
+        sig3 AS (SELECT doc_id,
+                        sum(CASE WHEN s >= 0 THEN
+                          CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                               ELSE 1::BIGINT << b END ELSE 0 END)::BIGINT
+                          AS simhash
+                 FROM s3 GROUP BY doc_id),
+        sig23 AS (SELECT doc_id, simhash,
+                         simhash & 65535 AS b0,
+                         (simhash >> 16) & 65535 AS b1,
+                         (simhash >> 32) & 65535 AS b2,
+                         (simhash >> 48) & 65535 AS b3
+                  FROM sig3),
+        cand3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.simhash AS sa, b.simhash AS sb
+                  FROM sig23 a JOIN sig23 b
+                    ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+                  UNION
+                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                  FROM sig23 a JOIN sig23 b
+                    ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+                  UNION
+                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                  FROM sig23 a JOIN sig23 b
+                    ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+                  UNION
+                  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+                  FROM sig23 a JOIN sig23 b
+                    ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+        pr3 AS (SELECT doc_a, doc_b FROM cand3
+                WHERE bit_count(xor(sa, sb)) <= 3),
+        ed3 AS (SELECT doc_a AS a, doc_b AS b FROM pr3
+                UNION SELECT doc_b, doc_a FROM pr3),
+        reach3(id, r) AS (
+          SELECT a, a FROM ed3
+          UNION
+          SELECT ed3.a, reach3.r FROM ed3 JOIN reach3 ON reach3.id = ed3.b),
+        comp3 AS (SELECT id, min(r) AS rep FROM reach3 GROUP BY id),
+        s3k AS (SELECT id AS doc_id, rep AS canon FROM comp3 WHERE id != rep)
+        SELECT d.doc_id,
+               CASE WHEN k1.canon IS NOT NULL THEN 'exact'
+                    WHEN k2.canon IS NOT NULL THEN 'minhash'
+                    WHEN k3.canon IS NOT NULL THEN 'simhash'
+                    ELSE 'kept' END AS killed_by,
+               coalesce(k1.canon, k2.canon, k3.canon, d.doc_id)::BIGINT
+                 AS canonical_id
+        FROM documents d
+        LEFT JOIN s1k k1 ON k1.doc_id = d.doc_id
+        LEFT JOIN s2k k2 ON k2.doc_id = d.doc_id
+        LEFT JOIN s3k k3 ON k3.doc_id = d.doc_id
+      """)
     )
   )
 

@@ -92,6 +92,38 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("cascade: stage attribution — injected exact dups die at stage 1, canonicals survive their stage, reps are minima") {
+    // inject literal duplicates: they must be killed by 'exact', never by
+    // a later (more expensive) stage
+    val dup = docs.union(
+      docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))
+    val r = Dedup.cascade(dup, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    val injected = r.filter(_._1 >= 100000)
+    assert(injected.size == 5 && injected.values.forall(_._1 == "exact"),
+      s"injected dups not exact-killed: $injected")
+    // every killed doc's canonical is strictly smaller (reps are minima)
+    r.foreach { case (id, (kb, canon)) =>
+      if (kb == "kept") assert(canon == id)
+      else assert(canon < id, s"doc $id killed_by=$kb canon=$canon not smaller")
+    }
+    // a canonical must itself survive every stage up to and including the
+    // one that used it: exact-kill canonicals are never exact-killed;
+    // minhash-kill canonicals are neither exact- nor minhash-killed
+    r.foreach { case (id, (kb, canon)) =>
+      if (kb == "exact") assert(r(canon)._1 != "exact", s"$id -> $canon")
+      if (kb == "minhash")
+        assert(!Set("exact", "minhash").contains(r(canon)._1), s"$id -> $canon")
+      if (kb == "simhash") assert(r(canon)._1 == "kept", s"$id -> $canon")
+    }
+    // exact-killed docs really are byte-identical to their canonical
+    val texts = dup.select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.foreach { case (id, (kb, canon)) =>
+      if (kb == "exact") assert(texts(id) == texts(canon), s"$id vs $canon")
+    }
+  }
+
   test("klDrift: identical slices → 0; disjoint vocab → JSD near ln 2; bounds hold") {
     // identical halves: same text in both slices → pa == pb for every term
     val same = Seq((0L, "a b c a"), (1L, "a b c a")).toDF("doc_id", "text")
