@@ -197,6 +197,43 @@ object ClusterEval {
     *
     * Returns one row: (npos, nneg, n_groups, auc).
     */
+  /** Reliability diagram of a [0,1] score against a binary label —
+    * the calibration audit next to [[rocAuc]]'s ranking audit (a score
+    * can rank perfectly and still be mis-calibrated; threshold-based
+    * filtering trusts the VALUE): `bins` equal-width score bins, per
+    * bin the count, positives, decimal-routed mean score, observed
+    * positive rate and the signed gap (frac_pos − mean_score). ECE is
+    * Σ (n_b/N)·|gap_b| — one weighted sum over the returned rows.
+    * Bin index = floor(score·bins) clamped to bins−1: an integer
+    * decision off the score, exact on any engine. One groupBy, ≤ bins
+    * rows out.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      posCol: String,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, s"calibrationBins: need >= 2 bins, got $bins")
+    df.select(
+        least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+          .as("bin"),
+        col(scoreCol).as("score"),
+        when(col(posCol).cast("boolean"), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pos")).as("n_pos"),
+        (sum(col("score").cast(DecimalType(30, 6))).cast("double")
+          / count(lit(1))).as("mean_score"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("n_pos").cast("double") / col("n") - col("mean_score"), 6)
+          .as("gap"))
+  }
+
   def rocAuc(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
     val j = df.select(
       col(scoreCol).as("sr"),

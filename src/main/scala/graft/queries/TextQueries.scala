@@ -4825,6 +4825,125 @@ object TextQueries {
         FROM p
       """)
     ),
+    // Reliability diagram of the classifier score against the heuristic
+    // quality keep label — the calibration audit next to
+    // eval_classifier_auc's ranking audit (a score can rank perfectly
+    // and still be mis-calibrated; threshold-based filtering trusts the
+    // VALUE): 10 equal-width score bins, per bin the doc count,
+    // positives, decimal-routed mean score, observed positive rate, and
+    // the signed calibration gap. Bin index is an integer floor of the
+    // 6-dp score — exact on both engines; ECE is one weighted sum away
+    // (spec-pinned).
+    GQuery(
+      "eval_calibration_bins",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val cls = TextAnalysis.linearClassifier(docs, "doc_id", "text")
+        val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        graft.operators.ClusterEval.calibrationBins(
+          cls.join(qual, "doc_id")
+            .select(col("score"), (col("quality") >= 0.52).as("pos")),
+          "score", "pos", bins = 10)
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        f AS (SELECT doc_id, unnest(list_concat(
+                list_transform(t, x -> 'u:' || x),
+                CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1),
+                       i -> 'b:' || t[i] || ' ' || t[i+1])
+                ELSE []::VARCHAR[] END)) AS feat
+              FROM tok),
+        wm AS (SELECT doc_id,
+                      (('0x' || substr(md5(feat), 1, 14))::BIGINT % 2001)
+                        - 1000 AS wm
+               FROM f),
+        s AS (SELECT doc_id,
+                     round(1.0 / (1.0 +
+                       exp(-(sum(wm)::DOUBLE / (1000.0 * count(*))))), 6)
+                       AS score
+              FROM wm GROUP BY doc_id),
+        qf AS (SELECT doc_id,
+                      len(t)::DOUBLE AS n,
+                      len(list_filter(t, x -> x IN
+                        ('the','a','of','to','and','in','is','for')))::DOUBLE
+                        / len(t) AS stop_ratio,
+                      len(list_distinct(t))::DOUBLE / len(t) AS diversity
+               FROM tok),
+        q AS (SELECT doc_id,
+                     round(0.4::DOUBLE * least(1.0::DOUBLE, n / 50.0::DOUBLE)
+                           + 0.3::DOUBLE * stop_ratio
+                           + 0.3::DOUBLE * diversity, 6) AS quality
+              FROM qf),
+        j AS (SELECT least(floor(s.score * 10)::BIGINT, 9) AS bin, s.score,
+                     CASE WHEN q.quality >= 0.52 THEN 1 ELSE 0 END AS pos
+              FROM s JOIN q USING (doc_id)),
+        g AS (SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+                     sum(score::DECIMAL(30,6))::DOUBLE / count(*) AS mean_score
+              FROM j GROUP BY bin)
+        SELECT bin, n, n_pos,
+               round(mean_score, 6) AS mean_score,
+               round(n_pos::DOUBLE / n, 6) AS frac_pos,
+               round(n_pos::DOUBLE / n - mean_score, 6) AS gap
+        FROM g
+      """)
+    ),
+    // Per-term drift census over the same parity slices as
+    // text_kl_drift: the top-100 terms by absolute count drift
+    // (integer-ranked — no float ordering hazard), each with both
+    // counts and its signed add-one-smoothed KL(A→B) contribution —
+    // the "WHAT moved" drill-down under the corpus-level KL number.
+    GQuery(
+      "text_drift_terms",
+      (spark, dir) => {
+        val toks = t(spark, dir, "documents")
+          .select(
+            (col("doc_id") % 2 === 0).as("ina"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val cnt = toks
+          .groupBy(col("w"))
+          .agg(
+            sum(when(col("ina"), 1L).otherwise(0L)).as("c_a"),
+            sum(when(!col("ina"), 1L).otherwise(0L)).as("c_b"))
+        val tot = cnt.agg(
+          sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"),
+          count(lit(1)).as("v"))
+        cnt
+          .crossJoin(tot)
+          .withColumn("pa",
+            (col("c_a") + 1).cast("double") / (col("na") + col("v")))
+          .withColumn("pb",
+            (col("c_b") + 1).cast("double") / (col("nb") + col("v")))
+          .withColumn("d_count", abs(col("c_a") - col("c_b")))
+          .orderBy(col("d_count").desc, col("w"))
+          .limit(100)
+          .select(
+            col("w").as("term"), col("c_a"), col("c_b"), col("d_count"),
+            round(col("pa") * log(col("pa") / col("pb")), 6)
+              .as("kl_contrib"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id % 2 = 0 AS ina,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        cnt AS (SELECT w,
+                       sum(CASE WHEN ina THEN 1 ELSE 0 END)::BIGINT AS c_a,
+                       sum(CASE WHEN ina THEN 0 ELSE 1 END)::BIGINT AS c_b
+                FROM w WHERE w <> '' GROUP BY w),
+        tot AS (SELECT sum(c_a)::BIGINT AS na, sum(c_b)::BIGINT AS nb,
+                       count(*)::BIGINT AS v
+                FROM cnt)
+        SELECT w AS term, c_a, c_b, abs(c_a - c_b)::BIGINT AS d_count,
+               round(((c_a + 1)::DOUBLE / (na + v))
+                     * ln(((c_a + 1)::DOUBLE / (na + v))
+                          / ((c_b + 1)::DOUBLE / (nb + v))), 6) AS kl_contrib
+        FROM cnt CROSS JOIN tot
+        ORDER BY abs(c_a - c_b) DESC, w
+        LIMIT 100
+      """)
+    ),
     // The dedup CASCADE with per-stage kill attribution — how production
     // dedup actually runs (cheapest blocking first, each stage only on
     // the survivors of the last): exact content hash → MinHash-LSH

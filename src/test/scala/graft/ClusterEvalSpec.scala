@@ -58,6 +58,32 @@ class ClusterEvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("calibrationBins: perfectly calibrated fixture has zero gaps; counts conserve; clamp works") {
+    // bin 2 (scores .25): 1 of 4 positive → frac .25 == mean score, gap 0
+    // bin 7 (scores .75): 3 of 4 positive → gap 0
+    // score 1.0 clamps into bin 9
+    val rows = Seq(
+      (0.25, true), (0.25, false), (0.25, false), (0.25, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false),
+      (1.0, true)
+    ).toDF("score", "pos")
+    val got = ClusterEval.calibrationBins(rows, "score", "pos", 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == Set(2L, 7L, 9L))
+    assert(got(2L) == ((4L, 1L, 0.25, 0.25, 0.0)))
+    assert(got(7L) == ((4L, 3L, 0.75, 0.75, 0.0)))
+    assert(got(9L) == ((1L, 1L, 1.0, 1.0, 0.0)))
+    // miscalibrated: all scores .9 but only half positive → gap = -0.4,
+    // ECE = |gap| since one bin holds everything
+    val bad = Seq((0.9, true), (0.9, false)).toDF("score", "pos")
+    val b = ClusterEval.calibrationBins(bad, "score", "pos", 10).head
+    assert(b.getLong(0) == 9L && b.getDouble(5) == -0.4)
+    val ece = math.abs(b.getDouble(5)) * b.getLong(1) / 2.0
+    assert(ece == 0.4)
+  }
+
   test("NMI guard: a single-cluster assignment scores 0, not NaN") {
     val ids = (0L to 5L)
     val one = ids.map(i => (i, 0L)).toDF("id", "cluster")

@@ -151,6 +151,31 @@ class DedupTextSpec extends SparkSpec {
     assert(r2.getLong(0) + r2.getLong(1) == totalToks)
   }
 
+  test("text_drift_terms: integer ranking, count conservation vs klDrift, contribution signs") {
+    val rows = SparkEntry.queries("text_drift_terms")(spark, sf0001).collect()
+    // ranking is by |c_a - c_b| desc then term asc — verify it held
+    val key = rows.map(r => (-r.getLong(3), r.getString(0)))
+    assert(key.sameElements(key.sorted), "drift ranking violated")
+    // totals of the emitted terms never exceed the corpus census
+    val census = TextAnalysis
+      .klDrift(docs, col("doc_id") % 2 === 0, "text").head
+    assert(rows.map(_.getLong(1)).sum <= census.getLong(0))
+    assert(rows.map(_.getLong(2)).sum <= census.getLong(1))
+    // when the whole vocab fits in the limit, the sums are exact
+    if (rows.length < 100) {
+      assert(rows.map(_.getLong(1)).sum == census.getLong(0))
+      assert(rows.map(_.getLong(2)).sum == census.getLong(1))
+    }
+    // a term the A-slice favors (pa > pb) has positive KL(A→B) mass
+    rows.foreach { r =>
+      val (ca, cb) = (r.getLong(1), r.getLong(2))
+      // smoothing uses different denominators; only assert on the
+      // unambiguous cases where both the raw and smoothed ratios agree
+      if (ca > 2 * cb && r.getDouble(4) != 0.0)
+        assert(r.getDouble(4) > 0, s"term ${r.getString(0)}: $ca vs $cb")
+    }
+  }
+
   test("zipfFit: exact power-law corpus recovers slope -1 and intercept ln(24)") {
     // freqs 24/r for ranks 1..4 — integer counts exactly on freq = 24·r⁻¹
     val text = (Seq.fill(24)("alpha") ++ Seq.fill(12)("beta") ++

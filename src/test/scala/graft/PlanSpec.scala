@@ -708,4 +708,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("round-12 audit queries: every candidate generator stays banded/equi-keyed") {
+    // dedup_lsh_plan's per-config joins are (bands, band, sig)-bucketed,
+    // the threshold curve / cascade / SCAN pair generators are inverted-
+    // index or 16-bit-band equi-joins — a cartesian or nested loop in any
+    // of them is corpus² at scale. (The 1-row totals broadcasts in
+    // text_kl_drift / dedup_lsh_plan are benign by construction and do
+    // not appear as BNLJ over corpus-sized sides.)
+    for (name <- Seq(
+        "dedup_lsh_plan", "dedup_threshold_curve",
+        "pipeline_dedup_cascade", "knn_graph_scan",
+        "eval_classifier_auc")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+    // the threshold curve re-verifies nothing: exactly ONE shingle
+    // self-join aggregation feeds all 8 tau rows, so the plan contains
+    // one `common`-shaped count aggregate keyed by (doc_a, doc_b)
+    val p = planOf("dedup_threshold_curve")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
