@@ -527,16 +527,30 @@ object TextAnalysis {
     *
     * Returns one row: (n_a, n_b, vocab, kl_ab, kl_ba, jsd).
     */
-  def klDrift(df: DataFrame, sliceA: Column, textCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val toks = df
-      .select(sliceA.as("ina"), explode(tokens(col(textCol))).as("w"))
+  def klDrift(df: DataFrame, sliceA: Column, textCol: String): DataFrame =
+    klDriftFromCounts(klDriftCounts(df, sliceA, textCol))
+
+  /** The census's sufficient statistic: per-term (ca, cb) slice counts
+    * — ONE vocabulary-keyed aggregation, valid on a batch frame AND as
+    * an update-mode streaming aggregation (state = vocabulary-bounded,
+    * counts only grow — the same bounded-state argument as the
+    * streaming CMS).
+    */
+  def klDriftCounts(
+      df: DataFrame, sliceA: Column, textCol: String): DataFrame =
+    df.select(sliceA.as("ina"), explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
-    val cnt = toks
       .groupBy(col("w"))
       .agg(
         sum(when(col("ina"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("ina"), 1L).otherwise(0L)).as("cb"))
+
+  /** Finishing arithmetic over a drained/batch (w, ca, cb) count table
+    * — shared by the batch census and the streaming twin, so a drained
+    * stream's census is bit-equal to the batch one.
+    */
+  def klDriftFromCounts(cnt: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val tot = cnt.agg(
       sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
       count(lit(1)).as("v"))

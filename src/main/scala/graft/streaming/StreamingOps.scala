@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -1601,4 +1601,22 @@ object StreamingOps {
       .toDF("bucket", "tok", "est", "dec")
       .as[(Int, String, Long, Long)]
   }
+
+  /** Streaming corpus-drift counters — the online half of
+    * [[graft.operators.TextAnalysis.klDrift]]: the per-term (ca, cb)
+    * slice counts maintained as an UPDATE-mode streaming aggregation.
+    * Bounded state by the CMS argument: the key space is the
+    * vocabulary, counts only grow, so the latest emission per term IS
+    * the count table no matter how long the stream runs. The census
+    * arithmetic (smoothed pa/pb, decimal-routed ln sums) is the shared
+    * batch finisher [[graft.operators.TextAnalysis.klDriftFromCounts]]
+    * over the drained counts — StreamingSpec pins the drained census
+    * bit-equal to the batch one.
+    */
+  def klDriftCountsStream(
+      docs: DataFrame, // streaming (… sliceA inputs …, textCol)
+      sliceA: Column,
+      textCol: String
+  ): DataFrame =
+    graft.operators.TextAnalysis.klDriftCounts(docs, sliceA, textCol)
 }

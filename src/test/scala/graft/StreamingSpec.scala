@@ -1125,6 +1125,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.size <= 4 * 512)
   }
 
+  test("streaming KL-drift counters: drained census bit-equal to the batch klDrift") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("kldstream").toString
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$dir/w1")
+    docs.filter(col("doc_id") % 3 =!= 0).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.klDriftCountsStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      col("doc_id") % 2 === 0, "text")
+    val q = stream.writeStream
+      .format("memory").queryName("kld").outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // counts are monotone: final state per term = max emission
+    import spark.implicits._
+    val drained = spark.table("kld")
+      .groupBy(col("w"))
+      .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+    val got = graft.operators.TextAnalysis
+      .klDriftFromCounts(drained).head.toSeq
+    val want = graft.operators.TextAnalysis
+      .klDrift(docs, col("doc_id") % 2 === 0, "text").head.toSeq
+    assert(got == want, s"drained census $got != batch $want")
+  }
+
   test("streaming heavy hitters: two waves converge to the exact batch counts") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("hhstream").toString
