@@ -188,6 +188,62 @@ object VectorQueries {
                FROM e LEFT JOIN (SELECT id, count(*) AS deg
                                  FROM ub GROUP BY id) d ON d.id = e.id)"""
 
+  /** SCAN's ε-independent shared-neighbor counts per undirected edge
+    * (one wedge join over the audit CTEs; assumes uu/ub in scope).
+    */
+  private def scanWedgeCte: String = s"""
+        scn AS MATERIALIZED (
+          SELECT uu.a, uu.b, count(*) AS c
+          FROM uu JOIN ub x ON x.id = uu.a
+                  JOIN ub y ON y.id = uu.b AND y.nb = x.nb
+          GROUP BY uu.a, uu.b)"""
+
+  /** One SCAN configuration's full CTE chain at ε² = epsNum/100, μ = 3,
+    * name-prefixed so several ε settings can coexist in one oracle:
+    * ${pfx}de (ε-edges) → ${pfx}db → ${pfx}core → ${pfx}ccb →
+    * ${pfx}rch (recursive min-label) → ${pfx}rep → ${pfx}bord →
+    * ${pfx}memb → ${pfx}hub. Assumes uu/ub/dq/scn in scope; no trailing
+    * comma.
+    */
+  private def scanBlock(pfx: String, epsNum: Int): String = s"""
+        ${pfx}de AS MATERIALIZED (
+          SELECT uu.a, uu.b
+          FROM uu JOIN dq da ON da.id = uu.a JOIN dq db ON db.id = uu.b
+          LEFT JOIN scn ON scn.a = uu.a AND scn.b = uu.b
+          WHERE 100 * (coalesce(scn.c, 0) + 2) * (coalesce(scn.c, 0) + 2)
+                >= $epsNum * (da.deg + 1) * (db.deg + 1)),
+        ${pfx}db AS MATERIALIZED (SELECT a AS id, b AS nb FROM ${pfx}de
+                UNION ALL SELECT b, a FROM ${pfx}de),
+        ${pfx}core AS MATERIALIZED (
+          SELECT dq.id FROM dq
+          LEFT JOIN (SELECT id, count(*) AS ne FROM ${pfx}db GROUP BY id) n
+            ON n.id = dq.id
+          WHERE coalesce(n.ne, 0) + 1 >= 3),
+        ${pfx}ccb AS MATERIALIZED (
+          SELECT d.a, d.b FROM ${pfx}de d
+          JOIN ${pfx}core ca ON ca.id = d.a
+          JOIN ${pfx}core cb ON cb.id = d.b
+          UNION
+          SELECT d.b, d.a FROM ${pfx}de d
+          JOIN ${pfx}core ca ON ca.id = d.a
+          JOIN ${pfx}core cb ON cb.id = d.b),
+        ${pfx}rch(id, r) AS (
+          SELECT id, id FROM ${pfx}core
+          UNION
+          SELECT ${pfx}ccb.a, ${pfx}rch.r
+          FROM ${pfx}ccb JOIN ${pfx}rch ON ${pfx}rch.id = ${pfx}ccb.b),
+        ${pfx}rep AS MATERIALIZED (
+          SELECT id, min(r) AS rep FROM ${pfx}rch GROUP BY id),
+        ${pfx}bord AS MATERIALIZED (
+          SELECT d.id, min(r.rep) AS rep
+          FROM ${pfx}db d JOIN ${pfx}rep r ON r.id = d.nb
+          WHERE d.id NOT IN (SELECT id FROM ${pfx}core)
+          GROUP BY d.id),
+        ${pfx}memb AS MATERIALIZED (SELECT id, rep FROM ${pfx}rep
+                UNION ALL SELECT id, rep FROM ${pfx}bord),
+        ${pfx}hub AS (SELECT ub.id, count(DISTINCT m.rep) AS ncl
+                 FROM ub JOIN ${pfx}memb m ON m.id = ub.nb GROUP BY ub.id)"""
+
   /** The 3 unrolled synchronous Louvain local-move rounds over the
     * audit-CTE graph (lmt = edge mass, lv0 = singletons, lv3 = the
     * phase-1 partition) — shared by knn_graph_louvain and the two-level
@@ -2747,44 +2803,8 @@ object VectorQueries {
       Some(s"""
         WITH RECURSIVE $graphCtes,
         $auditCtes,
-        scn AS MATERIALIZED (
-          SELECT uu.a, uu.b, count(*) AS c
-          FROM uu JOIN ub x ON x.id = uu.a
-                  JOIN ub y ON y.id = uu.b AND y.nb = x.nb
-          GROUP BY uu.a, uu.b),
-        sde AS MATERIALIZED (
-          SELECT uu.a, uu.b
-          FROM uu JOIN dq da ON da.id = uu.a JOIN dq db ON db.id = uu.b
-          LEFT JOIN scn ON scn.a = uu.a AND scn.b = uu.b
-          WHERE 100 * (coalesce(scn.c, 0) + 2) * (coalesce(scn.c, 0) + 2)
-                >= 9 * (da.deg + 1) * (db.deg + 1)),
-        sdb AS MATERIALIZED (SELECT a AS id, b AS nb FROM sde
-                UNION ALL SELECT b, a FROM sde),
-        score AS MATERIALIZED (
-          SELECT dq.id FROM dq
-          LEFT JOIN (SELECT id, count(*) AS ne FROM sdb GROUP BY id) n
-            ON n.id = dq.id
-          WHERE coalesce(n.ne, 0) + 1 >= 3),
-        sccb AS MATERIALIZED (
-          SELECT sde.a, sde.b FROM sde
-          JOIN score ca ON ca.id = sde.a JOIN score cb ON cb.id = sde.b
-          UNION
-          SELECT sde.b, sde.a FROM sde
-          JOIN score ca ON ca.id = sde.a JOIN score cb ON cb.id = sde.b),
-        srch(id, r) AS (
-          SELECT id, id FROM score
-          UNION
-          SELECT sccb.a, srch.r FROM sccb JOIN srch ON srch.id = sccb.b),
-        srep AS MATERIALIZED (SELECT id, min(r) AS rep FROM srch GROUP BY id),
-        sbord AS MATERIALIZED (
-          SELECT sdb.id, min(srep.rep) AS rep
-          FROM sdb JOIN srep ON srep.id = sdb.nb
-          WHERE sdb.id NOT IN (SELECT id FROM score)
-          GROUP BY sdb.id),
-        smemb AS MATERIALIZED (SELECT id, rep FROM srep
-                UNION ALL SELECT id, rep FROM sbord),
-        shub AS (SELECT ub.id, count(DISTINCT m.rep) AS ncl
-                 FROM ub JOIN smemb m ON m.id = ub.nb GROUP BY ub.id)
+        $scanWedgeCte,
+        ${scanBlock("s", 9)}
         SELECT dq.id AS vec_id, dq.deg,
                CASE WHEN sr.rep IS NOT NULL THEN 'core'
                     WHEN sb.rep IS NOT NULL THEN 'border'
@@ -2797,6 +2817,75 @@ object VectorQueries {
                 LEFT JOIN sbord sb ON sb.id = dq.id
                 LEFT JOIN shub sh ON sh.id = dq.id
       """)
+    ),
+    // SCAN ε-operating curve — the tuning table over the SAME wedge
+    // counts (σ is ε-independent; only the threshold moves): per
+    // ε² ∈ {4, 9, 16}/100, the full role census + cluster count. The
+    // knob-setting audit before freezing a SCAN config: looser ε grows
+    // cores/clusters until communities merge, tighter ε demotes
+    // everything to outliers — this measures the whole transition with
+    // every count integer-exact.
+    GQuery(
+      "knn_graph_scan_curve",
+      (spark, dir) => {
+        val ids = t(spark, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"))
+        Seq(4L, 9L, 16L)
+          .map { num =>
+            graft.operators.GraphAudit
+              .scan(sharedGraph(spark, dir), ids,
+                epsSqNum = num, epsSqDen = 100L, mu = 3)
+              .agg(
+                sum(when(col("role") === "core", 1L).otherwise(0L))
+                  .as("n_core"),
+                sum(when(col("role") === "border", 1L).otherwise(0L))
+                  .as("n_border"),
+                sum(when(col("role") === "hub", 1L).otherwise(0L))
+                  .as("n_hub"),
+                sum(when(col("role") === "outlier", 1L).otherwise(0L))
+                  .as("n_outlier"),
+                countDistinct(col("cluster")).as("n_clusters"))
+              .withColumn("eps_sq_x100", lit(num))
+          }
+          .reduce(_ unionByName _)
+          .select(
+            col("eps_sq_x100"), col("n_core"), col("n_border"),
+            col("n_hub"), col("n_outlier"), col("n_clusters"))
+      },
+      Some {
+        val census = Seq(4, 9, 16).map { num =>
+          val p = s"e$num"
+          s"""
+        cen$num AS (
+          SELECT $num::BIGINT AS eps_sq_x100,
+                 sum(CASE WHEN r.rep IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_core,
+                 sum(CASE WHEN r.rep IS NULL AND b.rep IS NOT NULL
+                     THEN 1 ELSE 0 END)::BIGINT AS n_border,
+                 sum(CASE WHEN r.rep IS NULL AND b.rep IS NULL
+                          AND coalesce(h.ncl, 0) >= 2
+                     THEN 1 ELSE 0 END)::BIGINT AS n_hub,
+                 sum(CASE WHEN r.rep IS NULL AND b.rep IS NULL
+                          AND coalesce(h.ncl, 0) < 2
+                     THEN 1 ELSE 0 END)::BIGINT AS n_outlier,
+                 (SELECT count(DISTINCT rep) FROM ${p}rep)::BIGINT
+                   AS n_clusters
+          FROM dq LEFT JOIN ${p}rep r ON r.id = dq.id
+                  LEFT JOIN ${p}bord b ON b.id = dq.id
+                  LEFT JOIN ${p}hub h ON h.id = dq.id)"""
+        }.mkString(",")
+        s"""
+        WITH RECURSIVE $graphCtes,
+        $auditCtes,
+        $scanWedgeCte,
+        ${scanBlock("e4", 4)},
+        ${scanBlock("e9", 9)},
+        ${scanBlock("e16", 16)},
+        $census
+        SELECT * FROM cen4 UNION ALL SELECT * FROM cen9
+        UNION ALL SELECT * FROM cen16
+        """
+      }
     ),
     // Newman–Girvan modularity of the ground-truth LABEL partition over
     // the undirected kNN graph — the audit that says whether the graph

@@ -83,6 +83,22 @@ class GraphAuditSpec extends SparkSpec {
       "a node gained a cluster when eps tightened")
   }
 
+  test("scan curve semantics: cores monotone non-increasing as eps tightens; roles partition the universe") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (9L, 1L), (9L, 5L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val ids = (1L to 11L).toDF("id")
+    val byEps = Seq(25L, 49L, 81L).map { num =>
+      val rows = GraphAudit.scan(edges, ids, num, 100L, 4).collect()
+      assert(rows.length == 11, s"eps2=$num: roles must partition the universe")
+      num -> rows.count(_.getString(2) == "core")
+    }
+    val cores = byEps.map(_._2)
+    assert(cores.zip(cores.tail).forall { case (a, b) => a >= b },
+      s"core count not monotone in eps: $byEps")
+  }
+
   test("triangles: direction/duplication of the input edge list is irrelevant") {
     val doubled = k4Edges.unionAll(
       k4Edges.select(col("dst").as("src"), col("src").as("dst")))
