@@ -178,6 +178,49 @@ object ClusterEval {
         col("db"))
   }
 
+  /** Embedding-space ISOTROPY census (Ethayarajh 2019; Mu & Viswanath
+    * 2018): the exact mean pairwise cosine over all ordered pairs of
+    * the L2-normalized table, computed WITHOUT pairs as
+    * (‖Σu‖² − Σ‖u‖²) / (N(N−1)). Anisotropic (common-direction-
+    * dominated) embeddings break cosine ANN and SemDeDup thresholds —
+    * the one-row health check before trusting them. Returns
+    * (n, d, mean_cos, mean_norm).
+    *
+    * Exactness: each normalized component cross-row-sums through
+    * DECIMAL(38,30) (the centroid is order-free); in-row norm/square
+    * sums are sequential ascending-index folds, the engine-portable
+    * convention. Scale: one posexplode + one d-row component
+    * aggregation — never a pair.
+    */
+  def isotropy(df: DataFrame, vecCol: String): DataFrame = {
+    val dec30 = DecimalType(38, 30)
+    val emb = df
+      .select(col(vecCol).as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val comps = emb
+      .select(posexplode(col("u")).as(Seq("t", "ut")))
+      .groupBy(col("t"))
+      .agg(sum(col("ut").cast(dec30)).cast("double").as("s"))
+    val s2 = comps.agg(
+      expr("aggregate(array_sort(collect_list(struct(t, s)))," +
+        " cast(0.0 as double), (acc, x) -> acc + x.s * x.s)").as("s2"),
+      count(lit(1)).as("d"))
+    val scal = emb.agg(
+      count(lit(1)).as("n"),
+      (sum(col("nrm").cast(dec)).cast("double") / count(lit(1)))
+        .as("mean_norm"),
+      sum(expr("aggregate(u, cast(0.0 as double), (a, x) -> a + x * x)")
+        .cast(dec30)).cast("double").as("q"))
+    scal.crossJoin(s2)
+      .select(
+        col("n"), col("d"),
+        round((col("s2") - col("q")) / (col("n") * (col("n") - 1)), 6)
+          .as("mean_cos"),
+        round(col("mean_norm"), 6).as("mean_norm"))
+  }
+
   /** Exact ROC-AUC of a ranking score against a binary label — the
     * Mann–Whitney rank statistic with AVERAGE ranks for tied scores
     * (the standard tie treatment, Hanley–McNeil 1982):

@@ -466,6 +466,61 @@ object GraphAudit {
         .as("assortativity"))
   }
 
+  /** Per-community CONDUCTANCE over the undirected view (Kannan,
+    * Vempala & Vetta 2004; the sweep-cut objective of local spectral
+    * clustering): φ(c) = cut(c) / min(vol(c), vol(V)−vol(c)) with
+    * vol = degree mass and cut = edges crossing the boundary — the
+    * cut-quality audit next to modularity (modularity rewards density
+    * vs a null model; conductance certifies the BOUNDARY is thin, the
+    * property that makes a partition safe for partition-local
+    * processing). Universe members missing from `comm` are singletons
+    * under their own id. All counts integer; ONE division per
+    * community row; empty-volume communities report φ = 0.
+    *
+    * Scale: two linear joins (edge⋈assignment, degree⋈assignment) and
+    * one community-keyed aggregation — nothing pairwise.
+    */
+  def conductance(
+      edges: DataFrame,
+      ids: DataFrame,
+      comm: DataFrame // (id, community)
+  ): DataFrame = {
+    val u = und(edges).localCheckpoint()
+    val dg = degrees(edges, ids)
+    val cm = ids
+      .select(col("id").cast("long").as("id"))
+      .join(
+        comm.select(col("id").cast("long").as("id"),
+          col("community").cast("long").as("community")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("community"), col("id")).as("community"))
+    val vol = dg
+      .join(cm, "id")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    val crossing = u
+      .join(cm.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(cm.select(col("id").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") =!= col("cb"))
+    val cut = crossing.select(col("ca").as("community"))
+      .unionAll(crossing.select(col("cb").as("community")))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("cut"))
+    val tot = dg.agg(sum(col("deg")).as("tvol"))
+    vol
+      .join(cut, Seq("community"), "left")
+      .crossJoin(tot)
+      .select(
+        col("community"), col("n_nodes"), col("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        round(
+          when(least(col("vol"), col("tvol") - col("vol")) > 0,
+            coalesce(col("cut"), lit(0L)).cast("double")
+              / least(col("vol"), col("tvol") - col("vol")))
+            .otherwise(lit(0.0)), 6).as("conductance"))
+  }
+
   /** SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD 2007)
     * over the undirected view: the role census separating community
     * mass from bridges from noise BEFORE a curation run trusts

@@ -2930,6 +2930,95 @@ object VectorQueries {
         FROM ds CROSS JOIN mt LEFT JOIN ei ON ei.community = ds.community
       """)
     ),
+    // Per-label CONDUCTANCE over the kNN graph — the cut-quality audit
+    // next to modularity: φ = cut / min(vol, total−vol), integer counts,
+    // one division per community. Modularity says communities are DENSE
+    // vs the null model; conductance certifies their BOUNDARIES are
+    // thin — the property that makes a partition safe for
+    // partition-local processing (shard-by-community, local dedup).
+    GQuery(
+      "knn_graph_conductance",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val ids = emb.select(col("vec_id").cast("long").as("id"))
+        val comm = emb.select(
+          col("vec_id").cast("long").as("id"),
+          col("label").cast("long").as("community"))
+        graft.operators.GraphAudit
+          .conductance(sharedGraph(spark, dir), ids, comm)
+      },
+      Some(s"""
+        WITH $graphCtes,
+        $auditCtes,
+        cm AS MATERIALIZED (SELECT vec_id AS id, label::BIGINT AS community
+              FROM embeddings),
+        vol AS (SELECT cm.community, count(*)::BIGINT AS n_nodes,
+                       sum(dq.deg)::BIGINT AS vol
+                FROM dq JOIN cm ON cm.id = dq.id GROUP BY cm.community),
+        crossing AS (SELECT ca.community AS ca, cb.community AS cb
+                     FROM uu JOIN cm ca ON ca.id = uu.a
+                             JOIN cm cb ON cb.id = uu.b
+                     WHERE ca.community != cb.community),
+        cut AS (SELECT community, count(*)::BIGINT AS cut FROM (
+                  SELECT ca AS community FROM crossing
+                  UNION ALL SELECT cb FROM crossing)
+                GROUP BY community),
+        tot AS (SELECT sum(deg)::BIGINT AS tvol FROM dq)
+        SELECT vol.community, vol.n_nodes, vol.vol,
+               coalesce(cut.cut, 0)::BIGINT AS cut,
+               round(CASE WHEN least(vol.vol, tot.tvol - vol.vol) > 0
+                     THEN coalesce(cut.cut, 0)::DOUBLE
+                          / least(vol.vol, tot.tvol - vol.vol)
+                     ELSE 0.0 END, 6) AS conductance
+        FROM vol CROSS JOIN tot
+        LEFT JOIN cut ON cut.community = vol.community
+      """)
+    ),
+    // Embedding-space ISOTROPY census (Ethayarajh 2019; Mu & Viswanath
+    // 2018's common-direction diagnostic): the exact mean pairwise
+    // cosine over all ordered pairs of the L2-normalized corpus —
+    // computed WITHOUT pairs as (‖Σu‖² − Σ‖u‖²)/(N(N−1)), each
+    // normalized component cross-row-summed through DECIMAL so the
+    // centroid is order-free. Anisotropic (common-direction-dominated)
+    // embedding tables break cosine ANN and SemDeDup thresholds — this
+    // is the one-row health check run before trusting them. Also
+    // reports the decimal-routed mean raw norm.
+    GQuery(
+      "embed_isotropy",
+      (spark, dir) =>
+        graft.operators.ClusterEval.isotropy(
+          t(spark, dir, "embeddings")
+            .select(toDouble(col("embedding")).as("v")),
+          "v"),
+      Some("""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        nm AS (SELECT id, v,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+               FROM e),
+        un AS (SELECT id, nrm,
+                      list_transform(v, x -> x / nrm) AS u
+               FROM nm),
+        ux AS (SELECT id, g.t AS t, u[g.t] AS ut
+               FROM un, unnest(generate_series(1, len(u))) AS g(t)),
+        comps AS (SELECT t, sum(ut::DECIMAL(38,30))::DOUBLE AS s
+                  FROM ux GROUP BY t),
+        s2 AS (SELECT list_sum(list(s * s ORDER BY t)) AS s2,
+                      count(*)::BIGINT AS d
+               FROM comps),
+        scal AS (SELECT count(*)::BIGINT AS n,
+                        sum(nrm::DECIMAL(38,20))::DOUBLE / count(*)
+                          AS mean_norm,
+                        sum(list_sum(list_transform(u, x -> x * x))
+                            ::DECIMAL(38,30))::DOUBLE AS q
+                 FROM un)
+        SELECT scal.n, s2.d,
+               round((s2.s2 - scal.q) / (scal.n * (scal.n - 1)), 6)
+                 AS mean_cos,
+               round(scal.mean_norm, 6) AS mean_norm
+        FROM scal CROSS JOIN s2
+      """)
+    ),
     // Synchronous Louvain phase-1 (Blondel et al. 2008 local moves, all
     // nodes at once — the modularity counterpart of pipeline_label_prop)
     // over the shared kNN graph: 3 fixed rounds, every node moving to

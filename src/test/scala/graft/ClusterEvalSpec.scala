@@ -84,6 +84,32 @@ class ClusterEvalSpec extends SparkSpec {
     assert(ece == 0.4)
   }
 
+  test("isotropy: orthonormal basis → 0; identical vectors → 1; sign-split → -1/(N-1) pattern") {
+    // perfectly isotropic: the 4 standard basis vectors, all cosines 0
+    val basis = (0 until 4)
+      .map(i => Tuple1(Array.tabulate(4)(j => if (i == j) 1.0 else 0.0).toSeq))
+      .toDF("v")
+    val r0 = ClusterEval.isotropy(basis, "v").head
+    assert(r0.getLong(0) == 4L && r0.getLong(1) == 4L)
+    assert(r0.getDouble(2) == 0.0, s"basis mean_cos ${r0.getDouble(2)}")
+    // maximally anisotropic: every vector identical → mean cosine 1
+    val same = (0 until 5).map(_ => Tuple1(Seq(3.0, 4.0))).toDF("v")
+    val r1 = ClusterEval.isotropy(same, "v").head
+    assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    assert(r1.getDouble(3) == 5.0) // mean norm of (3,4)
+    // antipodal pair: cosines -1 → mean over ordered pairs = -1
+    val anti = Seq(Tuple1(Seq(1.0, 0.0)), Tuple1(Seq(-1.0, 0.0))).toDF("v")
+    val r2 = ClusterEval.isotropy(anti, "v").head
+    assert(math.abs(r2.getDouble(2) - (-1.0)) < 1e-9)
+    // partition invariance of the decimal-routed centroid
+    val big = (0 until 100)
+      .map(i => Tuple1(Seq(math.sin(i * 0.1), math.cos(i * 0.1), 0.5)))
+      .toDF("v")
+    val a = ClusterEval.isotropy(big.repartition(7), "v").head.toSeq
+    val b = ClusterEval.isotropy(big.coalesce(1), "v").head.toSeq
+    assert(a == b)
+  }
+
   test("NMI guard: a single-cluster assignment scores 0, not NaN") {
     val ids = (0L to 5L)
     val one = ids.map(i => (i, 0L)).toDF("id", "cluster")

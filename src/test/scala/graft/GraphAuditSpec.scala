@@ -99,6 +99,38 @@ class GraphAuditSpec extends SparkSpec {
       s"core count not monotone in eps: $byEps")
   }
 
+  test("conductance: bridged cliques closed-form; singleton fallback; perfect split") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (9L, 1L), (9L, 5L)).toDF("src", "dst")
+    val ids = (1L to 9L).toDF("id")
+    // communities: A = {1..4, 9} (comm 0), B = {5..8} (comm 1)
+    // vol(A) = 4+3+3+3+2 = 15, vol(B) = 13, tvol = 28, cut = 1 each side
+    val comm = ((1L to 4L).map(_ -> 0L) ++ (5L to 8L).map(_ -> 1L)
+      :+ (9L -> 0L)).toDF("id", "community")
+    val got = GraphAudit.conductance(edges, ids, comm)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((5L, 15L, 1L,
+      math.rint(1.0 / 13 * 1e6) / 1e6)))
+    assert(got(1L) == ((4L, 13L, 1L,
+      math.rint(1.0 / 13 * 1e6) / 1e6)))
+    // node 9 absent from the assignment → its own singleton community:
+    // vol 2, both edges cross → phi = 1
+    val partial = ((1L to 4L).map(_ -> 0L) ++ (5L to 8L).map(_ -> 1L))
+      .toDF("id", "community")
+    val g2 = GraphAudit.conductance(edges, ids, partial)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(g2(9L) == 1.0)
+    // two disconnected cliques split perfectly → phi = 0 both
+    val disc = edges.filter(col("src") =!= 9L)
+    val g3 = GraphAudit.conductance(disc, (1L to 8L).toDF("id"), partial)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(g3(0L) == 0.0 && g3(1L) == 0.0)
+  }
+
   test("triangles: direction/duplication of the input edge list is irrelevant") {
     val doubled = k4Edges.unionAll(
       k4Edges.select(col("dst").as("src"), col("src").as("dst")))
