@@ -50,6 +50,50 @@ object MultimodalQueries {
       .toDF("id", "modality", "content", "metaLen")
   }
 
+  /** Shared DuckDB replay of the scene fixture → per-frame lag-hamming
+    * table: p (per-video params), fr (frame params), hx (per-frame
+    * dHash words), cm (doc_id, f, hamming for f ≥ 1). Used by
+    * mm_scene_cuts / mm_scene_stats / mm_keyframes.
+    */
+  private def sceneHammingCtes: String = """p AS (SELECT doc_id,
+                          ((doc_id // 8) % 24 + 9) AS w,
+                          (((doc_id // 8) * 7) % 24 + 8) AS h,
+                          (30 + (doc_id % 4) * 7) AS a1,
+                          (25 + ((doc_id // 4) % 4) * 9) AS b1,
+                          (doc_id % 3 + 2) AS n1,
+                          (doc_id % 2 + 2) AS n2
+                   FROM documents),
+        fr AS (SELECT doc_id, w, h,
+                      CASE WHEN f < n1 THEN a1 ELSE 256 - a1 END AS a,
+                      b1 AS b,
+                      0 AS c,
+                      f
+               FROM (SELECT *, unnest(generate_series(0, n1 + n2 - 1)) AS f
+                     FROM p)),
+        hx AS (SELECT doc_id, f,
+                 list_sum(list_transform(generate_series(0, 3), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
+                   AS hash_lo,
+                 list_sum(list_transform(generate_series(4, 7), y ->
+                   list_sum(list_transform(generate_series(0, 7), x ->
+                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
+                                 + c) % 256)
+                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
+                   AS hash_hi
+               FROM fr),
+        cm AS (SELECT a.doc_id, a.f,
+                      (bit_count(xor(a.hash_hi, b.hash_hi))
+                       + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT
+                        AS hamming
+               FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f - 1)"""
+
   /** Two-scene GIF fixture shared by the scene-cut queries: static
     * shots (c = 0) with scene 2 inverting the gradient direction, so
     * the only inter-frame dHash jump is the planted boundary at n1.
@@ -807,46 +851,62 @@ object MultimodalQueries {
     GQuery(
       "mm_scene_cuts",
       (spark, dir) => Multimodal.sceneCuts(spark, sceneVids(spark, dir), tau = 4),
-      Some("""
-        WITH p AS (SELECT doc_id,
-                          ((doc_id // 8) % 24 + 9) AS w,
-                          (((doc_id // 8) * 7) % 24 + 8) AS h,
-                          (30 + (doc_id % 4) * 7) AS a1,
-                          (25 + ((doc_id // 4) % 4) * 9) AS b1,
-                          (doc_id % 3 + 2) AS n1,
-                          (doc_id % 2 + 2) AS n2
-                   FROM documents),
-        fr AS (SELECT doc_id, w, h,
-                      CASE WHEN f < n1 THEN a1 ELSE 256 - a1 END AS a,
-                      b1 AS b,
-                      0 AS c,
-                      f
-               FROM (SELECT *, unnest(generate_series(0, n1 + n2 - 1)) AS f
-                     FROM p)),
-        hx AS (SELECT doc_id, f,
-                 list_sum(list_transform(generate_series(0, 3), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
-                   AS hash_lo,
-                 list_sum(list_transform(generate_series(4, 7), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
-                   AS hash_hi
-               FROM fr)
-        SELECT a.doc_id AS id, a.f AS frame,
-               (bit_count(xor(a.hash_hi, b.hash_hi))
-                + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS hamming,
-               (bit_count(xor(a.hash_hi, b.hash_hi))
-                + bit_count(xor(a.hash_lo, b.hash_lo))) > 4 AS is_cut
-        FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+      Some(s"""
+        WITH $sceneHammingCtes
+        SELECT doc_id AS id, f AS frame, hamming, hamming > 4 AS is_cut
+        FROM cm
+      """)
+    ),
+    // Per-shot KEYFRAME selection off the cut detector — the
+    // representative-frame pass a video-curation pipeline runs after
+    // shot segmentation (thumbnails, per-shot dedup, frame sampling
+    // budgets): shot k starts at frame 0 (k=1) or at its opening cut;
+    // the keyframe is the shot's first frame (canonical for static
+    // shots), each row carrying shot length and the opening boundary's
+    // hamming strength. Per-video windows are frame-count bounded (the
+    // sceneCuts kernel already materializes per-frame rows).
+    GQuery(
+      "mm_keyframes",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cuts = Multimodal
+          .sceneCuts(spark, sceneVids(spark, dir), tau = 4)
+        val tot = cuts.groupBy(col("id"))
+          .agg((count(lit(1)) + 1).as("nf"))
+        val starts = cuts
+          .filter(col("is_cut"))
+          .select(col("id"), col("frame"), col("hamming").as("boundary_hamming"))
+          .unionByName(
+            tot.select(col("id"), lit(0L).as("frame"),
+              lit(0L).as("boundary_hamming")))
+        val w = Window.partitionBy(col("id")).orderBy(col("frame"))
+        starts
+          .withColumn("shot", row_number().over(w).cast("long"))
+          .withColumn("nxt", lead(col("frame"), 1).over(w))
+          .join(tot, "id")
+          .select(
+            col("id"), col("shot"),
+            col("frame").as("start_frame"),
+            (coalesce(col("nxt"), col("nf")) - col("frame")).as("n_frames"),
+            col("boundary_hamming"))
+      },
+      Some(s"""
+        WITH $sceneHammingCtes,
+        tot AS (SELECT doc_id, count(*) + 1 AS nf FROM cm GROUP BY doc_id),
+        starts AS (SELECT doc_id, 0::BIGINT AS f, 0::BIGINT AS bh FROM p
+                   UNION ALL
+                   SELECT doc_id, f, hamming FROM cm WHERE hamming > 4),
+        sh AS (SELECT doc_id, f, bh,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY f) AS shot,
+                      lead(f, 1) OVER (PARTITION BY doc_id
+                                       ORDER BY f) AS nxt
+               FROM starts)
+        SELECT sh.doc_id AS id, shot::BIGINT AS shot,
+               f::BIGINT AS start_frame,
+               (coalesce(nxt, tot.nf) - f)::BIGINT AS n_frames,
+               bh AS boundary_hamming
+        FROM sh JOIN tot ON tot.doc_id = sh.doc_id
       """)
     ),
     // Per-video shot census off the same cut detector: frame count,
@@ -862,45 +922,8 @@ object MultimodalQueries {
             (count(lit(1)) + 1).as("n_frames"),
             (sum(col("is_cut").cast("long")) + 1).as("n_scenes"),
             max(col("hamming")).as("max_hamming")),
-      Some("""
-        WITH p AS (SELECT doc_id,
-                          ((doc_id // 8) % 24 + 9) AS w,
-                          (((doc_id // 8) * 7) % 24 + 8) AS h,
-                          (30 + (doc_id % 4) * 7) AS a1,
-                          (25 + ((doc_id // 4) % 4) * 9) AS b1,
-                          (doc_id % 3 + 2) AS n1,
-                          (doc_id % 2 + 2) AS n2
-                   FROM documents),
-        fr AS (SELECT doc_id, w, h,
-                      CASE WHEN f < n1 THEN a1 ELSE 256 - a1 END AS a,
-                      b1 AS b,
-                      0 AS c,
-                      f
-               FROM (SELECT *, unnest(generate_series(0, n1 + n2 - 1)) AS f
-                     FROM p)),
-        hx AS (SELECT doc_id, f,
-                 list_sum(list_transform(generate_series(0, 3), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                     THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END))))
-                   AS hash_lo,
-                 list_sum(list_transform(generate_series(4, 7), y ->
-                   list_sum(list_transform(generate_series(0, 7), x ->
-                     CASE WHEN ((a * (((x+1) * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                            > ((a * ((x * w) // 9) + b * ((y * h) // 8)
-                                 + c) % 256)
-                     THEN (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END))))
-                   AS hash_hi
-               FROM fr),
-        cm AS (SELECT a.doc_id, a.f,
-                      (bit_count(xor(a.hash_hi, b.hash_hi))
-                       + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT
-                        AS hamming
-               FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.f = a.f - 1)
+      Some(s"""
+        WITH $sceneHammingCtes
         SELECT doc_id AS id, count(*) + 1 AS n_frames,
                (sum(CASE WHEN hamming > 4 THEN 1 ELSE 0 END) + 1)::BIGINT
                  AS n_scenes,

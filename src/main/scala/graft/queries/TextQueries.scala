@@ -1886,6 +1886,58 @@ object TextQueries {
         FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
       """)
     ),
+    // Confusion matrix of the profile language-id against the gold lang
+    // column — the per-language error census run before trusting langid
+    // routing (which languages bleed into which drives profile-size and
+    // routing-threshold choices). One cell per (actual, predicted) with
+    // the count and the per-actual recall fraction; integer counts, one
+    // division per cell.
+    GQuery(
+      "eval_langid_confusion",
+      (spark, dir) => {
+        val pred = TextAnalysis.langId(
+          t(spark, dir, "documents"), "doc_id", "text", "lang", 20)
+        val cells = pred
+          .groupBy(col("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pred
+          .groupBy(col("actual"))
+          .agg(count(lit(1)).as("tot"))
+        cells
+          .join(totals, "actual")
+          .select(
+            col("actual"), col("predicted"), col("n"),
+            round(col("n").cast("double") / col("tot"), 6).as("frac"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        prof AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+        top AS (SELECT lang AS plang, w FROM (
+                  SELECT lang, w,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY c DESC, w) AS rn
+                  FROM prof) WHERE rn <= 20),
+        score AS (SELECT t.doc_id, p.plang, count(*) AS s
+                  FROM tok t JOIN top p ON t.w = p.w
+                  GROUP BY t.doc_id, p.plang),
+        pred AS (SELECT doc_id, plang AS predicted FROM (
+                   SELECT doc_id, plang,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY s DESC, plang) AS rn
+                   FROM score) WHERE rn = 1),
+        lab AS (SELECT d.doc_id, d.lang AS actual,
+                       COALESCE(p.predicted, '??') AS predicted
+                FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id),
+        cells AS (SELECT actual, predicted, count(*)::BIGINT AS n
+                  FROM lab GROUP BY actual, predicted),
+        totals AS (SELECT actual, count(*)::BIGINT AS tot
+                   FROM lab GROUP BY actual)
+        SELECT c.actual, c.predicted, c.n,
+               round(c.n::DOUBLE / t.tot, 6) AS frac
+        FROM cells c JOIN totals t ON t.actual = c.actual
+      """)
+    ),
     // Polynomial rolling fingerprint over the token stream.
     GQuery(
       "text_fingerprint",

@@ -327,6 +327,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got3.toSeq == Seq(2L, 4L), got3.mkString(","))
   }
 
+  test("mm_keyframes: shots tile the video, keyframe = shot start, boundary strength carried") {
+    // the declared sf0.001 fixture plants exactly one boundary per video
+    // at n1 = id % 3 + 2 with total n1 + n2 frames
+    val rows = SparkEntry.queries("mm_keyframes")(spark, sf0001)
+      .collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (id, rs) =>
+      assert(rs.length == 2, s"video $id: ${rs.length} shots")
+      val byShot = rs.sortBy(_.getLong(1))
+      val n1 = id % 3 + 2
+      val n2 = id % 2 + 2
+      // shot 1: starts at 0, no opening boundary, runs to the cut
+      assert(byShot(0).getLong(2) == 0L && byShot(0).getLong(4) == 0L)
+      assert(byShot(0).getLong(3) == n1, s"video $id shot1 ${byShot(0)}")
+      // shot 2: starts at the planted cut, strong boundary
+      assert(byShot(1).getLong(2) == n1 && byShot(1).getLong(3) == n2)
+      assert(byShot(1).getLong(4) > 4, s"video $id boundary ${byShot(1)}")
+      // shots tile: lengths sum to the frame total
+      assert(rs.map(_.getLong(3)).sum == n1 + n2)
+    }
+  }
+
   test("audioSegments: RLE spans, states, exact energies; single-state and partial-window clips") {
     import spark.implicits._
     // silence(2w) -> tone 120 (3w) -> silence(1w) at 64-frame windows
