@@ -824,6 +824,64 @@ object Dedup {
           .as("canonical_id"))
   }
 
+  /** The decontamination LADDER with per-rung attribution — the
+    * production sequencing (cheap rungs first, each only on the last
+    * rung's survivors; drop only what must drop, cut only what must be
+    * cut): exact n-gram overlap vs the eval corpus → fuzzy MinHash-LSH
+    * near-dup on the survivors → span-level ExactSubstr scrub on what
+    * remains. One row per training doc: rung ∈ {exact, fuzzy dropped;
+    * scrubbed kept-with-cuts; clean}, the rung's own signal count, and
+    * ship_md5 = md5 of the text the pipeline actually ships (scrubbed
+    * or original; NULL for dropped docs) — the ladder's end-state
+    * digest. Note the rung subsumption property: at the default
+    * parameters (exact n=5, fuzzy n=3/τ=0.5) a verbatim leak is always
+    * caught by the exact rung first, so fuzzy fires only on PARAPHRASED
+    * leaks (reworded text with overlapping rare shingles) — absent from
+    * derived corpora, exercised standalone by decontaminateFuzzy's row.
+    */
+  def decontaminateCascade(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      nExact: Int = 5,
+      nFuzzy: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      w: Int = 20
+  ): DataFrame = {
+    val tr = train.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val ev = eval.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val exKill = decontaminate(tr, ev, "doc_id", "text", nExact)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), col("n_hits").as("s1"))
+    val d1 = tr.join(exKill.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val fzKill = decontaminateFuzzy(d1, ev, "doc_id", "text",
+      nFuzzy, numPerms, bands, tau)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), col("n_matches").as("s2"))
+    val d2 = d1.join(fzKill.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val spans = contaminatedSpans(d2, ev, "doc_id", "text", w)
+    val sc = scrubSpans(d2, "doc_id", "text", spans)
+      .select(col("doc_id"), col("n_spans"), md5(col("clean_text")).as("cmd5"))
+    tr.select(col("doc_id"))
+      .join(exKill, Seq("doc_id"), "left")
+      .join(fzKill, Seq("doc_id"), "left")
+      .join(sc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("s1").isNotNull, lit("exact"))
+          .when(col("s2").isNotNull, lit("fuzzy"))
+          .when(col("n_spans") > 0, lit("scrubbed"))
+          .otherwise(lit("clean")).as("rung"),
+        coalesce(col("s1"), col("s2"),
+          when(col("n_spans") > 0, col("n_spans")), lit(0L)).as("n_signals"),
+        when(col("s1").isNotNull || col("s2").isNotNull,
+          lit(null).cast("string"))
+          .otherwise(col("cmd5")).as("ship_md5"))
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the signature is set when
     * the sum over tokens of ±1 (sign of bit b of the token hash = first
     * 8 md5 bytes) is >= 0. Computed by the one-pass

@@ -2567,6 +2567,130 @@ object TextQueries {
         WHERE d.doc_id % 50 != 0
       """)
     ),
+    // The decontamination LADDER with per-rung attribution — how a
+    // production run sequences the rungs (cheap exact n-gram overlap
+    // first, fuzzy MinHash on its survivors, span-level scrub on what
+    // remains — drop only what must drop, cut only what must be cut):
+    // one row per training doc with the rung that handled it ('exact' /
+    // 'fuzzy' dropped, 'scrubbed' kept-with-cuts, 'clean'), the rung's
+    // own signal count, and the md5 of the text the pipeline actually
+    // SHIPS (scrubbed or original; NULL for dropped docs) — the
+    // end-state digest of the whole ladder under one oracle. Rungs
+    // reuse the exact operators their standalone rows hash-check.
+    GQuery(
+      "pipeline_decontaminate_cascade",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        Dedup.decontaminateCascade(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+      },
+      Some(s"""
+        WITH $shingleCtes,
+        tok5 AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+        ng5 AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         generate_series(1, len(t) - 4),
+                         i -> array_to_string(t[i:i+4], ' ')))) AS g5
+                FROM tok5 WHERE len(t) >= 5),
+        ev5 AS (SELECT DISTINCT g5 FROM ng5 WHERE doc_id % 50 = 0),
+        exk AS (SELECT ng5.doc_id, count(*)::BIGINT AS s1
+                FROM ng5 JOIN ev5 USING (g5)
+                WHERE ng5.doc_id % 50 != 0
+                GROUP BY ng5.doc_id),
+        d1 AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 50 != 0
+                 AND doc_id NOT IN (SELECT doc_id FROM exk)),
+        mh AS (SELECT doc_id, i,
+                      min(((2*i+1) * x + 12289*i) % 1000000007) AS v
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5(sh), 1, 14))::BIGINT
+                              % 1000000007 AS x
+                     FROM sh)
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+               GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, i // 4 AS band,
+                         string_agg(v::VARCHAR, ',' ORDER BY i) AS sig
+                  FROM mh GROUP BY doc_id, i // 4),
+        candf AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig
+                  WHERE a.doc_id IN (SELECT doc_id FROM d1)
+                    AND b.doc_id % 50 = 0),
+        commonf AS (SELECT doc_a, doc_b, count(*) AS c
+                    FROM candf
+                    JOIN sh sa ON sa.doc_id = doc_a
+                    JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+                    GROUP BY 1, 2),
+        fzk AS (SELECT doc_a AS doc_id, count(*)::BIGINT AS s2
+                FROM (SELECT doc_a
+                      FROM commonf
+                      JOIN sizes sa ON sa.doc_id = doc_a
+                      JOIN sizes sb ON sb.doc_id = doc_b
+                      WHERE c::DOUBLE / (sa.nsh + sb.nsh - c) >= 0.5)
+                GROUP BY doc_a),
+        d2 AS (SELECT doc_id, text FROM d1
+               WHERE doc_id NOT IN (SELECT doc_id FROM fzk)),
+        w20 AS (SELECT doc_id,
+                       unnest(generate_series(1,
+                         greatest(length(text)-19, 0)))::BIGINT AS i,
+                       text
+                FROM documents),
+        wh20 AS (SELECT doc_id, i, substr(text, i::INT, 20) AS win FROM w20),
+        ev20 AS (SELECT DISTINCT win FROM wh20 WHERE doc_id % 50 = 0),
+        p AS (SELECT wh20.doc_id, wh20.i AS s, wh20.i + 19 AS e
+              FROM wh20 JOIN ev20 USING (win)
+              WHERE wh20.doc_id IN (SELECT doc_id FROM d2)),
+        m AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM p),
+        isl AS (SELECT doc_id, s, e,
+                       sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                           THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s) AS g
+                FROM m),
+        spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+                  FROM isl GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans
+                FROM spans GROUP BY doc_id),
+        segs AS (SELECT doc_id,
+                        coalesce(lag(se) OVER (PARTITION BY doc_id
+                                               ORDER BY ss), 0) + 1 AS ks,
+                        ss - 1 AS ke
+                 FROM spans
+                 UNION ALL
+                 SELECT s.doc_id, max(s.se) + 1 AS ks,
+                        max(length(d.text))::BIGINT AS ke
+                 FROM spans s JOIN d2 d USING (doc_id) GROUP BY s.doc_id),
+        kept AS (SELECT g.doc_id,
+                        string_agg(substr(d.text, g.ks::INT,
+                          greatest(g.ke - g.ks + 1, 0)::INT),
+                          '' ORDER BY g.ks) AS ct
+                 FROM segs g JOIN d2 d ON d.doc_id = g.doc_id
+                 GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CASE WHEN exk.s1 IS NOT NULL THEN 'exact'
+                    WHEN fzk.s2 IS NOT NULL THEN 'fuzzy'
+                    WHEN coalesce(agg.n_spans, 0) > 0 THEN 'scrubbed'
+                    ELSE 'clean' END AS rung,
+               coalesce(exk.s1, fzk.s2,
+                 CASE WHEN coalesce(agg.n_spans, 0) > 0
+                      THEN agg.n_spans END, 0)::BIGINT AS n_signals,
+               CASE WHEN exk.s1 IS NOT NULL OR fzk.s2 IS NOT NULL
+                    THEN NULL
+                    ELSE md5(coalesce(kept.ct, d.text)) END AS ship_md5
+        FROM documents d
+        LEFT JOIN exk ON exk.doc_id = d.doc_id
+        LEFT JOIN fzk ON fzk.doc_id = d.doc_id
+        LEFT JOIN agg ON agg.doc_id = d.doc_id
+        LEFT JOIN kept ON kept.doc_id = d.doc_id
+        WHERE d.doc_id % 50 != 0
+      """)
+    ),
     // PII scrub: detection counts + redacted-text hash over a derived
     // corpus with deterministically injected emails (doc_id % 7 = 0) and
     // phone numbers (doc_id % 5 = 0) — the raw corpus contains none, so

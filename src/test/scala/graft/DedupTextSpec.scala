@@ -124,6 +124,46 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateCascade: every rung fires on a constructed fixture; ship digests honest") {
+    import org.apache.spark.sql.functions.md5
+    // eval doc: 12 words. call A (defaults) train docs:
+    //  101 verbatim copy → exact rung (5-gram overlap)
+    //  103 clean words with the eval's exact 25-char prefix spliced in:
+    //      no shared word-5-gram, but w=20 char windows hit → scrubbed
+    //  104 fully unrelated → clean
+    val evalTxt = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val clean = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val spliced = s"nose one two three ${evalTxt.take(25)} tail four five six seven eight nine"
+    val ev = Seq((1L, evalTxt)).toDF("doc_id", "text")
+    val tr = Seq(
+      (101L, evalTxt), (103L, spliced), (104L, clean)
+    ).toDF("doc_id", "text")
+    val r = Dedup
+      .decontaminateCascade(tr, ev, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2),
+          if (x.isNullAt(3)) null else x.getString(3)))).toMap
+    assert(r(101L)._1 == "exact" && r(101L)._2 > 0 && r(101L)._3 == null,
+      s"101 ${r(101L)}")
+    assert(r(103L)._1 == "scrubbed" && r(103L)._2 > 0, s"103 ${r(103L)}")
+    assert(r(104L)._1 == "clean" && r(104L)._2 == 0, s"104 ${r(104L)}")
+    // the clean doc ships unchanged; the scrubbed doc ships a DIFFERENT text
+    val md5s = tr.select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(104L)._3 == md5s(104L))
+    assert(r(103L)._3 != null && r(103L)._3 != md5s(103L))
+    // call B: rung ORDERING — with the exact rung neutralized (nExact
+    // longer than any doc), the same verbatim copy falls through to the
+    // fuzzy rung (J=1 collides every LSH band deterministically)
+    val r2 = Dedup
+      .decontaminateCascade(tr, ev, "doc_id", "text", nExact = 100)
+      .collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r2(101L) == "fuzzy", s"101 under nExact=100: ${r2(101L)}")
+    assert(r2(104L) == "clean")
+  }
+
   test("klDrift: identical slices → 0; disjoint vocab → JSD near ln 2; bounds hold") {
     // identical halves: same text in both slices → pa == pb for every term
     val same = Seq((0L, "a b c a"), (1L, "a b c a")).toDF("doc_id", "text")
