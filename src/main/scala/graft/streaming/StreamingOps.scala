@@ -1619,4 +1619,209 @@ object StreamingOps {
       textCol: String
   ): DataFrame =
     graft.operators.TextAnalysis.klDriftCounts(docs, sliceA, textCol)
+
+  /** Streaming decontamination CASCADE — the online half of
+    * [[graft.operators.Dedup.decontaminateCascade]]: every streamed
+    * training doc is classified per-row against the STATIC eval
+    * corpus's broadcast artifacts (distinct nExact-gram set; LSH band
+    * buckets + per-eval-doc shingle sets; sorted (rolling-hash,
+    * window-md5) pair table), emitting the same
+    * (doc_id, rung, n_signals, ship_md5) row the batch operator
+    * produces. Every rung decision is doc-local — the batch cascade's
+    * anti-join sequencing is just first-signal priority — so the stream
+    * is STATELESS (no watermark, append-safe, arbitrarily parallel) and
+    * a doc classifies identically whether it arrived in batch or on any
+    * wave split (StreamingSpec pins bit-equality; the only documented
+    * divergence is [[scrubSpansStream]]'s md5-verified cut under a
+    * simultaneous rolling-hash+md5 collision, where batch verifies
+    * verbatim).
+    */
+  def decontaminateCascadeStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      evalDocs: DataFrame, // static eval corpus
+      idCol: String,
+      textCol: String,
+      nExact: Int = 5,
+      nFuzzy: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      w: Int = 20
+  ): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.RollingHashWindowsExpr
+    val rowsPerBand = numPerms / bands
+    // rung-1 artifact: the eval corpus's distinct nExact-gram set
+    val evalNg: Set[String] = graft.operators.Dedup
+      .shingles(evalDocs, idCol, textCol, nExact)
+      .select(col("sh")).distinct().as[String].collect().toSet
+    // rung-2 artifacts: band buckets + per-eval-doc shingle sets
+    val evalSh = graft.operators.Dedup
+      .shingles(evalDocs, idCol, textCol, nFuzzy)
+    val evalBuckets: Map[(Int, String), Array[Long]] =
+      graft.operators.Dedup
+        .bandSignatures(evalSh, numPerms, bands)
+        .select(col("doc_id"), col("band"), col("sig"))
+        .as[(Long, Int, String)]
+        .collect()
+        .groupBy(r => (r._2, r._3))
+        .map { case (k, rs) => k -> rs.map(_._1).distinct }
+    val evalSets: Map[Long, Set[String]] = evalSh
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    // rung-3 artifact: sorted (rolling-hash, window-md5) pairs
+    val evPairs: Array[(Long, String)] = evalDocs
+      .select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { t =>
+          if (t == null) Iterator.empty
+          else {
+            val hs = RollingHashWindowsExpr.computeLongs(t, w)
+            val cps = t.codePoints().toArray()
+            Iterator.tabulate(hs.length) { i =>
+              (hs(i), StreamingOps.md5Hex(md, new String(cps, i, w)))
+            }
+          }
+        }
+      }
+      .distinct().collect().sorted
+    val bcNg = spark.sparkContext.broadcast(evalNg)
+    val bcBuckets = spark.sparkContext.broadcast(evalBuckets)
+    val bcSets = spark.sparkContext.broadcast(evalSets)
+    val bcSpans = spark.sparkContext.broadcast(
+      (evPairs.map(_._1), evPairs.map(_._2)))
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ng = bcNg.value
+        val buckets = bcBuckets.value
+        val sets = bcSets.value
+        val (evH, evM) = bcSpans.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5Mod(s: String): Long = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v % 1000000007L
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          // rung 1: distinct nExact-grams hitting the eval set
+          var s1 = 0L
+          if (toks.length >= nExact) {
+            val seen = new scala.collection.mutable.HashSet[String]
+            var i = 0
+            while (i + nExact <= toks.length) {
+              val g = toks.slice(i, i + nExact).mkString(" ")
+              if (seen.add(g) && ng.contains(g)) s1 += 1
+              i += 1
+            }
+          }
+          if (s1 > 0) (id, "exact", s1, null: String)
+          else {
+            // rung 2: LSH candidates + exact-Jaccard verify, counting
+            // DISTINCT eval near-dups (the batch n_matches)
+            var s2 = 0L
+            if (toks.length >= nFuzzy) {
+              val sh = new scala.collection.mutable.HashSet[String]
+              var i = 0
+              while (i + nFuzzy <= toks.length) {
+                val sb = new StringBuilder(toks(i))
+                var j = 1
+                while (j < nFuzzy) { sb.append(' ').append(toks(i + j)); j += 1 }
+                sh += sb.result()
+                i += 1
+              }
+              val mins = Array.fill(numPerms)(Long.MaxValue)
+              sh.foreach { s =>
+                val x = md5Mod(s)
+                var p = 0
+                while (p < numPerms) {
+                  val v = ((2L * p + 1) * x + 12289L * p) % 1000000007L
+                  if (v < mins(p)) mins(p) = v
+                  p += 1
+                }
+              }
+              val seen = new scala.collection.mutable.HashSet[Long]
+              var bd = 0
+              while (bd < bands) {
+                val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+                  .map(mins(_).toString).mkString(",")
+                buckets.get((bd, sig)).foreach { cands =>
+                  var c = 0
+                  while (c < cands.length) {
+                    if (seen.add(cands(c))) {
+                      val ev = sets(cands(c))
+                      val inter = sh.count(ev.contains)
+                      val jac =
+                        inter.toDouble / (sh.size + ev.size - inter).toDouble
+                      if (jac >= tau) s2 += 1
+                    }
+                    c += 1
+                  }
+                }
+                bd += 1
+              }
+            }
+            if (s2 > 0) (id, "fuzzy", s2, null: String)
+            else {
+              // rung 3: md5-verified leaked spans, island-merged and cut
+              val hs = RollingHashWindowsExpr.computeLongs(text, w)
+              lazy val cpsAll = text.codePoints().toArray()
+              def verified(i: Int): Boolean = {
+                var lo = java.util.Arrays.binarySearch(evH, hs(i))
+                if (lo < 0) false
+                else {
+                  while (lo > 0 && evH(lo - 1) == hs(i)) lo -= 1
+                  val m = StreamingOps.md5Hex(md, new String(cpsAll, i, w))
+                  var ok = false
+                  var j = lo
+                  while (!ok && j < evH.length && evH(j) == hs(i)) {
+                    if (evM(j) == m) ok = true
+                    j += 1
+                  }
+                  ok
+                }
+              }
+              val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+              var i = 0
+              while (i < hs.length) {
+                if (verified(i)) {
+                  val st = i + 1
+                  val e = i + w
+                  if (spans.nonEmpty && st <= spans.last._2 + 1) {
+                    val last = spans.last
+                    spans(spans.length - 1) = (last._1, math.max(last._2, e))
+                  } else spans += ((st, e))
+                }
+                i += 1
+              }
+              if (spans.isEmpty)
+                (id, "clean", 0L, StreamingOps.md5Hex(md, text))
+              else {
+                val cps = cpsAll
+                val kept = new java.lang.StringBuilder
+                var pos = 1
+                spans.foreach { case (st, e) =>
+                  var j = pos
+                  while (j < st) { kept.appendCodePoint(cps(j - 1)); j += 1 }
+                  pos = e + 1
+                }
+                var j = pos
+                while (j <= cps.length) { kept.appendCodePoint(cps(j - 1)); j += 1 }
+                (id, "scrubbed", spans.length.toLong,
+                  StreamingOps.md5Hex(md, kept.toString))
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "rung", "n_signals", "ship_md5")
+  }
 }

@@ -1125,6 +1125,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.size <= 4 * 512)
   }
 
+  test("streaming decontamination cascade: per-doc rows bit-equal to batch on a two-wave split") {
+    val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalC = docs.filter(col("doc_id") % 50 === 0)
+    val dir = Files.createTempDirectory("dccstream").toString
+    train.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/w1")
+    train.filter(col("doc_id") % 2 === 1).write.parquet(s"$dir/w2")
+    val stream = StreamingOps.decontaminateCascadeStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      evalC, "doc_id", "text")
+    val q = stream.writeStream
+      .format("memory").queryName("dcc").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+      .sortBy(_._1).toSeq
+    val got = canon(spark.table("dcc"))
+    val want = canon(graft.operators.Dedup
+      .decontaminateCascade(train, evalC, "doc_id", "text"))
+    assert(got == want, "streamed cascade diverged from batch")
+    assert(got.nonEmpty && got.exists(_._2 != "clean"))
+  }
+
   test("streaming KL-drift counters: drained census bit-equal to the batch klDrift") {
     val docs = Q.t(spark, sf0001, "documents").select(col("doc_id"), col("text"))
     val dir = Files.createTempDirectory("kldstream").toString
