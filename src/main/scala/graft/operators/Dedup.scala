@@ -793,19 +793,25 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // stage boundaries materialize ONCE (the pipeline_full discipline):
+    // every kill list / survivor set feeds 2+ consumers, and each
+    // re-evaluation would re-run its whole stage
     val m1 = docs
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(exact(docs, "doc_id", "text"), "h")
       .select(col("doc_id"), col("canonical_id").as("c1"))
+      .localCheckpoint()
     val s1kill = m1.filter(col("doc_id") =!= col("c1"))
     val d1 = docs.join(
       m1.filter(col("doc_id") === col("c1")).select(col("doc_id")), "doc_id")
+      .localCheckpoint()
     val pairs2 = minhashLsh(d1, "doc_id", "text", n, numPerms, bands, tau)
-    val comp2 = connectedComponents(pairs2, "doc_a", "doc_b")
+    val comp2 = connectedComponents(pairs2, "doc_a", "doc_b").localCheckpoint()
     val s2kill = comp2.filter(col("doc_id") =!= col("rep_id"))
     val d2 = d1.join(s2kill.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val pairs3 = simhashPairs(d2, "doc_id", "text", maxHamming)
-    val comp3 = connectedComponents(pairs3, "doc_a", "doc_b")
+    val comp3 = connectedComponents(pairs3, "doc_a", "doc_b").localCheckpoint()
     val s3kill = comp3.filter(col("doc_id") =!= col("rep_id"))
     docs
       .select(col("doc_id"))
@@ -853,15 +859,22 @@ object Dedup {
   ): DataFrame = {
     val tr = train.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val ev = eval.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // stage boundaries materialize ONCE (the pipeline_full discipline):
+    // each kill list and survivor set feeds 2+ consumers — without the
+    // checkpoints every consumer re-runs the whole upstream rung chain
     val exKill = decontaminate(tr, ev, "doc_id", "text", nExact)
       .filter(col("contaminated"))
       .select(col("doc_id"), col("n_hits").as("s1"))
+      .localCheckpoint()
     val d1 = tr.join(exKill.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val fzKill = decontaminateFuzzy(d1, ev, "doc_id", "text",
       nFuzzy, numPerms, bands, tau)
       .filter(col("contaminated"))
       .select(col("doc_id"), col("n_matches").as("s2"))
+      .localCheckpoint()
     val d2 = d1.join(fzKill.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val spans = contaminatedSpans(d2, ev, "doc_id", "text", w)
     val sc = scrubSpans(d2, "doc_id", "text", spans)
       .select(col("doc_id"), col("n_spans"), md5(col("clean_text")).as("cmd5"))
