@@ -2930,6 +2930,75 @@ object VectorQueries {
         FROM ds CROSS JOIN mt LEFT JOIN ei ON ei.community = ds.community
       """)
     ),
+    // ARI/NMI of the SCAN structural partition against the gold labels
+    // — does structure-derived community membership align with
+    // semantics BEFORE a curation run trusts SCAN roles for selection?
+    // Hubs/outliers count as singletons (the modularity absentee
+    // convention), so noise is penalized, not ignored. Same
+    // integer-combinatorics ARI + decimal-routed NMI as
+    // eval_clustering_agreement, over the scan chain's closure.
+    GQuery(
+      "eval_scan_agreement",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val ids = emb.select(col("vec_id").cast("long").as("id"))
+        val assign = graft.operators.GraphAudit
+          .scan(sharedGraph(spark, dir), ids,
+            epsSqNum = 9L, epsSqDen = 100L, mu = 3)
+          .select(col("id"),
+            coalesce(col("cluster"), col("id")).as("cluster"))
+        graft.operators.ClusterEval
+          .agreement(assign,
+            emb.select(col("vec_id").cast("long").as("id"), col("label")))
+          .select(col("n"), round(col("ari"), 6).as("ari"),
+            round(col("nmi"), 6).as("nmi"))
+      },
+      Some(s"""
+        WITH RECURSIVE $graphCtes,
+        $auditCtes,
+        $scanWedgeCte,
+        ${scanBlock("s", 9)},
+        sj AS MATERIALIZED (
+          SELECT dq.id,
+                 coalesce(sr.rep, sb.rep, dq.id)::BIGINT AS u,
+                 em.label::BIGINT AS v
+          FROM dq LEFT JOIN srep sr ON sr.id = dq.id
+                  LEFT JOIN sbord sb ON sb.id = dq.id
+                  JOIN embeddings em ON em.vec_id = dq.id),
+        contg AS MATERIALIZED (SELECT sj.u, sj.v, count(*)::BIGINT AS nij
+                FROM sj GROUP BY sj.u, sj.v),
+        cau AS MATERIALIZED (SELECT u, sum(nij)::BIGINT AS ai
+               FROM contg GROUP BY u),
+        cbv AS MATERIALIZED (SELECT v, sum(nij)::BIGINT AS bj
+               FROM contg GROUP BY v),
+        cnn AS (SELECT count(*)::BIGINT AS n FROM sj),
+        csum AS (SELECT
+                  (SELECT sum(nij * (nij - 1) // 2)::BIGINT FROM contg) AS sij,
+                  (SELECT sum(ai * (ai - 1) // 2)::BIGINT FROM cau) AS sa,
+                  (SELECT sum(bj * (bj - 1) // 2)::BIGINT FROM cbv) AS sb,
+                  n, (n * (n - 1) // 2)::BIGINT AS cn2
+                 FROM cnn),
+        cmi AS (SELECT sum(((nij::DOUBLE / n) *
+                  ln((n::DOUBLE * nij) / (ai::DOUBLE * bj)))
+                  ::DECIMAL(38,20))::DOUBLE AS mi
+                FROM contg JOIN cau USING (u) JOIN cbv USING (v)
+                CROSS JOIN cnn),
+        chu AS (SELECT sum((-(ai::DOUBLE / n) * ln(ai::DOUBLE / n))
+                  ::DECIMAL(38,20))::DOUBLE AS hu
+                FROM cau CROSS JOIN cnn),
+        chv AS (SELECT sum((-(bj::DOUBLE / n) * ln(bj::DOUBLE / n))
+                  ::DECIMAL(38,20))::DOUBLE AS hv
+                FROM cbv CROSS JOIN cnn)
+        SELECT s.n,
+               round((s.sij::DOUBLE - s.sa::DOUBLE * s.sb / s.cn2)
+                     / ((s.sa + s.sb)::DOUBLE / 2.0
+                        - s.sa::DOUBLE * s.sb / s.cn2), 6) AS ari,
+               round(CASE WHEN chu.hu > 0 AND chv.hv > 0
+                          THEN cmi.mi / sqrt(chu.hu * chv.hv)
+                          ELSE 0.0::DOUBLE END, 6) AS nmi
+        FROM csum s CROSS JOIN cmi CROSS JOIN chu CROSS JOIN chv
+      """)
+    ),
     // Per-label CONDUCTANCE over the kNN graph — the cut-quality audit
     // next to modularity: φ = cut / min(vol, total−vol), integer counts,
     // one division per community. Modularity says communities are DENSE
