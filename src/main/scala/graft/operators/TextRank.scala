@@ -112,11 +112,17 @@ object TextRank {
       .localCheckpoint() // reused: rank universe + the word join-back
     val edges = edgesFromKept(kept, window) // ONE tokenize pass feeds both
     val pr = PageRank.pageRank(edges, nodes.select(col("id")), rounds)
+    // TakeOrdered-first (the BM25 shape, TextSearch.bm25): orderBy+limit
+    // compiles to TakeOrderedAndProject — a distributed per-partition
+    // top-K + driver merge of ≤topK rows per partition — so the window
+    // that numbers the ranks only ever sees ≤topK rows, never the
+    // vocab-sized table on one partition.
     pr.join(nodes, "id")
+      .orderBy(col("pr").desc, col("w").asc)
+      .limit(topK)
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("pr").desc, col("w").asc)))
-      .filter(col("rank") <= topK)
       .select(
         col("rank").cast("long").as("rank"),
         col("w").as("word"),

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{
+  CollectLimitExec,
+  GlobalLimitExec,
+  LocalLimitExec,
+  SparkPlan,
+  TakeOrderedAndProjectExec
+}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Suite-wide guard against the single-partition-window class: a
+  * `WindowExec` with an EMPTY partition spec serializes its whole input
+  * onto one task, so it is only admissible when the input is provably
+  * bounded — a `limit`/TakeOrdered sits below it, or the subtree's
+  * cardinality is a constant of the query (not of the data).
+  *
+  * The one instance that slipped through review (TextRank's vocab-sized
+  * rank window, fixed to the TakeOrdered-first BM25 shape) showed the
+  * pattern wasn't mechanically banned the way NLJ/cartesian/exchange
+  * shapes are in PlanSpec. This sweep walks EVERY `SparkEntry.queries`
+  * physical plan and fails on any unpartitioned window whose subtree has
+  * no limit node, unless the query is on the documented bounded-input
+  * allowlist. New queries that regress into the pattern fail the build.
+  */
+class WindowSweepSpec extends SparkSpec {
+
+  /** Empty-partition windows whose input is bounded by construction, not
+    * by a physical limit node. Each entry documents WHY the input is a
+    * constant-size table; growing this list must be a conscious act.
+    */
+  private val boundedByConstruction: Map[String, String] = Map.empty
+
+  /** Names of unpartitioned-window nodes with no limit below, in `plan`
+    * or any of its subqueries. */
+  private def violations(plan: SparkPlan): Seq[String] = {
+    def hasLimitBelow(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case _: TakeOrderedAndProjectExec => ()
+        case _: CollectLimitExec          => ()
+        case _: GlobalLimitExec           => ()
+        case _: LocalLimitExec            => ()
+      }.isDefined
+    def sweep(p: SparkPlan): Seq[String] = {
+      val here = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !hasLimitBelow(w.child) =>
+          w.simpleString(120)
+      }
+      here ++ p.collect { case q => q }.flatMap(_.subqueries).flatMap(sweep)
+    }
+    sweep(plan)
+  }
+
+  private def check(df: DataFrame): Seq[String] =
+    violations(df.queryExecution.executedPlan)
+
+  test("detector flags a seeded unpartitioned window over an unlimited input") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val df = Seq(1, 2, 3).toDF("x")
+      val bad = df.withColumn("r", row_number().over(Window.orderBy($"x")))
+      assert(check(bad).nonEmpty, "seeded violation not detected")
+      val ok = df
+        .orderBy($"x")
+        .limit(2)
+        .withColumn("r", row_number().over(Window.orderBy($"x")))
+      assert(check(ok).isEmpty, "limited input falsely flagged")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("no query plans an unpartitioned window over an unlimited input") {
+    // AQE off so the physical tree is directly traversable (no
+    // AdaptiveSparkPlanExec wrapper hiding the real operators)
+    GraftExtensions.register(spark) // knn_sql resolves graft_topk et al.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, f) =>
+          if (boundedByConstruction.contains(name)) Nil
+          else {
+            val vs =
+              try check(f(spark, sf0001))
+              catch { case e: Throwable => Seq(s"planning failed: $e") }
+            vs.map(v => s"$name: $v")
+          }
+      }
+      assert(
+        bad.isEmpty,
+        s"unpartitioned windows over unlimited inputs:\n${bad.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
