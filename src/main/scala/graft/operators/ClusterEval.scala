@@ -191,6 +191,10 @@ object ClusterEval {
     * sums are sequential ascending-index folds, the engine-portable
     * convention. Scale: one posexplode + one d-row component
     * aggregation — never a pair.
+    *
+    * Zero vectors are EXCLUDED (nrm > 0 filter) — they have no
+    * direction, so u = x/‖x‖ would be NaN and silently poison the
+    * census; the reported n counts only the unit-normalizable rows.
     */
   def isotropy(df: DataFrame, vecCol: String): DataFrame = {
     val dec30 = DecimalType(38, 30)
@@ -198,6 +202,7 @@ object ClusterEval {
       .select(col(vecCol).as("v"))
       .withColumn("nrm",
         sqrt(expr("aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .filter(col("nrm") > 0)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
     val comps = emb
       .select(posexplode(col("u")).as(Seq("t", "ut")))
@@ -221,25 +226,6 @@ object ClusterEval {
         round(col("mean_norm"), 6).as("mean_norm"))
   }
 
-  /** Exact ROC-AUC of a ranking score against a binary label — the
-    * Mann–Whitney rank statistic with AVERAGE ranks for tied scores
-    * (the standard tie treatment, Hanley–McNeil 1982):
-    * AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻). The whole statistic
-    * stays in integers: per tie group the doubled average 1-based rank
-    * is (rmin + rmax + 2) off a 0-based global rank, so the positives'
-    * doubled rank sum S2 = Σ_g p_g·(rmin_g + rmax_g + 2) is an exact
-    * long, and AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE division of
-    * exact integers — order-free, engine-portable, no float ranking
-    * hazard. Degenerate label sides (n⁺ = 0 or n⁻ = 0) report the
-    * uninformative 0.5.
-    *
-    * Scale: the global rank comes from [[Packing.distributedRank]]
-    * (range partitions + driver prefix sum — never a one-partition
-    * window over the corpus); the tie-group table is ≤ one row per
-    * distinct score.
-    *
-    * Returns one row: (npos, nneg, n_groups, auc).
-    */
   /** Reliability diagram of a [0,1] score against a binary label —
     * the calibration audit next to [[rocAuc]]'s ranking audit (a score
     * can rank perfectly and still be mis-calibrated; threshold-based
@@ -277,6 +263,25 @@ object ClusterEval {
           .as("gap"))
   }
 
+  /** Exact ROC-AUC of a ranking score against a binary label — the
+    * Mann–Whitney rank statistic with AVERAGE ranks for tied scores
+    * (the standard tie treatment, Hanley–McNeil 1982):
+    * AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻). The whole statistic
+    * stays in integers: per tie group the doubled average 1-based rank
+    * is (rmin + rmax + 2) off a 0-based global rank, so the positives'
+    * doubled rank sum S2 = Σ_g p_g·(rmin_g + rmax_g + 2) is an exact
+    * long, and AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE division of
+    * exact integers — order-free, engine-portable, no float ranking
+    * hazard. Degenerate label sides (n⁺ = 0 or n⁻ = 0) report the
+    * uninformative 0.5.
+    *
+    * Scale: the global rank comes from [[Packing.distributedRank]]
+    * (range partitions + driver prefix sum — never a one-partition
+    * window over the corpus); the tie-group table is ≤ one row per
+    * distinct score.
+    *
+    * Returns one row: (npos, nneg, n_groups, auc).
+    */
   def rocAuc(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
     val j = df.select(
       col(scoreCol).as("sr"),

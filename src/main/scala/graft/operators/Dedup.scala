@@ -678,8 +678,12 @@ object Dedup {
     * band slices are projections of that one row, reusing the exchange);
     * each config's candidate join is banded — only same-(band, sig)
     * buckets ever meet; the ground-truth side is the same blocked
-    * inverted-index join [[jaccardPairs]] runs (at audit scale it rides
-    * [[auditSample]] like eval_dedup_blocking). Configs with
+    * inverted-index join [[jaccardPairs]] runs, restricted by `sample`
+    * through [[auditSample]] like eval_dedup_blocking — candidates are
+    * scored against truth ON THE SAMPLED SUBSET (both sides of the
+    * recall/precision ratio count only sampled-doc pairs, an unbiased
+    * estimator; `sample = 1.0`, the default, audits everything and
+    * leaves oracle rows unchanged). Configs with
     * rows-per-band = 1 are rejected: they bucket docs by a SINGLE
     * min-hash value, whose bucket sizes grow with the doc frequency of
     * common shingles — the O(f²) blow-up banding exists to prevent.
@@ -694,7 +698,8 @@ object Dedup {
       n: Int = 3,
       numPerms: Int = 16,
       bandGrid: Seq[Int] = Seq(1, 2, 4, 8),
-      tau: Double = 0.5
+      tau: Double = 0.5,
+      sample: Double = 1.0
   ): DataFrame = {
     require(bandGrid.nonEmpty, "lshBandPlan: empty band grid")
     bandGrid.foreach { b =>
@@ -720,7 +725,7 @@ object Dedup {
           col("doc_id"),
           expr(s"stack($b, $stackArgs)").as(Seq("band", "sig")))
     }.reduce(_ unionAll _)
-    val cand = sigs.as("a")
+    val candAll = sigs.as("a")
       .join(
         sigs.as("b"),
         col("a.bands") === col("b.bands") && col("a.band") === col("b.band")
@@ -731,7 +736,20 @@ object Dedup {
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"))
       .distinct()
-    val truth = jaccardPairs(df, idCol, textCol, n, tau)
+    // truth AND the scored candidate pairs both restrict to the audit
+    // sample: recall/precision stay ratios over the SAME pair universe
+    // (sample = 1.0 short-circuits — identical plan, oracle unchanged)
+    val audited = auditSample(df, idCol, sample, "bandplan")
+    val cand =
+      if (sample >= 1.0) candAll
+      else {
+        val keep = audited.select(col(idCol).cast("long").as("k"))
+          .localCheckpoint()
+        candAll
+          .join(keep.select(col("k").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(keep.select(col("k").as("doc_b")), Seq("doc_b"), "left_semi")
+      }
+    val truth = jaccardPairs(audited, idCol, textCol, n, tau)
       .select(col("doc_a"), col("doc_b"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val perCfg = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))

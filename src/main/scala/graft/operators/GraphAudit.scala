@@ -474,8 +474,11 @@ object GraphAudit {
     * vs a null model; conductance certifies the BOUNDARY is thin, the
     * property that makes a partition safe for partition-local
     * processing). Universe members missing from `comm` are singletons
-    * under their own id. All counts integer; ONE division per
-    * community row; empty-volume communities report φ = 0.
+    * under the non-colliding key −(id+1): always negative, so it can
+    * never merge into a genuine (non-negative) community label that
+    * happens to share a missing node's numeric id. All counts integer;
+    * ONE division per community row; empty-volume communities report
+    * φ = 0.
     *
     * Scale: two linear joins (edge⋈assignment, degree⋈assignment) and
     * one community-keyed aggregation — nothing pairwise.
@@ -494,7 +497,7 @@ object GraphAudit {
           col("community").cast("long").as("community")),
         Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("community"), col("id")).as("community"))
+        coalesce(col("community"), -col("id") - 1).as("community"))
     val vol = dg
       .join(cm, "id")
       .groupBy(col("community"))

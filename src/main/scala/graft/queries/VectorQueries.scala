@@ -2781,7 +2781,7 @@ object VectorQueries {
     ),
     // SCAN structural clustering (Xu et al., KDD 2007) over the shared
     // kNN graph: ε-edges by closed-neighborhood structural similarity
-    // (σ ≥ 0.7 decided in exact integers — 100·(c+2)² ≥ 49·(da+1)(db+1)),
+    // (σ ≥ 0.3 decided in exact integers — 100·(c+2)² ≥ 9·(da+1)(db+1)),
     // cores at μ=3, clusters = CC of the core-core ε-graph, borders
     // attach to their MIN adjacent core cluster (deterministic variant
     // of the paper's traversal-order choice), leftovers split hub vs
@@ -3067,7 +3067,7 @@ object VectorQueries {
                FROM e),
         un AS (SELECT id, nrm,
                       list_transform(v, x -> x / nrm) AS u
-               FROM nm),
+               FROM nm WHERE nrm > 0),
         ux AS (SELECT id, g.t AS t, u[g.t] AS ut
                FROM un, unnest(generate_series(1, len(u))) AS g(t)),
         comps AS (SELECT t, sum(ut::DECIMAL(38,30))::DOUBLE AS s

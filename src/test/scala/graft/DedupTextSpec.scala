@@ -71,6 +71,28 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("lshBandPlan sampled audit: both sides restricted to the same pair universe") {
+    val sampled = Dedup
+      .lshBandPlan(docs, "doc_id", "text", n = 3, numPerms = 16,
+        bandGrid = Seq(4, 8), tau = 0.5, sample = 0.5)
+      .orderBy(col("bands"))
+      .collect()
+    // truth on the sampled subset == jaccardPairs over auditSample(df)
+    val sub = Dedup.auditSample(docs, "doc_id", 0.5, "bandplan")
+    val nTrueSub = Dedup.jaccardPairs(sub, "doc_id", "text", 3, 0.5).count()
+    assert(sampled.forall(_.getLong(4) == nTrueSub))
+    // candidate counts restricted too: strictly fewer than the full audit
+    val full = Dedup
+      .lshBandPlan(docs, "doc_id", "text", n = 3, numPerms = 16,
+        bandGrid = Seq(4, 8), tau = 0.5)
+      .orderBy(col("bands"))
+      .collect()
+    sampled.zip(full).foreach { case (s, f) =>
+      assert(s.getLong(2) <= f.getLong(2), "sampled candidates exceed full")
+      assert(s.getLong(3) <= s.getLong(2) && s.getLong(3) <= s.getLong(4))
+    }
+  }
+
   test("dedup_threshold_curve: counts monotone non-increasing in tau; 0.5 row == dedup_jaccard") {
     val rows = SparkEntry.queries("dedup_threshold_curve")(spark, sf0001)
       .orderBy(col("tau_x10")).collect()

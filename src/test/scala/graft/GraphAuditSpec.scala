@@ -117,13 +117,25 @@ class GraphAuditSpec extends SparkSpec {
       math.rint(1.0 / 13 * 1e6) / 1e6)))
     assert(got(1L) == ((4L, 13L, 1L,
       math.rint(1.0 / 13 * 1e6) / 1e6)))
-    // node 9 absent from the assignment → its own singleton community:
-    // vol 2, both edges cross → phi = 1
+    // node 9 absent from the assignment → singleton under the
+    // non-colliding key −(9+1) = −10 (NOT its raw id, which could merge
+    // into a genuine label community): vol 2, both edges cross → phi = 1
     val partial = ((1L to 4L).map(_ -> 0L) ++ (5L to 8L).map(_ -> 1L))
       .toDF("id", "community")
     val g2 = GraphAudit.conductance(edges, ids, partial)
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
-    assert(g2(9L) == 1.0)
+    assert(g2(-10L) == 1.0)
+    assert(!g2.contains(9L))
+    // collision probe: a community genuinely LABELED 9 must not absorb
+    // the missing node 9 — label-9 community {1..4} keeps vol 13, and
+    // the singleton stays separate
+    val label9 = ((1L to 4L).map(_ -> 9L) ++ (5L to 8L).map(_ -> 1L))
+      .toDF("id", "community")
+    val g2c = GraphAudit.conductance(edges, ids, label9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g2c(9L) == ((4L, 13L)))   // labeled community: only nodes 1..4
+    assert(g2c(-10L) == ((1L, 2L))) // node 9 rides its own singleton key
     // two disconnected cliques split perfectly → phi = 0 both
     val disc = edges.filter(col("src") =!= 9L)
     val g3 = GraphAudit.conductance(disc, (1L to 8L).toDF("id"), partial)
