@@ -219,6 +219,112 @@ object HnswReplay {
   private def layerEdges(idx: LayeredIndex, l: Int): DataFrame =
     idx.edges.filter(col("layer") === l).select(col("src"), col("dst"))
 
+  /** Attribute-filtered search replay — the hnswlib filter contract
+    * ([[DistributedHnsw.searchFiltered]] / LocalGraphSearcher.rawFiltered:
+    * route THROUGH disallowed nodes, only allowed ids enter W) pinned by
+    * an oracle instead of ScalaTest gates alone. The greedy descent and
+    * the layer-0 ROUTING beam are completely unfiltered (severing
+    * disallowed waypoints would cut paths and crater recall — the whole
+    * point of the contract); the RESULT set is the union of every
+    * layer-0 round's scored candidate set (beam ∪ its neighbors — every
+    * node the walk touched), restricted to allowed ids, exact
+    * (dist, id) top-k.
+    *
+    * This is the deterministic synchronized spelling of the sequential
+    * heap contract: hnswlib admits disallowed nodes to the candidate
+    * heap C but never to W; here the rounds-bounded walk touches the
+    * same bounded region and W = allowed ∩ visited. With every id
+    * allowed it is BIT-IDENTICAL to [[searchReplay]] (a node dropped
+    * from a round's ef-cut was beaten by ef nodes that persist through
+    * later rounds, so the cumulative-visited top-k equals the final
+    * beam's top-k — spec-gated).
+    *
+    * `negate = false`: `flagIds` is an allow-list (left-semi).
+    * `negate = true`: `flagIds` is a tombstone list (left-anti) — the
+    * DELETE half: sparse deletes ship |tombstones| rows, never an
+    * N-row allow materialization.
+    */
+  def searchReplayFiltered(
+      idx: LayeredIndex,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      flagIds: DataFrame,
+      k: Int,
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int,
+      negate: Boolean = false
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    val qs = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    val cur = greedyDescent(idx, qs, greedyRounds)
+    val edges0 = layerEdges(idx, 0)
+    val vecsOf = idx.base.select(col("id").as("cid"), col("vec"))
+    var beam = cur.select(col("qid"), col("cur").as("cid"))
+    var visited: DataFrame = null
+    for (_ <- 1 to beamRounds) {
+      val expanded = beam
+        .join(edges0, col("cid") === col("src"), "left")
+        .select(col("qid"),
+          explode(array(col("cid"), col("dst"))).as("cid2"))
+        .filter(col("cid2").isNotNull)
+        .groupBy(col("qid"))
+        .agg(collect_set(col("cid2")).as("cs"))
+        .select(col("qid"), explode(col("cs")).as("cid"))
+      val scored = expanded
+        .join(qs, "qid")
+        .join(vecsOf, "cid")
+        .withColumn("d", l2SqFast(col("qv"), col("vec")))
+        .select(col("qid"), col("cid"), col("d"))
+      visited = if (visited == null) scored else visited.unionByName(scored)
+      beam = scored
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+        .filter(col("rn") <= ef)
+        .select(col("qid"), col("cid"))
+    }
+    val flags = flagIds
+      .select(col(flagIds.columns.head).cast("long").as("cid"))
+      .distinct()
+    val eligible =
+      if (negate) visited.join(flags, Seq("cid"), "left_anti")
+      else visited.join(flags, Seq("cid"), "left_semi")
+    eligible
+      // d is a pure function of (qid, cid): duplicates are identical rows
+      .dropDuplicates("qid", "cid")
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(
+        col("qid").as("query_id"),
+        col("cid").as("neighbor_id"),
+        col("d").as("dist"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Tombstone-excluding search replay — deleted ids stay routable
+    * waypoints, never results ([[DistributedHnsw.searchWithTombstones]]).
+    */
+  def searchReplayDeleted(
+      idx: LayeredIndex,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      tombstones: DataFrame,
+      k: Int,
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame =
+    searchReplayFiltered(
+      idx, queries, qidCol, qvecCol, tombstones, k, ef,
+      greedyRounds, beamRounds, negate = true)
+
   /** ADC-compressed search replay over the SAME layered artifact — the
     * reference's headline HNSW+PQ combination (PQCompression wired into
     * the search, ref: py/vector_compression.py:97-135, py/hnsw.py:191-203

@@ -160,4 +160,102 @@ class HnswReplaySpec extends SparkSpec {
     // catches collapse
     assert(recall >= 0.3, f"ADC replay recall collapsed: $recall%.4f")
   }
+
+  test("filtered replay: allow-all and empty-tombstones are bit-identical to searchReplay") {
+    val idx = HnswReplay.buildLayered(emb, "vec_id", "vec")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val base = asSet(HnswReplay
+      .searchReplay(idx, q, "query_id", "qv", k = 10, ef = 16,
+        greedyRounds = 2, beamRounds = 4))
+    val allIds = emb.select(col("vec_id"))
+    val allowAll = asSet(HnswReplay
+      .searchReplayFiltered(idx, q, "query_id", "qv", allIds,
+        k = 10, ef = 16, greedyRounds = 2, beamRounds = 4))
+    assert(allowAll == base,
+      "allow-all filtered replay diverged from the unfiltered replay")
+    val noTombs = asSet(HnswReplay
+      .searchReplayDeleted(idx, q, "query_id", "qv",
+        emb.filter(lit(false)).select(col("vec_id")),
+        k = 10, ef = 16, greedyRounds = 2, beamRounds = 4))
+    assert(noTombs == base,
+      "empty-tombstone replay diverged from the unfiltered replay")
+  }
+
+  test("filtered replay: disallowed never surface, k allowed rows per query, recall floor") {
+    val idx = HnswReplay.buildLayered(emb, "vec_id", "vec")
+    val embT = Q.t(spark, sf001, "embeddings")
+    val allowed = embT.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val allowSet = allowed.collect().map(_.getLong(0)).toSet
+    val got = HnswReplay
+      .searchReplayFiltered(idx, q, "query_id", "qv", allowed,
+        k = 10, ef = 16, greedyRounds = 2, beamRounds = 4)
+      .collect()
+    got.foreach(r => assert(allowSet.contains(r.getLong(1)),
+      s"disallowed id ${r.getLong(1)} surfaced"))
+    val perQ = got.groupBy(_.getLong(0))
+    assert(perQ.size == q.count())
+    perQ.foreach { case (qid, rs) =>
+      assert(rs.length == 10, s"query $qid returned ${rs.length} < k rows") }
+    // recall vs the exact ALLOWED-only top-10
+    val exact = BruteForceKNN
+      .knn(q,
+        emb.join(allowed, Seq("vec_id"))
+          .select(col("vec_id").as("neighbor_id"), col("vec").as("bv")), 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = exact.count().toDouble
+    val matched = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        got.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))).toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType))))
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = matched / denom
+    info(f"filtered replay recall@10 (vs allowed-only exact) = $recall%.4f")
+    assert(recall >= 0.9, f"filtered replay recall too low: $recall%.4f")
+  }
+
+  test("route-through semantics: all-nearest-disallowed still yields k allowed results") {
+    import spark.implicits._
+    // two concentric rings: the inner (nearest to the query) entirely
+    // DISALLOWED, the outer allowed — post-filtering an unfiltered top-k
+    // returns nothing, while the filter contract (route through
+    // disallowed, only allowed enter W) must surface k outer points
+    def ring(r: Double, ids: Seq[Long]): Seq[(Long, Seq[Double])] =
+      ids.zipWithIndex.map { case (id, i) =>
+        val a = 2 * math.Pi * i / ids.length
+        (id, Seq(r * math.cos(a), r * math.sin(a)))
+      }
+    val inner = ring(1.0, 1L to 20L)
+    val outer = ring(2.0, 21L to 40L)
+    val pts = (inner ++ outer).toDF("vec_id", "vec")
+    val qdf = Seq((0L, Seq(0.1, 0.0))).toDF("query_id", "qv")
+    val idx = HnswReplay.buildLayered(pts, "vec_id", "vec")
+    val unf = HnswReplay
+      .searchReplay(idx, qdf, "query_id", "qv", k = 5, ef = 16,
+        greedyRounds = 2, beamRounds = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(unf.forall(_ <= 20L), s"unfiltered top-5 not all inner: $unf")
+    val allowedOuter = (21L to 40L).toDF("vec_id")
+    val filt = HnswReplay
+      .searchReplayFiltered(idx, qdf, "query_id", "qv", allowedOuter,
+        k = 5, ef = 16, greedyRounds = 2, beamRounds = 4)
+      .collect()
+    assert(filt.length == 5, s"filtered returned ${filt.length} rows")
+    assert(filt.forall(r => r.getLong(1) >= 21L),
+      s"filtered surfaced inner ids: ${filt.map(_.getLong(1)).mkString(",")}")
+    // tombstoning the inner ring is the same walk with the flag inverted
+    val del = HnswReplay
+      .searchReplayDeleted(idx, qdf, "query_id", "qv",
+        (1L to 20L).toDF("vec_id"),
+        k = 5, ef = 16, greedyRounds = 2, beamRounds = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(del == filt.map(r => (r.getLong(1), r.getLong(3))).toSet,
+      "tombstone walk diverged from the equivalent allow-list walk")
+  }
 }
