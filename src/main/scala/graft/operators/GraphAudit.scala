@@ -288,6 +288,30 @@ object GraphAudit {
           .otherwise(lit(0.0)).as("cc"))
   }
 
+  /** [[triangleStats]] off a shared [[WedgeStats]] artifact: tri(v) =
+    * Σ_{u∈N(v)} c(v,u) / 2 — a triangle at v is counted once by EACH of
+    * its two v-incident edges, so the halved incident-edge support sum
+    * (always even) is the exact per-node triangle count. Identical
+    * output to the orientation-based build without re-paying a wedge
+    * join; GraphAuditSpec gates the equality.
+    */
+  def triangleStats(stats: WedgeStats): DataFrame = {
+    val perNode = stats.cn
+      .select(explode(array(col("a"), col("b"))).as("id"), col("c"))
+      .groupBy(col("id"))
+      .agg((sum(col("c")) / 2).cast("long").as("tri"))
+    stats.dg
+      .join(perNode, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
   /** Coreness by the h-index fixpoint (Lü et al., Nature Comms 2016):
     * c₀(v) = deg(v); c_{t+1}(v) = H{c_t(u) : u ∈ N(v)} where H is the
     * h-index (largest h with ≥ h neighbor values ≥ h). The sequence is
@@ -487,11 +511,24 @@ object GraphAudit {
       edges: DataFrame,
       ids: DataFrame,
       comm: DataFrame // (id, community)
+  ): DataFrame =
+    conductanceFrom(und(edges).localCheckpoint(), degrees(edges, ids), comm)
+
+  /** [[conductance]] off a shared [[WedgeStats]] artifact (only the
+    * undirected view + degrees are read — conductance never intersects
+    * neighborhoods, but the family shares ONE materialization of the
+    * graph it audits).
+    */
+  def conductance(stats: WedgeStats, comm: DataFrame): DataFrame =
+    conductanceFrom(stats.u, stats.dg, comm)
+
+  private def conductanceFrom(
+      u: DataFrame,
+      dg: DataFrame,
+      comm: DataFrame
   ): DataFrame = {
-    val u = und(edges).localCheckpoint()
-    val dg = degrees(edges, ids)
-    val cm = ids
-      .select(col("id").cast("long").as("id"))
+    val cm = dg
+      .select(col("id"))
       .join(
         comm.select(col("id").cast("long").as("id"),
           col("community").cast("long").as("community")),
@@ -556,9 +593,28 @@ object GraphAudit {
       epsSqNum: Long = 49L,
       epsSqDen: Long = 100L,
       mu: Int = 3
-  ): DataFrame = {
-    require(epsSqNum > 0 && epsSqDen >= epsSqNum, "scan: need 0 < eps^2 <= 1")
-    require(mu >= 2, s"scan: mu must be >= 2, got $mu")
+  ): DataFrame =
+    scan(wedgeStats(edges, ids), epsSqNum, epsSqDen, mu)
+
+  /** The SCAN/triangle tier's shared wedge artifact over ONE graph: the
+    * undirected edge list, the universe degree table, and the per-edge
+    * shared-open-neighbor count with endpoint degrees. The wedge join
+    * that produces `cn` is the tier's dominant shuffle, and every
+    * structural-similarity decision — σ ≥ ε at ANY ε, per-edge triangle
+    * support, per-node triangle counts — is a FILTER or a linear
+    * aggregation over these counts, so the family computes this once
+    * (localCheckpoint-materialized) and shares it (the memoized-cut-table
+    * discipline): knn_graph_scan, the 3-ε scan curve, eval_scan_agreement
+    * and knn_graph_triangles all read the same artifact instead of each
+    * re-paying the wedge shuffle.
+    */
+  final case class WedgeStats(
+      u: DataFrame, // (a, b) undirected, a < b, deduped
+      dg: DataFrame, // (id, deg) over the universe, isolated nodes deg 0
+      cn: DataFrame // (a, b, c, da, db): c = |N(a) ∩ N(b)| open neighbors
+  )
+
+  def wedgeStats(edges: DataFrame, ids: DataFrame): WedgeStats = {
     val u = und(edges).localCheckpoint()
     val ub = u.select(col("a").as("id"), col("b").as("nb"))
       .unionAll(u.select(col("b").as("id"), col("a").as("nb")))
@@ -568,16 +624,37 @@ object GraphAudit {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
     // shared open neighbors per undirected edge: one equi-keyed wedge join
-    val cn = u
+    val cnRaw = u
       .join(ub.select(col("id").as("a"), col("nb").as("w")), Seq("a"))
       .join(ub.select(col("id").as("b"), col("nb").as("w")), Seq("b", "w"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val eps = u
+    val cn = u
       .join(dg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(dg.select(col("id").as("b"), col("deg").as("db")), "b")
-      .join(cn, Seq("a", "b"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(cnRaw, Seq("a", "b"), "left")
+      .select(
+        col("a"), col("b"), coalesce(col("c"), lit(0L)).as("c"),
+        col("da"), col("db"))
+      .localCheckpoint()
+    WedgeStats(u, dg, cn)
+  }
+
+  /** SCAN over a prebuilt [[WedgeStats]] artifact — the ε/μ decision is a
+    * pure integer filter over the shared counts.
+    */
+  def scan(
+      stats: WedgeStats,
+      epsSqNum: Long,
+      epsSqDen: Long,
+      mu: Int
+  ): DataFrame = {
+    require(epsSqNum > 0 && epsSqDen >= epsSqNum, "scan: need 0 < eps^2 <= 1")
+    require(mu >= 2, s"scan: mu must be >= 2, got $mu")
+    val ub = stats.u.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(stats.u.select(col("b").as("id"), col("a").as("nb")))
+    val dg = stats.dg
+    val eps = stats.cn
       .filter(
         lit(epsSqDen) * (col("c") + 2) * (col("c") + 2)
           >= lit(epsSqNum) * (col("da") + 1) * (col("db") + 1))

@@ -428,6 +428,26 @@ object VectorQueries {
           alpha = 1.2, maxDegree = 8)
         .localCheckpoint())
 
+  private val wedgeCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.GraphAudit.WedgeStats]
+
+  /** The SCAN/triangle tier's shared wedge artifact over the shared kNN
+    * graph (per-edge common-neighbor counts + degrees), computed once per
+    * sf dir: knn_graph_scan, the 3-ε scan curve, eval_scan_agreement and
+    * knn_graph_triangles are all filters/linear aggregations over these
+    * counts, so the family pays the wedge shuffle ONCE (the sharedGraph
+    * discipline applied to the tier's dominant join).
+    */
+  private def sharedWedge(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): graft.operators.GraphAudit.WedgeStats =
+    wedgeCache.getOrElseUpdate(
+      dir,
+      graft.operators.GraphAudit.wedgeStats(
+        sharedGraph(spark, dir),
+        t(spark, dir, "embeddings").select(col("vec_id").cast("long").as("id"))))
+
   private val pcaModelCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pca.PcaModel]
 
@@ -937,6 +957,7 @@ object VectorQueries {
         // the shared artifacts, rebuild, re-memoize
         graphCache.remove(dir)
         prunedCache.remove(dir)
+        wedgeCache.remove(dir) // derives from the graph
         sharedGraph(spark, dir)
           .select(
             col("src"), col("dst"),
@@ -2723,10 +2744,8 @@ object VectorQueries {
     GQuery(
       "knn_graph_triangles",
       (spark, dir) => {
-        val ids = t(spark, dir, "embeddings")
-          .select(col("vec_id").cast("long").as("id"))
         graft.operators.GraphAudit
-          .triangleStats(sharedGraph(spark, dir), ids)
+          .triangleStats(sharedWedge(spark, dir))
           .select(
             col("id").as("vec_id"), col("deg"), col("tri"),
             round(col("cc"), 6).as("cc"))
@@ -2792,10 +2811,8 @@ object VectorQueries {
     GQuery(
       "knn_graph_scan",
       (spark, dir) => {
-        val ids = t(spark, dir, "embeddings")
-          .select(col("vec_id").cast("long").as("id"))
         graft.operators.GraphAudit
-          .scan(sharedGraph(spark, dir), ids,
+          .scan(sharedWedge(spark, dir),
             epsSqNum = 9L, epsSqDen = 100L, mu = 3)
           .select(col("id").as("vec_id"), col("deg"), col("role"),
             col("cluster"))
@@ -2828,13 +2845,12 @@ object VectorQueries {
     GQuery(
       "knn_graph_scan_curve",
       (spark, dir) => {
-        val ids = t(spark, dir, "embeddings")
-          .select(col("vec_id").cast("long").as("id"))
+        // ONE wedge artifact; each ε is a pure integer filter over it
+        val stats = sharedWedge(spark, dir)
         Seq(4L, 9L, 16L)
           .map { num =>
             graft.operators.GraphAudit
-              .scan(sharedGraph(spark, dir), ids,
-                epsSqNum = num, epsSqDen = 100L, mu = 3)
+              .scan(stats, epsSqNum = num, epsSqDen = 100L, mu = 3)
               .agg(
                 sum(when(col("role") === "core", 1L).otherwise(0L))
                   .as("n_core"),
@@ -2941,9 +2957,8 @@ object VectorQueries {
       "eval_scan_agreement",
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
-        val ids = emb.select(col("vec_id").cast("long").as("id"))
         val assign = graft.operators.GraphAudit
-          .scan(sharedGraph(spark, dir), ids,
+          .scan(sharedWedge(spark, dir),
             epsSqNum = 9L, epsSqDen = 100L, mu = 3)
           .select(col("id"),
             coalesce(col("cluster"), col("id")).as("cluster"))
@@ -3009,12 +3024,11 @@ object VectorQueries {
       "knn_graph_conductance",
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
-        val ids = emb.select(col("vec_id").cast("long").as("id"))
         val comm = emb.select(
           col("vec_id").cast("long").as("id"),
           col("label").cast("long").as("community"))
         graft.operators.GraphAudit
-          .conductance(sharedGraph(spark, dir), ids, comm)
+          .conductance(sharedWedge(spark, dir), comm)
       },
       Some(s"""
         WITH $graphCtes,

@@ -143,6 +143,25 @@ class GraphAuditSpec extends SparkSpec {
     assert(g3(0L) == 0.0 && g3(1L) == 0.0)
   }
 
+  test("wedge-artifact reuse: scan / triangles / conductance off WedgeStats equal the direct builds") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (9L, 1L), (9L, 5L)).toDF("src", "dst")
+    val ids = (1L to 10L).toDF("id") // 10 isolated: deg 0 must survive
+    val stats = GraphAudit.wedgeStats(edges, ids)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphAudit.scan(stats, 9L, 100L, 3)) ==
+      rows(GraphAudit.scan(edges, ids, 9L, 100L, 3)))
+    assert(rows(GraphAudit.triangleStats(stats)) ==
+      rows(GraphAudit.triangleStats(edges, ids)))
+    val comm = ((1L to 4L).map(_ -> 0L) ++ (5L to 8L).map(_ -> 1L))
+      .toDF("id", "community")
+    assert(rows(GraphAudit.conductance(stats, comm)) ==
+      rows(GraphAudit.conductance(edges, ids, comm)))
+  }
+
   test("triangles: direction/duplication of the input edge list is irrelevant") {
     val doubled = k4Edges.unionAll(
       k4Edges.select(col("dst").as("src"), col("src").as("dst")))
