@@ -497,6 +497,57 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming SCAN role census — knn_graph_scan ONLINE, the structural
+    * half of the graph tier's streaming symmetry: each trigger appends
+    * the arriving (src, dst) edges to the edge store and re-runs the
+    * full role census ([[graft.operators.GraphAudit.scan]]) over the
+    * accumulated graph, overwriting `outPath` with the current
+    * (id, deg, role, cluster) table. Every σ ≥ ε decision is an exact
+    * integer function of the edge SET alone (no RNG, no state beyond the
+    * store), so the census after any wave split is bit-equal to the
+    * batch scan over the union — re-delivery is idempotent and
+    * StreamingSpec pins the two-wave equality. Universe = the endpoint
+    * set of the accumulated edges (arrivals define the graph, the
+    * maintained-sink convention).
+    *
+    * Scale: the per-trigger recompute is the batch operator itself
+    * (wedge join + linear joins over the store) — the declared
+    * maintenance cadence is the micro-batch, matching the other
+    * maintained-artifact sinks (kNN graph, IVF); between triggers the
+    * census is a standing parquet artifact.
+    */
+  def scanCensusSink(
+      stream: DataFrame, // (src, dst) arriving edges
+      epsSqNum: Long,
+      epsSqDen: Long,
+      mu: Int,
+      storePath: String,
+      outPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .select(
+            col(batch.columns.head).cast("long").as("src"),
+            col(batch.columns(1)).cast("long").as("dst"))
+          .localCheckpoint()
+        if (!b.isEmpty) {
+          b.write.mode("append").parquet(storePath)
+          val edges = spark.read.parquet(storePath)
+          val ids = edges.select(col("src").as("id"))
+            .unionAll(edges.select(col("dst").as("id")))
+            .distinct()
+          val census = graft.operators.GraphAudit
+            .scan(edges, ids, epsSqNum, epsSqDen, mu)
+            .localCheckpoint() // materialize before overwriting inputs
+          census.write.mode("overwrite").parquet(outPath)
+        }
+      }
+      .start()
+
   def vectorAppendSink(
       stream: DataFrame,
       idCol: String,

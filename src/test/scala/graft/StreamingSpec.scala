@@ -192,6 +192,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == starts.count() * 6, s"expected full trajectories, got ${got.size}")
   }
 
+  test("scan-census sink: two-wave edge stream == one batch scan, bit-equal") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{GraphAudit, NNDescent}
+    val srcDir = Files.createTempDirectory("scsrc").toString
+    val store = Files.createTempDirectory("scstore").toString + "/edges"
+    val outDir = Files.createTempDirectory("scout").toString + "/census"
+    val ckpt = Files.createTempDirectory("scckpt").toString
+    val emb = Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val edges = NNDescent.knnGraph(emb, "id", "vec", k = 10, iterations = 2)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    // edges arrive in two waves (split by source id)
+    edges.filter(col("src") < 250).write.parquet(s"$srcDir/w1")
+    edges.filter(col("src") >= 250).write.parquet(s"$srcDir/w2")
+    val stream = spark.readStream
+      .schema("src LONG, dst LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = StreamingOps.scanCensusSink(
+      stream, epsSqNum = 9L, epsSqDen = 100L, mu = 3, store, outDir, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val got = asSet(spark.read.parquet(outDir)
+      .select(col("id"), col("deg"), col("role"), col("cluster")))
+    val ids = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    val want = asSet(GraphAudit.scan(edges, ids, 9L, 100L, 3))
+    assert(got == want,
+      s"stream/batch scan divergence: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+  }
+
   test("incremental kNN-graph sink: two-wave recall within delta of the batch build") {
     import graft.functions.VectorFunctions._
     import graft.operators.{BruteForceKNN, NNDescent}
