@@ -274,11 +274,16 @@ object HnswReplay {
         .groupBy(col("qid"))
         .agg(collect_set(col("cid2")).as("cs"))
         .select(col("qid"), explode(col("cs")).as("cid"))
+      // materialized per round: BOTH the next beam and the cumulative
+      // visited union read this frame — without the checkpoint the
+      // union's branches each re-execute the full prior-round lineage
+      // (no cross-branch CSE), an O(rounds²) recompute
       val scored = expanded
         .join(qs, "qid")
         .join(vecsOf, "cid")
         .withColumn("d", l2SqFast(col("qv"), col("vec")))
         .select(col("qid"), col("cid"), col("d"))
+        .localCheckpoint()
       visited = if (visited == null) scored else visited.unionByName(scored)
       beam = scored
         .withColumn("rn",
