@@ -30,7 +30,14 @@ object RecallEval {
     * mean over this table is the corpus recall.
     */
   def recallAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
-    val hits = approx
+    // materialized once: `approx` is referenced by BOTH the hit join and
+    // the query-universe distinct, and its upstream is typically an
+    // expensive search plan that would re-execute per branch (no
+    // cross-branch CSE) — the rankMetrics discipline
+    val a0 = approx
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .localCheckpoint()
+    val hits = a0
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
       .join(
@@ -39,7 +46,7 @@ object RecallEval {
       )
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
-    approx
+    a0
       .select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")
       .select(
@@ -67,10 +74,17 @@ object RecallEval {
     */
   def rankMetrics(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // materialized once: both rankings are <= |Q|*k rows but their
+    // UPSTREAM plans (an ANN search, an exact kNN) are expensive, and
+    // this function references `a` twice and `t` three times — without
+    // the checkpoint each branch re-executes the full search (no
+    // cross-branch CSE), tripling the metric's cost
     val a = approx.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .localCheckpoint()
     val t = truth.filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("trnk"))
+      .localCheckpoint()
     // MRR: where does the truth's top-1 item land in the approx ranking?
     val rr = t.filter(col("trnk") === 1)
       .join(a, Seq("query_id", "neighbor_id"), "left")
