@@ -1491,8 +1491,14 @@ object Dedup {
   private[graft] def connectedComponentsDistributed(
       e0: DataFrame // (src long, dst long)
   ): DataFrame = {
-    val edges = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the input ONCE: the symmetrization references e0 in
+    // both union branches, and e0's upstream is typically an expensive
+    // pair generator (a banded similarity join) that would re-execute
+    // per branch — the rankMetrics discipline, half the size of the
+    // already-checkpointed symmetric edge table
+    val base = e0.localCheckpoint()
+    val edges = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges
