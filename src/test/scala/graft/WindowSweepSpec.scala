@@ -72,6 +72,47 @@ class WindowSweepSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  /** Queries whose plan legitimately contains a CartesianProductExec:
+    * each entry documents WHY the product is bounded (an audit-scale
+    * contract or a constant-size side). Growing this list must be a
+    * conscious act.
+    */
+  private val cartesianAllowed: Map[String, String] = Map.empty
+
+  test("no query plans a CartesianProduct join (all-pairs must stay blocked)") {
+    // the all-pairs analog of the window sweep: PlanSpec pins
+    // no-cartesian on representative plans; this closes the CLASS.
+    // BroadcastNestedLoopJoin is NOT flagged — the engine uses it
+    // deliberately for 1-row stats crossJoins and broadcast-query kNN,
+    // where the broadcast side is bounded by contract.
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, f) =>
+          if (cartesianAllowed.contains(name)) Nil
+          else {
+            val found =
+              try {
+                val plan = f(spark, sf0001).queryExecution.executedPlan
+                def sweep(p: SparkPlan): Seq[String] = {
+                  val here = p.collect {
+                    case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+                      c.simpleString(120)
+                  }
+                  here ++ p.collect { case q => q }
+                    .flatMap(_.subqueries).flatMap(sweep)
+                }
+                sweep(plan)
+              } catch { case e: Throwable => Seq(s"planning failed: $e") }
+            found.map(v => s"$name: $v")
+          }
+      }
+      assert(bad.isEmpty,
+        s"cartesian products planned:\n${bad.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no query plans an unpartitioned window over an unlimited input") {
     // AQE off so the physical tree is directly traversable (no
     // AdaptiveSparkPlanExec wrapper hiding the real operators)
