@@ -256,10 +256,44 @@ object HnswReplay {
       beamRounds: Int,
       negate: Boolean = false
   ): DataFrame = {
-    import graft.functions.VectorExpressions.l2SqFast
     require(k <= ef, s"k=$k must be <= ef=$ef")
     val qs = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    val visited = visitedLayer0(idx, qs, ef, greedyRounds, beamRounds)
+    val flags = flagIds
+      .select(col(flagIds.columns.head).cast("long").as("cid"))
+      .distinct()
+    val eligible =
+      if (negate) visited.join(flags, Seq("cid"), "left_anti")
+      else visited.join(flags, Seq("cid"), "left_semi")
+    eligible
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(
+        col("qid").as("query_id"),
+        col("cid").as("neighbor_id"),
+        col("d").as("dist"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Every node the layer-0 walk touches, with its exact distance:
+    * the union of each round's scored candidate set (beam ∪ its
+    * neighbors), deduped — the eligible set W of the filter contract.
+    * The routing beam inside is UNFILTERED by construction; one walk
+    * serves ANY number of downstream allow-list cuts (the filtered
+    * search, the tombstone search, the selectivity curve). Returns
+    * (qid, cid, d), d a pure function of (qid, cid).
+    */
+  def visitedLayer0(
+      idx: LayeredIndex,
+      qs: DataFrame, // (qid, qv)
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    import graft.functions.VectorExpressions.l2SqFast
     val cur = greedyDescent(idx, qs, greedyRounds)
     val edges0 = layerEdges(idx, 0)
     val vecsOf = idx.base.select(col("id").as("cid"), col("vec"))
@@ -292,24 +326,8 @@ object HnswReplay {
         .filter(col("rn") <= ef)
         .select(col("qid"), col("cid"))
     }
-    val flags = flagIds
-      .select(col(flagIds.columns.head).cast("long").as("cid"))
-      .distinct()
-    val eligible =
-      if (negate) visited.join(flags, Seq("cid"), "left_anti")
-      else visited.join(flags, Seq("cid"), "left_semi")
-    eligible
-      // d is a pure function of (qid, cid): duplicates are identical rows
-      .dropDuplicates("qid", "cid")
-      .withColumn("rnk",
-        row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
-      .filter(col("rnk") <= k)
-      .select(
-        col("qid").as("query_id"),
-        col("cid").as("neighbor_id"),
-        col("d").as("dist"),
-        col("rnk").cast("long").as("rnk"))
+    // d is a pure function of (qid, cid): duplicates are identical rows
+    visited.dropDuplicates("qid", "cid")
   }
 
   /** Tombstone-excluding search replay — deleted ids stay routable

@@ -691,6 +691,122 @@ object HnswQueries {
                round(dist, 4) AS dist, rnk
         FROM fin WHERE rnk <= $K
         """)
+    ),
+    // SELECTIVITY-vs-recall operating curve for filtered ANN — the
+    // tuning table the filter contract needs before freezing ef for a
+    // filtered serving tier (the tighter the predicate, the fewer
+    // allowed nodes the fixed-budget walk touches; this measures how
+    // recall@10 degrades as the allow-fraction shrinks). The walk runs
+    // ONCE (the visited set is allow-independent — routing is
+    // unfiltered by contract); each selectivity p ∈ {25, 50, 75}%
+    // (md5-coin allow-list, engine-portable) is a pure cut of the SAME
+    // visited set, scored against the exact allowed-only kNN. Mean
+    // recall decimal-routed; the 9th measured knob curve and the first
+    // over the filter contract.
+    GQuery(
+      "hnsw_replay_filter_curve",
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val q20 = emb
+          .filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+        val idx = replayCache.getOrElseUpdate(
+          dir, HnswReplay.buildLayered(emb, "vec_id", "vec"))
+        val vis = HnswReplay
+          .visitedLayer0(
+            idx,
+            q20.select(col("query_id").as("qid"), col("qv")),
+            ef = 16, greedyRounds = 2, beamRounds = 4)
+          .localCheckpoint()
+        val nq = q20.select(col("query_id")).distinct()
+        Seq(25L, 50L, 75L).map { pct =>
+          val allow = emb
+            .filter(
+              graft.operators.Dedup.md5Long(
+                concat_ws(":", lit("fsel"), col("vec_id").cast("string")))
+                % 100 < pct)
+            .select(col("vec_id"))
+          val fin = vis
+            .join(allow.select(col("vec_id").as("cid")), Seq("cid"), "left_semi")
+            .withColumn("rnk",
+              org.apache.spark.sql.functions.row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("qid"))
+                  .orderBy(col("d"), col("cid"))))
+            .filter(col("rnk") <= K)
+            .select(col("qid").as("query_id"), col("cid").as("neighbor_id"))
+          val exact = BruteForceKNN
+            .knn(
+              q20,
+              emb.join(allow, Seq("vec_id"))
+                .select(col("vec_id").as("neighbor_id"), col("vec").as("bv")),
+              K)
+            .select(col("query_id"), col("neighbor_id"))
+          val hits = fin
+            .join(exact, Seq("query_id", "neighbor_id"))
+            .groupBy(col("query_id"))
+            .agg(count(lit(1)).as("c"))
+          nq.join(hits, Seq("query_id"), "left")
+            .withColumn("recall",
+              coalesce(col("c"), lit(0L)) / lit(K.toDouble))
+            .agg(
+              count(lit(1)).as("n_queries"),
+              davg(col("recall")).as("mean_recall"))
+            .withColumn("allow_pct", lit(pct))
+        }
+          .reduce(_ unionByName _)
+          .select(
+            col("allow_pct"), col("n_queries"),
+            round(col("mean_recall"), 6).as("mean_recall"))
+      },
+      Some {
+        val md5Allow =
+          "(('0x' || substr(md5('fsel:' || id::VARCHAR), 1, 14))::BIGINT % 100)"
+        val perPct = Seq(25, 50, 75).map { p =>
+          s"""
+        alw$p AS MATERIALIZED (SELECT id FROM e WHERE $md5Allow < $p),
+        fin$p AS (
+          SELECT qid, cid FROM (
+            SELECT v.qid, v.cid,
+                   row_number() OVER (PARTITION BY v.qid
+                                      ORDER BY ${sqlL2Sq("qq.qv", "ee.v")}, v.cid)
+                     AS rnk
+            FROM vis v
+            JOIN alw$p a ON a.id = v.cid
+            JOIN e ee ON ee.id = v.cid
+            JOIN q qq ON qq.qid = v.qid)
+          WHERE rnk <= $K),
+        ex$p AS (
+          SELECT qid, id FROM (
+            SELECT q.qid, eb.id,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY ${sqlL2Sq("q.qv", "eb.v")}, eb.id)
+                     AS rn
+            FROM q CROSS JOIN (SELECT e.id, e.v FROM e
+                               JOIN alw$p a ON a.id = e.id) eb)
+          WHERE rn <= $K),
+        hit$p AS (SELECT f.qid, count(*)::BIGINT AS c
+                  FROM fin$p f JOIN ex$p x
+                    ON x.qid = f.qid AND x.id = f.cid
+                  GROUP BY f.qid),
+        per$p AS (SELECT d.qid, coalesce(c, 0) / $K.0 AS recall
+                  FROM (SELECT DISTINCT qid FROM q) d
+                  LEFT JOIN hit$p h ON h.qid = d.qid),
+        cen$p AS (SELECT $p::BIGINT AS allow_pct,
+                         count(*)::BIGINT AS n_queries,
+                         round(${sqlAvg("recall")}, 6) AS mean_recall
+                  FROM per$p)"""
+        }.mkString(",")
+        s"""
+        WITH
+        ${replayGraphCtes("id % 20 = 0")},
+        ${replayBeamVisCtes(16)},
+        $perPct
+        SELECT * FROM cen25 UNION ALL SELECT * FROM cen50
+        UNION ALL SELECT * FROM cen75
+        """
+      }
     )
   )
 

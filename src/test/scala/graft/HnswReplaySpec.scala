@@ -219,6 +219,21 @@ class HnswReplaySpec extends SparkSpec {
     assert(recall >= 0.9, f"filtered replay recall too low: $recall%.4f")
   }
 
+  test("filter curve: recall monotone non-decreasing in allow-fraction, query universe complete") {
+    val rows = SparkEntry.queries("hnsw_replay_filter_curve")(spark, sf001)
+      .orderBy(col("allow_pct"))
+      .collect()
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"recall not monotone in selectivity: ${recalls.mkString(",")}")
+    // every selectivity row scores the full query set (zero-eligible
+    // queries count as recall 0, never dropped)
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    // the loosest setting should be near the unfiltered replay's recall
+    assert(recalls.last >= 0.9, s"75% allow recall too low: ${recalls.last}")
+  }
+
   test("route-through semantics: all-nearest-disallowed still yields k allowed results") {
     import spark.implicits._
     // two concentric rings: the inner (nearest to the query) entirely
