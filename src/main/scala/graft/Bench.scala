@@ -20,9 +20,42 @@ import org.apache.spark.sql.SparkSession
   *     (immutable index tables per sf dir): hnsw_build measures its cold
   *     construction (it clears the memo and rebuilds every rep), and the
   *     remaining hnsw_* entries measure search/aggregation over the
-  *     prebuilt index — the realistic serving split.
+  *     prebuilt index — the realistic serving split;
+  *   - per-query telemetry (GC ms, shuffle spill bytes, peak execution
+  *     memory, task count, min/max rep seconds) rides along in the full
+  *     JSON so a transient excursion carries its mechanism with it.
   */
 object Bench {
+
+  /** Per-query resource telemetry (r13 verdict item #2): executor GC
+    * time, shuffle spill (memory + disk bytes) and peak execution memory,
+    * accumulated from task-end events. A transient excursion like the
+    * r13 dedup_tfidf_pairs 97 s middle run is indistinguishable from a
+    * code regression without these — a GC/spill signature names the
+    * mechanism, a flat signature rules the code out.
+    */
+  private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val gcMs        = new AtomicLong()
+    val spillMem    = new AtomicLong()
+    val spillDisk   = new AtomicLong()
+    val peakExecMem = new AtomicLong()
+    val tasks       = new AtomicLong()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        peakExecMem.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+        tasks.incrementAndGet()
+      }
+    }
+    def reset(): Unit = {
+      gcMs.set(0); spillMem.set(0); spillDisk.set(0); peakExecMem.set(0); tasks.set(0)
+    }
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -63,12 +96,21 @@ object Bench {
         catch { case _: Throwable => () } // warmup only; failures re-surface in the timed pass
       }
     }
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val telemetry = scala.collection.mutable.LinkedHashMap[String, String]()
+    val tl = new Telemetry
+    spark.sparkContext.addSparkListener(tl)
+    def drain(): Unit =
+      try org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () } // telemetry is best-effort, never fails the bench
     names.foreach { name =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
       var failed: Option[Throwable] = None
       var rep = 0
+      drain(); tl.reset()
       while (rep < reps && failed.isEmpty) {
         val t0 = System.nanoTime()
         try {
@@ -77,11 +119,19 @@ object Bench {
         } catch { case t: Throwable => failed = Some(t) }
         rep += 1
       }
+      drain()
       failed match {
         case Some(t) =>
           errors(name) = s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("").take(200)}"
         case None =>
           timings(name) = median(runs.toSeq)
+          // accumulated over all reps of THIS query (counters reset above);
+          // max_s exposes the excursion a median hides
+          telemetry(name) =
+            s"""{"gc_ms":${tl.gcMs.get},"spill_mem_bytes":${tl.spillMem.get},""" +
+              s""""spill_disk_bytes":${tl.spillDisk.get},""" +
+              s""""peak_exec_mem_bytes":${tl.peakExecMem.get},"tasks":${tl.tasks.get},""" +
+              s""""max_s":${fmt(runs.max)},"min_s":${fmt(runs.min)}}"""
       }
       // between-query hygiene, outside every timed region: driver GC lets
       // the ContextCleaner release dangling localCheckpoint/broadcast
@@ -89,14 +139,13 @@ object Bench {
       // under the accumulated block-manager pressure of earlier ones
       System.gc()
     }
-    def fmt(v: Double): String =
-      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
+    val ts = telemetry.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // null total when anything failed: a crash must never read as a speedup
     val total = if (errors.nonEmpty) "null" else fmt(timings.values.sum)
     val fullLine =
-      s"""{"metric":"total","unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir","value":$total}"""
+      s"""{"metric":"total","unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"telemetry":$ts,"sf":"$sfDir","value":$total}"""
     // The full per-query line (135 entries, ~4.5 KB) cannot fit the round
     // driver's 2000-char output snapshot, so it goes to stdout early (for
     // the full log) and to a file, and the LAST printed line is a compact
@@ -105,9 +154,14 @@ object Bench {
     // tail is bounded above by the smallest listed timing, so nothing
     // grading-relevant is lost).
     println(fullLine)
+    // bench hygiene (r13 verdict item #7): default to an UNTRACKED file so
+    // ad-hoc/driver runs can never overwrite the curated in-tree quiet
+    // record (bench_full.json, committed deliberately). Point
+    // SPARK_GRAFT_BENCH_OUT at bench_full.json only when refreshing it.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
+        java.nio.file.Paths.get(outFile),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // best-effort artifact
     spark.stop()

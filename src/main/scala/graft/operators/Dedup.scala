@@ -743,7 +743,11 @@ object Dedup {
     val cand =
       if (sample >= 1.0) candAll
       else {
-        val keep = audited.select(col(idCol).cast("long").as("k"))
+        // keep the original idCol type: casting to long would make the
+        // semi-joins below cast-compare against doc_a/doc_b (which carry
+        // the uncast id from sigs) and, for non-numeric string ids, null
+        // out and silently drop every candidate
+        val keep = audited.select(col(idCol).as("k"))
           .localCheckpoint()
         candAll
           .join(keep.select(col("k").as("doc_a")), Seq("doc_a"), "left_semi")

@@ -292,6 +292,78 @@ object DistributedHnsw {
     searchQueryRdd(shards, queryRdd, qidCol, k, efSearch, compression)
   }
 
+  /** Operating-curve search: ONE shard cogroup (one adjacency rebuild,
+    * one upper-layer descent per query) serving EVERY efSearch setting —
+    * the per-ef work is only the layer-0 beam. A curve that calls
+    * [[search]] per setting pays the searcher assembly and the
+    * ef-independent descent × |efs| for identical routing (the r13
+    * hnsw_ef_curve cost). Each ef slice is bit-equal to [[search]] at
+    * that ef (spec-gated). Returns (ef, query_id, neighbor_id, dist,
+    * rnk) with the same bounded-heap global top-k merge, keyed per
+    * (ef, query).
+    */
+  def searchEfCurve(
+      shards: Shards,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      efs: Seq[Int],
+      compression: Option[VectorCompression] = None
+  ): DataFrame = {
+    val spark = shards.vectors.sparkSession
+    import spark.implicits._
+    val nShards = shards.numShards
+    val params = shards.params
+    val efArr = efs.toArray
+    val queryRdd = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .rdd.flatMap { case (id, v) =>
+        (0 until nShards).iterator.map(s => (s, (id, v)))
+      }
+    val edgeRdd = shards.edges
+      .as[(Int, Int, Long, Long)]
+      .rdd.map { case (s, l, a, b) => (s, (l, a, b)) }
+    val entryRdd = shards.entries
+      .as[(Int, Long, Int)]
+      .rdd.map { case (s, ep, h) => (s, (ep, h)) }
+    val raw = (compression match {
+      case Some(c) =>
+        val codeRdd = shards.codes.getOrElse(shardCodes(shards.vectors, c))
+          .select(col("shard"), col("id"), col("code"))
+          .as[(Int, Long, Seq[Short])]
+          .rdd.map { case (s, id, cd) => (s, (id, cd)) }
+        searchShardsMulti[Seq[Short]](
+          codeRdd, edgeRdd, entryRdd, queryRdd, k, efArr,
+          (codes, height) => LocalGraphSearcher.compressed(
+            codes.map(_.toArray), height, params, c)
+        )
+      case None =>
+        val vecRdd = shards.vectors
+          .select(col("shard"), col("id"), col("vec"))
+          .as[(Int, Long, Seq[Double])]
+          .rdd.map { case (s, id, v) => (s, (id, v)) }
+        searchShardsMulti[Seq[Double]](
+          vecRdd, edgeRdd, entryRdd, queryRdd, k, efArr,
+          (vecs, height) => LocalGraphSearcher.raw(
+            vecs.map(_.toArray), height, params)
+        )
+    }).toDF("ef", "query_id", "neighbor_id", "dist")
+    raw
+      .groupBy(col("ef"), col("query_id"))
+      .agg(topK(col("dist"), col("neighbor_id"), k).as("tk"))
+      .select(col("ef"), col("query_id"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("ef").cast("long").as("ef"),
+        col("query_id").as(qidCol),
+        col("e.id").as("neighbor_id"),
+        col("e.dist").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk")
+      )
+  }
+
   /** Routed search over a [[buildClustered]] index: each query visits
     * only its `nProbeShards` nearest shards (by shard centroid — the same
     * probe selection as [[IvfIndex.probeCells]]), cutting per-query work
@@ -602,6 +674,39 @@ object DistributedHnsw {
           }
         }
       }
+
+  /** [[searchShards]] for a whole ef curve: identical shard assembly (one
+    * sort, one adjacency rebuild), one descent per query shared across
+    * every ef via [[LocalGraphSearcher.searchMulti]]. */
+  private def searchShardsMulti[V: scala.reflect.ClassTag](
+      base: org.apache.spark.rdd.RDD[(Int, (Long, V))],
+      edges: org.apache.spark.rdd.RDD[(Int, (Int, Long, Long))],
+      entries: org.apache.spark.rdd.RDD[(Int, (Long, Int))],
+      queries: org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double]))],
+      k: Int,
+      efs: Array[Int],
+      mkSearcher: (Array[V], Int) => LocalGraphSearcher
+  ): org.apache.spark.rdd.RDD[(Int, Long, Long, Double)] =
+    base.cogroup(edges, entries, queries)
+      .flatMap { case (_, (nodes, es, ens, qs)) =>
+        if (nodes.isEmpty || ens.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val sorted = nodes.toArray.sortBy(_._1)
+          val ids = sorted.map(_._1)
+          val localOf = ids.zipWithIndex.toMap
+          val (ep, height) = ens.head
+          val searcher = mkSearcher(sorted.map(_._2), height)
+          es.foreach { case (l, a, b) =>
+            searcher.addEdge(l, localOf(a), localOf(b))
+          }
+          searcher.setEntry(localOf(ep))
+          qs.iterator.flatMap { case (qid, qv) =>
+            searcher.searchMulti(qv.toArray, k, efs).map { case (e, d, local) =>
+              (e, qid, ids(local), d)
+            }
+          }
+        }
+      }
 }
 
 /** Read-only shard searcher: the [[HnswIndex]] search path over a replayed
@@ -657,6 +762,38 @@ final class LocalGraphSearcher private (
       HnswTraversal.searchLayerFiltered(
         distQ(q, _), adj(0).getOrElse(_, Iterable.empty), ep, ef, allow
       ).take(topK)
+  }
+
+  /** Multi-ef search sharing the ef-INDEPENDENT work: the upper-layer
+    * greedy descent routes with ef=1 regardless of efSearch, so an
+    * operating curve that re-descends per setting pays |layers| greedy
+    * walks × |efs| for identical routing. One descent, then one layer-0
+    * beam per ef — each (ef, result) is bit-equal to [[search]] at that
+    * ef (spec-gated). Returns (ef, dist, localId) triples.
+    */
+  def searchMulti(
+      q: Array[Double],
+      topK: Int,
+      efs: Array[Int]
+  ): Iterator[(Int, Double, Int)] = {
+    if (n == 0) return Iterator.empty
+    var ep = entry
+    var lc = height - 1
+    while (lc > 0) {
+      ep = searchLayer(q, ep, 1, lc).head._2
+      lc -= 1
+    }
+    val ep0 = ep
+    efs.iterator.flatMap { e =>
+      val ef = math.max(if (e > 0) e else params.efSearch, topK)
+      val res =
+        if (allow == null) searchLayer(q, ep0, ef, 0).take(topK)
+        else
+          HnswTraversal.searchLayerFiltered(
+            distQ(q, _), adj(0).getOrElse(_, Iterable.empty), ep0, ef, allow
+          ).take(topK)
+      res.iterator.map { case (d, local) => (e, d, local) }
+    }
   }
 }
 

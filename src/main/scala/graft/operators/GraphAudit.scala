@@ -533,6 +533,14 @@ object GraphAudit {
         comm.select(col("id").cast("long").as("id"),
           col("community").cast("long").as("community")),
         Seq("id"), "left")
+      // the -(id+1) singleton key for assignment-missing nodes is only
+      // collision-free when genuine ids and labels are non-negative; a
+      // negative label could collide with (or invert into) the singleton
+      // key space, so fail loudly instead of mis-keying
+      .filter(assert_true(
+        col("id") >= 0 && (col("community").isNull || col("community") >= 0),
+        lit("conductance: ids and community labels must be non-negative " +
+          "(the -(id+1) singleton key space would collide)")).isNull)
       .select(col("id"),
         coalesce(col("community"), -col("id") - 1).as("community"))
     val vol = dg

@@ -377,14 +377,21 @@ object HnswQueries {
         val shards = sharedBuild(spark, dir)
         val exact = sharedExact(spark, dir)
         val denom = exact.count().toDouble
-        Seq(10, 50, 200).map { ef =>
-          val approx = DistributedHnsw
-            .search(shards, q, "query_id", "qv", K, efSearch = ef)
-            .select(col("query_id"), col("neighbor_id"))
-          val matched =
-            approx.join(exact, Seq("query_id", "neighbor_id")).count()
-          (ef.toLong, math.rint(matched / denom * 10000) / 10000)
-        }.toDF("ef", "recall")
+        // one multi-ef search: one shard cogroup + one descent per query
+        // serve every setting (the descent routes with ef=1 regardless of
+        // efSearch — re-searching per setting paid it ×3, the r13 cost);
+        // bround == the previous rint half-even rounding
+        val efs = Seq(10, 50, 200)
+        val matched = DistributedHnsw
+          .searchEfCurve(shards, q, "query_id", "qv", K, efs)
+          .select(col("ef"), col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .groupBy(col("ef"))
+          .agg(bround(count(lit(1)) / denom, 4).as("recall"))
+        efs.map(_.toLong).toDF("ef")
+          .join(matched, Seq("ef"), "left")
+          .select(col("ef"),
+            coalesce(col("recall"), lit(0.0)).as("recall"))
       },
       None
     ),

@@ -527,7 +527,7 @@ object StreamingOps {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch
           .select(
@@ -535,8 +535,16 @@ object StreamingOps {
             col(batch.columns(1)).cast("long").as("dst"))
           .localCheckpoint()
         if (!b.isEmpty) {
-          b.write.mode("append").parquet(storePath)
+          // batchId-keyed idempotent overwrite (r13 advice): foreachBatch
+          // can re-deliver a batch after a failure; a bare append would
+          // then double the batch in the store. The census stayed correct
+          // only because scan() dedups edges, but the store is ALSO a
+          // standing artifact — keying each batch to its own partition
+          // dir makes re-delivery overwrite-in-place, so the store is a
+          // true edge multiset for any future consumer.
+          b.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
           val edges = spark.read.parquet(storePath)
+            .select(col("src"), col("dst"))
           val ids = edges.select(col("src").as("id"))
             .unionAll(edges.select(col("dst").as("id")))
             .distinct()

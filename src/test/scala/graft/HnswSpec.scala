@@ -435,6 +435,28 @@ class HnswSpec extends SparkSpec {
     assert(s2.edges.except(s1.edges).count() == 0)
   }
 
+  test("searchEfCurve: each ef slice is bit-equal to search at that ef") {
+    val emb = graft.queries.Q.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("vec"))
+    val p = HnswParams(m = 8, efConstruction = 50)
+    val shards = DistributedHnsw.build(emb, "vec_id", "vec", p, 2, seed = 5)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val curve = DistributedHnsw
+      .searchEfCurve(shards, q, "query_id", "qv", 10, Seq(10, 200))
+      .localCheckpoint()
+    for (ef <- Seq(10, 200)) {
+      val slice = curve.filter(col("ef") === ef)
+        .select(col("query_id"), col("neighbor_id"), col("dist"), col("rnk"))
+      val single = DistributedHnsw
+        .search(shards, q, "query_id", "qv", 10, efSearch = ef)
+      assert(slice.except(single).count() == 0
+          && single.except(slice).count() == 0,
+        s"ef=$ef slice diverges from single-ef search")
+    }
+  }
+
   test("hnsw_ef_curve: recall non-decreasing in efSearch, ef=200 floor") {
     val rows = graft.SparkEntry.queries("hnsw_ef_curve")(spark, sf0001)
       .orderBy(col("ef"))

@@ -225,6 +225,11 @@ class StreamingSpec extends SparkSpec {
     val want = asSet(GraphAudit.scan(edges, ids, 9L, 100L, 3))
     assert(got == want,
       s"stream/batch scan divergence: ${(want -- got).take(3)} / ${(got -- want).take(3)}")
+    // the store is a true multiset (batchId-keyed idempotent writes): the
+    // accumulated edge count equals the arrivals, no re-delivery doubling
+    val stored = spark.read.parquet(store).select(col("src"), col("dst"))
+    assert(stored.count() == edges.count(),
+      s"edge store multiset drift: ${stored.count()} vs ${edges.count()}")
   }
 
   test("incremental kNN-graph sink: two-wave recall within delta of the batch build") {

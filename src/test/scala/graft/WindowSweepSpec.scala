@@ -37,16 +37,28 @@ class WindowSweepSpec extends SparkSpec {
   /** Names of unpartitioned-window nodes with no limit below, in `plan`
     * or any of its subqueries. */
   private def violations(plan: SparkPlan): Seq[String] = {
-    def hasLimitBelow(p: SparkPlan): Boolean =
-      p.collectFirst {
-        case _: TakeOrderedAndProjectExec => ()
-        case _: CollectLimitExec          => ()
-        case _: GlobalLimitExec           => ()
-        case _: LocalLimitExec            => ()
-      }.isDefined
+    // Cardinality-bounding spine walk (r13 advice): a limit node anywhere
+    // in the subtree is NOT enough — a limit on one branch of a join must
+    // not sanction a window whose other branch is unbounded. A subtree is
+    // bounded iff it IS a limit node, or it is a non-row-expanding
+    // operator ALL of whose children are bounded (unary ops pass through;
+    // joins/unions require every branch bounded: bounded × bounded stays
+    // bounded). Generate (explode) expands rows data-dependently → never
+    // bounded; leaves (scans) are never bounded.
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: CollectLimitExec |
+          _: GlobalLimitExec | _: LocalLimitExec => true
+      // a LocalTableScan's rows are embedded in the plan itself — a query
+      // constant, not data-dependent (the optimizer folds literal local
+      // relations and their limits into this leaf)
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _: org.apache.spark.sql.execution.GenerateExec       => false
+      case _ if p.children.isEmpty                              => false
+      case _ => p.children.forall(bounded)
+    }
     def sweep(p: SparkPlan): Seq[String] = {
       val here = p.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !hasLimitBelow(w.child) =>
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
           w.simpleString(120)
       }
       here ++ p.collect { case q => q }.flatMap(_.subqueries).flatMap(sweep)
@@ -61,7 +73,11 @@ class WindowSweepSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       import spark.implicits._
-      val df = Seq(1, 2, 3).toDF("x")
+      // seeded over a REAL parquet scan: literal local relations fold to
+      // LocalTableScan, which the spine walk correctly treats as a plan
+      // constant — a toy Seq.toDF can't exercise the unbounded case
+      val df = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select($"doc_id".as("x"))
       val bad = df.withColumn("r", row_number().over(Window.orderBy($"x")))
       assert(check(bad).nonEmpty, "seeded violation not detected")
       val ok = df
@@ -69,6 +85,18 @@ class WindowSweepSpec extends SparkSpec {
         .limit(2)
         .withColumn("r", row_number().over(Window.orderBy($"x")))
       assert(check(ok).isEmpty, "limited input falsely flagged")
+      // the r13 false-negative class: a limit on ONE join branch must not
+      // sanction a window whose joined input is still unbounded
+      val joined = df.limit(2).crossJoin(df.select($"x".as("y")))
+        .withColumn("r", row_number().over(Window.orderBy($"y")))
+      assert(check(joined).nonEmpty,
+        "limit on one join branch falsely sanctioned an unbounded window")
+      // but a join of two bounded branches IS bounded (k1 × k2 constant)
+      val bothBounded = df.limit(2)
+        .crossJoin(df.select($"x".as("y")).limit(2))
+        .withColumn("r", row_number().over(Window.orderBy($"y")))
+      assert(check(bothBounded).isEmpty,
+        "join of two limited branches falsely flagged")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
