@@ -333,6 +333,90 @@ object Dedup {
     }
   }
 
+  /** [[containmentPairs]] with prefix filtering — the asymmetric analog
+    * of [[jaccardPairsPrefix]]'s PPJoin pruning, and the scale fix for
+    * the plain containment join's df² fan-out (the r14 second-decade
+    * sweep measured the plain postings self-join at exponent ~1.5 with
+    * 16 GB of spill on a duplication-heavy decade; this path is
+    * output-bit-identical and candidate-bounded).
+    *
+    * The bound: containment(sub→sup) = |sub∩sup|/|sub| ≥ τ forces
+    * overlap ≥ ⌈τ·|sub|⌉, so if sup misses ALL of sub's first
+    * |sub| − ⌈τ·|sub|⌉ + 1 tokens under a global rarity order (the
+    * PREFIX), the best remaining overlap is ⌈τ·|sub|⌉ − 1 — too small.
+    * Candidates therefore come from prefix(sub) ⋈ FULL index(sup)
+    * (the sup side cannot be prefix-pruned: containment puts no lower
+    * bound on the shared fraction OF SUP), with two further prunes:
+    *   - length: overlap ≤ |sup| needs |sup| ≥ τ·|sub|;
+    *   - positional: with P prefix matches whose last match sits at
+    *     (pamax, pbmax), every further shared token sorts after it in
+    *     BOTH sorted docs, so overlap ≤ P + min(nsub−pamax−1,
+    *     nsup−pbmax−1) — pairs whose bound can't reach τ·|sub| die
+    *     before the verify join.
+    * Verification computes the EXACT intersection from the full per-doc
+    * arrays (the same dictionary-encoded structure as the Jaccard
+    * prefix path) and emits both directions that clear τ — bit-equal to
+    * [[containmentPairs]], spec-pinned.
+    */
+  def containmentPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.9
+  ): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val docsArr = prefixDocs(df, idCol, textCol, n)
+    val prefix = docsArr.select(
+      col("doc_id"), col("nsh"),
+      posexplode(slice(col("toks"), lit(1),
+        (col("nsh") - ceil(lit(tau) * col("nsh")) + 1).cast("int"))))
+      .toDF("doc_id", "nsh", "pos", "sh")
+    val full = docsArr.select(
+      col("doc_id"), col("nsh"), posexplode(col("toks")))
+      .toDF("doc_id", "nsh", "pos", "sh")
+    // directed candidates: sub's prefix against sup's full postings; a
+    // pair qualifying in EITHER direction surfaces as that direction's
+    // sub, so the unordered union is candidate-complete for both
+    val cand = prefix.as("a")
+      .join(full.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.nsh").cast("double") >= lit(tau) * col("a.nsh") - 1e-9)
+      .groupBy(
+        col("a.doc_id").as("sub"), col("b.doc_id").as("sup"),
+        col("a.nsh").as("nsub"), col("b.nsh").as("nsup"))
+      .agg(
+        count(lit(1)).as("p"),
+        max(col("a.pos")).as("pamax"), max(col("b.pos")).as("pbmax"))
+      // 1e-9 slack, same licence as the Jaccard path: admit borderline
+      // (verify is exact), never drop a qualifying pair
+      .filter(
+        (col("p") + least(col("nsub") - col("pamax") - 1,
+          col("nsup") - col("pbmax") - 1)).cast("double")
+          >= lit(tau) * col("nsub") - 1e-9)
+      .select(
+        least(col("sub"), col("sup")).as("doc_a"),
+        greatest(col("sub"), col("sup")).as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(docsArr.select(col("doc_id").as("doc_a"),
+        col("toks").as("ta"), col("nsh").as("na")), "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"),
+        col("toks").as("tb"), col("nsh").as("nb")), "doc_b")
+      .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("c"))
+    withSets
+      .select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+        col("na").as("nsh"), col("c"))
+      .unionAll(withSets
+        .select(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+          col("nb").as("nsh"), col("c")))
+      .withColumn("containment", col("c").cast("double") / col("nsh"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_sub"), col("doc_sup"), col("containment"))
+  }
+
   /** [[jaccardPairs]] with PPJoin-style PREFIX FILTERING (Xiao, Wang,
     * Lin & Yu, WWW 2008) — the published candidate-pruning upgrade of
     * the plain inverted-index self-join: order each document's shingles
@@ -1623,12 +1707,41 @@ object Dedup {
       tau: Double = 0.4
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // shingles travel as 56-bit md5 keys from the first shuffle on:
-    // every downstream consumer (tf/df aggs, both self-join sides) keys
-    // on the shingle only — the string itself is never needed again, so
-    // 8-byte keys replace multi-word strings in every exchange. The hash
-    // is output-invisible (pairs + cosines are over doc ids), same
-    // licence as the rolling-hash window keys in duplicatedSpans.
+    val (w, nrm) = tfidfWeights(df, idCol, textCol, n, maxDfFraction, maxDfAbs)
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.w") * col("b.w")).as("p"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("p").cast(DecimalType(38, 20))).cast("double").as("dt"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nm").as("nb")), "doc_b")
+      .withColumn("cos", col("dt") / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("tfidf_cos"))
+  }
+
+  /** The tf·idf weight table behind [[tfidfPairs]]: (doc_id, sh, w)
+    * postings under the df window, plus per-doc L2 norms. Shingles
+    * travel as 56-bit md5 keys from the
+    * first shuffle on: every downstream consumer (tf/df aggs, the join
+    * sides) keys on the shingle only — the string itself is never needed
+    * again, so 8-byte keys replace multi-word strings in every exchange.
+    * The hash is output-invisible (pairs + cosines are over doc ids),
+    * same licence as the rolling-hash window keys in duplicatedSpans.
+    */
+  private def tfidfWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDfFraction: Double,
+      maxDfAbs: Int
+  ): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
     val tf = spanPositions(df, idCol, textCol, n)
       .select(col("doc_id"), md5Long(col("sh")).as("sh"))
       .groupBy(col("doc_id"), col("sh"))
@@ -1649,7 +1762,7 @@ object Dedup {
       .filter(col("df") >= 2 &&
         col("df") <= least(floor(col("n") * maxDfFraction), lit(maxDfAbs.toLong)))
       .select(
-        col("doc_id"), col("sh"),
+        col("doc_id"), col("sh"), col("df"),
         (col("tf") *
           log((lit(1) + col("n")).cast("double") / (lit(1) + col("df"))))
           .as("w"))
@@ -1658,20 +1771,7 @@ object Dedup {
       .agg(sqrt(
         sum((col("w") * col("w")).cast(DecimalType(38, 20))).cast("double"))
         .as("nm"))
-    val dots = w.as("a")
-      .join(w.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("a.w") * col("b.w")).as("p"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("p").cast(DecimalType(38, 20))).cast("double").as("dt"))
-    dots
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nm").as("na")), "doc_a")
-      .join(nrm.select(col("doc_id").as("doc_b"), col("nm").as("nb")), "doc_b")
-      .withColumn("cos", col("dt") / (col("na") * col("nb")))
-      .filter(col("cos") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("tfidf_cos"))
+    (w, nrm)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -148,6 +148,42 @@ object TextQueries {
   /** Shared DuckDB CTEs: tokens, distinct 3-gram shingles, shingle-set
     * sizes (mirror of [[Dedup.shingles]]).
     */
+  /** Oracle shared VERBATIM by dedup_tfidf_pairs and dedup_tfidf_prefix:
+    * the two Spark paths are bit-identical by construction (spec-pinned),
+    * so one exact SQL checks both. */
+  private val tfidfOracleSql: String = """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t)-2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE []::VARCHAR[] END) AS term
+               FROM tok),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM sh GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        w AS (SELECT doc_id, tf.term,
+                     tf * ln((1+n)::DOUBLE/(1+df)) AS w
+              FROM tf JOIN df USING (term) CROSS JOIN n
+              WHERE df >= 2 AND df <= least(floor(n * 0.1), 10000)),
+        nrm AS (SELECT doc_id,
+                       sqrt(sum((w*w)::DECIMAL(38,20))::DOUBLE) AS nm
+                FROM w GROUP BY doc_id),
+        dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        sum((a.w*b.w)::DECIMAL(38,20))::DOUBLE AS dt
+                 FROM w a JOIN w b ON a.term = b.term
+                                  AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+        cosv AS (SELECT doc_a, doc_b, dt/(na.nm*nb.nm) AS cos
+                 FROM dots
+                 JOIN nrm na ON na.doc_id = doc_a
+                 JOIN nrm nb ON nb.doc_id = doc_b)
+        SELECT doc_a, doc_b, round(cos, 6) AS tfidf_cos
+        FROM cosv WHERE cos >= 0.4
+      """
+
   private val shingleCtes = """
     tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -790,8 +826,12 @@ object TextQueries {
             ).as("text")
           )
         val corpus = docs.select(col("doc_id"), col("text")).unionAll(snippets)
+        // prefix-filtered path (r14): bit-identical to the plain postings
+        // self-join (DedupTextSpec pins equality) but candidate-bounded —
+        // the plain join's Σdf² fan-out measured exponent ~1.5 with 16 GB
+        // spill on the duplication-heavy second-decade sweep
         Dedup
-          .containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+          .containmentPairsPrefix(corpus, "doc_id", "text", n = 3, tau = 0.9)
           .select(
             col("doc_sub"), col("doc_sup"),
             round(col("containment"), 6).as("containment")
@@ -4013,38 +4053,7 @@ object TextQueries {
         Dedup.tfidfPairs(
           t(spark, dir, "documents"), "doc_id", "text",
           n = 3, maxDfFraction = 0.1, maxDfAbs = 10000, tau = 0.4),
-      Some("""
-        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-                     FROM documents),
-        sh AS (SELECT doc_id,
-                      unnest(CASE WHEN len(t) >= 3
-                        THEN list_transform(generate_series(1, len(t)-2),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                        ELSE []::VARCHAR[] END) AS term
-               FROM tok),
-        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-               FROM sh GROUP BY doc_id, term),
-        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-        n AS (SELECT count(*)::BIGINT AS n FROM documents),
-        w AS (SELECT doc_id, tf.term,
-                     tf * ln((1+n)::DOUBLE/(1+df)) AS w
-              FROM tf JOIN df USING (term) CROSS JOIN n
-              WHERE df >= 2 AND df <= least(floor(n * 0.1), 10000)),
-        nrm AS (SELECT doc_id,
-                       sqrt(sum((w*w)::DECIMAL(38,20))::DOUBLE) AS nm
-                FROM w GROUP BY doc_id),
-        dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        sum((a.w*b.w)::DECIMAL(38,20))::DOUBLE AS dt
-                 FROM w a JOIN w b ON a.term = b.term
-                                  AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id),
-        cosv AS (SELECT doc_a, doc_b, dt/(na.nm*nb.nm) AS cos
-                 FROM dots
-                 JOIN nrm na ON na.doc_id = doc_a
-                 JOIN nrm nb ON nb.doc_id = doc_b)
-        SELECT doc_a, doc_b, round(cos, 6) AS tfidf_cos
-        FROM cosv WHERE cos >= 0.4
-      """)
+      Some(tfidfOracleSql)
     ),
     // Semantic decontamination — the third rung of the ladder (exact
     // n-gram -> fuzzy MinHash -> embedding cosine): training docs whose

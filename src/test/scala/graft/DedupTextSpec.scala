@@ -1115,6 +1115,44 @@ class DedupTextSpec extends SparkSpec {
     assert(f2 == p2)
   }
 
+  test("containment prefix filter: identical directed pairs to the plain join") {
+    import org.apache.spark.sql.functions._
+    // real corpus + the dedup_containment snippet construction, so the
+    // asymmetric snippet-in-doc case is actually exercised
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val snippets = toks
+      .filter(col("doc_id") % 20 === 0)
+      .select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        array_join(
+          slice(col("t"), lit(1), expr("greatest(3, (size(t)*2) div 5)")),
+          " ").as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(snippets)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_sub"), col("doc_sup"), round(col("containment"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = asSet(Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9))
+    val pref = asSet(Dedup.containmentPairsPrefix(corpus, "doc_id", "text", 3, 0.9))
+    assert(pref == full, s"containment prefix filter lost/added pairs: ${
+      (full -- pref).take(3)} / ${(pref -- full).take(3)}")
+    assert(full.nonEmpty, "fixture produced no containment pairs — test is vacuous")
+    // duplication-heavy fixture (the second-decade profile): 10 salted
+    // near-copies per base doc — the shape that spilled 16 GB through the
+    // plain join; equality must hold there too
+    val spark2 = spark; import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    def w() = (1 to 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val bases = (1 to 12).map(i => (i, (1 to 25).map(_ => w()).mkString(" ")))
+    val fix = bases.flatMap { case (i, txt) =>
+      (0 until 10).map(c => (i * 100L + c, if (c == 0) txt else s"$txt x$c"))
+    }.toDF("doc_id", "text")
+    val f2 = asSet(Dedup.containmentPairs(fix, "doc_id", "text", 3, 0.9))
+    val p2 = asSet(Dedup.containmentPairsPrefix(fix, "doc_id", "text", 3, 0.9))
+    assert(f2 == p2, s"dup-heavy fixture divergence: ${
+      (f2 -- p2).take(3)} / ${(p2 -- f2).take(3)}")
+    assert(f2.nonEmpty)
+  }
+
   test("ppjoin prefix filter prunes candidates on the REAL sf0.1 documents table") {
     // the crossover evidence the bench position needs: at the bench
     // config (n=3, tau=0.5) the prefix generator must produce strictly
