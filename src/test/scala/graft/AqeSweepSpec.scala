@@ -90,12 +90,22 @@ class AqeSweepSpec extends SparkSpec {
     qe1.toRdd.count()
     assert(violations(qe1.executedPlan).exists(_.contains("unbounded")),
       "seeded unpartitioned window not detected under AQE")
-    val badCart = df.as("a")
-      .join(df.as("b"), expr("a.x + b.x > -1000000"), "inner")
-      .limit(5)
-    val qe2 = badCart.queryExecution
-    qe2.toRdd.count()
-    assert(violations(qe2.executedPlan).exists(_.contains("cartesian")),
-      "seeded cartesian not detected under AQE")
+    // the non-equi inner join only plans CartesianProduct when neither
+    // side is broadcastable — disable both broadcast thresholds (static
+    // and adaptive) so AQE can't demote the seed to a nested-loop join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val badCart = df.as("a")
+        .join(df.as("b"), expr("a.x + b.x > -1000000"), "inner")
+        .limit(5)
+      val qe2 = badCart.queryExecution
+      qe2.toRdd.count()
+      assert(violations(qe2.executedPlan).exists(_.contains("cartesian")),
+        "seeded cartesian not detected under AQE")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 }
