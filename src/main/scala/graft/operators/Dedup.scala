@@ -837,8 +837,16 @@ object Dedup {
           .join(keep.select(col("k").as("doc_a")), Seq("doc_a"), "left_semi")
           .join(keep.select(col("k").as("doc_b")), Seq("doc_b"), "left_semi")
       }
+    // truth feeds TWO consumers (the denominator count + the detection
+    // join) — materialized once so the jaccard verify subtree doesn't run
+    // twice; it is tiny (pairs clearing tau). cand deliberately is NOT
+    // checkpointed: its two consumers re-read the band self-join's
+    // shuffle files (ReusedExchange), and measuring showed eagerly
+    // materializing the wide candidate table costs ~5x what the re-read
+    // saves
     val truth = jaccardPairs(audited, idCol, textCol, n, tau)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val perCfg = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))
     val det = cand

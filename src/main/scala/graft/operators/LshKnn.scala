@@ -46,24 +46,37 @@ object LshKnn {
   private def probesFor(
       sig: org.apache.spark.sql.Column,
       rowsPerBand: Int,
-      radius: Int): Seq[org.apache.spark.sql.Column] = {
+      radius: Int): Seq[org.apache.spark.sql.Column] =
+    probesForTagged(sig, rowsPerBand, radius).map(_._1)
+
+  /** [[probesFor]] with each probe signature tagged by its flip count —
+    * the smallest radius that examines the bucket. Radius sets are
+    * cumulative (radius r = all flips ≤ r), so one widest-radius probe
+    * table serves every narrower radius by a `flips <= r` gate.
+    */
+  private def probesForTagged(
+      sig: org.apache.spark.sql.Column,
+      rowsPerBand: Int,
+      radius: Int): Seq[(org.apache.spark.sql.Column, Int)] = {
     require(radius >= 0 && radius <= 2, s"probe radius 0..2, got $radius")
     val r = rowsPerBand
-    Seq(sig) ++
-      (if (radius >= 1) (1 to r).map(p => flipAt(sig, p, r)) else Nil) ++
+    Seq((sig, 0)) ++
+      (if (radius >= 1) (1 to r).map(p => (flipAt(sig, p, r), 1)) else Nil) ++
       (if (radius >= 2)
          for { p <- 1 to r; q <- (p + 1) to r }
-           yield flipAt(flipAt(sig, p, r), q, r)
+           yield (flipAt(flipAt(sig, p, r), q, r), 2)
        else Nil)
   }
 
   /** The measured recall-vs-probe-radius operating curve — completing
     * the tuning-knob symmetry with IVF's nprobe curve, HNSW's ef curve
-    * and the RP-tree spill curve: one shared exact-cosine truth, one
-    * bucket-collision candidate set per radius over the SAME signature
-    * tables, exact rerank, decimal-exact mean Recall@k per radius.
-    * Radius work is probe-table-sized (|Q|·bands·probes), never corpus-
-    * sized; the signature tables are built once.
+    * and the RP-tree spill curve: one shared exact-cosine truth, ONE
+    * flip-tagged probe pass at the widest radius whose min-flip
+    * candidate table serves every narrower radius as a gated heap,
+    * exact rerank paid once for the whole curve, decimal-exact mean
+    * Recall@k per radius. Probe work is probe-table-sized
+    * (|Q|·bands·probes), never corpus-sized; the signature tables are
+    * built once.
     */
   def probeRecallCurve(
       base: DataFrame,
@@ -84,21 +97,28 @@ object LshKnn {
     val bsigs = Dedup
       .srpBandSigs(base, bidCol, bvecCol, numPlanes, bands, dim)
       .select(col("id").as("bid"), col("band"), col("sig"))
-      .localCheckpoint() // probed once per radius
+      .localCheckpoint() // probed once, at the widest radius
     val qsigs = Dedup
       .srpBandSigs(queries, qidCol, qvecCol, numPlanes, bands, dim)
       .select(col("id").as("qid"), col("band"), col("sig"))
       .localCheckpoint()
-    val probes = radii
-      .map(rad => qsigs.select(
-        lit(rad.toLong).as("radius"), col("qid"), col("band"),
-        explode(array(probesFor(col("sig"), rpb, rad): _*)).as("sig")))
-      .reduce(_ unionAll _)
-      .distinct()
+    // ONE probe table at the widest radius, each probe tagged with its
+    // flip count; a candidate's requirement is the MIN flips over its
+    // bucket matches, so each radius is a `req <= rad` null-gated heap
+    // over one scored candidate table (TopKAgg skips nulls) — the former
+    // per-radius union re-scored a radius-0 collision once per setting.
+    val maxRad = radii.max
+    val probes = qsigs.select(
+      col("qid"), col("band"),
+      explode(array(probesForTagged(col("sig"), rpb, maxRad).map {
+        case (c, f) => struct(c.as("sig"), lit(f.toLong).as("flips"))
+      }: _*)).as("pr"))
+      .select(col("qid"), col("band"),
+        col("pr.sig").as("sig"), col("pr.flips").as("flips"))
     val cand = probes
       .join(bsigs, Seq("band", "sig"))
-      .select(col("radius"), col("qid"), col("bid"))
-      .distinct()
+      .groupBy(col("qid"), col("bid"))
+      .agg(min(col("flips")).as("req"))
     val bv = base.select(
       col(bidCol).as("bid"),
       col(bvecCol).cast("array<double>").as("bv"))
@@ -107,14 +127,24 @@ object LshKnn {
       col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("qv"))
       .withColumn("qnorm", sqrt(dotFast(col("qv"), col("qv"))))
+    val heapCols = radii.map(rad =>
+      topK(when(col("req") <= rad, col("negsim")), col("bid"), k)
+        .as(s"tk$rad"))
     val approx = cand
       .join(bv, "bid")
       .join(broadcast(qv), "qid")
-      .groupBy(col("radius"), col("qid"))
-      .agg(topK(
-        -(dotFast(col("qv"), col("bv")) / (col("qnorm") * col("bnorm"))),
-        col("bid"), k).as("tk"))
-      .select(col("radius"), col("qid"), explode(col("tk.id")).as("id"))
+      .select(col("qid"), col("bid"), col("req"),
+        (-(dotFast(col("qv"), col("bv")) / (col("qnorm") * col("bnorm"))))
+          .as("negsim"))
+      .groupBy(col("qid"))
+      .agg(heapCols.head, heapCols.tail: _*)
+      .select(
+        col("qid"),
+        explode(array(radii.map(rad =>
+          struct(lit(rad.toLong).as("radius"),
+            col(s"tk$rad.id").as("ids"))): _*)).as("x"))
+      .select(col("x.radius").as("radius"), col("qid"),
+        explode(col("x.ids")).as("id"))
     val truth = BruteForceKNN
       .knnCosine(
         queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv")),

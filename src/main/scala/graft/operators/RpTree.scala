@@ -271,6 +271,67 @@ object RpTree {
     pn.select(col("tree"), col("id"), col("node").as("leaf"))
   }
 
+  /** [[assignPointsSpill]] with the visit REQUIREMENT carried: each
+    * (tree, id, leaf) row reports `req` — the largest |proj − med| among
+    * the path's secondary (spilled) branchings, or −1.0 when the path
+    * took only primary children. Under [[assignPointsSpill]]'s strict
+    * per-branching rule (both children iff |proj − med| < spill), a row
+    * is reached at margin s exactly when every secondary branching on
+    * its path had |proj − med| < s, i.e. when `req < s` — so ONE descent
+    * at the widest margin serves every narrower margin by a filter
+    * instead of its own descent (smaller margins' frontiers are subsets
+    * level by level). Same broadcast-join-per-level plan; the frontier
+    * is the widest margin's, which the multi-margin caller pays anyway.
+    */
+  def assignPointsSpillReq(
+      points: DataFrame,
+      medians: DataFrame, // (level, tree, node, med)
+      idCol: String,
+      vecCol: String,
+      numTrees: Int,
+      depth: Int,
+      dim: Int,
+      spill: Double
+  ): DataFrame = {
+    require(spill >= 0.0, s"spill margin must be >= 0, got $spill")
+    var pn = points
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("pvec"))
+      .select(
+        explode(typedLit((0 until numTrees).toList)).as("tree"),
+        col("id"), col("pvec"), lit(0L).as("node"), lit(-1.0).as("req"))
+    var level = 0
+    while (level < depth) {
+      val main = when(col("proj") <= col("med"), 0L).otherwise(1L)
+      val delta = abs(col("proj") - col("med"))
+      pn = pn
+        .withColumn("proj", projFor(col("pvec"), numTrees, level, dim))
+        .join(
+          broadcast(medians
+            .filter(col("level") === level)
+            .select(col("tree"), col("node"), col("med"))),
+          Seq("tree", "node"))
+        .select(
+          col("tree"), col("id"), col("pvec"),
+          explode(
+            when(delta < spill,
+              array(
+                struct((col("node") * 2 + main).as("node"),
+                  col("req").as("req")),
+                struct((col("node") * 2 + (lit(1L) - main)).as("node"),
+                  greatest(col("req"), delta).as("req"))))
+              .otherwise(array(
+                struct((col("node") * 2 + main).as("node"),
+                  col("req").as("req"))))).as("nr"))
+        .select(
+          col("tree"), col("id"), col("pvec"),
+          col("nr.node").as("node"), col("nr.req").as("req"))
+      level += 1
+    }
+    pn.select(col("tree"), col("id"), col("node").as("leaf"), col("req"))
+  }
+
   /** [[knn]] with spill descent: the candidate union grows with every
     * boundary-straddling split, recall monotone in `spill` (candidate
     * set is a superset — RpTreeSpec gates it).
@@ -324,10 +385,12 @@ object RpTree {
     * tuning knob, symmetric to ivf_recall_curve (nprobe) and
     * hnsw_ef_curve (efSearch): for each spill margin, spill-descend the
     * queries, union leaf candidates, exact-rerank top-k, and score
-    * Recall@k against the exact brute-force truth. One shared truth,
-    * one descent per margin (the ≤|Q|·visited-leaves frontier — the
-    * corpus never re-shuffles per margin: the leaf table is probed by
-    * an equi-join on (spill, tree, leaf)).
+    * Recall@k against the exact brute-force truth. One shared truth and
+    * ONE shared descent: the widest margin's req-tagged walk
+    * ([[assignPointsSpillReq]]) contains every narrower margin's
+    * frontier, so each margin is a `req < s` gate over one scored
+    * candidate table — the corpus never re-shuffles per margin, and the
+    * distance pass is paid once for the whole curve.
     *
     * @return (spill, n_queries, mean_recall), one row per margin
     */
@@ -355,27 +418,37 @@ object RpTree {
     val v = vecs.select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    // one descent per margin, tagged and unioned — each is depth
-    // broadcast-joins over the |Q| frontier, never the corpus
-    val visited = spills
-      .map { s =>
-        assignPointsSpill(
-          queries, forest.medians, qidCol, qvecCol, numTrees, depth, dim, s)
-          .select(lit(s).as("spill"), col("tree"),
-            col("id").as("qid"), col("leaf"))
-      }
-      .reduce(_ unionAll _)
-    val approx = visited
+    // ONE descent at the widest margin, req-tagged
+    // ([[assignPointsSpillReq]]): a leaf meeting is reachable at margin s
+    // exactly when req < s, and a candidate doc's requirement is the MIN
+    // req over its (tree, leaf) meetings — so the narrower margins'
+    // candidate sets, distances, and heaps all come from the same scored
+    // table via null-gated TopK heaps (TopKAgg skips nulls) instead of
+    // each margin paying its own descent + join + distance pass.
+    val sMax = spills.max
+    val cand = assignPointsSpillReq(
+      queries, forest.medians, qidCol, qvecCol, numTrees, depth, dim, sMax)
+      .select(col("tree"), col("id").as("qid"), col("leaf"), col("req"))
       .join(forest.leaves, Seq("tree", "leaf"))
-      .select(col("spill"), col("qid"), col("id"))
-      .distinct()
+      .groupBy(col("qid"), col("id"))
+      .agg(min(col("req")).as("req"))
+    val heapCols = spills.zipWithIndex.map { case (s, i) =>
+      topK(when(col("req") < s, col("dist")), col("id"), k).as(s"tk$i")
+    }
+    val approx = cand
       .join(v, "id")
       .join(broadcast(q), "qid")
-      .select(col("spill"), col("qid"), col("id"),
+      .select(col("qid"), col("id"), col("req"),
         l2SqFast(col("qvec"), col("vec")).as("dist"))
-      .groupBy(col("spill"), col("qid"))
-      .agg(topK(col("dist"), col("id"), k).as("tk"))
-      .select(col("spill"), col("qid"), explode(col("tk.id")).as("id"))
+      .groupBy(col("qid"))
+      .agg(heapCols.head, heapCols.tail: _*)
+      .select(
+        col("qid"),
+        explode(array(spills.zipWithIndex.map { case (s, i) =>
+          struct(lit(s).as("spill"), col(s"tk$i.id").as("ids"))
+        }: _*)).as("x"))
+      .select(col("x.spill").as("spill"), col("qid"),
+        explode(col("x.ids")).as("id"))
     val truth = BruteForceKNN
       .knn(q, v.select(col("id").as("neighbor_id"), col("vec").as("bv")),
         k, qidCol = "qid", qvecCol = "qvec")

@@ -125,8 +125,14 @@ object TextSearch {
   /** The RM3 α-operating curve — retrieval's tuning knob measured the
     * way the ANN families measure theirs (IVF nprobe, HNSW ef, RP-tree
     * spill, LSH radius): the feedback round and the expansion-term
-    * selection run ONCE (they are α-independent), then one weighted
-    * round 2 per α. Returns (alpha, doc_id, score, rnk).
+    * selection run ONCE (they are α-independent), and so does the
+    * corpus-sized round-2 work — the term set is the SAME for every α
+    * (only the weights move), so the unweighted per-(doc, term) BM25
+    * contribution table is computed once and each α is a broadcast
+    * weight join + decimal sum + top-k over it, never another corpus
+    * tokenization. Scores multiply `c0 * wt` (the α-independent factor
+    * first); the query oracle mirrors that order exactly. Returns
+    * (alpha, doc_id, score, rnk).
     */
   def rm3Curve(
       docs: DataFrame,
@@ -140,13 +146,58 @@ object TextSearch {
       b: Double = 0.75,
       k: Int = 20
   ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     require(alphas.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val (expansion, pSum) =
       rm3Expansion(docs, idCol, textCol, terms, kFb, mExp, k1, b)
+    // the term set is α-independent (weights differ, terms don't)
+    val allTerms = rm3Weights(terms, expansion, pSum, alphas.head).map(_._1)
+    val toks = docs.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl").cast(DecimalType(30, 6))).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(allTerms.distinct: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // α-independent BM25 factor per (doc, term): idf × tf-saturation —
+    // materialized once (≤ |docs|·|terms| rows, query-filtered before
+    // any shuffle); every α below re-reads this table, not the corpus
+    val c0 = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("term"),
+        (log(lit(1) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + lit(1))) /
+          (col("tf") +
+            lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("c0"))
+      .localCheckpoint()
     alphas
       .map { a =>
-        bm25Weighted(docs, idCol, textCol,
-          rm3Weights(terms, expansion, pSum, a), k1, b, k)
+        val wt = rm3Weights(terms, expansion, pSum, a).toDF("term", "wt")
+        c0.join(broadcast(wt), "term")
+          .groupBy(col("doc_id"))
+          .agg(sum((col("c0") * col("wt")).cast(DecimalType(38, 20)))
+            .cast("double").as("score"))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(k)
+          .withColumn("rnk",
+            row_number()
+              .over(Window.orderBy(col("score").desc, col("doc_id")))
+              .cast("long"))
           .select(lit(a).as("alpha"), col("doc_id"), col("score"),
             col("rnk"))
       }

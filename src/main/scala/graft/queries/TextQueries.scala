@@ -3883,6 +3883,15 @@ object TextQueries {
           GROUP BY doc_id, w),
         df2 AS MATERIALIZED (
           SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY term),
+        cb AS MATERIALIZED (
+          SELECT tf2.doc_id, tf2.term,
+                 ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   * (tf * (1.2::DOUBLE + 1))
+                   / (tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c0
+          FROM tf2 JOIN df2 USING (term)
+          JOIN dl ON tf2.doc_id = dl.doc_id
+          CROSS JOIN stats),
         ${Seq("0.2","0.6","0.9").zipWithIndex.map { case (a, i) => s"""
         wq$i AS (
           SELECT term, $a / 4 AS wt
@@ -3891,18 +3900,10 @@ object TextQueries {
           SELECT term, (1.0 - $a) * (p / norm.psum) AS wt
           FROM sel5 CROSS JOIN norm),
         s2$i AS (SELECT doc_id,
-                      round(sum(c::DECIMAL(38,20))::DOUBLE, 6) AS score
-               FROM (
-          SELECT tf2.doc_id,
-                 wq$i.wt
-                   * ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
-                   * (tf * (1.2::DOUBLE + 1))
-                   / (tf + 1.2::DOUBLE
-                        * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS c
-          FROM tf2 JOIN df2 USING (term)
-          JOIN wq$i ON wq$i.term = tf2.term
-          JOIN dl ON tf2.doc_id = dl.doc_id
-          CROSS JOIN stats) GROUP BY doc_id),
+                      round(sum((cb.c0 * wq$i.wt)::DECIMAL(38,20))::DOUBLE, 6)
+                        AS score
+               FROM cb JOIN wq$i ON wq$i.term = cb.term
+               GROUP BY doc_id),
         r$i AS (SELECT CAST($a AS DOUBLE) AS alpha, doc_id, score, rnk FROM (
           SELECT doc_id, score,
                  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
@@ -4845,6 +4846,11 @@ object TextQueries {
       "dedup_threshold_curve",
       (spark, dir) => {
         import org.apache.spark.sql.types.DecimalType
+        // NOT checkpointed although two consumers read the selection
+        // (doc census + pair aggregate): both re-read the verify
+        // subtree's shuffle files (ReusedExchange), and an A/B measured
+        // eager materialization as neutral-to-negative here — unlike
+        // lshBandPlan's truth table, where the same A/B showed 2x
         val pr = Dedup.jaccardPairs(
           t(spark, dir, "documents"), "doc_id", "text", 3, 0.2)
         val sel = pr

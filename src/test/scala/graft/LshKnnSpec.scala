@@ -105,4 +105,20 @@ class LshKnnSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
+
+  test("probeRecallCurve: the shared flip-tagged pass equals independent single-radius runs") {
+    // the multi-radius curve generates ONE widest-radius probe table and
+    // gates narrower radii by min flip count; this pins that hoist to
+    // the per-radius calls (each of which IS the old per-radius
+    // computation when radii has one element), row for row
+    def run(radii: Seq[Int]) = LshKnn
+      .probeRecallCurve(emb, "vec_id", "v", queries, "query_id", "qv",
+        k = 10, radii = radii)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = run(Seq(0, 1, 2))
+    val singles = Seq(0, 1, 2).flatMap(r => run(Seq(r))).toSet
+    assert(multi == singles,
+      s"multi-radius pass diverged:\n  multi   $multi\n  singles $singles")
+  }
 }

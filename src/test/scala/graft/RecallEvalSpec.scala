@@ -74,4 +74,28 @@ class RecallEvalSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r == Map(1L -> 1.0, 2L -> 0.0))
   }
+
+  test("ivfNprobeCurve: the shared-scoring multi-nprobe pass equals independent single-nprobe runs") {
+    // the curve scores every candidate ONCE at the widest probe set and
+    // gates narrower settings by the cell's probe rank; this pins that
+    // hoist to the per-setting calls (each of which reduces to the
+    // single-setting computation when nprobes has one element)
+    import graft.operators.IvfIndex
+    val emb = Q.t(spark, sf0001, "embeddings").select(
+      col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val cents = emb.filter(col("id") < 4).orderBy(col("id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val base = IvfIndex.assign(spark, emb, "id", "vec", cents)
+    val q = emb.filter(col("id") % 10 === 0)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    def run(nprobes: Seq[Int]) = RecallEval
+      .ivfNprobeCurve(base, q, "query_id", "qv", cents, nprobes, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = run(Seq(1, 2, 4))
+    val singles = Seq(1, 2, 4).flatMap(np => run(Seq(np))).toSet
+    assert(multi == singles,
+      s"multi-nprobe pass diverged:\n  multi   $multi\n  singles $singles")
+  }
 }

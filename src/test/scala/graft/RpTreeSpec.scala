@@ -98,6 +98,36 @@ class RpTreeSpec extends SparkSpec {
     }
   }
 
+  test("spillRecallCurve: the shared req-tagged descent equals per-margin knnSpill recall exactly") {
+    // the multi-margin curve runs ONE widest-margin descent and gates
+    // narrower margins by the carried requirement; this pins that hoist
+    // to the independent single-margin search path (its own descent +
+    // rerank), margin by margin
+    val f = RpTree.build(emb, "id", "vec", 2, 4, 64)
+    val spills = Seq(0.0, 0.1, 0.3)
+    val truth = BruteForceKNN
+      .knn(q, emb.select(col("id").as("neighbor_id"), col("vec").as("bv")), 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = RpTree
+      .spillRecallCurve(f, emb, "id", "vec", q, "query_id", "qv",
+        10, 2, 4, 64, spills)
+      .collect()
+      .map(r => (r.getDouble(0), (r.getLong(1), r.getDouble(2)))).toMap
+    spills.foreach { s =>
+      val got = RpTree
+        .knnSpill(f, emb, "id", "vec", q, "query_id", "qv", 10, 2, 4, 64, s)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byQ = got.groupBy(_._1)
+      val recalls = byQ.values.map(_.count(truth.contains).toDouble / 10.0)
+      val mean = recalls.sum / recalls.size
+      val (nq, rec) = curve(s)
+      assert(nq == byQ.size.toLong, s"margin $s: n_queries $nq vs ${byQ.size}")
+      assert(math.abs(rec - mean) < 1e-9, s"margin $s: recall $rec vs $mean")
+    }
+  }
+
   test("degenerate corpus (n < 2^depth): sentinel medians complete every level, no query drops") {
     import spark.implicits._
     // 5 points, depth 4 -> branches shrink to 1 point and leave empty

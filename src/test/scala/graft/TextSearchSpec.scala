@@ -208,6 +208,43 @@ class TextSearchSpec extends SparkSpec {
     assert(!curve.exists(_._2 == 5L))
   }
 
+  test("rm3Curve: multi-alpha pass equals single-alpha runs; agrees with rm3 per alpha") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta x"),
+      (2L, "alpha beta beta y y"),
+      (3L, "alpha beta z z z"),
+      (4L, "beta beta beta w w"),
+      (5L, "gamma delta gamma delta")
+    ).toDF("doc_id", "text")
+    val alphas = Seq(0.2, 0.6, 0.9)
+    def run(as: Seq[Double]) = TextSearch
+      .rm3Curve(docs, "doc_id", "text", Seq("alpha"), alphas = as,
+        kFb = 3, mExp = 2, k = 5)
+      .select(col("alpha"), col("doc_id"), col("score"), col("rnk"))
+      .as[(Double, Long, Double, Long)].collect()
+    // the shared contribution table serves every alpha; each single-alpha
+    // call is the same arithmetic over a one-point curve — identical rows
+    val multi = run(alphas)
+    assert(multi.toSet == alphas.flatMap(a => run(Seq(a))).toSet)
+    // and the hoisted c0·wt order agrees with rm3's wt·idf·sat order on
+    // every (doc, rank); scores match to well under the 6-dp rounding
+    alphas.foreach { a =>
+      val viaRm3 = TextSearch
+        .rm3(docs, "doc_id", "text", Seq("alpha"),
+          kFb = 3, mExp = 2, alpha = a, k = 5)
+        .select(col("doc_id"), col("score"), col("rnk"))
+        .as[(Long, Double, Long)].collect().sortBy(_._3)
+      val viaCurve = multi.filter(_._1 == a)
+        .map(r => (r._2, r._3, r._4)).sortBy(_._3)
+      assert(viaCurve.map(r => (r._1, r._3)).toSeq ==
+        viaRm3.map(r => (r._1, r._3)).toSeq,
+        s"alpha $a: docs/ranks diverged")
+      viaCurve.zip(viaRm3).foreach { case ((_, s1, _), (_, s2, _)) =>
+        assert(math.abs(s1 - s2) < 1.1e-6, s"alpha $a: $s1 vs $s2")
+      }
+    }
+  }
+
   test("combFuse: hand-computed min-max norms, SUM and MNZ, constant list -> 0") {
     // list A: scores 10/5/0 over docs 1/2/3 -> norms 1.0/0.5/0.0
     // list B: scores 2/2 over docs 2/4 -> constant -> norm 0 for both
