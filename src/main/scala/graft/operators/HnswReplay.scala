@@ -134,8 +134,69 @@ object HnswReplay {
     * localCheckpoint-materialized — rebuildable bit-identically from
     * the corpus (levels are md5 coins, edges exact top-m), so it can be
     * memoized per sf dir like the hnsw family's shared builds.
+    *
+    * `local` is the same artifact as one broadcast value (ids, flat
+    * vector matrix, per-layer adjacency) — legal at this component's
+    * declared audit scale (the edge build already collects and
+    * broadcasts the full matrix under [[MaxAuditNodes]]), and it turns
+    * every |Q|-bounded search walk into ONE narrow mapPartitions pass
+    * instead of 10+ rounds of tiny joins/windows (guide §1.2 step 1:
+    * fix the distributed algorithm before anything else — the replay
+    * walks were paying per-round scheduling/shuffle machinery on
+    * kilobyte frontiers).
     */
-  final case class LayeredIndex(base: DataFrame, edges: DataFrame)
+  final case class LayeredIndex(base: DataFrame, edges: DataFrame) {
+    @transient lazy val local
+        : org.apache.spark.broadcast.Broadcast[ReplayLocalIndex] = {
+      val spark = base.sparkSession
+      val rows = base.select(col("id"), col("vec"), col("level"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+        .sortBy(_._1)
+      val n = rows.length
+      val d = if (n == 0) 0 else rows(0)._2.length
+      val ids = rows.map(_._1)
+      val flat = new Array[Double](n * d)
+      var i = 0
+      while (i < n) {
+        System.arraycopy(rows(i)._2, 0, flat, i * d, d); i += 1
+      }
+      // entry: max level, tie → smallest id (ids ascending ⇒ first max)
+      var entryIdx = 0
+      var bestLvl = Int.MinValue
+      i = 0
+      while (i < n) {
+        if (rows(i)._3 > bestLvl) { bestLvl = rows(i)._3; entryIdx = i }
+        i += 1
+      }
+      val bufs = Array.fill(MaxLevel + 1, n)(
+        null: scala.collection.mutable.ArrayBuffer[Int])
+      edges.select(col("layer"), col("src"), col("dst")).collect().foreach {
+        r =>
+          val l = r.getInt(0)
+          val s = java.util.Arrays.binarySearch(ids, r.getLong(1))
+          val t = java.util.Arrays.binarySearch(ids, r.getLong(2))
+          if (bufs(l)(s) == null)
+            bufs(l)(s) = scala.collection.mutable.ArrayBuffer.empty[Int]
+          bufs(l)(s) += t
+      }
+      val adj = bufs.map(_.map(b => if (b == null) Array.empty[Int] else b.toArray))
+      spark.sparkContext.broadcast(new ReplayLocalIndex(ids, flat, d, adj, entryIdx))
+    }
+  }
+
+  /** Broadcast-local spelling of [[LayeredIndex]]: id-sorted vector
+    * matrix plus per-layer adjacency by node index. Immutable,
+    * audit-bounded (≤ [[MaxAuditNodes]] nodes by the edge build's own
+    * require).
+    */
+  final class ReplayLocalIndex(
+      val ids: Array[Long],
+      val flat: Array[Double], // n*d, id-ascending
+      val d: Int,
+      val adj: Array[Array[Array[Int]]], // adj(layer)(idx) = neighbor idxs
+      val entryIdx: Int
+  ) extends Serializable
 
   def buildLayered(
       emb: DataFrame,
@@ -173,8 +234,45 @@ object HnswReplay {
       buildLayered(emb, idCol, vecCol, m, m0, seed, mLevels),
       queries, qidCol, qvecCol, k, ef, greedyRounds, beamRounds)
 
-  /** Search over a prebuilt [[LayeredIndex]]. */
+  /** Search over a prebuilt [[LayeredIndex]] — ONE narrow
+    * mapPartitions pass over the queries against the broadcast index
+    * (bit-identical to [[searchReplayRelational]], spec-pinned).
+    */
   def searchReplay(
+      idx: LayeredIndex,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = idx.local
+    queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val li = bc.value
+        it.flatMap { case (qid, qv) =>
+          val last = beamLocal(
+            li, qv, greedyLocal(li, qv, greedyRounds), ef, beamRounds)
+          val n = math.min(k, last.length)
+          (0 until n).iterator.map(i =>
+            (qid, li.ids(last(i)._1), last(i)._2, (i + 1).toLong))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist", "rnk")
+  }
+
+  /** The original iterative-join spelling, kept as the reference twin
+    * for the local-walk equality spec (HnswReplaySpec pins
+    * local == relational bit-for-bit on the test corpus).
+    */
+  private[graft] def searchReplayRelational(
       idx: LayeredIndex,
       queries: DataFrame,
       qidCol: String,
@@ -191,12 +289,46 @@ object HnswReplay {
   }
 
   /** Recall-vs-ef operating curve over the SAME artifact: the greedy
-    * descent is ef-independent, so it runs ONCE and each ef setting
-    * re-runs only the layer-0 beam. Returns one (ef, query_id,
-    * neighbor_id, dist, rnk) block per setting — the first ef curve in
-    * the suite whose index AND searches are fully hash-checkable.
+    * descent is ef-independent, so it runs ONCE per query and each ef
+    * setting re-runs only the layer-0 beam — all inside the same local
+    * walk. Returns one (ef, query_id, neighbor_id, dist, rnk) block per
+    * setting — the first ef curve in the suite whose index AND searches
+    * are fully hash-checkable.
     */
   def replayEfCurve(
+      idx: LayeredIndex,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      efs: Seq[Int],
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = idx.local
+    queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val li = bc.value
+        it.flatMap { case (qid, qv) =>
+          val start = greedyLocal(li, qv, greedyRounds)
+          efs.iterator.flatMap { ef =>
+            val last = beamLocal(li, qv, start, ef, beamRounds)
+            val n = math.min(k, last.length)
+            (0 until n).iterator.map(i =>
+              (qid, li.ids(last(i)._1), last(i)._2, (i + 1).toLong, ef.toLong))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist", "rnk", "ef")
+  }
+
+  /** Reference twin of [[replayEfCurve]] (see
+    * [[searchReplayRelational]]). */
+  private[graft] def replayEfCurveRelational(
       idx: LayeredIndex,
       queries: DataFrame,
       qidCol: String,
@@ -293,6 +425,32 @@ object HnswReplay {
       greedyRounds: Int,
       beamRounds: Int
   ): DataFrame = {
+    val spark = qs.sparkSession
+    import spark.implicits._
+    val bc = idx.local
+    qs
+      .select(col("qid").cast("long"), col("qv").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val li = bc.value
+        it.flatMap { case (qid, qv) =>
+          visitedLocal(li, qv, greedyLocal(li, qv, greedyRounds), ef,
+            beamRounds)
+            .iterator.map { case (i, d) => (qid, li.ids(i), d) }
+        }
+      }
+      .toDF("qid", "cid", "d")
+  }
+
+  /** Reference twin of [[visitedLayer0]] (see
+    * [[searchReplayRelational]]). */
+  private[graft] def visitedLayer0Relational(
+      idx: LayeredIndex,
+      qs: DataFrame, // (qid, qv)
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
     import graft.functions.VectorExpressions.l2SqFast
     val cur = greedyDescent(idx, qs, greedyRounds)
     val edges0 = layerEdges(idx, 0)
@@ -365,6 +523,88 @@ object HnswReplay {
     * distances.
     */
   def searchReplayAdc(
+      idx: LayeredIndex,
+      codes: DataFrame, // (cid, code) — PQ codes of every indexed node
+      model: PQModel,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      ef: Int,
+      greedyRounds: Int,
+      beamRounds: Int
+  ): DataFrame = {
+    require(k <= ef, s"k=$k must be <= ef=$ef")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = idx.local
+    val li0 = idx.local.value // driver-side: map cid → node index
+    val codesByIdx = new Array[Array[Short]](li0.ids.length)
+    codes.select(col("cid").cast("long"), col("code")).collect().foreach { r =>
+      val i = java.util.Arrays.binarySearch(li0.ids, r.getLong(0))
+      if (i >= 0) codesByIdx(i) = r.getSeq[Short](1).toArray
+    }
+    val codesBc = spark.sparkContext.broadcast(codesByIdx)
+    val (flatCb, m, kCb, dp) = (model.flatCodebook, model.m, model.k, model.dp)
+    queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val li = bc.value
+        val cds = codesBc.value
+        it.flatMap { case (qid, qv) =>
+          val lut = lutLocal(flatCb, m, kCb, dp, qv)
+          // a node without a code never scores (the relational spelling's
+          // inner join against the code table drops it)
+          def adc(i: Int): Double =
+            if (cds(i) == null) Double.PositiveInfinity
+            else adcLocal(lut, kCb, cds(i))
+          // greedy descent scored by ADC
+          var cur = li.entryIdx
+          var l = MaxLevel
+          while (l >= 1) {
+            var r = 0
+            while (r < greedyRounds) {
+              var bestI = cur
+              var bestD = adc(cur)
+              val nbs = li.adj(l)(cur)
+              var j = 0
+              while (j < nbs.length) {
+                val nb = nbs(j)
+                val dd = adc(nb)
+                if (dd < bestD || (dd == bestD && li.ids(nb) < li.ids(bestI))) {
+                  bestI = nb; bestD = dd
+                }
+                j += 1
+              }
+              cur = bestI
+              r += 1
+            }
+            l -= 1
+          }
+          // layer-0 beam scored by ADC
+          var beam = Array(cur)
+          var r = 0
+          while (r < beamRounds) {
+            val cand = expandLocal(li, beam).filter(i => cds(i) != null)
+            val scored = rankLocal(li, cand, adc, ef)
+            beam = scored.map(_._1)
+            r += 1
+          }
+          // exact rerank of the ef survivors — the only raw-vector read
+          val reranked = rankLocal(
+            li, beam, i => l2Local(li.flat, i * li.d, li.d, qv), k)
+          reranked.iterator.zipWithIndex.map { case ((i, d), pos) =>
+            (qid, li.ids(i), d, (pos + 1).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist", "rnk")
+  }
+
+  /** Reference twin of [[searchReplayAdc]] (see
+    * [[searchReplayRelational]]). */
+  private[graft] def searchReplayAdcRelational(
       idx: LayeredIndex,
       codes: DataFrame, // (cid, code) — PQ codes of every indexed node
       model: PQModel,
@@ -524,5 +764,188 @@ object HnswReplay {
         col("cid").as("neighbor_id"),
         col("d").as("dist"),
         col("rn").cast("long").as("rnk"))
+  }
+
+  // ---- local walk kernels -------------------------------------------------
+  // Bit-exact local spellings of the relational walk stages: distances are
+  // the same ascending-index double sum as L2SqExpr / PQLutExpr /
+  // PQAdcLutExpr, argmin and ranking the same (d, id) lexicographic order
+  // as min(struct(d, cid)) / row_number over (d, cid). Every public search
+  // above is spec-pinned equal to its *Relational twin.
+
+  /** Same ascending-index sum as [[graft.functions.L2SqExpr]]. */
+  private def l2Local(
+      flat: Array[Double], off: Int, d: Int, qv: Array[Double]): Double = {
+    val n = math.min(qv.length, d)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val df = qv(i) - flat(off + i); s += df * df; i += 1 }
+    s
+  }
+
+  /** Greedy descent MaxLevel..1: per round argmin by (d, id) over
+    * {cur} ∪ neighbors_l(cur) — `min(struct(d, cid))` locally.
+    */
+  private def greedyLocal(
+      li: ReplayLocalIndex, qv: Array[Double], greedyRounds: Int): Int = {
+    var cur = li.entryIdx
+    var l = MaxLevel
+    while (l >= 1) {
+      var r = 0
+      while (r < greedyRounds) {
+        var bestI = cur
+        var bestD = l2Local(li.flat, cur * li.d, li.d, qv)
+        val nbs = li.adj(l)(cur)
+        var j = 0
+        while (j < nbs.length) {
+          val nb = nbs(j)
+          val dd = l2Local(li.flat, nb * li.d, li.d, qv)
+          if (dd < bestD || (dd == bestD && li.ids(nb) < li.ids(bestI))) {
+            bestI = nb; bestD = dd
+          }
+          j += 1
+        }
+        cur = bestI
+        r += 1
+      }
+      l -= 1
+    }
+    cur
+  }
+
+  /** One beam expansion: beam ∪ layer-0 neighbors, deduped (the
+    * collect_set). Order is irrelevant — every consumer re-sorts by the
+    * total (d, id) order.
+    */
+  private def expandLocal(li: ReplayLocalIndex, beam: Array[Int]): Array[Int] = {
+    val set = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < beam.length) {
+      val b = beam(i)
+      set.add(b)
+      val nbs = li.adj(0)(b)
+      var j = 0
+      while (j < nbs.length) { set.add(nbs(j)); j += 1 }
+      i += 1
+    }
+    val out = new Array[Int](set.size)
+    val it = set.iterator
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+
+  /** Score + rank by (d, id) ascending, cut at `cut` — the
+    * row_number-over-(d, cid) window locally.
+    */
+  private def rankLocal(
+      li: ReplayLocalIndex,
+      cand: Array[Int],
+      score: Int => Double,
+      cut: Int): Array[(Int, Double)] = {
+    val scored = cand.map(i => (i, score(i)))
+    scored
+      .sortWith { case ((i1, d1), (i2, d2)) =>
+        d1 < d2 || (d1 == d2 && li.ids(i1) < li.ids(i2))
+      }
+      .take(cut)
+  }
+
+  /** Synchronized ef-beam; returns the LAST round's ranked survivors
+    * (≤ ef entries, (d, id)-ascending — rnk is the array position + 1).
+    */
+  private def beamLocal(
+      li: ReplayLocalIndex,
+      qv: Array[Double],
+      start: Int,
+      ef: Int,
+      beamRounds: Int): Array[(Int, Double)] = {
+    val memo = new java.util.HashMap[Integer, java.lang.Double]()
+    def dist(i: Int): Double = {
+      val c = memo.get(Integer.valueOf(i))
+      if (c != null) c.doubleValue()
+      else {
+        val v = l2Local(li.flat, i * li.d, li.d, qv)
+        memo.put(Integer.valueOf(i), java.lang.Double.valueOf(v)); v
+      }
+    }
+    var beam = Array(start)
+    var last: Array[(Int, Double)] = Array((start, dist(start)))
+    var r = 0
+    while (r < beamRounds) {
+      last = rankLocal(li, expandLocal(li, beam), dist, ef)
+      beam = last.map(_._1)
+      r += 1
+    }
+    last
+  }
+
+  /** Every node any beam round scored (beam ∪ neighbors per round),
+    * with its exact distance — the cumulative visited set W.
+    */
+  private def visitedLocal(
+      li: ReplayLocalIndex,
+      qv: Array[Double],
+      start: Int,
+      ef: Int,
+      beamRounds: Int): Array[(Int, Double)] = {
+    val visited = new java.util.LinkedHashMap[Integer, java.lang.Double]()
+    def dist(i: Int): Double = {
+      val c = visited.get(Integer.valueOf(i))
+      if (c != null) c.doubleValue()
+      else {
+        val v = l2Local(li.flat, i * li.d, li.d, qv)
+        visited.put(Integer.valueOf(i), java.lang.Double.valueOf(v)); v
+      }
+    }
+    var beam = Array(start)
+    var r = 0
+    while (r < beamRounds) {
+      val cand = expandLocal(li, beam)
+      beam = rankLocal(li, cand, dist, ef).map(_._1)
+      r += 1
+    }
+    val out = new Array[(Int, Double)](visited.size)
+    val it = visited.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = (e.getKey.intValue(), e.getValue.doubleValue()); p += 1
+    }
+    out
+  }
+
+  /** Same loop order as [[graft.functions.PQLutExpr]]. */
+  private def lutLocal(
+      flat: Array[Double], m: Int, k: Int, dp: Int,
+      qv: Array[Double]): Array[Double] = {
+    require(qv.length == m * dp,
+      s"query vector length ${qv.length} != ${m * dp}")
+    val out = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * dp
+      var ki = 0
+      while (ki < k) {
+        val coff = (mi * k + ki) * dp
+        var s = 0.0
+        var j = 0
+        while (j < dp) {
+          val d = qv(off + j) - flat(coff + j); s += d * d; j += 1
+        }
+        out(mi * k + ki) = s
+        ki += 1
+      }
+      mi += 1
+    }
+    out
+  }
+
+  /** Same m-ordered LUT sum as [[graft.functions.PQAdcLutExpr]]. */
+  private def adcLocal(lut: Array[Double], k: Int, code: Array[Short]): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < code.length) { s += lut(mi * k + code(mi)); mi += 1 }
+    s
   }
 }

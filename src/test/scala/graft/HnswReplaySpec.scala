@@ -234,6 +234,54 @@ class HnswReplaySpec extends SparkSpec {
     assert(recalls.last >= 0.9, s"75% allow recall too low: ${recalls.last}")
   }
 
+  test("local walk == relational walk, bit-for-bit (search, ef curve, visited set, ADC)") {
+    // The r14 local-walk rewrite must be a pure execution-strategy change:
+    // every public search is pinned against the original iterative-join
+    // spelling on the full sf0.001 corpus.
+    val idx = HnswReplay.buildLayered(emb, "vec_id", "vec")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val sLoc = asSet(HnswReplay.searchReplay(
+      idx, q, "query_id", "qv", k = 10, ef = 16,
+      greedyRounds = 2, beamRounds = 4))
+    val sRel = asSet(HnswReplay.searchReplayRelational(
+      idx, q, "query_id", "qv", k = 10, ef = 16,
+      greedyRounds = 2, beamRounds = 4))
+    assert(sLoc == sRel, "searchReplay local != relational")
+    val cLoc = asSet(HnswReplay.replayEfCurve(
+      idx, q, "query_id", "qv", k = 10, efs = Seq(10, 16, 32),
+      greedyRounds = 2, beamRounds = 4))
+    val cRel = asSet(HnswReplay.replayEfCurveRelational(
+      idx, q, "query_id", "qv", k = 10, efs = Seq(10, 16, 32),
+      greedyRounds = 2, beamRounds = 4))
+    assert(cLoc == cRel, "replayEfCurve local != relational")
+    val qs = q.select(col("query_id").as("qid"), col("qv"))
+    val vLoc = asSet(HnswReplay.visitedLayer0(
+      idx, qs, ef = 16, greedyRounds = 2, beamRounds = 4))
+    val vRel = asSet(HnswReplay.visitedLayer0Relational(
+      idx, qs, ef = 16, greedyRounds = 2, beamRounds = 4))
+    assert(vLoc == vRel, "visitedLayer0 local != relational")
+    // ADC walk, fixed 16-codeword model over the real corpus
+    import graft.operators.{PQModel, ProductQuantizer}
+    val rows16 = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val dp = rows16(0).length / m
+    val model = PQModel(m, rows16.length, rows16(0).length,
+      Array.tabulate(m)(mi =>
+        rows16.map(v => java.util.Arrays.copyOfRange(v, mi * dp, (mi + 1) * dp))))
+    val codes = emb.select(
+      col("vec_id").as("cid"),
+      ProductQuantizer.encodeCol(model, col("vec")).as("code"))
+    val aLoc = asSet(HnswReplay.searchReplayAdc(
+      idx, codes, model, q, "query_id", "qv",
+      k = 10, ef = 16, greedyRounds = 2, beamRounds = 4))
+    val aRel = asSet(HnswReplay.searchReplayAdcRelational(
+      idx, codes, model, q, "query_id", "qv",
+      k = 10, ef = 16, greedyRounds = 2, beamRounds = 4))
+    assert(aLoc == aRel, "searchReplayAdc local != relational")
+  }
+
   test("route-through semantics: all-nearest-disallowed still yields k allowed results") {
     import spark.implicits._
     // two concentric rings: the inner (nearest to the query) entirely
