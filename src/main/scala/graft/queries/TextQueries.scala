@@ -1526,11 +1526,24 @@ object TextQueries {
             col("vec_id"),
             graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")),
           "vec_id", sample = 1.0)
-        val exactN = Dedup.embeddingPairs(emb, "vec_id", "v", tau = 0.45).count()
-        val lshN = Dedup.embeddingPairsLsh(
-          emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count()
-        val mpN = Dedup.embeddingPairsLshMultiprobe(
-          emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count()
+        // three INDEPENDENT audit jobs (exact truth, single-probe,
+        // multi-probe) — submit them concurrently so each job's task
+        // tail back-fills the others' idle cores (guide §2.6: actions
+        // are only sequential because the driver calls them
+        // sequentially); counts of disjoint lineages, so concurrency
+        // cannot affect any value
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val exactF = Future(
+          Dedup.embeddingPairs(emb, "vec_id", "v", tau = 0.45).count())
+        val lshF = Future(Dedup.embeddingPairsLsh(
+          emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count())
+        val mpF = Future(Dedup.embeddingPairsLshMultiprobe(
+          emb, "vec_id", "v", tau = 0.45, numPlanes = 16, bands = 4).count())
+        val exactN = Await.result(exactF, Duration.Inf)
+        val lshN = Await.result(lshF, Duration.Inf)
+        val mpN = Await.result(mpF, Duration.Inf)
         Seq(
           ("lsh", lshN, exactN, lshN.toDouble / exactN),
           ("lsh_mp", mpN, exactN, mpN.toDouble / exactN)
