@@ -67,28 +67,33 @@ object RpTree {
         .otherwise(acc)
     }
 
-  /** Lower median of `proj` per (tree, node) via ONE distributedRank
-    * over (tree, node, proj, id) — global ranks + a per-node
-    * (min-rank, count) aggregate give in-node ranks without any
-    * single-partition window, even for the root node that holds the
-    * whole corpus.
-    */
-  private def medians(proj: DataFrame): DataFrame = {
-    val ranked = Packing.distributedRank(
-      proj.select(col("tree"), col("node"), col("proj"), col("id")),
-      Seq(col("tree"), col("node"), col("proj"), col("id")), "r")
-    val bounds = ranked
-      .groupBy(col("tree"), col("node"))
-      .agg(min(col("r")).as("r0"), count(lit(1)).as("n"))
-    ranked
-      .join(bounds, Seq("tree", "node"))
-      // lower median = in-node rank ⌈n/2⌉; `div` keeps it integer math
-      .filter(col("r") - col("r0") + 1 === expr("(n + 1) div 2"))
-      .select(col("tree"), col("node"), col("proj").as("med"))
-  }
-
   /** Build the forest: `depth` median-split passes shared between both
     * artifacts (leaf table and split tables).
+    *
+    * Pass shape per level (r15 rewrite — the r14 driver bench measured
+    * the old distributedRank/window/broadcast-join spelling at 59 driver
+    * jobs for depth 4, dominated by per-action planning and AQE stage
+    * round-trips, anti-scaling with core count):
+    *   1. range-partition + sort the corpus by (tree, node, proj, id)
+    *      and localCheckpoint it — the ONE corpus-sized materialization;
+    *   2. one single-stage pass collects per-partition contiguous
+    *      (tree, node) run-lengths (partitions are sorted, so a node's
+    *      rows are contiguous runs; range partitions are ordered, so
+    *      partition-major order IS the global sort order);
+    *   3. the driver turns run-lengths into each node's count and the
+    *      (partition, in-partition offset) of its lower median — in-node
+    *      rank ⌈n/2⌉ under the total order (proj, id) — and one more
+    *      single-stage pass fetches exactly those rows;
+    *   4. child assignment is a projection against the level's median
+    *      MAP (a plan literal — no join, no broadcast, no shuffle).
+    * Driver state is the per-level medians plus per-partition
+    * run-lengths — the same order of magnitude as the median broadcast
+    * the old spelling already collected driver-side. The next level's
+    * range shuffle reads the checkpointed base through the assignment
+    * projection, so no per-level assignment checkpoint is needed.
+    * Forest.medians comes back as a LOCAL relation: every downstream
+    * descent broadcast (rpt_knn and friends, `depth` per query) builds
+    * from driver memory instead of running a collect job.
     */
   def build(
       df: DataFrame,
@@ -115,37 +120,153 @@ object RpTree {
     // routes left: proj <= its own median); empty nodes produce no data
     // median, but descent (and load()'s completeness check) needs a
     // routing value at EVERY node of the complete binary level — so each
-    // level's table is completed with +Infinity sentinels on the empty
+    // level's map is completed with +Infinity sentinels on the empty
     // nodes (everything routes left; spill never triggers: |proj−∞| is
     // never < spill). Sentinels cost nothing on healthy corpora: with
     // median splits every node holding ≥ 2 points fills both children,
     // so a complete level has zero empty nodes whenever n ≥ 2^depth.
-    var expected = spark.range(numTrees)
-      .select(col("id").cast("int").as("tree"), lit(0L).as("node"))
-    var medOut: DataFrame = null
+    val medOut = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Double)]()
     var level = 0
     while (level < depth) {
-      val proj = asg.withColumn("proj", projFor(col("vec"), numTrees, level, dim))
-      val meds = expected
-        .join(medians(proj), Seq("tree", "node"), "left")
-        .select(col("tree"), col("node"),
-          coalesce(col("med"), lit(Double.PositiveInfinity)).as("med"))
-        .localCheckpoint() // exactly numTrees·2^level rows
-      val lvl = meds.select(
-        lit(level).as("level"), col("tree"), col("node"), col("med"))
-      medOut = if (medOut == null) lvl else medOut.unionAll(lvl)
-      asg = proj
-        .join(broadcast(meds), Seq("tree", "node"))
-        .select(
-          col("tree"), col("id"), col("vec"),
-          (col("node") * 2 +
-            when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
-        .localCheckpoint() // evaluate once per level; truncate lineage
-      expected = meds.select(col("tree"), (col("node") * 2).as("node"))
-        .unionAll(meds.select(col("tree"), (col("node") * 2 + 1).as("node")))
+      val base = asg
+        .withColumn("proj", projFor(col("vec"), numTrees, level, dim))
+        .repartitionByRange(col("tree"), col("node"), col("proj"), col("id"))
+        .sortWithinPartitions(col("tree"), col("node"), col("proj"), col("id"))
+        .localCheckpoint()
+      val medMap = levelMedians(base, numTrees, level)
+      medOut ++= medMap.iterator.map { case ((t, nd), m) => (level, t, nd, m) }
+      // routing med as a literal map keyed tree·2^level + node (unique
+      // within the level); small levels fold into codegen, big ones
+      // (possible under the depth ≤ 24 require) fall back to a broadcast
+      // join against the driver-local median rows
+      asg =
+        if (medMap.size <= 4096) {
+          val lit2 = typedLit(medMap.map { case ((t, nd), m) =>
+            (t.toLong * (1L << level) + nd) -> m
+          })
+          base.select(
+            col("tree"), col("id"), col("vec"),
+            (col("node") * 2 +
+              when(
+                col("proj") <= element_at(
+                  lit2,
+                  col("tree").cast("long") * (1L << level) + col("node")),
+                0L).otherwise(1L)).as("node"))
+        } else {
+          import spark.implicits._
+          val medsDf = medMap.toSeq
+            .map { case ((t, nd), m) => (t, nd, m) }
+            .toDF("tree", "node", "med")
+          base
+            .join(broadcast(medsDf), Seq("tree", "node"))
+            .select(
+              col("tree"), col("id"), col("vec"),
+              (col("node") * 2 +
+                when(col("proj") <= col("med"), 0L).otherwise(1L)).as("node"))
+        }
       level += 1
     }
-    Forest(asg.select(col("tree"), col("id"), col("node").as("leaf")), medOut)
+    import spark.implicits._
+    val mediansDf = medOut.toSeq
+      .toDF("level", "tree", "node", "med")
+    Forest(asg.select(col("tree"), col("id"), col("node").as("leaf")), mediansDf)
+  }
+
+  /** Exact lower medians of one level from the sorted, range-partitioned
+    * `base`: per-partition contiguous (tree, node) run-lengths → driver
+    * prefix walk → indexed fetch of each node's rank-⌈n/2⌉ row. Returns
+    * the COMPLETE level (numTrees·2^level entries), empty nodes filled
+    * with the +Infinity sentinel. Exactly two single-stage jobs over the
+    * checkpointed base; nothing corpus-sized ever reaches the driver.
+    */
+  private def levelMedians(
+      base: DataFrame,
+      numTrees: Int,
+      level: Int
+  ): Map[(Int, Long), Double] = {
+    val slim = base.select(col("tree"), col("node"), col("proj"))
+    // run-lengths per partition, in the partition's (sorted) group order
+    val counts: Array[(Int, Array[(Int, Long, Long)])] = slim.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+        var curT = 0; var curN = 0L; var cnt = 0L
+        it.foreach { r =>
+          val t = r.getInt(0); val nd = r.getLong(1)
+          if (cnt > 0 && t == curT && nd == curN) cnt += 1
+          else {
+            if (cnt > 0) runs += ((curT, curN, cnt))
+            curT = t; curN = nd; cnt = 1L
+          }
+        }
+        if (cnt > 0) runs += ((curT, curN, cnt))
+        Iterator.single((pid, runs.toArray))
+      }
+      .collect()
+    // global order = partitions ascending (range partitions are ordered),
+    // runs in partition order; a node's runs are contiguous across
+    // partition boundaries. First pass: total count per node.
+    val ordered = counts.sortBy(_._1)
+    val totals = scala.collection.mutable.HashMap[(Int, Long), Long]()
+    ordered.foreach { case (_, runs) =>
+      runs.foreach { case (t, nd, c) =>
+        val k = (t, nd); totals(k) = totals.getOrElse(k, 0L) + c
+      }
+    }
+    // second pass: locate each node's lower-median row — in-node rank
+    // ⌈n/2⌉, i.e. 0-based in-node offset (n+1)/2 − 1 — as (partition,
+    // local row offset within that partition)
+    val wanted = scala.collection.mutable.HashMap[Int,
+      scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]]()
+    val seen = scala.collection.mutable.HashMap[(Int, Long), Long]()
+    ordered.foreach { case (pid, runs) =>
+      var localOff = 0L
+      runs.foreach { case (t, nd, c) =>
+        val before = seen.getOrElse((t, nd), 0L)
+        val tgt = (totals((t, nd)) + 1) / 2 - 1
+        if (tgt >= before && tgt < before + c) {
+          wanted.getOrElseUpdate(
+            pid, scala.collection.mutable.ArrayBuffer()) +=
+            ((localOff + (tgt - before), t, nd))
+        }
+        seen((t, nd)) = before + c
+        localOff += c
+      }
+    }
+    val wantedB = slim.sparkSession.sparkContext.broadcast(
+      wanted.map { case (p, b) => p -> b.sortBy(_._1).toArray }.toMap)
+    val got: Array[((Int, Long), Double)] = slim.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        wantedB.value.get(pid) match {
+          case None => Iterator.empty
+          case Some(ws) =>
+            val out =
+              scala.collection.mutable.ArrayBuffer[((Int, Long), Double)]()
+            var wi = 0; var off = 0L
+            while (wi < ws.length && it.hasNext) {
+              val r = it.next()
+              if (off == ws(wi)._1) {
+                out += (((ws(wi)._2, ws(wi)._3), r.getDouble(2)))
+                wi += 1
+              }
+              off += 1
+            }
+            out.iterator
+        }
+      }
+      .collect()
+    wantedB.destroy()
+    val gotMap = got.toMap
+    val out = Map.newBuilder[(Int, Long), Double]
+    var t = 0
+    while (t < numTrees) {
+      var nd = 0L
+      while (nd < (1L << level)) {
+        out += (t, nd) -> gotMap.getOrElse((t, nd), Double.PositiveInfinity)
+        nd += 1L
+      }
+      t += 1
+    }
+    out.result()
   }
 
   /** Persist the forest artifact: the leaf table partitioned by tree
