@@ -761,8 +761,10 @@ object Dedup {
     * stream (numPerms min-aggregates, one row per doc; the per-config
     * band slices are projections of that one row, reusing the exchange);
     * each config's candidate join is banded — only same-(band, sig)
-    * buckets ever meet; the ground-truth side is the same blocked
-    * inverted-index join [[jaccardPairs]] runs, restricted by `sample`
+    * buckets ever meet; the ground-truth side is the prefix-filtered
+    * exact join [[jaccardPairsPrefix]] (bit-identical pair set to
+    * [[jaccardPairs]], candidate volume pruned by the PPJoin prefix +
+    * length + positional filters), restricted by `sample`
     * through [[auditSample]] like eval_dedup_blocking — candidates are
     * scored against truth ON THE SAMPLED SUBSET (both sides of the
     * recall/precision ratio count only sampled-doc pairs, an unbiased
@@ -843,8 +845,13 @@ object Dedup {
     // checkpointed: its two consumers re-read the band self-join's
     // shuffle files (ReusedExchange), and measuring showed eagerly
     // materializing the wide candidate table costs ~5x what the re-read
-    // saves
-    val truth = jaccardPairs(audited, idCol, textCol, n, tau)
+    // saves. The truth side rides [[jaccardPairsPrefix]] (bit-identical
+    // pair set, spec-pinned) instead of the plain inverted-index
+    // self-join: the r14 second-decade sweep measured the uncapped
+    // jaccard truth at 136.7 s quiet on derived sf1 (exponent 1.16 vs
+    // 0.69 for the prefix path) — at 100 TB an unpruned exact-truth
+    // audit inside a band-plan query is the suite's scale-killer.
+    val truth = jaccardPairsPrefix(audited, idCol, textCol, n, tau)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val nTrue = truth.agg(count(lit(1)).as("n_true"))

@@ -710,9 +710,21 @@ object HnswQueries {
     // visited set, scored against the exact allowed-only kNN. Mean
     // recall decimal-routed; the 9th measured knob curve and the first
     // over the filter contract.
+    //
+    // r15: the allow lists are NESTED (md5 % 100 < 25 ⊂ < 50 ⊂ < 75) and
+    // the coin is a pure function of the id, so the three per-pct
+    // subtrees (each its own brute-force exact kNN + its own window over
+    // the visited set) collapse into ONE tagged pass each side: the
+    // corpus is scanned once at the widest cut with its md5 bucket
+    // carried, and each pct is a null-gated TopK heap (TopKAgg skips
+    // nulls; (dist, id) heap order == the row_number (d, cid) order it
+    // replaces) — one distance pass instead of three, no windows, same
+    // rows bit for bit.
     GQuery(
       "hnsw_replay_filter_curve",
       (spark, dir) => {
+        import graft.functions.TopKAgg.topK
+        import graft.functions.VectorExpressions.l2SqFast
         val emb = t(spark, dir, "embeddings")
           .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
         val q20 = emb
@@ -726,45 +738,50 @@ object HnswQueries {
             q20.select(col("query_id").as("qid"), col("qv")),
             ef = 16, greedyRounds = 2, beamRounds = 4)
           .localCheckpoint()
-        val nq = q20.select(col("query_id")).distinct()
-        Seq(25L, 50L, 75L).map { pct =>
-          val allow = emb
-            .filter(
-              graft.operators.Dedup.md5Long(
-                concat_ws(":", lit("fsel"), col("vec_id").cast("string")))
-                % 100 < pct)
-            .select(col("vec_id"))
-          val fin = vis
-            .join(allow.select(col("vec_id").as("cid")), Seq("cid"), "left_semi")
-            .withColumn("rnk",
-              org.apache.spark.sql.functions.row_number().over(
-                org.apache.spark.sql.expressions.Window
-                  .partitionBy(col("qid"))
-                  .orderBy(col("d"), col("cid"))))
-            .filter(col("rnk") <= K)
-            .select(col("qid").as("query_id"), col("cid").as("neighbor_id"))
-          val exact = BruteForceKNN
-            .knn(
-              q20,
-              emb.join(allow, Seq("vec_id"))
-                .select(col("vec_id").as("neighbor_id"), col("vec").as("bv")),
-              K)
-            .select(col("query_id"), col("neighbor_id"))
-          val hits = fin
-            .join(exact, Seq("query_id", "neighbor_id"))
-            .groupBy(col("query_id"))
-            .agg(count(lit(1)).as("c"))
-          nq.join(hits, Seq("query_id"), "left")
-            .withColumn("recall",
-              coalesce(col("c"), lit(0L)) / lit(K.toDouble))
-            .agg(
-              count(lit(1)).as("n_queries"),
-              davg(col("recall")).as("mean_recall"))
-            .withColumn("allow_pct", lit(pct))
-        }
-          .reduce(_ unionByName _)
+        val pcts = Seq(25L, 50L, 75L)
+        def bkt(idCol: org.apache.spark.sql.Column) =
+          graft.operators.Dedup.md5Long(
+            concat_ws(":", lit("fsel"), idCol.cast("string"))) % 100
+        def tks(d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+          pcts.zipWithIndex.map { case (p, i) =>
+            topK(when(col("bkt") < p, d), id, K).as(s"tk$i")
+          }
+        def cuts(heaped: org.apache.spark.sql.DataFrame) = heaped
           .select(
-            col("allow_pct"), col("n_queries"),
+            col("qid"),
+            explode(array(pcts.zipWithIndex.map { case (p, i) =>
+              struct(lit(p).as("pct"), col(s"tk$i.id").as("ids"))
+            }: _*)).as("x"))
+          .select(col("x.pct").as("pct"), col("qid"),
+            explode(col("x.ids")).as("cid"))
+        val fin = cuts(vis
+          .withColumn("bkt", bkt(col("cid")))
+          .groupBy(col("qid"))
+          .agg(tks(col("d"), col("cid")).head,
+            tks(col("d"), col("cid")).tail: _*))
+        val exact = cuts(emb
+          .withColumn("bkt", bkt(col("vec_id")))
+          .filter(col("bkt") < pcts.max)
+          .join(broadcast(q20.select(col("query_id").as("qid"), col("qv"))))
+          .withColumn("d", l2SqFast(col("qv"), col("vec")))
+          .groupBy(col("qid"))
+          .agg(tks(col("d"), col("vec_id")).head,
+            tks(col("d"), col("vec_id")).tail: _*))
+        val hits = fin
+          .join(exact, Seq("pct", "qid", "cid"))
+          .groupBy(col("pct"), col("qid"))
+          .agg(count(lit(1)).as("c"))
+        q20.select(col("query_id").as("qid")).distinct()
+          .crossJoin(spark.createDataFrame(
+            pcts.map(Tuple1(_))).toDF("pct"))
+          .join(hits, Seq("pct", "qid"), "left")
+          .withColumn("recall", coalesce(col("c"), lit(0L)) / lit(K.toDouble))
+          .groupBy(col("pct"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            davg(col("recall")).as("mean_recall"))
+          .select(
+            col("pct").as("allow_pct"), col("n_queries"),
             round(col("mean_recall"), 6).as("mean_recall"))
       },
       Some {
