@@ -1722,13 +1722,36 @@ object Dedup {
       tau: Double = 0.4
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val (w, nrm) = tfidfWeights(df, idCol, textCol, n, maxDfFraction, maxDfAbs)
+    val (w, nrm, dfw) = tfidfWeights(df, idCol, textCol, n, maxDfFraction, maxDfAbs)
+    // Size-adaptive parallelism for the pair aggregation (r15; guide §2
+    // partition sizing / §5 spill): the candidate volume is Σ C(df, 2)
+    // over the windowed dfreq — 109× the byte decade on a near-dup-heavy
+    // corpus (sf0.1 1.27M pairs → derived sf1 138M), so a fixed
+    // shuffle.partitions aggregate builds multi-million-entry decimal
+    // hash tables per task and collapses into spill-sort loops (r14
+    // telemetry: 39 GB memory spill, 44–54% GC share at sf1). The
+    // explicit repartition keyed on the GROUPING columns moves the
+    // exchange BELOW the aggregate (the agg's required distribution is
+    // already satisfied, so partial+final fuse into the post-exchange
+    // stage — the join stage streams pairs straight to shuffle write
+    // with no partial-agg buffering) and sizes the task count by the
+    // measured pair volume (~1M pairs/task), floored at the session's
+    // shuffle parallelism so small SFs keep their plan-equivalent
+    // parallelism.
+    val npRow = dfw
+      .agg(sum((col("df") * (col("df") - 1)).cast("long") / 2).as("np"))
+      .first()
+    val nPairs = if (npRow.isNullAt(0)) 0.0 else npRow.getDouble(0)
+    val nAgg = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      math.ceil(nPairs / 1e6).toInt)
     val dots = w.as("a")
       .join(w.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("a.w") * col("b.w")).as("p"))
+      .repartition(nAgg, col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("p").cast(DecimalType(38, 20))).cast("double").as("dt"))
     dots
@@ -1755,7 +1778,7 @@ object Dedup {
       n: Int,
       maxDfFraction: Double,
       maxDfAbs: Int
-  ): (DataFrame, DataFrame) = {
+  ): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val tf = spanPositions(df, idCol, textCol, n)
       .select(col("doc_id"), md5Long(col("sh")).as("sh"))
@@ -1786,7 +1809,14 @@ object Dedup {
       .agg(sqrt(
         sum((col("w") * col("w")).cast(DecimalType(38, 20))).cast("double"))
         .as("nm"))
-    (w, nrm)
+    // the windowed dfreq rides along so callers can SIZE the candidate
+    // aggregation from Σ C(df, 2) without re-deriving the df window
+    val dfw = dfreq
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 &&
+        col("df") <= least(floor(col("n") * maxDfFraction), lit(maxDfAbs.toLong)))
+      .select(col("sh"), col("df"))
+    (w, nrm, dfw)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
