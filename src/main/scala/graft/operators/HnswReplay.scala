@@ -154,6 +154,11 @@ object HnswReplay {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
         .sortBy(_._1)
       val n = rows.length
+      // mirror idealEdges' audit gate: buildLayered-produced indexes are
+      // bounded by construction, but a hand-assembled LayeredIndex must
+      // not silently collect an unbounded corpus to the driver
+      require(n <= MaxAuditNodes,
+        s"LayeredIndex.local: $n base rows exceed the $MaxAuditNodes-node audit bound")
       val d = if (n == 0) 0 else rows(0)._2.length
       val ids = rows.map(_._1)
       val flat = new Array[Double](n * d)
@@ -176,6 +181,13 @@ object HnswReplay {
           val l = r.getInt(0)
           val s = java.util.Arrays.binarySearch(ids, r.getLong(1))
           val t = java.util.Arrays.binarySearch(ids, r.getLong(2))
+          // fail with the offending row, not an opaque AIOOBE, when an
+          // edge references an id absent from base or an out-of-range
+          // layer (possible only for hand-assembled LayeredIndex values)
+          require(l >= 0 && l <= MaxLevel && s >= 0 && t >= 0,
+            s"LayeredIndex.local: edge (layer=$l, src=${r.getLong(1)}, " +
+              s"dst=${r.getLong(2)}) references a layer > $MaxLevel or an " +
+              "id absent from base")
           if (bufs(l)(s) == null)
             bufs(l)(s) = scala.collection.mutable.ArrayBuffer.empty[Int]
           bufs(l)(s) += t
@@ -249,6 +261,10 @@ object HnswReplay {
       beamRounds: Int
   ): DataFrame = {
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    // the local walks return the greedy entry at beamRounds = 0 while the
+    // relational twins NPE — the equality contract only covers >= 1, so
+    // both spellings reject the unsupported configuration identically
+    require(beamRounds >= 1, s"beamRounds must be >= 1, got $beamRounds")
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = idx.local
@@ -389,6 +405,10 @@ object HnswReplay {
       negate: Boolean = false
   ): DataFrame = {
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    // the local walks return the greedy entry at beamRounds = 0 while the
+    // relational twins NPE — the equality contract only covers >= 1, so
+    // both spellings reject the unsupported configuration identically
+    require(beamRounds >= 1, s"beamRounds must be >= 1, got $beamRounds")
     val qs = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
     val visited = visitedLayer0(idx, qs, ef, greedyRounds, beamRounds)
@@ -535,6 +555,10 @@ object HnswReplay {
       beamRounds: Int
   ): DataFrame = {
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    // the local walks return the greedy entry at beamRounds = 0 while the
+    // relational twins NPE — the equality contract only covers >= 1, so
+    // both spellings reject the unsupported configuration identically
+    require(beamRounds >= 1, s"beamRounds must be >= 1, got $beamRounds")
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = idx.local
@@ -544,6 +568,15 @@ object HnswReplay {
       val i = java.util.Arrays.binarySearch(li0.ids, r.getLong(0))
       if (i >= 0) codesByIdx(i) = r.getSeq[Short](1).toArray
     }
+    // full coverage is part of the contract: on a PARTIAL code table the
+    // local walk keeps routing through codeless nodes (scored +Inf) while
+    // the relational twin's inner join drops them — requiring coverage
+    // here keeps the spec-pinned equality meaningful instead of silently
+    // choosing one semantics
+    val missingCode = codesByIdx.indexWhere(_ == null)
+    require(missingCode < 0,
+      s"searchReplayAdc: node id=${li0.ids(math.max(missingCode, 0))} has " +
+        "no PQ code — the code table must cover every index id")
     val codesBc = spark.sparkContext.broadcast(codesByIdx)
     val (flatCb, m, kCb, dp) = (model.flatCodebook, model.m, model.k, model.dp)
     queries
@@ -618,6 +651,10 @@ object HnswReplay {
   ): DataFrame = {
     import graft.functions.VectorExpressions.l2SqFast
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    // the local walks return the greedy entry at beamRounds = 0 while the
+    // relational twins NPE — the equality contract only covers >= 1, so
+    // both spellings reject the unsupported configuration identically
+    require(beamRounds >= 1, s"beamRounds must be >= 1, got $beamRounds")
     val qs = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
       .withColumn("lut", ProductQuantizer.lutCol(model, col("qv")))
@@ -728,6 +765,10 @@ object HnswReplay {
   ): DataFrame = {
     import graft.functions.VectorExpressions.l2SqFast
     require(k <= ef, s"k=$k must be <= ef=$ef")
+    // the local walks return the greedy entry at beamRounds = 0 while the
+    // relational twins NPE — the equality contract only covers >= 1, so
+    // both spellings reject the unsupported configuration identically
+    require(beamRounds >= 1, s"beamRounds must be >= 1, got $beamRounds")
     val edges0 = layerEdges(idx, 0)
     val vecsOf = idx.base.select(col("id").as("cid"), col("vec"))
     var beam = cur.select(col("qid"), col("cur").as("cid"))
@@ -844,9 +885,15 @@ object HnswReplay {
       score: Int => Double,
       cut: Int): Array[(Int, Double)] = {
     val scored = cand.map(i => (i, score(i)))
+    // java.lang.Double.compare, not (<, ==): the primitive comparators
+    // are not a total order when a distance is NaN (TimSort can throw
+    // "Comparison method violates its general contract"), and compare's
+    // NaN-last ordering matches how the relational twins' window sort
+    // orders NaN in Spark
     scored
       .sortWith { case ((i1, d1), (i2, d2)) =>
-        d1 < d2 || (d1 == d2 && li.ids(i1) < li.ids(i2))
+        val c = java.lang.Double.compare(d1, d2)
+        c < 0 || (c == 0 && li.ids(i1) < li.ids(i2))
       }
       .take(cut)
   }
