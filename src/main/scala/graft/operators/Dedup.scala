@@ -2057,8 +2057,20 @@ object Dedup {
       minDocs: Int = 2
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // The window kernel costs a multiply-add per CHARACTER, so its cost
+    // is corpus-bytes-shaped even when the scan is tiny: a small-SF
+    // documents table is one parquet row group, and a 1-task scan
+    // serializes the whole rolling-hash pass (measured: the two 1-task
+    // ~1 s stages dominating dedup_substring at sf0.1, r15). Spread the
+    // scan to the session's parallelism when the source reads narrower —
+    // the shuffled payload is the raw compressed-text-sized rows, cheap
+    // exactly when this branch fires; a corpus-scale table already scans
+    // wide and never pays it.
+    val docs0 = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val docs =
+      if (docs0.rdd.getNumPartitions < par) docs0.repartition(par) else docs0
+    val wins = docs
       .select(
         col("doc_id"),
         posexplode(

@@ -14,8 +14,26 @@ import Q._
   */
 object MultimodalQueries {
 
+  /** The documents scan spread to the session's parallelism before any
+    * media fixture fans out of it: a small-SF documents table is ONE
+    * parquet row group, so the scan reads as one task — and every row
+    * here feeds per-row media synthesis + decode whose cost is
+    * content-shaped, not byte-shaped, so a 1-task scan serializes the
+    * whole modality (measured r15: the video/audio dedup queries spent
+    * their wall time in single-task stages). The shuffled payload is the
+    * pre-synthesis id/meta rows — cheap exactly when this branch fires; a
+    * corpus-scale table already scans wide and never pays the exchange
+    * (guide §2.5, repartition-after-unsplittable-read).
+    */
+  private def docsWide(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+  }
+
   private def media(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Multimodal.fromDocuments(t(spark, dir, "documents"))
+    Multimodal.fromDocuments(docsWide(spark, dir))
 
   private val modalityCase =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
@@ -299,7 +317,9 @@ object MultimodalQueries {
       "mm_decode_gif",
       (spark, dir) => {
         import spark.implicits._
-        val docs = t(spark, dir, "documents")
+        // decode-only pipeline: synth + full-frame decode per row with no
+        // downstream join — the docsWide profile (see [[docsWide]])
+        val docs = docsWide(spark, dir)
           .select(
             col("doc_id").cast("long").as("id"),
             col("n_chars").cast("long").as("nc")
