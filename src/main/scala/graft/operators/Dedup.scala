@@ -87,6 +87,20 @@ object Dedup {
     * (a doc repeating a span contributes one row per occurrence). Pure
     * per-row explode, zero shuffle.
     */
+  /** `df` spread to the session's parallelism when it reads narrower —
+    * the repartition-after-unsplittable-read rule (guide §2.5): a
+    * small-SF documents table is one parquet row group, so every
+    * content-shaped kernel hung off its scan (n-gram explode, rolling
+    * hashes) serializes on one task AND single-threads the first
+    * exchange's shuffle write. The shuffled payload is the pre-explode
+    * source rows — cheap exactly when this branch fires; a corpus-scale
+    * table already scans wide and never pays it.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def spanPositions(
       df: DataFrame,
       idCol: String,
@@ -296,8 +310,12 @@ object Dedup {
     // not cached: `shingles` ends in distinct() (an exchange), so the
     // self-join sides and the verify pass re-read the SAME shuffle files
     // (ReusedExchange) — the cache added only unreleased storage-memory
-    // that a long-lived session never got back
-    val sh = shingles(df, idCol, textCol, n)
+    // that a long-lived session never got back. The source is [[spread]]
+    // first: the n-gram explode is content-shaped work hanging off a
+    // possibly-1-task scan (measured r15: -0.4 s at sf0.1; scoped here
+    // and in tfidfWeights because spreading inside shingles() itself
+    // regressed the decontaminate cascade 2.5 s -> 7 s)
+    val sh = shingles(spread(df.select(col(idCol), col(textCol))), idCol, textCol, n)
     if (maxShingleDocFreq == Int.MaxValue) {
       // uncapped: the inverted-index self-join IS the intersection count —
       // aggregate it directly, one pass over the shingle table
@@ -1780,7 +1798,7 @@ object Dedup {
       maxDfAbs: Int
   ): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
-    val tf = spanPositions(df, idCol, textCol, n)
+    val tf = spanPositions(spread(df.select(col(idCol), col(textCol))), idCol, textCol, n)
       .select(col("doc_id"), md5Long(col("sh")).as("sh"))
       .groupBy(col("doc_id"), col("sh"))
       .agg(count(lit(1)).as("tf"))
@@ -2058,18 +2076,11 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The window kernel costs a multiply-add per CHARACTER, so its cost
-    // is corpus-bytes-shaped even when the scan is tiny: a small-SF
-    // documents table is one parquet row group, and a 1-task scan
-    // serializes the whole rolling-hash pass (measured: the two 1-task
-    // ~1 s stages dominating dedup_substring at sf0.1, r15). Spread the
-    // scan to the session's parallelism when the source reads narrower —
-    // the shuffled payload is the raw compressed-text-sized rows, cheap
-    // exactly when this branch fires; a corpus-scale table already scans
-    // wide and never pays it.
-    val docs0 = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val docs =
-      if (docs0.rdd.getNumPartitions < par) docs0.repartition(par) else docs0
+    // is corpus-bytes-shaped even when the scan is tiny — [[spread]]'s
+    // case exactly (measured: two 1-task ~1 s stages dominated
+    // dedup_substring at sf0.1 before it, r15)
+    val docs = spread(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val wins = docs
       .select(
         col("doc_id"),
